@@ -1,0 +1,26 @@
+"""raycdc — a Ray-Data-native CDC / incremental-ingest engine.
+
+Generalizes the paginated, cursor-based pull-ingest model of
+treasure-data/embulk-input-jira (reference at /root/reference, v0.3.1)
+into a binlog-style change-event tailer over Parquet tables of
+source-code repositories:
+
+- change events ``(seq, ts, op, repo, path, commit, lang, content,
+  payload_json)`` are read in zero-copy Arrow batches
+  (``sources/changelog.py``),
+- validated/coerced with null-on-error + dead-letter semantics
+  (``stages/parse.py``, generalizing JiraUtil.addRecord's
+  null-on-error coercion, reference JiraUtil.java:169-264),
+- hash-partitioned by primary key ``(repo, path)`` and applied as
+  idempotent keep-latest-by-seq upserts into a partitioned Parquet
+  lake table via per-partition merge stages (``stages/merge.py``),
+- with per-partition high-watermark cursors and an atomic
+  data-before-watermark commit protocol (``state/checkpoint.py``)
+  giving exactly-once observable state under at-least-once replay.
+
+Everything is expressed Ray-Data-first: ``ray.data.Dataset`` →
+``map_batches(batch_format="pyarrow")`` → ``groupby(part_id)
+.map_groups`` → ``write_parquet``; no hand-rolled task graphs.
+"""
+
+__version__ = "0.1.0"

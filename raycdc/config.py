@@ -1,0 +1,141 @@
+"""Job configuration, validation, error taxonomy, and the retry policy.
+
+Mirrors the reference's config surface and messages where an analog
+exists (JiraUtil.validateTaskConfig, reference JiraUtil.java:58-96;
+retry knobs JiraInputPlugin.java:69-83) and generalizes its
+retryable-error classification (JiraClient.java:108-118) into a
+three-way taxonomy:
+
+- ``TransientError``   → retry with exponential backoff (the
+  reference retries 5xx / 401 / 429 / IOException),
+- ``MalformedEventError`` → route the event to the dead-letter lane
+  (generalizes null-on-error coercion and error-message extraction,
+  JiraClient.java:181-194),
+- ``ConfigError``      → abort the job (the reference fails fast on
+  other 4xx and wraps give-ups into ConfigException,
+  JiraClient.java:149-154).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from raycdc.constants import (
+    DEFAULT_NUM_PARTITIONS,
+    DEFAULT_RETRY_INITIAL_WAIT_MS,
+    DEFAULT_RETRY_LIMIT,
+    DEFAULT_RETRY_MAX_WAIT_MS,
+)
+
+
+class ConfigError(ValueError):
+    """Invalid configuration — abort the job (ConfigException analog)."""
+
+
+class TransientError(RuntimeError):
+    """Transient infrastructure failure — retryable."""
+
+    def __init__(self, message: str, status_code: int | None = None):
+        super().__init__(message)
+        self.status_code = status_code
+
+
+class MalformedEventError(ValueError):
+    """A single bad event — dead-letter it, keep the lane total."""
+
+
+def is_retryable(exc: BaseException) -> bool:
+    """The reference's classification (JiraClient.java:108-118):
+    retry iff status/100 != 4, or status in {401, 429}; IOException
+    (status None) retries; everything else fails fast."""
+    if isinstance(exc, TransientError):
+        if exc.status_code is None:
+            return True  # IOException analog
+        return exc.status_code // 100 != 4 or exc.status_code in (401, 429)
+    if isinstance(exc, (ConfigError, MalformedEventError)):
+        return False
+    if isinstance(exc, (IOError, OSError, TimeoutError)):
+        return True
+    return False
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Exponential backoff matching the reference's RetryExecutor
+    envelope (initial 1 s → cap 120 s, limit 5, user range 0-10)."""
+
+    retry_limit: int = DEFAULT_RETRY_LIMIT
+    initial_wait_ms: int = DEFAULT_RETRY_INITIAL_WAIT_MS
+    max_wait_ms: int = DEFAULT_RETRY_MAX_WAIT_MS
+
+    def waits_ms(self) -> list[int]:
+        out, wait = [], self.initial_wait_ms
+        for _ in range(self.retry_limit):
+            out.append(min(wait, self.max_wait_ms))
+            wait *= 2
+        return out
+
+    def run(self, fn: Callable[[], Any], sleep=time.sleep) -> Any:
+        """Run ``fn`` with semantic retries.  On give-up the last
+        transient cause is wrapped into ConfigError, matching the
+        reference (JiraClient.java:149-154)."""
+        last: BaseException | None = None
+        for attempt, wait in enumerate([0] + self.waits_ms()):
+            if wait:
+                sleep(wait / 1000.0)
+            try:
+                return fn()
+            except BaseException as exc:  # noqa: BLE001 — classified below
+                if not is_retryable(exc):
+                    raise
+                last = exc
+        raise ConfigError(str(last)) from last
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    """Configuration for one CDC ingest job (PluginTask analog,
+    JiraInputPlugin.java:57-100)."""
+
+    log_dir: str  # change-log fragment directory (the "API endpoint")
+    lake_dir: str  # lake table root (data + checkpoint + dead-letter)
+    num_partitions: int = DEFAULT_NUM_PARTITIONS
+    columns: list[dict[str, Any]] | None = None  # payload schema; None = dynamic
+    dynamic_schema: bool = False
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    # strict=False reproduces the reference's null-on-error coercion;
+    # True routes coercion failures to the dead-letter lane instead.
+    strict: bool = True
+    batch_size: int | None = None
+    # hot-key salting threshold: PKs whose per-run event count exceeds
+    # this are pre-combined per batch (see stages/parse.py combiner).
+    predicate: Any = None  # optional pyarrow.dataset filter expression
+
+
+def validate_config(cfg: IngestConfig) -> IngestConfig:
+    """Fail-fast validation with reference-style messages
+    (JiraUtil.java:58-96)."""
+    if not cfg.log_dir:
+        raise ConfigError("Change-log directory could not be empty")
+    if not cfg.lake_dir:
+        raise ConfigError("Lake directory could not be empty")
+    if cfg.num_partitions < 1:
+        raise ConfigError("Number of partitions should be equal or greater than 1")
+    if cfg.retry.initial_wait_ms < 1:
+        raise ConfigError("Initial retry delay should be equal or greater than 1")
+    if not (0 <= cfg.retry.retry_limit <= 10):
+        raise ConfigError("Retry limit should between 0 and 10")
+    if cfg.columns is not None:
+        for col in cfg.columns:
+            if col.get("type") not in (
+                "boolean",
+                "long",
+                "double",
+                "string",
+                "timestamp",
+                "json",
+            ):
+                raise ConfigError(f"Unsupported column type: {col.get('type')}")
+    return cfg

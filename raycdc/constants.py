@@ -1,0 +1,36 @@
+"""Operational constants, mirroring the reference's envelope where a
+reference analog exists (reference: Constant.java) and scaled for a
+distributed engine where it does not.
+"""
+
+# Reference analogs ---------------------------------------------------------
+# Reference page size is 50 rows/request (Constant.java:5).  Our unit of
+# transfer is an Arrow batch; 8192 rows keeps a batch of wide `content`
+# rows (log-normal 0.2-50 KB) in the tens-of-MB range.
+DEFAULT_BATCH_SIZE = 8192
+
+# Reference preview fetches the first 10 records (Constant.java:8).
+PREVIEW_RECORDS_COUNT = 10
+
+# Reference schema guess samples 50 records (Constant.java:7).
+GUESS_RECORDS_COUNT = 50
+
+# Reference default timestamp pattern (Constant.java:12), Ruby-strptime
+# flavored ("%L" = milliseconds).
+DEFAULT_TIMESTAMP_PATTERN = "%Y-%m-%dT%H:%M:%S.%L%z"
+
+# Reference retry envelope (JiraInputPlugin.java:69-83).
+DEFAULT_RETRY_LIMIT = 5
+DEFAULT_RETRY_INITIAL_WAIT_MS = 1_000
+DEFAULT_RETRY_MAX_WAIT_MS = 120_000
+
+# Engine-only ---------------------------------------------------------------
+# Number of hash partitions of the lake table; sized ~2-4x cluster cores
+# so the merge stage's groupby produces enough groups to keep every core
+# busy without tiny-partition overhead.  Persisted in the lake manifest —
+# changing it requires a repartition of the lake.
+DEFAULT_NUM_PARTITIONS = 64
+
+# Placeholder emitted by the reference's flatten for arrays that are not
+# arrays-of-objects (Issue.java:109-112).
+STRING_VALUE_PLACEHOLDER = "String value"

@@ -1,0 +1,5 @@
+"""Pure, Ray-free kernels: dot-path extraction, bounded JSON flatten,
+typed coercion, timestamp parsing, stable hashing.  Everything here is
+unit-testable without a Ray session and is called from vectorized
+``map_batches`` stages.
+"""

@@ -1,0 +1,183 @@
+"""Typed coercion with null-on-error semantics.
+
+Reimplements the per-column coercion matrix of the reference's row
+sink (JiraUtil.addRecord, reference JiraUtil.java:169-264): every
+coercion failure produces a typed NULL, never an exception.  Pinned by
+the allRight / allWrong / allMissing / arrayAsString golden records in
+tests/golden/jira_util.json (reference JiraUtilTest.java:258-329).
+
+Engine types (Arrow):
+
+=========  ==========================  ==========================================
+engine     arrow                       rule (value is a parsed-JSON object)
+=========  ==========================  ==========================================
+boolean    bool_                       bool → itself; other primitive → text
+                                       equals "true" (case-insens., Java
+                                       Boolean.parseBoolean); single-element
+                                       array → that element; else null
+long       int64                       int/float → truncate; digit-string →
+                                       parse; bool/other → null
+double     float64                     int/float/number-string → float; else null
+string     string / large_string       primitive → as-string; array →
+                                       comma-joined element strings (non-
+                                       primitive elements as compact JSON);
+                                       object → compact JSON
+timestamp  timestamp[us, UTC]          string parsed per column format
+                                       (timestamps.py); object/array/bad → null
+json       string (JSON-encoded)       object/array kept (compact JSON text);
+                                       null/primitive → null
+=========  ==========================  ==========================================
+
+The engine's CDC parse stage can *route* instead of null: a coercion
+failure sends the whole event to the dead-letter lane (stages/parse.py)
+— ``strict=False`` here reproduces the reference's null-and-continue
+semantics exactly for conformance tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import pyarrow as pa
+
+from raycdc.constants import DEFAULT_TIMESTAMP_PATTERN
+from raycdc.functions.jsonpath import compact_json
+from raycdc.functions.timestamps import parse_timestamp_strings
+
+ENGINE_TYPES = ("boolean", "long", "double", "string", "timestamp", "json")
+
+ARROW_TYPES = {
+    "boolean": pa.bool_(),
+    "long": pa.int64(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "timestamp": pa.timestamp("us", tz="UTC"),
+    "json": pa.string(),
+}
+
+
+def _as_string(value: Any) -> str:
+    """Gson getAsString analog for primitives."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float) and value.is_integer() and abs(value) < 1e16:
+        # json.loads keeps 1.0 as float; Gson keeps the literal "1.0".
+        return repr(value)
+    return str(value)
+
+
+def coerce_boolean(value: Any) -> bool | None:
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, list):
+        return coerce_boolean(value[0]) if len(value) == 1 else None
+    if isinstance(value, dict) or value is None:
+        return None
+    # Java Boolean.parseBoolean: "true" (any case) else false
+    return _as_string(value).lower() == "true"
+
+
+def coerce_long(value: Any) -> int | None:
+    if isinstance(value, bool) or value is None or isinstance(value, dict):
+        return None
+    if isinstance(value, list):
+        return coerce_long(value[0]) if len(value) == 1 else None
+    if isinstance(value, int):
+        return value
+    if isinstance(value, float):
+        if math.isnan(value) or math.isinf(value):
+            return None
+        return int(value)  # truncation toward zero, like (long) cast
+    try:
+        return int(str(value))
+    except ValueError:
+        return None
+
+
+def coerce_double(value: Any) -> float | None:
+    if isinstance(value, bool) or value is None or isinstance(value, dict):
+        return None
+    if isinstance(value, list):
+        return coerce_double(value[0]) if len(value) == 1 else None
+    if isinstance(value, (int, float)):
+        return float(value)
+    try:
+        return float(str(value))
+    except ValueError:
+        return None
+
+
+def coerce_string(value: Any) -> str | None:
+    if value is None:
+        return None
+    if isinstance(value, (bool, int, float, str)):
+        return _as_string(value)
+    if isinstance(value, list):
+        return ",".join(
+            _as_string(e) if isinstance(e, (bool, int, float, str)) else compact_json(e)
+            for e in value
+        )
+    return compact_json(value)
+
+
+def coerce_json(value: Any) -> str | None:
+    """json-typed column: nested values pass through (as compact JSON
+    text in Arrow); null *and primitives* → null."""
+    if isinstance(value, (dict, list)):
+        return compact_json(value)
+    return None
+
+
+def timestamp_precheck(value: Any) -> str | None:
+    """Timestamp columns null out objects/arrays/nulls before the
+    (vectorized) strptime; other values go to the parser as strings."""
+    if value is None or isinstance(value, (dict, list)):
+        return None
+    return _as_string(value)
+
+
+_SCALAR_COERCERS = {
+    "boolean": coerce_boolean,
+    "long": coerce_long,
+    "double": coerce_double,
+    "string": coerce_string,
+    "json": coerce_json,
+}
+
+
+def coerce_records(
+    records: list[dict[str, Any]],
+    columns: list[dict[str, Any]],
+    getter=None,
+) -> pa.Table:
+    """Coerce a batch of extracted-JSON records into a typed Arrow table.
+
+    ``columns`` is a list of ``{"name": .., "type": .., ["format": ..]}``
+    column configs (the reference's ``columns`` config,
+    JiraInputPlugin.java:93-94); ``name`` may be a dot-path, resolved
+    with ``getter`` (default: jsonpath.dot_get).
+
+    Per-column work is a tight scalar loop feeding one Arrow array per
+    column; timestamp columns batch their strings into one vectorized
+    pandas strptime.  This runs only over the small ``payload_json``
+    side-channel, never the bulk ``content`` column.
+    """
+    from raycdc.functions.jsonpath import dot_get
+
+    get = getter or dot_get
+    arrays, names = [], []
+    for col in columns:
+        name, typ = col["name"], col["type"]
+        raw = [get(r, name) for r in records]
+        if typ == "timestamp":
+            pre = [timestamp_precheck(v) for v in raw]
+            parsed = parse_timestamp_strings(
+                pre, col.get("format", DEFAULT_TIMESTAMP_PATTERN)
+            )
+            arrays.append(pa.Array.from_pandas(parsed, type=ARROW_TYPES[typ]))
+        else:
+            fn = _SCALAR_COERCERS[typ]
+            arrays.append(pa.array([fn(v) for v in raw], type=ARROW_TYPES[typ]))
+        names.append(name)
+    return pa.table(arrays, names=names)

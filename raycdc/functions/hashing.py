@@ -1,0 +1,73 @@
+"""Stable, vectorized hashing used for partitioning and verification.
+
+- ``stable_key_hash``: deterministic uint64 hash of the primary key
+  ``(repo, path)`` used to assign lake partitions.  Vectorized via
+  ``pandas.util.hash_array`` (SipHash-based, deterministic for a fixed
+  hash key across processes and runs).  The algorithm tag is persisted
+  in the lake manifest so a lake is never read back with a different
+  partitioner.
+- ``sha256_hex``: per-row content digest — the engine's verification
+  invariant (BASELINE.json input_hint: per-row sha256(content)
+  equality vs the reference state).  hashlib releases the GIL and runs
+  at C speed; this is a verification lane, not the apply hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+HASH_ALGO_TAG = "pandas-hash-array-sip"
+_SEP = "\x00"
+
+
+def stable_key_hash(repo: "pa.Array | np.ndarray | list", path=None) -> np.ndarray:
+    """uint64 hash of repo (+ optional path) — vectorized."""
+    r = np.asarray(repo if not isinstance(repo, (pa.Array, pa.ChunkedArray)) else repo.to_numpy(zero_copy_only=False), dtype=object)
+    if path is not None:
+        p = np.asarray(path if not isinstance(path, (pa.Array, pa.ChunkedArray)) else path.to_numpy(zero_copy_only=False), dtype=object)
+        combined = np.char.add(np.char.add(r.astype(str), _SEP), p.astype(str)).astype(object)
+    else:
+        combined = r
+    return pd.util.hash_array(combined, categorize=False)
+
+
+def partition_ids(repo, path, num_partitions: int) -> np.ndarray:
+    """Lake partition assignment: stable_key_hash(pk) % P → int32."""
+    return (stable_key_hash(repo, path) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def sha256_hex(values) -> list[str | None]:
+    """Per-row sha256 hex digest of a string column (None-safe)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    return [
+        None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+        for v in values
+    ]
+
+
+def rolling_fingerprint(text: str, window: int = 8, mod: int = 1 << 61) -> int:
+    """Polynomial rolling-hash document fingerprint: min rolling hash
+    over byte windows — a cheap locality-sensitive document signature
+    (text-analysis op; deterministic, pure python per doc)."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        data = data + b"\x00" * (window - len(data))
+    base = 257
+    h = 0
+    power = pow(base, window - 1, mod)
+    best = None
+    for i, b in enumerate(data):
+        if i < window:
+            h = (h * base + b) % mod
+            if i == window - 1:
+                best = h
+        else:
+            h = ((h - data[i - window] * power) * base + b) % mod
+            if h < best:
+                best = h
+    return best if best is not None else 0

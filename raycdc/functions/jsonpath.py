@@ -1,0 +1,115 @@
+"""Dot-path extraction and bounded JSON flattening over parsed-JSON
+Python objects (dict / list / str / int / float / bool / None).
+
+Reimplements — from observed behavior, not code — the reference's
+nested-JSON kernels:
+
+- ``dot_get``: recursive dot-path descent with null-on-missing and
+  "map the remaining path over array elements" semantics
+  (reference Issue.java:28-57; pinned by the 17 golden cases in
+  tests/golden/issue_get{,_expected}.json).
+- ``flatten``: depth-bounded (<= 2 dots) flatten; deeper objects go
+  through a name/key/id heuristic; arrays-of-objects are transposed to
+  objects-of-arrays; any other array collapses to the literal
+  placeholder ``"String value"`` (reference Issue.java:59-142; pinned
+  by tests/golden/issue_flatten{,_expected}.json).
+
+These kernels run per-row inside ``map_batches`` over the (small)
+``payload_json`` side-channel and in the driver-side schema-inference
+sample — never over the bulk ``content`` column.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from raycdc.constants import STRING_VALUE_PLACEHOLDER
+
+_HEURISTIC_KEYS = ("name", "key", "id")
+
+
+def dot_get(obj: Any, path: str) -> Any:
+    """Extract ``path`` ("a.b.c") from a parsed-JSON object.
+
+    Missing keys and explicit JSON nulls both yield ``None``.  When the
+    descent hits an array, the remaining path is mapped over its
+    elements (non-dict elements pass through unchanged); an empty array
+    short-circuits and is returned as-is.  Descending into a primitive
+    with path components left yields ``None`` (the reference would
+    raise here; null is the engine's null-on-error generalization).
+    """
+    return _get(obj, path.split("."))
+
+
+def _get(node: Any, keys: list[str]) -> Any:
+    if node is None:
+        return None
+    if not keys or (isinstance(node, list) and len(node) == 0):
+        return node
+    key, rest = keys[0], keys[1:]
+    if isinstance(node, list):
+        mapped = [e.get(key) if isinstance(e, dict) else e for e in node]
+        return _get(mapped, rest)
+    if isinstance(node, dict):
+        return _get(node.get(key), rest)
+    # primitive with remaining path components
+    return None
+
+
+def compact_json(value: Any) -> str:
+    """Compact JSON text (no whitespace), matching Gson's toString."""
+    return json.dumps(value, separators=(",", ":"), ensure_ascii=False)
+
+
+def flatten(obj: Any) -> dict[str, Any]:
+    """Flatten a parsed-JSON object into a single-level dict keyed by
+    dot-paths, with the reference's depth bound and heuristics.
+    """
+    out: dict[str, Any] = {}
+    _flatten_into(out, obj, "")
+    return out
+
+
+def _append(prefix: str, key: str) -> str:
+    return key if not prefix else f"{prefix}.{key}"
+
+
+def _flatten_into(out: dict[str, Any], node: Any, prefix: str) -> None:
+    if isinstance(node, dict):
+        # depth bound: a prefix containing more than one '.' means we
+        # are 3+ levels deep — apply the name/key/id heuristic instead
+        # of descending further.
+        if prefix.count(".") > 1:
+            _add_heuristic(out, node, prefix)
+            return
+        if not node:
+            out[prefix] = node  # preserve empty object
+        else:
+            for key, value in node.items():
+                _flatten_into(out, value, _append(prefix, key))
+    elif isinstance(node, list):
+        all_objects = len(node) > 0 and all(isinstance(e, dict) for e in node)
+        if all_objects:
+            # transpose array-of-objects -> object-of-arrays over the
+            # union of keys (missing keys null-fill), then recurse.
+            keys: dict[str, None] = {}
+            for elem in node:
+                for k in elem:
+                    keys[k] = None
+            transposed = {k: [e.get(k) for e in node] for k in keys}
+            _flatten_into(out, transposed, prefix)
+        else:
+            out[prefix] = STRING_VALUE_PLACEHOLDER
+    else:
+        # primitive or None
+        out[prefix] = node
+
+
+def _add_heuristic(out: dict[str, Any], node: dict[str, Any], prefix: str) -> None:
+    present = [k for k in node if k in _HEURISTIC_KEYS and node[k] is not None]
+    if not present:
+        out[prefix] = compact_json(node)
+    else:
+        for key in present:
+            out[_append(prefix, key)] = node[key]

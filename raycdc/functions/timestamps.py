@@ -1,0 +1,39 @@
+"""Timestamp parsing with Ruby-strptime-flavored patterns.
+
+The reference parses timestamp columns with a per-column ``format``
+option, defaulting to ``%Y-%m-%dT%H:%M:%S.%L%z`` in UTC, and yields
+null on any parse failure (reference JiraUtil.java:102-125,
+Constant.java:12).  ``%L`` (milliseconds) is a Ruby/Embulk token; we
+translate it (and ``%N`` nanoseconds) to Python's ``%f`` and parse
+vectorized with pandas (``errors="coerce"`` → NaT → typed null).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from raycdc.constants import DEFAULT_TIMESTAMP_PATTERN
+
+_TOKEN_MAP = {"%L": "%f", "%N": "%f"}
+
+
+def translate_pattern(pattern: str) -> str:
+    for ruby, py in _TOKEN_MAP.items():
+        pattern = pattern.replace(ruby, py)
+    return pattern
+
+
+def parse_timestamp_strings(
+    values: "pd.Series | list | np.ndarray",
+    pattern: str = DEFAULT_TIMESTAMP_PATTERN,
+) -> pd.Series:
+    """Vectorized strptime: unparsable / null inputs → NaT.
+
+    Returns a UTC-aware ``datetime64[ns, UTC]`` series.  ``%z``
+    accepts both numeric offsets and the literal ``Z``.
+    """
+    s = pd.Series(values, dtype="object")
+    fmt = translate_pattern(pattern)
+    # pandas requires consistent tz-awareness; utc=True normalizes.
+    return pd.to_datetime(s, format=fmt, errors="coerce", utc=True)

@@ -1,0 +1,164 @@
+"""Sample-based schema inference ("guess") and schema evolution.
+
+Mirrors the reference's guess pipeline (JiraInputPlugin.java:170-220):
+flatten each sample record, take the *sorted union* of attribute names
+across the sample (TreeSet, JiraInputPlugin.java:193-202), null-fill
+missing attributes so every row carries the union schema
+(createGuessSample, :204-220), then infer one engine type per column
+from the stringified values (Embulk SchemaGuess analog).  Timestamp
+columns carry the detected ``format``.
+
+Evolution (``merge_schemas``) makes the reference's ``dynamic_schema``
+re-inference (JiraInputPlugin.java:106-127) explicit: new columns are
+added nullable; conflicting types widen along the lattice
+
+    boolean < long < double < string      timestamp < string
+    json < string
+
+(SURVEY.md §3.2) — anything else widens to string.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from raycdc.constants import DEFAULT_TIMESTAMP_PATTERN, GUESS_RECORDS_COUNT
+from raycdc.functions.jsonpath import flatten
+
+_BOOL_RE = re.compile(r"^(?:true|false)$", re.IGNORECASE)
+_LONG_RE = re.compile(r"^[+-]?\d+$")
+_DOUBLE_RE = re.compile(r"^[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?$")
+# ISO-8601-ish with milliseconds + zone — the reference's default
+# pattern family (Constant.java:12).
+_TS_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (
+        re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}(?:Z|[+-]\d{2}:?\d{2})$"),
+        DEFAULT_TIMESTAMP_PATTERN,
+    ),
+    (
+        re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:Z|[+-]\d{2}:?\d{2})$"),
+        "%Y-%m-%dT%H:%M:%S%z",
+    ),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"), "%Y-%m-%d %H:%M:%S"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2}$"), "%Y-%m-%d"),
+]
+
+_WIDEN_ORDER = {"boolean": 0, "long": 1, "double": 2, "string": 3}
+
+
+class EmptyDatasetError(ValueError):
+    """Guess over an empty sample — the reference raises
+    ConfigException("Could not guess schema due to empty data set")
+    (JiraInputPlugin.java:185-187); dynamic_schema mode swallows this
+    into an empty schema (:117-121)."""
+
+
+def unique_attributes(flattened: list[dict[str, Any]]) -> list[str]:
+    """Sorted union of attribute names (TreeSet analog)."""
+    names: set[str] = set()
+    for rec in flattened:
+        names.update(rec.keys())
+    return sorted(names)
+
+
+def _infer_one(values: list[Any]) -> dict[str, Any]:
+    """Infer a column config from this column's sample values.
+
+    Primitives are examined in string form (the reference stringifies
+    primitives before SchemaGuess — JiraUtil.toLinkedHashMap,
+    JiraUtil.java:266-279); dicts/lists infer as json.
+    """
+    kinds: set[str] = set()
+    fmt: str | None = None
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, (dict, list)):
+            kinds.add("json")
+            continue
+        s = v if isinstance(v, str) else _stringify(v)
+        if _BOOL_RE.match(s):
+            kinds.add("boolean")
+        elif _LONG_RE.match(s):
+            kinds.add("long")
+        elif _DOUBLE_RE.match(s):
+            kinds.add("double")
+        else:
+            for pat, pattern in _TS_PATTERNS:
+                if pat.match(s):
+                    kinds.add("timestamp")
+                    fmt = fmt or pattern
+                    break
+            else:
+                kinds.add("string")
+    if not kinds:
+        return {"type": "string"}
+    if len(kinds) == 1:
+        k = kinds.pop()
+        if k == "timestamp":
+            return {"type": "timestamp", "format": fmt or DEFAULT_TIMESTAMP_PATTERN}
+        return {"type": k}
+    if kinds <= {"long", "double"}:
+        return {"type": "double"}
+    return {"type": "string"}
+
+
+def _stringify(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def guess_schema(sample_records: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Infer column configs ``[{"name", "type"[, "format"]}]`` from raw
+    (nested) sample records.  Column order is name-sorted, like the
+    reference's guess output (jira_input_plugin.json:62-90)."""
+    if not sample_records:
+        raise EmptyDatasetError("Could not guess schema due to empty data set")
+    flat = [flatten(r) for r in sample_records[:GUESS_RECORDS_COUNT]]
+    names = unique_attributes(flat)
+    columns = []
+    for name in names:
+        cfg = _infer_one([rec.get(name) for rec in flat])
+        columns.append({"name": name, **cfg})
+    return columns
+
+
+def widen(a: str, b: str) -> str:
+    """Join of two engine types in the widen lattice."""
+    if a == b:
+        return a
+    pair = {a, b}
+    if pair <= set(_WIDEN_ORDER):
+        return max(pair, key=_WIDEN_ORDER.__getitem__)
+    # timestamp/json conflict with anything else -> string
+    return "string"
+
+
+def merge_schemas(
+    old: list[dict[str, Any]], new: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Evolve ``old`` toward ``new``: keep old column order, widen
+    conflicting types, append newly-appearing columns (nullable) in
+    name-sorted order.  Dropping columns never happens (reads of
+    missing columns null-fill at the sink)."""
+    merged: list[dict[str, Any]] = []
+    new_by_name = {c["name"]: c for c in new}
+    seen = set()
+    for col in old:
+        name = col["name"]
+        seen.add(name)
+        if name in new_by_name:
+            w = widen(col["type"], new_by_name[name]["type"])
+            out = {"name": name, "type": w}
+            keep = new_by_name[name] if w == new_by_name[name]["type"] else col
+            if w == "timestamp" and "format" in keep:
+                out["format"] = keep["format"]
+            merged.append(out)
+        else:
+            merged.append(dict(col))
+    for col in sorted(new, key=lambda c: c["name"]):
+        if col["name"] not in seen:
+            merged.append(dict(col))
+    return merged

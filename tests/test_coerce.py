@@ -1,0 +1,134 @@
+"""Coercion-matrix tests pinned by the reference's jira_util.json
+records (allRight / allWrong / allMissing / arrayAsString — reference
+JiraUtilTest.java:258-329) plus engine-specific edges.
+"""
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+
+from raycdc.functions.coerce import (
+    ARROW_TYPES,
+    coerce_boolean,
+    coerce_double,
+    coerce_json,
+    coerce_long,
+    coerce_records,
+    coerce_string,
+)
+from raycdc.functions.timestamps import parse_timestamp_strings
+
+GOLDEN = Path(__file__).parent / "golden"
+RECORDS = json.loads((GOLDEN / "jira_util.json").read_text())
+
+# The reference's canonical 6-column test schema (TestHelpers.config(),
+# reference src/test/java/.../TestHelpers.java:43-55).
+COLUMNS = [
+    {"name": "boolean", "type": "boolean"},
+    {"name": "long", "type": "long"},
+    {"name": "double", "type": "double"},
+    {"name": "string", "type": "string"},
+    {"name": "date", "type": "timestamp", "format": "%Y-%m-%dT%H:%M:%S.%L%z"},
+    {"name": "json", "type": "json"},
+]
+
+
+def _row(record):
+    return coerce_records([record], COLUMNS).to_pylist()[0]
+
+
+def test_all_right():
+    row = _row(RECORDS["allRight"])
+    assert row["boolean"] is True
+    assert row["long"] == 1
+    assert row["double"] == 1.0
+    assert row["string"] == "string"
+    assert row["date"] == pd.Timestamp("2019-01-01T00:00:00Z")
+    assert row["json"] == "{}"
+
+
+def test_all_wrong():
+    # wrong-typed values → typed nulls for bool/long/double/timestamp;
+    # string gets "{}" and json passes {} through
+    # (reference JiraUtilTest.test_addRecord_allWrong:286-303).
+    row = _row(RECORDS["allWrong"])
+    assert row["boolean"] is None
+    assert row["long"] is None
+    assert row["double"] is None
+    assert row["string"] == "{}"
+    assert row["date"] is None
+    assert row["json"] == "{}"
+
+
+def test_all_missing():
+    row = _row(RECORDS["allMissing"])
+    assert all(v is None for v in row.values())
+
+
+def test_array_as_string():
+    # [1, {}, []] → "1,{},[]" (reference JiraUtilTest:318-329)
+    row = _row(RECORDS["arrayAsString"])
+    assert row["string"] == "1,{},[]"
+
+
+def test_boolean_semantics():
+    # Java Boolean.parseBoolean: only "true" (case-insens.) is True
+    assert coerce_boolean(True) is True
+    assert coerce_boolean("TRUE") is True
+    assert coerce_boolean("yes") is False
+    assert coerce_boolean(1) is False
+    assert coerce_boolean([True]) is True  # single-element array unwraps
+    assert coerce_boolean([True, False]) is None
+    assert coerce_boolean({}) is None
+    assert coerce_boolean(None) is None
+
+
+def test_long_semantics():
+    assert coerce_long(1) == 1
+    assert coerce_long(1.9) == 1  # truncation like a (long) cast
+    assert coerce_long("42") == 42
+    assert coerce_long("1.5") is None  # Long.parseLong would throw
+    assert coerce_long(True) is None  # boolean → NumberFormatException → null
+    assert coerce_long([7]) == 7
+    assert coerce_long({}) is None
+
+
+def test_double_semantics():
+    assert coerce_double(1) == 1.0
+    assert coerce_double("1.5") == 1.5
+    assert coerce_double("abc") is None
+    assert coerce_double(True) is None
+    assert coerce_double({}) is None
+
+
+def test_string_semantics():
+    assert coerce_string(True) == "true"
+    assert coerce_string(1.0) == "1.0"
+    assert coerce_string({"a": 1}) == '{"a":1}'
+    assert coerce_string([1, "x", None, {"a": 1}]) == '1,x,null,{"a":1}'
+    assert coerce_string(None) is None
+
+
+def test_json_semantics():
+    assert coerce_json({}) == "{}"
+    assert coerce_json([1, 2]) == "[1,2]"
+    assert coerce_json("primitive") is None
+    assert coerce_json(None) is None
+
+
+def test_timestamp_formats():
+    out = parse_timestamp_strings(
+        ["2019-01-01T00:00:00.000Z", "abcxyz", None],
+        "%Y-%m-%dT%H:%M:%S.%L%z",
+    )
+    assert out[0] == pd.Timestamp("2019-01-01T00:00:00Z")
+    assert pd.isna(out[1]) and pd.isna(out[2])
+
+
+def test_coerce_records_arrow_types():
+    t = coerce_records([RECORDS["allRight"]], COLUMNS)
+    assert t.schema.field("boolean").type == ARROW_TYPES["boolean"]
+    assert t.schema.field("long").type == ARROW_TYPES["long"]
+    assert t.schema.field("date").type == pa.timestamp("us", tz="UTC")

@@ -1,0 +1,98 @@
+"""Config validation and retry-classifier tests (reference:
+JiraUtilTest config-validation cases :113-256 and JiraClientTest retry
+cases :143-192)."""
+
+import pytest
+
+from raycdc.config import (
+    ConfigError,
+    IngestConfig,
+    MalformedEventError,
+    RetryPolicy,
+    TransientError,
+    is_retryable,
+    validate_config,
+)
+
+
+def _cfg(**kw):
+    base = dict(log_dir="/tmp/log", lake_dir="/tmp/lake")
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def test_validate_ok():
+    assert validate_config(_cfg()) is not None
+
+
+@pytest.mark.parametrize(
+    "kw,msg",
+    [
+        (dict(log_dir=""), "Change-log directory could not be empty"),
+        (dict(lake_dir=""), "Lake directory could not be empty"),
+        (dict(num_partitions=0), "equal or greater than 1"),
+        (dict(retry=RetryPolicy(retry_limit=11)), "between 0 and 10"),
+        (dict(retry=RetryPolicy(initial_wait_ms=0)), "equal or greater than 1"),
+        (dict(columns=[{"name": "x", "type": "decimal"}]), "Unsupported column type"),
+    ],
+)
+def test_validate_errors(kw, msg):
+    with pytest.raises(ConfigError, match=msg):
+        validate_config(_cfg(**kw))
+
+
+def test_retry_classifier():
+    # reference: retry iff status/100 != 4 or status in {401, 429}
+    # (JiraClient.java:108-118); IOException retried; fail-fast on 400.
+    assert is_retryable(TransientError("overload", 500))
+    assert is_retryable(TransientError("throttle", 429))
+    assert is_retryable(TransientError("auth-throttle", 401))
+    assert not is_retryable(TransientError("bad request", 400))
+    assert not is_retryable(TransientError("not found", 404))
+    assert is_retryable(TransientError("io", None))
+    assert is_retryable(IOError("conn reset"))
+    assert not is_retryable(ConfigError("bad config"))
+    assert not is_retryable(MalformedEventError("bad event"))
+
+
+def test_retry_counts_and_giveup():
+    calls = []
+
+    def fail():
+        calls.append(1)
+        raise TransientError("boom", 500)
+
+    pol = RetryPolicy(retry_limit=3, initial_wait_ms=1, max_wait_ms=4)
+    with pytest.raises(ConfigError):  # give-up wraps cause into ConfigError
+        pol.run(fail, sleep=lambda s: None)
+    assert len(calls) == 4  # 1 initial + 3 retries, like the reference's
+    # verify(jiraClient, times(retry+1)) assertions (JiraClientTest:143-159)
+
+
+def test_retry_failfast_on_4xx():
+    calls = []
+
+    def fail():
+        calls.append(1)
+        raise TransientError("bad", 400)
+
+    with pytest.raises(TransientError):
+        RetryPolicy(retry_limit=3, initial_wait_ms=1).run(fail, sleep=lambda s: None)
+    assert len(calls) == 1
+
+
+def test_backoff_waits_capped():
+    pol = RetryPolicy(retry_limit=5, initial_wait_ms=1000, max_wait_ms=4000)
+    assert pol.waits_ms() == [1000, 2000, 4000, 4000, 4000]
+
+
+def test_retry_success_after_transient():
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] < 3:
+            raise TransientError("flaky", 503)
+        return "ok"
+
+    assert RetryPolicy(retry_limit=5, initial_wait_ms=1).run(flaky, sleep=lambda s: None) == "ok"

@@ -1,0 +1,54 @@
+"""Golden tests for dot-path extraction and bounded flatten, driven by
+the reference's own fixture pairs (copied verbatim into tests/golden/):
+
+- issue_get.json → issue_get_expected.json: 17 dot-path cases
+  (reference IssueTest.java:110-277),
+- issue_flatten.json → issue_flatten_expected.json: 9 flatten cases
+  (reference IssueTest.java:28-107).
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from raycdc.functions.jsonpath import dot_get, flatten
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def _load(name):
+    return json.loads((GOLDEN / name).read_text())
+
+
+GET_INPUT = _load("issue_get.json")
+GET_EXPECTED = _load("issue_get_expected.json")
+
+# expected file is {caseName: path, caseNameResult: expected} pairs
+GET_CASES = sorted(k for k in GET_EXPECTED if not k.endswith("Result"))
+
+
+@pytest.mark.parametrize("case", GET_CASES)
+def test_dot_get_golden(case):
+    path = GET_EXPECTED[case]
+    expected = GET_EXPECTED[case + "Result"]
+    assert dot_get(GET_INPUT, path) == expected
+
+
+FLATTEN_INPUT = _load("issue_flatten.json")
+FLATTEN_EXPECTED = _load("issue_flatten_expected.json")
+
+
+@pytest.mark.parametrize("case", sorted(FLATTEN_INPUT))
+def test_flatten_golden(case):
+    got = flatten(FLATTEN_INPUT[case])
+    exp = FLATTEN_EXPECTED[case]
+    # Gson object stringification uses insertion order too, but key
+    # order inside the flat dict is irrelevant to equality.
+    assert got == exp
+
+
+def test_dot_get_primitive_descent_is_null():
+    # engine deviation (documented): descending into a primitive with
+    # path left returns null instead of raising like Gson would.
+    assert dot_get({"a": 1}, "a.b") is None

@@ -1,0 +1,72 @@
+"""Schema-guess tests pinned by the reference's guess golden
+(jira_input_plugin.json guessDataResult → guessResult, reference
+JiraInputPluginTest.java:208-226) plus widen/evolution tests.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from raycdc.schema_infer import (
+    EmptyDatasetError,
+    guess_schema,
+    merge_schemas,
+    unique_attributes,
+    widen,
+)
+
+GOLDEN = Path(__file__).parent / "golden"
+PLUGIN = json.loads((GOLDEN / "jira_input_plugin.json").read_text())
+
+
+def test_guess_golden():
+    # the reference merges the `fields` sub-object to the top level
+    # before flattening (JiraClient.java:71-83) — apply the same hoist.
+    issues = []
+    for issue in PLUGIN["guessDataResult"]["body"]["issues"]:
+        rec = {k: v for k, v in issue.items() if k != "fields"}
+        rec.update(issue.get("fields", {}))
+        issues.append(rec)
+    got = guess_schema(issues)
+    assert got == PLUGIN["guessResult"]["columns"]
+
+
+def test_guess_empty_raises():
+    with pytest.raises(EmptyDatasetError, match="empty data set"):
+        guess_schema([])
+
+
+def test_union_attributes_sorted():
+    assert unique_attributes([{"b": 1}, {"a": 2, "c": None}]) == ["a", "b", "c"]
+
+
+def test_mixed_numeric_widen_to_double():
+    cols = guess_schema([{"x": 1}, {"x": 1.5}])
+    assert cols == [{"name": "x", "type": "double"}]
+
+
+def test_widen_lattice():
+    assert widen("boolean", "long") == "long"
+    assert widen("long", "double") == "double"
+    assert widen("double", "string") == "string"
+    assert widen("timestamp", "long") == "string"
+    assert widen("json", "json") == "json"
+    assert widen("json", "string") == "string"
+
+
+def test_merge_schemas_add_and_widen():
+    old = [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}]
+    new = [{"name": "a", "type": "double"}, {"name": "c", "type": "boolean"}]
+    merged = merge_schemas(old, new)
+    assert merged == [
+        {"name": "a", "type": "double"},
+        {"name": "b", "type": "string"},  # dropped columns are kept
+        {"name": "c", "type": "boolean"},
+    ]
+
+
+def test_merge_keeps_timestamp_format():
+    old = [{"name": "t", "type": "timestamp", "format": "%Y-%m-%d"}]
+    merged = merge_schemas(old, [{"name": "t", "type": "timestamp", "format": "%Y-%m-%d"}])
+    assert merged[0]["format"] == "%Y-%m-%d"
