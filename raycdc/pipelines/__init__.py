@@ -1,0 +1,2 @@
+"""End-to-end pipelines: the CDC ingest run (transaction analog),
+preview, and schema guess."""

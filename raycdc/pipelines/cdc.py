@@ -1,0 +1,196 @@
+"""The flagship CDC ingest pipeline — the engine's ``transaction →
+run`` (reference JiraInputPlugin.java:102-168, reimagined):
+
+    read checkpoint (J2) → read_parquet(log, seq > watermark) (S1/M9)
+    → map_batches parse/validate/coerce + combiner (M6, dead-letter)
+    → groupby(part_id).map_groups(PartitionMerger) (T6/J1/A1)
+    → atomic commit: data files → checkpoint → manifest swap (S4/A2)
+
+plus ``preview`` (S5: same stage graph over ``limit(n)``) and
+``guess`` (S6/§3.2: schema inference over a 50-event sample).
+
+Nothing here calls ``ray.init()`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycdc.config import IngestConfig, validate_config
+from raycdc.constants import GUESS_RECORDS_COUNT, PREVIEW_RECORDS_COUNT
+from raycdc.schema_infer import EmptyDatasetError, guess_schema, merge_schemas
+from raycdc.sources.changelog import (
+    count_probe,
+    fragment_paths,
+    max_seq_probe,
+    read_changelog,
+)
+from raycdc.stages.merge import METRICS_SCHEMA, PartitionMerger
+from raycdc.stages.parse import ParseStage
+from raycdc.state.checkpoint import Lake
+
+EVENT_COLUMNS = [
+    "seq",
+    "ts",
+    "op",
+    "repo",
+    "path",
+    "commit",
+    "lang",
+    "content",
+    "payload_json",
+]
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    metrics: pa.Table
+    events_read: int
+    applied: int
+    dead_lettered: int
+    watermark: int
+    no_op: bool = False
+
+
+def _sample_payloads(log_dir: str, n: int = GUESS_RECORDS_COUNT) -> list[dict]:
+    """Driver-side sample of parsed payloads for schema guess (S6):
+    reads only the payload_json column of the first fragment(s)."""
+    out: list[dict] = []
+    for path in fragment_paths(log_dir):
+        f = pq.ParquetFile(path)
+        for batch in f.iter_batches(batch_size=n, columns=["payload_json"]):
+            for s in batch.column(0).to_pylist():
+                if s is None:
+                    continue
+                try:
+                    out.append(json.loads(s))
+                except ValueError:
+                    continue
+                if len(out) >= n:
+                    return out
+        if len(out) >= n:
+            break
+    return out
+
+
+def guess(log_dir: str) -> list[dict]:
+    """Infer payload column configs from a sample of the change log
+    (the reference's `guess` command, JiraInputPlugin.java:170-220)."""
+    return guess_schema(_sample_payloads(log_dir))
+
+
+def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
+    """One incremental ingest run: replay the window
+    ``(watermark, max_seq]`` and converge the lake.  Idempotent —
+    rerunning after any crash (before or after partial staging)
+    produces the same committed state.
+    """
+    validate_config(cfg)
+    lake = Lake(cfg.lake_dir)
+    manifest = lake.init(cfg.num_partitions, payload_columns=cfg.columns)
+    num_partitions = int(manifest["num_partitions"])
+    run_id = run_id or f"run-{int(manifest['version']) + 1:06d}"
+
+    payload_columns = cfg.columns or manifest.get("payload_columns") or []
+    if cfg.dynamic_schema:
+        # re-infer each run, widen against the committed schema
+        # (dynamic_schema analog, JiraInputPlugin.java:106-127); empty
+        # source degrades to the old schema (:117-121).
+        try:
+            guessed = guess(cfg.log_dir)
+            payload_columns = merge_schemas(
+                manifest.get("payload_columns") or [], guessed
+            )
+        except EmptyDatasetError:
+            payload_columns = manifest.get("payload_columns") or []
+
+    watermarks = lake.watermarks()
+    covered = len(watermarks) == num_partitions and num_partitions > 0
+    min_wm = min(watermarks.values()) if covered else -1
+    target = max_seq_probe(cfg.log_dir)
+    if target <= min_wm:
+        return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
+                                          schema=METRICS_SCHEMA),
+                         0, 0, 0, min_wm, no_op=True)
+
+    ds = read_changelog(
+        cfg.log_dir,
+        min_watermark=min_wm if covered else None,
+        columns=EVENT_COLUMNS,
+        predicate=cfg.predicate,
+    )
+    parse = ParseStage(
+        num_partitions=num_partitions,
+        payload_columns=payload_columns,
+        strict=cfg.strict,
+    )
+    kwargs = {"batch_size": cfg.batch_size} if cfg.batch_size else {}
+    parsed = ds.map_batches(parse, batch_format="pyarrow", **kwargs)
+
+    merger = PartitionMerger(
+        run_id=run_id,
+        lake_root=cfg.lake_dir,
+        watermarks=watermarks,
+        base_paths=lake.part_paths(),
+        payload_columns=payload_columns,
+    )
+    metrics_ds = parsed.groupby("part_id").map_groups(
+        merger, batch_format="pyarrow"
+    )
+    metrics = pa.Table.from_pylist(
+        metrics_ds.take_all(), schema=METRICS_SCHEMA
+    )
+
+    staged = {
+        int(pid): path
+        for pid, path in zip(
+            metrics["partition_id"].to_pylist(),
+            metrics["staged_path"].to_pylist(),
+        )
+    }
+    # the full window (min_wm, target] was consumed and routed, so every
+    # partition's cursor advances to target — including partitions that
+    # saw no events this run.
+    new_wm = {pid: target for pid in range(num_partitions)}
+    os.makedirs(os.path.join(cfg.lake_dir, "_metrics"), exist_ok=True)
+    pq.write_table(
+        metrics, os.path.join(cfg.lake_dir, "_metrics", f"{run_id}.parquet")
+    )
+    lake.commit(run_id, staged, new_wm, payload_columns=payload_columns)
+    return RunResult(
+        run_id=run_id,
+        metrics=metrics,
+        events_read=int(pa.compute.sum(metrics["events_read"]).as_py() or 0),
+        applied=int(pa.compute.sum(metrics["applied"]).as_py() or 0),
+        dead_lettered=int(pa.compute.sum(metrics["dead_lettered"]).as_py() or 0),
+        watermark=target,
+    )
+
+
+def preview(cfg: IngestConfig, n: int = PREVIEW_RECORDS_COUNT) -> pa.Table:
+    """Preview mode (S5): identical stage graph over ``limit(n)``; no
+    state is touched (reference JiraInputPlugin.java:149-152)."""
+    validate_config(cfg)
+    ds = read_changelog(cfg.log_dir, columns=EVENT_COLUMNS)
+    parse = ParseStage(
+        num_partitions=cfg.num_partitions,
+        payload_columns=cfg.columns or [],
+        strict=cfg.strict,
+        combine=False,
+    )
+    out = ds.limit(n).map_batches(parse, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+        or [parse._empty_out()]
+    )
+
+
+def total_events(log_dir: str) -> int:
+    """Count probe (S2) — Parquet footers only."""
+    return count_probe(log_dir)

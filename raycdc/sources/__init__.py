@@ -1,0 +1,4 @@
+"""Sources: the Parquet change-log tailer (the engine's generalization
+of the reference's paginated REST source) and a deterministic synthetic
+change-log generator for tests and benchmarks.
+"""

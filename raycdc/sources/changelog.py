@@ -1,0 +1,74 @@
+"""Change-log source: the engine's generalization of the reference's
+paginated cursor source (S1-S3 in SURVEY.md §2.1).
+
+- ``read_changelog`` replaces the serial ``startAt/maxResults`` page
+  loop (JiraInputPlugin.java:154-163) with one Ray read task per
+  Parquet fragment, with predicate + projection pushdown
+  (``seq > watermark`` plays the role of the JQL
+  ``updated >= checkpoint`` filter, JiraClient.java:249-250).
+- ``count_probe`` replaces the ``maxResults=1`` total-count probe
+  (JiraClient.java:86-89) with Parquet footer metadata — exact and
+  free.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data
+
+
+def fragment_paths(log_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(log_dir, "*.parquet")))
+
+
+def count_probe(log_dir: str) -> int:
+    """Total event count from Parquet footers only (S2)."""
+    return sum(pq.read_metadata(p).num_rows for p in fragment_paths(log_dir))
+
+
+def max_seq_probe(log_dir: str) -> int:
+    """Max ``seq`` across fragments from footer column statistics —
+    the replay target watermark, discovered without reading data."""
+    best = -1
+    for p in fragment_paths(log_dir):
+        md = pq.read_metadata(p)
+        idx = md.schema.to_arrow_schema().get_field_index("seq")
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is not None and stats.has_min_max:
+                best = max(best, stats.max)
+    return best
+
+
+def read_changelog(
+    log_dir: str,
+    min_watermark: int | None = None,
+    columns: list[str] | None = None,
+    predicate=None,
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Read change-log fragments as a Dataset with pushdown.
+
+    ``min_watermark`` prunes whole row groups whose max(seq) is below
+    the smallest partition watermark; exact per-partition filtering
+    happens later in the merge stage (each partition has its own
+    cursor).  ``predicate`` is an optional extra
+    ``pyarrow.dataset`` expression (the user-JQL analog, M9).
+    """
+    filt = None
+    if min_watermark is not None and min_watermark >= 0:
+        filt = pads.field("seq") > min_watermark
+    if predicate is not None:
+        filt = predicate if filt is None else (filt & predicate)
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if filt is not None:
+        kwargs["filter"] = filt
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet(fragment_paths(log_dir), **kwargs)

@@ -1,0 +1,239 @@
+"""Deterministic synthetic change-event log (FIXTURES.md §1-2).
+
+Generates the north-rule input shape — change events over a Parquet
+table of source-code repositories::
+
+    (seq:int64, ts:timestamp[us], op:string, repo:string, path:string,
+     commit:string, lang:string, content:string, payload_json:string)
+
+with primary key ``(repo, path)`` and global monotone cursor ``seq``,
+written as seq-ordered Parquet fragments (the analog of the
+reference's ``{startAt, maxResults}`` pages,
+JiraInputPlugin.java:154-163).
+
+Generator properties (all seeded, no wall-clock, no external data):
+
+- one "monorepo" holds ~30% of all keys and keys are drawn with a
+  power-law skew → exercises hot-partition handling;
+- multiple updates per hot key (keep-latest-by-seq must win);
+- ~``delete_frac`` of events are deletes (payload null);
+- ~``malformed_frac`` of events are malformed — broken
+  ``payload_json`` or a null primary key — and must be dead-lettered;
+- the last event of each fragment is duplicated as the first event of
+  the next fragment (same seq) → replay idempotency is exercised on
+  every multi-fragment read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ["py", "java", "ts", "go", "rs", "md", "yaml"]
+_VOCAB = (
+    "def class return import for while if else try except lambda yield "
+    "async await self none true false print range len dict list set map "
+    "filter reduce match case struct impl trait fn let mut pub static "
+    "void int float string bool new delete public private final const"
+).split()
+
+EVENT_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("payload_json", pa.string()),
+    ]
+)
+
+_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+
+
+def _base_blob(seed: int, size: int = 1 << 16) -> str:
+    rng = np.random.default_rng(seed)
+    words = rng.choice(np.array(_VOCAB, dtype=object), size=size // 6)
+    return " ".join(words.tolist())[:size]
+
+
+def _key_tables(num_keys: int, monorepo_frac: float) -> tuple[list, list, list]:
+    """Deterministic (repo, path, lang) per key index."""
+    n_mono = int(num_keys * monorepo_frac)
+    repos, paths, langs = [], [], []
+    for k in range(num_keys):
+        if k < n_mono:
+            repo = "org0/monorepo"
+        else:
+            repo = f"org{k % 7}/repo{k % 53}"
+        lang = LANGS[k % len(LANGS)]
+        repos.append(repo)
+        paths.append(f"src/{k // 1000}/{(k // 10) % 100}/file_{k}.{lang}")
+        langs.append(lang)
+    return repos, paths, langs
+
+
+def synth_event_chunks(
+    num_events: int,
+    num_keys: int | None = None,
+    seed: int = 42,
+    chunk_rows: int = 100_000,
+    delete_frac: float = 0.08,
+    malformed_frac: float = 0.01,
+    monorepo_frac: float = 0.3,
+    start_seq: int = 0,
+) -> Iterator[pa.Table]:
+    """Yield Arrow chunks of the deterministic event stream."""
+    num_keys = num_keys or max(1, num_events // 4)
+    repos, paths, langs = _key_tables(num_keys, monorepo_frac)
+    blob = _base_blob(seed)
+    blob2 = blob + blob  # allows slicing past the end
+    rng = np.random.default_rng(seed + 1)
+    review_states = ["open", "approved", "merged", "closed"]
+    for lo in range(0, num_events, chunk_rows):
+        n = min(chunk_rows, num_events - lo)
+        seq = np.arange(start_seq + lo, start_seq + lo + n, dtype=np.int64)
+        # power-law key skew: u^2 concentrates mass on low key indices,
+        # which include the monorepo keys.
+        u = rng.random(n)
+        keys = np.minimum((u * u * num_keys).astype(np.int64), num_keys - 1)
+        opsel = rng.random(n)
+        is_del = opsel < delete_frac
+        is_ins = opsel > 0.7
+        mal = rng.random(n) < malformed_frac
+        mal_kind = rng.integers(0, 3, n)  # 0: bad json, 1: null repo, 2: null path
+        lens = np.clip(
+            np.exp(rng.normal(7.0, 1.0, n)).astype(np.int64), 200, 50_000
+        )
+        offs = rng.integers(0, len(blob) - 1, n)
+        adds = rng.integers(0, 500, n)
+        dels = rng.integers(0, 200, n)
+
+        col_op, col_repo, col_path, col_commit, col_lang = [], [], [], [], []
+        col_content, col_payload = [], []
+        for i in range(n):
+            k = int(keys[i])
+            repo, path, lang = repos[k], paths[k], langs[k]
+            s = int(seq[i])
+            if is_del[i]:
+                op = "delete"
+            elif is_ins[i]:
+                op = "insert"
+            else:
+                op = "update"
+            commit = hashlib.blake2b(
+                f"{repo}|{path}|{s}".encode(), digest_size=20
+            ).hexdigest()
+            if op == "delete":
+                content = None
+            else:
+                content = (
+                    f"// {repo}/{path} seq={s}\n"
+                    + blob2[int(offs[i]) : int(offs[i]) + int(lens[i])]
+                )
+            payload = (
+                f'{{"author":{{"name":"dev{k % 97}","id":{k % 997}}},'
+                f'"stats":{{"adds":{int(adds[i])},"dels":{int(dels[i])}}},'
+                f'"review":{{"state":"{review_states[s % 4]}"}}}}'
+            )
+            if mal[i]:
+                kind = int(mal_kind[i])
+                if kind == 0:
+                    payload = payload[: len(payload) // 2]  # broken JSON
+                elif kind == 1:
+                    repo = None
+                else:
+                    path = None
+            col_op.append(op)
+            col_repo.append(repo)
+            col_path.append(path)
+            col_commit.append(commit)
+            col_lang.append(lang)
+            col_content.append(content)
+            col_payload.append(payload)
+
+        yield pa.table(
+            {
+                "seq": seq,
+                "ts": pa.array(
+                    (_TS_BASE_US + seq * 1_000_000), type=pa.timestamp("us")
+                ),
+                "op": pa.array(col_op, pa.string()),
+                "repo": pa.array(col_repo, pa.string()),
+                "path": pa.array(col_path, pa.string()),
+                "commit": pa.array(col_commit, pa.string()),
+                "lang": pa.array(col_lang, pa.string()),
+                "content": pa.array(col_content, pa.string()),
+                "payload_json": pa.array(col_payload, pa.string()),
+            },
+            schema=EVENT_SCHEMA,
+        )
+
+
+def write_changelog(
+    log_dir: str,
+    num_events: int,
+    fragment_rows: int = 100_000,
+    duplicate_boundaries: bool = True,
+    **kwargs,
+) -> list[str]:
+    """Write the stream as seq-ordered Parquet fragments.
+
+    With ``duplicate_boundaries`` the last row of each fragment is
+    replayed as the first row of the next (same seq) — downstream
+    keep-latest-by-seq apply must be idempotent under this.
+    """
+    os.makedirs(log_dir, exist_ok=True)
+    paths = []
+    carry = None
+    for i, chunk in enumerate(
+        synth_event_chunks(num_events, chunk_rows=fragment_rows, **kwargs)
+    ):
+        if duplicate_boundaries and carry is not None:
+            chunk = pa.concat_tables([carry, chunk])
+        if duplicate_boundaries:
+            carry = chunk.slice(chunk.num_rows - 1, 1)
+        frag = os.path.join(log_dir, f"fragment-{i:05d}.parquet")
+        pq.write_table(chunk, frag)
+        paths.append(frag)
+    return paths
+
+
+def expected_final_state(log_dir: str) -> "pa.Table":
+    """Small-scale oracle: the converged table state after full replay
+    — latest event per (repo, path) by seq, deletes removed, malformed
+    events (null PK or unparsable payload_json) excluded.  Pure
+    pandas; test/verification use only.
+    """
+    import pandas as pd
+
+    ds = pq.ParquetDataset(log_dir)
+    df = ds.read().to_pandas()
+    ok = df["repo"].notna() & df["path"].notna()
+
+    def _valid(s):
+        if s is None:
+            return False
+        try:
+            json.loads(s)
+            return True
+        except (ValueError, TypeError):
+            return False
+
+    ok &= df["payload_json"].map(_valid)
+    df = df[ok]
+    df = df.sort_values("seq").drop_duplicates(["repo", "path"], keep="last")
+    df = df[df["op"] != "delete"]
+    out = df[["repo", "path", "commit", "lang", "content", "seq"]].reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,3 @@
+"""Ray Data stages: vectorized parse/validate/coerce (stateless
+map_batches tasks) and the stateful per-partition upsert merge
+(groupby + map_groups / actor pool)."""

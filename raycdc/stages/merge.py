@@ -1,0 +1,204 @@
+"""Per-partition upsert merge (T6 / J1 / A1): the CDC apply.
+
+After the parse stage hash-partitions events by primary key, this
+stage runs as ``ds.groupby("part_id").map_groups(PartitionMerger(...),
+batch_format="pyarrow")`` — one group per lake partition.  Per group:
+
+1. filter ``seq > watermark[pid]`` — the *exact* per-partition cursor
+   (the global read already pruned below min(watermarks));
+2. split dead-letter rows → ``_deadletter/{run_id}/part-{pid}.parquet``;
+3. keep-latest-by-seq per (repo, path) among the window's events;
+4. merge with the partition's current base file — a bucketed
+   sort-merge where the build side is the partition Parquet file —
+   by concatenating base rows (as op="insert" at their stored seq)
+   with the window and applying keep-latest again; winners with
+   op="delete" drop out (no resurrection: older events can never win);
+5. write the new partition file to a staged path (never in place) and
+   emit one metrics row (A3).
+
+This is a join-shaped op expressed without a generic join: both sides
+are co-located by construction (same hash partitioning, SURVEY.md
+§2.4 J1).  Idempotent: re-applying any window that was already applied
+reproduces the identical file, so replay after a crash is exactly-once
+in observable state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raycdc.functions.coerce import ARROW_TYPES
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("run_id", pa.string()),
+        ("events_read", pa.int64()),
+        ("applied", pa.int64()),
+        ("deleted", pa.int64()),
+        ("dead_lettered", pa.int64()),
+        ("watermark_seq", pa.int64()),
+        ("wall_ms", pa.int64()),
+        ("staged_path", pa.string()),
+    ]
+)
+
+DEADLETTER_COLUMNS = ["seq", "repo", "path", "reason", "raw", "run_id"]
+
+
+def keep_latest_by_key(t: pa.Table) -> pa.Table:
+    """argmax-by-seq per (repo, path) — vectorized; `content` bytes are
+    only gathered by the final take, never copied into pandas."""
+    if t.num_rows <= 1:
+        return t
+    order = pc.sort_indices(t, sort_keys=[("seq", "ascending")])
+    t = t.take(order)
+    keys = pd.DataFrame(
+        {
+            "repo": t["repo"].to_numpy(zero_copy_only=False),
+            "path": t["path"].to_numpy(zero_copy_only=False),
+        }
+    )
+    dup = keys.duplicated(keep="last").to_numpy()
+    return t.filter(pa.array(~dup))
+
+
+def align_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Schema evolution at the sink: add missing columns as nulls,
+    cast widened columns (column-add / type-widen, SURVEY.md §3.2)."""
+    arrays = []
+    for field in schema:
+        if t.schema.get_field_index(field.name) >= 0:
+            col = t[field.name]
+            if col.type != field.type:
+                col = pc.cast(col, field.type, safe=False)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(t.num_rows, field.type))
+    return pa.table(arrays, schema=schema)
+
+
+class PartitionMerger:
+    """Callable class for ``map_groups`` — the stateful merge stage.
+
+    Instantiated once per worker (actor-pool semantics when used with
+    a concurrency= actor pool; here per map_groups task): the
+    watermark dict, lake schema, and paths are set up in __init__ and
+    reused across groups, replacing the reference's
+    build-client-per-request anti-pattern (JiraClient.java:159-175)
+    with long-lived per-worker state.
+    """
+
+    def __init__(
+        self,
+        run_id: str,
+        lake_root: str,
+        watermarks: dict[int, int],
+        base_paths: dict[int, str],
+        payload_columns: list[dict] | None = None,
+    ):
+        self.__name__ = "PartitionMerger"  # map_groups wants a named fn
+        self.run_id = run_id
+        self.lake_root = lake_root
+        self.watermarks = watermarks
+        self.base_paths = base_paths
+        self.payload_columns = payload_columns or []
+        fields = [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("lang", pa.string()),
+            ("content", pa.string()),
+            ("seq", pa.int64()),
+        ]
+        for c in self.payload_columns:
+            fields.append((f"p_{c['name']}", ARROW_TYPES[c["type"]]))
+        self.lake_schema = pa.schema(fields)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        if group.num_rows == 0:
+            return pa.table({f.name: [] for f in METRICS_SCHEMA}, schema=METRICS_SCHEMA)
+        pid = int(group["part_id"][0].as_py())
+        wm = self.watermarks.get(pid, -1)
+        window = group.filter(pc.greater(group["seq"], wm))
+        events_read = window.num_rows
+
+        is_dl = pc.is_valid(window["_dl_reason"])
+        dl = window.filter(is_dl)
+        events = window.filter(pc.invert(is_dl))
+        n_dl = dl.num_rows
+        if n_dl:
+            self._write_deadletter(pid, dl)
+
+        events = keep_latest_by_key(events)
+        new_wm = (
+            max(wm, pc.max(window["seq"]).as_py())
+            if window.num_rows
+            else wm
+        )
+
+        # merge with base: base rows participate as op="insert" at their
+        # stored seq; keep-latest decides, deletes drop out.
+        ev_side = align_to_schema(events, self.lake_schema).append_column(
+            "op", events["op"]
+        )
+        base_path = self.base_paths.get(pid)
+        if base_path and os.path.exists(base_path):
+            base = pq.read_table(base_path)
+            base = align_to_schema(base, self.lake_schema).append_column(
+                "op", pa.array(["insert"] * base.num_rows, pa.string())
+            )
+            merged = pa.concat_tables([base, ev_side])
+        else:
+            merged = ev_side
+        merged = keep_latest_by_key(merged)
+        n_deleted = int(pc.sum(pc.equal(merged["op"], "delete")).as_py() or 0)
+        merged = merged.filter(pc.not_equal(merged["op"], "delete")).drop_columns(
+            ["op"]
+        )
+
+        staged = self._staged_path(pid)
+        pq.write_table(merged, staged)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int32()),
+                "run_id": pa.array([self.run_id], pa.string()),
+                "events_read": pa.array([events_read], pa.int64()),
+                "applied": pa.array([events.num_rows], pa.int64()),
+                "deleted": pa.array([n_deleted], pa.int64()),
+                "dead_lettered": pa.array([n_dl], pa.int64()),
+                "watermark_seq": pa.array([new_wm], pa.int64()),
+                "wall_ms": pa.array([wall_ms], pa.int64()),
+                "staged_path": pa.array([staged], pa.string()),
+            },
+            schema=METRICS_SCHEMA,
+        )
+
+    def _staged_path(self, pid: int) -> str:
+        d = os.path.join(self.lake_root, "data", f"part-{pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{self.run_id}.parquet")
+
+    def _write_deadletter(self, pid: int, dl: pa.Table) -> None:
+        d = os.path.join(self.lake_root, "_deadletter", self.run_id)
+        os.makedirs(d, exist_ok=True)
+        out = pa.table(
+            {
+                "seq": dl["seq"],
+                "repo": dl["repo"],
+                "path": dl["path"],
+                "reason": dl["_dl_reason"],
+                "raw": dl["_dl_raw"],
+                "run_id": pa.array([self.run_id] * dl.num_rows, pa.string()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, f"part-{pid:05d}.parquet"))

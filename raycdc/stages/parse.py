@@ -1,0 +1,163 @@
+"""Parse / validate / coerce stage (M6 generalized) with dead-letter
+routing and a per-batch keep-latest combiner.
+
+Runs as a stateless ``map_batches(..., batch_format="pyarrow")``
+transform.  Where the reference silently nulls every coercion failure
+(JiraUtil.java:169-264), this stage *routes*: an event that fails
+validation (null primary key, unknown op, missing content on a
+non-delete, unparsable ``payload_json``) gets a ``_dl_reason`` and is
+carried to the merge stage, which lands it in the dead-letter table —
+the main lane stays total (north rule).  With ``strict=False`` payload
+coercion failures null out instead, reproducing reference semantics.
+
+The combiner is the skew weapon: within each batch only the
+latest event per primary key survives (keep-latest-by-seq is
+associative), so a hot key contributes at most one row per read task
+to the partition shuffle — a local pre-reduce equivalent to salted
+two-phase aggregation with salt = batch granularity (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raycdc.functions.coerce import coerce_records
+from raycdc.functions.hashing import partition_ids
+
+VALID_OPS = ("insert", "update", "delete")
+
+
+class ParseStage:
+    """Callable for ``map_batches``.  Stateless, but written as a class
+    so per-task setup (payload column configs) happens once."""
+
+    def __init__(
+        self,
+        num_partitions: int,
+        payload_columns: list[dict[str, Any]] | None = None,
+        strict: bool = True,
+        combine: bool = True,
+    ):
+        self.num_partitions = num_partitions
+        self.payload_columns = payload_columns or []
+        self.strict = strict
+        self.combine = combine
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return self._empty_out()
+        repo, path = batch["repo"], batch["path"]
+        op = batch["op"]
+
+        # --- vectorized validation masks -------------------------------
+        reasons = np.full(n, None, dtype=object)
+        bad_pk = pc.or_(pc.is_null(repo), pc.is_null(path)).to_numpy(
+            zero_copy_only=False
+        )
+        bad_op = pc.invert(pc.is_in(op, value_set=pa.array(VALID_OPS))).to_numpy(
+            zero_copy_only=False
+        )
+        bad_content = pc.and_(
+            pc.is_null(batch["content"]), pc.not_equal(op, "delete")
+        ).to_numpy(zero_copy_only=False)
+        reasons[bad_content] = "null content on non-delete"
+        reasons[bad_op] = "unknown op"
+        reasons[bad_pk] = "null primary key"
+
+        # --- payload_json parse + coercion (per-row on the small JSON
+        # side-channel only; never touches `content`) -------------------
+        payload_cols = None
+        if self.payload_columns:
+            raw = batch["payload_json"].to_pylist()
+            parsed: list[Any] = []
+            for i, s in enumerate(raw):
+                if s is None:
+                    parsed.append({})
+                    continue
+                try:
+                    parsed.append(json.loads(s))
+                except ValueError:
+                    parsed.append({})
+                    if self.strict and reasons[i] is None:
+                        reasons[i] = "unparsable payload_json"
+            payload_cols = coerce_records(parsed, self.payload_columns)
+
+        part = partition_ids(repo, path, self.num_partitions)
+        part[bad_pk] = 0  # dead-lettered anyway; keep a valid partition
+
+        dl_reason = pa.array(reasons, pa.string())
+        dl_raw = pc.if_else(
+            pc.is_valid(dl_reason),
+            pc.cast(batch["payload_json"], pa.string()),
+            pa.scalar(None, pa.string()),
+        )
+
+        out = batch.select(
+            ["seq", "ts", "op", "repo", "path", "commit", "lang", "content"]
+        )
+        out = out.append_column("part_id", pa.array(part, pa.int32()))
+        if payload_cols is not None:
+            for name in payload_cols.column_names:
+                out = out.append_column(f"p_{name}", payload_cols[name])
+        out = out.append_column("_dl_reason", dl_reason)
+        out = out.append_column("_dl_raw", dl_raw)
+
+        if self.combine:
+            out = combine_keep_latest(out)
+        return out
+
+    def _empty_out(self) -> pa.Table:
+        cols = {
+            "seq": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "op": pa.array([], pa.string()),
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.string()),
+            "part_id": pa.array([], pa.int32()),
+        }
+        for c in self.payload_columns:
+            from raycdc.functions.coerce import ARROW_TYPES
+
+            cols[f"p_{c['name']}"] = pa.array([], ARROW_TYPES[c["type"]])
+        cols["_dl_reason"] = pa.array([], pa.string())
+        cols["_dl_raw"] = pa.array([], pa.string())
+        return pa.table(cols)
+
+
+def combine_keep_latest(t: pa.Table) -> pa.Table:
+    """Within-batch pre-reduce: keep only the highest-seq event per
+    (repo, path) among valid rows; dead-letter rows always pass.
+
+    Correct because the global apply is argmax-by-seq per key, which is
+    associative: local argmax then global argmax = global argmax, and
+    the winning row carries its own ``op`` (so deletes cannot be lost
+    or resurrected by combining).
+    """
+    if t.num_rows == 0:
+        return t
+    is_dl = pc.is_valid(t["_dl_reason"])
+    dl = t.filter(is_dl)
+    valid = t.filter(pc.invert(is_dl))
+    order = pc.sort_indices(valid, sort_keys=[("seq", "ascending")])
+    valid = valid.take(order)
+    keys = pd.DataFrame(
+        {
+            "repo": valid["repo"].to_numpy(zero_copy_only=False),
+            "path": valid["path"].to_numpy(zero_copy_only=False),
+        }
+    )
+    dup = keys.duplicated(keep="last").to_numpy()
+    valid = valid.filter(pa.array(~dup))
+    if dl.num_rows == 0:
+        return valid
+    return pa.concat_tables([valid, dl])

@@ -1,0 +1,2 @@
+"""Durable engine state: the lake manifest, per-partition watermark
+checkpoints, and the atomic commit protocol."""

@@ -1,0 +1,176 @@
+"""Lake layout, per-partition watermark cursors, and the atomic
+commit protocol.
+
+The reference supports no resume at all ("Resume supported: no",
+reference README.md:15; pass-through resume JiraInputPlugin.java:
+130-137) — incremental pulls exist only because users embed
+``updated >= checkpoint`` in the JQL.  This module makes that cursor a
+first-class, per-partition, durable table (FIXTURES.md §6) with a
+Delta-Lake-style commit:
+
+1. merge stages write new partition data files under
+   ``data/part-{pid}/{run_id}.parquet`` (never in place);
+2. the checkpoint table ``_checkpoint/ckpt-{run_id}.parquet`` with the
+   new watermarks is written;
+3. the manifest ``_manifest.json`` — the single commit point — is
+   atomically replaced (tmp + ``os.replace``) to reference the new
+   data files and checkpoint.
+
+A crash anywhere before (3) leaves the previous manifest intact: the
+next run re-reads the old watermarks and replays the window.  Replay
+is idempotent because apply is keep-latest-by-seq (stages/merge.py),
+so at-least-once replay + idempotent apply = exactly-once observable
+state.  Works on any shared filesystem / object store with atomic
+rename; no single-node assumption beyond that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycdc.functions.hashing import HASH_ALGO_TAG
+
+CHECKPOINT_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("watermark_seq", pa.int64()),
+        ("run_id", pa.string()),
+        ("committed_at", pa.timestamp("us")),
+    ]
+)
+
+LAKE_COLUMNS = ["repo", "path", "commit", "lang", "content", "seq"]
+
+
+class Lake:
+    """Handle to a lake table rooted at ``lake_dir``."""
+
+    def __init__(self, lake_dir: str):
+        self.root = lake_dir
+        self.manifest_path = os.path.join(lake_dir, "_manifest.json")
+
+    # -- init / manifest ---------------------------------------------------
+    def init(self, num_partitions: int, payload_columns=None) -> dict:
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "_checkpoint"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "_deadletter"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "_metrics"), exist_ok=True)
+        if os.path.exists(self.manifest_path):
+            return self.manifest()
+        manifest = {
+            "version": 0,
+            "num_partitions": num_partitions,
+            "hash_algo": HASH_ALGO_TAG,
+            "payload_columns": payload_columns or [],
+            "parts": {},  # pid(str) -> relative data file
+            "checkpoint": None,
+            "last_run_id": None,
+        }
+        self._write_manifest(manifest)
+        return manifest
+
+    def manifest(self) -> dict:
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.manifest_path)
+
+    # -- watermarks --------------------------------------------------------
+    def watermarks(self) -> dict[int, int]:
+        """Current committed per-partition high watermarks (J2): a tiny
+        driver-side read, broadcast into stage closures."""
+        m = self.manifest()
+        if not m.get("checkpoint"):
+            return {}
+        t = pq.read_table(os.path.join(self.root, m["checkpoint"]))
+        return dict(
+            zip(
+                t["partition_id"].to_pylist(),
+                t["watermark_seq"].to_pylist(),
+            )
+        )
+
+    # -- data access -------------------------------------------------------
+    def part_path(self, pid: int) -> str | None:
+        rel = self.manifest().get("parts", {}).get(str(pid))
+        return os.path.join(self.root, rel) if rel else None
+
+    def part_paths(self) -> dict[int, str]:
+        m = self.manifest()
+        return {
+            int(pid): os.path.join(self.root, rel)
+            for pid, rel in m.get("parts", {}).items()
+        }
+
+    def staged_part_file(self, pid: int, run_id: str) -> str:
+        d = os.path.join(self.root, "data", f"part-{pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{run_id}.parquet")
+
+    # -- commit ------------------------------------------------------------
+    def commit(
+        self,
+        run_id: str,
+        staged: dict[int, str],
+        new_watermarks: dict[int, int],
+        payload_columns=None,
+    ) -> dict:
+        """Atomic commit: checkpoint parquet first, then the manifest
+        swap (the commit point)."""
+        manifest = self.manifest()
+        merged_wm = self.watermarks()
+        merged_wm.update(new_watermarks)
+        ckpt_rel = os.path.join("_checkpoint", f"ckpt-{run_id}.parquet")
+        now_us = int(time.time() * 1e6)
+        ckpt = pa.table(
+            {
+                "partition_id": pa.array(sorted(merged_wm), pa.int32()),
+                "watermark_seq": pa.array(
+                    [merged_wm[p] for p in sorted(merged_wm)], pa.int64()
+                ),
+                "run_id": pa.array([run_id] * len(merged_wm), pa.string()),
+                "committed_at": pa.array(
+                    [now_us] * len(merged_wm), pa.timestamp("us")
+                ),
+            },
+            schema=CHECKPOINT_SCHEMA,
+        )
+        pq.write_table(ckpt, os.path.join(self.root, ckpt_rel))
+        for pid, abs_path in staged.items():
+            manifest["parts"][str(pid)] = os.path.relpath(abs_path, self.root)
+        manifest["checkpoint"] = ckpt_rel
+        manifest["last_run_id"] = run_id
+        manifest["version"] += 1
+        if payload_columns is not None:
+            manifest["payload_columns"] = payload_columns
+        self._write_manifest(manifest)
+        return manifest
+
+    # -- reads over the whole lake ----------------------------------------
+    def read_dataset(self, columns=None) -> "ray.data.Dataset":
+        import ray.data
+
+        paths = list(self.part_paths().values())
+        if not paths:
+            return ray.data.from_arrow(pa.table({c: [] for c in LAKE_COLUMNS}))
+        kwargs = {"columns": columns} if columns else {}
+        return ray.data.read_parquet(paths, **kwargs)
+
+    def read_table(self, columns=None) -> pa.Table:
+        """Driver-side full read — small lakes / tests only."""
+        paths = list(self.part_paths().values())
+        if not paths:
+            return pa.table({c: pa.array([], pa.string()) for c in LAKE_COLUMNS})
+        tables = [pq.read_table(p, columns=columns) for p in sorted(paths)]
+        return pa.concat_tables(tables, promote_options="default")

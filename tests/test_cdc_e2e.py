@@ -1,0 +1,181 @@
+"""End-to-end CDC tests: full replay vs oracle, incremental runs,
+exactly-once resume after a simulated crash, preview/guess/count —
+the engine ports of the reference's plugin tests
+(JiraInputPluginTest.java: emptyResult :73-90, oneRecord :127-144,
+2Pages :147-164, preview :167-205, dynamic schema :105-124).
+"""
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import guess, preview, run_ingest, total_events
+from raycdc.sources.synth import expected_final_state, write_changelog
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD_COLUMNS = [
+    {"name": "author.name", "type": "string"},
+    {"name": "stats.adds", "type": "long"},
+    {"name": "review.state", "type": "string"},
+]
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+        columns=PAYLOAD_COLUMNS,
+    )
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def _canon(t: pa.Table) -> pa.Table:
+    cols = ["repo", "path", "commit", "lang", "content", "seq"]
+    t = t.select(cols)
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+
+
+def _assert_lake_matches_oracle(lake: Lake, log_dir: str):
+    got = _canon(lake.read_table())
+    exp = _canon(expected_final_state(log_dir))
+    assert got.num_rows == exp.num_rows
+    for col in got.column_names:
+        assert got[col].to_pylist() == exp[col].to_pylist(), f"mismatch in {col}"
+    # per-row content sha256 invariant (A4, BASELINE.json input_hint)
+    got_sha = [
+        hashlib.sha256(c.encode()).hexdigest() for c in got["content"].to_pylist()
+    ]
+    exp_sha = [
+        hashlib.sha256(c.encode()).hexdigest() for c in exp["content"].to_pylist()
+    ]
+    assert got_sha == exp_sha
+
+
+def test_full_replay_matches_oracle(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 4000, fragment_rows=1000, seed=7)
+    res = run_ingest(cfg)
+    assert not res.no_op
+    assert res.dead_lettered > 0  # synth injects ~1% malformed
+    lake = Lake(cfg.lake_dir)
+    _assert_lake_matches_oracle(lake, cfg.log_dir)
+    # payload columns coerced into the lake
+    t = lake.read_table()
+    assert "p_author.name" in t.column_names
+    assert any(v is not None for v in t["p_stats.adds"].to_pylist())
+    # checkpoint table committed with uniform watermarks
+    wm = lake.watermarks()
+    assert len(wm) == 8 and len(set(wm.values())) == 1
+    # metrics table written (A3)
+    mfiles = os.listdir(os.path.join(cfg.lake_dir, "_metrics"))
+    assert len(mfiles) == 1
+    # dead-letter lane captured rows with reasons
+    dl_dir = os.path.join(cfg.lake_dir, "_deadletter", res.run_id)
+    assert os.path.isdir(dl_dir) and len(os.listdir(dl_dir)) > 0
+
+
+def test_rerun_is_noop_and_idempotent(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 2000, fragment_rows=500, seed=11)
+    res1 = run_ingest(cfg)
+    state1 = _canon(Lake(cfg.lake_dir).read_table())
+    res2 = run_ingest(cfg)
+    assert res2.no_op  # watermark already at target
+    state2 = _canon(Lake(cfg.lake_dir).read_table())
+    assert state1.equals(state2)
+
+
+def test_incremental_second_window(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 2000, fragment_rows=500, seed=13)
+    run_ingest(cfg)
+    # new fragments arrive with higher seq
+    write_changelog_more = write_changelog(
+        os.path.join(tmp, "log2"), 1000, fragment_rows=500, seed=13, start_seq=2000
+    )
+    for i, p in enumerate(write_changelog_more):
+        os.rename(p, os.path.join(cfg.log_dir, f"fragment-1{i:04d}.parquet"))
+    res2 = run_ingest(cfg)
+    assert not res2.no_op
+    # only the new window is read: events_read counts post-watermark rows
+    assert res2.events_read <= 1001  # new events (+ boundary duplicate)
+    _assert_lake_matches_oracle(Lake(cfg.lake_dir), cfg.log_dir)
+
+
+def test_resume_after_crash_before_commit(tmp_path, monkeypatch):
+    """Kill-and-restart: stage files written, commit never happens →
+    rerun converges to the same state (exactly-once, SURVEY.md §5)."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 2000, fragment_rows=500, seed=17)
+
+    import raycdc.state.checkpoint as ckpt_mod
+
+    real_commit = ckpt_mod.Lake.commit
+
+    def crash(self, *a, **kw):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ckpt_mod.Lake, "commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_ingest(cfg)
+    monkeypatch.setattr(ckpt_mod.Lake, "commit", real_commit)
+
+    lake = Lake(cfg.lake_dir)
+    assert lake.watermarks() == {}  # nothing committed
+    res = run_ingest(cfg)  # full replay, overwrites orphaned staged files
+    assert not res.no_op
+    _assert_lake_matches_oracle(lake, cfg.log_dir)
+
+
+def test_empty_log_is_noop(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, columns=None)
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    res = run_ingest(cfg)
+    assert res.no_op and res.events_read == 0
+
+
+def test_preview_limits_and_count_probe(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 600, fragment_rows=200, seed=19)
+    t = preview(cfg, n=10)
+    assert t.num_rows == 10
+    assert "part_id" in t.column_names and "p_author.name" in t.column_names
+    # S2 count probe: footer-only, includes boundary duplicates
+    assert total_events(cfg.log_dir) == 602
+
+
+def test_guess_payload_schema(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 300, fragment_rows=300, seed=23)
+    cols = guess(cfg.log_dir)
+    by_name = {c["name"]: c["type"] for c in cols}
+    assert by_name["author.name"] == "string"
+    assert by_name["stats.adds"] == "long"
+    assert by_name["review.state"] == "string"
+    assert list(by_name) == sorted(by_name)  # name-sorted like the reference
+
+
+def test_dynamic_schema_run(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, columns=None, dynamic_schema=True)
+    write_changelog(cfg.log_dir, 500, fragment_rows=250, seed=29)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    t = lake.read_table()
+    assert "p_author.name" in t.column_names
+    assert lake.manifest()["payload_columns"]  # schema persisted for evolution
