@@ -1,44 +1,473 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC pipeline (documents-derived change
+log → full engine replay → converged lake) on sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator family
+from SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one.  Column names
+match between both sides; float aggregates use exact integer-cents
+math so parallel summation is bit-identical to the serial oracle;
+cosine scores are rounded to 6 decimals on both sides.
+
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in the library.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+
+def _docs(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir, columns=None, **kw):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns, **kw
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from raycdc.pipelines.flagship import flagship_state
+
+    return flagship_state("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc_replay_documents(sf_dir):
+    from raycdc.pipelines.flagship import flagship_state
+
+    ds = flagship_state(sf_dir)
+    return ds.select_columns(["repo", "path", "lang", "content"])
+
+
+def _q_cdc_latest_by_key(sf_dir):
+    from raycdc.ops.relational import latest_by_key
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"])
+    return latest_by_key(ds, ["user_id"], "event_id")
+
+
+def _q_cdc_upsert_user_state(sf_dir):
+    from raycdc.ops.relational import latest_by_key
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"])
+    latest = latest_by_key(ds, ["user_id"], "event_id").to_pandas()
+    # delete-analog: users whose latest event is an 'error' drop out
+    latest = latest[latest["event_type"] != "error"]
+    return latest[["user_id", "event_id", "ts", "value"]].reset_index(drop=True)
+
+
+def _q_cdc_watermarks(sf_dir):
+    from ray.data.aggregate import Max
+
+    ds = _events(sf_dir, columns=["user_id", "event_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        pid = t["user_id"].to_numpy(zero_copy_only=False) % 16
+        return pa.table(
+            {
+                "partition_id": pa.array(pid, pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("partition_id")
+        .aggregate(Max("event_id", alias_name="watermark_seq"))
+    )
+
+
+def _q_cdc_incremental_filter(sf_dir):
+    # predicate + projection pushdown at the read (S3/M9)
+    return _events(
+        sf_dir,
+        columns=["event_id", "user_id", "value"],
+        filter=pads.field("event_id") > 500,
+    )
+
+
+def _q_cdc_count_probe(sf_dir):
+    # footer-metadata-only count (S2)
+    n = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
+    return pa.table({"total": pa.array([n], pa.int64())})
+
+
+def _q_cdc_preview(sf_dir):
+    ds = _events(sf_dir)
+    return ds.sort("event_id").limit(10)
+
+
+def _q_props_flatten_coerce(sf_dir):
+    from raycdc.functions.coerce import coerce_long
+    from raycdc.functions.jsonpath import dot_get
+
+    ds = _events(sf_dir, columns=["event_id", "props"])
+
+    def fl(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["props"].to_pylist():
+            try:
+                out.append(coerce_long(dot_get(json.loads(s), "k")))
+            except (ValueError, TypeError):
+                out.append(None)
+        return pa.table(
+            {"event_id": t["event_id"], "k_long": pa.array(out, pa.int64())}
+        )
+
+    return ds.map_batches(fl, batch_format="pyarrow")
+
+
+def _q_schema_guess_props(sf_dir):
+    from raycdc.schema_infer import guess_schema
+
+    f = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    sample = []
+    for batch in f.iter_batches(batch_size=50, columns=["props"]):
+        for s in batch.column(0).to_pylist():
+            try:
+                sample.append(json.loads(s))
+            except (ValueError, TypeError):
+                continue
+        break
+    cols = guess_schema(sample)
+    return pa.table(
+        {
+            "name": pa.array([c["name"] for c in cols], pa.string()),
+            "type": pa.array([c["type"] for c in cols], pa.string()),
+        }
+    )
+
+
+def _q_doc_token_count(sf_dir):
+    from raycdc.ops.text import token_count
+
+    return token_count(_docs(sf_dir)).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_doc_quality(sf_dir):
+    from raycdc.ops.text import quality_stats
+
+    return quality_stats(_docs(sf_dir)).select_columns(
+        ["doc_id", "text_len", "n_spaces", "n_tokens", "avg_token_len"]
+    )
+
+
+def _q_dedup_exact(sf_dir):
+    from raycdc.ops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+def _planted_dup_docs(sf_dir):
+    """documents ∪ copy shifted by +10000 with identical text — a
+    deterministic near-dup corpus whose true pairs are (i, i+10000)."""
+    import ray.data
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    import pyarrow.compute as pc
+
+    shifted = pa.table(
+        {"doc_id": pc.add(t["doc_id"], 10000), "text": t["text"]}
+    )
+    return ray.data.from_arrow(pa.concat_tables([t, shifted]))
+
+
+def _q_dedup_minhash(sf_dir):
+    from raycdc.ops.dedup import minhash_lsh_pairs
+
+    # threshold=1.0: the oracle can only enumerate the *planted*
+    # (identical-text) pairs in SQL; sub-1.0 near-dup recall is pinned
+    # by tests/test_ops.py instead.
+    pairs = minhash_lsh_pairs(_planted_dup_docs(sf_dir), threshold=1.0)
+    pairs["jaccard"] = np.round(pairs["jaccard"], 6)
+    return pairs
+
+
+def _q_dedup_simhash(sf_dir):
+    from raycdc.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_planted_dup_docs(sf_dir), max_hamming=3)
+
+
+def _q_dedup_embedding(sf_dir):
+    import ray.data
+
+    from raycdc.ops.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_dup_pairs(ds, threshold=0.42, lsh_bits=0)
+    pairs["cos"] = np.round(pairs["cos"], 6)
+    return pairs
+
+
+def _q_ann_topk(sf_dir):
+    from raycdc.ops.similarity import ann_topk
+
+    q = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(pads.field("vec_id") == 0)["embedding"]
+        .to_pylist()[0]
+    )
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ann_topk(ds, np.array([q]), k=10)
+    out["cos"] = np.round(out["cos"], 6)
+    return out[["vec_id", "cos"]].reset_index(drop=True)
+
+
+def _q_ann_ivf(sf_dir):
+    from raycdc.ops.similarity import ivf_topk
+
+    q = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(pads.field("vec_id") == 0)["embedding"]
+        .to_pylist()[0]
+    )
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ivf_topk(ds, np.array([q]), k=10)
+    out["cos"] = np.round(out["cos"], 6)
+    return out[["vec_id", "cos"]].reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir):
+    from raycdc.ops.text import lang_id
+
+    return lang_id(_docs(sf_dir)).select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprint(sf_dir):
+    from raycdc.ops.text import fingerprint
+
+    return fingerprint(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_pricing_summary(sf_dir):
+    import ray.data
+
+    from raycdc.ops.relational import pricing_summary
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+    return pricing_summary(ds)
+
+
+def _q_orders_per_nation(sf_dir):
+    from raycdc.ops.relational import orders_per_nation
+
+    return orders_per_nation(sf_dir)
+
+
+def _q_topk_orders(sf_dir):
+    import ray.data
+
+    from raycdc.ops.relational import topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return topk(
+        ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10
+    )
+
+
+def _q_window_hourly(sf_dir):
+    from raycdc.ops.relational import hourly_user_window
+
+    return hourly_user_window(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    )
+
+
+def _q_media_decode(sf_dir):
+    import ray.data
+
+    from raycdc.ops.multimodal import decode_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    out = decode_features(ds).to_pandas()
+    out["feature_norm"] = out["feature"].map(
+        lambda f: float(np.round(np.linalg.norm(f), 6))
+    )
+    return out[
+        ["media_id", "width", "height", "out_width", "out_height", "feature_norm"]
+    ].reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay_documents": _q_cdc_replay_documents,
+        "cdc_latest_by_key": _q_cdc_latest_by_key,
+        "cdc_upsert_user_state": _q_cdc_upsert_user_state,
+        "cdc_watermarks": _q_cdc_watermarks,
+        "cdc_incremental_filter": _q_cdc_incremental_filter,
+        "cdc_count_probe": _q_cdc_count_probe,
+        "cdc_preview": _q_cdc_preview,
+        "props_flatten_coerce": _q_props_flatten_coerce,
+        "schema_guess_props": _q_schema_guess_props,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "lang_id": _q_lang_id,
+        "fingerprint_docs": _q_fingerprint,
+        "pricing_summary": _q_pricing_summary,
+        "orders_per_nation": _q_orders_per_nation,
+        "topk_orders": _q_topk_orders,
+        "window_hourly": _q_window_hourly,
+        "media_decode": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_replay_documents": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0
+        """,
+        "cdc_latest_by_key": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT user_id, event_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events) t WHERE rn = 1
+        """,
+        "cdc_upsert_user_state": """
+            SELECT user_id, event_id, ts, value FROM (
+                SELECT user_id, event_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events) t WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_watermarks": """
+            SELECT user_id % 16 AS partition_id, max(event_id) AS watermark_seq
+            FROM events GROUP BY user_id % 16
+        """,
+        "cdc_incremental_filter": """
+            SELECT event_id, user_id, value FROM events WHERE event_id > 500
+        """,
+        "cdc_count_probe": "SELECT count(*) AS total FROM events",
+        "cdc_preview": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events ORDER BY event_id LIMIT 10
+        """,
+        "props_flatten_coerce": """
+            SELECT event_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
+            FROM events
+        """,
+        "schema_guess_props": "SELECT 'k' AS name, 'long' AS type",
+        "doc_token_count": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS text_len,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS avg_token_len
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_minhash": """
+            SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard
+            FROM documents
+        """,
+        # dedup_simhash: rows-only — identical token-multisets collide
+        # at hamming 0, which SQL cannot enumerate.
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.42
+        """,
+        "ann_topk": """
+            SELECT a.vec_id,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.e), 6) AS cos
+            FROM embeddings a,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.e) DESC, a.vec_id
+            LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                       * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) / 1000000.0 AS sum_charge,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   (SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0) / COUNT(*) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_per_nation": """
+            SELECT n.n_name AS n_name,
+                   SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) / 100.0 AS total_price,
+                   COUNT(*) AS order_count
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "window_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+    }

@@ -1,0 +1,177 @@
+"""Benchmark harness: headline CDC replay + operator pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the north
+rule's N → 4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# headline event count scales with CPU budget so both scaling runs
+# use the same input (generated once, cached by parameter hash)
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000"))
+WORK_ROOT = os.environ.get("GRAFT_BENCH_DIR", "/tmp/raycdc_bench")
+
+
+def _ensure_log(log_dir: str, n_events: int) -> None:
+    marker = os.path.join(log_dir, f".complete-{n_events}")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(log_dir, ignore_errors=True)
+    from raycdc.sources.synth import write_changelog
+
+    write_changelog(log_dir, n_events, fragment_rows=250_000, seed=42)
+    open(marker, "w").close()
+
+
+def bench_headline() -> dict:
+    """Full CDC replay-to-convergence over a synthetic change log at
+    the north-rule input shape; returns secs + events/sec."""
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+
+    log_dir = os.path.join(WORK_ROOT, "log")
+    _ensure_log(log_dir, N_EVENTS)
+    lake_dir = os.path.join(WORK_ROOT, f"lake_cpus{NUM_CPUS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=max(NUM_CPUS * 2, 16),
+        columns=[
+            {"name": "author.name", "type": "string"},
+            {"name": "stats.adds", "type": "long"},
+            {"name": "review.state", "type": "string"},
+        ],
+    )
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    for p in sorted(os.listdir(log_dir)):
+        if p.endswith(".parquet"):
+            with open(os.path.join(log_dir, p), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+    t0 = time.perf_counter()
+    res = run_ingest(cfg)
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "events": N_EVENTS,
+        "events_per_sec": N_EVENTS / dt,
+        "applied": res.applied,
+        "dead_lettered": res.dead_lettered,
+    }
+
+
+def bench_queries() -> dict[str, float]:
+    """Operator pipelines over the driver testdata tables."""
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    out = {}
+    for name in [
+        "cdc_replay_documents",
+        "cdc_latest_by_key",
+        "pricing_summary",
+        "orders_per_nation",
+        "window_hourly",
+        "dedup_exact",
+        "dedup_minhash",
+        "ann_topk",
+        "doc_quality",
+    ]:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # force execution for lazy datasets
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        head = bench_headline()
+        queries = bench_queries()
+    finally:
+        ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "cdc replay-to-convergence wall time, "
+                f"{N_EVENTS} synthetic change events",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "events_per_sec": round(head["events_per_sec"]),
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency, same input at "
+                f"num_cpus={lo} vs {hi}",
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"events_per_sec_{lo}": r_lo["events_per_sec"],
+                f"events_per_sec_{hi}": r_hi["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

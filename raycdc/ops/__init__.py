@@ -1,0 +1,4 @@
+"""Large-scale training-data operators built on the same Ray-Data
+idioms as the CDC engine: vectorized map_batches, partial-aggregate
+before groupby, broadcast small sides, actor pools for stateful
+stages."""

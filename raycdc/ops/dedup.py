@@ -1,0 +1,376 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard verification, embedding-cosine near-dup.
+
+Scale shapes (all avoid pairwise-all-pairs):
+
+- exact: content-hash column (vectorized) → per-batch combine →
+  one groupby over (hash) partials — the same hash-partition +
+  keep-first pattern as the CDC apply (A1);
+- MinHash+LSH: shingle → k minhashes → b bands; only same-band-hash
+  docs meet in a groupby bucket; candidate pairs verified with exact
+  n-gram Jaccard;
+- SimHash: 64-bit signature, banded into 4×16-bit block keys,
+  Hamming-verified within buckets;
+- embedding: random-hyperplane LSH buckets (or brute-force for small
+  n) then exact cosine within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_strings(arr: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(arr.astype(object), categorize=False)
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """One row per distinct text: (doc_id = min id, dup_count).
+
+    Hash-partition + per-group first (keep min id).  The shuffle moves
+    one row per distinct text per batch (per-batch combine)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_strings(df[text_col].to_numpy())
+        out = pd.DataFrame({"h": h.astype(np.int64), id_col: df[id_col]})
+        return out.groupby("h", as_index=False).agg(
+            **{id_col: (id_col, "min"), "dup_count": (id_col, "size")}
+        )
+
+    partial = ds.map_batches(combine, batch_format="pandas")
+    agg = partial.groupby("h").aggregate(
+        Min(id_col, alias_name=id_col), Sum("dup_count", alias_name="dup_count")
+    )
+    return agg.drop_columns(["h"])
+
+
+def distinct_rows(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Keep one full row per distinct text (the min-id row): groupby
+    content hash → per-group first after sort by id."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = _hash_strings(t[text_col].to_numpy(zero_copy_only=False))
+        return t.append_column("h", pa.array(h.astype(np.int64)))
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(first_per_group, batch_format="pandas")
+        .drop_columns(["h"])
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def _shingles(text: str, n: int = 3) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < n:
+        return np.array([" ".join(toks)], dtype=object) if toks else np.array(
+            [""], dtype=object
+        )
+    return np.array(
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)],
+        dtype=object,
+    )
+
+
+class MinHashStage:
+    """Per-doc MinHash signature over word n-gram shingles.
+
+    k universal hash functions (a*x + b mod Mersenne-61) applied to the
+    shingle hash set; parameters are generated once per actor from a
+    fixed seed (deterministic across the cluster)."""
+
+    def __init__(self, k: int = 64, ngram: int = 3, seed: int = 42):
+        self.__name__ = "MinHashStage"
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=k, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=k, dtype=np.uint64)
+        self.k = k
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _hash_strings(_shingles(text, self.ngram)).astype(np.uint64)
+        # (k, n_shingles) universal hashes -> min over shingles
+        vals = (
+            self.a[:, None] * (sh[None, :] % _MERSENNE) + self.b[:, None]
+        ) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack(
+            [self.signature(t or "") for t in batch["text"].to_pylist()]
+        )
+        return batch.append_column(
+            "minhash", pa.array(list(sigs.astype(np.uint64)))
+        )
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    n-gram Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Pipeline: signature (actor pool) → explode to (band, band_hash,
+    id, text-ref) rows → groupby bucket → pairwise verify inside
+    buckets only.  Bucket sizes are bounded by collision probability,
+    not corpus size."""
+    rows_per_band = k // bands
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"k": k, "ngram": ngram},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        mh = t["minhash"]
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        sigs = np.asarray(mh.flatten(), dtype=np.uint64).reshape(t.num_rows, k)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        frames = []
+        for b in range(bands):
+            band = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            # combine the band's rows into one 64-bit key (wrapping
+            # polynomial mix — deterministic and vectorized)
+            bh = np.zeros(band.shape[0], dtype=np.uint64)
+            for c in range(band.shape[1]):
+                bh = bh * np.uint64(1099511628211) + band[:, c].astype(np.uint64)
+            bh = bh.view(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band": b,
+                        "bh": bh.astype(np.int64),
+                        id_col: ids,
+                        text_col: texts,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        texts = df[text_col].to_numpy()
+        sh = [set(_shingles(t or "", ngram).tolist()) for t in texts]
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i] | sh[j]) or 1
+                jac = inter / union
+                if jac >= threshold:
+                    out.append((int(ids[i]), int(ids[j]), jac))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    pairs = (
+        exploded.groupby(["band", "bh"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return (
+        pairs.groupby(["id_a", "id_b"], as_index=False)
+        .agg(jaccard=("jaccard", "max"))
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+class SimHashStage:
+    """64-bit SimHash over word tokens (bit-majority of token
+    hashes)."""
+
+    def __init__(self):
+        self.__name__ = "SimHashStage"
+        self.bits = np.arange(64, dtype=np.uint64)
+
+    def signature(self, text: str) -> int:
+        toks = np.array((text or "").split() or [""], dtype=object)
+        h = pd.util.hash_array(toks, categorize=False)
+        # (n_tokens, 64) bit matrix -> column sums vs n/2
+        bitmat = ((h[:, None] >> self.bits[None, :]) & 1).astype(np.int32)
+        maj = (bitmat.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)
+        return int((maj << self.bits).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        return batch.append_column(
+            "simhash", pa.array(np.array(sigs, dtype=np.uint64))
+        )
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
+    4x16-bit bands (a pair within distance 3 must agree on >=1 band)."""
+    sig_ds = ds.select_columns([id_col, "text"]).map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        sig = np.asarray(t["simhash"].to_numpy(zero_copy_only=False)).astype(
+            np.uint64
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        frames = []
+        for b in range(4):
+            key = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"band": b, "key": key, id_col: ids, "sig": sig.astype("uint64")}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        ids = df[id_col].to_numpy()
+        sig = df["sig"].to_numpy().astype(np.uint64)
+        x = sig[:, None] ^ sig[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        for shift in range(64):
+            ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
+        out = []
+        ii, jj = np.where((ham <= max_hamming) & np.triu(np.ones_like(ham), 1).astype(bool))
+        for i, j in zip(ii, jj):
+            out.append((int(ids[i]), int(ids[j]), int(ham[i, j])))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    pairs = (
+        sig_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return (
+        pairs.groupby(["id_a", "id_b"], as_index=False)
+        .agg(hamming=("hamming", "min"))
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+# -- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_bits: int = 0,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Cosine near-dup pairs.  ``lsh_bits=0`` → exact within one
+    bucket (small n); otherwise random-hyperplane LSH buckets bound
+    the pairwise work (the scale path)."""
+
+    def vec_matrix(col) -> np.ndarray:
+        flat = np.asarray(col.combine_chunks().flatten() if isinstance(col, pa.ChunkedArray) else col.flatten(), dtype=np.float64)
+        n = len(col)
+        return flat.reshape(n, -1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        vecs = vec_matrix(t[vec_col])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        if lsh_bits:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((vecs.shape[1], lsh_bits))
+            bits = (unit @ planes) > 0
+            bucket = bits @ (1 << np.arange(lsh_bits))
+        else:
+            bucket = np.zeros(len(vecs), dtype=np.int64)
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        cos = mat @ mat.T
+        ii, jj = np.where((cos >= threshold) & np.triu(np.ones_like(cos), 1).astype(bool))
+        return pd.DataFrame(
+            {"id_a": ids[ii].astype(np.int64), "id_b": ids[jj].astype(np.int64),
+             "cos": cos[ii, jj]}
+        )
+
+    pairs = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return (
+        pairs.groupby(["id_a", "id_b"], as_index=False)
+        .agg(cos=("cos", "max"))
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque ``binary`` payload columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) is real and tested; the actual media decode is STUBBED — the
+container ships no image/audio libraries — behind ``try: import`` with
+a deterministic fake so pipelines are runnable end-to-end.  Swap
+``_decode_image_real`` in when PIL/ffmpeg exist.
+
+Batch-size guidance: with payloads of B bytes and an actor pool of C,
+keep ``batch_size * B * C`` well under worker heap — callers pass
+small ``batch_size`` for large media (see map_batches call sites).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("format", pa.string()),  # png | jpeg | wav | mp4 | ...
+        ("payload", pa.large_binary()),
+        ("meta_json", pa.string()),
+    ]
+)
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for an image decoder: derives a stable
+    (width, height, 8-dim feature) from the payload digest."""
+    d = hashlib.blake2b(payload, digest_size=16).digest()
+    w = 16 + d[0] % 240
+    h = 16 + d[1] % 240
+    feat = np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+    return w, h, feat[:8]
+
+
+class DecodeImageStage:
+    """Actor-pool stage: decode → (width, height, feature vector).
+
+    __init__ loads the decoder once per actor (the stateful-stage
+    pattern); __call__ handles a batch.  Without PIL the decode is a
+    deterministic fake (documented stub)."""
+
+    def __init__(self):
+        self.__name__ = "DecodeImage"
+        self.have_pil = _HAVE_PIL
+
+    def _decode(self, payload: bytes):
+        if self.have_pil:  # pragma: no cover
+            raise NotImplementedError(
+                "real decode path requires PIL; not available in this container"
+            )
+        return _fake_decode(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, feats = [], [], []
+        for payload in batch["payload"].to_pylist():
+            w, h, f = self._decode(payload or b"")
+            widths.append(w)
+            heights.append(h)
+            feats.append(f)
+        out = batch.drop_columns(["payload"])  # don't re-ship bytes
+        out = out.append_column("width", pa.array(widths, pa.int64()))
+        out = out.append_column("height", pa.array(heights, pa.int64()))
+        return out.append_column(
+            "feature", pa.array([f.tolist() for f in feats], pa.list_(pa.float64()))
+        )
+
+
+class ResizeStage:
+    """Actor-pool stage: 'resize' metadata transform (stub keeps the
+    payload opaque; real implementation would re-encode)."""
+
+    def __init__(self, max_side: int = 64):
+        self.__name__ = "Resize"
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch["width"]
+        h = batch["height"]
+        scale = pc.min_element_wise(
+            pc.divide(float(self.max_side), pc.cast(pc.max_element_wise(w, h), pa.float64())),
+            1.0,
+        )
+        out = batch.append_column(
+            "out_width", pc.cast(pc.round(pc.multiply(pc.cast(w, pa.float64()), scale)), pa.int64())
+        )
+        return out.append_column(
+            "out_height", pc.cast(pc.round(pc.multiply(pc.cast(h, pa.float64()), scale)), pa.int64())
+        )
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for tests/benches (binary
+    payloads derived from a seeded RNG)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
+                for s in rng.integers(512, 4096, size=n)]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "format": pa.array(["png"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "meta_json": pa.array(["{}"] * n, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def decode_features(
+    ds: "ray.data.Dataset", concurrency: int = 4, batch_size: int = 64
+) -> "ray.data.Dataset":
+    """image decode + feature extraction as an actor pool with a small
+    batch_size (large binary payloads → batch × concurrency must fit
+    worker heap)."""
+    return ds.map_batches(
+        DecodeImageStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).map_batches(ResizeStage(), batch_format="pyarrow")

@@ -1,0 +1,236 @@
+"""Relational operators expressed Ray-Data-first: partial-aggregate
+before shuffle, broadcast joins for small sides, sorted top-k, and
+windowed (tumbling) aggregates.
+
+These generalize the engine aggregations A1-A3 (SURVEY.md §2.5) into
+reusable building blocks and are oracle-checked against DuckDB by the
+driver (__ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def partial_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+) -> "ray.data.Dataset":
+    """Two-phase aggregation: combine inside each batch (pandas
+    groupby), then a global groupby over the (much smaller) partials.
+    The shuffle moves one row per key per batch instead of every row —
+    the FP-Hadoop/combiner pattern (SURVEY.md §4.2)."""
+    sums = sums or {}
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        aggs = {out: (src, "sum") for src, out in sums.items()}
+        if count_as:
+            aggs[count_as] = (keys[0], "size")
+        g = df.groupby(keys, as_index=False, sort=False).agg(**aggs)
+        return g
+
+    partial = ds.map_batches(combine, batch_format="pandas")
+    final_aggs = [Sum(out, alias_name=out) for out in sums.values()]
+    if count_as:
+        final_aggs.append(Sum(count_as, alias_name=count_as))
+    return partial.groupby(keys).aggregate(*final_aggs)
+
+
+def pricing_summary(lineitem: "ray.data.Dataset") -> pd.DataFrame:
+    """TPC-H-Q1-style pricing summary over lineitem: grouped sums and
+    means with a per-batch combiner for the sums.
+
+    Money is summed as exact integer cents (prices/discounts/taxes are
+    2-decimal), so results are bit-identical regardless of parallel
+    summation order — a distributed float Sum would differ from any
+    serial oracle in the last ulp."""
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        t = np.round(df["l_tax"].to_numpy() * 100).astype(np.int64)
+        q = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_i": q,
+                "price_c": p,
+                "disc_c4": p * (100 - d),
+                "charge_c6": p * (100 - d) * (100 + t),
+            }
+        )
+        return out.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False, sort=False
+        ).agg(
+            sum_qty_i=("qty_i", "sum"),
+            sum_price_c=("price_c", "sum"),
+            sum_disc_c4=("disc_c4", "sum"),
+            sum_charge_c6=("charge_c6", "sum"),
+            count_order=("qty_i", "size"),
+        )
+
+    partial = lineitem.map_batches(derive, batch_format="pandas")
+    out = (
+        partial.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_i", alias_name="sum_qty_i"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+            Sum("sum_disc_c4", alias_name="sum_disc_c4"),
+            Sum("sum_charge_c6", alias_name="sum_charge_c6"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["sum_qty_i"].astype(np.float64),
+            "sum_base_price": out["sum_price_c"] / 100.0,
+            "sum_disc_price": out["sum_disc_c4"] / 10000.0,
+            "sum_charge": out["sum_charge_c6"] / 1000000.0,
+            "avg_qty": out["sum_qty_i"].astype(np.float64) / out["count_order"],
+            "avg_price": (out["sum_price_c"] / 100.0) / out["count_order"],
+            "count_order": out["count_order"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def latest_by_key(
+    ds: "ray.data.Dataset", key_cols: list[str], seq_col: str
+) -> "ray.data.Dataset":
+    """Generic A1 (keep-latest-by-cursor per key) for arbitrary tables:
+    per-batch combine then per-group argmax — the same associative
+    pattern as the CDC apply (stages/merge.keep_latest_by_key)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(seq_col).drop_duplicates(key_cols, keep="last")
+
+    partial = ds.map_batches(combine, batch_format="pandas")
+    return partial.groupby(key_cols).map_groups(combine, batch_format="pandas")
+
+
+def broadcast_join(
+    ds: "ray.data.Dataset",
+    small_df: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Join a Dataset against a small dimension table without a
+    shuffle: the small side goes to the object store once via
+    ``ray.put`` and every map task reads the same shared copy
+    (zero per-batch reshipping)."""
+    ref = ray.put(small_df)
+
+    class JoinStage:
+        def __init__(self):
+            self.__name__ = "BroadcastJoin"
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(JoinStage, batch_format="pandas", concurrency=(1, 8))
+
+
+def orders_per_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation (both dimension sides broadcast) →
+    per-nation order count + revenue.  One shuffle total (the final
+    small groupby over partials)."""
+    customer = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    dim = customer.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["price_c"] = np.round(df["o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        return df.drop(columns=["o_totalprice"])
+
+    joined = broadcast_join(
+        orders.map_batches(to_cents, batch_format="pandas"),
+        dim.rename(columns={"c_custkey": "o_custkey"}),
+        on="o_custkey",
+    )
+    agg = partial_agg(
+        joined,
+        keys=["n_name"],
+        sums={"price_c": "total_price_c"},
+        count_as="order_count",
+    )
+    out = agg.to_pandas()
+    out["total_price"] = out["total_price_c"] / 100.0
+    out = out.drop(columns=["total_price_c"])
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def topk(
+    ds: "ray.data.Dataset", sort_keys: list[tuple[str, str]], k: int
+) -> pa.Table:
+    """Global top-k via per-batch partial top-k, then one tiny
+    driver-side merge — no global sort shuffle."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx[:k])
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    import pyarrow.compute as pc
+
+    all_t = pa.concat_tables(
+        [b for b in partials.iter_batches(batch_format="pyarrow")]
+    )
+    idx = pc.sort_indices(all_t, sort_keys=sort_keys)
+    return all_t.take(idx[:k])
+
+
+def hourly_user_window(events: "ray.data.Dataset") -> pd.DataFrame:
+    """Tumbling-window aggregate: per (user_id, hour) event count and
+    value sum.  The window assignment is a vectorized floor inside
+    map_batches; the shuffle only moves per-window partials."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h")
+        df["value_c"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("event_id", "size"), sum_value_c=("value_c", "sum")
+        )
+        return g
+
+    partial = events.map_batches(bucket, batch_format="pandas")
+    out = (
+        partial.groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value_c"] / 100.0
+    out = out.drop(columns=["sum_value_c"])
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)

@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: brute-force cosine top-k — the exactness baseline.
+  The query matrix is broadcast once via ``ray.put``; each batch does
+  one numpy matmul and emits only its local top-k, so the driver
+  merges #batches × k rows, never the corpus.
+- ``ivf_topk``: IVF-style scale path — a driver-side k-means over a
+  sample builds centroids (broadcast); batches are bucketed by nearest
+  centroid into an inverted file; queries probe only ``nprobe``
+  nearest buckets.  Approximate; recall is tested, not oracle-matched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _vec_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ann_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k per query: returns (query_id, vec_id, cos)
+    rows, k per query, ranked by (cos desc, vec_id asc)."""
+    qm = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    qref = ray.put(qm)
+
+    class ScoreStage:
+        def __init__(self):
+            self.__name__ = "AnnScore"
+            self.q = ray.get(qref)  # broadcast once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _unit(_vec_matrix(t[vec_col]))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            cos = mat @ self.q.T  # (n, nq)
+            out_q, out_id, out_cos = [], [], []
+            nk = min(k, len(ids))
+            for qi in range(cos.shape[1]):
+                scores = cos[:, qi]
+                # local top-k: partial select then exact ordering
+                idx = np.argpartition(-scores, nk - 1)[:nk]
+                idx = idx[np.lexsort((ids[idx], -scores[idx]))]
+                out_q.extend([qi] * len(idx))
+                out_id.extend(ids[idx].tolist())
+                out_cos.extend(scores[idx].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "cos": pa.array(out_cos, pa.float64()),
+                }
+            )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        ScoreStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    all_p = partials.to_pandas()
+    out = []
+    for qi, g in all_p.groupby("query_id"):
+        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` buckets nearest to
+    each query.  Centroids come from a few Lloyd iterations over a
+    driver-side sample (deterministic seed)."""
+    sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
+    sm = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    rng = np.random.default_rng(seed)
+    cent = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)), replace=False)]
+    for _ in range(5):  # Lloyd iterations
+        assign = (sm @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sm[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    cref = ray.put(cent)
+
+    qm = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qref = ray.put((qm, q_probe))
+
+    class ProbeStage:
+        def __init__(self):
+            self.__name__ = "IvfProbe"
+            self.cent = ray.get(cref)
+            self.qm, self.q_probe = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _unit(_vec_matrix(t[vec_col]))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            assign = (mat @ self.cent.T).argmax(axis=1)
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(len(self.qm)):
+                mask = np.isin(assign, self.q_probe[qi])
+                if not mask.any():
+                    continue
+                sub = mat[mask]
+                sids = ids[mask]
+                scores = sub @ self.qm[qi]
+                nk = min(k, len(sids))
+                idx = np.argpartition(-scores, nk - 1)[:nk]
+                idx = idx[np.lexsort((sids[idx], -scores[idx]))]
+                out_q.extend([qi] * len(idx))
+                out_id.extend(sids[idx].tolist())
+                out_cos.extend(scores[idx].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "cos": pa.array(out_cos, pa.float64()),
+                }
+            )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        ProbeStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    all_p = partials.to_pandas()
+    if all_p.empty:
+        return all_p
+    out = []
+    for qi, g in all_p.groupby("query_id"):
+        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)

@@ -1,0 +1,114 @@
+"""Flagship demo pipeline over the driver testdata: derive a
+deterministic change-event log from the ``documents`` table, replay it
+through the full CDC engine, and return the converged lake state.
+
+The derivation is intentionally SQL-expressible so the driver's DuckDB
+oracle can verify the *whole engine path* (read → parse/coerce →
+partition → merge → commit) end-to-end:
+
+    per document, 3 events j = 0,1,2 with seq = j*N + doc_id:
+      op      = delete  if j == 2 and doc_id % 17 == 0
+                insert  if j == 0 else update
+      repo    = 'org{doc_id % 5}/repo{doc_id % 13}'
+      path    = 'docs/{doc_id}.txt'
+      content = text || ' v{j}'        (null for delete)
+
+so the converged state is exactly: every document with
+``doc_id % 17 != 0``, content = ``text || ' v2'``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD_COLUMNS = [
+    {"name": "source", "type": "string"},
+    {"name": "n_chars", "type": "long"},
+]
+
+
+def documents_changelog(sf_dir: str, log_dir: str, fragments: int = 4) -> int:
+    """Write the documents-derived change log; returns event count."""
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    n = docs.num_rows
+    doc_id = docs["doc_id"].to_pylist()
+    text = docs["text"].to_pylist()
+    lang = docs["lang"].to_pylist()
+    source = docs["source"].to_pylist()
+    n_chars = docs["n_chars"].to_pylist()
+
+    rows = {k: [] for k in (
+        "seq", "ts", "op", "repo", "path", "commit", "lang", "content",
+        "payload_json",
+    )}
+    for j in range(3):
+        for i in range(n):
+            d = doc_id[i]
+            seq = j * n + i
+            delete = j == 2 and d % 17 == 0
+            op = "delete" if delete else ("insert" if j == 0 else "update")
+            repo = f"org{d % 5}/repo{d % 13}"
+            path = f"docs/{d}.txt"
+            rows["seq"].append(seq)
+            rows["ts"].append(1_704_067_200_000_000 + seq * 1_000_000)
+            rows["op"].append(op)
+            rows["repo"].append(repo)
+            rows["path"].append(path)
+            rows["commit"].append(
+                hashlib.blake2b(f"{repo}|{path}|{seq}".encode(), digest_size=20).hexdigest()
+            )
+            rows["lang"].append(lang[i])
+            rows["content"].append(None if delete else f"{text[i]} v{j}")
+            rows["payload_json"].append(
+                f'{{"source":"{source[i]}","n_chars":{n_chars[i]}}}'
+            )
+    t = pa.table(
+        {
+            "seq": pa.array(rows["seq"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "op": pa.array(rows["op"], pa.string()),
+            "repo": pa.array(rows["repo"], pa.string()),
+            "path": pa.array(rows["path"], pa.string()),
+            "commit": pa.array(rows["commit"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "content": pa.array(rows["content"], pa.string()),
+            "payload_json": pa.array(rows["payload_json"], pa.string()),
+        }
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    per = max(1, t.num_rows // fragments)
+    for f in range(0, t.num_rows, per):
+        pq.write_table(
+            t.slice(f, per), os.path.join(log_dir, f"fragment-{f // per:05d}.parquet")
+        )
+    return t.num_rows
+
+
+def flagship_state(sf_dir: str, workdir: str | None = None, num_partitions: int = 16):
+    """Run the full CDC engine over the documents-derived log and
+    return the converged lake as a Ray Dataset."""
+    workdir = workdir or os.path.join(
+        "/tmp", f"raycdc_flagship_{abs(hash(sf_dir)) % (1 << 32):08x}"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    cfg = IngestConfig(
+        log_dir=os.path.join(workdir, "log"),
+        lake_dir=os.path.join(workdir, "lake"),
+        num_partitions=num_partitions,
+        columns=PAYLOAD_COLUMNS,
+    )
+    documents_changelog(sf_dir, cfg.log_dir)
+    run_ingest(cfg)
+    return Lake(cfg.lake_dir).read_dataset()

@@ -1,0 +1,197 @@
+"""Unit tests for training-data ops on planted synthetic corpora:
+near-dup detection (not just identical docs), LSH-bucketed embedding
+dedup vs brute force, IVF recall, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _docs_with_near_dups():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(60):
+        toks = list(rng.choice(vocab, size=40))
+        texts.append(" ".join(toks))
+        ids.append(i)
+    # planted near-dups: copy docs 0-9 with ONE token changed
+    for i in range(10):
+        toks = texts[i].split()
+        toks[20] = "CHANGED"
+        texts.append(" ".join(toks))
+        ids.append(100 + i)
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+
+def test_minhash_finds_near_dups():
+    from raycdc.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_with_near_dups(), threshold=0.5)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    expected = {(i, 100 + i) for i in range(10)}
+    assert expected <= found
+    # nothing else should pair up (random 40-token docs)
+    assert found == expected
+    # jaccard of a one-token-in-40 edit with 3-gram shingles
+    assert (pairs["jaccard"] > 0.7).all()
+
+
+def test_simhash_finds_near_dups():
+    from raycdc.ops.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_docs_with_near_dups(), max_hamming=8)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(i, 100 + i) for i in range(10)} <= found
+
+
+def test_embedding_lsh_matches_bruteforce():
+    from raycdc.ops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((80, 32))
+    # planted near-dups: tiny perturbations of vectors 0-9
+    dups = base[:10] + 0.01 * rng.standard_normal((10, 32))
+    vecs = np.vstack([base, dups])
+    ids = list(range(80)) + list(range(100, 110))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    exact = embedding_dup_pairs(ds, threshold=0.99, lsh_bits=0)
+    lsh = embedding_dup_pairs(ds, threshold=0.99, lsh_bits=4)
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert {(i, 100 + i) for i in range(10)} <= exact_pairs
+    # LSH is a subset of exact and must keep high recall on planted dups
+    assert lsh_pairs <= exact_pairs
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7
+
+
+def test_ann_topk_matches_numpy():
+    from raycdc.ops.similarity import ann_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    q = vecs[7]
+    got = ann_topk(ds, np.array([q]), k=5)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qv = q / np.linalg.norm(q)
+    # reference computed at the same float32 storage precision
+    stored = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64) for v in
+                       [v.tolist() for v in vecs.astype(np.float32)]])
+    stored_unit = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+    cos = stored_unit @ (stored[7] / np.linalg.norm(stored[7]))
+    expected_ids = np.argsort(-cos)[:5]
+    assert list(got["vec_id"]) == list(expected_ids)
+    assert got.iloc[0]["vec_id"] == 7  # self is the nearest
+
+
+def test_ivf_recall():
+    from raycdc.ops.similarity import ann_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((500, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(500), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    q = vecs[3]
+    exact = set(ann_topk(ds, np.array([q]), k=10)["vec_id"])
+    approx = set(ivf_topk(ds, np.array([q]), k=10, n_centroids=8, nprobe=4)["vec_id"])
+    assert len(exact & approx) / 10 >= 0.5  # probing half the space
+
+
+def test_latest_by_key_matches_pandas():
+    from raycdc.ops.relational import latest_by_key
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, n),
+            "seq": np.arange(n),
+            "v": rng.random(n),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        latest_by_key(ds, ["k"], "seq")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values("seq")
+        .drop_duplicates(["k"], keep="last")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "seq", "v"]], exp[["k", "seq", "v"]])
+
+
+def test_multimodal_decode_plumbing():
+    from raycdc.ops.multimodal import decode_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(50))
+    out = decode_features(ds, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 50
+    assert {"width", "height", "out_width", "out_height", "feature"} <= set(
+        out.columns
+    )
+    assert "payload" not in out.columns  # bytes not re-shipped
+    assert (out["out_width"] <= 64).all() and (out["out_height"] <= 64).all()
+    # deterministic: same payload -> same decode
+    out2 = decode_features(
+        ray.data.from_arrow(synth_media_table(50)), concurrency=2, batch_size=16
+    ).to_pandas()
+    assert (
+        out.sort_values("media_id")["width"].tolist()
+        == out2.sort_values("media_id")["width"].tolist()
+    )
+
+
+def test_distinct_rows():
+    from raycdc.ops.dedup import distinct_rows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a", "a", "b", "b"]),
+        }
+    )
+    got = (
+        distinct_rows(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 2]

@@ -1,0 +1,95 @@
+"""Replicates the driver's correctness gate locally: every query in
+__ray_entry__.queries() that has an oracle_sql() entry is executed at
+sf0.01 and compared against DuckDB on row count, column set, and
+order-insensitive values (sorted rows, exact equality after rounding
+already applied inside the queries)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+SQL_CHECKED = sorted(set(QUERIES) & set(SQL))
+ROWS_ONLY = sorted(set(QUERIES) - set(SQL))
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, con):
+    got = _canon(_to_pandas(QUERIES[name](SF_DIR)))
+    exp = _canon(con.sql(SQL[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g):
+            ok = ((g == e) | (g.isna() & e.isna())).all()
+        else:
+            ok = g.equals(e)
+        assert ok, f"{name}: value mismatch in column {c}\n{g.head()}\n{e.head()}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    res = _to_pandas(QUERIES[name](SF_DIR))
+    assert len(res) >= 0
+    assert len(res.columns) > 0
+
+
+def test_entry_smoke():
+    ds = entry_mod.entry()
+    n = ds.count() if hasattr(ds, "count") else len(ds)
+    assert n > 0
