@@ -315,6 +315,22 @@ def _q_window_hourly(sf_dir):
     )
 
 
+def _q_content_digests(sf_dir):
+    """A4: per-row sha256(content) — the verification invariant from
+    BASELINE.json input_hint, as a vectorizable map stage."""
+    from raycdc.functions.hashing import sha256_hex
+
+    def dig(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "digest": pa.array(sha256_hex(t["text"]), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(dig, batch_format="pyarrow")
+
+
 def _q_media_decode(sf_dir):
     import ray.data
 
@@ -330,32 +346,44 @@ def _q_media_decode(sf_dir):
     ].reset_index(drop=True)
 
 
+def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    def wrapper(sf_dir: str):
+        from raycdc.tuning import tune_data_context
+
+        tune_data_context()
+        return fn(sf_dir)
+
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "cdc_replay_documents": _q_cdc_replay_documents,
-        "cdc_latest_by_key": _q_cdc_latest_by_key,
-        "cdc_upsert_user_state": _q_cdc_upsert_user_state,
-        "cdc_watermarks": _q_cdc_watermarks,
-        "cdc_incremental_filter": _q_cdc_incremental_filter,
-        "cdc_count_probe": _q_cdc_count_probe,
-        "cdc_preview": _q_cdc_preview,
-        "props_flatten_coerce": _q_props_flatten_coerce,
-        "schema_guess_props": _q_schema_guess_props,
-        "doc_token_count": _q_doc_token_count,
-        "doc_quality": _q_doc_quality,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "lang_id": _q_lang_id,
-        "fingerprint_docs": _q_fingerprint,
-        "pricing_summary": _q_pricing_summary,
-        "orders_per_nation": _q_orders_per_nation,
-        "topk_orders": _q_topk_orders,
-        "window_hourly": _q_window_hourly,
-        "media_decode": _q_media_decode,
+        "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
+        "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
+        "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
+        "cdc_watermarks": _tuned(_q_cdc_watermarks),
+        "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
+        "cdc_count_probe": _tuned(_q_cdc_count_probe),
+        "cdc_preview": _tuned(_q_cdc_preview),
+        "props_flatten_coerce": _tuned(_q_props_flatten_coerce),
+        "schema_guess_props": _tuned(_q_schema_guess_props),
+        "doc_token_count": _tuned(_q_doc_token_count),
+        "doc_quality": _tuned(_q_doc_quality),
+        "dedup_exact": _tuned(_q_dedup_exact),
+        "dedup_minhash": _tuned(_q_dedup_minhash),
+        "dedup_simhash": _tuned(_q_dedup_simhash),
+        "dedup_embedding": _tuned(_q_dedup_embedding),
+        "ann_topk": _tuned(_q_ann_topk),
+        "ann_ivf": _tuned(_q_ann_ivf),
+        "lang_id": _tuned(_q_lang_id),
+        "fingerprint_docs": _tuned(_q_fingerprint),
+        "pricing_summary": _tuned(_q_pricing_summary),
+        "orders_per_nation": _tuned(_q_orders_per_nation),
+        "topk_orders": _tuned(_q_topk_orders),
+        "window_hourly": _tuned(_q_window_hourly),
+        "media_decode": _tuned(_q_media_decode),
+        "content_digests": _tuned(_q_content_digests),
     }
 
 
@@ -459,6 +487,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "content_digests": """
+            SELECT doc_id, sha256(text) AS digest FROM documents
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice

@@ -113,9 +113,9 @@ def main() -> None:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from raycdc.tuning import tune_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    tune_data_context()
     try:
         head = bench_headline()
         queries = bench_queries()

@@ -1,0 +1,128 @@
+"""CLI entry points: the engine's `transaction/preview/guess` surface
+(reference plugin commands) as commands.
+
+    python -m raycdc.cli run     --log-dir L --lake-dir K [--partitions P]
+    python -m raycdc.cli preview --log-dir L [-n 10]
+    python -m raycdc.cli guess   --log-dir L
+    python -m raycdc.cli count   --log-dir L
+    python -m raycdc.cli synth   --log-dir L --events N
+
+Owns its Ray session (guarded init), unlike the library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="raycdc")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="incremental ingest run")
+    p_run.add_argument("--log-dir", required=True)
+    p_run.add_argument("--lake-dir", required=True)
+    p_run.add_argument("--partitions", type=int, default=64)
+    p_run.add_argument("--dynamic-schema", action="store_true")
+    p_run.add_argument("--columns-json", default=None,
+                       help='payload columns, e.g. \'[{"name":"a.b","type":"long"}]\'')
+
+    p_prev = sub.add_parser("preview", help="first-n preview, no state change")
+    p_prev.add_argument("--log-dir", required=True)
+    p_prev.add_argument("-n", type=int, default=10)
+
+    p_guess = sub.add_parser("guess", help="infer payload schema from a sample")
+    p_guess.add_argument("--log-dir", required=True)
+
+    p_count = sub.add_parser("count", help="footer-only event count")
+    p_count.add_argument("--log-dir", required=True)
+
+    p_synth = sub.add_parser("synth", help="write a deterministic synthetic change log")
+    p_synth.add_argument("--log-dir", required=True)
+    p_synth.add_argument("--events", type=int, required=True)
+    p_synth.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "count":
+        from raycdc.sources.changelog import count_probe
+
+        print(json.dumps({"total": count_probe(args.log_dir)}))
+        return 0
+
+    if args.cmd == "synth":
+        from raycdc.sources.synth import write_changelog
+
+        paths = write_changelog(args.log_dir, args.events, seed=args.seed)
+        print(json.dumps({"fragments": len(paths), "events": args.events}))
+        return 0
+
+    if args.cmd == "guess":
+        from raycdc.pipelines.cdc import guess
+
+        print(json.dumps(guess(args.log_dir), indent=1))
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "preview":
+            from raycdc.config import IngestConfig
+            from raycdc.pipelines.cdc import preview
+
+            cfg = IngestConfig(log_dir=args.log_dir, lake_dir="/tmp/_noop")
+            t = preview(cfg, n=args.n)
+            drop = [c for c in ("_dl_reason", "_dl_raw") if c in t.column_names]
+            print(t.drop_columns(drop).to_pandas().to_string())
+            return 0
+
+        if args.cmd == "run":
+            from raycdc.config import IngestConfig
+            from raycdc.pipelines.cdc import run_ingest
+
+            cols = json.loads(args.columns_json) if args.columns_json else None
+            cfg = IngestConfig(
+                log_dir=args.log_dir,
+                lake_dir=args.lake_dir,
+                num_partitions=args.partitions,
+                columns=cols,
+                dynamic_schema=args.dynamic_schema,
+            )
+            res = run_ingest(cfg)
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "no_op": res.no_op,
+                        "events_read": res.events_read,
+                        "applied": res.applied,
+                        "dead_lettered": res.dead_lettered,
+                        "watermark": res.watermark,
+                    }
+                )
+            )
+            return 0
+    finally:
+        ray.shutdown()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,19 @@ def _get(node: Any, keys: list[str]) -> Any:
     return None
 
 
+def merge_fields(record: dict[str, Any], key: str = "fields") -> dict[str, Any]:
+    """Hoist every entry of the ``key`` sub-object to the record's top
+    level, removing ``key`` — the reference's fields-merge shape
+    normalization (M1, JiraClient.java:71-83).  Top-level keys win on
+    collision (the reference adds fields entries after the remove, so
+    field entries overwrite; we keep that order)."""
+    out = {k: v for k, v in record.items() if k != key}
+    sub = record.get(key)
+    if isinstance(sub, dict):
+        out.update(sub)
+    return out
+
+
 def compact_json(value: Any) -> str:
     """Compact JSON text (no whitespace), matching Gson's toString."""
     return json.dumps(value, separators=(",", ":"), ensure_ascii=False)

@@ -1,0 +1,28 @@
+"""Page-math parity kernels (reference JiraUtil.java:43-46).
+
+The engine replaces the serial ``startAt/maxResults`` page sweep with
+fragment-parallel reads, but the arithmetic remains useful for sizing
+reads and for conformance with the reference's unit tests
+(JiraUtilTest.java:55-110).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def total_pages(total_count: int, results_per_page: int) -> int:
+    """ceil(total / per_page) — reference calculateTotalPage."""
+    if results_per_page <= 0:
+        raise ValueError("results_per_page must be positive")
+    return math.ceil(total_count / results_per_page)
+
+
+def page_offsets(total_count: int, results_per_page: int) -> list[tuple[int, int]]:
+    """The (start_at, max_results) pairs the reference's page loop
+    would issue (JiraInputPlugin.java:154-163) — used to slice a
+    fragment read into deterministic windows."""
+    return [
+        (p * results_per_page, results_per_page)
+        for p in range(total_pages(total_count, results_per_page))
+    ]

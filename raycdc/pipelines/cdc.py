@@ -119,11 +119,17 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
                                           schema=METRICS_SCHEMA),
                          0, 0, 0, min_wm, no_op=True)
 
+    from raycdc.tuning import target_num_blocks, tune_data_context
+
+    tune_data_context()
+    frag_bytes = sum(os.path.getsize(p) for p in fragment_paths(cfg.log_dir))
+    blocks = target_num_blocks(frag_bytes, count_probe(cfg.log_dir))
     ds = read_changelog(
         cfg.log_dir,
         min_watermark=min_wm if covered else None,
         columns=EVENT_COLUMNS,
         predicate=cfg.predicate,
+        override_num_blocks=blocks,
     )
     parse = ParseStage(
         num_partitions=num_partitions,

@@ -1,0 +1,42 @@
+"""DataContext tuning shared by the pipeline, bench, and tests.
+
+Ray Data's defaults (``read_op_min_num_blocks = 200``,
+``min_parallelism = 200``) are sized for big clusters; on a small
+session they shatter a modest input into hundreds of ~500-row blocks
+and give every groupby ~200 reduce partitions — pure per-task
+scheduling overhead.  We scale both to the session's CPU count; on a
+large cluster the byte-based block splitting dominates anyway, so this
+only removes the small-input pathology.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def tune_data_context() -> None:
+    """Idempotent; call after ray.init (any session owner)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    target = max(2 * ncpu, 16)
+    ctx.read_op_min_num_blocks = target
+    ctx.min_parallelism = target
+    ctx.enable_progress_bars = False
+
+
+def target_num_blocks(total_bytes: int, total_rows: int, block_bytes: int = 64 << 20) -> int:
+    """Block count for a read: enough for 2 blocks per CPU when the
+    data allows, otherwise ~``block_bytes`` per block; never more
+    blocks than ~1k-row slivers."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    by_bytes = max(1, total_bytes // block_bytes)
+    blocks = max(2 * ncpu, by_bytes)
+    return int(max(1, min(blocks, max(1, total_rows // 1000))))

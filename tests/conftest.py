@@ -13,10 +13,9 @@ def ray_session():
         logging_level="ERROR",
     )
     try:
-        from ray.data import DataContext
+        from raycdc.tuning import tune_data_context
 
-        ctx = DataContext.get_current()
-        ctx.enable_progress_bars = False
+        tune_data_context()
     except Exception:
         pass
     yield
