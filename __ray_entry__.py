@@ -139,6 +139,84 @@ def _q_props_flatten_coerce(sf_dir):
     return ds.map_batches(fl, batch_format="pyarrow")
 
 
+def _q_cdc_dead_letter(sf_dir):
+    """Dead-letter lane (north rule): events are lifted into the
+    engine's change-event shape with a deterministically-corrupted
+    payload on event_type='error' rows; ParseStage (strict) routes
+    those to the dead-letter lane with a reason while the main lane
+    stays total (generalizes reference null-on-error,
+    JiraUtil.java:169-264)."""
+    import pyarrow.compute as pc
+
+    from raycdc.stages.parse import ParseStage
+
+    ds = _events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type", "props"]
+    )
+
+    def to_change_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        uid = pc.cast(t["user_id"], pa.string())
+        bad = pc.equal(t["event_type"], "error")
+        payload = pc.if_else(
+            bad, pa.scalar("{not json", pa.string()), t["props"]
+        )
+        const = lambda v: pa.array([v] * n, pa.string())  # noqa: E731
+        return pa.table(
+            {
+                "seq": t["event_id"],
+                "ts": t["ts"],
+                "op": const("update"),
+                "repo": pc.binary_join_element_wise(const("user"), uid, "-"),
+                "path": uid,
+                "commit": uid,
+                "lang": const("json"),
+                "content": t["props"],
+                "payload_json": payload,
+            }
+        )
+
+    parse = ParseStage(
+        num_partitions=16,
+        payload_columns=[{"name": "k", "type": "long"}],
+        strict=True,
+        combine=False,
+    )
+
+    def dl_only(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_valid(t["_dl_reason"]))
+        return pa.table({"seq": sel["seq"], "reason": sel["_dl_reason"]})
+
+    return (
+        ds.map_batches(to_change_events, batch_format="pyarrow")
+        .map_batches(parse, batch_format="pyarrow")
+        .map_batches(dl_only, batch_format="pyarrow")
+    )
+
+
+def _q_schema_evolution(sf_dir):
+    """dynamic_schema analog end-to-end: run-1 sample (props: k long)
+    merged with a run-2 sample whose payloads widened k to double and
+    added a column — the committed schema widens along the lattice
+    and appends the new nullable column (SURVEY.md §3.2)."""
+    from raycdc.schema_infer import guess_schema, merge_schemas
+
+    f = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    batch = next(f.iter_batches(batch_size=50, columns=["props", "value"]))
+    run1 = [json.loads(s) for s in batch.column(0).to_pylist() if s]
+    run2 = [
+        {"k": float(v) + 0.5, "note": "evolved"}
+        for v in batch.column(1).to_pylist()
+    ]
+    merged = merge_schemas(guess_schema(run1), guess_schema(run2))
+    return pa.table(
+        {
+            "name": pa.array([c["name"] for c in merged], pa.string()),
+            "type": pa.array([c["type"] for c in merged], pa.string()),
+        }
+    )
+
+
 def _q_schema_guess_props(sf_dir):
     from raycdc.schema_infer import guess_schema
 
@@ -205,6 +283,18 @@ def _q_dedup_minhash(sf_dir):
     pairs = minhash_lsh_pairs(_planted_dup_docs(sf_dir), threshold=1.0)
     pairs["jaccard"] = np.round(pairs["jaccard"], 6)
     return pairs
+
+
+def _q_dedup_ngram(sf_dir):
+    """Exact unigram-Jaccard pairs blocked by lang — the brute-force
+    ground truth the MinHash/SimHash approximations are judged
+    against.  Tokenization = split on single space to match the
+    DuckDB string_split oracle exactly."""
+    from raycdc.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir), ngram=1, threshold=0.9, block_col="lang"
+    )
 
 
 def _q_dedup_simhash(sf_dir):
@@ -366,12 +456,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
         "cdc_preview": _tuned(_q_cdc_preview),
+        "cdc_dead_letter": _tuned(_q_cdc_dead_letter),
         "props_flatten_coerce": _tuned(_q_props_flatten_coerce),
         "schema_guess_props": _tuned(_q_schema_guess_props),
+        "schema_evolution": _tuned(_q_schema_evolution),
         "doc_token_count": _tuned(_q_doc_token_count),
         "doc_quality": _tuned(_q_doc_quality),
         "dedup_exact": _tuned(_q_dedup_exact),
         "dedup_minhash": _tuned(_q_dedup_minhash),
+        "dedup_ngram": _tuned(_q_dedup_ngram),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "ann_topk": _tuned(_q_ann_topk),
@@ -425,7 +518,27 @@ def oracle_sql() -> dict[str, str]:
                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
             FROM events
         """,
+        "cdc_dead_letter": """
+            SELECT event_id AS seq, 'unparsable payload_json' AS reason
+            FROM events WHERE event_type = 'error'
+        """,
         "schema_guess_props": "SELECT 'k' AS name, 'long' AS type",
+        "schema_evolution": """
+            SELECT 'k' AS name, 'double' AS type
+            UNION ALL SELECT 'note', 'string'
+        """,
+        "dedup_ngram": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                                 list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                         / len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                         string_split(b.text, ' ')))), 6) AS jaccard
+            FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                          list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                  / len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                  string_split(b.text, ' ')))) >= 0.9
+        """,
         "doc_token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents

@@ -216,6 +216,86 @@ def minhash_lsh_pairs(
     )
 
 
+# -- exact n-gram Jaccard (blocked) -----------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    ngram: int = 1,
+    threshold: float = 0.9,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard similarity pairs within blocks.
+
+    The brute-force verifier of the dedup family (MinHash/SimHash are
+    the approximate scale paths; this is the ground truth they are
+    tested against).  Pairwise work is bounded by the block: the
+    partitioning assumption is that true duplicates share the
+    ``block_col`` value (language, repo, shingle-prefix, or an LSH band
+    key for web scale).  Within a block the computation is one boolean
+    incidence-matrix product (docs x vocab @ vocab x docs), not a
+    Python pair loop.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 decimals (matching the DuckDB oracle's ROUND).
+    """
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        if len(df) < 2:
+            return empty
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        # unigrams split on the literal space (keeping empty tokens) to
+        # match SQL string_split semantics exactly
+        grams = [
+            set(_shingles(t or "", ngram).tolist()) if ngram > 1
+            else set((t or "").split(" "))
+            for t in df[text_col].to_numpy()
+        ]
+        vocab: dict[str, int] = {}
+        for g in grams:
+            for tok in g:
+                vocab.setdefault(tok, len(vocab))
+        m = np.zeros((len(ids), len(vocab)), dtype=np.float32)
+        for i, g in enumerate(grams):
+            if g:
+                m[i, [vocab[tok] for tok in g]] = 1.0
+        # float32 matmul is exact here (counts < 2^24); divide in
+        # float64 so values and the >= threshold cut match the oracle
+        inter = (m @ m.T).astype(np.float64)
+        sizes = m.sum(axis=1).astype(np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        union[union == 0] = 1.0
+        jac = inter / union
+        ii, jj = np.where(
+            (jac >= threshold) & np.triu(np.ones_like(jac, dtype=bool), 1)
+        )
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii].astype(np.int64),
+                "id_b": ids[jj].astype(np.int64),
+                "jaccard": np.round(jac[ii, jj], 6),
+            }
+        )
+
+    pairs = (
+        ds.select_columns([id_col, text_col, block_col])
+        .groupby(block_col)
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

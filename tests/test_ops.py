@@ -42,6 +42,31 @@ def test_minhash_finds_near_dups():
     assert (pairs["jaccard"] > 0.7).all()
 
 
+def test_ngram_jaccard_exact_ground_truth():
+    """The blocked exact-Jaccard verifier finds every planted near-dup
+    with its exact similarity — and agrees with a set-based oracle."""
+    from raycdc.ops.dedup import ngram_jaccard_pairs
+
+    ds = _docs_with_near_dups().map_batches(
+        lambda t: t.append_column(
+            "lang", pa.array(["en"] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = ngram_jaccard_pairs(ds, ngram=1, threshold=0.5, block_col="lang")
+    found = dict(zip(zip(pairs["id_a"], pairs["id_b"]), pairs["jaccard"]))
+    texts = {
+        r["doc_id"]: r["text"] for r in _docs_with_near_dups().take_all()
+    }
+    for i in range(10):
+        a, b = set(texts[i].split(" ")), set(texts[100 + i].split(" "))
+        exact = round(len(a & b) / len(a | b), 6)
+        assert found[(i, 100 + i)] == exact
+    # word-ngram (trigram) path: identical docs score 1.0
+    tri = ngram_jaccard_pairs(ds, ngram=3, threshold=0.99, block_col="lang")
+    assert tri.empty or (tri["jaccard"] == 1.0).all()
+
+
 def test_simhash_finds_near_dups():
     from raycdc.ops.dedup import simhash_pairs
 
