@@ -271,7 +271,14 @@ def _planted_dup_docs(sf_dir):
     shifted = pa.table(
         {"doc_id": pc.add(t["doc_id"], 10000), "text": t["text"]}
     )
-    return ray.data.from_arrow(pa.concat_tables([t, shifted]))
+    # from_arrow yields ONE block; split so the signature actor pool
+    # actually fans out
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ray.data.from_arrow(pa.concat_tables([t, shifted])).repartition(
+        2 * ncpu
+    )
 
 
 def _q_dedup_minhash(sf_dir):

@@ -109,6 +109,13 @@ class IngestConfig:
     # True routes coercion failures to the dead-letter lane instead.
     strict: bool = True
     batch_size: int | None = None
+    # late materialization (stages/winner.py): shuffle slim rows to
+    # pick winners, then gather content for winners only — cuts the
+    # fat shuffle by the window's survival rate.  Falls back to the
+    # classic single-pass apply when the winner set exceeds
+    # max_broadcast_winners (broadcast must fit the object store).
+    late_materialize: bool = True
+    max_broadcast_winners: int = 50_000_000
     # hot-key salting threshold: PKs whose per-run event count exceeds
     # this are pre-combined per batch (see stages/parse.py combiner).
     predicate: Any = None  # optional pyarrow.dataset filter expression

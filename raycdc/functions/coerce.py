@@ -163,13 +163,16 @@ def coerce_records(
     pandas strptime.  This runs only over the small ``payload_json``
     side-channel, never the bulk ``content`` column.
     """
-    from raycdc.functions.jsonpath import dot_get
+    from raycdc.functions.jsonpath import compile_path
 
-    get = getter or dot_get
     arrays, names = [], []
     for col in columns:
         name, typ = col["name"], col["type"]
-        raw = [get(r, name) for r in records]
+        if getter is None:
+            get_one = compile_path(name)
+            raw = [get_one(r) for r in records]
+        else:
+            raw = [getter(r, name) for r in records]
         if typ == "timestamp":
             pre = [timestamp_precheck(v) for v in raw]
             parsed = parse_timestamp_strings(

@@ -42,6 +42,30 @@ def dot_get(obj: Any, path: str) -> Any:
     return _get(obj, path.split("."))
 
 
+def compile_path(path: str):
+    """Precompiled ``dot_get``: split the path once and descend
+    iteratively, deferring to the recursive ``_get`` only when the
+    walk hits an array (the rare case).  Semantics identical to
+    ``dot_get`` — this is the per-row hot path of the coercion stage
+    (reference visits columns per row too, JiraUtil.java:171-262)."""
+    parts = path.split(".")
+
+    def get(obj: Any) -> Any:
+        node = obj
+        for i, p in enumerate(parts):
+            if isinstance(node, dict):
+                node = node.get(p)
+            elif node is None:
+                return None
+            elif isinstance(node, list):
+                return _get(node, parts[i:])
+            else:
+                return None
+        return node
+
+    return get
+
+
 def _get(node: Any, keys: list[str]) -> Any:
     if node is None:
         return None

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min, Sum
+
 
 _MERSENNE = (1 << 61) - 1
 
@@ -42,6 +42,8 @@ def exact_dedup_groups(
     Hash-partition + per-group first (keep min id).  The shuffle moves
     one row per distinct text per batch (per-batch combine)."""
 
+    from raycdc.ops.relational import hash_partition_reduce
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         h = _hash_strings(df[text_col].to_numpy())
         out = pd.DataFrame({"h": h.astype(np.int64), id_col: df[id_col]})
@@ -49,11 +51,13 @@ def exact_dedup_groups(
             **{id_col: (id_col, "min"), "dup_count": (id_col, "size")}
         )
 
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).agg(
+            **{id_col: (id_col, "min"), "dup_count": ("dup_count", "sum")}
+        )[[id_col, "dup_count"]]
+
     partial = ds.map_batches(combine, batch_format="pandas")
-    agg = partial.groupby("h").aggregate(
-        Min(id_col, alias_name=id_col), Sum("dup_count", alias_name="dup_count")
-    )
-    return agg.drop_columns(["h"])
+    return hash_partition_reduce(partial, ["h"], reduce_fn)
 
 
 def distinct_rows(
@@ -62,21 +66,21 @@ def distinct_rows(
     """Keep one full row per distinct text (the min-id row): groupby
     content hash → per-group first after sort by id."""
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from raycdc.ops.relational import hash_partition_reduce
 
+    def add_hash(t: pa.Table) -> pa.Table:
         h = _hash_strings(t[text_col].to_numpy(zero_copy_only=False))
         return t.append_column("h", pa.array(h.astype(np.int64)))
 
-    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).head(1)
+    def first_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(id_col)
+            .drop_duplicates("h", keep="first")
+            .drop(columns=["h"])
+        )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(first_per_group, batch_format="pandas")
-        .drop_columns(["h"])
-    )
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return hash_partition_reduce(hashed, ["h"], first_per_hash)
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -118,11 +122,30 @@ class MinHashStage:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack(
-            [self.signature(t or "") for t in batch["text"].to_pylist()]
+        # batch-vectorized: ONE hash pass over all shingles of all docs,
+        # then per-doc mins via minimum.reduceat at doc boundaries —
+        # no per-document numpy round-trips.
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return batch.append_column(
+                "minhash", pa.array([], pa.list_(pa.uint64()))
+            )
+        per_doc = [_shingles(t or "", self.ngram) for t in texts]
+        counts = np.array([len(s) for s in per_doc], dtype=np.int64)
+        flat = (
+            np.concatenate(per_doc)
+            if per_doc
+            else np.array([], dtype=object)
         )
+        sh = _hash_strings(flat).astype(np.uint64) % _MERSENNE
+        offsets = np.zeros(len(per_doc), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        sigs = np.empty((len(per_doc), self.k), dtype=np.uint64)
+        for j in range(self.k):
+            vals = (self.a[j] * sh + self.b[j]) % _MERSENNE
+            sigs[:, j] = np.minimum.reduceat(vals, offsets)
         return batch.append_column(
-            "minhash", pa.array(list(sigs.astype(np.uint64)))
+            "minhash", pa.array(list(sigs))
         )
 
 
@@ -143,14 +166,23 @@ def minhash_lsh_pairs(
     buckets only.  Bucket sizes are bounded by collision probability,
     not corpus size."""
     rows_per_band = k // bands
+    num_coarse = 256  # bounded shuffle-group count, independent of corpus
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
     sig_ds = ds.select_columns([id_col, text_col]).map_batches(
         MinHashStage,
         fn_constructor_kwargs={"k": k, "ngram": ngram},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, max(4, ncpu // 2)),
     )
 
     def explode(t: pa.Table) -> pd.DataFrame:
+        """One row per (band, doc): the 64-bit band hash plus a coarse
+        shuffle key.  Text rides along (each coarse group must verify
+        locally), but band rows are pre-thinned later so the per-group
+        work is bounded by bucket collisions, not corpus size."""
         mh = t["minhash"]
         if isinstance(mh, pa.ChunkedArray):
             mh = mh.combine_chunks()
@@ -165,12 +197,12 @@ def minhash_lsh_pairs(
             bh = np.zeros(band.shape[0], dtype=np.uint64)
             for c in range(band.shape[1]):
                 bh = bh * np.uint64(1099511628211) + band[:, c].astype(np.uint64)
-            bh = bh.view(np.int64)
             frames.append(
                 pd.DataFrame(
                     {
+                        "coarse": (bh % np.uint64(num_coarse)).astype(np.int64),
                         "band": b,
-                        "bh": bh.astype(np.int64),
+                        "bh": bh.view(np.int64),
                         id_col: ids,
                         text_col: texts,
                     }
@@ -180,30 +212,46 @@ def minhash_lsh_pairs(
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "jaccard": pd.Series(dtype="float64")}
-            )
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        ids = df[id_col].to_numpy()
-        texts = df[text_col].to_numpy()
-        sh = [set(_shingles(t or "", ngram).tolist()) for t in texts]
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sh[i] & sh[j])
-                union = len(sh[i] | sh[j]) or 1
-                jac = inter / union
-                if jac >= threshold:
-                    out.append((int(ids[i]), int(ids[j]), jac))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    def coarse_group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All verification for one coarse shuffle group, vectorized:
+        drop singleton (band, bh) buckets with one duplicated() pass,
+        build each surviving doc's shingle set ONCE, then pairwise
+        Jaccard only inside real collision buckets."""
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        dup = df.duplicated(["band", "bh"], keep=False)
+        df = df[dup]
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(["band", "bh", id_col])
+        uniq = df.drop_duplicates(id_col)
+        shingle_of = {
+            i: set(_shingles(t or "", ngram).tolist())
+            for i, t in zip(uniq[id_col].to_numpy(), uniq[text_col].to_numpy())
+        }
+        out: set[tuple[int, int]] = set()
+        rows = []
+        for (_, _), g in df.groupby(["band", "bh"], sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    key = (int(ids[i]), int(ids[j]))
+                    if key in out:
+                        continue
+                    out.add(key)
+                    a, b = shingle_of[key[0]], shingle_of[key[1]]
+                    union = len(a | b) or 1
+                    jac = len(a & b) / union
+                    if jac >= threshold:
+                        rows.append((key[0], key[1], jac))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
     pairs = (
-        exploded.groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        exploded.groupby("coarse")
+        .map_groups(coarse_group_pairs, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:
@@ -316,9 +364,26 @@ class SimHashStage:
         return int((maj << self.bits).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        # batch-vectorized: hash every token of every doc in one pass,
+        # then per-doc bit-majorities via add.reduceat at doc bounds
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return batch.append_column(
+                "simhash", pa.array([], pa.uint64())
+            )
+        per_doc = [
+            np.array((t or "").split() or [""], dtype=object) for t in texts
+        ]
+        counts = np.array([len(d) for d in per_doc], dtype=np.int64)
+        h = pd.util.hash_array(np.concatenate(per_doc), categorize=False)
+        bitmat = ((h[:, None] >> self.bits[None, :]) & 1).astype(np.int32)
+        offsets = np.zeros(len(per_doc), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        sums = np.add.reduceat(bitmat, offsets, axis=0)
+        maj = (sums * 2 >= counts[:, None]).astype(np.uint64)
+        sigs = (maj << self.bits[None, :]).sum(axis=1)
         return batch.append_column(
-            "simhash", pa.array(np.array(sigs, dtype=np.uint64))
+            "simhash", pa.array(sigs.astype(np.uint64))
         )
 
 
@@ -329,9 +394,15 @@ def simhash_pairs(
 ) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
     4x16-bit bands (a pair within distance 3 must agree on >=1 band)."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
     sig_ds = ds.select_columns([id_col, "text"]).map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 4)
+        SimHashStage, batch_format="pyarrow", concurrency=(1, max(4, ncpu // 2))
     )
+
+    num_coarse = 256
 
     def explode(t: pa.Table) -> pd.DataFrame:
         sig = np.asarray(t["simhash"].to_numpy(zero_copy_only=False)).astype(
@@ -345,35 +416,53 @@ def simhash_pairs(
             )
             frames.append(
                 pd.DataFrame(
-                    {"band": b, "key": key, id_col: ids, "sig": sig.astype("uint64")}
+                    {
+                        "coarse": (key + 65536 * b) % num_coarse,
+                        "band": b,
+                        "key": key,
+                        id_col: ids,
+                        "sig": sig.astype("uint64"),
+                    }
                 )
             )
         return pd.concat(frames, ignore_index=True)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        if len(df) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "hamming": pd.Series(dtype="int64")}
+    def coarse_group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Thin to real collision buckets with one duplicated() pass,
+        then Hamming-verify per bucket (vectorized popcount)."""
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        df = df[df.duplicated(["band", "key"], keep=False)]
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(["band", "key", id_col])
+        rows = []
+        seen: set[tuple[int, int]] = set()
+        for _, g in df.groupby(["band", "key"], sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            sig = g["sig"].to_numpy().astype(np.uint64)
+            x = sig[:, None] ^ sig[None, :]
+            ham = np.zeros_like(x, dtype=np.int64)
+            for shift in range(64):
+                ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
+            ii, jj = np.where(
+                (ham <= max_hamming) & np.triu(np.ones_like(ham), 1).astype(bool)
             )
-        ids = df[id_col].to_numpy()
-        sig = df["sig"].to_numpy().astype(np.uint64)
-        x = sig[:, None] ^ sig[None, :]
-        ham = np.zeros_like(x, dtype=np.int64)
-        for shift in range(64):
-            ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
-        out = []
-        ii, jj = np.where((ham <= max_hamming) & np.triu(np.ones_like(ham), 1).astype(bool))
-        for i, j in zip(ii, jj):
-            out.append((int(ids[i]), int(ids[j]), int(ham[i, j])))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+            for i, j in zip(ii, jj):
+                pair = (int(ids[i]), int(ids[j]))
+                if pair not in seen:
+                    seen.add(pair)
+                    rows.append((pair[0], pair[1], int(ham[i, j])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     pairs = (
         sig_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(coarse_group_pairs, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:

@@ -18,6 +18,49 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def hash_partition_reduce(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    reduce_fn,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """THE high-cardinality groupby primitive: shuffle on
+    ``hash(keys) % P`` (P bounded by cluster size, not key count),
+    then run one *vectorized* reducer per partition.
+
+    Ray Data's ``groupby().aggregate()`` / ``map_groups()`` pay a
+    Python per-GROUP combine cost (~ms/group) — fine for dozens of
+    groups, pathological for 10^5+ (measured 13s → 3s on a 95k-group
+    aggregate at sf0.1).  Hashing the real key down to a coarse
+    partition id keeps the shuffle all-to-all exchange identical in
+    volume while the per-partition reduce is one pandas C-speed
+    groupby.  ``reduce_fn`` sees every row of each key group together
+    (co-location guarantee) and must itself group by ``keys``."""
+    if num_partitions is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        num_partitions = max(2 * ncpu, 16)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (
+            pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+            % num_partitions
+        ).astype(np.int64)
+        return df
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        return reduce_fn(df.drop(columns=["_part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(reduce_part, batch_format="pandas")
+    )
+
+
 def partial_agg(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -25,23 +68,27 @@ def partial_agg(
     count_as: str | None = None,
 ) -> "ray.data.Dataset":
     """Two-phase aggregation: combine inside each batch (pandas
-    groupby), then a global groupby over the (much smaller) partials.
-    The shuffle moves one row per key per batch instead of every row —
-    the FP-Hadoop/combiner pattern (SURVEY.md §4.2)."""
+    groupby), then a hash-partitioned vectorized reduce over the (much
+    smaller) partials.  The shuffle moves one row per key per batch
+    instead of every row — the FP-Hadoop/combiner pattern
+    (SURVEY.md §4.2) — and the reduce side never pays Ray's per-group
+    combine cost (see hash_partition_reduce)."""
     sums = sums or {}
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         aggs = {out: (src, "sum") for src, out in sums.items()}
         if count_as:
             aggs[count_as] = (keys[0], "size")
-        g = df.groupby(keys, as_index=False, sort=False).agg(**aggs)
-        return g
+        return df.groupby(keys, as_index=False, sort=False).agg(**aggs)
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        cols = list(sums.values()) + ([count_as] if count_as else [])
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            **{c: (c, "sum") for c in cols}
+        )
 
     partial = ds.map_batches(combine, batch_format="pandas")
-    final_aggs = [Sum(out, alias_name=out) for out in sums.values()]
-    if count_as:
-        final_aggs.append(Sum(count_as, alias_name=count_as))
-    return partial.groupby(keys).aggregate(*final_aggs)
+    return hash_partition_reduce(partial, keys, reduce_fn)
 
 
 def pricing_summary(lineitem: "ray.data.Dataset") -> pd.DataFrame:
@@ -117,7 +164,7 @@ def latest_by_key(
         return df.sort_values(seq_col).drop_duplicates(key_cols, keep="last")
 
     partial = ds.map_batches(combine, batch_format="pandas")
-    return partial.groupby(key_cols).map_groups(combine, batch_format="pandas")
+    return hash_partition_reduce(partial, key_cols, combine)
 
 
 def broadcast_join(
@@ -214,23 +261,24 @@ def hourly_user_window(events: "ray.data.Dataset") -> pd.DataFrame:
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["window_start"] = df["ts"].dt.floor("h")
+        # int64 epoch-hour key: cheaper to hash/shuffle than timestamps
+        df["wh"] = df["ts"].astype("int64") // 3_600_000_000
         df["value_c"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
-        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+        return df.groupby(["user_id", "wh"], as_index=False).agg(
             n_events=("event_id", "size"), sum_value_c=("value_c", "sum")
         )
-        return g
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "wh"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value_c=("sum_value_c", "sum")
+        )
 
     partial = events.map_batches(bucket, batch_format="pandas")
-    out = (
-        partial.groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value_c", alias_name="sum_value_c"),
-        )
-        .to_pandas()
-    )
+    out = hash_partition_reduce(partial, ["user_id", "wh"], reduce_fn).to_pandas()
+    out["window_start"] = pd.to_datetime(out["wh"] * 3600, unit="s")
     out["sum_value"] = out["sum_value_c"] / 100.0
-    out = out.drop(columns=["sum_value_c"])
+    out = out.drop(columns=["sum_value_c", "wh"])
     out["n_events"] = out["n_events"].astype(np.int64)
-    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    return out[
+        ["user_id", "window_start", "n_events", "sum_value"]
+    ].sort_values(["user_id", "window_start"]).reset_index(drop=True)

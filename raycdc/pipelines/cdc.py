@@ -85,6 +85,132 @@ def guess(log_dir: str) -> list[dict]:
     return guess_schema(_sample_payloads(log_dir))
 
 
+SLIM_COLUMNS = ["seq", "op", "repo", "path", "content", "payload_json"]
+
+
+def _late_materialized_apply(
+    cfg: IngestConfig,
+    lake: "Lake",
+    run_id: str,
+    num_partitions: int,
+    payload_columns: list[dict],
+    watermarks: dict[int, int],
+    min_watermark: int | None,
+    blocks: int,
+) -> pa.Table | None:
+    """Two-phase apply (stages/winner.py): slim shuffle picks winning
+    seqs per partition; a second scan gathers full rows for winners
+    only (broadcast seq set via ``ray.put``) and feeds the normal
+    merger.  Returns the metrics table, or ``None`` to signal fallback
+    to the classic single-pass apply (winner set too large to
+    broadcast)."""
+    import numpy as np
+    import ray
+
+    from raycdc.stages.winner import WinnerSelector
+
+    # -- phase A: winner selection over slim rows -----------------------
+    ds = read_changelog(
+        cfg.log_dir,
+        min_watermark=min_watermark,
+        columns=SLIM_COLUMNS,
+        predicate=cfg.predicate,
+        override_num_blocks=blocks,
+    )
+    parse = ParseStage(
+        num_partitions=num_partitions,
+        payload_columns=payload_columns,
+        strict=cfg.strict,
+        slim=True,
+    )
+    slim = ds.map_batches(parse, batch_format="pyarrow")
+    sel = WinnerSelector(run_id=run_id, lake_root=cfg.lake_dir, watermarks=watermarks)
+    wtab = pa.concat_tables(
+        [
+            b
+            for b in slim.groupby("part_id")
+            .map_groups(sel, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+    )
+    is_summary = pa.compute.equal(wtab["seq"], -1)
+    summary = wtab.filter(is_summary)
+    counters = {
+        int(p): (int(er), int(dl))
+        for p, er, dl in zip(
+            summary["part_id"].to_pylist(),
+            summary["events_read"].to_pylist(),
+            summary["dead_lettered"].to_pylist(),
+        )
+    }
+    winner_seqs = np.sort(
+        wtab.filter(pa.compute.invert(is_summary))["seq"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if len(winner_seqs) > cfg.max_broadcast_winners:
+        return None  # fall back: broadcast would not fit comfortably
+
+    # -- phase B: gather winners' full rows, merge ----------------------
+    ref = ray.put(winner_seqs)
+
+    def gather(t: pa.Table) -> pa.Table:
+        ws = ray.get(ref)  # zero-copy shared read of the broadcast set
+        if len(ws) == 0:
+            return t.slice(0, 0)
+        seqs = t["seq"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ws, seqs), len(ws) - 1)
+        return t.filter(pa.array(ws[pos] == seqs))
+
+    ds2 = read_changelog(
+        cfg.log_dir,
+        min_watermark=min_watermark,
+        columns=EVENT_COLUMNS,
+        predicate=cfg.predicate,
+        override_num_blocks=blocks,
+    )
+    parse_full = ParseStage(
+        num_partitions=num_partitions,
+        payload_columns=payload_columns,
+        strict=cfg.strict,
+    )
+    parsed = ds2.map_batches(gather, batch_format="pyarrow").map_batches(
+        parse_full, batch_format="pyarrow"
+    )
+    merger = PartitionMerger(
+        run_id=run_id,
+        lake_root=cfg.lake_dir,
+        watermarks=watermarks,
+        base_paths=lake.part_paths(),
+        payload_columns=payload_columns,
+    )
+    metrics_rows = (
+        parsed.groupby("part_id").map_groups(merger, batch_format="pyarrow").take_all()
+    )
+    # events_read / dead_lettered were counted in phase A (phase B only
+    # ever sees winners); splice them back in
+    for row in metrics_rows:
+        er, dl = counters.get(int(row["partition_id"]), (0, 0))
+        row["events_read"], row["dead_lettered"] = er, dl
+    seen = {int(r["partition_id"]) for r in metrics_rows}
+    for pid, (er, dl) in counters.items():
+        if pid not in seen and (er or dl):
+            metrics_rows.append(
+                {
+                    "partition_id": pid,
+                    "run_id": run_id,
+                    "events_read": er,
+                    "applied": 0,
+                    "deleted": 0,
+                    "dead_lettered": dl,
+                    "watermark_seq": watermarks.get(pid, -1),
+                    "wall_ms": 0,
+                    "staged_path": None,
+                }
+            )
+    return pa.Table.from_pylist(metrics_rows, schema=METRICS_SCHEMA)
+
+
 def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     """One incremental ingest run: replay the window
     ``(watermark, max_seq]`` and converge the lake.  Idempotent —
@@ -124,34 +250,43 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     tune_data_context()
     frag_bytes = sum(os.path.getsize(p) for p in fragment_paths(cfg.log_dir))
     blocks = target_num_blocks(frag_bytes, count_probe(cfg.log_dir))
-    ds = read_changelog(
-        cfg.log_dir,
-        min_watermark=min_wm if covered else None,
-        columns=EVENT_COLUMNS,
-        predicate=cfg.predicate,
-        override_num_blocks=blocks,
-    )
-    parse = ParseStage(
-        num_partitions=num_partitions,
-        payload_columns=payload_columns,
-        strict=cfg.strict,
-    )
-    kwargs = {"batch_size": cfg.batch_size} if cfg.batch_size else {}
-    parsed = ds.map_batches(parse, batch_format="pyarrow", **kwargs)
 
-    merger = PartitionMerger(
-        run_id=run_id,
-        lake_root=cfg.lake_dir,
-        watermarks=watermarks,
-        base_paths=lake.part_paths(),
-        payload_columns=payload_columns,
-    )
-    metrics_ds = parsed.groupby("part_id").map_groups(
-        merger, batch_format="pyarrow"
-    )
-    metrics = pa.Table.from_pylist(
-        metrics_ds.take_all(), schema=METRICS_SCHEMA
-    )
+    metrics = None
+    if cfg.late_materialize:
+        metrics = _late_materialized_apply(
+            cfg, lake, run_id, num_partitions, payload_columns,
+            watermarks, min_wm if covered else None, blocks,
+        )
+    if metrics is None:
+        # classic single-pass apply: shuffle full rows to the mergers
+        ds = read_changelog(
+            cfg.log_dir,
+            min_watermark=min_wm if covered else None,
+            columns=EVENT_COLUMNS,
+            predicate=cfg.predicate,
+            override_num_blocks=blocks,
+        )
+        parse = ParseStage(
+            num_partitions=num_partitions,
+            payload_columns=payload_columns,
+            strict=cfg.strict,
+        )
+        kwargs = {"batch_size": cfg.batch_size} if cfg.batch_size else {}
+        parsed = ds.map_batches(parse, batch_format="pyarrow", **kwargs)
+
+        merger = PartitionMerger(
+            run_id=run_id,
+            lake_root=cfg.lake_dir,
+            watermarks=watermarks,
+            base_paths=lake.part_paths(),
+            payload_columns=payload_columns,
+        )
+        metrics_ds = parsed.groupby("part_id").map_groups(
+            merger, batch_format="pyarrow"
+        )
+        metrics = pa.Table.from_pylist(
+            metrics_ds.take_all(), schema=METRICS_SCHEMA
+        )
 
     staged = {
         int(pid): path
@@ -159,6 +294,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
             metrics["partition_id"].to_pylist(),
             metrics["staged_path"].to_pylist(),
         )
+        if path is not None
     }
     # the full window (min_wm, target] was consumed and routed, so every
     # partition's cursor advances to target — including partitions that

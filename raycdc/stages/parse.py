@@ -43,11 +43,17 @@ class ParseStage:
         payload_columns: list[dict[str, Any]] | None = None,
         strict: bool = True,
         combine: bool = True,
+        slim: bool = False,
     ):
         self.num_partitions = num_partitions
         self.payload_columns = payload_columns or []
         self.strict = strict
         self.combine = combine
+        # slim mode (late materialization, phase A): drop the bulk
+        # ``content`` bytes right after validity is computed, so the
+        # winner-selection shuffle moves ~40 B/row instead of the full
+        # payload; winners re-materialize content in phase B.
+        self.slim = slim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -87,7 +93,11 @@ class ParseStage:
                     parsed.append({})
                     if self.strict and reasons[i] is None:
                         reasons[i] = "unparsable payload_json"
-            payload_cols = coerce_records(parsed, self.payload_columns)
+            if not self.slim:
+                # slim phase skips coercion — winners re-coerce in
+                # phase B; only the parse-error classification is
+                # needed for winner selection
+                payload_cols = coerce_records(parsed, self.payload_columns)
 
         part = partition_ids(repo, path, self.num_partitions)
         part[bad_pk] = 0  # dead-lettered anyway; keep a valid partition
@@ -99,11 +109,14 @@ class ParseStage:
             pa.scalar(None, pa.string()),
         )
 
-        out = batch.select(
-            ["seq", "ts", "op", "repo", "path", "commit", "lang", "content"]
-        )
+        if self.slim:
+            out = batch.select(["seq", "op", "repo", "path"])
+        else:
+            out = batch.select(
+                ["seq", "ts", "op", "repo", "path", "commit", "lang", "content"]
+            )
         out = out.append_column("part_id", pa.array(part, pa.int32()))
-        if payload_cols is not None:
+        if payload_cols is not None and not self.slim:
             for name in payload_cols.column_names:
                 out = out.append_column(f"p_{name}", payload_cols[name])
         out = out.append_column("_dl_reason", dl_reason)
@@ -114,6 +127,17 @@ class ParseStage:
         return out
 
     def _empty_out(self) -> pa.Table:
+        if self.slim:
+            cols = {
+                "seq": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string()),
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "part_id": pa.array([], pa.int32()),
+            }
+            cols["_dl_reason"] = pa.array([], pa.string())
+            cols["_dl_raw"] = pa.array([], pa.string())
+            return pa.table(cols)
         cols = {
             "seq": pa.array([], pa.int64()),
             "ts": pa.array([], pa.timestamp("us")),

@@ -1,0 +1,113 @@
+"""Phase-A winner selection for the late-materialized CDC apply.
+
+At 100 TB the dominant cost of the classic pipeline is shuffling every
+event's ``content`` bytes to its partition merger, even though only
+the latest event per key survives.  Late materialization splits the
+apply:
+
+- **Phase A (this stage)**: shuffle *slim* rows (seq, op, repo, path,
+  dead-letter fields — ~40 B/row) by partition, pick the winning seq
+  per primary key (keep-latest, exactly the associative A1 rule),
+  write dead letters, and emit per-partition winner seqs + counters.
+- **Phase B** (pipelines/cdc.py): broadcast the winner-seq set
+  (``ray.put`` once, read in every scan task), re-scan the log
+  gathering full rows for winners only, and run the normal
+  PartitionMerger over ~(survival-rate) of the bytes.
+
+The partitioning assumption is the same hash(repo, path) as the
+classic path; the extra assumption is that the winner set of one
+replay window fits in the object store (guarded by
+``max_broadcast_winners`` with automatic fallback to the classic
+single-pass pipeline).
+
+Generalizes the reference's page-sweep + per-row projection
+(JiraInputPlugin.java:139-168) the same way as stages/merge.py; see
+SURVEY.md §2.3 T6.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raycdc.stages.merge import keep_latest_by_key
+
+WINNER_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("seq", pa.int64()),  # -1 on the per-partition summary row
+        ("events_read", pa.int64()),
+        ("dead_lettered", pa.int64()),
+    ]
+)
+
+
+class WinnerSelector:
+    """``map_groups`` callable over slim-parsed events grouped by
+    ``part_id``: applies the per-partition cursor, splits + persists
+    dead letters, keeps the latest valid event per key, and returns
+    winner seqs plus one summary row (seq = -1) carrying counters."""
+
+    def __init__(self, run_id: str, lake_root: str, watermarks: dict[int, int]):
+        self.__name__ = "WinnerSelector"
+        self.run_id = run_id
+        self.lake_root = lake_root
+        self.watermarks = watermarks
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {f.name: [] for f in WINNER_SCHEMA}, schema=WINNER_SCHEMA
+            )
+        pid = int(group["part_id"][0].as_py())
+        wm = self.watermarks.get(pid, -1)
+        window = group.filter(pc.greater(group["seq"], wm))
+        events_read = window.num_rows
+
+        is_dl = pc.is_valid(window["_dl_reason"])
+        dl = window.filter(is_dl)
+        if dl.num_rows:
+            self._write_deadletter(pid, dl)
+        winners = keep_latest_by_key(window.filter(pc.invert(is_dl)))
+
+        import numpy as np
+
+        n = winners.num_rows
+        seqs = np.concatenate(
+            [
+                winners["seq"].to_numpy(zero_copy_only=False).astype(np.int64),
+                np.array([-1], np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "part_id": pa.array([pid] * (n + 1), pa.int32()),
+                "seq": pa.array(seqs, pa.int64()),
+                "events_read": pa.array([0] * n + [events_read], pa.int64()),
+                "dead_lettered": pa.array([0] * n + [dl.num_rows], pa.int64()),
+            },
+            schema=WINNER_SCHEMA,
+        )
+
+    def _write_deadletter(self, pid: int, dl: pa.Table) -> None:
+        d = os.path.join(self.lake_root, "_deadletter", self.run_id)
+        os.makedirs(d, exist_ok=True)
+        out = pa.table(
+            {
+                "seq": dl["seq"],
+                "repo": dl["repo"],
+                "path": dl["path"],
+                "reason": dl["_dl_reason"],
+                "raw": dl["_dl_raw"],
+                "run_id": pa.array([self.run_id] * dl.num_rows, pa.string()),
+            }
+        )
+        pq.write_table(
+            out,
+            os.path.join(d, f"part-{pid:05d}.parquet"),
+            compression="zstd",
+            compression_level=1,
+        )

@@ -27,6 +27,9 @@ def tune_data_context() -> None:
     ctx.read_op_min_num_blocks = target
     ctx.min_parallelism = target
     ctx.enable_progress_bars = False
+    # polars sort kernels beat the arrow path on wide string blocks
+    # (measured ~10% on the headline sort-shuffle)
+    ctx.use_polars_sort = True
 
 
 def target_num_blocks(total_bytes: int, total_rows: int, block_bytes: int = 64 << 20) -> int:
