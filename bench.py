@@ -35,7 +35,7 @@ FRAGMENT_ROWS = int(os.environ.get("GRAFT_BENCH_FRAGMENT_ROWS", "31250"))
 
 
 def _ensure_log(log_dir: str, n_events: int) -> None:
-    marker = os.path.join(log_dir, f".complete-{n_events}-{FRAGMENT_ROWS}")
+    marker = os.path.join(log_dir, f".complete-v2-{n_events}-{FRAGMENT_ROWS}")
     if os.path.exists(marker):
         return
     shutil.rmtree(log_dir, ignore_errors=True)

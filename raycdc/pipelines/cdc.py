@@ -85,7 +85,14 @@ def guess(log_dir: str) -> list[dict]:
     return guess_schema(_sample_payloads(log_dir))
 
 
-SLIM_COLUMNS = ["seq", "op", "repo", "path", "content", "payload_json"]
+def _slim_columns(log_dir: str) -> list[str]:
+    """Slim (phase A) projection: prefer the WAL's ``content_len``
+    header column over decoding the fat ``content`` pages; fall back
+    for logs written before the column existed."""
+    paths = fragment_paths(log_dir)
+    names = pq.read_schema(paths[0]).names if paths else []
+    probe = "content_len" if "content_len" in names else "content"
+    return ["seq", "op", "repo", "path", probe, "payload_json"]
 
 
 def _late_materialized_apply(
@@ -113,7 +120,7 @@ def _late_materialized_apply(
     ds = read_changelog(
         cfg.log_dir,
         min_watermark=min_watermark,
-        columns=SLIM_COLUMNS,
+        columns=_slim_columns(cfg.log_dir),
         predicate=cfg.predicate,
         override_num_blocks=blocks,
     )
@@ -155,12 +162,14 @@ def _late_materialized_apply(
     ref = ray.put(winner_seqs)
 
     def gather(t: pa.Table) -> pa.Table:
+        from raycdc.functions.arrowsafe import mask_filter
+
         ws = ray.get(ref)  # zero-copy shared read of the broadcast set
         if len(ws) == 0:
             return t.slice(0, 0)
         seqs = t["seq"].to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(ws, seqs), len(ws) - 1)
-        return t.filter(pa.array(ws[pos] == seqs))
+        return mask_filter(t, ws[pos] == seqs)
 
     ds2 = read_changelog(
         cfg.log_dir,

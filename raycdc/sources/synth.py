@@ -53,6 +53,12 @@ EVENT_SCHEMA = pa.schema(
         ("commit", pa.string()),
         ("lang", pa.string()),
         ("content", pa.string()),
+        # WAL-side length/validity of content (null iff content null):
+        # lets the late-materialized phase A validate events without
+        # ever decoding the fat content pages (like a WAL storing value
+        # sizes in the record header).  Readers fall back to content
+        # when a log predates this column.
+        ("content_len", pa.int32()),
         ("payload_json", pa.string()),
     ]
 )
@@ -173,6 +179,10 @@ def synth_event_chunks(
                 "commit": pa.array(col_commit, pa.string()),
                 "lang": pa.array(col_lang, pa.string()),
                 "content": pa.array(col_content, pa.string()),
+                "content_len": pa.array(
+                    [None if c is None else len(c) for c in col_content],
+                    pa.int32(),
+                ),
                 "payload_json": pa.array(col_payload, pa.string()),
             },
             schema=EVENT_SCHEMA,
@@ -203,7 +213,7 @@ def write_changelog(
         if duplicate_boundaries:
             carry = chunk.slice(chunk.num_rows - 1, 1)
         frag = os.path.join(log_dir, f"fragment-{i:05d}.parquet")
-        pq.write_table(chunk, frag)
+        pq.write_table(chunk, frag, compression="zstd", compression_level=1)
         paths.append(frag)
     return paths
 

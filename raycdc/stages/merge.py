@@ -58,16 +58,18 @@ def keep_latest_by_key(t: pa.Table) -> pa.Table:
     only gathered by the final take, never copied into pandas."""
     if t.num_rows <= 1:
         return t
-    order = pc.sort_indices(t, sort_keys=[("seq", "ascending")])
-    t = t.take(order)
+    from raycdc.functions.arrowsafe import gather
+
+    order = np.argsort(t["seq"].to_numpy(zero_copy_only=False), kind="stable")
+    idx_arr = pa.array(order)
     keys = pd.DataFrame(
         {
-            "repo": t["repo"].to_numpy(zero_copy_only=False),
-            "path": t["path"].to_numpy(zero_copy_only=False),
+            "repo": t["repo"].take(idx_arr).to_numpy(zero_copy_only=False),
+            "path": t["path"].take(idx_arr).to_numpy(zero_copy_only=False),
         }
     )
     dup = keys.duplicated(keep="last").to_numpy()
-    return t.filter(pa.array(~dup))
+    return gather(t, order[~dup])
 
 
 def align_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -123,17 +125,23 @@ class PartitionMerger:
         self.lake_schema = pa.schema(fields)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from raycdc.tuning import arrow_worker_guard
+
+        arrow_worker_guard()
         t0 = time.monotonic()
         if group.num_rows == 0:
             return pa.table({f.name: [] for f in METRICS_SCHEMA}, schema=METRICS_SCHEMA)
+        from raycdc.functions.arrowsafe import mask_filter
+
         pid = int(group["part_id"][0].as_py())
         wm = self.watermarks.get(pid, -1)
-        window = group.filter(pc.greater(group["seq"], wm))
+        in_window = group["seq"].to_numpy(zero_copy_only=False) > wm
+        window = mask_filter(group, in_window)
         events_read = window.num_rows
 
-        is_dl = pc.is_valid(window["_dl_reason"])
-        dl = window.filter(is_dl)
-        events = window.filter(pc.invert(is_dl))
+        is_dl = pc.is_valid(window["_dl_reason"]).to_numpy(zero_copy_only=False)
+        dl = mask_filter(window, is_dl)
+        events = mask_filter(window, ~is_dl)
         n_dl = dl.num_rows
         if n_dl:
             self._write_deadletter(pid, dl)
@@ -163,10 +171,11 @@ class PartitionMerger:
         else:
             merged = ev_side
         merged = keep_latest_by_key(merged)
-        n_deleted = int(pc.sum(pc.equal(merged["op"], "delete")).as_py() or 0)
-        merged = merged.filter(pc.not_equal(merged["op"], "delete")).drop_columns(
-            ["op"]
+        is_delete = pc.equal(merged["op"], "delete").to_numpy(
+            zero_copy_only=False
         )
+        n_deleted = int(is_delete.sum())
+        merged = mask_filter(merged, ~is_delete).drop_columns(["op"])
 
         staged = self._staged_path(pid)
         # zstd-1: 4x smaller and faster than snappy on code-like text —

@@ -56,6 +56,9 @@ class ParseStage:
         self.slim = slim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from raycdc.tuning import arrow_worker_guard
+
+        arrow_worker_guard()
         n = batch.num_rows
         if n == 0:
             return self._empty_out()
@@ -70,8 +73,16 @@ class ParseStage:
         bad_op = pc.invert(pc.is_in(op, value_set=pa.array(VALID_OPS))).to_numpy(
             zero_copy_only=False
         )
+        # content validity comes from the WAL's content_len header
+        # column when the read projected it (slim phase A — avoids
+        # decoding the fat content pages); else from content itself
+        null_src = (
+            batch["content"]
+            if batch.schema.get_field_index("content") >= 0
+            else batch["content_len"]
+        )
         bad_content = pc.and_(
-            pc.is_null(batch["content"]), pc.not_equal(op, "delete")
+            pc.is_null(null_src), pc.not_equal(op, "delete")
         ).to_numpy(zero_copy_only=False)
         reasons[bad_content] = "null content on non-delete"
         reasons[bad_op] = "unknown op"
@@ -103,11 +114,16 @@ class ParseStage:
         part[bad_pk] = 0  # dead-lettered anyway; keep a valid partition
 
         dl_reason = pa.array(reasons, pa.string())
-        dl_raw = pc.if_else(
-            pc.is_valid(dl_reason),
-            pc.cast(batch["payload_json"], pa.string()),
-            pa.scalar(None, pa.string()),
-        )
+        # build _dl_raw in numpy: pc.if_else over the casted payload
+        # column produced intermittently-corrupt string arrays in Ray
+        # workers (SIGSEGV on any later gather of the column); only
+        # dead-letter rows carry a value, so copy just those
+        raw_np = np.full(n, None, dtype=object)
+        dl_idx = np.flatnonzero(reasons != None)  # noqa: E711 — object array
+        if len(dl_idx):
+            pj = batch["payload_json"].take(pa.array(dl_idx)).to_pylist()
+            raw_np[dl_idx] = pj
+        dl_raw = pa.array(raw_np, pa.string())
 
         if self.slim:
             out = batch.select(["seq", "op", "repo", "path"])
@@ -169,19 +185,21 @@ def combine_keep_latest(t: pa.Table) -> pa.Table:
     """
     if t.num_rows == 0:
         return t
-    is_dl = pc.is_valid(t["_dl_reason"])
-    dl = t.filter(is_dl)
-    valid = t.filter(pc.invert(is_dl))
-    order = pc.sort_indices(valid, sort_keys=[("seq", "ascending")])
-    valid = valid.take(order)
+    # numpy index math + one per-column gather (functions/arrowsafe.py)
+    # — table-level filter/take/sort SIGSEGV in this environment
+    from raycdc.functions.arrowsafe import gather
+
+    mask_dl = pc.is_valid(t["_dl_reason"]).to_numpy(zero_copy_only=False)
+    seq = t["seq"].to_numpy(zero_copy_only=False)
+    valid_idx = np.flatnonzero(~mask_dl)
+    order = valid_idx[np.argsort(seq[valid_idx], kind="stable")]
+    idx_arr = pa.array(order)
     keys = pd.DataFrame(
         {
-            "repo": valid["repo"].to_numpy(zero_copy_only=False),
-            "path": valid["path"].to_numpy(zero_copy_only=False),
+            "repo": t["repo"].take(idx_arr).to_numpy(zero_copy_only=False),
+            "path": t["path"].take(idx_arr).to_numpy(zero_copy_only=False),
         }
     )
     dup = keys.duplicated(keep="last").to_numpy()
-    valid = valid.filter(pa.array(~dup))
-    if dl.num_rows == 0:
-        return valid
-    return pa.concat_tables([valid, dl])
+    final_idx = np.concatenate([order[~dup], np.flatnonzero(mask_dl)])
+    return gather(t, final_idx)

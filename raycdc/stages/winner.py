@@ -58,20 +58,26 @@ class WinnerSelector:
         self.watermarks = watermarks
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from raycdc.tuning import arrow_worker_guard
+
+        arrow_worker_guard()
         if group.num_rows == 0:
             return pa.table(
                 {f.name: [] for f in WINNER_SCHEMA}, schema=WINNER_SCHEMA
             )
+        from raycdc.functions.arrowsafe import mask_filter
+
         pid = int(group["part_id"][0].as_py())
         wm = self.watermarks.get(pid, -1)
-        window = group.filter(pc.greater(group["seq"], wm))
+        in_window = group["seq"].to_numpy(zero_copy_only=False) > wm
+        window = mask_filter(group, in_window)
         events_read = window.num_rows
 
-        is_dl = pc.is_valid(window["_dl_reason"])
-        dl = window.filter(is_dl)
+        is_dl = pc.is_valid(window["_dl_reason"]).to_numpy(zero_copy_only=False)
+        dl = mask_filter(window, is_dl)
         if dl.num_rows:
             self._write_deadletter(pid, dl)
-        winners = keep_latest_by_key(window.filter(pc.invert(is_dl)))
+        winners = keep_latest_by_key(mask_filter(window, ~is_dl))
 
         import numpy as np
 

@@ -14,6 +14,27 @@ from __future__ import annotations
 import ray
 
 
+_WORKER_GUARDED = False
+
+
+def arrow_worker_guard() -> None:
+    """Pin Arrow's internal thread pool to 1 inside Ray worker tasks.
+
+    Table-level kernels (filter / take / sort) fan out on Arrow's
+    global pool; under many concurrent Ray workers that both
+    oversubscribes the node (N tasks x M arrow threads) and, in this
+    sandboxed kernel, intermittently SIGSEGVs.  One task = one thread
+    is the correct sizing under Ray Data anyway — parallelism comes
+    from tasks.  Call at the top of every stage ``__call__``
+    (idempotent, nanoseconds after the first call)."""
+    global _WORKER_GUARDED
+    if not _WORKER_GUARDED:
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        _WORKER_GUARDED = True
+
+
 def tune_data_context() -> None:
     """Idempotent; call after ray.init (any session owner)."""
     from ray.data import DataContext
@@ -32,14 +53,27 @@ def tune_data_context() -> None:
     ctx.use_polars_sort = True
 
 
-def target_num_blocks(total_bytes: int, total_rows: int, block_bytes: int = 64 << 20) -> int:
+def target_num_blocks(
+    total_bytes: int,
+    total_rows: int,
+    block_bytes: int = 64 << 20,
+    block_rows: int = 131_072,
+) -> int:
     """Block count for a read: enough for 2 blocks per CPU when the
-    data allows, otherwise ~``block_bytes`` per block; never more
-    blocks than ~1k-row slivers."""
+    data allows, otherwise ~``block_bytes`` per block AND at most
+    ~``block_rows`` rows per block (on-disk bytes are compressed, so a
+    bytes-only bound can produce multi-hundred-MB in-memory blocks);
+    never more blocks than ~1k-row slivers.
+
+    ``block_rows`` is the measured sweet spot for the CDC replay: at
+    65k rows/block the 32-CPU run is dominated by per-task scheduling
+    (8->32 CPU efficiency 0.59); at 131k rows/block (~90 MB in-memory)
+    tasks amortize scheduling and efficiency reaches 0.86."""
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
     by_bytes = max(1, total_bytes // block_bytes)
-    blocks = max(2 * ncpu, by_bytes)
+    by_rows = max(1, total_rows // block_rows)
+    blocks = max(2 * ncpu, by_bytes, by_rows)
     return int(max(1, min(blocks, max(1, total_rows // 1000))))
