@@ -194,6 +194,84 @@ def _q_cdc_dead_letter(sf_dir):
     )
 
 
+def _lifted_changelog(sf_dir: str) -> str:
+    """Deterministically lift the events table into the engine's WAL
+    shape on disk (op=update per event, pk = user, payload corrupted on
+    event_type='error') — shared by the dead-letter and lineage
+    queries so the driver exercises the REAL engine end-to-end."""
+    import hashlib as _hl
+
+    out_dir = os.path.join(
+        "/tmp/raycdc_lifted",
+        _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.compute as pc
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    n = t.num_rows
+    uid = pc.cast(t["user_id"], pa.string())
+    bad = pc.equal(t["event_type"], "error")
+    payload = [
+        "{not json" if b else p
+        for b, p in zip(bad.to_pylist(), t["props"].to_pylist())
+    ]
+    const = lambda v: pa.array([v] * n, pa.string())  # noqa: E731
+    wal = pa.table(
+        {
+            "seq": t["event_id"],
+            "ts": t["ts"],
+            "op": const("update"),
+            "repo": pc.binary_join_element_wise(const("user"), uid, "-"),
+            "path": uid,
+            "commit": uid,
+            "lang": const("json"),
+            "content": t["props"],
+            "content_len": pc.cast(
+                pc.utf8_length(t["props"]), pa.int32()
+            ),
+            "payload_json": pa.array(payload, pa.string()),
+        }
+    )
+    pq.write_table(wal, os.path.join(out_dir, "fragment-00000.parquet"))
+    open(marker, "w").close()
+    return out_dir
+
+
+def _q_cdc_metrics_lineage(sf_dir):
+    """A3 metrics/lineage: a FULL engine run (read → parse →
+    winner-select → merge → atomic commit) over the lifted events WAL;
+    returns the run's aggregated lineage counters, which SQL can derive
+    independently from the events table."""
+    import tempfile
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+
+    lake_dir = tempfile.mkdtemp(prefix="raycdc_lineage_")
+    cfg = IngestConfig(
+        log_dir=_lifted_changelog(sf_dir),
+        lake_dir=lake_dir,
+        num_partitions=16,
+        columns=[{"name": "k", "type": "long"}],
+    )
+    res = run_ingest(cfg)
+    return pa.table(
+        {
+            "events_read": pa.array([res.events_read], pa.int64()),
+            "applied": pa.array([res.applied], pa.int64()),
+            "dead_lettered": pa.array([res.dead_lettered], pa.int64()),
+            "watermark_seq": pa.array([res.watermark], pa.int64()),
+        }
+    )
+
+
 def _q_schema_evolution(sf_dir):
     """dynamic_schema analog end-to-end: run-1 sample (props: k long)
     merged with a run-2 sample whose payloads widened k to double and
@@ -290,6 +368,14 @@ def _q_dedup_minhash(sf_dir):
     pairs = minhash_lsh_pairs(_planted_dup_docs(sf_dir), threshold=1.0)
     pairs["jaccard"] = np.round(pairs["jaccard"], 6)
     return pairs
+
+
+def _q_dedup_distinct(sf_dir):
+    """Exact dedup keeping full rows: one (min doc_id) row per
+    distinct text — the materializing twin of dedup_exact's counts."""
+    from raycdc.ops.dedup import distinct_rows
+
+    return distinct_rows(_docs(sf_dir))
 
 
 def _q_dedup_ngram(sf_dir):
@@ -464,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
         "cdc_preview": _tuned(_q_cdc_preview),
         "cdc_dead_letter": _tuned(_q_cdc_dead_letter),
+        "cdc_metrics_lineage": _tuned(_q_cdc_metrics_lineage),
         "props_flatten_coerce": _tuned(_q_props_flatten_coerce),
         "schema_guess_props": _tuned(_q_schema_guess_props),
         "schema_evolution": _tuned(_q_schema_evolution),
@@ -472,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _tuned(_q_dedup_exact),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_ngram": _tuned(_q_dedup_ngram),
+        "dedup_distinct": _tuned(_q_dedup_distinct),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "ann_topk": _tuned(_q_ann_topk),
@@ -528,6 +616,20 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dead_letter": """
             SELECT event_id AS seq, 'unparsable payload_json' AS reason
             FROM events WHERE event_type = 'error'
+        """,
+        "cdc_metrics_lineage": """
+            SELECT CAST(count(*) AS BIGINT) AS events_read,
+                   CAST(count(DISTINCT CASE WHEN event_type <> 'error'
+                                            THEN user_id END) AS BIGINT) AS applied,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dead_lettered,
+                   CAST(max(event_id) AS BIGINT) AS watermark_seq
+            FROM events
+        """,
+        "dedup_distinct": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents) t WHERE rn = 1
         """,
         "schema_guess_props": "SELECT 'k' AS name, 'long' AS type",
         "schema_evolution": """

@@ -137,7 +137,11 @@ class PartitionMerger:
         wm = self.watermarks.get(pid, -1)
         in_window = group["seq"].to_numpy(zero_copy_only=False) > wm
         window = mask_filter(group, in_window)
-        events_read = window.num_rows
+        events_read = (
+            int(window["_n_src"].to_numpy(zero_copy_only=False).sum())
+            if "_n_src" in window.column_names
+            else window.num_rows
+        )
 
         is_dl = pc.is_valid(window["_dl_reason"]).to_numpy(zero_copy_only=False)
         dl = mask_filter(window, is_dl)

@@ -137,6 +137,13 @@ class ParseStage:
                 out = out.append_column(f"p_{name}", payload_cols[name])
         out = out.append_column("_dl_reason", dl_reason)
         out = out.append_column("_dl_raw", dl_raw)
+        # _n_src: how many source events this row represents — the
+        # combiner folds superseded events into their winner, so
+        # lineage counters (A3 events_read) must sum this, not count
+        # rows.  Associative across repeated combines.
+        out = out.append_column(
+            "_n_src", pa.array(np.ones(out.num_rows, np.int64))
+        )
 
         if self.combine:
             out = combine_keep_latest(out)
@@ -202,4 +209,20 @@ def combine_keep_latest(t: pa.Table) -> pa.Table:
     )
     dup = keys.duplicated(keep="last").to_numpy()
     final_idx = np.concatenate([order[~dup], np.flatnonzero(mask_dl)])
-    return gather(t, final_idx)
+    out = gather(t, final_idx)
+    if "_n_src" in t.column_names:
+        # each winner absorbs its key's source-event count (lineage)
+        n_src = t["_n_src"].to_numpy(zero_copy_only=False)
+        per_key = (
+            pd.Series(n_src[order])
+            .groupby([keys["repo"], keys["path"]], sort=False)
+            .transform("sum")
+            .to_numpy()[~dup]
+        )
+        merged_n = np.concatenate([per_key, n_src[mask_dl]]).astype(np.int64)
+        out = out.set_column(
+            out.schema.get_field_index("_n_src"),
+            "_n_src",
+            pa.array(merged_n),
+        )
+    return out

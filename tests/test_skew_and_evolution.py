@@ -84,10 +84,26 @@ def test_hot_key_skew_correctness(tmp_path):
     hot = state.loc[("org0/monorepo", "src/hot.py")]
     assert hot["seq"] == 19998
     assert hot["content"] == "content v19998 of org0/monorepo/src/hot.py"
-    # combiner bounded the shuffle: the hot key's 10k events collapse
-    # to ~one row per read block, so the shuffle volume is roughly the
-    # cold-key distinct count (~6.4k keys -> ~9.9k rows), not 20k.
-    assert res.events_read < n * 0.55
+    # lineage counts SOURCE events (post-combine rows carry _n_src)
+    assert res.events_read == n
+    # combiner bounds the shuffle: the hot key's events collapse to ONE
+    # row per batch (keep-latest is associative), cold keys one per key
+    from raycdc.stages.parse import ParseStage
+
+    stage = ParseStage(num_partitions=8, payload_columns=[], strict=True)
+    combined = stage(t.slice(0, 5000))
+    hot_rows = sum(
+        1
+        for r, p in zip(
+            combined["repo"].to_pylist(), combined["path"].to_pylist()
+        )
+        if (r, p) == ("org0/monorepo", "src/hot.py")
+    )
+    assert hot_rows == 1
+    assert combined.num_rows < 5000 * 0.75
+    # and the collapsed winner carries its absorbed source count
+    n_src = sum(combined["_n_src"].to_pylist())
+    assert n_src == 5000
 
 
 def test_schema_evolution_across_runs(tmp_path):
