@@ -336,9 +336,13 @@ def preview(cfg: IngestConfig, n: int = PREVIEW_RECORDS_COUNT) -> pa.Table:
         combine=False,
     )
     out = ds.limit(n).map_batches(parse, batch_format="pyarrow")
-    return pa.concat_tables(
+    t = pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
         or [parse._empty_out()]
+    )
+    # user-facing projection: hide engine-internal routing columns
+    return t.drop_columns(
+        [c for c in ("part_id", "_dl_reason", "_dl_raw", "_n_src") if c in t.column_names]
     )
 
 

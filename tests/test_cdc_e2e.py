@@ -153,7 +153,11 @@ def test_preview_limits_and_count_probe(tmp_path):
     write_changelog(cfg.log_dir, 600, fragment_rows=200, seed=19)
     t = preview(cfg, n=10)
     assert t.num_rows == 10
-    assert "part_id" in t.column_names and "p_author.name" in t.column_names
+    # user-facing projection: coerced payload columns visible, engine
+    # routing internals hidden
+    assert "p_author.name" in t.column_names
+    assert "part_id" not in t.column_names
+    assert "_dl_reason" not in t.column_names
     # S2 count probe: footer-only, includes boundary duplicates
     assert total_events(cfg.log_dir) == 602
 
