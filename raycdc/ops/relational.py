@@ -179,15 +179,12 @@ def broadcast_join(
     (zero per-batch reshipping)."""
     ref = ray.put(small_df)
 
-    class JoinStage:
-        def __init__(self):
-            self.__name__ = "BroadcastJoin"
-            self.small = ray.get(ref)
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        # plain tasks: ray.get of the broadcast frame is a shared-memory
+        # read, so there is no per-task setup worth an actor pool
+        return batch.merge(ray.get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(JoinStage, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def orders_per_nation(sf_dir: str) -> pd.DataFrame:

@@ -45,15 +45,15 @@ def ann_topk(
     qm = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     qref = ray.put(qm)
 
-    class ScoreStage:
-        def __init__(self):
-            self.__name__ = "AnnScore"
-            self.q = ray.get(qref)  # broadcast once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
+    # plain tasks, not an actor pool: scoring is stateless and the
+    # broadcast read (`ray.get` of a shared numpy block) is zero-copy,
+    # so per-task "setup" is nanoseconds while an actor pool pays
+    # ~seconds of spin-up on small inputs
+    def score(t: pa.Table) -> pa.Table:
+            q = ray.get(qref)
             mat = _unit(_vec_matrix(t[vec_col]))
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            cos = mat @ self.q.T  # (n, nq)
+            cos = mat @ q.T  # (n, nq)
             out_q, out_id, out_cos = [], [], []
             nk = min(k, len(ids))
             for qi in range(cos.shape[1]):
@@ -73,7 +73,7 @@ def ann_topk(
             )
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        ScoreStage, batch_format="pyarrow", concurrency=(1, 8)
+        score, batch_format="pyarrow"
     )
     all_p = partials.to_pandas()
     out = []
@@ -114,24 +114,20 @@ def ivf_topk(
     q_probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     qref = ray.put((qm, q_probe))
 
-    class ProbeStage:
-        def __init__(self):
-            self.__name__ = "IvfProbe"
-            self.cent = ray.get(cref)
-            self.qm, self.q_probe = ray.get(qref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
+    def probe(t: pa.Table) -> pa.Table:
+            cent = ray.get(cref)
+            qm_b, q_probe = ray.get(qref)
             mat = _unit(_vec_matrix(t[vec_col]))
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            assign = (mat @ self.cent.T).argmax(axis=1)
+            assign = (mat @ cent.T).argmax(axis=1)
             out_q, out_id, out_cos = [], [], []
-            for qi in range(len(self.qm)):
-                mask = np.isin(assign, self.q_probe[qi])
+            for qi in range(len(qm_b)):
+                mask = np.isin(assign, q_probe[qi])
                 if not mask.any():
                     continue
                 sub = mat[mask]
                 sids = ids[mask]
-                scores = sub @ self.qm[qi]
+                scores = sub @ qm_b[qi]
                 nk = min(k, len(sids))
                 idx = np.argpartition(-scores, nk - 1)[:nk]
                 idx = idx[np.lexsort((sids[idx], -scores[idx]))]
@@ -147,7 +143,7 @@ def ivf_topk(
             )
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        ProbeStage, batch_format="pyarrow", concurrency=(1, 8)
+        probe, batch_format="pyarrow"
     )
     all_p = partials.to_pandas()
     if all_p.empty:
