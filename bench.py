@@ -35,8 +35,19 @@ FRAGMENT_ROWS = int(os.environ.get("GRAFT_BENCH_FRAGMENT_ROWS", "31250"))
 
 
 def _ensure_log(log_dir: str, n_events: int) -> None:
+    import glob
+
     marker = os.path.join(log_dir, f".complete-v2-{n_events}-{FRAGMENT_ROWS}")
     if os.path.exists(marker):
+        # drop any incremental-bench delta fragments so the headline
+        # input is identical in every process
+        base_count = (n_events + FRAGMENT_ROWS - 1) // FRAGMENT_ROWS
+        for p in glob.glob(os.path.join(log_dir, "fragment-*.parquet")):
+            idx = int(os.path.basename(p)[len("fragment-"):-len(".parquet")])
+            if idx >= base_count:
+                os.remove(p)
+        for m in glob.glob(os.path.join(log_dir, ".delta-*")):
+            os.remove(m)
         return
     shutil.rmtree(log_dir, ignore_errors=True)
     from raycdc.sources.synth import write_changelog
@@ -88,6 +99,52 @@ def bench_headline() -> dict:
     }
 
 
+def bench_incremental(lake_dir: str) -> dict:
+    """Steady-state run: apply a 5% delta window over the committed
+    base — exercises watermark read-pruning (old fragments skipped via
+    parquet seq stats) and the base-merge path."""
+    import glob
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.sources.synth import write_changelog
+
+    log_dir = os.path.join(WORK_ROOT, "log")
+    n_delta = max(N_EVENTS // 20, 10_000)
+    n_frag = len(glob.glob(os.path.join(log_dir, "fragment-*.parquet")))
+    marker = os.path.join(log_dir, f".delta-{N_EVENTS}-{n_delta}")
+    if not os.path.exists(marker):
+        write_changelog(
+            log_dir,
+            n_delta,
+            fragment_rows=FRAGMENT_ROWS,
+            seed=43,
+            start_seq=N_EVENTS + 1,
+            fragment_index_offset=n_frag,
+            duplicate_boundaries=False,
+        )
+        open(marker, "w").close()
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=max(NUM_CPUS * 2, 16),
+        columns=[
+            {"name": "author.name", "type": "string"},
+            {"name": "stats.adds", "type": "long"},
+            {"name": "review.state", "type": "string"},
+        ],
+    )
+    t0 = time.perf_counter()
+    res = run_ingest(cfg)
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "delta_events": n_delta,
+        "delta_events_per_sec": n_delta / dt,
+        "applied": res.applied,
+    }
+
+
 def bench_queries() -> dict[str, float]:
     """Operator pipelines over the driver testdata tables."""
     import __ray_entry__ as em
@@ -127,9 +184,16 @@ def main() -> None:
     from raycdc.tuning import tune_data_context
 
     tune_data_context()
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
     try:
         head = bench_headline()
-        queries = bench_queries()
+        if headline_only:
+            inc, queries = {"sec": 0.0, "delta_events_per_sec": 0.0}, {}
+        else:
+            inc = bench_incremental(
+                os.path.join(WORK_ROOT, f"lake_cpus{NUM_CPUS}")
+            )
+            queries = bench_queries()
     finally:
         ray.shutdown()
     print(
@@ -140,6 +204,10 @@ def main() -> None:
                 "value": round(head["sec"], 3),
                 "unit": "sec",
                 "events_per_sec": round(head["events_per_sec"]),
+                "incremental_sec": round(inc["sec"], 3),
+                "incremental_events_per_sec": round(
+                    inc["delta_events_per_sec"]
+                ),
                 "queries": queries,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
@@ -155,9 +223,14 @@ def scaling() -> None:
     # would on a real long-running ingest; same input for both runs
     n_events = os.environ.get("GRAFT_SCALING_EVENTS", "8000000")
 
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_EVENTS=n_events
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_EVENTS=n_events,
+            GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -169,18 +242,28 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    # best of N trials per arm: single runs carry large scheduler /
+    # interference noise on this shared single node (observed outliers
+    # 2-3x the mode); min is the standard capability estimator and all
+    # trials are reported for transparency
+    def best_run(ncpu: int) -> tuple[float, list[float]]:
+        secs = sorted(run(ncpu)["value"] for _ in range(trials))
+        return secs[0], secs
+
+    t_lo, lo_all = best_run(lo)
+    t_hi, hi_all = best_run(hi)
     eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": "scaling efficiency, same input at "
-                f"num_cpus={lo} vs {hi}",
+                f"num_cpus={lo} vs {hi} (best of {trials})",
                 f"sec_{lo}": t_lo,
                 f"sec_{hi}": t_hi,
-                f"events_per_sec_{lo}": r_lo["events_per_sec"],
-                f"events_per_sec_{hi}": r_hi["events_per_sec"],
+                f"trials_{lo}": lo_all,
+                f"trials_{hi}": hi_all,
+                f"events_per_sec_{lo}": round(int(n_events) / t_lo),
+                f"events_per_sec_{hi}": round(int(n_events) / t_hi),
                 "scaling_efficiency": round(eff, 3),
             }
         )

@@ -29,6 +29,7 @@ from raycdc.sources.changelog import (
     fragment_paths,
     max_seq_probe,
     read_changelog,
+    window_stats,
 )
 from raycdc.stages.merge import METRICS_SCHEMA, PartitionMerger
 from raycdc.stages.parse import ParseStage
@@ -257,8 +258,12 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     from raycdc.tuning import target_num_blocks, tune_data_context
 
     tune_data_context()
-    frag_bytes = sum(os.path.getsize(p) for p in fragment_paths(cfg.log_dir))
-    blocks = target_num_blocks(frag_bytes, count_probe(cfg.log_dir))
+    # size the read to THIS window, not the whole log: incremental
+    # runs prune committed fragments via footer seq stats
+    win_bytes, win_rows = window_stats(
+        cfg.log_dir, min_wm if covered else None
+    )
+    blocks = target_num_blocks(win_bytes, max(win_rows, 1))
 
     metrics = None
     if cfg.late_materialize:

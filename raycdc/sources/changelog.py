@@ -44,6 +44,28 @@ def max_seq_probe(log_dir: str) -> int:
     return best
 
 
+def window_stats(log_dir: str, min_watermark: int | None) -> tuple[int, int]:
+    """(bytes, rows) of fragments that can contain events above the
+    watermark — footer metadata only.  Sizes the read for incremental
+    windows instead of the whole log."""
+    total_bytes = 0
+    total_rows = 0
+    for p in fragment_paths(log_dir):
+        md = pq.read_metadata(p)
+        if min_watermark is not None and min_watermark >= 0:
+            idx = md.schema.to_arrow_schema().get_field_index("seq")
+            frag_max = -1
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is not None and stats.has_min_max:
+                    frag_max = max(frag_max, stats.max)
+            if frag_max <= min_watermark:
+                continue
+        total_bytes += os.path.getsize(p)
+        total_rows += md.num_rows
+    return total_bytes, total_rows
+
+
 def read_changelog(
     log_dir: str,
     min_watermark: int | None = None,

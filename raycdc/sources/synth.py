@@ -200,6 +200,7 @@ def write_changelog(
     num_events: int,
     fragment_rows: int = 100_000,
     duplicate_boundaries: bool = True,
+    fragment_index_offset: int = 0,
     **kwargs,
 ) -> list[str]:
     """Write the stream as seq-ordered Parquet fragments.
@@ -218,7 +219,9 @@ def write_changelog(
             chunk = pa.concat_tables([carry, chunk])
         if duplicate_boundaries:
             carry = chunk.slice(chunk.num_rows - 1, 1)
-        frag = os.path.join(log_dir, f"fragment-{i:05d}.parquet")
+        frag = os.path.join(
+            log_dir, f"fragment-{i + fragment_index_offset:05d}.parquet"
+        )
         pq.write_table(chunk, frag, compression="zstd", compression_level=1)
         paths.append(frag)
     return paths
