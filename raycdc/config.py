@@ -116,6 +116,10 @@ class IngestConfig:
     # max_broadcast_winners (broadcast must fit the object store).
     late_materialize: bool = True
     max_broadcast_winners: int = 50_000_000
+    # below this many window rows the two-phase apply's second scan +
+    # barrier costs more than the shuffle bytes it saves; use the
+    # classic single-pass apply (typical steady-state small deltas)
+    late_materialize_min_rows: int = 500_000
     # hot-key salting threshold: PKs whose per-run event count exceeds
     # this are pre-combined per batch (see stages/parse.py combiner).
     predicate: Any = None  # optional pyarrow.dataset filter expression

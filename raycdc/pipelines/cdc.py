@@ -266,7 +266,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     blocks = target_num_blocks(win_bytes, max(win_rows, 1))
 
     metrics = None
-    if cfg.late_materialize:
+    if cfg.late_materialize and win_rows >= cfg.late_materialize_min_rows:
         metrics = _late_materialized_apply(
             cfg, lake, run_id, num_partitions, payload_columns,
             watermarks, min_wm if covered else None, blocks,

@@ -183,3 +183,35 @@ def test_dynamic_schema_run(tmp_path):
     t = lake.read_table()
     assert "p_author.name" in t.column_names
     assert lake.manifest()["payload_columns"]  # schema persisted for evolution
+
+
+def test_late_materialized_matches_classic(tmp_path):
+    """The two-phase (slim winner-selection + content gather) apply and
+    the classic single-pass apply converge to byte-identical lakes with
+    identical lineage counters — forced on below the volume threshold."""
+    tmp = str(tmp_path)
+    log_dir = os.path.join(tmp, "log")
+    write_changelog(log_dir, 6000, fragment_rows=1500, seed=31)
+    results = {}
+    for mode, late in (("late", True), ("classic", False)):
+        cfg = IngestConfig(
+            log_dir=log_dir,
+            lake_dir=os.path.join(tmp, f"lake_{mode}"),
+            num_partitions=8,
+            columns=[{"name": "author.name", "type": "string"}],
+            late_materialize=late,
+            late_materialize_min_rows=0,  # force the late path at test scale
+        )
+        res = run_ingest(cfg)
+        t = (
+            Lake(cfg.lake_dir)
+            .read_table()
+            .sort_by([("repo", "ascending"), ("path", "ascending")])
+        )
+        results[mode] = (
+            hashlib.sha256(str(t.to_pydict()).encode()).hexdigest(),
+            res.events_read,
+            res.applied,
+            res.dead_lettered,
+        )
+    assert results["late"] == results["classic"]
