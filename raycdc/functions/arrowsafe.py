@@ -40,4 +40,17 @@ def gather(t: pa.Table, indices: np.ndarray) -> pa.Table:
 
 def mask_filter(t: pa.Table, mask: np.ndarray) -> pa.Table:
     """Row-filter by a numpy boolean mask (True = keep)."""
+    mask = np.asarray(mask, dtype=bool)
+    if mask.all():
+        return t
+    if not mask.any():
+        return t.slice(0, 0)
     return gather(t, np.flatnonzero(mask))
+
+
+def compact(t: pa.Table) -> pa.Table:
+    """Combine chunks once so subsequent gathers hit the single-chunk
+    fast path — ``ChunkedArray.take`` pays a per-index chunk lookup
+    that dominates on shuffle outputs with 100+ chunks (measured ~1 s
+    per 62k-row 14-column gather vs ~0.05 s after compaction)."""
+    return t.combine_chunks() if t.num_rows else t

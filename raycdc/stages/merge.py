@@ -131,8 +131,9 @@ class PartitionMerger:
         t0 = time.monotonic()
         if group.num_rows == 0:
             return pa.table({f.name: [] for f in METRICS_SCHEMA}, schema=METRICS_SCHEMA)
-        from raycdc.functions.arrowsafe import mask_filter
+        from raycdc.functions.arrowsafe import compact, mask_filter
 
+        group = compact(group)
         pid = int(group["part_id"][0].as_py())
         wm = self.watermarks.get(pid, -1)
         in_window = group["seq"].to_numpy(zero_copy_only=False) > wm

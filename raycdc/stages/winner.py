@@ -65,8 +65,9 @@ class WinnerSelector:
             return pa.table(
                 {f.name: [] for f in WINNER_SCHEMA}, schema=WINNER_SCHEMA
             )
-        from raycdc.functions.arrowsafe import mask_filter
+        from raycdc.functions.arrowsafe import compact, mask_filter
 
+        group = compact(group)
         pid = int(group["part_id"][0].as_py())
         wm = self.watermarks.get(pid, -1)
         in_window = group["seq"].to_numpy(zero_copy_only=False) > wm

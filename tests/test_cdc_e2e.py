@@ -215,3 +215,23 @@ def test_late_materialized_matches_classic(tmp_path):
             res.dead_lettered,
         )
     assert results["late"] == results["classic"]
+
+
+def test_nonstrict_mode_nulls_instead_of_dead_letter(tmp_path):
+    """strict=False reproduces the reference's null-on-error coercion
+    (JiraUtil.java:169-264): a malformed payload_json nulls the payload
+    columns instead of dead-lettering the event, so the row still
+    applies and only structurally-invalid events (null PK) dead-letter."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, strict=False)
+    write_changelog(cfg.log_dir, 3000, fragment_rows=1000, seed=37)
+    res = run_ingest(cfg)
+    # synth's malformed events are ~1/3 broken-JSON, ~2/3 null PK; in
+    # non-strict mode only the null-PK kind dead-letters
+    strict_cfg = _cfg(tmp, strict=True, lake_dir=os.path.join(tmp, "lake_strict"))
+    res_strict = run_ingest(strict_cfg)
+    assert 0 < res.dead_lettered < res_strict.dead_lettered
+    # the broken-JSON rows landed in the lake with NULL payload columns
+    t = Lake(cfg.lake_dir).read_table()
+    t_strict = Lake(strict_cfg.lake_dir).read_table()
+    assert t.num_rows >= t_strict.num_rows
