@@ -50,24 +50,20 @@ def sha256_hex(values) -> list[str | None]:
     ]
 
 
-def rolling_fingerprint(text: str, window: int = 8, mod: int = 1 << 61) -> int:
-    """Polynomial rolling-hash document fingerprint: min rolling hash
-    over byte windows — a cheap locality-sensitive document signature
-    (text-analysis op; deterministic, pure python per doc)."""
-    data = text.encode("utf-8")
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Polynomial rolling-hash document fingerprint: min polynomial
+    hash (base 257, uint64 wraparound) over byte windows — a cheap
+    locality-sensitive document signature, fully vectorized via a
+    sliding-window view (the per-byte Python loop version cost ~1 us
+    per byte)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(data) < window:
-        data = data + b"\x00" * (window - len(data))
-    base = 257
-    h = 0
-    power = pow(base, window - 1, mod)
-    best = None
-    for i, b in enumerate(data):
-        if i < window:
-            h = (h * base + b) % mod
-            if i == window - 1:
-                best = h
-        else:
-            h = ((h - data[i - window] * power) * base + b) % mod
-            if h < best:
-                best = h
-    return best if best is not None else 0
+        data = np.concatenate(
+            [data, np.zeros(window - len(data), dtype=np.uint8)]
+        )
+    base = np.uint64(257)
+    powers = base ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, window)
+    hashes = (win.astype(np.uint64) * powers[None, :]).sum(axis=1)
+    # int64-safe signature (Arrow column is int64)
+    return int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))

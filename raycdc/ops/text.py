@@ -75,25 +75,49 @@ class LangIdStage:
         self.__name__ = "LangIdStage"
         self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
         self.langs = sorted(self.tables)
+        self.word_arrays = {
+            lang: np.array(sorted(ws), dtype=object)
+            for lang, ws in _STOPWORDS.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batch-vectorized: one flat token array, np.isin per language,
+        # per-doc hit sums via add.reduceat — no per-doc Python scoring
         texts = batch["text"].to_pylist()
-        preds, confs = [], []
-        for t in texts:
-            toks = (t or "").lower().split()
-            if not toks:
-                preds.append("en")
-                confs.append(0.0)
-                continue
-            best, best_hits = "en", -1
-            for lang in self.langs:
-                tbl = self.tables[lang]
-                hits = sum(1 for w in toks if w in tbl)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-            confs.append(best_hits / len(toks))
-        out = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        if not texts:
+            out = batch.append_column("lang_pred", pa.array([], pa.string()))
+            return out.append_column("lang_conf", pa.array([], pa.float64()))
+        per_doc = [
+            np.array((t or "").lower().split(), dtype=object) for t in texts
+        ]
+        counts = np.array([len(d) for d in per_doc], dtype=np.int64)
+        flat = (
+            np.concatenate([d for d in per_doc if len(d)])
+            if counts.sum()
+            else np.array([], dtype=object)
+        )
+        offsets = np.zeros(len(per_doc), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        hits = np.zeros((len(per_doc), len(self.langs)), dtype=np.int64)
+        nonempty = counts > 0
+        if len(flat):
+            # empty docs occupy zero width in `flat`, so reduceat over
+            # only the non-empty docs' start offsets yields exactly one
+            # segment per non-empty doc
+            starts = offsets[nonempty]
+            for j, lang in enumerate(self.langs):
+                member = np.isin(flat, self.word_arrays[lang]).astype(np.int64)
+                hits[nonempty, j] = np.add.reduceat(member, starts)
+        best = hits.argmax(axis=1)  # ties -> lowest index (sorted langs)
+        # preserve the original tie/no-hit fallback: all-zero rows -> 'en'
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = np.where(hits.max(axis=1) > 0, lang_arr[best], "en")
+        confs = np.where(
+            counts > 0, hits.max(axis=1) / np.maximum(counts, 1), 0.0
+        )
+        out = batch.append_column(
+            "lang_pred", pa.array(preds.astype(object), pa.string())
+        )
         return out.append_column("lang_conf", pa.array(confs, pa.float64()))
 
 
