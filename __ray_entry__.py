@@ -529,6 +529,22 @@ def _q_media_decode(sf_dir):
     ].reset_index(drop=True)
 
 
+def _q_media_frames(sf_dir):
+    import ray.data
+
+    from raycdc.ops.multimodal import frame_samples, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    out = frame_samples(ds, n_frames=4).to_pandas()
+    out["frame_offsets"] = out["frame_offsets"].map(
+        lambda o: ",".join(map(str, o))
+    )
+    out["frame_digests"] = out["frame_digests"].map(",".join)
+    return out[["media_id", "frame_offsets", "frame_digests"]].reset_index(
+        drop=True
+    )
+
+
 def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     def wrapper(sf_dir: str):
         from raycdc.tuning import tune_data_context
@@ -571,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _tuned(_q_topk_orders),
         "window_hourly": _tuned(_q_window_hourly),
         "media_decode": _tuned(_q_media_decode),
+        "media_frame_sample": _tuned(_q_media_frames),
         "content_digests": _tuned(_q_content_digests),
     }
 

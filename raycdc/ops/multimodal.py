@@ -107,6 +107,64 @@ class ResizeStage:
         )
 
 
+class FrameSampleStage:
+    """Actor-pool stage: sample ``n_frames`` evenly-spaced frames
+    (video) / windows (audio) from the opaque payload.
+
+    STUB (no ffmpeg in this container): the 'frame' at each sampled
+    byte offset is represented by a stable digest of the surrounding
+    window, so the Ray-side plumbing — per-row list outputs, offset
+    math, actor signature — is real and tested; a real implementation
+    would emit decoded frames at those timestamps."""
+
+    def __init__(self, n_frames: int = 4, window: int = 256):
+        self.__name__ = "FrameSample"
+        self.n_frames = n_frames
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offsets_col, digests_col = [], []
+        for payload in batch["payload"].to_pylist():
+            data = payload or b""
+            n = max(len(data), 1)
+            offs = [
+                min(int(i * n / self.n_frames), max(n - 1, 0))
+                for i in range(self.n_frames)
+            ]
+            digs = [
+                hashlib.blake2b(
+                    data[o : o + self.window], digest_size=8
+                ).hexdigest()
+                for o in offs
+            ]
+            offsets_col.append(offs)
+            digests_col.append(digs)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column(
+            "frame_offsets", pa.array(offsets_col, pa.list_(pa.int64()))
+        )
+        return out.append_column(
+            "frame_digests", pa.array(digests_col, pa.list_(pa.string()))
+        )
+
+
+def frame_samples(
+    ds: "ray.data.Dataset",
+    n_frames: int = 4,
+    concurrency: int = 4,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """frame/window sampling as an actor pool (small batch_size — see
+    module docstring on payload-byte budgeting)."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media table for tests/benches (binary
     payloads derived from a seeded RNG)."""

@@ -220,3 +220,19 @@ def test_distinct_rows():
         .reset_index(drop=True)
     )
     assert got["doc_id"].tolist() == [1, 2]
+
+
+def test_multimodal_frame_sampling():
+    """Frame-sample plumbing: per-row list outputs, deterministic
+    offsets/digests, payload dropped from the output."""
+    from raycdc.ops.multimodal import frame_samples, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(50))
+    out = frame_samples(ds, n_frames=4).to_pandas()
+    assert len(out) == 50
+    assert "payload" not in out.columns
+    assert all(len(o) == 4 for o in out["frame_offsets"])
+    assert all(len(d) == 4 and all(isinstance(x, str) for x in d) for d in out["frame_digests"])
+    # deterministic across runs
+    out2 = frame_samples(ray.data.from_arrow(synth_media_table(50)), n_frames=4).to_pandas()
+    assert list(map(list, out["frame_digests"])) == list(map(list, out2["frame_digests"]))
