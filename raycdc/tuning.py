@@ -76,4 +76,13 @@ def target_num_blocks(
     by_bytes = max(1, total_bytes // block_bytes)
     by_rows = max(1, total_rows // block_rows)
     blocks = max(2 * ncpu, by_bytes, by_rows)
+    # cap the shuffle width: the sort exchange creates blocks^2 objects
+    # and N x data in the object store, which at 2x the tuned data size
+    # turned into plasma spilling and a superlinear cliff (32M events:
+    # 518s vs the linear ~90s).  The cap is relaxed only to keep blocks
+    # under ~1M rows (heap bound); at true cluster scale the push-based
+    # / hash shuffle service takes over the width problem.
+    hard_cap = max(4 * ncpu, 96)
+    floor_by_maxrows = max(1, total_rows // 1_000_000)
+    blocks = max(min(blocks, hard_cap), floor_by_maxrows)
     return int(max(1, min(blocks, max(1, total_rows // 1000))))
