@@ -120,6 +120,11 @@ class IngestConfig:
     # barrier costs more than the shuffle bytes it saves; use the
     # classic single-pass apply (typical steady-state small deltas)
     late_materialize_min_rows: int = 500_000
+    # when the estimated winner payload exceeds this, phase B exchanges
+    # rows via map-side partitioned files on disk instead of the
+    # object-store sort shuffle (which holds ~3x the window in plasma
+    # and goes spill-bound past a fraction of the store)
+    disk_shuffle_bytes: int = 2 << 30
     # hot-key salting threshold: PKs whose per-run event count exceeds
     # this are pre-combined per batch (see stages/parse.py combiner).
     predicate: Any = None  # optional pyarrow.dataset filter expression

@@ -15,6 +15,7 @@ Nothing here calls ``ray.init()`` — the caller owns the session.
 from __future__ import annotations
 
 import json
+import shutil
 import os
 from dataclasses import dataclass
 
@@ -96,6 +97,95 @@ def _slim_columns(log_dir: str) -> list[str]:
     return ["seq", "op", "repo", "path", probe, "payload_json"]
 
 
+def _disk_exchange_merge(
+    cfg: IngestConfig,
+    run_id: str,
+    num_partitions: int,
+    parsed: "object",
+    merger: PartitionMerger,
+) -> list[dict]:
+    """Map-side partitioned-file exchange for large windows.
+
+    Each map task splits its batch by ``part_id`` and appends one zstd
+    Parquet file per partition under
+    ``_shuffle/{run_id}/part-{pid}/{min_seq}-{max_seq}.parquet``; the
+    per-partition merge then streams those files instead of receiving
+    an object-store shuffle.  Nothing window-sized ever sits in plasma,
+    so the exchange is bounded by disk bandwidth, not store capacity.
+
+    Correct under retries without coordination: a re-executed map task
+    rewrites the same deterministic filenames (and even fully duplicated
+    rows are collapsed by the keep-latest apply); a crashed run leaves
+    only scratch under ``_shuffle`` which the next run overwrites.
+    """
+    import numpy as np
+
+    from raycdc.functions.arrowsafe import mask_filter
+
+    shuffle_root = os.path.join(cfg.lake_dir, "_shuffle", run_id)
+
+    def write_partitioned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"part_id": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        pids = t["part_id"].to_numpy(zero_copy_only=False)
+        seqs = t["seq"].to_numpy(zero_copy_only=False)
+        out_p, out_n = [], []
+        for pid in np.unique(pids):
+            sub = mask_filter(t, pids == pid)
+            d = os.path.join(shuffle_root, f"part-{int(pid):05d}")
+            os.makedirs(d, exist_ok=True)
+            lo = int(seqs[pids == pid].min())
+            hi = int(seqs[pids == pid].max())
+            pq.write_table(
+                sub,
+                os.path.join(d, f"{lo}-{hi}.parquet"),
+                compression="zstd",
+                compression_level=1,
+            )
+            out_p.append(int(pid))
+            out_n.append(sub.num_rows)
+        return pa.table(
+            {"part_id": pa.array(out_p, pa.int32()),
+             "rows": pa.array(out_n, pa.int64())}
+        )
+
+    # consume the map side fully (files on disk are the barrier);
+    # batch_size=None: one write pass per BLOCK, not per 1024-row slice
+    parsed.map_batches(
+        write_partitioned, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    import ray.data
+
+    def merge_partition(batch: pa.Table) -> pa.Table:
+        out = []
+        for pid in batch["item"].to_pylist():
+            d = os.path.join(shuffle_root, f"part-{int(pid):05d}")
+            if not os.path.isdir(d):
+                continue
+            parts = [
+                pq.read_table(os.path.join(d, f))
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if parts:
+                group = pa.concat_tables(parts, promote_options="default")
+                out.append(merger(group))
+        if not out:
+            return pa.table(
+                {f.name: [] for f in METRICS_SCHEMA}, schema=METRICS_SCHEMA
+            )
+        return pa.concat_tables(out)
+
+    pids = ray.data.from_items(list(range(num_partitions)))
+    metrics_rows = pids.map_batches(
+        merge_partition, batch_size=1, batch_format="pyarrow"
+    ).take_all()
+    shutil.rmtree(shuffle_root, ignore_errors=True)
+    return metrics_rows
+
+
 def _late_materialized_apply(
     cfg: IngestConfig,
     lake: "Lake",
@@ -105,6 +195,8 @@ def _late_materialized_apply(
     watermarks: dict[int, int],
     min_watermark: int | None,
     blocks: int,
+    win_bytes: int = 0,
+    win_rows: int = 0,
 ) -> pa.Table | None:
     """Two-phase apply (stages/winner.py): slim shuffle picks winning
     seqs per partition; a second scan gathers full rows for winners
@@ -194,9 +286,25 @@ def _late_materialized_apply(
         base_paths=lake.part_paths(),
         payload_columns=payload_columns,
     )
-    metrics_rows = (
-        parsed.groupby("part_id").map_groups(merger, batch_format="pyarrow").take_all()
+    # exchange strategy: the groupby sort-barrier materializes ~3x the
+    # window in the object store — fine up to a fraction of the store,
+    # spill-bound past it.  Large windows exchange via map-side
+    # partitioned files instead (disk does the shuffle; duplicate rows
+    # from task retries are harmless under the keep-latest apply).
+    est_row_bytes = max(1, win_bytes // max(win_rows, 1)) * 4  # ~zstd ratio
+    big_window = (
+        len(winner_seqs) * est_row_bytes > cfg.disk_shuffle_bytes
     )
+    if big_window:
+        metrics_rows = _disk_exchange_merge(
+            cfg, run_id, num_partitions, parsed, merger
+        )
+    else:
+        metrics_rows = (
+            parsed.groupby("part_id")
+            .map_groups(merger, batch_format="pyarrow")
+            .take_all()
+        )
     # events_read / dead_lettered were counted in phase A (phase B only
     # ever sees winners); splice them back in
     for row in metrics_rows:
@@ -270,6 +378,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
         metrics = _late_materialized_apply(
             cfg, lake, run_id, num_partitions, payload_columns,
             watermarks, min_wm if covered else None, blocks,
+            win_bytes=win_bytes, win_rows=win_rows,
         )
     if metrics is None:
         # classic single-pass apply: shuffle full rows to the mergers

@@ -235,3 +235,40 @@ def test_nonstrict_mode_nulls_instead_of_dead_letter(tmp_path):
     t = Lake(cfg.lake_dir).read_table()
     t_strict = Lake(strict_cfg.lake_dir).read_table()
     assert t.num_rows >= t_strict.num_rows
+
+
+def test_disk_exchange_matches_plasma_exchange(tmp_path):
+    """Phase B's map-side partitioned-file exchange (large windows)
+    produces the identical lake and counters as the object-store sort
+    exchange — forced on via a zero byte threshold."""
+    tmp = str(tmp_path)
+    log_dir = os.path.join(tmp, "log")
+    write_changelog(log_dir, 5000, fragment_rows=1250, seed=41)
+    results = {}
+    for mode, dsb in (("disk", 0), ("plasma", 1 << 40)):
+        cfg = IngestConfig(
+            log_dir=log_dir,
+            lake_dir=os.path.join(tmp, f"lake_{mode}"),
+            num_partitions=8,
+            columns=[{"name": "author.name", "type": "string"}],
+            late_materialize=True,
+            late_materialize_min_rows=0,
+            disk_shuffle_bytes=dsb,
+        )
+        res = run_ingest(cfg)
+        t = (
+            Lake(cfg.lake_dir)
+            .read_table()
+            .sort_by([("repo", "ascending"), ("path", "ascending")])
+        )
+        results[mode] = (
+            hashlib.sha256(str(t.to_pydict()).encode()).hexdigest(),
+            res.events_read,
+            res.applied,
+            res.dead_lettered,
+        )
+        # shuffle scratch is cleaned after the merge
+        assert not os.path.isdir(
+            os.path.join(cfg.lake_dir, "_shuffle", res.run_id)
+        )
+    assert results["disk"] == results["plasma"]
