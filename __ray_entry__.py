@@ -61,6 +61,16 @@ def _q_cdc_replay_documents(sf_dir):
     return ds.select_columns(["repo", "path", "lang", "content"])
 
 
+def _q_cdc_mor_replay(sf_dir):
+    """Merge-on-read lifecycle end-to-end: base load (cow) → delta
+    apply with tombstones (mor) → compaction → vacuum; converges to
+    the same state as cdc_replay_documents, which the oracle pins."""
+    from raycdc.pipelines.flagship import flagship_state_mor
+
+    ds = flagship_state_mor(sf_dir)
+    return ds.select_columns(["repo", "path", "lang", "content"])
+
+
 def _q_cdc_latest_by_key(sf_dir):
     from raycdc.ops.relational import latest_by_key
 
@@ -559,6 +569,7 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
+        "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
@@ -595,6 +606,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_documents": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0
+        """,
+        "cdc_mor_replay": """
             SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
                    'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    lang,

@@ -142,6 +142,7 @@ def bench_incremental(lake_dir: str) -> dict:
         "delta_events": n_delta,
         "delta_events_per_sec": n_delta / dt,
         "applied": res.applied,
+        "write_mode": res.write_mode,
     }
 
 
@@ -193,7 +194,10 @@ def main() -> None:
     try:
         head = bench_headline()
         if headline_only:
-            inc, queries = {"sec": 0.0, "delta_events_per_sec": 0.0}, {}
+            inc, queries = (
+                {"sec": 0.0, "delta_events_per_sec": 0.0, "write_mode": "-"},
+                {},
+            )
         else:
             inc = bench_incremental(
                 os.path.join(WORK_ROOT, f"lake_cpus{NUM_CPUS}")
@@ -213,6 +217,7 @@ def main() -> None:
                 "incremental_events_per_sec": round(
                     inc["delta_events_per_sec"]
                 ),
+                "incremental_write_mode": inc["write_mode"],
                 "queries": queries,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,

@@ -6,6 +6,8 @@
     python -m raycdc.cli guess   --log-dir L
     python -m raycdc.cli count   --log-dir L
     python -m raycdc.cli synth   --log-dir L --events N
+    python -m raycdc.cli compact --lake-dir K [--min-deltas M]
+    python -m raycdc.cli vacuum  --lake-dir K
 
 Owns its Ray session (guarded init), unlike the library.
 """
@@ -44,6 +46,22 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--dynamic-schema", action="store_true")
     p_run.add_argument("--columns-json", default=None,
                        help='payload columns, e.g. \'[{"name":"a.b","type":"long"}]\'')
+    p_run.add_argument("--write-mode", choices=("auto", "cow", "mor"),
+                       default="auto",
+                       help="cow: rewrite partition bases; mor: append "
+                            "delta files (merge-on-read); auto: mor for "
+                            "small steady-state windows")
+
+    p_compact = sub.add_parser(
+        "compact", help="fold merge-on-read deltas into partition bases"
+    )
+    p_compact.add_argument("--lake-dir", required=True)
+    p_compact.add_argument("--min-deltas", type=int, default=1)
+
+    p_vac = sub.add_parser(
+        "vacuum", help="delete data/checkpoint files unreferenced by the manifest"
+    )
+    p_vac.add_argument("--lake-dir", required=True)
 
     p_prev = sub.add_parser("preview", help="first-n preview, no state change")
     p_prev.add_argument("--log-dir", required=True)
@@ -81,8 +99,24 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(guess(args.log_dir), indent=1))
         return 0
 
+    if args.cmd == "vacuum":
+        from raycdc.pipelines.maintenance import vacuum
+
+        print(json.dumps(vacuum(args.lake_dir)))
+        return 0
+
     ray = _ray_session(args.num_cpus)
     try:
+        if args.cmd == "compact":
+            from raycdc.pipelines.maintenance import compact
+
+            print(
+                json.dumps(
+                    compact(args.lake_dir, min_deltas=args.min_deltas)
+                )
+            )
+            return 0
+
         if args.cmd == "preview":
             from raycdc.config import IngestConfig
             from raycdc.pipelines.cdc import preview
@@ -104,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 columns=cols,
                 dynamic_schema=args.dynamic_schema,
+                write_mode=args.write_mode,
             )
             res = run_ingest(cfg)
             print(
@@ -115,6 +150,8 @@ def main(argv: list[str] | None = None) -> int:
                         "applied": res.applied,
                         "dead_lettered": res.dead_lettered,
                         "watermark": res.watermark,
+                        "write_mode": res.write_mode,
+                        "compacted": res.compacted,
                     }
                 )
             )

@@ -128,6 +128,24 @@ class IngestConfig:
     # hot-key salting threshold: PKs whose per-run event count exceeds
     # this are pre-combined per batch (see stages/parse.py combiner).
     predicate: Any = None  # optional pyarrow.dataset filter expression
+    # write-amplification control (stages/merge.py + state/checkpoint.py):
+    #   "cow"  — copy-on-write: every run rewrites the partition base
+    #            file (read-optimized; what the first full load needs);
+    #   "mor"  — merge-on-read: a run appends one small delta file per
+    #            touched partition (delete events become tombstone rows)
+    #            and reads resolve keep-latest lazily — steady-state
+    #            small deltas stop paying a full base rewrite;
+    #   "auto" — mor when the window is small relative to the committed
+    #            base (< mor_window_fraction of base bytes), else cow.
+    write_mode: str = "auto"
+    # crossover: cow pays read-base + write-base, mor pays write-delta
+    # (plus deferred resolve), so mor wins while the window is smaller
+    # than about half the base
+    mor_window_fraction: float = 0.5
+    # auto-compaction: after a mor run, partitions carrying at least
+    # this many delta files are folded back into their base (bounding
+    # read amplification); 0 disables
+    mor_compact_deltas: int = 8
 
 
 def validate_config(cfg: IngestConfig) -> IngestConfig:
@@ -143,6 +161,8 @@ def validate_config(cfg: IngestConfig) -> IngestConfig:
         raise ConfigError("Initial retry delay should be equal or greater than 1")
     if not (0 <= cfg.retry.retry_limit <= 10):
         raise ConfigError("Retry limit should between 0 and 10")
+    if cfg.write_mode not in ("auto", "cow", "mor"):
+        raise ConfigError("write_mode should be one of auto, cow, mor")
     if cfg.columns is not None:
         for col in cfg.columns:
             if col.get("type") not in (

@@ -58,6 +58,8 @@ class RunResult:
     dead_lettered: int
     watermark: int
     no_op: bool = False
+    write_mode: str = "cow"  # resolved mode this run actually used
+    compacted: list[int] | None = None  # partitions auto-compacted after
 
 
 def _sample_payloads(log_dir: str, n: int = GUESS_RECORDS_COUNT) -> list[dict]:
@@ -197,6 +199,8 @@ def _late_materialized_apply(
     blocks: int,
     win_bytes: int = 0,
     win_rows: int = 0,
+    merge_mode: str = "cow",
+    base_deltas: dict[int, list[str]] | None = None,
 ) -> pa.Table | None:
     """Two-phase apply (stages/winner.py): slim shuffle picks winning
     seqs per partition; a second scan gathers full rows for winners
@@ -285,6 +289,8 @@ def _late_materialized_apply(
         watermarks=watermarks,
         base_paths=lake.part_paths(),
         payload_columns=payload_columns,
+        mode=merge_mode,
+        base_deltas=base_deltas,
     )
     # exchange strategy: the groupby sort-barrier materializes ~3x the
     # window in the object store — fine up to a fraction of the store,
@@ -373,12 +379,33 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     )
     blocks = target_num_blocks(win_bytes, max(win_rows, 1))
 
+    # write-amplification mode: steady-state small deltas append a
+    # merge-on-read delta file per partition instead of rewriting the
+    # base (config.py write_mode docs)
+    write_mode = cfg.write_mode
+    if write_mode == "auto":
+        base_paths_now = lake.part_paths()
+        base_bytes = sum(
+            os.path.getsize(p)
+            for p in base_paths_now.values()
+            if os.path.exists(p)
+        )
+        use_mor = (
+            covered
+            and base_bytes > 0
+            and win_bytes < cfg.mor_window_fraction * base_bytes
+        )
+        write_mode = "mor" if use_mor else "cow"
+    merge_mode = "delta" if write_mode == "mor" else "cow"
+    base_deltas = lake.delta_paths()
+
     metrics = None
     if cfg.late_materialize and win_rows >= cfg.late_materialize_min_rows:
         metrics = _late_materialized_apply(
             cfg, lake, run_id, num_partitions, payload_columns,
             watermarks, min_wm if covered else None, blocks,
             win_bytes=win_bytes, win_rows=win_rows,
+            merge_mode=merge_mode, base_deltas=base_deltas,
         )
     if metrics is None:
         # classic single-pass apply: shuffle full rows to the mergers
@@ -403,6 +430,8 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
             watermarks=watermarks,
             base_paths=lake.part_paths(),
             payload_columns=payload_columns,
+            mode=merge_mode,
+            base_deltas=base_deltas,
         )
         metrics_ds = parsed.groupby("part_id").map_groups(
             merger, batch_format="pyarrow"
@@ -427,7 +456,28 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     pq.write_table(
         metrics, os.path.join(cfg.lake_dir, "_metrics", f"{run_id}.parquet")
     )
-    lake.commit(run_id, staged, new_wm, payload_columns=payload_columns)
+    if merge_mode == "delta":
+        lake.commit(
+            run_id, {}, new_wm,
+            payload_columns=payload_columns, staged_deltas=staged,
+        )
+    else:
+        lake.commit(run_id, staged, new_wm, payload_columns=payload_columns)
+
+    # bound read amplification: fold partitions whose delta stack got
+    # deep back into their base (one Ray task each, atomic commit)
+    compacted = None
+    if merge_mode == "delta" and cfg.mor_compact_deltas > 0:
+        deep = [
+            pid
+            for pid, files in lake.delta_paths().items()
+            if len(files) >= cfg.mor_compact_deltas
+        ]
+        if deep:
+            from raycdc.pipelines.maintenance import compact
+
+            compacted = compact(cfg.lake_dir, pids=deep)["compacted"]
+
     return RunResult(
         run_id=run_id,
         metrics=metrics,
@@ -435,6 +485,8 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
         applied=int(pa.compute.sum(metrics["applied"]).as_py() or 0),
         dead_lettered=int(pa.compute.sum(metrics["dead_lettered"]).as_py() or 0),
         watermark=target,
+        write_mode=write_mode,
+        compacted=compacted,
     )
 
 

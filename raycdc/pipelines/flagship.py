@@ -112,3 +112,49 @@ def flagship_state(sf_dir: str, workdir: str | None = None, num_partitions: int 
     documents_changelog(sf_dir, cfg.log_dir)
     run_ingest(cfg)
     return Lake(cfg.lake_dir).read_dataset()
+
+
+def flagship_state_mor(
+    sf_dir: str, workdir: str | None = None, num_partitions: int = 16
+):
+    """The same converged state as ``flagship_state``, reached through
+    the merge-on-read lifecycle: the j=0 insert wave is the base load
+    (copy-on-write), the j=1,2 update/delete waves land as tombstone-
+    carrying delta files (``write_mode="mor"``), compaction folds them
+    into the bases, and vacuum reclaims the superseded files — so the
+    driver's oracle verifies delta apply + resolve + compact + vacuum
+    end-to-end."""
+    from raycdc.pipelines.maintenance import compact, vacuum
+
+    workdir = workdir or os.path.join(
+        "/tmp", f"raycdc_flagship_mor_{abs(hash(sf_dir)) % (1 << 32):08x}"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    # fragments=3 slices the seq-ordered log exactly at the wave
+    # boundaries (seq = j*N + doc_index)
+    documents_changelog(sf_dir, staging, fragments=3)
+    os.makedirs(log_dir, exist_ok=True)
+    os.rename(
+        os.path.join(staging, "fragment-00000.parquet"),
+        os.path.join(log_dir, "fragment-00000.parquet"),
+    )
+    base_cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=lake_dir,
+        num_partitions=num_partitions, columns=PAYLOAD_COLUMNS,
+        write_mode="cow",
+    )
+    run_ingest(base_cfg)
+    for name in sorted(os.listdir(staging)):
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    delta_cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=lake_dir,
+        num_partitions=num_partitions, columns=PAYLOAD_COLUMNS,
+        write_mode="mor",
+    )
+    run_ingest(delta_cfg)
+    compact(lake_dir)
+    vacuum(lake_dir)
+    return Lake(lake_dir).read_dataset()

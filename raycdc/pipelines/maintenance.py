@@ -1,0 +1,101 @@
+"""Lake maintenance: delta compaction and garbage collection.
+
+Merge-on-read runs (``IngestConfig.write_mode``) append one small
+delta file per touched partition instead of rewriting the partition
+base — O(delta) writes for steady-state ingest.  The cost is read
+amplification: resolving a partition reads base + N deltas.
+``compact`` bounds N by folding deltas back into the base, one Ray
+task per partition (the same ``resolve_partition`` kernel the read
+path uses, so compaction can never change observable state), then
+commits the new bases atomically.  ``vacuum`` afterwards reclaims the
+superseded files.
+
+The reference has no analog — it has no persistent state at all
+("Resume supported: no", reference README.md:15); this is the part of
+a lake-table engine that only exists because our sink is durable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycdc.state.checkpoint import Lake
+
+
+def compact(
+    lake_dir: str,
+    pids: list[int] | None = None,
+    min_deltas: int = 1,
+    run_id: str | None = None,
+) -> dict:
+    """Fold merge-on-read deltas into partition base files.
+
+    One Ray task per partition resolves base + deltas (keep-latest,
+    tombstones dropped) and writes a new base; a single atomic commit
+    swaps all of them in and clears the delta lists.  Partitions with
+    fewer than ``min_deltas`` deltas are left alone.
+
+    Returns ``{"compacted": [pids], "run_id": ...}``.
+    """
+    import ray.data
+
+    lake = Lake(lake_dir)
+    manifest = lake.manifest()
+    deltas = lake.delta_paths()
+    targets = sorted(
+        pid
+        for pid, files in deltas.items()
+        if len(files) >= min_deltas and (pids is None or pid in pids)
+    )
+    if not targets:
+        return {"compacted": [], "run_id": None}
+    run_id = run_id or f"compact-{int(manifest['version']) + 1:06d}"
+    parts = lake.part_paths()
+    payload_columns = manifest.get("payload_columns") or []
+    root = lake.root
+
+    def fold(batch: pa.Table) -> pa.Table:
+        from raycdc.stages.merge import lake_schema, resolve_partition
+
+        schema = lake_schema(payload_columns)
+        out_pid, out_path, out_rows = [], [], []
+        for pid in batch["item"].to_pylist():
+            pid = int(pid)
+            resolved = resolve_partition(
+                parts.get(pid), deltas.get(pid, []), schema
+            )
+            d = os.path.join(root, "data", f"part-{pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            staged = os.path.join(d, f"{run_id}.parquet")
+            pq.write_table(
+                resolved, staged, compression="zstd", compression_level=1
+            )
+            out_pid.append(pid)
+            out_path.append(staged)
+            out_rows.append(resolved.num_rows)
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.int32()),
+                "path": pa.array(out_path, pa.string()),
+                "rows": pa.array(out_rows, pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.from_items(targets)
+        .map_batches(fold, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    staged = {int(r["pid"]): r["path"] for r in rows}
+    # watermarks unchanged — this commit only swaps data layout
+    lake.commit(run_id, staged, {}, payload_columns=None)
+    return {"compacted": sorted(staged), "run_id": run_id}
+
+
+def vacuum(lake_dir: str) -> dict:
+    """Reclaim files unreferenced by the current manifest (see
+    ``Lake.vacuum``)."""
+    return Lake(lake_dir).vacuum()

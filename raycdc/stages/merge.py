@@ -72,6 +72,60 @@ def keep_latest_by_key(t: pa.Table) -> pa.Table:
     return gather(t, order[~dup])
 
 
+def lake_schema(payload_columns: list[dict] | None) -> pa.Schema:
+    """The committed lake-row schema for a given payload-column config."""
+    fields = [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("seq", pa.int64()),
+    ]
+    for c in payload_columns or []:
+        fields.append((f"p_{c['name']}", ARROW_TYPES[c["type"]]))
+    return pa.schema(fields)
+
+
+def resolve_partition(
+    base_path: str | None,
+    delta_paths: list[str],
+    schema: pa.Schema,
+) -> pa.Table:
+    """Merge-on-read resolve for one partition: base rows (op=insert at
+    their stored seq) + delta files (which carry ``op``, deletes as
+    tombstones) → keep-latest-by-seq per key, tombstones dropped.
+
+    Identical semantics to the copy-on-write apply in
+    ``PartitionMerger.__call__`` — both funnel through
+    ``keep_latest_by_key`` — so resolving N deltas lazily or folding
+    them into the base (compaction) yields the same table.
+    """
+    from raycdc.functions.arrowsafe import mask_filter
+
+    sides = []
+    if base_path and os.path.exists(base_path):
+        base = pq.read_table(base_path)
+        sides.append(
+            align_to_schema(base, schema).append_column(
+                "op", pa.array(["insert"] * base.num_rows, pa.string())
+            )
+        )
+    for p in delta_paths:
+        if not os.path.exists(p):
+            continue
+        d = pq.read_table(p)
+        op = pc.cast(d["op"], pa.string())
+        sides.append(align_to_schema(d, schema).append_column("op", op))
+    if not sides:
+        return pa.table(
+            [pa.array([], f.type) for f in schema], schema=schema
+        )
+    merged = keep_latest_by_key(pa.concat_tables(sides))
+    is_delete = pc.equal(merged["op"], "delete").to_numpy(zero_copy_only=False)
+    return mask_filter(merged, ~is_delete).drop_columns(["op"])
+
+
 def align_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
     """Schema evolution at the sink: add missing columns as nulls,
     cast widened columns (column-add / type-widen, SURVEY.md §3.2)."""
@@ -105,6 +159,8 @@ class PartitionMerger:
         watermarks: dict[int, int],
         base_paths: dict[int, str],
         payload_columns: list[dict] | None = None,
+        mode: str = "cow",
+        base_deltas: dict[int, list[str]] | None = None,
     ):
         self.__name__ = "PartitionMerger"  # map_groups wants a named fn
         self.run_id = run_id
@@ -112,17 +168,12 @@ class PartitionMerger:
         self.watermarks = watermarks
         self.base_paths = base_paths
         self.payload_columns = payload_columns or []
-        fields = [
-            ("repo", pa.string()),
-            ("path", pa.string()),
-            ("commit", pa.string()),
-            ("lang", pa.string()),
-            ("content", pa.string()),
-            ("seq", pa.int64()),
-        ]
-        for c in self.payload_columns:
-            fields.append((f"p_{c['name']}", ARROW_TYPES[c["type"]]))
-        self.lake_schema = pa.schema(fields)
+        # "cow": rewrite the partition base (folding in any committed
+        # delta files); "delta": append one tombstone-carrying delta
+        # file per partition, resolved lazily at read / compaction
+        self.mode = mode
+        self.base_deltas = base_deltas or {}
+        self.lake_schema = lake_schema(self.payload_columns)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from raycdc.tuning import arrow_worker_guard
@@ -158,24 +209,65 @@ class PartitionMerger:
             else wm
         )
 
-        # merge with base: base rows participate as op="insert" at their
-        # stored seq; keep-latest decides, deletes drop out.
         # normalize op to plain string: shuffle kernels (polars sort)
         # may widen string -> large_string, which would poison the
         # concat with the base side
         ev_side = align_to_schema(events, self.lake_schema).append_column(
             "op", pc.cast(events["op"], pa.string())
         )
+
+        if self.mode == "delta":
+            # merge-on-read append: persist the window's winners AS-IS
+            # (op retained; deletes become tombstone rows) — the base
+            # is never read, so a small delta costs O(delta), not
+            # O(partition).  Reads / compaction resolve keep-latest.
+            n_deleted = int(
+                pc.sum(pc.equal(ev_side["op"], "delete")).as_py() or 0
+            )
+            staged = self._staged_path(pid, kind="delta")
+            pq.write_table(
+                ev_side, staged, compression="zstd", compression_level=1
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            return pa.table(
+                {
+                    "partition_id": pa.array([pid], pa.int32()),
+                    "run_id": pa.array([self.run_id], pa.string()),
+                    "events_read": pa.array([events_read], pa.int64()),
+                    "applied": pa.array([events.num_rows], pa.int64()),
+                    "deleted": pa.array([n_deleted], pa.int64()),
+                    "dead_lettered": pa.array([n_dl], pa.int64()),
+                    "watermark_seq": pa.array([new_wm], pa.int64()),
+                    "wall_ms": pa.array([wall_ms], pa.int64()),
+                    "staged_path": pa.array([staged], pa.string()),
+                },
+                schema=METRICS_SCHEMA,
+            )
+
+        # copy-on-write merge: base rows (and any committed delta files
+        # being folded in) participate as their stored rows; keep-latest
+        # decides, deletes drop out.
+        sides = []
         base_path = self.base_paths.get(pid)
         if base_path and os.path.exists(base_path):
             base = pq.read_table(base_path)
-            base = align_to_schema(base, self.lake_schema).append_column(
-                "op", pa.array(["insert"] * base.num_rows, pa.string())
+            sides.append(
+                align_to_schema(base, self.lake_schema).append_column(
+                    "op", pa.array(["insert"] * base.num_rows, pa.string())
+                )
             )
-            merged = pa.concat_tables([base, ev_side])
-        else:
-            merged = ev_side
-        merged = keep_latest_by_key(merged)
+        for dp in self.base_deltas.get(pid, []):
+            if os.path.exists(dp):
+                d = pq.read_table(dp)
+                sides.append(
+                    align_to_schema(d, self.lake_schema).append_column(
+                        "op", pc.cast(d["op"], pa.string())
+                    )
+                )
+        sides.append(ev_side)
+        merged = keep_latest_by_key(
+            pa.concat_tables(sides) if len(sides) > 1 else sides[0]
+        )
         is_delete = pc.equal(merged["op"], "delete").to_numpy(
             zero_copy_only=False
         )
@@ -202,10 +294,11 @@ class PartitionMerger:
             schema=METRICS_SCHEMA,
         )
 
-    def _staged_path(self, pid: int) -> str:
+    def _staged_path(self, pid: int, kind: str = "base") -> str:
         d = os.path.join(self.lake_root, "data", f"part-{pid:05d}")
         os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"{self.run_id}.parquet")
+        suffix = "-delta" if kind == "delta" else ""
+        return os.path.join(d, f"{self.run_id}{suffix}.parquet")
 
     def _write_deadletter(self, pid: int, dl: pa.Table) -> None:
         d = os.path.join(self.lake_root, "_deadletter", self.run_id)

@@ -67,7 +67,10 @@ class Lake:
             "num_partitions": num_partitions,
             "hash_algo": HASH_ALGO_TAG,
             "payload_columns": payload_columns or [],
-            "parts": {},  # pid(str) -> relative data file
+            "parts": {},  # pid(str) -> relative base data file
+            # pid(str) -> ordered relative delta files (merge-on-read;
+            # resolved lazily at read, folded into base by compaction)
+            "deltas": {},
             "checkpoint": None,
             "last_run_id": None,
         }
@@ -113,6 +116,16 @@ class Lake:
             for pid, rel in m.get("parts", {}).items()
         }
 
+    def delta_paths(self) -> dict[int, list[str]]:
+        """Committed merge-on-read delta files per partition (absolute,
+        in commit order)."""
+        m = self.manifest()
+        return {
+            int(pid): [os.path.join(self.root, r) for r in rels]
+            for pid, rels in m.get("deltas", {}).items()
+            if rels
+        }
+
     def staged_part_file(self, pid: int, run_id: str) -> str:
         d = os.path.join(self.root, "data", f"part-{pid:05d}")
         os.makedirs(d, exist_ok=True)
@@ -125,9 +138,17 @@ class Lake:
         staged: dict[int, str],
         new_watermarks: dict[int, int],
         payload_columns=None,
+        staged_deltas: dict[int, str] | None = None,
     ) -> dict:
         """Atomic commit: checkpoint parquet first, then the manifest
-        swap (the commit point)."""
+        swap (the commit point).
+
+        ``staged`` entries replace a partition's base file AND clear its
+        delta list (a copy-on-write rewrite folds committed deltas in);
+        ``staged_deltas`` entries append to the partition's delta list
+        (merge-on-read).  Both are idempotent: re-committing the same
+        run re-registers the same deterministic file paths.
+        """
         manifest = self.manifest()
         merged_wm = self.watermarks()
         merged_wm.update(new_watermarks)
@@ -147,8 +168,15 @@ class Lake:
             schema=CHECKPOINT_SCHEMA,
         )
         pq.write_table(ckpt, os.path.join(self.root, ckpt_rel))
+        manifest.setdefault("deltas", {})
         for pid, abs_path in staged.items():
             manifest["parts"][str(pid)] = os.path.relpath(abs_path, self.root)
+            manifest["deltas"].pop(str(pid), None)  # folded into new base
+        for pid, abs_path in (staged_deltas or {}).items():
+            rel = os.path.relpath(abs_path, self.root)
+            lst = manifest["deltas"].setdefault(str(pid), [])
+            if rel not in lst:
+                lst.append(rel)
         manifest["checkpoint"] = ckpt_rel
         manifest["last_run_id"] = run_id
         manifest["version"] += 1
@@ -159,18 +187,106 @@ class Lake:
 
     # -- reads over the whole lake ----------------------------------------
     def read_dataset(self, columns=None) -> "ray.data.Dataset":
+        """The lake as a Dataset.  With merge-on-read deltas committed,
+        each partition is resolved (base + deltas → keep-latest,
+        tombstones dropped) by its own Ray task; without deltas this is
+        a plain parallel Parquet scan."""
         import ray.data
 
-        paths = list(self.part_paths().values())
-        if not paths:
-            return ray.data.from_arrow(pa.table({c: [] for c in LAKE_COLUMNS}))
-        kwargs = {"columns": columns} if columns else {}
-        return ray.data.read_parquet(paths, **kwargs)
+        parts = self.part_paths()
+        deltas = self.delta_paths()
+        if not deltas:
+            paths = list(parts.values())
+            if not paths:
+                return ray.data.from_arrow(
+                    pa.table({c: [] for c in LAKE_COLUMNS})
+                )
+            kwargs = {"columns": columns} if columns else {}
+            return ray.data.read_parquet(paths, **kwargs)
+
+        m = self.manifest()
+        schema = self._lake_schema(m)
+        pids = sorted(set(parts) | set(deltas))
+        root = self.root
+        parts_rel = {p: os.path.relpath(parts[p], root) for p in parts}
+        deltas_rel = {
+            p: [os.path.relpath(x, root) for x in deltas[p]] for p in deltas
+        }
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            from raycdc.stages.merge import resolve_partition
+
+            out = []
+            for pid in batch["item"].to_pylist():
+                base = parts_rel.get(pid)
+                t = resolve_partition(
+                    os.path.join(root, base) if base else None,
+                    [os.path.join(root, r) for r in deltas_rel.get(pid, [])],
+                    schema,
+                )
+                out.append(t.select(columns) if columns else t)
+            return pa.concat_tables(out)
+
+        return ray.data.from_items(pids).map_batches(
+            resolve, batch_size=1, batch_format="pyarrow"
+        )
 
     def read_table(self, columns=None) -> pa.Table:
-        """Driver-side full read — small lakes / tests only."""
-        paths = list(self.part_paths().values())
-        if not paths:
+        """Driver-side full read with merge-on-read resolve — small
+        lakes / tests only."""
+        from raycdc.stages.merge import resolve_partition
+
+        parts = self.part_paths()
+        deltas = self.delta_paths()
+        if not parts and not deltas:
             return pa.table({c: pa.array([], pa.string()) for c in LAKE_COLUMNS})
-        tables = [pq.read_table(p, columns=columns) for p in sorted(paths)]
-        return pa.concat_tables(tables, promote_options="default")
+        if not deltas:
+            tables = [
+                pq.read_table(p, columns=columns)
+                for p in sorted(parts.values())
+            ]
+            return pa.concat_tables(tables, promote_options="default")
+        schema = self._lake_schema(self.manifest())
+        out = []
+        for pid in sorted(set(parts) | set(deltas)):
+            t = resolve_partition(parts.get(pid), deltas.get(pid, []), schema)
+            out.append(t.select(columns) if columns else t)
+        return pa.concat_tables(out, promote_options="default")
+
+    def _lake_schema(self, manifest: dict) -> pa.Schema:
+        from raycdc.stages.merge import lake_schema
+
+        return lake_schema(manifest.get("payload_columns") or [])
+
+    # -- maintenance -------------------------------------------------------
+    def vacuum(self) -> dict:
+        """Delete data / checkpoint files no longer referenced by the
+        current manifest (bases superseded by later runs, deltas folded
+        by compaction, checkpoints before the committed one) plus any
+        leftover shuffle scratch.  Never touches the manifest,
+        ``_metrics`` or ``_deadletter`` (those are per-run audit
+        records).  Safe concurrently with readers of the CURRENT
+        manifest only — like Delta Lake's VACUUM, time-travel to
+        pre-vacuum versions is given up."""
+        import shutil
+
+        m = self.manifest()
+        referenced = set(m.get("parts", {}).values())
+        for rels in m.get("deltas", {}).values():
+            referenced.update(rels)
+        if m.get("checkpoint"):
+            referenced.add(m["checkpoint"])
+        removed, freed = 0, 0
+        for sub in ("data", "_checkpoint"):
+            top = os.path.join(self.root, sub)
+            for dirpath, _dirs, files in os.walk(top):
+                for f in files:
+                    abs_p = os.path.join(dirpath, f)
+                    rel = os.path.relpath(abs_p, self.root)
+                    if rel in referenced:
+                        continue
+                    freed += os.path.getsize(abs_p)
+                    os.remove(abs_p)
+                    removed += 1
+        shutil.rmtree(os.path.join(self.root, "_shuffle"), ignore_errors=True)
+        return {"files_removed": removed, "bytes_freed": freed}

@@ -1,0 +1,222 @@
+"""Merge-on-read delta apply, compaction, and vacuum.
+
+The copy-on-write apply rewrites a whole partition base per run —
+O(partition) writes even for a 1-row delta.  ``write_mode="mor"``
+appends one tombstone-carrying delta file per touched partition
+instead (O(delta) writes); reads resolve keep-latest lazily;
+``maintenance.compact`` folds deltas back into bases; ``vacuum``
+reclaims superseded files.  All three must be invisible to observable
+state — every test here pins equality against the copy-on-write lake
+or the synthetic oracle.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raycdc.config import ConfigError, IngestConfig, validate_config
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.maintenance import compact, vacuum
+from raycdc.sources.synth import expected_final_state, write_changelog
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD_COLUMNS = [{"name": "author.name", "type": "string"}]
+
+
+def _cfg(tmp, lake="lake", **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, lake),
+        num_partitions=8,
+        columns=PAYLOAD_COLUMNS,
+    )
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def _canon(t: pa.Table) -> pa.Table:
+    t = t.select(["repo", "path", "commit", "lang", "content", "seq"])
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+    )
+
+
+def _second_window(tmp, log_dir, n=800, seed=13, start_seq=2000):
+    paths = write_changelog(
+        os.path.join(tmp, "log2"), n, fragment_rows=400, seed=seed,
+        start_seq=start_seq,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p,
+            os.path.join(log_dir, f"fragment-{start_seq}-{i:04d}.parquet"),
+        )
+
+
+def test_mor_delta_run_matches_cow(tmp_path):
+    tmp = str(tmp_path)
+    cfg_mor = _cfg(tmp, lake="lake_mor", write_mode="cow")
+    cfg_cow = _cfg(tmp, lake="lake_cow", write_mode="cow")
+    write_changelog(cfg_mor.log_dir, 2000, fragment_rows=500, seed=13)
+    run_ingest(cfg_mor)
+    run_ingest(cfg_cow)
+    base_file_before = Lake(cfg_mor.lake_dir).manifest()["parts"]["0"]
+
+    _second_window(tmp, cfg_mor.log_dir)
+    res_mor = run_ingest(
+        _cfg(tmp, lake="lake_mor", write_mode="mor")
+    )
+    res_cow = run_ingest(_cfg(tmp, lake="lake_cow", write_mode="cow"))
+    assert res_mor.write_mode == "mor" and res_cow.write_mode == "cow"
+
+    m = Lake(cfg_mor.lake_dir).manifest()
+    # base untouched, deltas registered
+    assert m["parts"]["0"] == base_file_before
+    assert any(m["deltas"].values())
+
+    got = _canon(Lake(cfg_mor.lake_dir).read_table())
+    want = _canon(Lake(cfg_cow.lake_dir).read_table())
+    assert got.equals(want)
+    # and both match the synthetic oracle (deletes honored through
+    # tombstone rows)
+    oracle = _canon(expected_final_state(cfg_mor.log_dir))
+    assert got.equals(oracle)
+
+
+def test_mor_read_dataset_resolves_like_read_table(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1500, fragment_rows=500, seed=19)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=600, seed=19, start_seq=1500)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    via_ds = pa.concat_tables(
+        list(lake.read_dataset().iter_batches(batch_format="pyarrow")),
+        promote_options="default",
+    )
+    assert _canon(via_ds).equals(_canon(lake.read_table()))
+
+
+def test_compaction_preserves_state_and_clears_deltas(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 2000, fragment_rows=500, seed=23)
+    run_ingest(cfg)
+    for start in (2000, 3000):
+        _second_window(tmp, cfg.log_dir, n=500, seed=23, start_seq=start)
+        run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    assert any(lake.manifest()["deltas"].values())
+    before = _canon(lake.read_table())
+
+    out = compact(cfg.lake_dir)
+    assert out["compacted"]
+    m = lake.manifest()
+    assert not any(m.get("deltas", {}).values())
+    after = _canon(lake.read_table())
+    assert before.equals(after)
+    # watermarks survive a compaction commit unchanged
+    assert len(set(lake.watermarks().values())) == 1
+
+
+def test_vacuum_reclaims_superseded_files_only(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1500, fragment_rows=500, seed=29)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=500, seed=29, start_seq=1500)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    compact(cfg.lake_dir)
+    lake = Lake(cfg.lake_dir)
+    before = _canon(lake.read_table())
+
+    stats = vacuum(cfg.lake_dir)
+    # superseded bases (run-1), folded deltas, and old checkpoints go
+    assert stats["files_removed"] > 0 and stats["bytes_freed"] > 0
+    # every referenced file still present; state unchanged
+    m = lake.manifest()
+    for rel in list(m["parts"].values()) + [m["checkpoint"]]:
+        assert os.path.exists(os.path.join(cfg.lake_dir, rel))
+    assert _canon(lake.read_table()).equals(before)
+    # second vacuum is a no-op
+    assert lake.vacuum()["files_removed"] == 0
+
+
+def test_auto_mode_picks_mor_for_small_delta(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="auto")
+    write_changelog(cfg.log_dir, 4000, fragment_rows=1000, seed=31)
+    res1 = run_ingest(cfg)
+    assert res1.write_mode == "cow"  # initial full load
+    # a tiny late fragment: window ≪ mor_window_fraction × base
+    _second_window(tmp, cfg.log_dir, n=50, seed=31, start_seq=4000)
+    res2 = run_ingest(cfg)
+    assert res2.write_mode == "mor"
+    assert _canon(Lake(cfg.lake_dir).read_table()).equals(
+        _canon(expected_final_state(cfg.log_dir))
+    )
+
+
+def test_mor_crash_before_commit_is_exactly_once(tmp_path, monkeypatch):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1200, fragment_rows=400, seed=37)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=400, seed=37, start_seq=1200)
+
+    import raycdc.state.checkpoint as ckpt_mod
+
+    real_commit = ckpt_mod.Lake.commit
+
+    def crash(self, *a, **kw):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ckpt_mod.Lake, "commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_ingest(_cfg(tmp, write_mode="mor"))
+    monkeypatch.setattr(ckpt_mod.Lake, "commit", real_commit)
+
+    res = run_ingest(_cfg(tmp, write_mode="mor"))
+    assert res.write_mode == "mor"
+    lake = Lake(cfg.lake_dir)
+    # the orphaned delta file was overwritten, registered exactly once
+    for files in lake.manifest()["deltas"].values():
+        assert len(files) == len(set(files)) <= 1
+    assert _canon(lake.read_table()).equals(
+        _canon(expected_final_state(cfg.log_dir))
+    )
+
+
+def test_auto_compaction_bounds_delta_depth(tmp_path):
+    tmp = str(tmp_path)
+    write_changelog(os.path.join(tmp, "log"), 1500, fragment_rows=500, seed=41)
+    run_ingest(_cfg(tmp, write_mode="cow"))
+    start = 1500
+    compacted_any = False
+    for i in range(3):
+        _second_window(
+            tmp, os.path.join(tmp, "log"), n=200, seed=41 + i, start_seq=start
+        )
+        start += 200
+        res = run_ingest(_cfg(tmp, write_mode="mor", mor_compact_deltas=2))
+        compacted_any = compacted_any or bool(res.compacted)
+    assert compacted_any
+    lake = Lake(os.path.join(tmp, "lake"))
+    assert all(
+        len(files) < 2 + 1 for files in lake.delta_paths().values()
+    )
+    assert _canon(lake.read_table()).equals(
+        _canon(expected_final_state(os.path.join(tmp, "log")))
+    )
+
+
+def test_write_mode_validation():
+    with pytest.raises(ConfigError, match="write_mode"):
+        validate_config(
+            IngestConfig(log_dir="/x", lake_dir="/y", write_mode="bogus")
+        )
