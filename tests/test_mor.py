@@ -215,6 +215,81 @@ def test_auto_compaction_bounds_delta_depth(tmp_path):
     )
 
 
+def test_mor_with_schema_evolution(tmp_path):
+    """A merge-on-read delta written under a WIDER schema than the
+    base (dynamic_schema run 2: long→double widen + column add) must
+    resolve correctly: base rows align/cast to the committed schema,
+    old rows null-fill the new column — and compaction preserves it."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    tmp = str(tmp_path)
+    log_dir = os.path.join(tmp, "log")
+    os.makedirs(log_dir)
+
+    def event_table(seqs, payloads, key_suffix):
+        n = len(seqs)
+        return pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "ts": pa.array(
+                    [1_704_067_200_000_000 + s for s in seqs],
+                    pa.timestamp("us"),
+                ),
+                "op": pa.array(["insert"] * n, pa.string()),
+                "repo": pa.array(["org/r"] * n, pa.string()),
+                "path": pa.array(
+                    [f"f{key_suffix}{i}.py" for i in range(n)], pa.string()
+                ),
+                "commit": pa.array([f"{s:040x}" for s in seqs], pa.string()),
+                "lang": pa.array(["py"] * n, pa.string()),
+                "content": pa.array([f"c{s}" for s in seqs], pa.string()),
+                "payload_json": pa.array(payloads, pa.string()),
+            }
+        )
+
+    pq.write_table(
+        event_table(
+            list(range(40)), [json.dumps({"a": i}) for i in range(40)], "x"
+        ),
+        f"{log_dir}/fragment-00000.parquet",
+    )
+    cow = IngestConfig(
+        log_dir=log_dir, lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=4, dynamic_schema=True, write_mode="cow",
+    )
+    run_ingest(cow)
+
+    pq.write_table(
+        event_table(
+            list(range(40, 80)),
+            [json.dumps({"a": i + 0.5, "b": f"s{i}"}) for i in range(40)],
+            "y",
+        ),
+        f"{log_dir}/fragment-00001.parquet",
+    )
+    mor = IngestConfig(
+        log_dir=log_dir, lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=4, dynamic_schema=True, write_mode="mor",
+    )
+    res = run_ingest(mor)
+    assert res.write_mode == "mor"
+
+    def check(t):
+        assert t.schema.field("p_a").type == pa.float64()
+        assert t.schema.field("p_b").type == pa.string()
+        df = t.to_pandas()
+        assert df[df["path"].str.startswith("fx")]["p_b"].isna().all()
+        assert (df[df["path"].str.startswith("fy")]["p_a"] % 1 == 0.5).all()
+        return len(df)
+
+    lake = Lake(mor.lake_dir)
+    n_resolved = check(lake.read_table())
+    compact(mor.lake_dir)
+    assert check(lake.read_table()) == n_resolved == 80
+
+
 def test_write_mode_validation():
     with pytest.raises(ConfigError, match="write_mode"):
         validate_config(
