@@ -125,8 +125,11 @@ def _q_cdc_count_probe(sf_dir):
 
 
 def _q_cdc_preview(sf_dir):
-    ds = _events(sf_dir)
-    return ds.sort("event_id").limit(10)
+    # first-10 by cursor order without a global sort shuffle: per-batch
+    # partial top-k ascending, tiny driver-side merge (S5 analog)
+    from raycdc.ops.relational import topk
+
+    return topk(_events(sf_dir), [("event_id", "ascending")], 10)
 
 
 def _q_props_flatten_coerce(sf_dir):

@@ -367,7 +367,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     if target <= min_wm:
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
                                           schema=METRICS_SCHEMA),
-                         0, 0, 0, min_wm, no_op=True)
+                         0, 0, 0, min_wm, no_op=True, write_mode="noop")
 
     from raycdc.tuning import target_num_blocks, tune_data_context
 

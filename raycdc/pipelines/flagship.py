@@ -100,7 +100,9 @@ def flagship_state(sf_dir: str, workdir: str | None = None, num_partitions: int 
     """Run the full CDC engine over the documents-derived log and
     return the converged lake as a Ray Dataset."""
     workdir = workdir or os.path.join(
-        "/tmp", f"raycdc_flagship_{abs(hash(sf_dir)) % (1 << 32):08x}"
+        "/tmp",
+        "raycdc_flagship_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
     )
     shutil.rmtree(workdir, ignore_errors=True)
     cfg = IngestConfig(
@@ -126,8 +128,12 @@ def flagship_state_mor(
     end-to-end."""
     from raycdc.pipelines.maintenance import compact, vacuum
 
+    # stable digest (builtin str hash is salted per process — it would
+    # leak one stale workdir per driver invocation)
     workdir = workdir or os.path.join(
-        "/tmp", f"raycdc_flagship_mor_{abs(hash(sf_dir)) % (1 << 32):08x}"
+        "/tmp",
+        "raycdc_flagship_mor_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
     )
     shutil.rmtree(workdir, ignore_errors=True)
     staging = os.path.join(workdir, "staging")

@@ -221,13 +221,19 @@ class PartitionMerger:
             # (op retained; deletes become tombstone rows) — the base
             # is never read, so a small delta costs O(delta), not
             # O(partition).  Reads / compaction resolve keep-latest.
+            # A group with no surviving winners (all below watermark or
+            # all dead-lettered) stages nothing — an empty delta file
+            # would only add per-read open cost and manifest churn.
             n_deleted = int(
                 pc.sum(pc.equal(ev_side["op"], "delete")).as_py() or 0
             )
-            staged = self._staged_path(pid, kind="delta")
-            pq.write_table(
-                ev_side, staged, compression="zstd", compression_level=1
-            )
+            if ev_side.num_rows:
+                staged = self._staged_path(pid, kind="delta")
+                pq.write_table(
+                    ev_side, staged, compression="zstd", compression_level=1
+                )
+            else:
+                staged = None
             wall_ms = int((time.monotonic() - t0) * 1000)
             return pa.table(
                 {

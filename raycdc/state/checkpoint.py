@@ -267,7 +267,10 @@ class Lake:
         ``_metrics`` or ``_deadletter`` (those are per-run audit
         records).  Safe concurrently with readers of the CURRENT
         manifest only — like Delta Lake's VACUUM, time-travel to
-        pre-vacuum versions is given up."""
+        pre-vacuum versions is given up.  NOT safe concurrently with
+        an in-flight ingest or compaction: staged-but-uncommitted
+        files are indistinguishable from garbage; run vacuum between
+        runs (the CLI surface does)."""
         import shutil
 
         m = self.manifest()
