@@ -77,9 +77,31 @@ class Lake:
         self._write_manifest(manifest)
         return manifest
 
-    def manifest(self) -> dict:
-        with open(self.manifest_path) as f:
+    def manifest(self, version: int | None = None) -> dict:
+        """The current committed manifest, or — ``version`` given — a
+        historical snapshot from ``_versions/`` (time travel; readable
+        until a later ``vacuum`` reclaims its data files)."""
+        if version is None:
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        path = os.path.join(self.root, "_versions", f"v{version:06d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"lake version {version} has no snapshot manifest ({path})"
+            )
+        with open(path) as f:
             return json.load(f)
+
+    def versions(self) -> list[int]:
+        """Committed snapshot versions available for time travel."""
+        d = os.path.join(self.root, "_versions")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
 
     def _write_manifest(self, manifest: dict) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -88,6 +110,15 @@ class Lake:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.manifest_path)
+        # snapshot for time travel (written AFTER the commit point —
+        # a crash between the two at worst loses the snapshot copy,
+        # never the commit; rewritten idempotently on re-commit)
+        vdir = os.path.join(self.root, "_versions")
+        os.makedirs(vdir, exist_ok=True)
+        with open(
+            os.path.join(vdir, f"v{int(manifest['version']):06d}.json"), "w"
+        ) as f:
+            json.dump(manifest, f, indent=1)
 
     # -- watermarks --------------------------------------------------------
     def watermarks(self) -> dict[int, int]:
@@ -109,17 +140,17 @@ class Lake:
         rel = self.manifest().get("parts", {}).get(str(pid))
         return os.path.join(self.root, rel) if rel else None
 
-    def part_paths(self) -> dict[int, str]:
-        m = self.manifest()
+    def part_paths(self, version: int | None = None) -> dict[int, str]:
+        m = self.manifest(version)
         return {
             int(pid): os.path.join(self.root, rel)
             for pid, rel in m.get("parts", {}).items()
         }
 
-    def delta_paths(self) -> dict[int, list[str]]:
+    def delta_paths(self, version: int | None = None) -> dict[int, list[str]]:
         """Committed merge-on-read delta files per partition (absolute,
         in commit order)."""
-        m = self.manifest()
+        m = self.manifest(version)
         return {
             int(pid): [os.path.join(self.root, r) for r in rels]
             for pid, rels in m.get("deltas", {}).items()
@@ -186,15 +217,18 @@ class Lake:
         return manifest
 
     # -- reads over the whole lake ----------------------------------------
-    def read_dataset(self, columns=None) -> "ray.data.Dataset":
+    def read_dataset(
+        self, columns=None, version: int | None = None
+    ) -> "ray.data.Dataset":
         """The lake as a Dataset.  With merge-on-read deltas committed,
         each partition is resolved (base + deltas → keep-latest,
         tombstones dropped) by its own Ray task; without deltas this is
-        a plain parallel Parquet scan."""
+        a plain parallel Parquet scan.  ``version`` reads a historical
+        snapshot (time travel) while its files survive vacuum."""
         import ray.data
 
-        parts = self.part_paths()
-        deltas = self.delta_paths()
+        parts = self.part_paths(version)
+        deltas = self.delta_paths(version)
         if not deltas:
             paths = list(parts.values())
             if not paths:
@@ -204,7 +238,7 @@ class Lake:
             kwargs = {"columns": columns} if columns else {}
             return ray.data.read_parquet(paths, **kwargs)
 
-        m = self.manifest()
+        m = self.manifest(version)
         schema = self._lake_schema(m)
         pids = sorted(set(parts) | set(deltas))
         root = self.root
@@ -231,13 +265,14 @@ class Lake:
             resolve, batch_size=1, batch_format="pyarrow"
         )
 
-    def read_table(self, columns=None) -> pa.Table:
+    def read_table(self, columns=None, version: int | None = None) -> pa.Table:
         """Driver-side full read with merge-on-read resolve — small
-        lakes / tests only."""
+        lakes / tests only.  ``version`` time-travels like
+        ``read_dataset``."""
         from raycdc.stages.merge import resolve_partition
 
-        parts = self.part_paths()
-        deltas = self.delta_paths()
+        parts = self.part_paths(version)
+        deltas = self.delta_paths(version)
         if not parts and not deltas:
             return pa.table({c: pa.array([], pa.string()) for c in LAKE_COLUMNS})
         if not deltas:
@@ -246,7 +281,7 @@ class Lake:
                 for p in sorted(parts.values())
             ]
             return pa.concat_tables(tables, promote_options="default")
-        schema = self._lake_schema(self.manifest())
+        schema = self._lake_schema(self.manifest(version))
         out = []
         for pid in sorted(set(parts) | set(deltas)):
             t = resolve_partition(parts.get(pid), deltas.get(pid, []), schema)

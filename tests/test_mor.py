@@ -215,6 +215,32 @@ def test_auto_compaction_bounds_delta_depth(tmp_path):
     )
 
 
+def test_cow_run_folds_existing_deltas(tmp_path):
+    """A copy-on-write run over a lake that carries merge-on-read
+    deltas must fold them into the new bases (the merger's build side
+    is base + deltas) and clear the manifest delta lists for rewritten
+    partitions — without a separate compaction."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1600, fragment_rows=400, seed=43)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=300, seed=43, start_seq=1600)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    assert any(lake.manifest()["deltas"].values())
+    # third window applied copy-on-write: fold point
+    _second_window(tmp, cfg.log_dir, n=1200, seed=44, start_seq=1900)
+    res = run_ingest(_cfg(tmp, write_mode="cow"))
+    assert res.write_mode == "cow"
+    m = lake.manifest()
+    # every rewritten partition dropped its delta list
+    for pid_s in m["parts"]:
+        assert not m.get("deltas", {}).get(pid_s)
+    assert _canon(lake.read_table()).equals(
+        _canon(expected_final_state(cfg.log_dir))
+    )
+
+
 def test_mor_with_schema_evolution(tmp_path):
     """A merge-on-read delta written under a WIDER schema than the
     base (dynamic_schema run 2: long→double widen + column add) must
@@ -288,6 +314,40 @@ def test_mor_with_schema_evolution(tmp_path):
     n_resolved = check(lake.read_table())
     compact(mor.lake_dir)
     assert check(lake.read_table()) == n_resolved == 80
+
+
+def test_time_travel_reads_previous_snapshot(tmp_path):
+    """Every commit writes a snapshot manifest under ``_versions/``;
+    ``read_table(version=N)`` reproduces the lake as of that commit —
+    across copy-on-write, merge-on-read, and compaction commits —
+    until vacuum reclaims the superseded files."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1000, fragment_rows=500, seed=47)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    v1 = lake.manifest()["version"]
+    state_v1 = _canon(lake.read_table())
+
+    _second_window(tmp, cfg.log_dir, n=400, seed=47, start_seq=1000)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    v2 = lake.manifest()["version"]
+    state_v2 = _canon(lake.read_table())
+    assert not state_v1.equals(state_v2)
+
+    compact(cfg.lake_dir)
+    assert set(lake.versions()) >= {v1, v2}
+    # v1 (pre-delta) and v2 (resolved through its delta files) both
+    # reproduce exactly; the current read equals v2 state
+    assert _canon(lake.read_table(version=v1)).equals(state_v1)
+    assert _canon(lake.read_table(version=v2)).equals(state_v2)
+    assert _canon(lake.read_table()).equals(state_v2)
+    # vacuum gives up time travel: v1's base file is reclaimed
+    vacuum(cfg.lake_dir)
+    import pytest as _pytest
+
+    with _pytest.raises((FileNotFoundError, OSError)):
+        lake.read_table(version=v1).num_rows  # noqa: B018
 
 
 def test_write_mode_validation():
