@@ -503,6 +503,32 @@ def _q_topk_orders(sf_dir):
     )
 
 
+def _q_asof_prior_purchase(sf_dir):
+    """As-of join (engine extra, §2.4): each event matched to the same
+    user's most recent strictly-earlier purchase — hash-partition both
+    sides by user in one tagged-union shuffle, sorted merge per
+    partition (relational.asof_join)."""
+    from raycdc.ops.relational import asof_join
+
+    left = _events(sf_dir, columns=["event_id", "user_id"])
+    right = _events(
+        sf_dir,
+        columns=["event_id", "user_id", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+    out = asof_join(
+        left, right, by="user_id", on="event_id",
+        right_cols=["event_id", "value"],
+    ).to_pandas()
+    out = out.rename(
+        columns={"event_id_r": "purchase_event_id", "value_r": "purchase_value"}
+    )
+    out["purchase_event_id"] = out["purchase_event_id"].astype("int64")
+    return out[
+        ["event_id", "user_id", "purchase_event_id", "purchase_value"]
+    ].reset_index(drop=True)
+
+
 def _q_window_hourly(sf_dir):
     from raycdc.ops.relational import hourly_user_window
 
@@ -600,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": _tuned(_q_orders_per_nation),
         "topk_orders": _tuned(_q_topk_orders),
         "window_hourly": _tuned(_q_window_hourly),
+        "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
         "media_decode": _tuned(_q_media_decode),
         "media_frame_sample": _tuned(_q_media_frames),
         "content_digests": _tuned(_q_content_digests),
@@ -760,5 +787,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "asof_prior_purchase": """
+            SELECT e.event_id, e.user_id,
+                   p.e2 AS purchase_event_id, p.v2 AS purchase_value
+            FROM events e
+            ASOF JOIN (SELECT user_id AS u2, event_id AS e2, value AS v2
+                       FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.u2 AND e.event_id > p.e2
         """,
     }

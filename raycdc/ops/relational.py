@@ -229,6 +229,125 @@ def orders_per_nation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    on: str,
+    right_cols: list[str],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Partitioned backward as-of join (strict): for each left row,
+    attach the right row with the greatest ``on`` strictly below the
+    left row's, within the same ``by`` key — the event-history lookup
+    (DuckDB/kdb ASOF JOIN) that Ray Data has no primitive for.
+    Rows with no prior right match are dropped (inner, matching
+    DuckDB's default).
+
+    Composition: both sides are tagged and hash-partitioned on ``by``
+    in ONE shuffle over the union (each key's full history co-locates),
+    then each partition joins via a C-speed sorted merge
+    (``pandas.merge_asof(by=..., allow_exact_matches=False)``).
+    Partitioning assumption: per-key history fits a partition worker's
+    memory; skewed keys cost sort time within their partition, never a
+    cross-partition spill.  Right columns come back as ``{col}_r``.
+    """
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        num_partitions = max(2 * ncpu, 16)
+
+    right_out = [f"{c}_r" for c in right_cols]
+    # both sides must share ONE schema for the tagged union — Arrow
+    # typed nulls fill each side's missing columns (pandas NaN columns
+    # would degrade to untyped object/null and poison the shuffle)
+    ls, rs = left.schema(), right.schema()
+    l_fields = list(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    out_fields = l_fields + [
+        (oc, r_types[c]) for c, oc in zip(right_cols, right_out)
+    ]
+
+    def _part_col(arr: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(arr.to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy()
+        return pa.array((h % num_partitions).astype(np.int64))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {name: t[name] for name, _ in l_fields}
+        for (oc, typ) in out_fields[len(l_fields):]:
+            cols[oc] = pa.nulls(t.num_rows, typ)
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.uint8))
+        cols["_part"] = _part_col(t[by], t.num_rows)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in l_fields:
+            if name == by or name == on:
+                cols[name] = pc.cast(t[name], typ)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        for c, oc in zip(right_cols, right_out):
+            cols[oc] = t[c]
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.uint8))
+        cols["_part"] = _part_col(t[by], t.num_rows)
+        return pa.table(cols)
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        r_dtypes = df[right_out].dtypes
+        lhs = (
+            df[df["_side"] == 0]
+            .drop(columns=["_side"] + right_out)
+            .sort_values(on, kind="stable")
+        )
+        rhs = (
+            df[df["_side"] == 1][[by, on] + right_out]
+            .rename(columns={on: f"_{on}_r"})
+            .sort_values(f"_{on}_r", kind="stable")
+        )
+        if lhs.empty or rhs.empty:
+            merged = lhs.iloc[0:0].copy()
+            for oc in right_out:
+                merged[oc] = pd.Series([], dtype=r_dtypes[oc])
+            return merged
+        merged = pd.merge_asof(
+            lhs,
+            rhs,
+            left_on=on,
+            right_on=f"_{on}_r",
+            by=by,
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        # inner semantics (DuckDB ASOF default): unmatched left rows
+        # drop — judged on the match KEY, since right value columns may
+        # be legitimately null
+        merged = merged.dropna(subset=[f"_{on}_r"]).drop(
+            columns=[f"_{on}_r"]
+        )
+        # merge_asof floats integer right columns when any row was
+        # unmatched pre-drop; restore dtypes so every partition's
+        # output block has the identical schema
+        for oc in right_out:
+            if merged[oc].dtype != r_dtypes[oc]:
+                merged[oc] = merged[oc].astype(r_dtypes[oc])
+        return merged
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("_part").map_groups(
+        join_part, batch_format="pandas"
+    )
+
+
 def topk(
     ds: "ray.data.Dataset", sort_keys: list[tuple[str, str]], k: int
 ) -> pa.Table:
