@@ -503,6 +503,18 @@ def _q_topk_orders(sf_dir):
     )
 
 
+def _q_session_windows(sf_dir):
+    """Gap-based (30 min) session windows per user — order-dependent
+    streaming-shaped aggregate: full per-user history co-located by one
+    hash shuffle, vectorized diff+cumsum sessionization per partition."""
+    from raycdc.ops.relational import session_windows
+
+    return session_windows(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"]),
+        gap_minutes=30,
+    )
+
+
 def _q_asof_prior_purchase(sf_dir):
     """As-of join (engine extra, §2.4): each event matched to the same
     user's most recent strictly-earlier purchase — hash-partition both
@@ -627,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _tuned(_q_topk_orders),
         "window_hourly": _tuned(_q_window_hourly),
         "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
+        "session_windows": _tuned(_q_session_windows),
         "media_decode": _tuned(_q_media_decode),
         "media_frame_sample": _tuned(_q_media_frames),
         "content_digests": _tuned(_q_content_digests),
@@ -795,5 +808,25 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT user_id AS u2, event_id AS e2, value AS v2
                        FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.u2 AND e.event_id > p.e2
+        """,
+        "session_windows": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN ts - lag(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g)
+            SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
+            FROM s GROUP BY user_id, sess
         """,
     }

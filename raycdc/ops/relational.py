@@ -370,6 +370,52 @@ def topk(
     return all_t.take(idx[:k])
 
 
+def session_windows(
+    events: "ray.data.Dataset", gap_minutes: int = 30
+) -> pd.DataFrame:
+    """Gap-based session windows per user: events closer than
+    ``gap_minutes`` to their predecessor share a session; a larger gap
+    opens a new one.  Unlike the tumbling window this aggregate is
+    order-dependent, so it cannot pre-combine per batch — instead each
+    user's FULL history co-locates via one hash shuffle
+    (hash_partition_reduce) and sessionization is a vectorized
+    diff + cumsum per partition.  Partitioning assumption: one user's
+    history fits a partition worker (same as the as-of join).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        # event_id tie-break keeps duplicate-timestamp ordering
+        # deterministic (matches the SQL window ORDER BY ts, event_id)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_sess = (ts_us.diff() > gap_us) | new_user
+        # per-user session ordinal starting at 0
+        sess_global = new_sess.cumsum()
+        first_of_user = sess_global.where(new_user).ffill()
+        df = df.assign(
+            session_id=(sess_global - first_of_user).astype(np.int64),
+            value_c=np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        )
+        out = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            sum_value_c=("value_c", "sum"),
+        )
+        return out
+
+    out = hash_partition_reduce(events, ["user_id"], sessionize).to_pandas()
+    out["sum_value"] = out["sum_value_c"] / 100.0
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return (
+        out.drop(columns=["sum_value_c"])
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+
 def hourly_user_window(events: "ray.data.Dataset") -> pd.DataFrame:
     """Tumbling-window aggregate: per (user_id, hour) event count and
     value sum.  The window assignment is a vectorized floor inside
