@@ -6,6 +6,7 @@
     python -m raycdc.cli guess   --log-dir L
     python -m raycdc.cli count   --log-dir L
     python -m raycdc.cli synth   --log-dir L --events N
+    python -m raycdc.cli tail    --log-dir L --lake-dir K [--poll-interval S]
     python -m raycdc.cli compact --lake-dir K [--min-deltas M]
     python -m raycdc.cli vacuum  --lake-dir K
 
@@ -51,6 +52,20 @@ def main(argv: list[str] | None = None) -> int:
                        help="cow: rewrite partition bases; mor: append "
                             "delta files (merge-on-read); auto: mor for "
                             "small steady-state windows")
+
+    p_tail = sub.add_parser(
+        "tail", help="continuous ingest loop (binlog tailer)"
+    )
+    p_tail.add_argument("--log-dir", required=True)
+    p_tail.add_argument("--lake-dir", required=True)
+    p_tail.add_argument("--partitions", type=int, default=64)
+    p_tail.add_argument("--columns-json", default=None)
+    p_tail.add_argument("--poll-interval", type=float, default=5.0)
+    p_tail.add_argument("--max-rounds", type=int, default=None)
+    p_tail.add_argument(
+        "--stop-after-idle", type=int, default=None,
+        help="exit after N consecutive empty polls (default: run forever)",
+    )
 
     p_compact = sub.add_parser(
         "compact", help="fold merge-on-read deltas into partition bases"
@@ -114,6 +129,42 @@ def main(argv: list[str] | None = None) -> int:
                 json.dumps(
                     compact(args.lake_dir, min_deltas=args.min_deltas)
                 )
+            )
+            return 0
+
+        if args.cmd == "tail":
+            from raycdc.config import IngestConfig
+            from raycdc.pipelines.cdc import run_follow
+
+            cols = json.loads(args.columns_json) if args.columns_json else None
+            cfg = IngestConfig(
+                log_dir=args.log_dir,
+                lake_dir=args.lake_dir,
+                num_partitions=args.partitions,
+                columns=cols,
+            )
+
+            def report(res):
+                print(
+                    json.dumps(
+                        {
+                            "run_id": res.run_id,
+                            "no_op": res.no_op,
+                            "applied": res.applied,
+                            "dead_lettered": res.dead_lettered,
+                            "watermark": res.watermark,
+                            "write_mode": res.write_mode,
+                        }
+                    ),
+                    flush=True,
+                )
+
+            run_follow(
+                cfg,
+                poll_interval_s=args.poll_interval,
+                max_rounds=args.max_rounds,
+                stop_after_idle_rounds=args.stop_after_idle,
+                on_round=report,
             )
             return 0
 

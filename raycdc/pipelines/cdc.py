@@ -490,6 +490,52 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     )
 
 
+def run_follow(
+    cfg: IngestConfig,
+    poll_interval_s: float = 5.0,
+    max_rounds: int | None = None,
+    stop_after_idle_rounds: int | None = None,
+    on_round=None,
+    _sleep=None,
+) -> list[RunResult]:
+    """Continuous tail mode: the binlog-tailer loop the north star
+    names.  Each round replays the window ``(watermark, max_seq]`` via
+    ``run_ingest`` (merge-on-read small deltas under
+    ``write_mode="auto"``), then sleeps ``poll_interval_s`` when the
+    log had nothing new.  The reference's run-to-run incrementality
+    (user-managed JQL ``updated >= checkpoint``,
+    reference README.md:25) becomes a loop the engine owns.
+
+    Stops after ``max_rounds`` total rounds or
+    ``stop_after_idle_rounds`` consecutive no-ops (None = run forever —
+    the production shape).  ``on_round(result)`` runs after each round
+    (metrics export hook; tests use it to append log fragments).
+    Crash-safe at any point: state advances only at each round's
+    atomic commit.
+    """
+    import time as _time
+
+    sleep = _sleep or _time.sleep
+    results: list[RunResult] = []
+    idle = 0
+    while True:
+        res = run_ingest(cfg)
+        results.append(res)
+        if on_round is not None:
+            on_round(res)
+        idle = idle + 1 if res.no_op else 0
+        if max_rounds is not None and len(results) >= max_rounds:
+            break
+        if (
+            stop_after_idle_rounds is not None
+            and idle >= stop_after_idle_rounds
+        ):
+            break
+        if res.no_op:
+            sleep(poll_interval_s)
+    return results
+
+
 def preview(cfg: IngestConfig, n: int = PREVIEW_RECORDS_COUNT) -> pa.Table:
     """Preview mode (S5): identical stage graph over ``limit(n)``; no
     state is touched (reference JiraInputPlugin.java:149-152)."""

@@ -350,6 +350,39 @@ def test_time_travel_reads_previous_snapshot(tmp_path):
         lake.read_table(version=v1).num_rows  # noqa: B018
 
 
+def test_follow_mode_tails_arriving_windows(tmp_path):
+    """run_follow applies windows as they arrive, idles on empty polls
+    without burning CPU (injected sleep), and converges to the oracle —
+    the engine-owned loop replacing the reference's user-managed
+    `updated >= checkpoint` re-runs."""
+    from raycdc.pipelines.cdc import run_follow
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 1000, fragment_rows=500, seed=53)
+    arrivals = iter([(300, 54, 1000), (200, 55, 1300), None, None])
+    sleeps = []
+
+    def on_round(res):
+        nxt = next(arrivals, None)
+        if nxt:
+            n, seed, start = nxt
+            _second_window(tmp, cfg.log_dir, n=n, seed=seed, start_seq=start)
+
+    results = run_follow(
+        cfg,
+        poll_interval_s=7.5,
+        stop_after_idle_rounds=2,
+        on_round=on_round,
+        _sleep=sleeps.append,
+    )
+    assert [r.no_op for r in results] == [False, False, False, True, True]
+    assert sleeps == [7.5]  # slept only between consecutive empty polls
+    assert _canon(Lake(cfg.lake_dir).read_table()).equals(
+        _canon(expected_final_state(cfg.log_dir))
+    )
+
+
 def test_write_mode_validation():
     with pytest.raises(ConfigError, match="write_mode"):
         validate_config(
