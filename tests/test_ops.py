@@ -236,3 +236,87 @@ def test_multimodal_frame_sampling():
     # deterministic across runs
     out2 = frame_samples(ray.data.from_arrow(synth_media_table(50)), n_frames=4).to_pandas()
     assert list(map(list, out["frame_digests"])) == list(map(list, out2["frame_digests"]))
+
+
+def test_asof_join_edge_cases():
+    """Strictness (no exact-match), users with no right-side history
+    dropped (inner), dtype stability when some partitions have
+    unmatched rows, and empty right side."""
+    import pandas as pd
+
+    from raycdc.ops.relational import asof_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([10, 20, 30, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "event_id": pa.array([10, 15, 25], pa.int64()),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            by="user_id",
+            on="event_id",
+            right_cols=["event_id", "value"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 10 has NO strict-prior right row (exact match excluded);
+    # event 20 matches seq 15; event 30 matches 25; user 3 drops
+    assert out["event_id"].tolist() == [20, 30]
+    assert out["event_id_r"].tolist() == [15.0, 25.0]
+    assert out["value_r"].tolist() == [2.0, 3.0]
+
+    empty_right = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right.slice(0, 0)),
+        by="user_id",
+        on="event_id",
+        right_cols=["event_id", "value"],
+        num_partitions=4,
+    ).to_pandas()
+    assert len(empty_right) == 0
+
+
+def test_session_windows_gap_boundary():
+    """An exact-gap interval does NOT open a new session (strict >);
+    one microsecond past it does; single-event users get session 0."""
+    import pandas as pd
+
+    from raycdc.ops.relational import session_windows
+
+    base = 1_700_000_000_000_000
+    gap_us = 30 * 60 * 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [base, base + gap_us, base + 2 * gap_us + 1, base, base],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 8, 9], pa.int64()),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+        }
+    )
+    out = session_windows(
+        ray.data.from_arrow(t), gap_minutes=30
+    ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    u7 = out[out["user_id"] == 7]
+    # events 1,2 share session 0 (gap == threshold, not >); event 3
+    # opens session 1
+    assert u7["session_id"].tolist() == [0, 1]
+    assert u7["n_events"].tolist() == [2, 1]
+    assert u7["sum_value"].tolist() == [3.0, 4.0]
+    assert out[out["user_id"] == 8]["session_id"].tolist() == [0]
+    assert out[out["user_id"] == 9]["session_id"].tolist() == [0]
