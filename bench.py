@@ -56,13 +56,21 @@ def _ensure_log(log_dir: str, n_events: int) -> None:
     open(marker, "w").close()
 
 
+def _log_dir() -> str:
+    # one cached log per event count: switching between the 2M headline
+    # and the 8M scaling input must not regenerate either (generation
+    # is minutes at 8M+)
+    suffix = "" if N_EVENTS == 2_000_000 else f"_{N_EVENTS}"
+    return os.path.join(WORK_ROOT, f"log{suffix}")
+
+
 def bench_headline() -> dict:
     """Full CDC replay-to-convergence over a synthetic change log at
     the north-rule input shape; returns secs + events/sec."""
     from raycdc.config import IngestConfig
     from raycdc.pipelines.cdc import run_ingest
 
-    log_dir = os.path.join(WORK_ROOT, "log")
+    log_dir = _log_dir()
     _ensure_log(log_dir, N_EVENTS)
     lake_dir = os.path.join(WORK_ROOT, f"lake_cpus{NUM_CPUS}")
     shutil.rmtree(lake_dir, ignore_errors=True)
@@ -109,7 +117,7 @@ def bench_incremental(lake_dir: str) -> dict:
     from raycdc.pipelines.cdc import run_ingest
     from raycdc.sources.synth import write_changelog
 
-    log_dir = os.path.join(WORK_ROOT, "log")
+    log_dir = _log_dir()
     n_delta = max(N_EVENTS // 20, 10_000)
     n_frag = len(glob.glob(os.path.join(log_dir, "fragment-*.parquet")))
     marker = os.path.join(log_dir, f".delta-{N_EVENTS}-{n_delta}")
@@ -158,6 +166,8 @@ def bench_queries() -> dict[str, float]:
         "pricing_summary",
         "orders_per_nation",
         "window_hourly",
+        "session_windows",
+        "asof_prior_purchase",
         "dedup_exact",
         "dedup_minhash",
         "ann_topk",

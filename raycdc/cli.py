@@ -7,6 +7,7 @@
     python -m raycdc.cli count   --log-dir L
     python -m raycdc.cli synth   --log-dir L --events N
     python -m raycdc.cli tail    --log-dir L --lake-dir K [--poll-interval S]
+    python -m raycdc.cli dlreplay --log-dir L --lake-dir K --source-run-id R
     python -m raycdc.cli compact --lake-dir K [--min-deltas M]
     python -m raycdc.cli vacuum  --lake-dir K
 
@@ -66,6 +67,16 @@ def main(argv: list[str] | None = None) -> int:
         "--stop-after-idle", type=int, default=None,
         help="exit after N consecutive empty polls (default: run forever)",
     )
+
+    p_dlr = sub.add_parser(
+        "dlreplay", help="re-apply a past run's dead-lettered events from the log"
+    )
+    p_dlr.add_argument("--log-dir", required=True)
+    p_dlr.add_argument("--lake-dir", required=True)
+    p_dlr.add_argument("--source-run-id", required=True)
+    p_dlr.add_argument("--strict", action="store_true",
+                       help="keep strict coercion (default: null-on-error)")
+    p_dlr.add_argument("--columns-json", default=None)
 
     p_compact = sub.add_parser(
         "compact", help="fold merge-on-read deltas into partition bases"
@@ -128,6 +139,29 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     compact(args.lake_dir, min_deltas=args.min_deltas)
+                )
+            )
+            return 0
+
+        if args.cmd == "dlreplay":
+            from raycdc.config import IngestConfig
+            from raycdc.pipelines.cdc import replay_dead_letters
+
+            cols = json.loads(args.columns_json) if args.columns_json else None
+            cfg = IngestConfig(
+                log_dir=args.log_dir, lake_dir=args.lake_dir, columns=cols
+            )
+            res = replay_dead_letters(
+                cfg, args.source_run_id, strict=args.strict
+            )
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "no_op": res.no_op,
+                        "applied": res.applied,
+                        "dead_lettered_again": res.dead_lettered,
+                    }
                 )
             )
             return 0

@@ -490,6 +490,118 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     )
 
 
+def replay_dead_letters(
+    cfg: IngestConfig,
+    source_run_id: str,
+    strict: bool = False,
+    mark_replayed: bool = True,
+) -> RunResult:
+    """Repair loop: re-apply a past run's dead-lettered events from the
+    immutable change log after a fix (e.g. corrected schema, or
+    ``strict=False`` to accept reference null-on-error semantics).
+
+    The dead-letter table stores ``(seq, reason)``; the event's full
+    row is re-gathered from the log by seq — the same broadcast
+    membership filter as the late-materialized phase B, with min/max
+    seq pushdown pruning untouched row groups.  The apply bypasses the
+    watermark cursor (these seqs are already below it) but stays
+    keep-latest against the base, so a replayed event can never clobber
+    newer data for its key.  Watermarks are NOT advanced; the commit
+    only swaps data files.  Events that fail again under the new
+    settings dead-letter under the new run id.
+    """
+    import glob as _glob
+
+    import numpy as np
+    import ray
+
+    validate_config(cfg)
+    lake = Lake(cfg.lake_dir)
+    manifest = lake.manifest()
+    num_partitions = int(manifest["num_partitions"])
+    payload_columns = cfg.columns or manifest.get("payload_columns") or []
+    dl_dir = os.path.join(cfg.lake_dir, "_deadletter", source_run_id)
+    run_id = f"dlreplay-{int(manifest['version']) + 1:06d}"
+    files = sorted(_glob.glob(os.path.join(dl_dir, "part-*.parquet")))
+    if not files:
+        return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
+                                          schema=METRICS_SCHEMA),
+                         0, 0, 0, -1, no_op=True, write_mode="noop")
+    seqs = np.sort(
+        np.concatenate(
+            [pq.read_table(f, columns=["seq"])["seq"].to_numpy() for f in files]
+        ).astype(np.int64)
+    )
+
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    import pyarrow.dataset as pads
+
+    ref = ray.put(seqs)
+
+    def gather(t: pa.Table) -> pa.Table:
+        from raycdc.functions.arrowsafe import mask_filter
+
+        ws = ray.get(ref)
+        s = t["seq"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ws, s), len(ws) - 1)
+        return mask_filter(t, ws[pos] == s)
+
+    predicate = (pads.field("seq") >= int(seqs[0])) & (
+        pads.field("seq") <= int(seqs[-1])
+    )
+    if cfg.predicate is not None:
+        predicate = predicate & cfg.predicate
+    ds = read_changelog(cfg.log_dir, columns=EVENT_COLUMNS, predicate=predicate)
+    parse = ParseStage(
+        num_partitions=num_partitions,
+        payload_columns=payload_columns,
+        strict=strict,
+    )
+    merger = PartitionMerger(
+        run_id=run_id,
+        lake_root=cfg.lake_dir,
+        watermarks={},  # bypass the cursor; keep-latest-vs-base guards
+        base_paths=lake.part_paths(),
+        payload_columns=payload_columns,
+        mode="cow",
+        base_deltas=lake.delta_paths(),
+    )
+    metrics = pa.Table.from_pylist(
+        ds.map_batches(gather, batch_format="pyarrow")
+        .map_batches(parse, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(merger, batch_format="pyarrow")
+        .take_all(),
+        schema=METRICS_SCHEMA,
+    )
+    staged = {
+        int(pid): path
+        for pid, path in zip(
+            metrics["partition_id"].to_pylist(),
+            metrics["staged_path"].to_pylist(),
+        )
+        if path is not None
+    }
+    os.makedirs(os.path.join(cfg.lake_dir, "_metrics"), exist_ok=True)
+    pq.write_table(
+        metrics, os.path.join(cfg.lake_dir, "_metrics", f"{run_id}.parquet")
+    )
+    lake.commit(run_id, staged, {}, payload_columns=payload_columns)
+    if mark_replayed:
+        os.rename(dl_dir, f"{dl_dir}.replayed-{run_id}")
+    return RunResult(
+        run_id=run_id,
+        metrics=metrics,
+        events_read=int(pa.compute.sum(metrics["events_read"]).as_py() or 0),
+        applied=int(pa.compute.sum(metrics["applied"]).as_py() or 0),
+        dead_lettered=int(pa.compute.sum(metrics["dead_lettered"]).as_py() or 0),
+        watermark=max(lake.watermarks().values() or [-1]),
+        write_mode="cow",
+    )
+
+
 def run_follow(
     cfg: IngestConfig,
     poll_interval_s: float = 5.0,

@@ -237,6 +237,50 @@ def test_nonstrict_mode_nulls_instead_of_dead_letter(tmp_path):
     assert t.num_rows >= t_strict.num_rows
 
 
+def test_dead_letter_replay_converges_to_nonstrict(tmp_path):
+    """Repair loop: a strict run quarantines broken-JSON events;
+    replay_dead_letters(strict=False) re-gathers them from the log by
+    seq and applies them keep-latest-vs-base — converging to exactly
+    the lake a from-scratch non-strict run produces.  Structurally
+    invalid rows (null PK) fail again and land under the new run id;
+    the source quarantine is marked replayed; watermarks untouched."""
+    from raycdc.pipelines.cdc import replay_dead_letters
+
+    tmp = str(tmp_path)
+    cfg_s = _cfg(tmp, strict=True)
+    cfg_n = _cfg(tmp, strict=False, lake_dir=os.path.join(tmp, "lake_n"))
+    write_changelog(cfg_s.log_dir, 3000, fragment_rows=750, seed=61)
+    r1 = run_ingest(cfg_s)
+    run_ingest(cfg_n)
+    assert r1.dead_lettered > 0
+    wm_before = Lake(cfg_s.lake_dir).watermarks()
+
+    rr = replay_dead_letters(cfg_s, r1.run_id, strict=False)
+    assert rr.applied > 0
+    assert rr.dead_lettered > 0  # null-PK rows fail again
+    assert Lake(cfg_s.lake_dir).watermarks() == wm_before
+
+    got = _canon_all(Lake(cfg_s.lake_dir).read_table())
+    want = _canon_all(Lake(cfg_n.lake_dir).read_table())
+    assert got.equals(want)
+
+    dl_root = os.path.join(cfg_s.lake_dir, "_deadletter")
+    assert not os.path.isdir(os.path.join(dl_root, r1.run_id))
+    assert os.path.isdir(
+        os.path.join(dl_root, f"{r1.run_id}.replayed-{rr.run_id}")
+    )
+    assert os.path.isdir(os.path.join(dl_root, rr.run_id))
+    # replaying an already-replayed (now empty) source is a no-op
+    assert replay_dead_letters(cfg_s, r1.run_id).no_op
+
+
+def _canon_all(t: pa.Table) -> pa.Table:
+    t = t.take(
+        pc.sort_indices(t, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+    return t
+
+
 def test_disk_exchange_matches_plasma_exchange(tmp_path):
     """Phase B's map-side partitioned-file exchange (large windows)
     produces the identical lake and counters as the object-store sort
