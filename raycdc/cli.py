@@ -10,6 +10,7 @@
     python -m raycdc.cli dlreplay --log-dir L --lake-dir K --source-run-id R
     python -m raycdc.cli compact --lake-dir K [--min-deltas M]
     python -m raycdc.cli vacuum  --lake-dir K
+    python -m raycdc.cli fsck    --lake-dir K [--digests]
 
 Owns its Ray session (guarded init), unlike the library.
 """
@@ -89,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vac.add_argument("--lake-dir", required=True)
 
+    p_fsck = sub.add_parser(
+        "fsck", help="lake integrity check (files, watermarks, optional digests)"
+    )
+    p_fsck.add_argument("--lake-dir", required=True)
+    p_fsck.add_argument("--digests", action="store_true")
+
     p_prev = sub.add_parser("preview", help="first-n preview, no state change")
     p_prev.add_argument("--log-dir", required=True)
     p_prev.add_argument("-n", type=int, default=10)
@@ -130,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(vacuum(args.lake_dir)))
         return 0
+
+    if args.cmd == "fsck":
+        from raycdc.pipelines.maintenance import fsck
+
+        out = fsck(args.lake_dir, digests=args.digests)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
 
     ray = _ray_session(args.num_cpus)
     try:

@@ -99,3 +99,86 @@ def vacuum(lake_dir: str) -> dict:
     """Reclaim files unreferenced by the current manifest (see
     ``Lake.vacuum``)."""
     return Lake(lake_dir).vacuum()
+
+
+def fsck(lake_dir: str, digests: bool = False) -> dict:
+    """Lake integrity check (read-only).
+
+    Verifies the committed manifest's physical invariants: every
+    referenced base/delta/checkpoint file exists and has a readable
+    Parquet footer, the checkpoint covers every partition with one
+    uniform-or-higher watermark, and partition directories carry no
+    rows above the committed watermark.  With ``digests=True`` also
+    computes an order-insensitive sha256 aggregate of ``content`` per
+    partition (the A4 invariant from BASELINE.json input_hint) so two
+    lakes can be compared cheaply.
+
+    Returns ``{"ok": bool, "errors": [...], "partitions": N,
+    "rows": N[, "digest": hex]}``.
+    """
+    import pyarrow.parquet as pq
+
+    lake = Lake(lake_dir)
+    m = lake.manifest()
+    errors: list[str] = []
+    rows = 0
+    digest_acc = 0
+    referenced: list[str] = list(m.get("parts", {}).values())
+    for rels in m.get("deltas", {}).values():
+        referenced.extend(rels)
+    if m.get("checkpoint"):
+        referenced.append(m["checkpoint"])
+    for rel in referenced:
+        p = os.path.join(lake_dir, rel)
+        if not os.path.exists(p):
+            errors.append(f"missing file: {rel}")
+            continue
+        try:
+            pq.read_metadata(p)
+        except Exception as exc:  # noqa: BLE001 — report, don't raise
+            errors.append(f"unreadable footer: {rel} ({exc})")
+
+    wm = lake.watermarks()
+    n_parts = int(m.get("num_partitions", 0))
+    if m.get("checkpoint") and len(wm) != n_parts:
+        errors.append(
+            f"checkpoint covers {len(wm)} of {n_parts} partitions"
+        )
+    max_wm = max(wm.values()) if wm else -1
+    for pid, base in lake.part_paths().items():
+        if not os.path.exists(base):
+            continue
+        t = pq.read_table(base, columns=["seq"])
+        rows += t.num_rows
+        if t.num_rows:
+            mx = pa.compute.max(t["seq"]).as_py()
+            if mx > max_wm:
+                errors.append(
+                    f"partition {pid} holds seq {mx} above watermark {max_wm}"
+                )
+    if digests:
+        import hashlib
+
+        from raycdc.stages.merge import lake_schema, resolve_partition
+
+        schema = lake_schema(m.get("payload_columns") or [])
+        parts, deltas = lake.part_paths(), lake.delta_paths()
+        for pid in sorted(set(parts) | set(deltas)):
+            # digest the RESOLVED state (deltas folded), one partition
+            # at a time to bound memory
+            t = resolve_partition(parts.get(pid), deltas.get(pid, []), schema)
+            for c in t["content"].to_pylist():
+                h = hashlib.sha256((c or "").encode()).digest()
+                # order-insensitive: sum of per-row digests mod 2^256
+                digest_acc = (digest_acc + int.from_bytes(h, "big")) % (
+                    1 << 256
+                )
+    out = {
+        "ok": not errors,
+        "errors": errors,
+        "partitions": n_parts,
+        "rows": rows,
+    }
+    if digests:
+        out["digest"] = f"{digest_acc:064x}"
+    return out

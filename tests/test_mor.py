@@ -383,6 +383,33 @@ def test_follow_mode_tails_arriving_windows(tmp_path):
     )
 
 
+def test_fsck_detects_corruption_and_digest_equivalence(tmp_path):
+    """fsck passes on a healthy lake; the resolved-content digest of a
+    MoR lake equals the digest of its compacted form; a deleted base
+    file is reported."""
+    from raycdc.pipelines.maintenance import fsck
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1200, fragment_rows=400, seed=67)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=300, seed=67, start_seq=1200)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+
+    before = fsck(cfg.lake_dir, digests=True)
+    assert before["ok"] and before["rows"] > 0
+    compact(cfg.lake_dir)
+    after = fsck(cfg.lake_dir, digests=True)
+    assert after["ok"]
+    assert before["digest"] == after["digest"]  # resolve == folded
+
+    victim = next(iter(Lake(cfg.lake_dir).part_paths().values()))
+    os.remove(victim)
+    broken = fsck(cfg.lake_dir)
+    assert not broken["ok"]
+    assert any("missing file" in e for e in broken["errors"])
+
+
 def test_write_mode_validation():
     with pytest.raises(ConfigError, match="write_mode"):
         validate_config(
