@@ -452,6 +452,26 @@ def _q_ann_ivf(sf_dir):
     return out[["vec_id", "cos"]].reset_index(drop=True)
 
 
+def _q_kmeans_embeddings(sf_dir):
+    """Distributed Lloyd k-means (iterative: broadcast centroids →
+    per-batch partial sums → driver reduce; zero shuffles).  Rows-only
+    check — iterative algorithms are not SQL-expressible — but fully
+    deterministic given the seed."""
+    import ray.data
+
+    from raycdc.ops.similarity import kmeans
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = kmeans(ds, n_clusters=8, iters=10)
+    return pd.DataFrame(
+        {
+            "cluster": range(len(res["sizes"])),
+            "size": res["sizes"],
+            "inertia": np.round(res["inertia"], 4),
+        }
+    )
+
+
 def _q_lang_id(sf_dir):
     from raycdc.ops.text import lang_id
 
@@ -632,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
+        "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "lang_id": _tuned(_q_lang_id),
         "fingerprint_docs": _tuned(_q_fingerprint),
         "pricing_summary": _tuned(_q_pricing_summary),

@@ -83,6 +83,93 @@ def ann_topk(
     return pd.concat(out, ignore_index=True)
 
 
+def kmeans(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 8,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> dict:
+    """Distributed Lloyd k-means over the full dataset — the iterative
+    pattern: each iteration broadcasts the centroids (``ray.put``) and
+    makes ONE streaming pass where every batch emits only per-cluster
+    partial sums and counts (a k×(d+2) table); the driver reduces the
+    partials and updates.  No shuffle ever — per-iteration exchange is
+    O(k·d·#batches), independent of corpus size.
+
+    Deterministic: init from a seeded sample, data order never affects
+    the result (sum-reduction is exact in float64 up to associativity;
+    partials are reduced in sorted batch order via index).
+
+    Returns ``{"centroids": (k, d) ndarray, "sizes": [int], "inertia":
+    float, "iterations": int}`` (stops early when max centroid shift <
+    ``tol``).
+    """
+    sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
+    sm = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    # canonical row order: limit() returns blocks in nondeterministic
+    # order across executions; lexsorting makes the seeded init a pure
+    # function of the sample SET
+    sm = sm[np.lexsort(sm.T[::-1])]
+    rng = np.random.default_rng(seed)
+    cent = sm[rng.choice(len(sm), size=min(n_clusters, len(sm)), replace=False)]
+    kk, d = cent.shape
+
+    slim = ds.select_columns([vec_col])
+    it = 0
+    for it in range(1, iters + 1):
+        cref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _vec_matrix(t[vec_col])
+            # squared-euclidean assignment via the expansion trick
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+            inertia = np.zeros(len(c), dtype=np.float64)
+            np.add.at(inertia, assign, d2[np.arange(len(assign)), assign])
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "sum": pa.array(list(sums)),
+                    "count": pa.array(counts, pa.float64()),
+                    "inertia": pa.array(inertia, pa.float64()),
+                }
+            )
+
+        rows = slim.map_batches(partials, batch_format="pyarrow").to_pandas()
+        agg = rows.groupby("cluster", sort=True).agg(
+            count=("count", "sum"), inertia=("inertia", "sum")
+        )
+        sums = np.zeros((kk, d))
+        for cl, g in rows.groupby("cluster", sort=True):
+            sums[cl] = np.sum(np.stack(g["sum"].to_numpy()), axis=0)
+        counts = agg["count"].to_numpy()
+        new_cent = cent.copy()
+        nz = counts > 0
+        new_cent[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.abs(new_cent - cent).max())
+        cent = new_cent
+        if shift < tol:
+            break
+    return {
+        "centroids": cent,
+        "sizes": counts.astype(int).tolist(),
+        "inertia": float(agg["inertia"].sum()),
+        "iterations": it,
+    }
+
+
 def ivf_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

@@ -320,3 +320,34 @@ def test_session_windows_gap_boundary():
     assert u7["sum_value"].tolist() == [3.0, 4.0]
     assert out[out["user_id"] == 8]["session_id"].tolist() == [0]
     assert out[out["user_id"] == 9]["session_id"].tolist() == [0]
+
+
+def test_kmeans_converges_and_is_deterministic():
+    """Distributed Lloyd over planted gaussian clusters: recovers the
+    planted structure (sizes), inertia non-increasing across a longer
+    run, and bit-identical across invocations (seeded init, exact
+    partial-sum reduction)."""
+    import numpy as np
+
+    from raycdc.ops.similarity import kmeans
+
+    rng = np.random.default_rng(0)
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    pts = np.concatenate(
+        [rng.normal(c, 0.3, size=(100, 2)) for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(pts)), pa.int64()),
+            "embedding": pa.array(list(pts)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    r1 = kmeans(ds, n_clusters=3, iters=10, sample_n=300)
+    r2 = kmeans(ds, n_clusters=3, iters=10, sample_n=300)
+    assert sorted(r1["sizes"]) == [100, 100, 100]  # planted recovery
+    assert r1["inertia"] < 300 * 0.3**2 * 2 * 3  # tight clusters
+    assert np.array_equal(r1["centroids"], r2["centroids"])
+    assert r1["inertia"] == r2["inertia"]
+    short = kmeans(ds, n_clusters=3, iters=1, sample_n=300)
+    assert r1["inertia"] <= short["inertia"] + 1e-9
