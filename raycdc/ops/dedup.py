@@ -36,7 +36,11 @@ def _pool_size(ncpu: int) -> int:
     stage).  Headroom (never the full CPU count): a pool that reserves
     every CPU starves the upstream read / downstream shuffle tasks and
     stalls the streaming executor — observed as a hang on a 4-CPU
-    session with a 4-actor pool."""
+    session with a 4-actor pool.  Sessions too small to afford both a
+    ≥2-actor pool and ≥2 free CPUs fall back to autoscaling, which
+    starts at one actor and cannot deadlock."""
+    if ncpu <= 4:
+        return (1, max(2, ncpu - 1))
     return max(2, min(ncpu // 2, ncpu - 2))
 
 

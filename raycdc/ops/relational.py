@@ -272,7 +272,27 @@ def asof_join(
         (oc, r_types[c]) for c, oc in zip(right_cols, right_out)
     ]
 
-    def _part_col(arr: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+    def _pd_dtype(t: "pa.DataType") -> str:
+        import pyarrow.types as pat
+
+        if pat.is_integer(t):
+            return "int64"
+        if pat.is_floating(t):
+            return "float64"
+        if pat.is_timestamp(t):
+            return "datetime64[us]"
+        return "object"
+
+    # authoritative output dtypes from the right side's ARROW schema —
+    # deriving them from any one partition's pandas frame is wrong both
+    # ways: mixed frames degrade int64 → float64 (nulls on left-tagged
+    # rows), while a right-only partition keeps int64, so blocks would
+    # disagree
+    r_target = {
+        oc: _pd_dtype(r_types[c]) for c, oc in zip(right_cols, right_out)
+    }
+
+    def _part_col(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
         h = pd.util.hash_pandas_object(
             pd.Series(arr.to_numpy(zero_copy_only=False)), index=False
         ).to_numpy()
@@ -283,7 +303,7 @@ def asof_join(
         for (oc, typ) in out_fields[len(l_fields):]:
             cols[oc] = pa.nulls(t.num_rows, typ)
         cols["_side"] = pa.array(np.zeros(t.num_rows, np.uint8))
-        cols["_part"] = _part_col(t[by], t.num_rows)
+        cols["_part"] = _part_col(t[by])
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -296,12 +316,11 @@ def asof_join(
         for c, oc in zip(right_cols, right_out):
             cols[oc] = t[c]
         cols["_side"] = pa.array(np.ones(t.num_rows, np.uint8))
-        cols["_part"] = _part_col(t[by], t.num_rows)
+        cols["_part"] = _part_col(t[by])
         return pa.table(cols)
 
     def join_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["_part"])
-        r_dtypes = df[right_out].dtypes
         lhs = (
             df[df["_side"] == 0]
             .drop(columns=["_side"] + right_out)
@@ -315,7 +334,7 @@ def asof_join(
         if lhs.empty or rhs.empty:
             merged = lhs.iloc[0:0].copy()
             for oc in right_out:
-                merged[oc] = pd.Series([], dtype=r_dtypes[oc])
+                merged[oc] = pd.Series([], dtype=r_target[oc])
             return merged
         merged = pd.merge_asof(
             lhs,
@@ -332,12 +351,12 @@ def asof_join(
         merged = merged.dropna(subset=[f"_{on}_r"]).drop(
             columns=[f"_{on}_r"]
         )
-        # merge_asof floats integer right columns when any row was
-        # unmatched pre-drop; restore dtypes so every partition's
-        # output block has the identical schema
+        # merge_asof floats integer right columns (NaN placeholders
+        # pre-drop); cast back so every partition's block matches the
+        # arrow-derived schema
         for oc in right_out:
-            if merged[oc].dtype != r_dtypes[oc]:
-                merged[oc] = merged[oc].astype(r_dtypes[oc])
+            if str(merged[oc].dtype) != r_target[oc]:
+                merged[oc] = merged[oc].astype(r_target[oc])
         return merged
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(

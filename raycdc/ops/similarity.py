@@ -118,9 +118,11 @@ def kmeans(
     cent = sm[rng.choice(len(sm), size=min(n_clusters, len(sm)), replace=False)]
     kk, d = cent.shape
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     slim = ds.select_columns([vec_col])
-    it = 0
-    for it in range(1, iters + 1):
+
+    def _one_pass(cent: np.ndarray) -> "pd.DataFrame":
         cref = ray.put(cent)
 
         def partials(t: pa.Table) -> pa.Table:
@@ -147,14 +149,20 @@ def kmeans(
                 }
             )
 
-        rows = slim.map_batches(partials, batch_format="pyarrow").to_pandas()
+        return slim.map_batches(partials, batch_format="pyarrow").to_pandas()
+
+    def _reduce(rows: "pd.DataFrame"):
         agg = rows.groupby("cluster", sort=True).agg(
             count=("count", "sum"), inertia=("inertia", "sum")
         )
         sums = np.zeros((kk, d))
         for cl, g in rows.groupby("cluster", sort=True):
             sums[cl] = np.sum(np.stack(g["sum"].to_numpy()), axis=0)
-        counts = agg["count"].to_numpy()
+        return sums, agg["count"].to_numpy(), float(agg["inertia"].sum())
+
+    it = 0
+    for it in range(1, iters + 1):
+        sums, counts, _inertia = _reduce(_one_pass(cent))
         new_cent = cent.copy()
         nz = counts > 0
         new_cent[nz] = sums[nz] / counts[nz, None]
@@ -162,10 +170,15 @@ def kmeans(
         cent = new_cent
         if shift < tol:
             break
+    # one final evaluation pass AGAINST THE RETURNED centroids —
+    # the loop's stats describe the pre-update assignment, and
+    # returning them with the updated centroids would hand callers a
+    # mutually inconsistent (centroids, sizes, inertia) triple
+    _sums, counts, inertia = _reduce(_one_pass(cent))
     return {
         "centroids": cent,
         "sizes": counts.astype(int).tolist(),
-        "inertia": float(agg["inertia"].sum()),
+        "inertia": inertia,
         "iterations": it,
     }
 

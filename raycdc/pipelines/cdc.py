@@ -500,19 +500,23 @@ def replay_dead_letters(
     immutable change log after a fix (e.g. corrected schema, or
     ``strict=False`` to accept reference null-on-error semantics).
 
-    The dead-letter table stores ``(seq, reason)``; the event's full
-    row is re-gathered from the log by seq — the same broadcast
-    membership filter as the late-materialized phase B, with min/max
-    seq pushdown pruning untouched row groups.  The apply bypasses the
-    watermark cursor (these seqs are already below it) but stays
-    keep-latest against the base, so a replayed event can never clobber
-    newer data for its key.  Watermarks are NOT advanced; the commit
-    only swaps data files.  Events that fail again under the new
-    settings dead-letter under the new run id.
+    The dead-letter table stores ``(seq, repo, path, reason)``.
+    Replaying only the quarantined seqs would be WRONG: a key whose
+    dead-lettered event was later superseded by a delete has no base
+    row left to defend it, and the stale event would resurrect it.
+    Instead the replay re-gathers the FULL event history of every
+    dead-lettered key (broadcast membership filter on hash(repo,path))
+    and lets keep-latest decide — re-applying a complete key history
+    is idempotent, so later updates/deletes always win and hash
+    collisions merely re-apply an unrelated key to the same state.
+    Watermarks are NOT advanced; the commit only swaps data files.
+    Events that fail again under the new settings dead-letter under
+    the new run id.
     """
     import glob as _glob
 
     import numpy as np
+    import pandas as pd
     import ray
 
     validate_config(cfg)
@@ -527,33 +531,42 @@ def replay_dead_letters(
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
                                           schema=METRICS_SCHEMA),
                          0, 0, 0, -1, no_op=True, write_mode="noop")
-    seqs = np.sort(
-        np.concatenate(
-            [pq.read_table(f, columns=["seq"])["seq"].to_numpy() for f in files]
-        ).astype(np.int64)
-    )
+
+    def _key_hashes(repo, path) -> np.ndarray:
+        r = pd.Series(repo).fillna("\x00")
+        p = pd.Series(path).fillna("\x00")
+        return pd.util.hash_array(
+            (r + "\x01" + p).to_numpy(dtype=object), categorize=False
+        ).astype(np.uint64)
+
+    dl_keys: list[np.ndarray] = []
+    for f in files:
+        t = pq.read_table(f, columns=["repo", "path"])
+        dl_keys.append(
+            _key_hashes(t["repo"].to_pylist(), t["path"].to_pylist())
+        )
+    key_set = np.unique(np.concatenate(dl_keys))
 
     from raycdc.tuning import tune_data_context
 
     tune_data_context()
-    import pyarrow.dataset as pads
 
-    ref = ray.put(seqs)
+    ref = ray.put(key_set)
 
     def gather(t: pa.Table) -> pa.Table:
         from raycdc.functions.arrowsafe import mask_filter
 
-        ws = ray.get(ref)
-        s = t["seq"].to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(ws, s), len(ws) - 1)
-        return mask_filter(t, ws[pos] == s)
+        ks = ray.get(ref)
+        h = _key_hashes(
+            t["repo"].to_numpy(zero_copy_only=False),
+            t["path"].to_numpy(zero_copy_only=False),
+        )
+        pos = np.minimum(np.searchsorted(ks, h), len(ks) - 1)
+        return mask_filter(t, ks[pos] == h)
 
-    predicate = (pads.field("seq") >= int(seqs[0])) & (
-        pads.field("seq") <= int(seqs[-1])
+    ds = read_changelog(
+        cfg.log_dir, columns=EVENT_COLUMNS, predicate=cfg.predicate
     )
-    if cfg.predicate is not None:
-        predicate = predicate & cfg.predicate
-    ds = read_changelog(cfg.log_dir, columns=EVENT_COLUMNS, predicate=predicate)
     parse = ParseStage(
         num_partitions=num_partitions,
         payload_columns=payload_columns,
@@ -624,19 +637,30 @@ def run_follow(
     (metrics export hook; tests use it to append log fragments).
     Crash-safe at any point: state advances only at each round's
     atomic commit.
+
+    Returns the per-round results; in unbounded (run-forever) mode
+    only the most recent 100 are retained — each RunResult holds a
+    metrics Arrow table and an unbounded list would leak for the life
+    of the tailer (``on_round`` is the durable sink; so is the
+    ``_metrics`` table on disk).
     """
     import time as _time
 
     sleep = _sleep or _time.sleep
+    bounded = max_rounds is not None or stop_after_idle_rounds is not None
     results: list[RunResult] = []
+    rounds = 0
     idle = 0
     while True:
         res = run_ingest(cfg)
+        rounds += 1
         results.append(res)
+        if not bounded and len(results) > 100:
+            del results[0]
         if on_round is not None:
             on_round(res)
         idle = idle + 1 if res.no_op else 0
-        if max_rounds is not None and len(results) >= max_rounds:
+        if max_rounds is not None and rounds >= max_rounds:
             break
         if (
             stop_after_idle_rounds is not None

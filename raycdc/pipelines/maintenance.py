@@ -123,12 +123,7 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
     errors: list[str] = []
     rows = 0
     digest_acc = 0
-    referenced: list[str] = list(m.get("parts", {}).values())
-    for rels in m.get("deltas", {}).values():
-        referenced.extend(rels)
-    if m.get("checkpoint"):
-        referenced.append(m["checkpoint"])
-    for rel in referenced:
+    for rel in sorted(lake.referenced_files(m)):
         p = os.path.join(lake_dir, rel)
         if not os.path.exists(p):
             errors.append(f"missing file: {rel}")
@@ -144,7 +139,6 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
         errors.append(
             f"checkpoint covers {len(wm)} of {n_parts} partitions"
         )
-    max_wm = max(wm.values()) if wm else -1
     for pid, base in lake.part_paths().items():
         if not os.path.exists(base):
             continue
@@ -152,9 +146,13 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
         rows += t.num_rows
         if t.num_rows:
             mx = pa.compute.max(t["seq"]).as_py()
-            if mx > max_wm:
+            # each partition is judged against ITS OWN cursor — a
+            # global max would mask per-partition corruption whenever
+            # any other partition's watermark is higher
+            pw = wm.get(pid, -1)
+            if mx > pw:
                 errors.append(
-                    f"partition {pid} holds seq {mx} above watermark {max_wm}"
+                    f"partition {pid} holds seq {mx} above its watermark {pw}"
                 )
     if digests:
         import hashlib
@@ -168,7 +166,12 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
             # at a time to bound memory
             t = resolve_partition(parts.get(pid), deltas.get(pid, []), schema)
             for c in t["content"].to_pylist():
-                h = hashlib.sha256((c or "").encode()).digest()
+                # NULL hashes differently from "": the null-on-error /
+                # schema-evolution paths produce real NULLs and two
+                # lakes differing only there must not digest-match
+                h = hashlib.sha256(
+                    b"\x00<NULL>" if c is None else c.encode()
+                ).digest()
                 # order-insensitive: sum of per-row digests mod 2^256
                 digest_acc = (digest_acc + int.from_bytes(h, "big")) % (
                     1 << 256

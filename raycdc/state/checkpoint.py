@@ -112,13 +112,16 @@ class Lake:
         os.replace(tmp, self.manifest_path)
         # snapshot for time travel (written AFTER the commit point —
         # a crash between the two at worst loses the snapshot copy,
-        # never the commit; rewritten idempotently on re-commit)
+        # never the commit).  Atomic tmp+rename: a torn snapshot would
+        # otherwise poison manifest(version=N) forever, since no later
+        # commit ever rewrites version N.
         vdir = os.path.join(self.root, "_versions")
         os.makedirs(vdir, exist_ok=True)
-        with open(
-            os.path.join(vdir, f"v{int(manifest['version']):06d}.json"), "w"
-        ) as f:
+        vpath = os.path.join(vdir, f"v{int(manifest['version']):06d}.json")
+        vtmp = vpath + ".tmp"
+        with open(vtmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(vtmp, vpath)
 
     # -- watermarks --------------------------------------------------------
     def watermarks(self) -> dict[int, int]:
@@ -294,6 +297,17 @@ class Lake:
         return lake_schema(manifest.get("payload_columns") or [])
 
     # -- maintenance -------------------------------------------------------
+    def referenced_files(self, manifest: dict | None = None) -> set[str]:
+        """Relative paths the given (default: current) manifest needs —
+        the single source of truth for vacuum and fsck."""
+        m = manifest or self.manifest()
+        out = set(m.get("parts", {}).values())
+        for rels in m.get("deltas", {}).values():
+            out.update(rels)
+        if m.get("checkpoint"):
+            out.add(m["checkpoint"])
+        return out
+
     def vacuum(self) -> dict:
         """Delete data / checkpoint files no longer referenced by the
         current manifest (bases superseded by later runs, deltas folded
@@ -309,11 +323,7 @@ class Lake:
         import shutil
 
         m = self.manifest()
-        referenced = set(m.get("parts", {}).values())
-        for rels in m.get("deltas", {}).values():
-            referenced.update(rels)
-        if m.get("checkpoint"):
-            referenced.add(m["checkpoint"])
+        referenced = self.referenced_files(m)
         removed, freed = 0, 0
         for sub in ("data", "_checkpoint"):
             top = os.path.join(self.root, sub)
@@ -325,6 +335,18 @@ class Lake:
                         continue
                     freed += os.path.getsize(abs_p)
                     os.remove(abs_p)
+                    removed += 1
+        # time travel is given up at vacuum: drop superseded snapshot
+        # manifests too, so versions() never advertises a snapshot
+        # whose data files are gone (a `tail` loop would otherwise
+        # accumulate one JSON per commit forever)
+        vdir = os.path.join(self.root, "_versions")
+        keep = f"v{int(m['version']):06d}.json"
+        if os.path.isdir(vdir):
+            for f in os.listdir(vdir):
+                if f.endswith(".json") and f != keep:
+                    freed += os.path.getsize(os.path.join(vdir, f))
+                    os.remove(os.path.join(vdir, f))
                     removed += 1
         shutil.rmtree(os.path.join(self.root, "_shuffle"), ignore_errors=True)
         return {"files_removed": removed, "bytes_freed": freed}

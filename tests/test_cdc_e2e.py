@@ -274,6 +274,70 @@ def test_dead_letter_replay_converges_to_nonstrict(tmp_path):
     assert replay_dead_letters(cfg_s, r1.run_id).no_op
 
 
+def test_dead_letter_replay_cannot_resurrect_deleted_keys(tmp_path):
+    """A dead-lettered event whose key was LATER deleted must not come
+    back on replay: the tombstone has already been folded out of the
+    base, so seq-only replay would win keep-latest unopposed.  The
+    replay therefore re-applies each dead-lettered key's FULL history
+    — the delete wins again."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from raycdc.pipelines.cdc import replay_dead_letters
+
+    tmp = str(tmp_path)
+    log_dir = os.path.join(tmp, "log")
+    os.makedirs(log_dir)
+    rows = [
+        # key K: insert, broken-payload update (dead-letters), delete
+        (0, "insert", "org/r", "k.py", "v0", _json.dumps({"adds": 1})),
+        (1, "update", "org/r", "k.py", "v1", "{not json"),
+        (2, "delete", "org/r", "k.py", None, None),
+        # key K2: insert, broken-payload update (dead-letters), no later event
+        (3, "insert", "org/r", "k2.py", "w0", _json.dumps({"adds": 2})),
+        (4, "update", "org/r", "k2.py", "w1", "{not json"),
+    ]
+    t = pa.table(
+        {
+            "seq": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + r[0] for r in rows],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "repo": pa.array([r[2] for r in rows], pa.string()),
+            "path": pa.array([r[3] for r in rows], pa.string()),
+            "commit": pa.array([f"{r[0]:040x}" for r in rows], pa.string()),
+            "lang": pa.array(["py"] * len(rows), pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.string()),
+            "payload_json": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(log_dir, "fragment-00000.parquet"))
+
+    cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=4, columns=[{"name": "adds", "type": "long"}],
+        strict=True,
+    )
+    r1 = run_ingest(cfg)
+    assert r1.dead_lettered == 2
+    state = Lake(cfg.lake_dir).read_table().to_pandas()
+    assert set(state["path"]) == {"k2.py"}  # K deleted, K2 at v "w0"
+
+    replay_dead_letters(cfg, r1.run_id, strict=False)
+    state = Lake(cfg.lake_dir).read_table().to_pandas()
+    # K stays deleted (tombstone wins again); K2 advances to the
+    # replayed update with NULL payload (null-on-error semantics)
+    assert set(state["path"]) == {"k2.py"}
+    row = state[state["path"] == "k2.py"].iloc[0]
+    assert row["content"] == "w1" and row["seq"] == 4
+    import pandas as pd
+
+    assert pd.isna(row["p_adds"])
+
+
 def _canon_all(t: pa.Table) -> pa.Table:
     t = t.take(
         pc.sort_indices(t, sort_keys=[("repo", "ascending"), ("path", "ascending")])

@@ -275,7 +275,8 @@ def test_asof_join_edge_cases():
     # event 10 has NO strict-prior right row (exact match excluded);
     # event 20 matches seq 15; event 30 matches 25; user 3 drops
     assert out["event_id"].tolist() == [20, 30]
-    assert out["event_id_r"].tolist() == [15.0, 25.0]
+    assert out["event_id_r"].tolist() == [15, 25]
+    assert str(out["event_id_r"].dtype) == "int64"  # arrow-derived, not floated
     assert out["value_r"].tolist() == [2.0, 3.0]
 
     empty_right = asof_join(
