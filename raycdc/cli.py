@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vac.add_argument("--lake-dir", required=True)
 
+    p_resh = sub.add_parser(
+        "reshard", help="repartition the lake to a new partition count"
+    )
+    p_resh.add_argument("--lake-dir", required=True)
+    p_resh.add_argument("--partitions", type=int, required=True)
+
     p_fsck = sub.add_parser(
         "fsck", help="lake integrity check (files, watermarks, optional digests)"
     )
@@ -147,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
 
     ray = _ray_session(args.num_cpus)
     try:
+        if args.cmd == "reshard":
+            from raycdc.pipelines.maintenance import repartition_lake
+
+            print(
+                json.dumps(repartition_lake(args.lake_dir, args.partitions))
+            )
+            return 0
+
         if args.cmd == "compact":
             from raycdc.pipelines.maintenance import compact
 

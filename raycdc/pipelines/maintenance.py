@@ -101,6 +101,136 @@ def vacuum(lake_dir: str) -> dict:
     return Lake(lake_dir).vacuum()
 
 
+def repartition_lake(
+    lake_dir: str, new_num_partitions: int, run_id: str | None = None
+) -> dict:
+    """Reshard the lake to a different partition count — the escape
+    hatch from init-time partitioning as data grows 1000×.
+
+    Two stages, both one Ray task per partition, exchanged through
+    map-side partitioned files (never the object store):
+
+    1. each OLD partition resolves (base + deltas, tombstones dropped)
+       and splits its rows by ``hash(repo, path) % new_P`` into one
+       staged file per (old, new) pair;
+    2. each NEW partition concatenates its staged pieces into a single
+       base file.
+
+    One atomic resharding commit replaces parts/deltas/watermarks
+    wholesale (``Lake.commit(new_num_partitions=...)``); new partitions
+    inherit the minimum old watermark (uniform in practice — every
+    ingest advances all cursors to the window target; conservative and
+    idempotent otherwise).  Crash-safe: scratch under ``_reshard/`` is
+    orphaned until the commit, and re-running overwrites the same
+    deterministic paths.
+    """
+    import shutil
+
+    import ray.data
+
+    from raycdc.functions.hashing import partition_ids
+    from raycdc.stages.merge import lake_schema, resolve_partition
+
+    lake = Lake(lake_dir)
+    manifest = lake.manifest()
+    old_p = int(manifest["num_partitions"])
+    if new_num_partitions < 1:
+        raise ValueError("new_num_partitions must be >= 1")
+    run_id = run_id or f"reshard-{int(manifest['version']) + 1:06d}"
+    parts, deltas = lake.part_paths(), lake.delta_paths()
+    payload_columns = manifest.get("payload_columns") or []
+    wm = lake.watermarks()
+    new_wm_value = min(wm.values()) if wm else -1
+    root = lake.root
+    scratch = os.path.join(root, "_reshard", run_id)
+
+    def split_old(batch: pa.Table) -> pa.Table:
+        from raycdc.functions.arrowsafe import mask_filter
+
+        schema = lake_schema(payload_columns)
+        out_old, out_new, out_rows = [], [], []
+        for pid in batch["item"].to_pylist():
+            pid = int(pid)
+            t = resolve_partition(parts.get(pid), deltas.get(pid, []), schema)
+            if t.num_rows == 0:
+                continue
+            import numpy as np
+
+            npid = partition_ids(t["repo"], t["path"], new_num_partitions)
+            for new_pid in np.unique(npid):
+                sub = mask_filter(t, npid == new_pid)
+                d = os.path.join(scratch, f"part-{int(new_pid):05d}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    sub,
+                    os.path.join(d, f"from-{pid:05d}.parquet"),
+                    compression="zstd",
+                    compression_level=1,
+                )
+                out_old.append(pid)
+                out_new.append(int(new_pid))
+                out_rows.append(sub.num_rows)
+        return pa.table(
+            {
+                "old": pa.array(out_old, pa.int32()),
+                "new": pa.array(out_new, pa.int32()),
+                "rows": pa.array(out_rows, pa.int64()),
+            }
+        )
+
+    old_pids = sorted(set(parts) | set(deltas))
+    if old_pids:
+        ray.data.from_items(old_pids).map_batches(
+            split_old, batch_size=1, batch_format="pyarrow"
+        ).materialize()
+
+    def build_new(batch: pa.Table) -> pa.Table:
+        out_pid, out_path = [], []
+        for pid in batch["item"].to_pylist():
+            pid = int(pid)
+            d = os.path.join(scratch, f"part-{pid:05d}")
+            if not os.path.isdir(d):
+                continue
+            pieces = [
+                pq.read_table(os.path.join(d, f))
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if not pieces:
+                continue
+            t = pa.concat_tables(pieces, promote_options="default")
+            dd = os.path.join(root, "data", f"part-{pid:05d}")
+            os.makedirs(dd, exist_ok=True)
+            staged = os.path.join(dd, f"{run_id}.parquet")
+            pq.write_table(t, staged, compression="zstd", compression_level=1)
+            out_pid.append(pid)
+            out_path.append(staged)
+        return pa.table(
+            {"pid": pa.array(out_pid, pa.int32()),
+             "path": pa.array(out_path, pa.string())}
+        )
+
+    rows = (
+        ray.data.from_items(list(range(new_num_partitions)))
+        .map_batches(build_new, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    staged = {int(r["pid"]): r["path"] for r in rows}
+    new_wm = {pid: new_wm_value for pid in range(new_num_partitions)}
+    lake.commit(
+        run_id, staged, new_wm,
+        payload_columns=None,
+        new_num_partitions=new_num_partitions,
+    )
+    shutil.rmtree(os.path.join(root, "_reshard"), ignore_errors=True)
+    return {
+        "run_id": run_id,
+        "old_num_partitions": old_p,
+        "new_num_partitions": new_num_partitions,
+        "partitions_written": sorted(staged),
+    }
+
+
 def fsck(lake_dir: str, digests: bool = False) -> dict:
     """Lake integrity check (read-only).
 

@@ -173,6 +173,7 @@ class Lake:
         new_watermarks: dict[int, int],
         payload_columns=None,
         staged_deltas: dict[int, str] | None = None,
+        new_num_partitions: int | None = None,
     ) -> dict:
         """Atomic commit: checkpoint parquet first, then the manifest
         swap (the commit point).
@@ -184,8 +185,16 @@ class Lake:
         run re-registers the same deterministic file paths.
         """
         manifest = self.manifest()
-        merged_wm = self.watermarks()
-        merged_wm.update(new_watermarks)
+        if new_num_partitions is not None:
+            # resharding commit: the partition space changes, so parts /
+            # deltas / watermarks are replaced wholesale by this commit
+            manifest["num_partitions"] = int(new_num_partitions)
+            manifest["parts"] = {}
+            manifest["deltas"] = {}
+            merged_wm = dict(new_watermarks)
+        else:
+            merged_wm = self.watermarks()
+            merged_wm.update(new_watermarks)
         ckpt_rel = os.path.join("_checkpoint", f"ckpt-{run_id}.parquet")
         now_us = int(time.time() * 1e6)
         ckpt = pa.table(

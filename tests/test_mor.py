@@ -410,6 +410,51 @@ def test_fsck_detects_corruption_and_digest_equivalence(tmp_path):
     assert any("missing file" in e for e in broken["errors"])
 
 
+def test_reshard_preserves_state_and_supports_future_ingest(tmp_path):
+    """Resharding 8 → 16 partitions (with merge-on-read deltas live at
+    reshard time) preserves observable state exactly, passes fsck, and
+    subsequent incremental ingest routes by the NEW partition count and
+    still converges to the oracle.  Down-sharding works too."""
+    from raycdc.pipelines.maintenance import fsck, repartition_lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1600, fragment_rows=400, seed=71)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=300, seed=71, start_seq=1600)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    assert any(lake.manifest()["deltas"].values())
+    before = _canon(lake.read_table())
+    wm_before = set(lake.watermarks().values())
+
+    out = repartition_lake(cfg.lake_dir, 16)
+    m = lake.manifest()
+    assert m["num_partitions"] == 16
+    assert not any(m.get("deltas", {}).values())
+    assert set(lake.watermarks().values()) == wm_before
+    assert _canon(lake.read_table()).equals(before)
+    assert fsck(cfg.lake_dir)["ok"]
+    assert out["new_num_partitions"] == 16
+
+    # ingest continues against the new sharding
+    _second_window(tmp, cfg.log_dir, n=300, seed=72, start_seq=1900)
+    res = run_ingest(cfg)
+    assert not res.no_op
+    assert len(lake.watermarks()) == 16
+    assert _canon(lake.read_table()).equals(
+        _canon(expected_final_state(cfg.log_dir))
+    )
+    assert fsck(cfg.lake_dir)["ok"]
+
+    # down-shard and keep equality
+    repartition_lake(cfg.lake_dir, 4)
+    assert lake.manifest()["num_partitions"] == 4
+    assert _canon(lake.read_table()).equals(
+        _canon(expected_final_state(cfg.log_dir))
+    )
+
+
 def test_write_mode_validation():
     with pytest.raises(ConfigError, match="write_mode"):
         validate_config(
