@@ -329,6 +329,29 @@ def _q_schema_guess_props(sf_dir):
     )
 
 
+def _q_clean_docs(sf_dir):
+    """Training-data cleaning transform (mask emails, collapse
+    whitespace, trim) — Arrow regex kernels, oracle-pinned per row."""
+    from raycdc.ops.text import clean_text
+
+    return clean_text(_docs(sf_dir)).select_columns(["doc_id", "clean_text"])
+
+
+def _q_top_docs_per_lang(sf_dir):
+    """Stratified selection: 5 longest documents per language via
+    grouped top-k (per-batch partial top-k + hash-partitioned reduce;
+    no global sort)."""
+    from raycdc.ops.relational import topk_per_group
+
+    out = topk_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        ["lang"],
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        5,
+    )
+    return out
+
+
 def _q_doc_token_count(sf_dir):
     from raycdc.ops.text import token_count
 
@@ -643,6 +666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_guess_props": _tuned(_q_schema_guess_props),
         "schema_evolution": _tuned(_q_schema_evolution),
         "doc_token_count": _tuned(_q_doc_token_count),
+        "clean_docs": _tuned(_q_clean_docs),
+        "top_docs_per_lang": _tuned(_q_top_docs_per_lang),
         "doc_quality": _tuned(_q_doc_quality),
         "dedup_exact": _tuned(_q_dedup_exact),
         "dedup_minhash": _tuned(_q_dedup_minhash),
@@ -750,6 +775,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "clean_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\s+', ' ', 'g')) AS clean_text
+            FROM documents
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) t WHERE rn <= 5
         """,
         "doc_quality": """
             SELECT doc_id,

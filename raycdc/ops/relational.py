@@ -367,6 +367,31 @@ def asof_join(
     )
 
 
+def topk_per_group(
+    ds: "ray.data.Dataset",
+    group_keys: list[str],
+    sort_keys: list[tuple[str, str]],
+    k: int,
+) -> "ray.data.Dataset":
+    """Grouped top-k (stratified selection: "best k documents per
+    language"): per-batch partial top-k per group bounds the shuffle to
+    k rows per group per batch, then one hash-partitioned vectorized
+    reduce takes the global per-group top-k.  Never a global sort."""
+    ascending = [d != "descending" for _, d in sort_keys]
+    cols = [c for c, _ in sort_keys]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(cols, ascending=ascending, kind="stable")
+            .groupby(group_keys, sort=False)
+            .head(k)
+        )
+
+    return hash_partition_reduce(
+        ds.map_batches(local, batch_format="pandas"), group_keys, local
+    )
+
+
 def topk(
     ds: "ray.data.Dataset", sort_keys: list[tuple[str, str]], k: int
 ) -> pa.Table:

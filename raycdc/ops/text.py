@@ -65,6 +65,29 @@ _STOPWORDS = {
 }
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "clean_text"
+) -> pa.Table:
+    """Training-data cleaning transform: mask email addresses, collapse
+    whitespace runs, strip leading/trailing space — all Arrow regex
+    kernels (compiled once inside Arrow), no Python per row.  The rule
+    set is deliberately SQL-expressible so the DuckDB oracle can pin
+    every row."""
+    t = pc.replace_substring_regex(batch[text_col], _EMAIL_RE, "<EMAIL>")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)
+
+
+def clean_text(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: clean_text_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
 class LangIdStage:
     """Heuristic language ID: stopword-hit ratio per language over
     whitespace tokens; ties/no-hits fall back to 'en'.  Actor-pool
