@@ -272,16 +272,20 @@ def asof_join(
         (oc, r_types[c]) for c, oc in zip(right_cols, right_out)
     ]
 
-    def _pd_dtype(t: "pa.DataType") -> str:
+    def _pd_dtype(t: "pa.DataType") -> str | None:
         import pyarrow.types as pat
 
+        # only NUMERIC dtypes need repair — merge_asof floats them via
+        # NaN placeholders.  Integers use pandas' nullable Int64 so a
+        # legitimately-NULL right value cannot crash the cast; Arrow
+        # converts Int64 back to int64-with-nulls.  Timestamps (incl.
+        # tz-aware) and strings come through merge_asof undamaged and
+        # are left alone.
         if pat.is_integer(t):
-            return "int64"
+            return "Int64"
         if pat.is_floating(t):
             return "float64"
-        if pat.is_timestamp(t):
-            return "datetime64[us]"
-        return "object"
+        return None
 
     # authoritative output dtypes from the right side's ARROW schema —
     # deriving them from any one partition's pandas frame is wrong both
@@ -334,7 +338,9 @@ def asof_join(
         if lhs.empty or rhs.empty:
             merged = lhs.iloc[0:0].copy()
             for oc in right_out:
-                merged[oc] = pd.Series([], dtype=r_target[oc])
+                merged[oc] = pd.Series(
+                    [], dtype=r_target[oc] or df[oc].dtype
+                )
             return merged
         merged = pd.merge_asof(
             lhs,
@@ -355,7 +361,7 @@ def asof_join(
         # pre-drop); cast back so every partition's block matches the
         # arrow-derived schema
         for oc in right_out:
-            if str(merged[oc].dtype) != r_target[oc]:
+            if r_target[oc] and str(merged[oc].dtype) != r_target[oc]:
                 merged[oc] = merged[oc].astype(r_target[oc])
         return merged
 
@@ -381,9 +387,12 @@ def topk_per_group(
     cols = [c for c, _ in sort_keys]
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a NULL group key is a real stratum (the SQL
+        # PARTITION BY analog keeps it); pandas' default would silently
+        # discard those rows
         return (
             df.sort_values(cols, ascending=ascending, kind="stable")
-            .groupby(group_keys, sort=False)
+            .groupby(group_keys, sort=False, dropna=False)
             .head(k)
         )
 

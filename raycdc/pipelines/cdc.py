@@ -516,8 +516,9 @@ def replay_dead_letters(
     import glob as _glob
 
     import numpy as np
-    import pandas as pd
     import ray
+
+    from raycdc.functions.hashing import stable_key_hash
 
     validate_config(cfg)
     lake = Lake(cfg.lake_dir)
@@ -532,41 +533,45 @@ def replay_dead_letters(
                                           schema=METRICS_SCHEMA),
                          0, 0, 0, -1, no_op=True, write_mode="noop")
 
-    def _key_hashes(repo, path) -> np.ndarray:
-        r = pd.Series(repo).fillna("\x00")
-        p = pd.Series(path).fillna("\x00")
-        return pd.util.hash_array(
-            (r + "\x01" + p).to_numpy(dtype=object), categorize=False
-        ).astype(np.uint64)
-
     dl_keys: list[np.ndarray] = []
     for f in files:
         t = pq.read_table(f, columns=["repo", "path"])
-        dl_keys.append(
-            _key_hashes(t["repo"].to_pylist(), t["path"].to_pylist())
-        )
+        dl_keys.append(stable_key_hash(t["repo"], t["path"]))
     key_set = np.unique(np.concatenate(dl_keys))
 
     from raycdc.tuning import tune_data_context
 
     tune_data_context()
+    import pyarrow.dataset as pads
 
-    ref = ray.put(key_set)
+    # a replay must never apply events the cursor has not consumed yet:
+    # new log fragments may already hold post-watermark events (tail
+    # scenario) and applying them here — while commit leaves the
+    # watermarks untouched — would put base rows above their cursor
+    # (the invariant fsck enforces).  Bound per row by the OWNING
+    # partition's watermark.
+    watermarks = lake.watermarks()
+    wm_arr = np.array(
+        [watermarks.get(p, -1) for p in range(num_partitions)], np.int64
+    )
+    ref = ray.put((key_set, wm_arr))
 
     def gather(t: pa.Table) -> pa.Table:
         from raycdc.functions.arrowsafe import mask_filter
+        from raycdc.functions.hashing import partition_ids
 
-        ks = ray.get(ref)
-        h = _key_hashes(
-            t["repo"].to_numpy(zero_copy_only=False),
-            t["path"].to_numpy(zero_copy_only=False),
-        )
+        ks, wms = ray.get(ref)
+        h = stable_key_hash(t["repo"], t["path"])
         pos = np.minimum(np.searchsorted(ks, h), len(ks) - 1)
-        return mask_filter(t, ks[pos] == h)
+        seqs = t["seq"].to_numpy(zero_copy_only=False)
+        pids = partition_ids(t["repo"], t["path"], num_partitions)
+        return mask_filter(t, (ks[pos] == h) & (seqs <= wms[pids]))
 
-    ds = read_changelog(
-        cfg.log_dir, columns=EVENT_COLUMNS, predicate=cfg.predicate
-    )
+    max_wm = int(wm_arr.max()) if len(wm_arr) else -1
+    predicate = pads.field("seq") <= max_wm
+    if cfg.predicate is not None:
+        predicate = predicate & cfg.predicate
+    ds = read_changelog(cfg.log_dir, columns=EVENT_COLUMNS, predicate=predicate)
     parse = ParseStage(
         num_partitions=num_partitions,
         payload_columns=payload_columns,
@@ -638,16 +643,15 @@ def run_follow(
     Crash-safe at any point: state advances only at each round's
     atomic commit.
 
-    Returns the per-round results; in unbounded (run-forever) mode
-    only the most recent 100 are retained — each RunResult holds a
-    metrics Arrow table and an unbounded list would leak for the life
-    of the tailer (``on_round`` is the durable sink; so is the
-    ``_metrics`` table on disk).
+    Returns the per-round results; unless ``max_rounds`` bounds the
+    loop, only the most recent 100 are retained — each RunResult holds
+    a metrics Arrow table, and both run-forever mode and a busy tailer
+    with an idle-stop can run indefinitely (``on_round`` is the durable
+    sink; so is the ``_metrics`` table on disk).
     """
     import time as _time
 
     sleep = _sleep or _time.sleep
-    bounded = max_rounds is not None or stop_after_idle_rounds is not None
     results: list[RunResult] = []
     rounds = 0
     idle = 0
@@ -655,7 +659,9 @@ def run_follow(
         res = run_ingest(cfg)
         rounds += 1
         results.append(res)
-        if not bounded and len(results) > 100:
+        # only max_rounds actually bounds the list — an idle-stop can
+        # run busy for arbitrarily long without ever firing
+        if max_rounds is None and len(results) > 100:
             del results[0]
         if on_round is not None:
             on_round(res)

@@ -142,6 +142,11 @@ def repartition_lake(
     wm = lake.watermarks()
     new_wm_value = min(wm.values()) if wm else -1
     root = lake.root
+    # clear any crashed prior attempt FIRST: a retry at the same
+    # manifest version reuses run_id, and stale staged pieces from a
+    # different target partition count would be concatenated into the
+    # new bases (duplicate rows)
+    shutil.rmtree(os.path.join(root, "_reshard"), ignore_errors=True)
     scratch = os.path.join(root, "_reshard", run_id)
 
     def split_old(batch: pa.Table) -> pa.Table:
@@ -269,21 +274,27 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
         errors.append(
             f"checkpoint covers {len(wm)} of {n_parts} partitions"
         )
-    for pid, base in lake.part_paths().items():
-        if not os.path.exists(base):
-            continue
-        t = pq.read_table(base, columns=["seq"])
-        rows += t.num_rows
-        if t.num_rows:
-            mx = pa.compute.max(t["seq"]).as_py()
-            # each partition is judged against ITS OWN cursor — a
-            # global max would mask per-partition corruption whenever
-            # any other partition's watermark is higher
-            pw = wm.get(pid, -1)
-            if mx > pw:
-                errors.append(
-                    f"partition {pid} holds seq {mx} above its watermark {pw}"
-                )
+    all_deltas = lake.delta_paths()
+    for pid in sorted(set(lake.part_paths()) | set(all_deltas)):
+        base = lake.part_paths().get(pid)
+        # each partition is judged against ITS OWN cursor — a global
+        # max would mask per-partition corruption whenever any other
+        # partition's watermark is higher; delta files are part of the
+        # partition's committed state and must obey the same bound
+        pw = wm.get(pid, -1)
+        for f in ([base] if base else []) + all_deltas.get(pid, []):
+            if not os.path.exists(f):
+                continue
+            t = pq.read_table(f, columns=["seq"])
+            if f == base:
+                rows += t.num_rows
+            if t.num_rows:
+                mx = pa.compute.max(t["seq"]).as_py()
+                if mx > pw:
+                    errors.append(
+                        f"partition {pid} holds seq {mx} above its "
+                        f"watermark {pw} ({os.path.basename(f)})"
+                    )
     if digests:
         import hashlib
 

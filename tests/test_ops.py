@@ -276,7 +276,8 @@ def test_asof_join_edge_cases():
     # event 20 matches seq 15; event 30 matches 25; user 3 drops
     assert out["event_id"].tolist() == [20, 30]
     assert out["event_id_r"].tolist() == [15, 25]
-    assert str(out["event_id_r"].dtype) == "int64"  # arrow-derived, not floated
+    # integer-typed (nullable Int64 or int64), never floated
+    assert str(out["event_id_r"].dtype) in ("int64", "Int64")
     assert out["value_r"].tolist() == [2.0, 3.0]
 
     empty_right = asof_join(
