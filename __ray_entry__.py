@@ -532,6 +532,57 @@ def _q_orders_per_nation(sf_dir):
     return orders_per_nation(sf_dir)
 
 
+def _q_lineitem_order_priority(sf_dir):
+    """Large-×-large partitioned hash join (neither side broadcastable
+    at scale): lineitem ⋈ orders on orderkey, then revenue per order
+    priority via the partial-agg combiner."""
+    import ray.data
+
+    from raycdc.ops.relational import hash_join, partial_agg
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(cents, batch_format="pyarrow"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["o_orderpriority"],
+    )
+    agg = partial_agg(
+        joined,
+        ["o_orderpriority_r"],
+        sums={"price_c": "revenue_c"},
+        count_as="n_items",
+    ).to_pandas()
+    agg["revenue"] = agg["revenue_c"] / 100.0
+    agg["n_items"] = agg["n_items"].astype("int64")
+    agg = agg.rename(columns={"o_orderpriority_r": "o_orderpriority"})
+    return agg[["o_orderpriority", "n_items", "revenue"]].sort_values(
+        "o_orderpriority"
+    ).reset_index(drop=True)
+
+
 def _q_topk_orders(sf_dir):
     import ray.data
 
@@ -683,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _tuned(_q_pricing_summary),
         "orders_per_nation": _tuned(_q_orders_per_nation),
         "topk_orders": _tuned(_q_topk_orders),
+        "lineitem_order_priority": _tuned(_q_lineitem_order_priority),
         "window_hourly": _tuned(_q_window_hourly),
         "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
         "session_windows": _tuned(_q_session_windows),
@@ -856,6 +908,13 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "lineitem_order_priority": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_items,
+                   SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "window_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,

@@ -229,6 +229,103 @@ def orders_per_nation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Large-×-large partitioned equi-join (inner).  When neither side
+    fits a broadcast (``broadcast_join`` is the small-side path), both
+    sides are tagged and hash-partitioned on the join key in ONE
+    shuffle over the union; each partition joins via a C-speed
+    ``pd.merge``.  Right columns come back as ``{col}_r``; the right
+    key is matched against ``left_on`` and not duplicated.
+
+    Partitioning assumption: all rows of one key value fit a partition
+    worker (same co-location contract as the CDC merge itself); heavy
+    key skew costs time inside its partition, never a cross-partition
+    spill.
+    """
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        num_partitions = max(2 * ncpu, 16)
+
+    right_out = [f"{c}_r" for c in right_cols]
+    ls, rs = left.schema(), right.schema()
+    l_fields = list(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    key_type = dict(l_fields)[left_on]
+
+    def _part(arr) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(arr.to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy()
+        return pa.array((h % num_partitions).astype(np.int64))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {name: t[name] for name, _ in l_fields}
+        for c, oc in zip(right_cols, right_out):
+            cols[oc] = pa.nulls(t.num_rows, r_types[c])
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.uint8))
+        cols["_part"] = _part(t[left_on])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in l_fields:
+            if name == left_on:
+                cols[name] = pc.cast(t[right_on], key_type)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        for c, oc in zip(right_cols, right_out):
+            cols[oc] = t[c]
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.uint8))
+        cols["_part"] = _part(t[right_on])
+        return pa.table(cols)
+
+    # arrow-derived dtype repair (same pitfall as asof_join): the mixed
+    # tagged frame floats integer right columns wherever left-tagged
+    # nulls share the column, while a right-only partition keeps int64 —
+    # normalize every partition to nullable Int64 / float64
+    def _target(t: "pa.DataType") -> str | None:
+        import pyarrow.types as pat
+
+        if pat.is_integer(t):
+            return "Int64"
+        if pat.is_floating(t):
+            return "float64"
+        return None
+
+    r_target = {
+        oc: _target(r_types[c]) for c, oc in zip(right_cols, right_out)
+    }
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        lhs = df[df["_side"] == 0].drop(columns=["_side"] + right_out)
+        rhs = df[df["_side"] == 1][[left_on] + right_out]
+        merged = lhs.merge(rhs, on=left_on, how="inner")
+        for oc in right_out:
+            if r_target[oc] and str(merged[oc].dtype) != r_target[oc]:
+                merged[oc] = merged[oc].astype(r_target[oc])
+        return merged
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("_part").map_groups(
+        join_part, batch_format="pandas"
+    )
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

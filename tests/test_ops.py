@@ -353,3 +353,41 @@ def test_kmeans_converges_and_is_deterministic():
     assert r1["inertia"] == r2["inertia"]
     short = kmeans(ds, n_clusters=3, iters=1, sample_n=300)
     assert r1["inertia"] <= short["inertia"] + 1e-9
+
+
+def test_hash_join_inner_and_dtypes():
+    """Inner semantics (unmatched keys on either side drop), int right
+    columns stay integer-typed in every partition, duplicate keys fan
+    out (cartesian within key)."""
+    from raycdc.ops.relational import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], pa.int64()),
+            "lv": pa.array([10.0, 11.0, 20.0, 30.0], pa.float64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 2, 2, 9], pa.int64()),
+            "rv": pa.array([100, 200, 201, 900], pa.int64()),
+        }
+    )
+    out = (
+        hash_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            left_on="k",
+            right_on="rk",
+            right_cols=["rv"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv_r"])
+        .reset_index(drop=True)
+    )
+    # k=1 matches once for each of 2 left rows; k=2 fans out to 2 right
+    # rows; k=3 (no right) and rk=9 (no left) drop
+    assert out["k"].tolist() == [1, 1, 2, 2]
+    assert out["rv_r"].tolist() == [100, 100, 200, 201]
+    assert str(out["rv_r"].dtype) in ("int64", "Int64")
