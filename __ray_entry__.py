@@ -221,7 +221,11 @@ def _lifted_changelog(sf_dir: str) -> str:
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    # build in a process-private staging dir and rename into place:
+    # concurrent driver/bench/test processes share this cache and a
+    # half-written dir without the marker would race readers
+    stage_dir = f"{out_dir}.tmp-{os.getpid()}"
+    os.makedirs(stage_dir, exist_ok=True)
     import pyarrow.compute as pc
 
     t = pq.read_table(
@@ -252,8 +256,14 @@ def _lifted_changelog(sf_dir: str) -> str:
             "payload_json": pa.array(payload, pa.string()),
         }
     )
-    pq.write_table(wal, os.path.join(out_dir, "fragment-00000.parquet"))
-    open(marker, "w").close()
+    pq.write_table(wal, os.path.join(stage_dir, "fragment-00000.parquet"))
+    open(os.path.join(stage_dir, ".complete"), "w").close()
+    try:
+        os.rename(stage_dir, out_dir)  # atomic publish; loser cleans up
+    except OSError:
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
     return out_dir
 
 
