@@ -339,6 +339,16 @@ def _q_schema_guess_props(sf_dir):
     )
 
 
+def _q_doc_token_count_bpe(sf_dir):
+    """BPE-ish regex token count (GPT-2-style pre-tokenizer, RE2) —
+    one vectorized count_substring_regex kernel per batch."""
+    from raycdc.ops.text import token_count_bpe
+
+    return token_count_bpe(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_bpe_tokens"]
+    )
+
+
 def _q_clean_docs(sf_dir):
     """Training-data cleaning transform (mask emails, collapse
     whitespace, trim) — Arrow regex kernels, oracle-pinned per row."""
@@ -727,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_guess_props": _tuned(_q_schema_guess_props),
         "schema_evolution": _tuned(_q_schema_evolution),
         "doc_token_count": _tuned(_q_doc_token_count),
+        "doc_token_count_bpe": _tuned(_q_doc_token_count_bpe),
         "clean_docs": _tuned(_q_clean_docs),
         "top_docs_per_lang": _tuned(_q_top_docs_per_lang),
         "doc_quality": _tuned(_q_doc_quality),
@@ -836,6 +847,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "clean_docs": r"""

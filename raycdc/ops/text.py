@@ -65,6 +65,31 @@ _STOPWORDS = {
 }
 
 
+# BPE-ish pre-tokenizer split (GPT-2-style, simplified to RE2: no
+# lookahead): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """BPE-ish token count: number of non-overlapping matches of the
+    pre-tokenizer regex — one vectorized RE2 kernel per batch
+    (``pc.count_substring_regex``), no Python per row.  The same RE2
+    pattern runs in the DuckDB oracle (``regexp_extract_all``)."""
+    n = pc.cast(pc.count_substring_regex(batch[text_col], _BPE_RE), pa.int64())
+    return batch.append_column("n_bpe_tokens", n)
+
+
+def token_count_bpe(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: token_count_bpe_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
