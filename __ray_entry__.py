@@ -617,6 +617,47 @@ def _q_topk_orders(sf_dir):
     )
 
 
+def _q_events_after_purchase(sf_dir):
+    """Range join (brief-named custom op): every event within 50 event
+    ids AFTER a purchase by the same user — hash_join co-locates each
+    user, a vectorized band filter prunes; 1:N fan-out both ways."""
+    import pyarrow.compute as pc
+
+    from raycdc.ops.relational import range_join
+
+    left = _events(sf_dir, columns=["event_id", "user_id"])
+    right = _events(
+        sf_dir,
+        columns=["event_id", "user_id"],
+        filter=pads.field("event_type") == "purchase",
+    )
+
+    def bands(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "lo": t["event_id"],
+                "hi": pc.add(t["event_id"], 50),
+                "purchase_event_id": t["event_id"],
+            }
+        )
+
+    out = range_join(
+        left,
+        right.map_batches(bands, batch_format="pyarrow"),
+        left_on="user_id",
+        right_on="user_id",
+        range_col="event_id",
+        range_lo="lo",
+        range_hi="hi",
+        right_cols=["purchase_event_id"],
+    ).to_pandas()
+    out["purchase_event_id"] = out["purchase_event_id_r"].astype("int64")
+    return out[["event_id", "user_id", "purchase_event_id"]].sort_values(
+        ["event_id", "purchase_event_id"]
+    ).reset_index(drop=True)
+
+
 def _q_session_windows(sf_dir):
     """Gap-based (30 min) session windows per user — order-dependent
     streaming-shaped aggregate: full per-user history co-located by one
@@ -759,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hourly": _tuned(_q_window_hourly),
         "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
         "session_windows": _tuned(_q_session_windows),
+        "events_after_purchase": _tuned(_q_events_after_purchase),
         "media_decode": _tuned(_q_media_decode),
         "media_frame_sample": _tuned(_q_media_frames),
         "content_digests": _tuned(_q_content_digests),
@@ -957,6 +999,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT user_id AS u2, event_id AS e2, value AS v2
                        FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.u2 AND e.event_id > p.e2
+        """,
+        "events_after_purchase": """
+            SELECT e.event_id, e.user_id, p.event_id AS purchase_event_id
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND e.event_id BETWEEN p.event_id AND p.event_id + 50
         """,
         "session_windows": """
             WITH g AS (

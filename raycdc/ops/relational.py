@@ -326,6 +326,46 @@ def hash_join(
     )
 
 
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    range_col: str,
+    range_lo: str,
+    range_hi: str,
+    right_cols: list[str],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Interval / band join (inner, inclusive bounds): left rows match
+    right rows with the same key where ``range_lo_r <= range_col <=
+    range_hi_r`` — 1:N in both directions (overlapping intervals fan
+    out).
+
+    Composition, per the brief's custom-operator ladder: the
+    partitioned ``hash_join`` co-locates each key's rows (one shuffle),
+    then a vectorized band filter prunes the within-key candidates.
+    Partitioning assumption: the per-key candidate product (key's left
+    rows × key's right intervals) fits a partition worker — the same
+    bound DuckDB's equi-then-filter plan carries.
+    """
+    joined = hash_join(
+        left,
+        right,
+        left_on=left_on,
+        right_on=right_on,
+        right_cols=[range_lo, range_hi] + right_cols,
+        num_partitions=num_partitions,
+    )
+    lo_r, hi_r = f"{range_lo}_r", f"{range_hi}_r"
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df[lo_r] <= df[range_col]) & (df[range_col] <= df[hi_r])
+        return df[keep]
+
+    return joined.map_batches(band, batch_format="pandas")
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
