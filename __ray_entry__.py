@@ -495,6 +495,32 @@ def _q_ann_ivf(sf_dir):
     return out[["vec_id", "cos"]].reset_index(drop=True)
 
 
+def _q_hll_user_count(sf_dir):
+    """HyperLogLog distinct-user estimate — zero-shuffle mergeable
+    sketch (2^12 registers per block partial, max-merge).  Rows-only:
+    sketches are not SQL-expressible; accuracy vs exact COUNT(DISTINCT)
+    is pinned by tests.  Deterministic given the seeded hash."""
+    from raycdc.ops.sketch import hll_distinct
+
+    r = hll_distinct(_events(sf_dir, columns=["user_id"]), "user_id", p=12)
+    return pa.table(
+        {
+            "estimate": pa.array([round(r["estimate"], 3)], pa.float64()),
+            "p": pa.array([r["p"]], pa.int64()),
+        }
+    )
+
+
+def _q_heavy_hitter_users(sf_dir):
+    """Count-Min heavy hitters over user_id — the hot-key detector for
+    salting decisions (SURVEY §4.2); sum-merged sketch, zero shuffle."""
+    from raycdc.ops.sketch import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(
+        _events(sf_dir, columns=["user_id"]), "user_id", k=10
+    )
+
+
 def _q_kmeans_embeddings(sf_dir):
     """Distributed Lloyd k-means (iterative: broadcast centroids →
     per-batch partial sums → driver reduce; zero shuffles).  Rows-only
@@ -791,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
+        "hll_user_count": _tuned(_q_hll_user_count),
+        "heavy_hitter_users": _tuned(_q_heavy_hitter_users),
         "lang_id": _tuned(_q_lang_id),
         "fingerprint_docs": _tuned(_q_fingerprint),
         "pricing_summary": _tuned(_q_pricing_summary),

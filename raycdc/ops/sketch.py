@@ -1,0 +1,141 @@
+"""Mergeable sketches: approximate distributed aggregates with ZERO
+shuffle — each batch emits a tiny fixed-size partial, the driver
+merges.
+
+- ``hll_distinct``: HyperLogLog distinct count (2^p registers; merge =
+  elementwise max).  The brief's "novel sketch" slot: at 10^10 events
+  an exact COUNT(DISTINCT key) is a full all-to-all; the sketch is one
+  streaming pass exchanging 2^p bytes per block.
+- ``countmin_heavy_hitters``: Count-Min frequency sketch (merge =
+  elementwise sum) + candidate tracking — the hot-key detector the
+  skew plan names (SURVEY.md §4.2: "count-min sketch or exact group
+  counts"), usable to pick salting targets before a shuffle.
+
+Both are deterministic (seeded hash families), so repeated runs agree
+bit-for-bit; accuracy (not SQL-expressible) is pinned by tests against
+exact answers on planted data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_M61 = (1 << 61) - 1
+
+
+def _hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    h = pd.util.hash_array(values.astype(object), categorize=False)
+    if seed:
+        # cheap seeded remix (splitmix-style); mask the python-int
+        # product to 64 bits before handing it to numpy
+        c = np.uint64((seed * 0x9E3779B97F4A7C15) & ((1 << 64) - 1))
+        h = (h ^ c) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset", col: str, p: int = 12
+) -> dict:
+    """HyperLogLog estimate of ``count(distinct col)``.
+
+    Per batch: bucket = top ``p`` hash bits, register = max leading-zero
+    rank of the remaining bits; partials (2^p uint8) merge by max at
+    the driver.  Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12).
+    """
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        h = _hash64(vals)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        # remaining bits shifted to the top; bottom p bits set so the
+        # rank caps itself at 64 - p + 1 when the remainder is zero
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        # rank = leading zeros of rest + 1 = 64 - floor(log2(rest))
+        rank = 64 - np.floor(
+            np.log2(rest.astype(np.float64))
+        ).astype(np.int64)
+        rank = np.clip(rank, 1, 64 - p + 1).astype(np.uint8)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    regs = np.zeros(m, dtype=np.uint8)
+    for batch in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for b in batch["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return {"estimate": float(est), "p": p}
+
+
+def countmin_heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Top-k heavy hitters with Count-Min estimated counts.
+
+    Per batch: a (depth × width) count matrix plus the batch's own
+    top candidates; driver merges matrices by sum and re-estimates
+    every candidate against the merged sketch (count-min guarantees
+    estimate >= true count, overestimate bounded by n/width per row).
+    Returns (value, est_count) sorted descending — the salting-target
+    list for skewed shuffles.
+    """
+    seeds = list(range(1, depth + 1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for d, s in enumerate(seeds):
+            idx = (_hash64(vals, s) % np.uint64(width)).astype(np.int64)
+            np.add.at(mat[d], idx, 1)
+        # local candidates: this batch's most frequent values
+        vc = pd.Series(vals).value_counts().head(k * 4)
+        return pa.table(
+            {
+                "mat": pa.array([mat.tobytes()], pa.binary()),
+                "cands": pa.array(
+                    [[str(v) for v in vc.index.tolist()]],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    mat = np.zeros((depth, width), dtype=np.int64)
+    cands: set[str] = set()
+    for batch in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for b, cs in zip(batch["mat"].to_pylist(), batch["cands"].to_pylist()):
+            mat += np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+            cands.update(cs)
+
+    cand_arr = np.array(sorted(cands), dtype=object)
+    if not len(cand_arr):
+        return pd.DataFrame({"value": [], "est_count": []})
+    ests = np.full(len(cand_arr), np.iinfo(np.int64).max, dtype=np.int64)
+    for d, s in enumerate(seeds):
+        idx = (_hash64(cand_arr, s) % np.uint64(width)).astype(np.int64)
+        ests = np.minimum(ests, mat[d, idx])
+    out = (
+        pd.DataFrame({"value": cand_arr, "est_count": ests})
+        .sort_values(["est_count", "value"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out

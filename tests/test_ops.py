@@ -391,3 +391,43 @@ def test_hash_join_inner_and_dtypes():
     assert out["k"].tolist() == [1, 1, 2, 2]
     assert out["rv_r"].tolist() == [100, 100, 200, 201]
     assert str(out["rv_r"].dtype) in ("int64", "Int64")
+
+
+def test_hll_distinct_accuracy_and_determinism():
+    """HLL estimate within ~3x standard error of exact distinct count;
+    bit-identical across runs (seeded hash, max-merge associative)."""
+    from raycdc.ops.sketch import hll_distinct
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 30_000, size=100_000)
+    exact = len(np.unique(vals))
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})
+    ).repartition(8)
+    r1 = hll_distinct(ds, "v", p=12)
+    r2 = hll_distinct(ds, "v", p=12)
+    assert r1["estimate"] == r2["estimate"]
+    rel_err = abs(r1["estimate"] - exact) / exact
+    assert rel_err < 3 * 1.04 / (2**6), f"rel_err={rel_err} exact={exact}"
+
+
+def test_countmin_finds_planted_heavy_hitters():
+    """Zipf-planted hot keys surface as the top heavy hitters with
+    estimates >= true counts (count-min never underestimates)."""
+    from raycdc.ops.sketch import countmin_heavy_hitters
+
+    rng = np.random.default_rng(19)
+    background = rng.integers(1000, 50_000, size=50_000)
+    hot = np.concatenate(
+        [np.full(8000, 1), np.full(5000, 2), np.full(3000, 3)]
+    )
+    vals = np.concatenate([background, hot])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(vals, pa.int64())})
+    ).repartition(8)
+    out = countmin_heavy_hitters(ds, "k", k=3)
+    assert out["value"].tolist() == ["1", "2", "3"]
+    for true_n, est in zip([8000, 5000, 3000], out["est_count"]):
+        assert est >= true_n  # CM never underestimates
+        assert est <= true_n + 53_000 * 4 / 2048 * 4  # loose CM bound
