@@ -17,6 +17,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from raycdc.functions.arrowsafe import mask_filter
+
 
 def hash_partition_reduce(
     ds: "ray.data.Dataset",
@@ -271,6 +273,10 @@ def hash_join(
         return pa.array((h % num_partitions).astype(np.int64))
 
     def tag_left(t: pa.Table) -> pa.Table:
+        # SQL inner-join semantics: NULL keys never match — drop early
+        t = mask_filter(
+            t, pc.is_valid(t[left_on]).to_numpy(zero_copy_only=False)
+        )
         cols = {name: t[name] for name, _ in l_fields}
         for c, oc in zip(right_cols, right_out):
             cols[oc] = pa.nulls(t.num_rows, r_types[c])
@@ -279,16 +285,23 @@ def hash_join(
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
+        t = mask_filter(
+            t, pc.is_valid(t[right_on]).to_numpy(zero_copy_only=False)
+        )
+        # hash the key AFTER casting to the left key type so both sides
+        # partition on identical values (int-vs-float hash divergence
+        # would silently drop matches)
+        key = pc.cast(t[right_on], key_type)
         cols = {}
         for name, typ in l_fields:
             if name == left_on:
-                cols[name] = pc.cast(t[right_on], key_type)
+                cols[name] = key
             else:
                 cols[name] = pa.nulls(t.num_rows, typ)
         for c, oc in zip(right_cols, right_out):
             cols[oc] = t[c]
         cols["_side"] = pa.array(np.ones(t.num_rows, np.uint8))
-        cols["_part"] = _part(t[right_on])
+        cols["_part"] = _part(key)
         return pa.table(cols)
 
     # arrow-derived dtype repair (same pitfall as asof_join): the mixed
@@ -307,8 +320,14 @@ def hash_join(
     r_target = {
         oc: _target(r_types[c]) for c, oc in zip(right_cols, right_out)
     }
+    # LEFT columns degrade too: right-tagged union rows hold nulls in
+    # every left column, so the partition's pandas conversion floats
+    # left int64 → float64 (this shipped as the events_after_purchase
+    # hash mismatch, round 1).  Repair from the left Arrow schema the
+    # same way as r_target.
+    l_target = {name: _target(typ) for name, typ in l_fields}
 
-    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+    def join_part(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns=["_part"])
         lhs = df[df["_side"] == 0].drop(columns=["_side"] + right_out)
         rhs = df[df["_side"] == 1][[left_on] + right_out]
@@ -316,7 +335,17 @@ def hash_join(
         for oc in right_out:
             if r_target[oc] and str(merged[oc].dtype) != r_target[oc]:
                 merged[oc] = merged[oc].astype(r_target[oc])
-        return merged
+        for name, _ in l_fields:
+            tgt = l_target[name]
+            if tgt and str(merged[name].dtype) != tgt:
+                merged[name] = merged[name].astype(tgt)
+        # emit Arrow so the op's output dtypes are canonical (nullable
+        # Int64 with no nulls -> plain arrow int64), matching what a
+        # consumer's to_pandas/write_parquet expects
+        # strip the pandas schema metadata or to_pandas restores Int64
+        return pa.Table.from_pandas(
+            merged, preserve_index=False
+        ).replace_schema_metadata(None)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
