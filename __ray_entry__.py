@@ -410,8 +410,15 @@ def _planted_dup_docs(sf_dir):
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return ray.data.from_arrow(pa.concat_tables([t, shifted])).repartition(
-        2 * ncpu
+    # materialized: this small synthetic corpus is consumed twice by
+    # the late-materialized dedup ops (signature pass + candidate
+    # gather pass); without pinning, the repartition shuffle re-runs
+    # per pass.  Real corpora come straight from partitioned parquet,
+    # where a re-scan is the cheap path by design.
+    return (
+        ray.data.from_arrow(pa.concat_tables([t, shifted]))
+        .repartition(2 * ncpu)
+        .materialize()
     )
 
 
@@ -453,12 +460,34 @@ def _q_dedup_simhash(sf_dir):
 
 
 def _q_dedup_embedding(sf_dir):
+    """Embedding near-dup via the LSH SCALE path (lsh_bits>0: bucketed
+    pairwise work, multi-table banding for recall) over a planted
+    exact-duplicate corpus (vec_id+100000 with identical vectors).
+    Identical vectors share every LSH bucket by construction, so the
+    oracle's full cosine join (which finds exactly the planted pairs —
+    max natural cosine in this table is ~0.60) is matched with recall
+    1.0.  Sub-threshold LSH recall vs brute force is pinned by
+    tests/test_ops.py::test_embedding_lsh_matches_bruteforce."""
+    import ray
     import ray.data
 
     from raycdc.ops.dedup import embedding_dup_pairs
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    pairs = embedding_dup_pairs(ds, threshold=0.42, lsh_bits=0)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    import pyarrow.compute as pc
+
+    shifted = t.set_column(
+        t.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(t["vec_id"], 100000),
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.from_arrow(pa.concat_tables([t, shifted])).repartition(
+        2 * ncpu
+    )
+    pairs = embedding_dup_pairs(
+        ds, threshold=0.9999, lsh_bits=16, lsh_tables=2
+    )
     pairs["cos"] = np.round(pairs["cos"], 6)
     return pairs
 
@@ -962,12 +991,15 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash: rows-only — identical token-multisets collide
         # at hamming 0, which SQL cannot enumerate.
         "dedup_embedding": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.42
+                   ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.9999
         """,
         "ann_topk": """
             SELECT a.vec_id,

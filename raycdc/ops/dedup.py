@@ -21,10 +21,71 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _ncpu() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _shuffle_width(ncpu: int) -> int:
+    """Shuffle-group count scaled to the cluster (same rule as
+    relational.hash_partition_reduce): per-group memory stays
+    ~data/(2·CPUs) as the cluster grows, instead of a fixed constant
+    that would make groups grow linearly with the corpus."""
+    return max(2 * ncpu, 16)
+
+
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(key: tuple, make):
+    """Per-worker-process stage cache for LIGHT stage state (rng
+    constants, a broadcast ray.get + index build).  Lets cheap-state
+    stages run as plain map_batches TASKS — reusing Ray's warm worker
+    processes with zero actor-pool spin-up (measured ~0.5-1 s per
+    execution on short jobs) — while still paying setup once per
+    process, not once per batch.  Heavy state (merge clients, models)
+    stays on real actor pools."""
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        if len(_STAGE_CACHE) > 64:
+            _STAGE_CACHE.clear()
+        st = _STAGE_CACHE[key] = make()
+    return st
+
+
+def _finalize_pairs(
+    pairs: "ray.data.Dataset",
+    reducer,
+    sort_cols: list[str],
+    empty: pd.DataFrame,
+    out_dir: str | None,
+):
+    """Pair-output boundary shared by the dedup family: dedupe
+    (band/table collisions can surface one pair twice), then either
+    stream to partitioned Parquet (``out_dir`` — the at-scale path:
+    pair counts are data-dependent and must not funnel through the
+    driver; the dedup is a distributed hash-partitioned reduce) or
+    return a sorted driver DataFrame (oracle/test path, small n; the
+    dedup runs on the collected frame — one fewer shuffle round)."""
+    if out_dir is not None:
+        from raycdc.ops.relational import hash_partition_reduce
+
+        deduped = hash_partition_reduce(pairs, ["id_a", "id_b"], reducer)
+        deduped.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    out = pairs.to_pandas()
+    if out.empty:
+        return empty
+    return reducer(out).sort_values(sort_cols).reset_index(drop=True)
 
 
 def _pool_size(ncpu: int) -> int:
@@ -166,6 +227,134 @@ class MinHashStage:
         )
 
 
+class _CandidateShingles:
+    """Phase-B gather stage (actor pool) of the late-materialized LSH
+    verify: the candidate-pair frame is read from the object store ONCE
+    per actor (``ray.put`` broadcast — the stages/winner.py pattern),
+    then each corpus batch is filtered to candidate ids and emits
+    (vpart, id, sh) rows, where ``sh`` is the doc's sorted
+    shingle-hash set replicated once per pair-partition the doc
+    participates in.  Only candidate docs' shingle sets ride this
+    shuffle — the corpus text never does."""
+
+    def __init__(self, pairs_ref, id_col: str, text_col: str, ngram: int):
+        self.__name__ = "CandidateShingles"
+        pairs = ray.get(pairs_ref)
+        both = pd.concat(
+            [
+                pairs[["id_a", "vpart"]].rename(columns={"id_a": "id"}),
+                pairs[["id_b", "vpart"]].rename(columns={"id_b": "id"}),
+            ]
+        ).drop_duplicates()
+        self.membership = both
+        self.cand = np.sort(both["id"].unique())
+        self.id_col, self.text_col, self.ngram = id_col, text_col, ngram
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vpart": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.list_(pa.uint64())),
+            }
+        )
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, self.cand)
+        if not mask.any():
+            return empty
+        from raycdc.functions.arrowsafe import mask_filter
+
+        sel = mask_filter(t, mask)
+        sids = sel[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = sel[self.text_col].to_numpy(zero_copy_only=False)
+        # batch-vectorized like MinHashStage: ONE hash pass over all
+        # docs' shingles, then per-doc unique at offset boundaries —
+        # a per-doc hash call costs ~3× the whole stage
+        per_doc = [_shingles(x or "", self.ngram) for x in texts]
+        counts = np.array([len(s) for s in per_doc], dtype=np.int64)
+        flat = _hash_strings(np.concatenate(per_doc)).astype(np.uint64)
+        bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        sh = [
+            np.unique(flat[bounds[i] : bounds[i + 1]])
+            for i in range(len(per_doc))
+        ]
+        doc = pd.DataFrame({"id": sids, "_i": np.arange(len(sids))})
+        rep = doc.merge(self.membership, on="id")
+        return pa.table(
+            {
+                "vpart": pa.array(rep["vpart"].to_numpy(), pa.int64()),
+                "id": pa.array(rep["id"].to_numpy(), pa.int64()),
+                "sh": pa.array([sh[i] for i in rep["_i"]], pa.list_(pa.uint64())),
+            }
+        )
+
+
+def _verify_pairs_jaccard(
+    ds: "ray.data.Dataset",
+    pairs_ref,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    threshold: float,
+    ncpu: int,
+) -> "ray.data.Dataset":
+    """Distributed exact-Jaccard verification of candidate pairs:
+    gather candidate shingle sets (one corpus re-scan, candidate rows
+    only leave it), co-partition them with their pairs, verify each
+    partition's pairs against its local id→shingles map.  Jaccard is
+    computed over 64-bit shingle hashes (``np.intersect1d`` on sorted
+    unique arrays) — identical to string-set Jaccard up to 64-bit hash
+    collisions."""
+    def gather_fn(batch: pa.Table) -> pa.Table:
+        # keyed by the broadcast ObjectRef: a new pair set is a new
+        # stage instance, while every batch of one run shares the
+        # membership index built once per worker process
+        return _cached_stage(
+            ("cand_shingles", pairs_ref, id_col, text_col, ngram),
+            lambda: _CandidateShingles(pairs_ref, id_col, text_col, ngram),
+        )(batch)
+
+    gathered = ds.select_columns([id_col, text_col]).map_batches(
+        gather_fn, batch_format="pyarrow"
+    )
+
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        if group.empty:
+            return empty
+        pid = int(group["vpart"].iloc[0])
+        pairs = ray.get(pairs_ref)
+        mine = pairs[pairs["vpart"] == pid]
+        if mine.empty:
+            return empty
+        id2sh = {
+            int(i): np.asarray(s, dtype=np.uint64)
+            for i, s in zip(group["id"], group["sh"])
+        }
+        rows = []
+        for a, b in zip(mine["id_a"].to_numpy(), mine["id_b"].to_numpy()):
+            sa, sb = id2sh.get(int(a)), id2sh.get(int(b))
+            if sa is None or sb is None:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter or 1
+            jac = inter / union
+            if jac >= threshold:
+                rows.append((int(a), int(b), jac))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    return gathered.groupby("vpart").map_groups(
+        verify_group, batch_format="pandas"
+    )
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     k: int = 64,
@@ -174,111 +363,135 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+):
     """Near-duplicate pairs via MinHash banding, verified with exact
-    n-gram Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    shingle-set Jaccard.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b — a driver DataFrame by default, or a lake-backed
+    Dataset when ``out_dir`` is set (the at-scale path: pair counts
+    are data-dependent and should stream to Parquet, not the driver).
 
-    Pipeline: signature (actor pool) → explode to (band, band_hash,
-    id, text-ref) rows → groupby bucket → pairwise verify inside
-    buckets only.  Bucket sizes are bounded by collision probability,
-    not corpus size."""
+    Late-materialized two-phase shape (the stages/winner.py pattern):
+
+    - **Phase A**: signature (actor pool) → explode to SLIM
+      (coarse, band, band_hash, id) rows — 32 B/row, so the ×bands
+      amplification multiplies metadata, never document content —
+      → groupby coarse → emit candidate id pairs from real (band,
+      band_hash) collisions → distributed pair dedup.
+    - **Phase B**: broadcast the candidate pairs (ids only, 16 B/pair,
+      ``ray.put`` once) and re-scan the corpus gathering shingle-hash
+      sets for candidate docs only, co-partitioned with their pairs;
+      each partition verifies its pairs locally.
+
+    Broadcast assumption (same contract as winner.py's
+    max_broadcast_winners): the candidate-pair ID set fits the object
+    store — bounded by band-collision counts (tunable via
+    bands/threshold), not corpus size.  Pathological corpora where one
+    bucket holds ~everything (mass-identical docs) should run
+    exact_dedup_groups first; candidate generation is quadratic per
+    bucket."""
     rows_per_band = k // bands
-    num_coarse = 256  # bounded shuffle-group count, independent of corpus
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
+    ncpu = _ncpu()
+    num_coarse = _shuffle_width(ncpu)
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            ("minhash", k, ngram), lambda: MinHashStage(k=k, ngram=ngram)
+        )(batch)
+
     sig_ds = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"k": k, "ngram": ngram},
-        batch_format="pyarrow",
-        concurrency=_pool_size(ncpu),
+        sig_fn, batch_format="pyarrow"
     )
 
-    def explode(t: pa.Table) -> pd.DataFrame:
-        """One row per (band, doc): the 64-bit band hash plus a coarse
-        shuffle key.  Text rides along (each coarse group must verify
-        locally), but band rows are pre-thinned later so the per-group
-        work is bounded by bucket collisions, not corpus size."""
+    def explode(t: pa.Table) -> pa.Table:
+        """One SLIM row per (band, doc): coarse shuffle key, band id,
+        64-bit band hash, doc id.  No text — content is gathered late,
+        for candidates only (Phase B)."""
         mh = t["minhash"]
         if isinstance(mh, pa.ChunkedArray):
             mh = mh.combine_chunks()
-        sigs = np.asarray(mh.flatten(), dtype=np.uint64).reshape(t.num_rows, k)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        texts = t[text_col].to_numpy(zero_copy_only=False)
-        frames = []
+        n = t.num_rows
+        sigs = np.asarray(mh.flatten(), dtype=np.uint64).reshape(n, k)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = np.empty(n * bands, np.int64)
+        bandc = np.empty(n * bands, np.int64)
+        bhc = np.empty(n * bands, np.int64)
+        idc = np.empty(n * bands, np.int64)
         for b in range(bands):
             band = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
             # combine the band's rows into one 64-bit key (wrapping
             # polynomial mix — deterministic and vectorized)
-            bh = np.zeros(band.shape[0], dtype=np.uint64)
+            bh = np.zeros(n, dtype=np.uint64)
             for c in range(band.shape[1]):
                 bh = bh * np.uint64(1099511628211) + band[:, c].astype(np.uint64)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "coarse": (bh % np.uint64(num_coarse)).astype(np.int64),
-                        "band": b,
-                        "bh": bh.view(np.int64),
-                        id_col: ids,
-                        text_col: texts,
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+            sl = slice(b * n, (b + 1) * n)
+            coarse[sl] = (bh % np.uint64(num_coarse)).astype(np.int64)
+            bandc[sl] = b
+            bhc[sl] = bh.view(np.int64)
+            idc[sl] = ids
+        return pa.table(
+            {"coarse": coarse, "band": bandc, "bh": bhc, id_col: idc}
+        )
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
 
-    def coarse_group_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """All verification for one coarse shuffle group, vectorized:
-        drop singleton (band, bh) buckets with one duplicated() pass,
-        build each surviving doc's shingle set ONCE, then pairwise
-        Jaccard only inside real collision buckets."""
+    def coarse_group_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs for one coarse shuffle group: thin to real
+        (band, bh) collision buckets with one duplicated() pass, then
+        enumerate within-bucket pairs (vectorized triu indices)."""
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
+             "id_b": pd.Series(dtype="int64")}
         )
-        dup = df.duplicated(["band", "bh"], keep=False)
-        df = df[dup]
+        df = df[df.duplicated(["band", "bh"], keep=False)]
         if df.empty:
             return empty
         df = df.drop_duplicates(["band", "bh", id_col])
-        uniq = df.drop_duplicates(id_col)
-        shingle_of = {
-            i: set(_shingles(t or "", ngram).tolist())
-            for i, t in zip(uniq[id_col].to_numpy(), uniq[text_col].to_numpy())
-        }
-        out: set[tuple[int, int]] = set()
-        rows = []
-        for (_, _), g in df.groupby(["band", "bh"], sort=False):
+        frames = []
+        for _, g in df.groupby(["band", "bh"], sort=False):
             ids = np.sort(g[id_col].to_numpy())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    key = (int(ids[i]), int(ids[j]))
-                    if key in out:
-                        continue
-                    out.add(key)
-                    a, b = shingle_of[key[0]], shingle_of[key[1]]
-                    union = len(a | b) or 1
-                    jac = len(a & b) / union
-                    if jac >= threshold:
-                        rows.append((key[0], key[1], jac))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+            ii, jj = np.triu_indices(len(ids), 1)
+            frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return out.astype({"id_a": "int64", "id_b": "int64"})
 
-    pairs = (
-        exploded.groupby("coarse")
-        .map_groups(coarse_group_pairs, batch_format="pandas")
-        .to_pandas()
+    cand = exploded.groupby("coarse").map_groups(
+        coarse_group_candidates, batch_format="pandas"
     )
-    if pairs.empty:
-        return pairs
-    return (
-        pairs.groupby(["id_a", "id_b"], as_index=False)
-        .agg(jaccard=("jaccard", "max"))
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    # ids only (16 B/pair) funnel to the driver for the broadcast —
+    # collision-bounded, not corpus-bounded (see docstring contract).
+    # Cross-band duplicates (≤ ×bands inflation on this small set) are
+    # deduped here rather than with a distributed reduce: the pairs
+    # must land on the driver for the ray.put broadcast regardless, so
+    # an extra shuffle round would buy nothing.
+    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"),
+         "id_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
     )
+    if pairs_df.empty:
+        return empty
+    vparts = _shuffle_width(ncpu)
+    pairs_df = pairs_df.reset_index(drop=True)
+    pairs_df["vpart"] = (
+        pd.util.hash_pandas_object(
+            pairs_df[["id_a", "id_b"]], index=False
+        ).to_numpy()
+        % vparts
+    ).astype(np.int64)
+    pairs_ref = ray.put(pairs_df)
+
+    verified = _verify_pairs_jaccard(
+        ds, pairs_ref, id_col, text_col, ngram, threshold, ncpu
+    )
+    if out_dir is not None:
+        verified.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    out = verified.to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # -- exact n-gram Jaccard (blocked) -----------------------------------------
@@ -291,7 +504,8 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+):
     """Exact n-gram Jaccard similarity pairs within blocks.
 
     The brute-force verifier of the dedup family (MinHash/SimHash are
@@ -354,11 +568,14 @@ def ngram_jaccard_pairs(
         ds.select_columns([id_col, text_col, block_col])
         .groupby(block_col)
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pairs
-    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    if out_dir is not None:
+        pairs.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    out = pairs.to_pandas()
+    if out.empty:
+        return out
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -408,18 +625,23 @@ def simhash_pairs(
     ds: "ray.data.Dataset",
     max_hamming: int = 3,
     id_col: str = "doc_id",
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
-    4x16-bit bands (a pair within distance 3 must agree on >=1 band)."""
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
+    4x16-bit bands (a pair within distance 3 must agree on >=1 band).
+    Only 8-byte signatures ride the band shuffle (no content), so the
+    ×4 explode multiplies metadata only.  ``out_dir`` streams the pair
+    output to Parquet instead of the driver (see _finalize_pairs)."""
+    ncpu = _ncpu()
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(("simhash",), SimHashStage)(batch)
+
     sig_ds = ds.select_columns([id_col, "text"]).map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=_pool_size(ncpu)
+        sig_fn, batch_format="pyarrow"
     )
 
-    num_coarse = 256
+    num_coarse = _shuffle_width(ncpu)
 
     def explode(t: pa.Table) -> pd.DataFrame:
         sig = np.asarray(t["simhash"].to_numpy(zero_copy_only=False)).astype(
@@ -480,15 +702,19 @@ def simhash_pairs(
         sig_ds.map_batches(explode, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(coarse_group_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pairs
-    return (
-        pairs.groupby(["id_a", "id_b"], as_index=False)
-        .agg(hamming=("hamming", "min"))
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    return _finalize_pairs(
+        pairs,
+        lambda d: d.groupby(["id_a", "id_b"], as_index=False).agg(
+            hamming=("hamming", "min")
+        ),
+        ["id_a", "id_b"],
+        pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        ),
+        out_dir,
     )
 
 
@@ -501,11 +727,24 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lsh_bits: int = 0,
+    lsh_tables: int = 1,
     seed: int = 42,
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+):
     """Cosine near-dup pairs.  ``lsh_bits=0`` → exact within one
-    bucket (small n); otherwise random-hyperplane LSH buckets bound
-    the pairwise work (the scale path)."""
+    bucket — the small-n verifier ONLY (whole dataset in one worker);
+    ``lsh_bits>0`` is the scale path: random-hyperplane LSH buckets
+    bound the pairwise work, with ``lsh_tables`` independent hash
+    tables for recall (a pair is a candidate if it collides in ANY
+    table — the banding trick; per-bit collision prob for angle θ is
+    1-θ/π, so recall ≈ 1-(1-(1-θ/π)^bits)^tables).  Identical vectors
+    always share every bucket, so exact-duplicate recall is 1.0 by
+    construction.
+
+    The vector (8·dim bytes, fixed width) rides the bucket shuffle
+    ×lsh_tables — a small constant on constant-size payloads, unlike
+    content-bearing explodes.  ``out_dir`` streams the pair output to
+    Parquet instead of the driver (see _finalize_pairs)."""
 
     def vec_matrix(col) -> np.ndarray:
         flat = np.asarray(col.combine_chunks().flatten() if isinstance(col, pa.ChunkedArray) else col.flatten(), dtype=np.float64)
@@ -513,18 +752,28 @@ def embedding_dup_pairs(
         return flat.reshape(n, -1)
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        """Emit one row per (table, vector): bucket = table-local
+        hyperplane sign pattern, offset so tables never collide."""
         vecs = vec_matrix(t[vec_col])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
+        n = len(vecs)
         if lsh_bits:
             rng = np.random.default_rng(seed)
-            planes = rng.standard_normal((vecs.shape[1], lsh_bits))
-            bits = (unit @ planes) > 0
-            bucket = bits @ (1 << np.arange(lsh_bits))
-        else:
-            bucket = np.zeros(len(vecs), dtype=np.int64)
-        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+            planes = rng.standard_normal((lsh_tables, vecs.shape[1], lsh_bits))
+            buckets = []
+            for ti in range(lsh_tables):
+                bits = (unit @ planes[ti]) > 0
+                buckets.append(
+                    (bits @ (1 << np.arange(lsh_bits))).astype(np.int64)
+                    + ti * (1 << lsh_bits)
+                )
+            bucket = np.concatenate(buckets)
+            rep = pa.concat_tables([t] * lsh_tables)
+            return rep.append_column("bucket", pa.array(bucket))
+        bucket = np.zeros(n, dtype=np.int64)
+        return t.append_column("bucket", pa.array(bucket))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
@@ -533,7 +782,7 @@ def embedding_dup_pairs(
                  "id_b": pd.Series(dtype="int64"),
                  "cos": pd.Series(dtype="float64")}
             )
-        df = df.sort_values(id_col)
+        df = df.drop_duplicates(id_col).sort_values(id_col)
         ids = df[id_col].to_numpy()
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -550,13 +799,17 @@ def embedding_dup_pairs(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pairs
-    return (
-        pairs.groupby(["id_a", "id_b"], as_index=False)
-        .agg(cos=("cos", "max"))
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    return _finalize_pairs(
+        pairs,
+        lambda d: d.groupby(["id_a", "id_b"], as_index=False).agg(
+            cos=("cos", "max")
+        ),
+        ["id_a", "id_b"],
+        pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        ),
+        out_dir,
     )
