@@ -125,8 +125,17 @@ class IngestConfig:
     # object-store sort shuffle (which holds ~3x the window in plasma
     # and goes spill-bound past a fraction of the store)
     disk_shuffle_bytes: int = 2 << 30
-    # hot-key salting threshold: PKs whose per-run event count exceeds
-    # this are pre-combined per batch (see stages/parse.py combiner).
+    # hot-key skew handling.  The argmax-shaped CDC apply needs no
+    # salting: the per-batch keep-latest combiner (stages/parse.py)
+    # collapses a hot PK to <=1 row per read task before any shuffle.
+    # NON-associative group reducers (session windows and other
+    # order-dependent per-key work routed through
+    # ops/relational.salted_partition_reduce) DO salt: keys whose
+    # estimated count (Count-Min, ops/sketch.py) exceeds this
+    # threshold are split across salt slices and re-merged exactly.
+    # None = use the op's own default (2x the per-partition row
+    # target).
+    hot_key_salt_threshold: int | None = None
     predicate: Any = None  # optional pyarrow.dataset filter expression
     # write-amplification control (stages/merge.py + state/checkpoint.py):
     #   "cow"  — copy-on-write: every run rewrites the partition base

@@ -63,6 +63,109 @@ def hash_partition_reduce(
     )
 
 
+def detect_hot_keys(
+    ds: "ray.data.Dataset", col: str, threshold: int, k: int = 32
+) -> list:
+    """Hot-key detection pass: Count-Min heavy hitters over ``col``
+    (one streaming scan, zero shuffle — each block emits a fixed-size
+    sketch partial), returning values whose estimated count exceeds
+    ``threshold``.  Count-Min only over-estimates, so a truly-hot key
+    is never missed; a false positive merely salts a key that didn't
+    need it (correctness unaffected — the salted path is exact)."""
+    from raycdc.ops.sketch import countmin_heavy_hitters
+
+    hh = countmin_heavy_hitters(ds, col, k=k)
+    hot = hh[hh["est_count"] >= threshold]["value"].tolist()
+    if not hot:
+        return []
+    # countmin stringifies candidates; cast back to the column's type
+    typ = ds.schema().base_schema.field(col).type
+    if pa.types.is_integer(typ):
+        return [int(v) for v in hot]
+    if pa.types.is_floating(typ):
+        return [float(v) for v in hot]
+    return hot
+
+
+def salted_partition_reduce(
+    ds: "ray.data.Dataset",
+    key: str,
+    reduce_fn,
+    merge_fn,
+    salt_fn,
+    hot_keys: list,
+    num_salt: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Skew-safe hash_partition_reduce for NON-associative reducers
+    that admit a partial/merge decomposition (the north rule's "skewed
+    hot keys handled via salted repartitioning").
+
+    hash_partition_reduce co-locates each key's FULL row set on one
+    worker — one zipfian monster key serializes the whole reduce.
+    Here the input splits on a broadcast hot-key set (vectorized isin
+    per batch):
+
+    - non-hot keys take the normal path (one shuffle, reduce_fn);
+    - hot-key rows get a salt from ``salt_fn(df) % num_salt`` (the op
+      chooses salt semantics — e.g. a time bucket so each slice is
+      contiguous), are reduced per (key, salt) SLICE in parallel, and
+      the per-slice partial outputs (summary rows, tiny) are re-merged
+      exactly by ``merge_fn`` in a second, small shuffle keyed on the
+      hot key alone.
+
+    Cost: one extra scan of the source (the split reads it twice —
+    same contract as the late-materialized CDC apply) plus a merge
+    shuffle proportional to len(hot_keys) x num_salt summary rows.
+    ``reduce_fn`` must group by ``key`` internally (slices of distinct
+    keys may share a partition); ``merge_fn`` sees all of one hot
+    key's partials together and must produce final rows."""
+    if not hot_keys:
+        return hash_partition_reduce(
+            ds, [key], reduce_fn, num_partitions=num_partitions
+        )
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    num_salt = num_salt or max(2 * ncpu, 16)
+    hot = np.sort(np.asarray(hot_keys))
+
+    def split(df: pd.DataFrame, keep_hot: bool) -> pd.DataFrame:
+        mask = np.isin(df[key].to_numpy(), hot)
+        return df[mask] if keep_hot else df[~mask]
+
+    rest = ds.map_batches(
+        lambda df: split(df, False), batch_format="pandas"
+    )
+    rest_out = hash_partition_reduce(
+        rest, [key], reduce_fn, num_partitions=num_partitions
+    )
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = split(df, True).copy()
+        df["_salt"] = (
+            np.asarray(salt_fn(df), dtype=np.int64) % num_salt
+        )
+        return df
+
+    def reduce_slice(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            reduce_fn(g.drop(columns=["_salt"]))
+            for _, g in df.groupby("_salt", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    partials = hash_partition_reduce(
+        ds.map_batches(add_salt, batch_format="pandas"),
+        [key, "_salt"],
+        reduce_slice,
+        num_partitions=num_partitions,
+    )
+    merged = hash_partition_reduce(partials, [key], merge_fn)
+    return rest_out.union(merged)
+
+
 def partial_agg(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -417,6 +520,15 @@ def asof_join(
     Partitioning assumption: per-key history fits a partition worker's
     memory; skewed keys cost sort time within their partition, never a
     cross-partition spill.  Right columns come back as ``{col}_r``.
+
+    Skew bound (documented, not salted): unlike session_windows, the
+    as-of lookup cannot use salted_partition_reduce's slice/merge
+    decomposition directly — a left row's match may live in ANY earlier
+    time slice of the right side, so an exact time-sliced split needs a
+    per-slice "last right row before slice start" handoff (a prefix
+    exchange) that the current one-shuffle shape deliberately avoids.
+    Detect monster keys upfront with detect_hot_keys; a key whose
+    history exceeds worker memory needs the handoff variant.
     """
     import pyarrow.compute as pc
 
@@ -590,7 +702,11 @@ def topk(
 
 
 def session_windows(
-    events: "ray.data.Dataset", gap_minutes: int = 30
+    events: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    num_salt: int | None = None,
 ) -> pd.DataFrame:
     """Gap-based session windows per user: events closer than
     ``gap_minutes`` to their predecessor share a session; a larger gap
@@ -599,9 +715,27 @@ def session_windows(
     user's FULL history co-locates via one hash shuffle
     (hash_partition_reduce) and sessionization is a vectorized
     diff + cumsum per partition.  Partitioning assumption: one user's
-    history fits a partition worker (same as the as-of join).
+    history fits a partition worker (same as the as-of join) — UNLESS
+    that user is hot, in which case the salted path below splits it.
+
+    Skew (``hot_keys`` / ``hot_key_threshold``): a zipfian monster
+    user serializes the plain path on one worker.  The salted path
+    (salted_partition_reduce) slices a hot user's history into
+    contiguous time buckets of width W = 2·gap, sessionizes each salt
+    slice independently, then stitches boundary sessions exactly:
+    partial sessions sorted by start merge iff
+    next.start - prev.end <= gap — the same predicate global
+    sessionization applies, so the result is bit-identical (proven by
+    the zipfian test in tests/test_skew_and_evolution.py).  Exactness
+    needs W > gap: two same-salt buckets are >= W apart, so a slice
+    can never falsely join non-adjacent buckets.  Bound: a burst
+    narrower than W still lands on one worker — the op cannot split
+    inside what might be a single session.  ``hot_key_threshold``
+    turns on Count-Min detection (one extra streaming scan);
+    ``hot_keys`` supplies known keys and skips it.
     """
     gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = 2 * gap_us
 
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
         # event_id tie-break keeps duplicate-timestamp ordering
@@ -625,7 +759,51 @@ def session_windows(
         )
         return out
 
-    out = hash_partition_reduce(events, ["user_id"], sessionize).to_pandas()
+    def merge_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        """Exact boundary stitch over one (or more) hot users' partial
+        sessions: chain-merge consecutive partials whose gap <= the
+        session gap, then renumber per-user ordinals by start time."""
+        df = df.sort_values(
+            ["user_id", "session_start", "session_end"], kind="stable"
+        )
+        start_us = df["session_start"].astype("int64")
+        end_us = df["session_end"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap_break = (start_us - end_us.shift()) > gap_us
+        new_sess = new_user | gap_break
+        grp = new_sess.cumsum()
+        out = (
+            df.assign(_g=grp)
+            .groupby("_g", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("session_start", "min"),
+                session_end=("session_end", "max"),
+                n_events=("n_events", "sum"),
+                sum_value_c=("sum_value_c", "sum"),
+            )
+            .drop(columns=["_g"])
+        )
+        out = out.sort_values(
+            ["user_id", "session_start"], kind="stable"
+        ).reset_index(drop=True)
+        out["session_id"] = out.groupby("user_id").cumcount().astype(np.int64)
+        return out[
+            ["user_id", "session_id", "session_start", "session_end",
+             "n_events", "sum_value_c"]
+        ]
+
+    if hot_keys is None and hot_key_threshold is not None:
+        hot_keys = detect_hot_keys(events, "user_id", hot_key_threshold)
+    out = salted_partition_reduce(
+        events,
+        "user_id",
+        sessionize,
+        merge_sessions,
+        lambda df: df["ts"].astype("int64") // bucket_us,
+        hot_keys or [],
+        num_salt=num_salt,
+    ).to_pandas()
     out["sum_value"] = out["sum_value_c"] / 100.0
     out["n_events"] = out["n_events"].astype(np.int64)
     return (

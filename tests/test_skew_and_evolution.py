@@ -182,3 +182,53 @@ def test_user_predicate_pushdown(tmp_path):
     state = Lake(cfg.lake_dir).read_table().to_pandas()
     assert len(state) > 0
     assert (state["lang"] == "py").all()
+
+
+def test_session_salting_zipfian_exact():
+    """North-rule skew evidence: one zipfian user owns half the
+    events.  The salted path (explicit hot_keys AND Count-Min
+    detection via hot_key_threshold) must be bit-identical to the
+    plain single-worker-per-key path, and the detector must find the
+    monster key."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from raycdc.ops.relational import detect_hot_keys, session_windows
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    base = 1_700_000_000_000_000
+    hot_n = n // 2
+    # hot user: inter-event gaps from 1us to 40min, so some gaps break
+    # sessions (>30min) and some don't — and sessions routinely cross
+    # the 60-min salt-bucket boundary, exercising the exact stitch
+    hot_ts = base + np.cumsum(
+        rng.integers(1, 40 * 60 * 1_000_000, hot_n).astype(np.int64)
+    )
+    rest_users = rng.integers(1, 500, n - hot_n).astype(np.int64)
+    rest_ts = base + rng.integers(0, int(hot_ts[-1] - base), n - hot_n)
+    user = np.concatenate([np.zeros(hot_n, np.int64), rest_users])
+    ts = np.concatenate([hot_ts, rest_ts])
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(user, pa.int64()),
+            "value": pa.array(rng.random(n).round(2), pa.float64()),
+        }
+    )
+    import ray.data as rd
+
+    ds = rd.from_arrow(t).repartition(8).materialize()
+    plain = session_windows(ds, gap_minutes=30)
+    salted = session_windows(ds, gap_minutes=30, hot_keys=[0], num_salt=8)
+    pd.testing.assert_frame_equal(plain, salted)
+
+    hot = detect_hot_keys(ds, "user_id", threshold=5000)
+    assert 0 in hot
+    detected = session_windows(
+        ds, gap_minutes=30, hot_key_threshold=5000, num_salt=8
+    )
+    pd.testing.assert_frame_equal(plain, detected)
