@@ -101,6 +101,9 @@ class IngestConfig:
 
     log_dir: str  # change-log fragment directory (the "API endpoint")
     lake_dir: str  # lake table root (data + checkpoint + dead-letter)
+    # source-connector kind (sources/registry.py) — the reference's
+    # auth_method-enum analog; parquet-changelog is the built-in
+    source_kind: str = "parquet-changelog"
     num_partitions: int = DEFAULT_NUM_PARTITIONS
     columns: list[dict[str, Any]] | None = None  # payload schema; None = dynamic
     dynamic_schema: bool = False
@@ -183,4 +186,12 @@ def validate_config(cfg: IngestConfig) -> IngestConfig:
                 "json",
             ):
                 raise ConfigError(f"Unsupported column type: {col.get('type')}")
+    # dispatch through the source registry last: unknown kinds and
+    # missing / unreadable log locations fail HERE, before any run —
+    # the reference's live endpoint pre-check (JiraUtil.java:72-84),
+    # not an empty-glob no-op.  Lazy import: registry depends on
+    # ConfigError.
+    from raycdc.sources.registry import get_source
+
+    get_source(cfg.source_kind, cfg.log_dir).validate()
     return cfg

@@ -49,23 +49,65 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, feat[:8]
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, np.ndarray]:  # pragma: no cover
+    """Real image decode (used automatically when PIL is importable):
+    size from the header, feature = 8 column-mean intensities of a
+    grayscale thumbnail."""
+    import io
+
+    img = PIL.Image.open(io.BytesIO(payload))
+    w, h = img.size
+    gray = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float64)
+    return w, h, gray.mean(axis=0) / 255.0
+
+
+# decoder registry: capability-selected, config-overridable.  Installing
+# PIL upgrades the default decode in place (no code change, no
+# NotImplementedError trap); a deployment can register its own decoder
+# (e.g. turbojpeg) and select it by name.
+_DECODERS: dict[str, object] = {"fake": _fake_decode}
+if _HAVE_PIL:  # pragma: no cover - PIL absent in this container
+    _DECODERS["pil"] = _pil_decode
+
+
+def register_decoder(name: str, fn) -> None:
+    """Register ``fn(payload: bytes) -> (width, height, feature)``
+    under ``name`` for DecodeImageStage(decoder=name).
+
+    Distributed caveat: the stage resolves ``name`` inside each WORKER
+    process, so a custom decoder must be registered at import time of
+    a module the workers also import (put the ``register_decoder``
+    call at your plugin module's top level), not ad hoc on the
+    driver."""
+    _DECODERS[name] = fn
+
+
+def default_decoder() -> str:
+    """Best available decoder by capability: real when PIL imports,
+    the documented deterministic fake otherwise."""
+    return "pil" if "pil" in _DECODERS else "fake"
+
+
 class DecodeImageStage:
     """Actor-pool stage: decode → (width, height, feature vector).
 
-    __init__ loads the decoder once per actor (the stateful-stage
-    pattern); __call__ handles a batch.  Without PIL the decode is a
-    deterministic fake (documented stub)."""
+    __init__ resolves the decoder once per actor (the stateful-stage
+    pattern) — by explicit ``decoder`` name or by capability
+    (``default_decoder()``); __call__ handles a batch.  Without PIL
+    the decode is a deterministic fake (documented stub)."""
 
-    def __init__(self):
+    def __init__(self, decoder: str | None = None):
         self.__name__ = "DecodeImage"
-        self.have_pil = _HAVE_PIL
+        name = decoder or default_decoder()
+        if name not in _DECODERS:
+            raise ValueError(
+                f"Unknown media decoder: {name!r} "
+                f"(available: {sorted(_DECODERS)})"
+            )
+        self._decode_fn = _DECODERS[name]
 
     def _decode(self, payload: bytes):
-        if self.have_pil:  # pragma: no cover
-            raise NotImplementedError(
-                "real decode path requires PIL; not available in this container"
-            )
-        return _fake_decode(payload)
+        return self._decode_fn(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, feats = [], [], []
@@ -78,7 +120,11 @@ class DecodeImageStage:
         out = out.append_column("width", pa.array(widths, pa.int64()))
         out = out.append_column("height", pa.array(heights, pa.int64()))
         return out.append_column(
-            "feature", pa.array([f.tolist() for f in feats], pa.list_(pa.float64()))
+            "feature",
+            pa.array(
+                [np.asarray(f, dtype=np.float64).tolist() for f in feats],
+                pa.list_(pa.float64()),
+            ),
         )
 
 
@@ -184,13 +230,18 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def decode_features(
-    ds: "ray.data.Dataset", concurrency: int = 4, batch_size: int = 64
+    ds: "ray.data.Dataset",
+    concurrency: int = 4,
+    batch_size: int = 64,
+    decoder: str | None = None,
 ) -> "ray.data.Dataset":
     """image decode + feature extraction as an actor pool with a small
     batch_size (large binary payloads → batch × concurrency must fit
-    worker heap)."""
+    worker heap).  ``decoder`` selects a registered decoder by name;
+    None picks the best available by capability."""
     return ds.map_batches(
         DecodeImageStage,
+        fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

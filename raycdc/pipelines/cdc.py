@@ -25,13 +25,8 @@ import pyarrow.parquet as pq
 from raycdc.config import IngestConfig, validate_config
 from raycdc.constants import GUESS_RECORDS_COUNT, PREVIEW_RECORDS_COUNT
 from raycdc.schema_infer import EmptyDatasetError, guess_schema, merge_schemas
-from raycdc.sources.changelog import (
-    count_probe,
-    fragment_paths,
-    max_seq_probe,
-    read_changelog,
-    window_stats,
-)
+from raycdc.sources.changelog import count_probe, fragment_paths
+from raycdc.sources.registry import get_source
 from raycdc.stages.merge import METRICS_SCHEMA, PartitionMerger
 from raycdc.stages.parse import ParseStage
 from raycdc.state.checkpoint import Lake
@@ -214,8 +209,7 @@ def _late_materialized_apply(
     from raycdc.stages.winner import WinnerSelector
 
     # -- phase A: winner selection over slim rows -----------------------
-    ds = read_changelog(
-        cfg.log_dir,
+    ds = get_source(cfg.source_kind, cfg.log_dir).read(
         min_watermark=min_watermark,
         columns=_slim_columns(cfg.log_dir),
         predicate=cfg.predicate,
@@ -268,8 +262,7 @@ def _late_materialized_apply(
         pos = np.minimum(np.searchsorted(ws, seqs), len(ws) - 1)
         return mask_filter(t, ws[pos] == seqs)
 
-    ds2 = read_changelog(
-        cfg.log_dir,
+    ds2 = get_source(cfg.source_kind, cfg.log_dir).read(
         min_watermark=min_watermark,
         columns=EVENT_COLUMNS,
         predicate=cfg.predicate,
@@ -363,7 +356,8 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     watermarks = lake.watermarks()
     covered = len(watermarks) == num_partitions and num_partitions > 0
     min_wm = min(watermarks.values()) if covered else -1
-    target = max_seq_probe(cfg.log_dir)
+    source = get_source(cfg.source_kind, cfg.log_dir)
+    target = source.max_seq_probe()
     if target <= min_wm:
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
                                           schema=METRICS_SCHEMA),
@@ -374,8 +368,8 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     tune_data_context()
     # size the read to THIS window, not the whole log: incremental
     # runs prune committed fragments via footer seq stats
-    win_bytes, win_rows = window_stats(
-        cfg.log_dir, min_wm if covered else None
+    win_bytes, win_rows = source.window_stats(
+        min_wm if covered else None
     )
     blocks = target_num_blocks(win_bytes, max(win_rows, 1))
 
@@ -409,8 +403,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
         )
     if metrics is None:
         # classic single-pass apply: shuffle full rows to the mergers
-        ds = read_changelog(
-            cfg.log_dir,
+        ds = source.read(
             min_watermark=min_wm if covered else None,
             columns=EVENT_COLUMNS,
             predicate=cfg.predicate,
@@ -571,7 +564,9 @@ def replay_dead_letters(
     predicate = pads.field("seq") <= max_wm
     if cfg.predicate is not None:
         predicate = predicate & cfg.predicate
-    ds = read_changelog(cfg.log_dir, columns=EVENT_COLUMNS, predicate=predicate)
+    ds = get_source(cfg.source_kind, cfg.log_dir).read(
+        columns=EVENT_COLUMNS, predicate=predicate
+    )
     parse = ParseStage(
         num_partitions=num_partitions,
         payload_columns=payload_columns,
@@ -682,7 +677,7 @@ def preview(cfg: IngestConfig, n: int = PREVIEW_RECORDS_COUNT) -> pa.Table:
     """Preview mode (S5): identical stage graph over ``limit(n)``; no
     state is touched (reference JiraInputPlugin.java:149-152)."""
     validate_config(cfg)
-    ds = read_changelog(cfg.log_dir, columns=EVENT_COLUMNS)
+    ds = get_source(cfg.source_kind, cfg.log_dir).read(columns=EVENT_COLUMNS)
     parse = ParseStage(
         num_partitions=cfg.num_partitions,
         payload_columns=cfg.columns or [],

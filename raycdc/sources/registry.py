@@ -1,0 +1,145 @@
+"""Source-connector registry (SURVEY.md §2.10).
+
+The reference dispatches its source behavior on a closed enum — the
+``auth_method`` switch (AuthenticateMethod.java:8-27, consumed in
+JiraClient.java:212-223).  The engine generalizes that into an OPEN
+registry mapping a source ``kind`` string to a connector class, so a
+new log transport (an object-store tailer, a compacted-topic snapshot
+reader) plugs in without touching the pipeline: implement the
+``SourceConnector`` surface, call ``register_source``, set
+``IngestConfig.source_kind``.
+
+``parquet-changelog`` is the built-in first entry, delegating to
+``raycdc.sources.changelog``.  Connectors also own the reference's
+live endpoint pre-check (JiraUtil.java:72-84 validates credentials
+against the real server before any run): ``validate()`` fail-fasts
+with a ConfigError when the log location does not exist — a typo'd
+path must be an error, not an empty-glob no-op run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from raycdc.config import ConfigError
+
+
+class SourceConnector:
+    """The source contract the CDC pipeline consumes.
+
+    One instance wraps one log location.  Methods mirror the
+    reference's client surface: ``read`` (the paginated search,
+    S1/S3), ``count_probe`` (the maxResults=1 total probe, S2),
+    ``max_seq_probe`` / ``window_stats`` (replay-target discovery and
+    incremental window sizing — footer-metadata analogs with no
+    reference equivalent because the reference re-reads everything),
+    and ``validate`` (the live endpoint pre-check)."""
+
+    kind = "abstract"
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def validate(self) -> None:
+        raise NotImplementedError
+
+    def read(
+        self,
+        min_watermark: int | None = None,
+        columns: list[str] | None = None,
+        predicate=None,
+        override_num_blocks: int | None = None,
+    ):
+        raise NotImplementedError
+
+    def count_probe(self) -> int:
+        raise NotImplementedError
+
+    def max_seq_probe(self) -> int:
+        raise NotImplementedError
+
+    def window_stats(self, min_watermark: int | None) -> tuple[int, int]:
+        raise NotImplementedError
+
+
+class ParquetChangelogSource(SourceConnector):
+    """Built-in connector: a directory of Parquet change-log fragments
+    (see raycdc.sources.changelog for the read/probe mechanics)."""
+
+    kind = "parquet-changelog"
+
+    def validate(self) -> None:
+        if not os.path.isdir(self.log_dir):
+            raise ConfigError(
+                f"Change-log directory does not exist or is not a "
+                f"directory: {self.log_dir}"
+            )
+        if not os.access(self.log_dir, os.R_OK):
+            raise ConfigError(
+                f"Change-log directory is not readable: {self.log_dir}"
+            )
+
+    def read(
+        self,
+        min_watermark: int | None = None,
+        columns: list[str] | None = None,
+        predicate=None,
+        override_num_blocks: int | None = None,
+    ):
+        from raycdc.sources.changelog import read_changelog
+
+        return read_changelog(
+            self.log_dir,
+            min_watermark=min_watermark,
+            columns=columns,
+            predicate=predicate,
+            override_num_blocks=override_num_blocks,
+        )
+
+    def count_probe(self) -> int:
+        from raycdc.sources.changelog import count_probe
+
+        return count_probe(self.log_dir)
+
+    def max_seq_probe(self) -> int:
+        from raycdc.sources.changelog import max_seq_probe
+
+        return max_seq_probe(self.log_dir)
+
+    def window_stats(self, min_watermark: int | None) -> tuple[int, int]:
+        from raycdc.sources.changelog import window_stats
+
+        return window_stats(self.log_dir, min_watermark)
+
+
+_REGISTRY: dict[str, type[SourceConnector]] = {}
+
+
+def register_source(cls: type[SourceConnector]) -> type[SourceConnector]:
+    """Register a connector class under its ``kind`` (usable as a
+    decorator).  Re-registering a kind replaces it — latest wins, so a
+    deployment can override the built-in."""
+    if not getattr(cls, "kind", None) or cls.kind == "abstract":
+        raise ConfigError("Source connector must define a concrete `kind`")
+    _REGISTRY[cls.kind] = cls
+    return cls
+
+
+def available_sources() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def get_source(kind: str, log_dir: str) -> SourceConnector:
+    """Dispatch ``kind`` to a connector instance — the engine's analog
+    of the reference's auth_method switch, with the reference's
+    fail-fast unknown-value error shape."""
+    cls = _REGISTRY.get(kind)
+    if cls is None:
+        raise ConfigError(
+            f"Unknown source kind: {kind!r} (available: "
+            f"{', '.join(available_sources())})"
+        )
+    return cls(log_dir)
+
+
+register_source(ParquetChangelogSource)

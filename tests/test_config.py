@@ -15,14 +15,21 @@ from raycdc.config import (
 )
 
 
-def _cfg(**kw):
-    base = dict(log_dir="/tmp/log", lake_dir="/tmp/lake")
+@pytest.fixture()
+def log_dir(tmp_path):
+    d = tmp_path / "log"
+    d.mkdir()
+    return str(d)
+
+
+def _cfg(log_dir="/tmp/raycdc-missing-log", **kw):
+    base = dict(log_dir=log_dir, lake_dir="/tmp/lake")
     base.update(kw)
     return IngestConfig(**base)
 
 
-def test_validate_ok():
-    assert validate_config(_cfg()) is not None
+def test_validate_ok(log_dir):
+    assert validate_config(_cfg(log_dir=log_dir)) is not None
 
 
 @pytest.mark.parametrize(
@@ -39,6 +46,54 @@ def test_validate_ok():
 def test_validate_errors(kw, msg):
     with pytest.raises(ConfigError, match=msg):
         validate_config(_cfg(**kw))
+
+
+def test_validate_missing_log_dir_fails_fast():
+    """A typo'd log path must be a ConfigError at validation time (the
+    reference's live endpoint pre-check, JiraUtil.java:72-84), never an
+    empty-glob no-op run."""
+    with pytest.raises(ConfigError, match="does not exist"):
+        validate_config(_cfg(log_dir="/tmp/raycdc-definitely-missing-xyz"))
+
+
+def test_source_registry_dispatch(log_dir):
+    """Registry maps kind -> connector (the auth_method-enum analog);
+    unknown kinds fail fast naming the available ones; custom kinds
+    plug in via register_source."""
+    from raycdc.sources.registry import (
+        ParquetChangelogSource,
+        SourceConnector,
+        available_sources,
+        get_source,
+        register_source,
+    )
+
+    src = get_source("parquet-changelog", log_dir)
+    assert isinstance(src, ParquetChangelogSource)
+    assert src.count_probe() == 0  # empty dir: valid, zero fragments
+
+    with pytest.raises(ConfigError, match="Unknown source kind"):
+        get_source("kafka", log_dir)
+    with pytest.raises(ConfigError, match="parquet-changelog"):
+        validate_config(_cfg(log_dir=log_dir, source_kind="nope"))
+
+    class NullSource(SourceConnector):
+        kind = "null-test"
+
+        def validate(self):
+            return None
+
+    register_source(NullSource)
+    try:
+        assert "null-test" in available_sources()
+        assert isinstance(get_source("null-test", log_dir), NullSource)
+        assert validate_config(
+            _cfg(log_dir="/nonexistent-ok-for-null", source_kind="null-test")
+        )
+    finally:
+        from raycdc.sources import registry
+
+        registry._REGISTRY.pop("null-test", None)
 
 
 def test_retry_classifier():

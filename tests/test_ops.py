@@ -204,6 +204,37 @@ def test_multimodal_decode_plumbing():
     )
 
 
+def test_multimodal_decoder_registry():
+    """Decode path is capability-selected and swappable: a registered
+    decoder slots into the stage by name (no NotImplementedError trap
+    when a real library appears); unknown names fail fast."""
+    import pytest as _pytest
+
+    from raycdc.ops.multimodal import (
+        DecodeImageStage,
+        default_decoder,
+        register_decoder,
+        synth_media_table,
+    )
+
+    # this container has no PIL, so capability selection yields the fake
+    assert default_decoder() == "fake"
+
+    register_decoder("const9", lambda payload: (9, 9, [0.5] * 8))
+    try:
+        stage = DecodeImageStage(decoder="const9")
+        out = stage(synth_media_table(4))
+        assert out["width"].to_pylist() == [9, 9, 9, 9]
+        assert out["height"].to_pylist() == [9, 9, 9, 9]
+    finally:
+        from raycdc.ops import multimodal
+
+        multimodal._DECODERS.pop("const9", None)
+
+    with _pytest.raises(ValueError, match="Unknown media decoder"):
+        DecodeImageStage(decoder="turbojpeg")
+
+
 def test_distinct_rows():
     from raycdc.ops.dedup import distinct_rows
 
