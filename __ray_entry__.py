@@ -864,6 +864,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _pin(name: str) -> str:
+    """Pinned-regression oracle: the query's DETERMINISTIC output at
+    sf0.01, committed as a parquet expected-file (regenerate with
+    tools/pin_expected.py).  Used for ops with no SQL-expressible
+    independent oracle (sketches, iterative algorithms, signature
+    families, media stubs) so the driver gate catches regressions as
+    hash mismatches; the ops' correctness grounding lives in tests
+    (Hamming verification, IVF recall, sketch accuracy, planted
+    clusters)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "expected",
+        f"{name}.parquet",
+    )
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_documents": """
@@ -988,8 +1006,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard
             FROM documents
         """,
-        # dedup_simhash: rows-only — identical token-multisets collide
-        # at hamming 0, which SQL cannot enumerate.
+        # simhash cannot be enumerated in SQL (64-bit bit-majority
+        # signatures); pinned-regression oracle instead (see _pin)
+        "dedup_simhash": _pin("dedup_simhash"),
+        "ann_ivf": _pin("ann_ivf"),
+        "kmeans_embeddings": _pin("kmeans_embeddings"),
+        "hll_user_count": _pin("hll_user_count"),
+        "heavy_hitter_users": _pin("heavy_hitter_users"),
+        "fingerprint_docs": _pin("fingerprint_docs"),
+        "media_decode": _pin("media_decode"),
+        "media_frame_sample": _pin("media_frame_sample"),
+        # lang_id: genuine independent SQL reimplementation of the
+        # stopword-hit heuristic (ops/text.py LangIdStage): tokens =
+        # whitespace-split lower(text); hits per language counted with
+        # multiplicity; argmax with alphabetical tie-break (de < en <
+        # es < fr); zero hits or empty doc -> 'en', conf 0.0
+        "lang_id": r"""
+            WITH toks AS (
+              SELECT doc_id, t.tok AS tok
+              FROM documents,
+                   UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            counts AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+            hits AS (
+              SELECT doc_id,
+                count(*) FILTER (tok IN ('der','die','das','und','ist','ein','zu','von','mit','für')) AS h_de,
+                count(*) FILTER (tok IN ('the','and','of','a','to','in','is','it','for','on')) AS h_en,
+                count(*) FILTER (tok IN ('el','la','de','que','y','en','un','es','por','con')) AS h_es,
+                count(*) FILTER (tok IN ('le','la','de','et','un','est','pour','que','dans','sur')) AS h_fr
+              FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CASE WHEN h.h_de IS NULL OR greatest(h.h_de,h.h_en,h.h_es,h.h_fr) = 0 THEN 'en'
+                   WHEN h.h_de >= h.h_en AND h.h_de >= h.h_es AND h.h_de >= h.h_fr THEN 'de'
+                   WHEN h.h_en >= h.h_es AND h.h_en >= h.h_fr THEN 'en'
+                   WHEN h.h_es >= h.h_fr THEN 'es'
+                   ELSE 'fr' END AS lang_pred,
+              CASE WHEN c.n_tok IS NULL OR c.n_tok = 0 THEN 0.0
+                   ELSE greatest(h.h_de,h.h_en,h.h_es,h.h_fr)::DOUBLE / c.n_tok END AS lang_conf
+            FROM documents d
+            LEFT JOIN hits h USING (doc_id)
+            LEFT JOIN counts c USING (doc_id)
+        """,
         "dedup_embedding": """
             WITH corpus AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -197,7 +197,15 @@ def ivf_topk(
     """Approximate top-k: probe only the ``nprobe`` buckets nearest to
     each query.  Centroids come from a few Lloyd iterations over a
     driver-side sample (deterministic seed)."""
-    sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
+    # sort the sample by id: Ray's limit() returns whichever blocks
+    # finished first, so without a canonical order the trained
+    # centroids (and thus the probed buckets) would vary run to run
+    sample = (
+        ds.select_columns([id_col, vec_col])
+        .limit(sample_n)
+        .to_pandas()
+        .sort_values(id_col)
+    )
     sm = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     rng = np.random.default_rng(seed)
     cent = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)), replace=False)]

@@ -1,0 +1,67 @@
+"""Regenerate the pinned-expected parquet files under tests/expected/.
+
+These pin the DETERMINISTIC outputs of queries that have no
+SQL-expressible independent oracle (sketches, iterative algorithms,
+hash-signature families, media stubs).  The driver's correctness gate
+compares each query against `SELECT * FROM read_parquet(<pin>)`, so a
+regression in any of these surfaces as a driver hash mismatch instead
+of a silent rows-only pass.  Their actual CORRECTNESS grounding lives
+in tests (Hamming verification, IVF recall, sketch accuracy vs exact
+counts, k-means planted-cluster recovery) — the pins are a change
+detector, not an independent reimplementation.
+
+Run after any intentional change to the pinned ops:
+
+    python tools/pin_expected.py
+
+and commit the refreshed files.
+"""
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PINNED = [
+    "dedup_simhash",
+    "ann_ivf",
+    "kmeans_embeddings",
+    "hll_user_count",
+    "heavy_hitter_users",
+    "fingerprint_docs",
+    "media_decode",
+    "media_frame_sample",
+]
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import __ray_entry__ as entry
+
+    queries = entry.queries()
+    out_dir = os.path.join(REPO, "tests", "expected")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in PINNED:
+        res = queries[name](SF_DIR)
+        if hasattr(res, "to_pandas") and not isinstance(res, pa.Table):
+            res = res.to_pandas()
+        t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(
+            res, preserve_index=False
+        )
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(t, path)
+        print(f"pinned {name}: {t.num_rows} rows -> {path}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
