@@ -248,15 +248,23 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
     partition (the A4 invariant from BASELINE.json input_hint) so two
     lakes can be compared cheaply.
 
+    ``rows`` is the LOGICAL row count — keep-latest-by-seq per
+    (repo, path) with tombstones dropped, i.e. what a reader sees after
+    merge-on-read resolution — computed over key columns only so no
+    content pages are read.  ``base_file_rows`` is the raw physical
+    count of base-file rows (the pre-round-2 meaning of ``rows``).
+
     Returns ``{"ok": bool, "errors": [...], "partitions": N,
-    "rows": N[, "digest": hex]}``.
+    "rows": N, "base_file_rows": N[, "digest": hex]}``.
     """
+    import pandas as pd
     import pyarrow.parquet as pq
 
     lake = Lake(lake_dir)
     m = lake.manifest()
     errors: list[str] = []
     rows = 0
+    base_file_rows = 0
     digest_acc = 0
     for rel in sorted(lake.referenced_files(m)):
         p = os.path.join(lake_dir, rel)
@@ -282,12 +290,21 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
         # partition's watermark is higher; delta files are part of the
         # partition's committed state and must obey the same bound
         pw = wm.get(pid, -1)
+        key_frames = []
         for f in ([base] if base else []) + all_deltas.get(pid, []):
             if not os.path.exists(f):
                 continue
-            t = pq.read_table(f, columns=["seq"])
+            # keys + seq (+ op on deltas) are enough to resolve the
+            # LOGICAL row count without touching content pages
+            names = pq.read_schema(f).names
+            cols = [c for c in ("seq", "repo", "path", "op") if c in names]
+            t = pq.read_table(f, columns=cols)
             if f == base:
-                rows += t.num_rows
+                base_file_rows += t.num_rows
+            df = t.to_pandas()
+            if "op" not in df.columns:
+                df["op"] = "insert"
+            key_frames.append(df)
             if t.num_rows:
                 mx = pa.compute.max(t["seq"]).as_py()
                 if mx > pw:
@@ -295,6 +312,16 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
                         f"partition {pid} holds seq {mx} above its "
                         f"watermark {pw} ({os.path.basename(f)})"
                     )
+        if key_frames:
+            # resolved rows = keep-latest-by-seq per (repo, path) with
+            # tombstones dropped — same tie-breaking as
+            # keep_latest_by_key (stable sort on seq, last wins) so
+            # fsck's count matches what a reader actually sees even
+            # with committed merge-on-read deltas
+            kd = pd.concat(key_frames, ignore_index=True)
+            kd = kd.sort_values("seq", kind="stable")
+            latest = kd[~kd.duplicated(["repo", "path"], keep="last")]
+            rows += int((latest["op"] != "delete").sum())
     if digests:
         import hashlib
 
@@ -322,6 +349,7 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
         "errors": errors,
         "partitions": n_parts,
         "rows": rows,
+        "base_file_rows": base_file_rows,
     }
     if digests:
         out["digest"] = f"{digest_acc:064x}"

@@ -398,10 +398,18 @@ def test_fsck_detects_corruption_and_digest_equivalence(tmp_path):
 
     before = fsck(cfg.lake_dir, digests=True)
     assert before["ok"] and before["rows"] > 0
+    # "rows" is the LOGICAL (merge-on-read-resolved) count — it must
+    # equal what a reader sees even with live deltas carrying upserts
+    # and tombstones, not the physical base-file row count
+    lake = Lake(cfg.lake_dir)
+    assert any(lake.manifest()["deltas"].values())
+    assert before["rows"] == lake.read_table().num_rows
     compact(cfg.lake_dir)
     after = fsck(cfg.lake_dir, digests=True)
     assert after["ok"]
     assert before["digest"] == after["digest"]  # resolve == folded
+    # post-compaction the physical and logical counts converge
+    assert after["rows"] == before["rows"] == after["base_file_rows"]
 
     victim = next(iter(Lake(cfg.lake_dir).part_paths().values()))
     os.remove(victim)
