@@ -433,6 +433,52 @@ def _q_dedup_minhash(sf_dir):
     return pairs
 
 
+def _q_dedup_incremental(sf_dir):
+    """Steady-state CDC dedup: index the corpus once (slim band rows,
+    hive-partitioned on a FIXED modulus), then dedup an arriving
+    window — identical copies of every 5th doc, doc_id+10000 —
+    against the index without re-signing the corpus.  threshold=1.0 →
+    exactly the planted copies (SQL-enumerable oracle); sub-1.0
+    recall and exactness-vs-full-recompute are pinned by
+    tests/test_ops.py::test_incremental_minhash_matches_full_recompute."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from raycdc.ops.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    from raycdc.functions.arrowsafe import mask_filter
+
+    sel = t["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0
+    win = mask_filter(t, sel)
+    window = pa.table(
+        {"doc_id": pc.add(win["doc_id"], 10000), "text": win["text"]}
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    corpus = ray.data.from_arrow(t).repartition(2 * ncpu).materialize()
+    new_ds = ray.data.from_arrow(window)
+    idx = tempfile.mkdtemp(prefix="mh_index_", dir="/tmp")
+    try:
+        build_minhash_index(corpus, idx)
+        pairs = incremental_minhash_pairs(
+            new_ds, corpus, idx, threshold=1.0, update_index=False
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs["jaccard"] = np.round(pairs["jaccard"], 6)
+    return pairs
+
+
 def _q_dedup_distinct(sf_dir):
     """Exact dedup keeping full rows: one (min doc_id) row per
     distinct text — the materializing twin of dedup_exact's counts."""
@@ -839,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _tuned(_q_doc_quality),
         "dedup_exact": _tuned(_q_dedup_exact),
         "dedup_minhash": _tuned(_q_dedup_minhash),
+        "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_ngram": _tuned(_q_dedup_ngram),
         "dedup_distinct": _tuned(_q_dedup_distinct),
         "dedup_simhash": _tuned(_q_dedup_simhash),
@@ -1005,6 +1052,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": """
             SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard
             FROM documents
+        """,
+        "dedup_incremental": """
+            SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard
+            FROM documents WHERE doc_id % 5 = 0
         """,
         # simhash cannot be enumerated in SQL (64-bit bit-majority
         # signatures); pinned-regression oracle instead (see _pin)

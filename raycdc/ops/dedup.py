@@ -227,6 +227,49 @@ class MinHashStage:
         )
 
 
+def _explode_band_rows(
+    t: pa.Table,
+    *,
+    k: int,
+    bands: int,
+    id_col: str,
+    part_modulus: int,
+    part_col: str = "coarse",
+) -> pa.Table:
+    """One SLIM row per (band, doc): partition key (= band hash mod
+    ``part_modulus``), band id, 64-bit band hash, doc id.  No text —
+    content is gathered late, for candidates only.  Shared by the
+    one-shot LSH (shuffle partitioning) and the persistent band index
+    (disk partitioning, where ``part_modulus`` is FIXED for the index
+    lifetime)."""
+    rows_per_band = k // bands
+    mh = t["minhash"]
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    n = t.num_rows
+    sigs = np.asarray(mh.flatten(), dtype=np.uint64).reshape(n, k)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    part = np.empty(n * bands, np.int64)
+    bandc = np.empty(n * bands, np.int64)
+    bhc = np.empty(n * bands, np.int64)
+    idc = np.empty(n * bands, np.int64)
+    for b in range(bands):
+        band = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+        # combine the band's rows into one 64-bit key (wrapping
+        # polynomial mix — deterministic and vectorized)
+        bh = np.zeros(n, dtype=np.uint64)
+        for c in range(band.shape[1]):
+            bh = bh * np.uint64(1099511628211) + band[:, c].astype(np.uint64)
+        sl = slice(b * n, (b + 1) * n)
+        part[sl] = (bh % np.uint64(part_modulus)).astype(np.int64)
+        bandc[sl] = b
+        bhc[sl] = bh.view(np.int64)
+        idc[sl] = ids
+    return pa.table(
+        {part_col: part, "band": bandc, "bh": bhc, id_col: idc}
+    )
+
+
 class _CandidateShingles:
     """Phase-B gather stage (actor pool) of the late-materialized LSH
     verify: the candidate-pair frame is read from the object store ONCE
@@ -390,7 +433,6 @@ def minhash_lsh_pairs(
     bucket holds ~everything (mass-identical docs) should run
     exact_dedup_groups first; candidate generation is quadratic per
     bucket."""
-    rows_per_band = k // bands
     ncpu = _ncpu()
     num_coarse = _shuffle_width(ncpu)
 
@@ -404,33 +446,8 @@ def minhash_lsh_pairs(
     )
 
     def explode(t: pa.Table) -> pa.Table:
-        """One SLIM row per (band, doc): coarse shuffle key, band id,
-        64-bit band hash, doc id.  No text — content is gathered late,
-        for candidates only (Phase B)."""
-        mh = t["minhash"]
-        if isinstance(mh, pa.ChunkedArray):
-            mh = mh.combine_chunks()
-        n = t.num_rows
-        sigs = np.asarray(mh.flatten(), dtype=np.uint64).reshape(n, k)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        coarse = np.empty(n * bands, np.int64)
-        bandc = np.empty(n * bands, np.int64)
-        bhc = np.empty(n * bands, np.int64)
-        idc = np.empty(n * bands, np.int64)
-        for b in range(bands):
-            band = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            # combine the band's rows into one 64-bit key (wrapping
-            # polynomial mix — deterministic and vectorized)
-            bh = np.zeros(n, dtype=np.uint64)
-            for c in range(band.shape[1]):
-                bh = bh * np.uint64(1099511628211) + band[:, c].astype(np.uint64)
-            sl = slice(b * n, (b + 1) * n)
-            coarse[sl] = (bh % np.uint64(num_coarse)).astype(np.int64)
-            bandc[sl] = b
-            bhc[sl] = bh.view(np.int64)
-            idc[sl] = ids
-        return pa.table(
-            {"coarse": coarse, "band": bandc, "bh": bhc, id_col: idc}
+        return _explode_band_rows(
+            t, k=k, bands=bands, id_col=id_col, part_modulus=num_coarse
         )
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
@@ -813,3 +830,277 @@ def embedding_dup_pairs(
         ),
         out_dir,
     )
+
+
+# -- incremental MinHash band index -----------------------------------------
+
+
+_INDEX_META = "_index_meta.json"
+
+
+def _index_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, _INDEX_META)) as f:
+        return json.load(f)
+
+
+def _band_rows_for(
+    ds: "ray.data.Dataset",
+    k: int,
+    bands: int,
+    ngram: int,
+    id_col: str,
+    text_col: str,
+    part_modulus: int,
+) -> "ray.data.Dataset":
+    """signature → slim (ipart, band, bh, id) rows, disk-partitionable
+    by the index's FIXED modulus."""
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            ("minhash", k, ngram), lambda: MinHashStage(k=k, ngram=ngram)
+        )(batch)
+
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+        sig_fn, batch_format="pyarrow"
+    )
+    return sig_ds.map_batches(
+        lambda t: _explode_band_rows(
+            t,
+            k=k,
+            bands=bands,
+            id_col=id_col,
+            part_modulus=part_modulus,
+            part_col="ipart",
+        ).rename_columns(["ipart", "band", "bh", "id"]),
+        batch_format="pyarrow",
+    )
+
+
+def build_minhash_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_modulus: int = 64,
+) -> dict:
+    """Build a persistent MinHash band index for INCREMENTAL dedup:
+    slim (band, bh, id) rows — 24 B/row × bands, never content —
+    written as Parquet hive-partitioned on ``ipart = bh %
+    part_modulus``.
+
+    ``part_modulus`` is fixed for the life of the index (stored in
+    ``_index_meta.json`` with k/bands/ngram; incremental runs validate
+    compatibility), so an arriving window can prune its index read to
+    the partitions its own band hashes touch instead of rescanning
+    the corpus — the CDC watermark idea applied to dedup state."""
+    import json
+    import os
+
+    rows = _band_rows_for(
+        ds, k, bands, ngram, id_col, text_col, part_modulus
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    rows.write_parquet(index_dir, partition_cols=["ipart"])
+    meta = {
+        "k": k,
+        "bands": bands,
+        "ngram": ngram,
+        "part_modulus": part_modulus,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    with open(os.path.join(index_dir, _INDEX_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def incremental_minhash_pairs(
+    new_ds: "ray.data.Dataset",
+    corpus_ds: "ray.data.Dataset",
+    index_dir: str,
+    threshold: float = 0.8,
+    update_index: bool = True,
+    out_dir: str | None = None,
+):
+    """Near-dup pairs INVOLVING AT LEAST ONE NEW DOC (new-new and
+    new-old), without recomputing signatures for the indexed corpus —
+    the steady-state dedup shape for a CDC ingest: each arriving
+    window pays O(window + touched index partitions), not O(corpus).
+
+    - Phase A: band rows for the new docs only; read ONLY the index
+      partitions (``ipart``) those rows touch (hive pruning on the
+      fixed disk modulus); candidate pairs = (band, bh) collisions
+      where ≥1 side is new — old-old pairs are the previous runs'
+      output and are not re-derived.
+    - Phase B: exact-Jaccard verify with texts gathered late from
+      ``corpus_ds`` ∪ ``new_ds`` for candidate ids only (the same
+      broadcast-pair mechanism as ``minhash_lsh_pairs``).
+    - ``update_index=True`` appends the new band rows under the same
+      partitioning, so the next window sees this one as corpus.
+      Re-running a window before commit duplicates its index rows —
+      harmless for correctness (duplicate band rows only re-propose
+      candidates, which dedup) but callers wanting exactly-once
+      should gate on their own watermark like the lake does.
+
+    Exactness contract (pinned by test): equals
+    ``minhash_lsh_pairs(corpus ∪ new)`` restricted to pairs with a
+    new id.  Returns (id_a, id_b, jaccard), id_a < id_b."""
+    import os
+
+    meta = _index_meta(index_dir)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    k, bands, ngram = meta["k"], meta["bands"], meta["ngram"]
+    ncpu = _ncpu()
+
+    new_rows = _band_rows_for(
+        new_ds, k, bands, ngram, id_col, text_col, meta["part_modulus"]
+    )
+    # the new window's band rows land on the driver: slim metadata,
+    # bands × |window| rows — window-bounded, not corpus-bounded
+    new_df = new_rows.to_pandas()
+    if new_df.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    # partition pruning by PATH: only the hive dirs the new window's
+    # band hashes land in are read (a small window touches few)
+    import glob
+
+    touched = [
+        f
+        for i in sorted(new_df["ipart"].unique())
+        for f in sorted(
+            glob.glob(
+                os.path.join(index_dir, f"ipart={int(i)}", "*.parquet")
+            )
+        )
+    ]
+    if touched:
+        old_rows = ray.data.read_parquet(touched)
+    else:
+        old_rows = ray.data.from_arrow(
+            pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "bh": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    new_ids = np.sort(new_df["id"].unique())
+
+    num_coarse = _shuffle_width(ncpu)
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    (
+                        t["bh"].to_numpy(zero_copy_only=False).view(np.uint64)
+                        % np.uint64(num_coarse)
+                    ).astype(np.int64)
+                ),
+                "band": t["band"],
+                "bh": t["bh"],
+                "id": t["id"],
+            }
+        )
+
+    new_tagged = ray.data.from_arrow(
+        pa.table(
+            {
+                "coarse": pa.array(
+                    (
+                        new_df["bh"].to_numpy().view(np.uint64)
+                        % np.uint64(num_coarse)
+                    ).astype(np.int64)
+                ),
+                "band": pa.array(new_df["band"].to_numpy(), pa.int64()),
+                "bh": pa.array(new_df["bh"].to_numpy(), pa.int64()),
+                "id": pa.array(new_df["id"].to_numpy(), pa.int64()),
+            }
+        )
+    )
+    both = old_rows.map_batches(tag_old, batch_format="pyarrow").union(
+        new_tagged
+    )
+
+    def coarse_group_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        """(band, bh) collision buckets → pairs where ≥1 side is new."""
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64")}
+        )
+        df = df[df.duplicated(["band", "bh"], keep=False)]
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(["band", "bh", "id"])
+        frames = []
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            ids = np.sort(g["id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            isnew = np.isin(ids, new_ids)
+            if not isnew.any():
+                continue
+            ii, jj = np.triu_indices(len(ids), 1)
+            keep = isnew[ii] | isnew[jj]
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}
+                    )
+                )
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    cand = both.groupby("coarse").map_groups(
+        coarse_group_candidates, batch_format="pandas"
+    )
+    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"),
+         "id_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+    if update_index:
+        new_rows.write_parquet(index_dir, partition_cols=["ipart"])
+    if pairs_df.empty:
+        return empty
+    vparts = _shuffle_width(ncpu)
+    pairs_df = pairs_df.reset_index(drop=True)
+    pairs_df["vpart"] = (
+        pd.util.hash_pandas_object(
+            pairs_df[["id_a", "id_b"]], index=False
+        ).to_numpy()
+        % vparts
+    ).astype(np.int64)
+    pairs_ref = ray.put(pairs_df)
+    verified = _verify_pairs_jaccard(
+        corpus_ds.select_columns([id_col, text_col]).union(
+            new_ds.select_columns([id_col, text_col])
+        ),
+        pairs_ref,
+        id_col,
+        text_col,
+        ngram,
+        threshold,
+        ncpu,
+    )
+    if out_dir is not None:
+        verified.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    out = verified.to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -707,7 +707,8 @@ def session_windows(
     hot_keys: list | None = None,
     hot_key_threshold: int | None = None,
     num_salt: int | None = None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Gap-based session windows per user: events closer than
     ``gap_minutes`` to their predecessor share a session; a larger gap
     opens a new one.  Unlike the tumbling window this aggregate is
@@ -795,7 +796,7 @@ def session_windows(
 
     if hot_keys is None and hot_key_threshold is not None:
         hot_keys = detect_hot_keys(events, "user_id", hot_key_threshold)
-    out = salted_partition_reduce(
+    reduced = salted_partition_reduce(
         events,
         "user_id",
         sessionize,
@@ -803,20 +804,36 @@ def session_windows(
         lambda df: df["ts"].astype("int64") // bucket_us,
         hot_keys or [],
         num_salt=num_salt,
-    ).to_pandas()
-    out["sum_value"] = out["sum_value_c"] / 100.0
-    out["n_events"] = out["n_events"].astype(np.int64)
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # row-local (session ordinals were already resolved inside the
+        # per-partition reduce / hot-key stitch), so it distributes
+        df = df.assign(
+            sum_value=df["sum_value_c"] / 100.0,
+            n_events=df["n_events"].astype(np.int64),
+        )
+        return df.drop(columns=["sum_value_c"])
+
+    ds_out = reduced.map_batches(finalize, batch_format="pandas")
+    if as_dataset:
+        # at-scale lane: session counts grow with the corpus — keep the
+        # result distributed (write_parquet / iter_batches downstream)
+        return ds_out
     return (
-        out.drop(columns=["sum_value_c"])
+        ds_out.to_pandas()
         .sort_values(["user_id", "session_id"])
         .reset_index(drop=True)
     )
 
 
-def hourly_user_window(events: "ray.data.Dataset") -> pd.DataFrame:
+def hourly_user_window(events: "ray.data.Dataset", as_dataset: bool = False):
     """Tumbling-window aggregate: per (user_id, hour) event count and
     value sum.  The window assignment is a vectorized floor inside
-    map_batches; the shuffle only moves per-window partials."""
+    map_batches; the shuffle only moves per-window partials.
+    ``as_dataset=True`` keeps the result distributed (window counts
+    grow with the corpus); the pandas return is the small-n oracle
+    lane."""
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -832,12 +849,22 @@ def hourly_user_window(events: "ray.data.Dataset") -> pd.DataFrame:
             n_events=("n_events", "sum"), sum_value_c=("sum_value_c", "sum")
         )
 
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            window_start=pd.to_datetime(df["wh"] * 3600, unit="s"),
+            sum_value=df["sum_value_c"] / 100.0,
+            n_events=df["n_events"].astype(np.int64),
+        )
+        return df[["user_id", "window_start", "n_events", "sum_value"]]
+
     partial = events.map_batches(bucket, batch_format="pandas")
-    out = hash_partition_reduce(partial, ["user_id", "wh"], reduce_fn).to_pandas()
-    out["window_start"] = pd.to_datetime(out["wh"] * 3600, unit="s")
-    out["sum_value"] = out["sum_value_c"] / 100.0
-    out = out.drop(columns=["sum_value_c", "wh"])
-    out["n_events"] = out["n_events"].astype(np.int64)
-    return out[
-        ["user_id", "window_start", "n_events", "sum_value"]
-    ].sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    ds_out = hash_partition_reduce(
+        partial, ["user_id", "wh"], reduce_fn
+    ).map_batches(finalize, batch_format="pandas")
+    if as_dataset:
+        return ds_out
+    return (
+        ds_out.to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )

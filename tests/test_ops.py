@@ -105,6 +105,170 @@ def test_embedding_lsh_matches_bruteforce():
     assert recall >= 0.7
 
 
+def test_pair_out_dir_streams_match_driver_path(tmp_path):
+    """The at-scale ``out_dir`` lane (pairs stream to partitioned
+    Parquet, never funneling through the driver) must produce exactly
+    the same pair set and values as the small-n driver-DataFrame lane,
+    for every member of the dedup family."""
+    from raycdc.ops.dedup import (
+        embedding_dup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = _docs_with_near_dups()
+    tagged = docs.map_batches(
+        lambda t: t.append_column(
+            "lang", pa.array(["en"] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((80, 32))
+    dups = base[:10] + 0.01 * rng.standard_normal((10, 32))
+    vecs = np.vstack([base, dups])
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    list(range(80)) + list(range(100, 110)), pa.int64()
+                ),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    cases = [
+        ("minhash", lambda **kw: minhash_lsh_pairs(docs, threshold=0.5, **kw), "jaccard"),
+        ("simhash", lambda **kw: simhash_pairs(docs, max_hamming=8, **kw), "hamming"),
+        ("ngram", lambda **kw: ngram_jaccard_pairs(tagged, ngram=1, threshold=0.5, **kw), "jaccard"),
+        ("embedding", lambda **kw: embedding_dup_pairs(emb, threshold=0.99, lsh_bits=4, **kw), "cos"),
+    ]
+    for name, run, val_col in cases:
+        driver = run()
+        streamed = run(out_dir=str(tmp_path / name))
+        sdf = (
+            streamed.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert isinstance(streamed, ray.data.Dataset), name
+        got = {
+            (a, b): round(float(v), 9)
+            for a, b, v in zip(sdf["id_a"], sdf["id_b"], sdf[val_col])
+        }
+        want = {
+            (a, b): round(float(v), 9)
+            for a, b, v in zip(
+                driver["id_a"], driver["id_b"], driver[val_col]
+            )
+        }
+        assert got == want, name
+
+
+def _pairs_key(df):
+    return {
+        (int(a), int(b)): round(float(j), 9)
+        for a, b, j in zip(df["id_a"], df["id_b"], df["jaccard"])
+    }
+
+
+def test_incremental_minhash_matches_full_recompute(tmp_path):
+    """The persistent band index gives EXACTLY the pairs a full
+    recompute over corpus ∪ window would find (restricted to pairs
+    involving the window), across two consecutive windows — so
+    steady-state CDC dedup never has to re-sign the corpus."""
+    from raycdc.ops.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    full_df = _docs_with_near_dups().to_pandas()
+    old_df = full_df[full_df["doc_id"] < 100]  # originals 0..59
+    w1_df = full_df[full_df["doc_id"] >= 100]  # near-dups of 0..9
+    # window 2: a second-generation edit of doc 100 (near-dup of both
+    # 100 and its ancestor 0) plus one fresh random doc
+    toks = w1_df[w1_df["doc_id"] == 100]["text"].iloc[0].split()
+    toks[5] = "CHANGED2"
+    w2_df = pd.DataFrame(
+        {
+            "doc_id": pd.array([200, 201], dtype="int64"),
+            "text": [" ".join(toks), " ".join(f"z{i}" for i in range(40))],
+        }
+    )
+    old = ray.data.from_pandas(old_df.reset_index(drop=True))
+    w1 = ray.data.from_pandas(w1_df.reset_index(drop=True))
+    w2 = ray.data.from_pandas(w2_df)
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(old, idx)
+
+    inc1 = incremental_minhash_pairs(w1, old, idx, threshold=0.5)
+    full1 = minhash_lsh_pairs(old.union(w1), threshold=0.5)
+    w1_ids = set(w1_df["doc_id"])
+    want1 = full1[
+        full1["id_a"].isin(w1_ids) | full1["id_b"].isin(w1_ids)
+    ]
+    assert _pairs_key(inc1) == _pairs_key(want1)
+    assert len(inc1) >= 10  # the planted (i, 100+i) dups all involve w1
+
+    # window 2 must see window 1 THROUGH THE INDEX (update_index=True
+    # above appended w1's band rows)
+    corpus2 = old.union(w1)
+    inc2 = incremental_minhash_pairs(w2, corpus2, idx, threshold=0.5)
+    full2 = minhash_lsh_pairs(corpus2.union(w2), threshold=0.5)
+    w2_ids = {200, 201}
+    want2 = full2[
+        full2["id_a"].isin(w2_ids) | full2["id_b"].isin(w2_ids)
+    ]
+    assert _pairs_key(inc2) == _pairs_key(want2)
+    got2 = set(zip(inc2["id_a"], inc2["id_b"]))
+    assert (100, 200) in got2  # found via the index-appended window 1
+    assert (0, 200) in got2  # and via the original build
+    assert not any(201 in p for p in got2)  # fresh doc pairs with nothing
+
+
+def test_window_as_dataset_lane_matches_pandas_lane():
+    """session_windows / hourly_user_window with ``as_dataset=True``
+    keep the result distributed; their contents must equal the
+    driver-DataFrame oracle lane."""
+    from raycdc.ops.relational import hourly_user_window, session_windows
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    # µs resolution — matches the driver testdata's event ts dtype
+    ts = pd.to_datetime(
+        rng.integers(0, 3 * 86400, size=n) * 1_000_000_000
+        + 1_600_000_000_000_000_000
+    ).astype("datetime64[us]")
+    events = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 40, size=n).astype(np.int64),
+                "ts": ts,
+                "value": np.round(rng.uniform(0, 100, size=n), 2),
+            }
+        )
+    )
+    for fn, sort_cols in [
+        (session_windows, ["user_id", "session_id"]),
+        (hourly_user_window, ["user_id", "window_start"]),
+    ]:
+        want = fn(events)
+        got_ds = fn(events, as_dataset=True)
+        assert isinstance(got_ds, ray.data.Dataset)
+        got = (
+            got_ds.to_pandas()
+            .sort_values(sort_cols)
+            .reset_index(drop=True)[want.columns]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_ann_topk_matches_numpy():
     from raycdc.ops.similarity import ann_topk
 
