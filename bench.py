@@ -170,6 +170,7 @@ def bench_queries() -> dict[str, float]:
         "asof_prior_purchase",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_incremental",
         "ann_topk",
         "doc_quality",
     ]:

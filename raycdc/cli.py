@@ -11,6 +11,8 @@
     python -m raycdc.cli compact --lake-dir K [--min-deltas M]
     python -m raycdc.cli vacuum  --lake-dir K
     python -m raycdc.cli fsck    --lake-dir K [--digests]
+    python -m raycdc.cli dedup-index  --docs D --index-dir I
+    python -m raycdc.cli dedup-window --window W --corpus D --index-dir I
 
 Owns its Ray session (guarded init), unlike the library.
 """
@@ -116,6 +118,37 @@ def main(argv: list[str] | None = None) -> int:
     p_synth.add_argument("--log-dir", required=True)
     p_synth.add_argument("--events", type=int, required=True)
     p_synth.add_argument("--seed", type=int, default=42)
+
+    p_didx = sub.add_parser(
+        "dedup-index",
+        help="build a persistent MinHash band index over a document corpus",
+    )
+    p_didx.add_argument("--docs", required=True,
+                        help="parquet file/dir with id + text columns")
+    p_didx.add_argument("--index-dir", required=True)
+    p_didx.add_argument("--id-col", default="doc_id")
+    p_didx.add_argument("--text-col", default="text")
+    p_didx.add_argument("--k", type=int, default=64)
+    p_didx.add_argument("--bands", type=int, default=16)
+    p_didx.add_argument("--ngram", type=int, default=3)
+    p_didx.add_argument("--part-modulus", type=int, default=64,
+                        help="fixed disk-partition count for the index lifetime")
+
+    p_dwin = sub.add_parser(
+        "dedup-window",
+        help="near-dup pairs of an arriving window vs an indexed corpus",
+    )
+    p_dwin.add_argument("--window", required=True,
+                        help="parquet file/dir with the new docs")
+    p_dwin.add_argument("--corpus", required=True,
+                        help="parquet file/dir with the indexed corpus docs "
+                             "(texts gathered late for candidates only)")
+    p_dwin.add_argument("--index-dir", required=True)
+    p_dwin.add_argument("--threshold", type=float, default=0.8)
+    p_dwin.add_argument("--out-dir", default=None,
+                        help="stream pairs to partitioned parquet instead of stdout")
+    p_dwin.add_argument("--no-update", action="store_true",
+                        help="do not append the window's band rows to the index")
 
     args = ap.parse_args(argv)
 
@@ -238,6 +271,44 @@ def main(argv: list[str] | None = None) -> int:
             t = preview(cfg, n=args.n)
             drop = [c for c in ("_dl_reason", "_dl_raw") if c in t.column_names]
             print(t.drop_columns(drop).to_pandas().to_string())
+            return 0
+
+        if args.cmd == "dedup-index":
+            import ray.data
+
+            from raycdc.ops.dedup import build_minhash_index
+
+            meta = build_minhash_index(
+                ray.data.read_parquet(args.docs),
+                args.index_dir,
+                k=args.k,
+                bands=args.bands,
+                ngram=args.ngram,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                part_modulus=args.part_modulus,
+            )
+            print(json.dumps(meta))
+            return 0
+
+        if args.cmd == "dedup-window":
+            import ray.data
+
+            from raycdc.ops.dedup import incremental_minhash_pairs
+
+            res = incremental_minhash_pairs(
+                ray.data.read_parquet(args.window),
+                ray.data.read_parquet(args.corpus),
+                args.index_dir,
+                threshold=args.threshold,
+                update_index=not args.no_update,
+                out_dir=args.out_dir,
+            )
+            n = res.count() if hasattr(res, "count") else len(res)
+            out = {"pairs": int(n), "index_updated": not args.no_update}
+            if args.out_dir:
+                out["out_dir"] = args.out_dir
+            print(json.dumps(out))
             return 0
 
         if args.cmd == "run":
