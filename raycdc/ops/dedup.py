@@ -879,6 +879,18 @@ def _band_rows_for(
     )
 
 
+def _write_index_rows(rows: "ray.data.Dataset", index_dir: str) -> None:
+    """Hive-write band rows with ONE block (→ one file) per ipart.
+    A naive partition_cols write emits blocks × partitions tiny files
+    (measured 4,096 files for a 5k-doc corpus at modulus 64), and the
+    incremental read then pays per-file task overhead for every one;
+    coalescing by ipart first costs one slim-row shuffle and keeps
+    file count = partition count per write."""
+    rows.groupby("ipart").map_groups(
+        lambda df: df, batch_format="pandas"
+    ).write_parquet(index_dir, partition_cols=["ipart"])
+
+
 def build_minhash_index(
     ds: "ray.data.Dataset",
     index_dir: str,
@@ -906,7 +918,7 @@ def build_minhash_index(
         ds, k, bands, ngram, id_col, text_col, part_modulus
     )
     os.makedirs(index_dir, exist_ok=True)
-    rows.write_parquet(index_dir, partition_cols=["ipart"])
+    _write_index_rows(rows, index_dir)
     meta = {
         "k": k,
         "bands": bands,
@@ -1074,7 +1086,9 @@ def incremental_minhash_pairs(
          "jaccard": pd.Series(dtype="float64")}
     )
     if update_index:
-        new_rows.write_parquet(index_dir, partition_cols=["ipart"])
+        # reuse the already-collected slim rows — re-executing the
+        # new_rows Dataset would re-sign the window
+        _write_index_rows(ray.data.from_pandas(new_df), index_dir)
     if pairs_df.empty:
         return empty
     vparts = _shuffle_width(ncpu)
