@@ -505,6 +505,9 @@ def asof_join(
     on: str,
     right_cols: list[str],
     num_partitions: int | None = None,
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    slice_width: int | None = None,
 ) -> "ray.data.Dataset":
     """Partitioned backward as-of join (strict): for each left row,
     attach the right row with the greatest ``on`` strictly below the
@@ -521,14 +524,28 @@ def asof_join(
     memory; skewed keys cost sort time within their partition, never a
     cross-partition spill.  Right columns come back as ``{col}_r``.
 
-    Skew bound (documented, not salted): unlike session_windows, the
-    as-of lookup cannot use salted_partition_reduce's slice/merge
-    decomposition directly — a left row's match may live in ANY earlier
-    time slice of the right side, so an exact time-sliced split needs a
-    per-slice "last right row before slice start" handoff (a prefix
-    exchange) that the current one-shuffle shape deliberately avoids.
-    Detect monster keys upfront with detect_hot_keys; a key whose
-    history exceeds worker memory needs the handoff variant.
+    Skew (``hot_keys`` / ``hot_key_threshold`` + ``slice_width``): a
+    zipfian monster key serializes the plain path on one worker.  The
+    salted path splits a hot key's rows into contiguous time slices of
+    ``slice_width`` (units of ``on`` as int64, e.g. µs for
+    timestamps) and resolves each (key, slice) partition independently
+    and EXACTLY via a broadcast prefix handoff:
+
+    1. a combiner aggregate reduces the hot right side to one "last
+       right row" summary per (key, slice) — slim, keys × slices rows;
+    2. the driver builds the carry-in table (per key: summaries sorted
+       by slice; the prior right row for slice s = the latest summary
+       with slice < s) and broadcasts it via ``ray.put``;
+    3. one balanced (key, slice) shuffle; each partition merge_asofs
+       in-slice and fills left rows with no in-slice match from the
+       carry-in.  Strictness survives the handoff for free: a
+       carry-in row's ``on`` < slice start <= the left row's ``on``.
+
+    Bit-identical to the plain path (zipfian test), with the
+    one-worker-holds-the-whole-key memory bound removed: no worker
+    ever sees more than one slice of a hot key.  ``hot_key_threshold``
+    turns on Count-Min detection over the LEFT side; ``hot_keys``
+    supplies known keys.  ``slice_width`` is required with hot keys.
     """
     import pyarrow.compute as pc
 
@@ -643,12 +660,188 @@ def asof_join(
                 merged[oc] = merged[oc].astype(r_target[oc])
         return merged
 
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow")
+    def plain_join(l, r):
+        tagged = l.map_batches(tag_left, batch_format="pyarrow").union(
+            r.map_batches(tag_right, batch_format="pyarrow")
+        )
+        return tagged.groupby("_part").map_groups(
+            join_part, batch_format="pandas"
+        )
+
+    if hot_keys is None and hot_key_threshold is not None:
+        hot_keys = detect_hot_keys(left, by, hot_key_threshold)
+    if not hot_keys:
+        return plain_join(left, right)
+    if slice_width is None:
+        raise ValueError(
+            "slice_width is required when as-of hot keys are salted"
+        )
+    hot = np.sort(np.asarray(hot_keys))
+
+    def _split(keep: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = np.isin(t[by].to_numpy(zero_copy_only=False), hot)
+            return mask_filter(t, mask if keep else ~mask)
+
+        return fn
+
+    rest_out = plain_join(
+        left.map_batches(_split(False), batch_format="pyarrow"),
+        right.map_batches(_split(False), batch_format="pyarrow"),
     )
-    return tagged.groupby("_part").map_groups(
-        join_part, batch_format="pandas"
+    left_hot = left.map_batches(_split(True), batch_format="pyarrow")
+    right_hot = right.map_batches(_split(True), batch_format="pyarrow")
+
+    # step 1 — per-(key, slice) last-right summaries: a per-batch
+    # combiner bounds each batch's contribution to its touched slices,
+    # so the driver collects keys x slices rows, never the history.
+    # Tie caveat: among right rows sharing an exact (by, on) the winner
+    # is batch-order-dependent — same nondeterminism the plain path's
+    # shuffle-order sort has.
+    # dedupe: ``on`` may itself be one of right_cols (e.g. joining on
+    # event_id and also returning it)
+    summary_cols = list(dict.fromkeys([by, on] + right_cols))
+    carry_cols = list(dict.fromkeys([on] + right_cols))
+
+    def right_summary_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[summary_cols].copy()
+        df["_slice"] = df[on].astype("int64") // slice_width
+        return df.loc[df.groupby([by, "_slice"], sort=False)[on].idxmax()]
+
+    parts = right_hot.map_batches(
+        right_summary_partial, batch_format="pandas"
+    ).to_pandas()
+    carry: dict = {}
+    if not parts.empty:
+        final = parts.loc[
+            parts.groupby([by, "_slice"], sort=False)[on].idxmax()
+        ]
+        for kv, g in final.groupby(by, sort=False):
+            g = g.sort_values("_slice")
+            carry[kv] = (
+                g["_slice"].to_numpy(np.int64),
+                g[carry_cols].reset_index(drop=True),
+            )
+    # step 2 — broadcast the prefix handoff (ray.put once, read per
+    # worker): for a left row in slice s with no in-slice match, the
+    # exact answer is the last right row of the latest right-bearing
+    # slice < s
+    carry_ref = ray.put(carry)
+
+    def _slice_of(t: pa.Table) -> np.ndarray:
+        col = t[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.cast(col, pa.int64())
+        return col.to_numpy(zero_copy_only=False) // slice_width
+
+    def _part_hot(byv: np.ndarray, sl: np.ndarray) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"b": byv, "s": sl}), index=False
+        ).to_numpy()
+        return pa.array((h % num_partitions).astype(np.int64))
+
+    def tag_left_hot(t: pa.Table) -> pa.Table:
+        sl = _slice_of(t)
+        cols = {name: t[name] for name, _ in l_fields}
+        for (oc, typ) in out_fields[len(l_fields):]:
+            cols[oc] = pa.nulls(t.num_rows, typ)
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.uint8))
+        cols["_slice"] = pa.array(sl)
+        cols["_part"] = _part_hot(
+            t[by].to_numpy(zero_copy_only=False), sl
+        )
+        return pa.table(cols)
+
+    def tag_right_hot(t: pa.Table) -> pa.Table:
+        sl = _slice_of(t)
+        cols = {}
+        for name, typ in l_fields:
+            if name == by or name == on:
+                cols[name] = pc.cast(t[name], typ)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        for c, oc in zip(right_cols, right_out):
+            cols[oc] = t[c]
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.uint8))
+        cols["_slice"] = pa.array(sl)
+        cols["_part"] = _part_hot(
+            t[by].to_numpy(zero_copy_only=False), sl
+        )
+        return pa.table(cols)
+
+    def join_part_hot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        on_r = f"_{on}_r"
+        lhs = (
+            df[df["_side"] == 0]
+            .drop(columns=["_side"] + right_out)
+            .sort_values(on, kind="stable")
+        )
+        rhs = (
+            df[df["_side"] == 1][[by, "_slice", on] + right_out]
+            .rename(columns={on: on_r})
+            .sort_values(on_r, kind="stable")
+        )
+        if lhs.empty:
+            merged = lhs.iloc[0:0].copy()
+            for oc in right_out:
+                merged[oc] = pd.Series(
+                    [], dtype=r_target[oc] or df[oc].dtype
+                )
+            return merged.drop(columns=["_slice"], errors="ignore")
+        if rhs.empty:
+            merged = lhs.copy()
+            merged[on_r] = pd.Series([pd.NA] * len(lhs), index=lhs.index)
+            for oc in right_out:
+                merged[oc] = pd.Series(
+                    [pd.NA] * len(lhs), index=lhs.index
+                )
+        else:
+            # merge within (key, SLICE): a partition can hold several
+            # slices of one key, and matching across them would race
+            # the true match living in a slice on another worker
+            merged = pd.merge_asof(
+                lhs,
+                rhs,
+                left_on=on,
+                right_on=on_r,
+                by=[by, "_slice"],
+                direction="backward",
+                allow_exact_matches=False,
+            )
+        unmatched = merged[on_r].isna()
+        if unmatched.any():
+            cr = ray.get(carry_ref)
+            for (kv, sv), g in merged[unmatched].groupby(
+                [by, "_slice"], sort=False
+            ):
+                entry = cr.get(kv)
+                if entry is None:
+                    continue
+                slices, rows = entry
+                pos = int(np.searchsorted(slices, int(sv), side="left")) - 1
+                if pos < 0:
+                    continue
+                r = rows.iloc[pos]
+                merged.loc[g.index, on_r] = r[on]
+                for c, oc in zip(right_cols, right_out):
+                    merged.loc[g.index, oc] = r[c]
+        merged = merged.dropna(subset=[on_r]).drop(
+            columns=[on_r, "_slice"]
+        )
+        for oc in right_out:
+            if r_target[oc] and str(merged[oc].dtype) != r_target[oc]:
+                merged[oc] = merged[oc].astype(r_target[oc])
+        return merged
+
+    hot_tagged = left_hot.map_batches(
+        tag_left_hot, batch_format="pyarrow"
+    ).union(right_hot.map_batches(tag_right_hot, batch_format="pyarrow"))
+    hot_out = hot_tagged.groupby("_part").map_groups(
+        join_part_hot, batch_format="pandas"
     )
+    return rest_out.union(hot_out)
 
 
 def topk_per_group(

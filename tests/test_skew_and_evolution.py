@@ -232,3 +232,84 @@ def test_session_salting_zipfian_exact():
         ds, gap_minutes=30, hot_key_threshold=5000, num_salt=8
     )
     pd.testing.assert_frame_equal(plain, detected)
+
+
+def test_asof_salting_zipfian_exact():
+    """The salted as-of join (time slices + broadcast prefix handoff)
+    must equal the plain one-worker-per-key path on a zipfian corpus
+    where one user owns 90% of the left side — including left slices
+    with NO in-slice right match (sparse right side forces the
+    carry-in lookup) and left rows before any right row (dropped)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raycdc.ops.relational import asof_join
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    base = 1_700_000_000_000_000
+    hot_n = (n * 9) // 10
+    span = 10 * 86_400 * 1_000_000  # 10 days in µs
+    user = np.concatenate(
+        [np.zeros(hot_n, np.int64), rng.integers(1, 200, n - hot_n)]
+    )
+    ts = base + rng.integers(0, span, n).astype(np.int64)
+    left = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(user, pa.int64()),
+            "value": pa.array(rng.random(n).round(2), pa.float64()),
+        }
+    )
+    # sparse right side: the hot user purchases only ~40 times over 10
+    # days, so most 6h left slices carry no in-slice match
+    m = 400
+    r_user = np.concatenate(
+        [np.zeros(40, np.int64), rng.integers(1, 200, m - 40)]
+    )
+    r_ts = base + rng.integers(0, span, m).astype(np.int64)
+    right = pa.table(
+        {
+            "user_id": pa.array(r_user, pa.int64()),
+            "ts": pa.array(r_ts.astype("datetime64[us]")),
+            "amount": pa.array(
+                (rng.random(m) * 100).round(2), pa.float64()
+            ),
+            "order_id": pa.array(np.arange(m), pa.int64()),
+        }
+    )
+    lds = rd.from_arrow(left).repartition(8).materialize()
+    rds = rd.from_arrow(right).repartition(4).materialize()
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(
+            ["event_id"]
+        ).reset_index(drop=True)[sorted(df.columns)]
+
+    plain = canon(
+        asof_join(lds, rds, by="user_id", on="ts",
+                  right_cols=["amount", "order_id"])
+    )
+    salted = canon(
+        asof_join(
+            lds, rds, by="user_id", on="ts",
+            right_cols=["amount", "order_id"],
+            hot_keys=[0], slice_width=6 * 3600 * 1_000_000,
+        )
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+    # sanity: the hot user actually exercised the carry-in path — more
+    # hot left rows than could ever match in-slice
+    assert (plain["user_id"] == 0).sum() > 1000
+
+    detected = canon(
+        asof_join(
+            lds, rds, by="user_id", on="ts",
+            right_cols=["amount", "order_id"],
+            hot_key_threshold=5000, slice_width=6 * 3600 * 1_000_000,
+        )
+    )
+    pd.testing.assert_frame_equal(plain, detected)
