@@ -149,6 +149,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="stream pairs to partitioned parquet instead of stdout")
     p_dwin.add_argument("--no-update", action="store_true",
                         help="do not append the window's band rows to the index")
+    p_dwin.add_argument("--window-id", default=None,
+                        help="idempotence token: an id already recorded in "
+                             "the index meta skips the append on re-run")
 
     args = ap.parse_args(argv)
 
@@ -303,9 +306,20 @@ def main(argv: list[str] | None = None) -> int:
                 threshold=args.threshold,
                 update_index=not args.no_update,
                 out_dir=args.out_dir,
+                window_id=args.window_id,
             )
-            n = res.count() if hasattr(res, "count") else len(res)
-            out = {"pairs": int(n), "index_updated": not args.no_update}
+            n = (
+                res.count()
+                if isinstance(res, ray.data.Dataset)
+                else len(res)
+            )
+            out = {"pairs": int(n), "update_requested": not args.no_update}
+            if args.window_id:
+                from raycdc.ops.dedup import _index_meta
+
+                out["window_committed"] = args.window_id in _index_meta(
+                    args.index_dir
+                ).get("windows", [])
             if args.out_dir:
                 out["out_dir"] = args.out_dir
             print(json.dumps(out))

@@ -911,7 +911,6 @@ def build_minhash_index(
     compatibility), so an arriving window can prune its index read to
     the partitions its own band hashes touch instead of rescanning
     the corpus — the CDC watermark idea applied to dedup state."""
-    import json
     import os
 
     rows = _band_rows_for(
@@ -926,10 +925,20 @@ def build_minhash_index(
         "part_modulus": part_modulus,
         "id_col": id_col,
         "text_col": text_col,
+        "windows": [],
     }
-    with open(os.path.join(index_dir, _INDEX_META), "w") as f:
-        json.dump(meta, f)
+    _write_index_meta(index_dir, meta)
     return meta
+
+
+def _write_index_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(index_dir, _INDEX_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _INDEX_META))
 
 
 def incremental_minhash_pairs(
@@ -939,6 +948,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.8,
     update_index: bool = True,
     out_dir: str | None = None,
+    window_id: str | None = None,
 ):
     """Near-dup pairs INVOLVING AT LEAST ONE NEW DOC (new-new and
     new-old), without recomputing signatures for the indexed corpus —
@@ -955,10 +965,14 @@ def incremental_minhash_pairs(
       broadcast-pair mechanism as ``minhash_lsh_pairs``).
     - ``update_index=True`` appends the new band rows under the same
       partitioning, so the next window sees this one as corpus.
-      Re-running a window before commit duplicates its index rows —
-      harmless for correctness (duplicate band rows only re-propose
-      candidates, which dedup) but callers wanting exactly-once
-      should gate on their own watermark like the lake does.
+      ``window_id`` makes the append idempotent the way lake commits
+      are: a window id already recorded in ``_index_meta.json`` skips
+      the append (the marker commits AFTER the data write, so a crash
+      between the two re-appends on retry — duplicate band rows are
+      harmless, they only re-propose candidates that dedup).  Without
+      a ``window_id``, re-running a window duplicates its rows with
+      the same harmless effect.  Single-writer assumption: one
+      ingest loop owns an index, like the lake's committer.
 
     Exactness contract (pinned by test): equals
     ``minhash_lsh_pairs(corpus ∪ new)`` restricted to pairs with a
@@ -1085,10 +1099,14 @@ def incremental_minhash_pairs(
          "id_b": pd.Series(dtype="int64"),
          "jaccard": pd.Series(dtype="float64")}
     )
-    if update_index:
+    committed = set(meta.get("windows", []))
+    if update_index and (window_id is None or window_id not in committed):
         # reuse the already-collected slim rows — re-executing the
         # new_rows Dataset would re-sign the window
         _write_index_rows(ray.data.from_pandas(new_df), index_dir)
+        if window_id is not None:
+            meta.setdefault("windows", []).append(window_id)
+            _write_index_meta(index_dir, meta)
     if pairs_df.empty:
         return empty
     vparts = _shuffle_width(ncpu)

@@ -231,6 +231,45 @@ def test_incremental_minhash_matches_full_recompute(tmp_path):
     assert not any(201 in p for p in got2)  # fresh doc pairs with nothing
 
 
+def test_incremental_index_append_is_idempotent_with_window_id(tmp_path):
+    """Re-running a window with the same window_id must not grow the
+    index; a new window_id must."""
+    import glob
+
+    from raycdc.ops.dedup import (
+        _index_meta,
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    full_df = _docs_with_near_dups().to_pandas()
+    old = ray.data.from_pandas(
+        full_df[full_df["doc_id"] < 100].reset_index(drop=True)
+    )
+    w1 = ray.data.from_pandas(
+        full_df[full_df["doc_id"] >= 100].reset_index(drop=True)
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(old, idx)
+
+    def n_files():
+        return len(glob.glob(f"{idx}/ipart=*/*.parquet"))
+
+    base = n_files()
+    r1 = incremental_minhash_pairs(w1, old, idx, threshold=0.5, window_id="w1")
+    after_first = n_files()
+    assert after_first > base
+    assert _index_meta(idx)["windows"] == ["w1"]
+    # same window id: append skipped, pairs still computed identically
+    r2 = incremental_minhash_pairs(w1, old, idx, threshold=0.5, window_id="w1")
+    assert n_files() == after_first
+    assert _pairs_key(r1) == _pairs_key(r2)
+    # a new id appends again
+    incremental_minhash_pairs(w1, old, idx, threshold=0.5, window_id="w2")
+    assert n_files() > after_first
+    assert _index_meta(idx)["windows"] == ["w1", "w2"]
+
+
 def test_window_as_dataset_lane_matches_pandas_lane():
     """session_windows / hourly_user_window with ``as_dataset=True``
     keep the result distributed; their contents must equal the
