@@ -153,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="idempotence token: an id already recorded in "
                              "the index meta skips the append on re-run")
 
+    p_dcomp = sub.add_parser(
+        "dedup-compact",
+        help="fold a MinHash index's per-window append files to one per partition",
+    )
+    p_dcomp.add_argument("--index-dir", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "count":
@@ -292,6 +298,12 @@ def main(argv: list[str] | None = None) -> int:
                 part_modulus=args.part_modulus,
             )
             print(json.dumps(meta))
+            return 0
+
+        if args.cmd == "dedup-compact":
+            from raycdc.ops.dedup import compact_minhash_index
+
+            print(json.dumps(compact_minhash_index(args.index_dir)))
             return 0
 
         if args.cmd == "dedup-window":

@@ -941,6 +941,55 @@ def _write_index_meta(index_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, _INDEX_META))
 
 
+def compact_minhash_index(index_dir: str) -> dict:
+    """Fold an index's accumulated per-window append files back to one
+    file per partition (each ``incremental_minhash_pairs`` append adds
+    one file per touched ipart; reads pay per-file overhead as windows
+    accumulate — the same read-amplification compaction the lake's
+    maintenance.compact solves).
+
+    The committed-window list in ``_index_meta.json`` is preserved.
+    Staged rewrite then swap; single-writer assumption as documented
+    on incremental_minhash_pairs.  A crash mid-swap leaves some
+    partitions compacted and some not — both states serve reads
+    correctly (band rows are append-only facts; duplicates only
+    re-propose candidates)."""
+    import glob
+    import os
+    import shutil
+
+    meta = _index_meta(index_dir)
+    files = sorted(glob.glob(os.path.join(index_dir, "ipart=*", "*.parquet")))
+    before = len(files)
+    if not files:
+        return {"files_before": 0, "files_after": 0}
+    rows = ray.data.read_parquet(files)
+    modulus = np.uint64(meta["part_modulus"])
+
+    def re_part(t: pa.Table) -> pa.Table:
+        # drop the auto-detected hive partition column (string-typed)
+        # and rebuild ipart from bh (ipart = bh % modulus by
+        # construction) so the staged write re-partitions identically
+        t = t.select(["band", "bh", "id"])
+        bh = t["bh"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "ipart", pa.array((bh % modulus).astype(np.int64))
+        )
+
+    staged = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    _write_index_rows(
+        rows.map_batches(re_part, batch_format="pyarrow"), staged
+    )
+    for d in glob.glob(os.path.join(index_dir, "ipart=*")):
+        shutil.rmtree(d)
+    for d in glob.glob(os.path.join(staged, "ipart=*")):
+        shutil.move(d, os.path.join(index_dir, os.path.basename(d)))
+    shutil.rmtree(staged, ignore_errors=True)
+    after = len(glob.glob(os.path.join(index_dir, "ipart=*", "*.parquet")))
+    return {"files_before": before, "files_after": after}
+
+
 def incremental_minhash_pairs(
     new_ds: "ray.data.Dataset",
     corpus_ds: "ray.data.Dataset",

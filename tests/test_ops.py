@@ -269,6 +269,18 @@ def test_incremental_index_append_is_idempotent_with_window_id(tmp_path):
     assert n_files() > after_first
     assert _index_meta(idx)["windows"] == ["w1", "w2"]
 
+    # compaction folds the append files back to one per partition and
+    # preserves both the committed-window list and query results
+    from raycdc.ops.dedup import compact_minhash_index
+
+    stats = compact_minhash_index(idx)
+    assert stats["files_after"] < stats["files_before"]
+    assert _index_meta(idx)["windows"] == ["w1", "w2"]
+    r3 = incremental_minhash_pairs(
+        w1, old, idx, threshold=0.5, update_index=False
+    )
+    assert _pairs_key(r1) == _pairs_key(r3)
+
 
 def test_window_as_dataset_lane_matches_pandas_lane():
     """session_windows / hourly_user_window with ``as_dataset=True``
