@@ -121,16 +121,23 @@ def main(argv: list[str] | None = None) -> int:
 
     p_didx = sub.add_parser(
         "dedup-index",
-        help="build a persistent MinHash band index over a document corpus",
+        help="build a persistent dedup index (MinHash bands or embedding "
+             "LSH buckets) over a corpus",
     )
     p_didx.add_argument("--docs", required=True,
-                        help="parquet file/dir with id + text columns")
+                        help="parquet file/dir with id + text/vector columns")
     p_didx.add_argument("--index-dir", required=True)
-    p_didx.add_argument("--id-col", default="doc_id")
+    p_didx.add_argument("--kind", choices=("minhash", "embedding"),
+                        default="minhash")
+    p_didx.add_argument("--id-col", default=None,
+                        help="default: doc_id (minhash) / vec_id (embedding)")
     p_didx.add_argument("--text-col", default="text")
+    p_didx.add_argument("--vec-col", default="embedding")
     p_didx.add_argument("--k", type=int, default=64)
     p_didx.add_argument("--bands", type=int, default=16)
     p_didx.add_argument("--ngram", type=int, default=3)
+    p_didx.add_argument("--lsh-bits", type=int, default=16)
+    p_didx.add_argument("--lsh-tables", type=int, default=2)
     p_didx.add_argument("--part-modulus", type=int, default=64,
                         help="fixed disk-partition count for the index lifetime")
 
@@ -285,18 +292,31 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "dedup-index":
             import ray.data
 
-            from raycdc.ops.dedup import build_minhash_index
+            if args.kind == "embedding":
+                from raycdc.ops.dedup import build_embedding_index
 
-            meta = build_minhash_index(
-                ray.data.read_parquet(args.docs),
-                args.index_dir,
-                k=args.k,
-                bands=args.bands,
-                ngram=args.ngram,
-                id_col=args.id_col,
-                text_col=args.text_col,
-                part_modulus=args.part_modulus,
-            )
+                meta = build_embedding_index(
+                    ray.data.read_parquet(args.docs),
+                    args.index_dir,
+                    lsh_bits=args.lsh_bits,
+                    lsh_tables=args.lsh_tables,
+                    id_col=args.id_col or "vec_id",
+                    vec_col=args.vec_col,
+                    part_modulus=args.part_modulus,
+                )
+            else:
+                from raycdc.ops.dedup import build_minhash_index
+
+                meta = build_minhash_index(
+                    ray.data.read_parquet(args.docs),
+                    args.index_dir,
+                    k=args.k,
+                    bands=args.bands,
+                    ngram=args.ngram,
+                    id_col=args.id_col or "doc_id",
+                    text_col=args.text_col,
+                    part_modulus=args.part_modulus,
+                )
             print(json.dumps(meta))
             return 0
 
@@ -309,9 +329,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "dedup-window":
             import ray.data
 
-            from raycdc.ops.dedup import incremental_minhash_pairs
+            from raycdc.ops.dedup import (
+                _index_meta,
+                incremental_embedding_pairs,
+                incremental_minhash_pairs,
+            )
 
-            res = incremental_minhash_pairs(
+            fn = (
+                incremental_embedding_pairs
+                if _index_meta(args.index_dir).get("kind") == "embedding"
+                else incremental_minhash_pairs
+            )
+            res = fn(
                 ray.data.read_parquet(args.window),
                 ray.data.read_parquet(args.corpus),
                 args.index_dir,

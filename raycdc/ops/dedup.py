@@ -832,7 +832,7 @@ def embedding_dup_pairs(
     )
 
 
-# -- incremental MinHash band index -----------------------------------------
+# -- shared pair-index helpers (MinHash + embedding) ------------------------
 
 
 _INDEX_META = "_index_meta.json"
@@ -968,12 +968,15 @@ def compact_minhash_index(index_dir: str) -> dict:
 
     def re_part(t: pa.Table) -> pa.Table:
         # drop the auto-detected hive partition column (string-typed)
-        # and rebuild ipart from bh (ipart = bh % modulus by
-        # construction) so the staged write re-partitions identically
-        t = t.select(["band", "bh", "id"])
-        bh = t["bh"].to_numpy(zero_copy_only=False).view(np.uint64)
+        # and rebuild ipart from the hash column (ipart = hash %
+        # modulus by construction; "bh" for MinHash indexes, "bucket"
+        # for embedding ones) so the staged write re-partitions
+        # identically
+        t = t.select([c for c in t.column_names if c != "ipart"])
+        key = "bh" if "bh" in t.column_names else "bucket"
+        vals = t[key].to_numpy(zero_copy_only=False).view(np.uint64)
         return t.append_column(
-            "ipart", pa.array((bh % modulus).astype(np.int64))
+            "ipart", pa.array((vals % modulus).astype(np.int64))
         )
 
     staged = index_dir.rstrip("/") + ".compacting"
@@ -1177,6 +1180,384 @@ def incremental_minhash_pairs(
         ngram,
         threshold,
         ncpu,
+    )
+    if out_dir is not None:
+        verified.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    out = verified.to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# -- incremental embedding (cosine LSH) index -------------------------------
+
+
+def _embedding_bucket_rows(
+    t: pa.Table,
+    *,
+    id_col: str,
+    vec_col: str,
+    lsh_bits: int,
+    lsh_tables: int,
+    seed: int,
+    part_modulus: int,
+) -> pa.Table:
+    """Slim (ipart, bucket, id) rows, one per (LSH table, vector) —
+    the same hyperplane bucketing as embedding_dup_pairs (identical
+    seed ⇒ identical planes ⇒ identical buckets), minus the vector
+    payload: vectors are gathered late, for candidates only."""
+    flat = t[vec_col]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    vecs = np.asarray(flat.flatten(), dtype=np.float64).reshape(
+        t.num_rows, -1
+    )
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((lsh_tables, vecs.shape[1], lsh_bits))
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets = []
+    for ti in range(lsh_tables):
+        bits = (unit @ planes[ti]) > 0
+        buckets.append(
+            (bits @ (1 << np.arange(lsh_bits))).astype(np.int64)
+            + ti * (1 << lsh_bits)
+        )
+    bucket = np.concatenate(buckets)
+    return pa.table(
+        {
+            "ipart": pa.array(
+                (bucket.view(np.uint64) % np.uint64(part_modulus)).astype(
+                    np.int64
+                )
+            ),
+            "bucket": pa.array(bucket),
+            "id": pa.array(np.tile(ids, lsh_tables)),
+        }
+    )
+
+
+def build_embedding_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    lsh_bits: int = 16,
+    lsh_tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    part_modulus: int = 64,
+) -> dict:
+    """Persistent random-hyperplane LSH bucket index for INCREMENTAL
+    embedding dedup — the embedding twin of build_minhash_index: slim
+    (bucket, id) rows hive-partitioned on ``bucket % part_modulus``
+    (fixed for the index lifetime), hyperplanes derived from ``seed``
+    so every window buckets identically."""
+    import os
+
+    rows = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: _embedding_bucket_rows(
+            t,
+            id_col=id_col,
+            vec_col=vec_col,
+            lsh_bits=lsh_bits,
+            lsh_tables=lsh_tables,
+            seed=seed,
+            part_modulus=part_modulus,
+        ),
+        batch_format="pyarrow",
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    _write_index_rows(rows, index_dir)
+    meta = {
+        "kind": "embedding",
+        "lsh_bits": lsh_bits,
+        "lsh_tables": lsh_tables,
+        "seed": seed,
+        "part_modulus": part_modulus,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "windows": [],
+    }
+    _write_index_meta(index_dir, meta)
+    return meta
+
+
+class _CandidateVecs:
+    """Phase-B gather stage for the embedding verify: broadcast the
+    candidate-pair frame once per worker, filter each corpus batch to
+    candidate ids, emit (vpart, id, vec) — only candidate vectors ride
+    this shuffle."""
+
+    def __init__(self, pairs_ref, id_col: str, vec_col: str):
+        self.__name__ = "CandidateVecs"
+        pairs = ray.get(pairs_ref)
+        both = pd.concat(
+            [
+                pairs[["id_a", "vpart"]].rename(columns={"id_a": "id"}),
+                pairs[["id_b", "vpart"]].rename(columns={"id_b": "id"}),
+            ]
+        ).drop_duplicates()
+        self.membership = both
+        self.cand = np.sort(both["id"].unique())
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vpart": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, self.cand)
+        if not mask.any():
+            return empty
+        from raycdc.functions.arrowsafe import mask_filter
+
+        sel = mask_filter(t, mask)
+        sids = sel[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = sel[self.vec_col]
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vecs = np.asarray(flat.flatten(), dtype=np.float64).reshape(
+            len(sids), -1
+        )
+        doc = pd.DataFrame({"id": sids, "_i": np.arange(len(sids))})
+        rep = doc.merge(self.membership, on="id")
+        return pa.table(
+            {
+                "vpart": pa.array(rep["vpart"].to_numpy(), pa.int64()),
+                "id": pa.array(rep["id"].to_numpy(), pa.int64()),
+                "vec": pa.array(
+                    [vecs[i] for i in rep["_i"]], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+
+def _verify_pairs_cosine(
+    ds: "ray.data.Dataset",
+    pairs_ref,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Exact-cosine verification of candidate pairs with vectors
+    gathered late (same machinery as _verify_pairs_jaccard), using the
+    identical normalize-then-dot float64 math as embedding_dup_pairs'
+    in-bucket verifier."""
+
+    def gather_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            ("cand_vecs", pairs_ref, id_col, vec_col),
+            lambda: _CandidateVecs(pairs_ref, id_col, vec_col),
+        )(batch)
+
+    gathered = ds.select_columns([id_col, vec_col]).map_batches(
+        gather_fn, batch_format="pyarrow"
+    )
+
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        if group.empty:
+            return empty
+        pid = int(group["vpart"].iloc[0])
+        pairs = ray.get(pairs_ref)
+        mine = pairs[pairs["vpart"] == pid]
+        if mine.empty:
+            return empty
+        id2v = {}
+        for i, v in zip(group["id"], group["vec"]):
+            vec = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(vec)
+            id2v[int(i)] = vec / (n or 1.0)
+        rows = []
+        for a, b in zip(mine["id_a"].to_numpy(), mine["id_b"].to_numpy()):
+            va, vb = id2v.get(int(a)), id2v.get(int(b))
+            if va is None or vb is None:
+                continue
+            cos = float(va @ vb)
+            if cos >= threshold:
+                rows.append((int(a), int(b), cos))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
+
+    return gathered.groupby("vpart").map_groups(
+        verify_group, batch_format="pandas"
+    )
+
+
+def incremental_embedding_pairs(
+    new_ds: "ray.data.Dataset",
+    corpus_ds: "ray.data.Dataset",
+    index_dir: str,
+    threshold: float = 0.98,
+    update_index: bool = True,
+    out_dir: str | None = None,
+    window_id: str | None = None,
+):
+    """Cosine near-dup pairs INVOLVING AT LEAST ONE NEW VECTOR against
+    a build_embedding_index corpus — the embedding twin of
+    incremental_minhash_pairs, with the same partition-pruned index
+    read, window_id idempotence, and out_dir streaming.  Exactness
+    contract (pinned by test): equals embedding_dup_pairs(corpus ∪
+    new) at the index's lsh parameters, restricted to pairs with a
+    new id."""
+    import glob
+    import os
+
+    meta = _index_meta(index_dir)
+    if meta.get("kind") != "embedding":
+        raise ValueError(
+            f"{index_dir} is not an embedding index (kind="
+            f"{meta.get('kind')!r})"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    ncpu = _ncpu()
+
+    new_rows = new_ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: _embedding_bucket_rows(
+            t,
+            id_col=id_col,
+            vec_col=vec_col,
+            lsh_bits=meta["lsh_bits"],
+            lsh_tables=meta["lsh_tables"],
+            seed=meta["seed"],
+            part_modulus=meta["part_modulus"],
+        ),
+        batch_format="pyarrow",
+    )
+    new_df = new_rows.to_pandas()
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"),
+         "id_b": pd.Series(dtype="int64"),
+         "cos": pd.Series(dtype="float64")}
+    )
+    if new_df.empty:
+        return empty
+    touched = [
+        f
+        for i in sorted(new_df["ipart"].unique())
+        for f in sorted(
+            glob.glob(
+                os.path.join(index_dir, f"ipart={int(i)}", "*.parquet")
+            )
+        )
+    ]
+    if touched:
+        old_rows = ray.data.read_parquet(touched)
+    else:
+        old_rows = ray.data.from_arrow(
+            pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    new_ids = np.sort(new_df["id"].unique())
+    num_coarse = _shuffle_width(ncpu)
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    (b.view(np.uint64) % np.uint64(num_coarse)).astype(
+                        np.int64
+                    )
+                ),
+                "bucket": pa.array(b, pa.int64()),
+                "id": t["id"],
+            }
+        )
+
+    new_tagged = ray.data.from_arrow(
+        pa.table(
+            {
+                "coarse": pa.array(
+                    (
+                        new_df["bucket"].to_numpy().view(np.uint64)
+                        % np.uint64(num_coarse)
+                    ).astype(np.int64)
+                ),
+                "bucket": pa.array(new_df["bucket"].to_numpy(), pa.int64()),
+                "id": pa.array(new_df["id"].to_numpy(), pa.int64()),
+            }
+        )
+    )
+    both = old_rows.map_batches(tag_old, batch_format="pyarrow").union(
+        new_tagged
+    )
+
+    def coarse_group_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        cempty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64")}
+        )
+        df = df[df.duplicated(["bucket"], keep=False)]
+        if df.empty:
+            return cempty
+        df = df.drop_duplicates(["bucket", "id"])
+        frames = []
+        for _, g in df.groupby("bucket", sort=False):
+            ids = np.sort(g["id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            isnew = np.isin(ids, new_ids)
+            if not isnew.any():
+                continue
+            ii, jj = np.triu_indices(len(ids), 1)
+            keep = isnew[ii] | isnew[jj]
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}
+                    )
+                )
+        if not frames:
+            return cempty
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    cand = both.groupby("coarse").map_groups(
+        coarse_group_candidates, batch_format="pandas"
+    )
+    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    committed = set(meta.get("windows", []))
+    if update_index and (window_id is None or window_id not in committed):
+        _write_index_rows(ray.data.from_pandas(new_df), index_dir)
+        if window_id is not None:
+            meta.setdefault("windows", []).append(window_id)
+            _write_index_meta(index_dir, meta)
+    if pairs_df.empty:
+        return empty
+    vparts = _shuffle_width(ncpu)
+    pairs_df = pairs_df.reset_index(drop=True)
+    pairs_df["vpart"] = (
+        pd.util.hash_pandas_object(
+            pairs_df[["id_a", "id_b"]], index=False
+        ).to_numpy()
+        % vparts
+    ).astype(np.int64)
+    pairs_ref = ray.put(pairs_df)
+    verified = _verify_pairs_cosine(
+        corpus_ds.select_columns([id_col, vec_col]).union(
+            new_ds.select_columns([id_col, vec_col])
+        ),
+        pairs_ref,
+        id_col,
+        vec_col,
+        threshold,
     )
     if out_dir is not None:
         verified.write_parquet(out_dir)

@@ -282,7 +282,62 @@ def test_incremental_index_append_is_idempotent_with_window_id(tmp_path):
     assert _pairs_key(r1) == _pairs_key(r3)
 
 
-def test_window_as_dataset_lane_matches_pandas_lane():
+def test_incremental_embedding_matches_full_recompute(tmp_path):
+    """The persisted embedding LSH index finds exactly the pairs a full
+    recompute at the same LSH parameters would (restricted to pairs
+    involving the window)."""
+    from raycdc.ops.dedup import (
+        build_embedding_index,
+        embedding_dup_pairs,
+        incremental_embedding_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((80, 32))
+    dups = base[:10] + 0.01 * rng.standard_normal((10, 32))
+
+    def mk(vs, ids):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vs], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+
+    corpus = mk(np.vstack([base, dups]), list(range(80)) + list(range(100, 110)))
+    # window: perturbations of base[10:15] (near-dups of corpus rows) +
+    # one fresh random vector (pairs with nothing)
+    wvecs = np.vstack(
+        [base[10:15] + 0.01 * rng.standard_normal((5, 32)),
+         rng.standard_normal((1, 32))]
+    )
+    w = mk(wvecs, list(range(200, 206)))
+
+    idx = str(tmp_path / "eidx")
+    build_embedding_index(corpus, idx, lsh_bits=4, lsh_tables=2)
+    inc = incremental_embedding_pairs(w, corpus, idx, threshold=0.99)
+
+    full = embedding_dup_pairs(
+        corpus.union(w), threshold=0.99, lsh_bits=4, lsh_tables=2
+    )
+    w_ids = set(range(200, 206))
+    want = full[full["id_a"].isin(w_ids) | full["id_b"].isin(w_ids)]
+
+    def key(df):
+        return {
+            (int(a), int(b)): round(float(c), 9)
+            for a, b, c in zip(df["id_a"], df["id_b"], df["cos"])
+        }
+
+    assert key(inc) == key(want)
+    got = set(zip(inc["id_a"], inc["id_b"]))
+    assert all(10 <= a <= 14 for a, b in got)  # matches are the planted ones
+    assert not any(205 in p for p in got)  # the fresh vector pairs with nothing
+    assert len(got) >= 4  # high recall on planted near-dups at these params
     """session_windows / hourly_user_window with ``as_dataset=True``
     keep the result distributed; their contents must equal the
     driver-DataFrame oracle lane."""
