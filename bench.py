@@ -263,16 +263,22 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # best of N trials per arm: single runs carry large scheduler /
-    # interference noise on this shared single node (observed outliers
-    # 2-3x the mode); min is the standard capability estimator and all
-    # trials are reported for transparency
-    def best_run(ncpu: int) -> tuple[float, list[float]]:
-        secs = sorted(run(ncpu)["value"] for _ in range(trials))
-        return secs[0], secs
-
-    t_lo, lo_all = best_run(lo)
-    t_hi, hi_all = best_run(hi)
+    # best of N trials per arm, arms INTERLEAVED (lo,hi,lo,hi,...):
+    # single runs carry large scheduler / interference noise on this
+    # shared single node (observed outliers 2-3x the mode), and
+    # running one arm's trials back-to-back lets a ten-minute host
+    # drift land entirely on one arm (observed: 32-CPU best swung
+    # 17.0 -> 21.2 s between consecutive runs while 8-CPU moved far
+    # less).  Interleaving samples both arms under adjacent noise
+    # conditions; min is the standard capability estimator and all
+    # trials are reported for transparency.
+    lo_all: list[float] = []
+    hi_all: list[float] = []
+    for _ in range(trials):
+        lo_all.append(run(lo)["value"])
+        hi_all.append(run(hi)["value"])
+    lo_all, hi_all = sorted(lo_all), sorted(hi_all)
+    t_lo, t_hi = lo_all[0], hi_all[0]
     eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
