@@ -1,0 +1,140 @@
+"""Connected components / dedup clustering: the local numpy path and
+the distributed Ray path must agree exactly with a trivial union-find
+reference on random graphs, chains, and planted clusters."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _uf_reference(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Plain python union-find — the slow, obviously-correct oracle."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        if a == b:
+            continue
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {
+            "node": np.array(nodes, dtype=np.int64),
+            "cluster_id": np.array([find(n) for n in nodes], dtype=np.int64),
+        }
+    )
+
+
+def _random_pairs(seed: int, n_nodes: int = 120, n_edges: int = 90):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, size=n_edges)
+    b = rng.integers(0, n_nodes, size=n_edges)
+    return pd.DataFrame({"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)})
+
+
+def test_local_matches_union_find_on_random_graphs():
+    from raycdc.ops.components import connected_components
+
+    for seed in range(5):
+        pairs = _random_pairs(seed)
+        got = connected_components(pairs, mode="local")
+        exp = _uf_reference(pairs[pairs["id_a"] != pairs["id_b"]])
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_distributed_matches_local_on_random_graph():
+    from raycdc.ops.components import connected_components
+
+    pairs = _random_pairs(7, n_nodes=200, n_edges=150)
+    local = connected_components(pairs, mode="local")
+    ds = ray.data.from_pandas(pairs).repartition(4)
+    dist = connected_components(ds, mode="distributed")
+    pd.testing.assert_frame_equal(dist, local)
+
+
+def test_chain_graph_multi_hop_propagation():
+    """A 16-node chain has diameter 15 — the worst case for one-hop
+    label propagation; pointer jumping must collapse it in O(log d)
+    rounds on both paths."""
+    from raycdc.ops.components import connected_components
+
+    pairs = pd.DataFrame(
+        {
+            "id_a": np.arange(15, dtype=np.int64) + 1,
+            "id_b": np.arange(15, dtype=np.int64),
+        }
+    )
+    local = connected_components(pairs, mode="local")
+    assert (local["cluster_id"] == 0).all() and len(local) == 16
+    dist = connected_components(
+        ray.data.from_pandas(pairs).repartition(3), mode="distributed"
+    )
+    pd.testing.assert_frame_equal(dist, local)
+
+
+def test_empty_and_self_loop_pairs():
+    from raycdc.ops.components import connected_components
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+    assert connected_components(empty).empty
+    selfy = pd.DataFrame({"id_a": [5, 5], "id_b": [5, 5]})
+    assert connected_components(selfy).empty
+
+
+def test_dedup_survivors_keeps_cluster_minimum_and_singletons():
+    from raycdc.ops.components import dedup_survivors
+
+    # clusters {0,1,2} and {10,11}; singletons 20, 21
+    pairs = pd.DataFrame(
+        {"id_a": [0, 1, 10], "id_b": [1, 2, 11]},
+        dtype=np.int64,
+    )
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 10, 11, 20, 21], pa.int64()),
+                "text": pa.array(list("abcdefg")),
+            }
+        )
+    ).repartition(3)
+    out = dedup_survivors(corpus, pairs).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 10, 20, 21]
+
+
+def test_end_to_end_minhash_to_clusters():
+    """Three identical copies of each doc → minhash pairs → components
+    yields clusters of exactly the planted triples."""
+    from raycdc.ops.components import connected_components
+    from raycdc.ops.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    ids, texts = [], []
+    for i in range(20):
+        t = " ".join(rng.choice(vocab, size=50))
+        for shift in (0, 1000, 2000):
+            ids.append(i + shift)
+            texts.append(t)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(4)
+    pairs = minhash_lsh_pairs(ds, threshold=1.0)
+    comp = connected_components(pairs, mode="local")
+    exp = pd.DataFrame(
+        {
+            "node": np.sort(np.array(ids, dtype=np.int64)),
+        }
+    )
+    exp["cluster_id"] = exp["node"] % 1000
+    pd.testing.assert_frame_equal(comp, exp)
