@@ -16,14 +16,16 @@ tests/test_components.py):
   fits the driver — which is the standing contract of the dedup
   family's candidate broadcast (``minhash_lsh_pairs`` docstring):
   pair counts are collision-bounded, not corpus-bounded.
-- **distributed** (Ray Dataset rounds): iterative min-label
-  propagation where ALL per-round state is edge-bounded rows
-  (node, label) hash-partitioned across the cluster — 2 bounded
-  shuffles per round, O(cluster diameter) rounds.  Near-dup clusters
-  are near-cliques (every member collides with the seed in some
-  band), so the diameter is tiny in practice; the round cap guards
-  pathological chain graphs.  This is the path that survives a pair
-  set too large for any single node.
+- **distributed** (Ray Dataset rounds): alternating large-star /
+  small-star edge contraction (Kiveris et al., SoCC'14) where ALL
+  per-round state is the edge set itself — edge-bounded (u, v) rows
+  hash-partitioned across the cluster, one bounded shuffle per star
+  step, O(log² n) rounds guaranteed and ~log(diameter) in practice.
+  Near-dup clusters are near-cliques (every member collides with the
+  seed in some band), so real inputs converge in 1-2 rounds and the
+  edge set CONTRACTS as stars collapse; the round cap guards
+  adversarial graphs.  This is the path that survives a pair set too
+  large for any single node.
 """
 
 from __future__ import annotations
@@ -119,172 +121,153 @@ def _pin(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ray.data.from_arrow_refs(m.get_internal_block_refs())
 
 
-def _pointer_jump(labels: "ray.data.Dataset") -> "ray.data.Dataset":
-    """One distributed pointer-jump pass: label ← label(label).
-
-    Every (node, label) row is re-keyed by its LABEL and co-partitioned
-    with the label node's own row (keyed by node); within a partition a
-    dict lookup rewrites each row's label to its label's label.  Exact
-    and idempotent at the fixpoint; halves label-chain length, giving
-    the round loop its O(log diameter) bound."""
-    from raycdc.ops.relational import hash_partition_reduce
-
-    carry = "chg" in labels.schema().names
-
-    def tag_self(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "key": df["node"],
-                "node": df["node"],
-                "label": df["label"],
-                "is_self": np.uint8(1),
-            }
-        )
-        if carry:
-            out["chg"] = df["chg"].to_numpy()
-        return out
-
-    def tag_child(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "key": df["label"],
-                "node": df["node"],
-                "label": df["label"],
-                "is_self": np.uint8(0),
-            }
-        )
-        if carry:
-            out["chg"] = df["chg"].to_numpy()
-        return out
-
-    tagged = labels.map_batches(tag_self, batch_format="pandas").union(
-        labels.map_batches(tag_child, batch_format="pandas")
-    )
-
-    def jump(df: pd.DataFrame) -> pd.DataFrame:
-        selfs = df[df["is_self"] == 1]
-        root = dict(zip(selfs["node"].to_numpy(), selfs["label"].to_numpy()))
-        child = df[df["is_self"] == 0]
-        lab = child["label"].map(lambda x: root.get(x, x)).to_numpy(
-            dtype=np.int64
-        )
-        out = pd.DataFrame({"node": child["node"].to_numpy(), "label": lab})
-        if carry:
-            out["chg"] = child["chg"].to_numpy()
-        return out
-
-    return hash_partition_reduce(tagged, ["key"], jump)
-
-
 def _cc_distributed(
     edges: "ray.data.Dataset", max_rounds: int
 ) -> pd.DataFrame:
-    """Iterative min-label propagation as Ray Dataset rounds.
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC'14) as Ray
+    Dataset rounds.
 
-    State per round is (node, label) rows — edge-bounded, never
-    corpus-bounded — hash-partitioned with
-    ``relational.hash_partition_reduce`` (shuffle width scales with
-    the cluster).  Each round:
+    State per round is the EDGE SET itself — rows (u, v), edge-bounded,
+    never corpus-bounded — hash-partitioned on one endpoint with
+    ``relational.hash_partition_reduce`` (shuffle width scales with the
+    cluster).  Each round is two one-shuffle steps:
 
-    1. co-partition edge endpoints with current labels by node; each
-       edge row forwards its endpoint's label to the OTHER endpoint;
-    2. per node, new label = min(own label, forwarded labels);
-       convergence = no node's label changed (exact, checked with one
-       aggregate over the new label set);
-    3. one pointer-jump pass — label ← label(label), a single
-       co-partition of (node, label) rows on the label — so label
-       chains halve every round and convergence is O(log diameter)
-       rounds, not O(diameter) (16-node chain: 5 rounds measured).
+    1. **large-star** (grouped on u over bidirectional rows): with
+       m = min(Γ(u) ∪ {u}), rewrite every strictly-larger neighbor's
+       edge to (v, m) — larger neighbors re-attach to the local min;
+    2. **small-star** (grouped on each edge's LARGER endpoint): with
+       m = min(Γ(u)), re-attach u and all its smaller neighbors to m.
 
-    The edge list itself is re-shuffled each round; at O(log d)
-    rounds over collision-bounded edges this is the cheap term.
-    Label propagation (not hash-to-min with neighbor-set rewrites)
-    keeps rows fixed-width; the round cap turns a pathological graph
-    into a loud error, not a silent wrong answer."""
+    Both steps preserve the connectivity partition and monotonically
+    pull components toward min-rooted stars; convergence is O(log² n)
+    rounds guaranteed, ~log diameter in practice (16-node chain: 5
+    rounds; 200-node sparse random graph: 6 — vs 13 for one-hop label
+    propagation).  Unlike label propagation the edge set CONTRACTS as
+    stars collapse, so later (wider-fanout) rounds shuffle less data.
+
+    Convergence is detected exactly and for free inside the large-star
+    reduce: the edge set is a min-rooted star forest iff no node has
+    both a smaller and a larger neighbor, nor two smaller neighbors.
+    Violation counts ride the output as sentinel rows (viol > 0) and
+    one cheap ``sum`` over the pinned result reads them off; zero
+    violations means large-star reproduced the star forest unchanged,
+    so the loop can stop after step 1.  The round cap turns a
+    pathological graph into a loud error, not a silent wrong answer."""
     from raycdc.ops.relational import hash_partition_reduce
 
-    # edges are re-shuffled every round — pin them once
-    edges = _pin(edges)
-    # every union adds its argument's block list and map_groups
-    # preserves block count, so without an explicit coalesce the label
-    # set's block count DOUBLES per round (measured: 4→8→16→32…, round
-    # wall time doubling with it); repartition back to a cluster-sized
-    # width each round to keep per-round cost flat
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    width = max(2 * ncpu, 16)
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["node"].to_numpy()
+        v = df["other"].to_numpy()
+        out = pd.DataFrame(
+            {"u": np.maximum(u, v), "v": np.minimum(u, v)}
+        )
+        return out[out["u"] != out["v"]].drop_duplicates()
 
-    def init_reduce(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)["other"].min().reset_index()
-        lab = np.minimum(g["node"].to_numpy(), g["other"].to_numpy())
-        return pd.DataFrame({"node": g["node"], "label": lab})
+    E = _pin(edges.map_batches(canon, batch_format="pandas"))
 
-    labels = _pin(hash_partition_reduce(edges, ["node"], init_reduce))
-
-    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(label=np.int64(0), is_label=np.uint8(0))
-
-    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(other=np.int64(-1), is_label=np.uint8(1))[
-            ["node", "other", "label", "is_label"]
-        ]
-
-    for _ in range(max_rounds):
-        tagged = edges.map_batches(tag_edges, batch_format="pandas").union(
-            labels.map_batches(tag_labels, batch_format="pandas")
+    def bidir(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        return pd.DataFrame(
+            {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
         )
 
-        def forward(df: pd.DataFrame) -> pd.DataFrame:
-            lab_rows = df[df["is_label"] == 1]
-            lab = dict(
-                zip(lab_rows["node"].to_numpy(), lab_rows["label"].to_numpy())
+    def ls_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        mn = df.groupby("u", sort=False)["v"].min()
+        m = pd.Series(
+            np.minimum(mn.to_numpy(), mn.index.to_numpy()), index=mn.index
+        )
+        big = df[df["v"] > df["u"]]
+        out_u = big["v"].to_numpy()
+        out_v = big["u"].map(m).to_numpy(dtype=np.int64)
+        keep = out_u != out_v
+        out = pd.DataFrame(
+            {"u": out_u[keep], "v": out_v[keep]}
+        ).drop_duplicates()
+        out["viol"] = np.int64(0)
+        smaller = df["v"] < df["u"]
+        n_small = smaller.groupby(df["u"]).sum()
+        has_big = (df["v"] > df["u"]).groupby(df["u"]).max()
+        nv = int((((n_small >= 1) & has_big) | (n_small >= 2)).sum())
+        if nv:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "u": [np.int64(0)],
+                            "v": [np.int64(0)],
+                            "viol": [np.int64(nv)],
+                        }
+                    ),
+                ],
+                ignore_index=True,
             )
-            e = df[df["is_label"] == 0]
-            fwd = pd.DataFrame(
-                {
-                    "node": e["other"].to_numpy(),
-                    "cand": e["node"].map(lab).to_numpy(dtype=np.int64),
-                    "old": np.int64(np.iinfo(np.int64).max),
-                }
-            )
-            own = pd.DataFrame(
-                {
-                    "node": lab_rows["node"].to_numpy(),
-                    "cand": lab_rows["label"].to_numpy(),
-                    "old": lab_rows["label"].to_numpy(),
-                }
-            )
-            return pd.concat([fwd, own], ignore_index=True)
+        return out
 
-        cand = hash_partition_reduce(tagged, ["node"], forward)
+    def strip_sentinels(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["viol"] == 0].drop(columns=["viol"])
 
-        def min_reduce(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node", sort=False).agg(
-                label=("cand", "min"), old=("old", "min")
+    def ss_orient(df: pd.DataFrame) -> pd.DataFrame:
+        df = strip_sentinels(df)
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        return pd.DataFrame({"u": np.maximum(u, v), "v": np.minimum(u, v)})
+
+    def ss_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.groupby("u", sort=False)["v"].min()
+        child_u = df["v"].to_numpy()
+        child_v = df["u"].map(m).to_numpy(dtype=np.int64)
+        keep = child_u != child_v
+        own = pd.DataFrame(
+            {
+                "u": m.index.to_numpy(dtype=np.int64),
+                "v": m.to_numpy(dtype=np.int64),
+            }
+        )
+        return pd.concat(
+            [pd.DataFrame({"u": child_u[keep], "v": child_v[keep]}), own],
+            ignore_index=True,
+        ).drop_duplicates()
+
+    for _ in range(max_rounds):
+        ls = _pin(
+            hash_partition_reduce(
+                E.map_batches(bidir, batch_format="pandas"), ["u"], ls_reduce
             )
-            g["chg"] = (g["label"] < g["old"]).astype(np.int64)
-            return g.reset_index().drop(columns=["old"])
-
-        # pin BEFORE the jump: _pointer_jump unions its input twice, and
-        # a union executes each branch's plan separately — an unpinned
-        # input would run the forward+min chain twice per round
-        new_labels = _pin(hash_partition_reduce(cand, ["node"], min_reduce))
-        labels = _pin(_pointer_jump(new_labels).repartition(width))
-        changed = labels.sum("chg")
-        labels = labels.drop_columns(["chg"])
-        if not changed:
-            # the trailing jump is idempotent at the fixpoint, so
-            # breaking after it cannot disturb converged labels
+        )
+        if not ls.sum("viol"):
+            # star forest reached; large-star reproduced it unchanged
+            E = _pin(ls.map_batches(strip_sentinels, batch_format="pandas"))
             break
+        E = _pin(
+            hash_partition_reduce(
+                ls.map_batches(ss_orient, batch_format="pandas"),
+                ["u"],
+                ss_reduce,
+            )
+        )
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            "(pathological chain graph?); raise max_rounds"
+            "(adversarial graph?); raise max_rounds"
         )
-    out = labels.to_pandas()
-    return out.rename(columns={"label": "cluster_id"})
+    # final state: star edges (leaf u → root v); roots label themselves
+    star = E.to_pandas()
+    out = pd.DataFrame(
+        {
+            "node": np.concatenate(
+                [star["u"].to_numpy(), star["v"].to_numpy()]
+            ),
+            "cluster_id": np.concatenate(
+                [star["v"].to_numpy(), star["v"].to_numpy()]
+            ),
+        }
+    ).drop_duplicates()
+    return out
 
 
 def connected_components(

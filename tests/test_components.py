@@ -81,6 +81,30 @@ def test_chain_graph_multi_hop_propagation():
     pd.testing.assert_frame_equal(dist, local)
 
 
+def test_distributed_matches_local_on_larger_graph_with_dups():
+    """More nodes, duplicate and reversed edges, plus one 300-leaf hub
+    (the skew shape a hot near-dup cluster produces)."""
+    from raycdc.ops.components import connected_components
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1500, size=900)
+    b = rng.integers(0, 1500, size=900)
+    hub_leaves = rng.choice(np.arange(2000, 4000), size=300, replace=False)
+    pairs = pd.DataFrame(
+        {
+            "id_a": np.concatenate([a, b[:200], np.full(300, 1700)]),
+            "id_b": np.concatenate([b, a[:200], hub_leaves]),
+        }
+    ).astype(np.int64)
+    local = connected_components(pairs, mode="local")
+    exp = _uf_reference(pairs[pairs["id_a"] != pairs["id_b"]])
+    pd.testing.assert_frame_equal(local, exp)
+    dist = connected_components(
+        ray.data.from_pandas(pairs).repartition(5), mode="distributed"
+    )
+    pd.testing.assert_frame_equal(dist, local)
+
+
 def test_empty_and_self_loop_pairs():
     from raycdc.ops.components import connected_components
 
