@@ -479,6 +479,60 @@ def _q_dedup_incremental(sf_dir):
     return pairs
 
 
+def _tripled_dup_docs(sf_dir):
+    """documents ∪ two shifted copies (+10000, +20000) with identical
+    text — planted duplicate TRIPLES, so clustering must take the
+    transitive closure (pairs alone would under-merge)."""
+    import ray
+    import ray.data
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    import pyarrow.compute as pc
+
+    copies = [t] + [
+        pa.table(
+            {"doc_id": pc.add(t["doc_id"], shift), "text": t["text"]}
+        )
+        for shift in (10000, 20000)
+    ]
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return (
+        ray.data.from_arrow(pa.concat_tables(copies))
+        .repartition(2 * ncpu)
+        .materialize()
+    )
+
+
+def _q_dedup_clusters(sf_dir):
+    """Near-dup pairs → transitive duplicate clusters via the
+    DISTRIBUTED large/small-star path (the 100-TB shape: edge-bounded
+    shuffles, contracting edge set).  Planted triples make the oracle
+    SQL-enumerable: node d+k*10000 → cluster d."""
+    import ray.data
+
+    from raycdc.ops.components import connected_components
+    from raycdc.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_tripled_dup_docs(sf_dir), threshold=1.0)
+    pair_ds = ray.data.from_pandas(pairs[["id_a", "id_b"]]).repartition(8)
+    return connected_components(pair_ds, mode="distributed")
+
+
+def _q_dedup_survivors(sf_dir):
+    """One canonical doc per duplicate cluster: the tripled corpus
+    collapses back to exactly the original documents (minimum id per
+    planted triple), via broadcast loser-set filtering — the corpus
+    itself never shuffles."""
+    from raycdc.ops.components import dedup_survivors
+    from raycdc.ops.dedup import minhash_lsh_pairs
+
+    corpus = _tripled_dup_docs(sf_dir)
+    pairs = minhash_lsh_pairs(corpus, threshold=1.0)
+    return dedup_survivors(corpus, pairs, id_col="doc_id")
+
+
 def _q_dedup_distinct(sf_dir):
     """Exact dedup keeping full rows: one (min doc_id) row per
     distinct text — the materializing twin of dedup_exact's counts."""
@@ -888,6 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_ngram": _tuned(_q_dedup_ngram),
         "dedup_distinct": _tuned(_q_dedup_distinct),
+        "dedup_clusters": _tuned(_q_dedup_clusters),
+        "dedup_survivors": _tuned(_q_dedup_survivors),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "ann_topk": _tuned(_q_ann_topk),
@@ -1056,6 +1112,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": """
             SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard
             FROM documents WHERE doc_id % 5 = 0
+        """,
+        "dedup_clusters": """
+            SELECT doc_id AS node, doc_id AS cluster_id FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS node, doc_id AS cluster_id FROM documents
+            UNION ALL
+            SELECT doc_id + 20000 AS node, doc_id AS cluster_id FROM documents
+        """,
+        "dedup_survivors": """
+            SELECT doc_id, text FROM documents
         """,
         # simhash cannot be enumerated in SQL (64-bit bit-majority
         # signatures); pinned-regression oracle instead (see _pin)
