@@ -533,6 +533,44 @@ def _q_dedup_survivors(sf_dir):
     return dedup_survivors(corpus, pairs, id_col="doc_id")
 
 
+def _q_decontam_report(sf_dir):
+    """Benchmark decontamination report: every 17th doc plays the eval
+    set; n_hits = the doc's distinct 8-grams found in it.  Benchmark
+    grams broadcast once, ONE streaming corpus pass, zero shuffle —
+    natural (non-planted) overlaps count too, and the SQL oracle
+    computes the identical real overlap."""
+    from raycdc.ops.decontaminate import contamination_report
+
+    corpus = _docs(sf_dir)
+    bench = _bench_docs(sf_dir)
+    return contamination_report(corpus, bench, ngram=8)
+
+
+def _q_decontam_clean(sf_dir):
+    """The corpus minus contaminated docs — rows drop batch-locally
+    against the broadcast benchmark gram set."""
+    from raycdc.ops.decontaminate import decontaminate
+
+    corpus = _docs(sf_dir)
+    bench = _bench_docs(sf_dir)
+    return decontaminate(corpus, bench, ngram=8).select_columns(
+        ["doc_id", "text"]
+    )
+
+
+def _bench_docs(sf_dir):
+    """Deterministic stand-in eval set: every 17th document."""
+    import ray.data
+
+    from raycdc.functions.arrowsafe import mask_filter
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return mask_filter(t, ids % 17 == 0)
+
+    return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
 def _q_dedup_distinct(sf_dir):
     """Exact dedup keeping full rows: one (min doc_id) row per
     distinct text — the materializing twin of dedup_exact's counts."""
@@ -944,6 +982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_distinct": _tuned(_q_dedup_distinct),
         "dedup_clusters": _tuned(_q_dedup_clusters),
         "dedup_survivors": _tuned(_q_dedup_survivors),
+        "decontam_report": _tuned(_q_decontam_report),
+        "decontam_clean": _tuned(_q_decontam_clean),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "ann_topk": _tuned(_q_ann_topk),
@@ -1122,6 +1162,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_survivors": """
             SELECT doc_id, text FROM documents
+        """,
+        # genuine independent reimplementation of 8-gram overlap:
+        # DuckDB enumerates every doc's word 8-grams (whole text for
+        # shorter docs, matching _shingles) and joins them against the
+        # eval set's distinct grams
+        "decontam_report": """
+            WITH bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+            btoks AS (SELECT string_split(text, ' ') AS ts FROM bench),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM btoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            dtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM dtoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM dgrams JOIN bgrams USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "decontam_clean": """
+            WITH bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+            btoks AS (SELECT string_split(text, ' ') AS ts FROM bench),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM btoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            dtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM dtoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            bad AS (SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (g))
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         # simhash cannot be enumerated in SQL (64-bit bit-majority
         # signatures); pinned-regression oracle instead (see _pin)

@@ -1,0 +1,145 @@
+"""Benchmark decontamination: drop training documents that overlap an
+evaluation/benchmark set by word n-gram.
+
+The standard LLM training-data hygiene pass (GPT-3 appendix C uses
+13-gram overlap): a training doc is *contaminated* if any of its word
+n-grams also appears in any benchmark doc.  The reference engine has no
+analog (it is a point-read connector, embulk-input-jira
+JiraInputPlugin.java:103-160); this extends the §2.7 dedup family.
+
+Scale shape — the benchmark side is SMALL by contract (eval sets are
+10³-10⁵ docs), the corpus side is the 100-TB stream:
+
+- the benchmark's distinct n-gram hash set is computed with one
+  map_batches pass over the benchmark, unioned on the driver, sorted,
+  and broadcast ONCE via ``ray.put`` (same broadcast-small-side pattern
+  as the CDC checkpoint lookup, state/checkpoint.py);
+- the corpus takes ONE streaming ``map_batches`` pass: each batch
+  hashes its docs' n-grams in a single vectorized pass (one
+  ``hash_array`` call per batch, per-doc boundaries via reduceat) and
+  tests membership against the broadcast sorted array with
+  ``searchsorted`` — zero shuffle, nothing materializes, contaminated
+  rows are dropped (or counted) batch-locally.
+
+Hashes are 64-bit (``pd.util.hash_array``), the same
+collision-tolerance contract as exact_dedup_groups (ops/dedup.py).
+
+Tokenization matches ``dedup._shingles``: whitespace split; a doc
+shorter than ``ngram`` tokens contributes its whole token join as one
+gram (so exact substrings of benchmark docs still hit)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from raycdc.ops.dedup import _hash_strings, _shingles
+
+
+def benchmark_ngram_hashes(
+    bench_ds: "ray.data.Dataset", text_col: str = "text", ngram: int = 8
+) -> np.ndarray:
+    """Distinct n-gram hashes of the benchmark set, sorted, as one
+    driver-side uint64 array ready for ``ray.put``.
+
+    Per-batch distinct first (map_batches), so only unique hashes per
+    block reach the driver; the benchmark side is small by contract."""
+
+    def grams(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        per_doc = [_shingles(x or "", ngram) for x in texts]
+        if per_doc:
+            u = np.unique(
+                _hash_strings(np.concatenate(per_doc)).astype(np.uint64)
+            )
+        else:
+            u = np.array([], dtype=np.uint64)
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
+    parts = bench_ds.select_columns([text_col]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+    df = parts.to_pandas()
+    if "h" not in df.columns or len(df) == 0:
+        return np.array([], dtype=np.uint64)
+    return np.unique(df["h"].to_numpy().astype(np.uint64))
+
+
+def _doc_hits(
+    t: pa.Table, bench: np.ndarray, text_col: str, ngram: int
+) -> np.ndarray:
+    """Per-doc count of DISTINCT n-grams present in the benchmark set —
+    one vectorized hash pass + one searchsorted per batch."""
+    texts = t[text_col].to_numpy(zero_copy_only=False)
+    if len(texts) == 0:
+        return np.array([], dtype=np.int64)
+    per_doc = [_shingles(x or "", ngram) for x in texts]
+    counts = np.array([len(s) for s in per_doc], dtype=np.int64)
+    flat = _hash_strings(np.concatenate(per_doc)).astype(np.uint64)
+    bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    # distinct within each doc (duplicated grams count once)
+    uniq = [np.unique(flat[bounds[i] : bounds[i + 1]]) for i in range(len(per_doc))]
+    ucounts = np.array([len(u) for u in uniq], dtype=np.int64)
+    all_h = np.concatenate(uniq)
+    if len(bench):
+        idx = np.searchsorted(bench, all_h)
+        idx = np.clip(idx, 0, len(bench) - 1)
+        hit = bench[idx] == all_h
+    else:
+        hit = np.zeros(len(all_h), dtype=bool)
+    ubounds = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(ucounts, out=ubounds[1:])
+    return np.add.reduceat(hit, ubounds[:-1]).astype(np.int64)
+
+
+def contamination_report(
+    corpus_ds: "ray.data.Dataset",
+    bench_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> "ray.data.Dataset":
+    """(id, n_hits) for every corpus doc, n_hits = number of the doc's
+    distinct n-grams found in the benchmark set.  One streaming pass,
+    zero shuffle."""
+    bench_ref = ray.put(benchmark_ngram_hashes(bench_ds, text_col, ngram))
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        hits = _doc_hits(t, bench, text_col, ngram)
+        return pa.table(
+            {id_col: t[id_col], "n_hits": pa.array(hits, pa.int64())}
+        )
+
+    return corpus_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def decontaminate(
+    corpus_ds: "ray.data.Dataset",
+    bench_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_hits: int = 1,
+) -> "ray.data.Dataset":
+    """The corpus minus contaminated docs (≥ ``min_hits`` distinct
+    n-grams shared with the benchmark set).  Rows drop batch-locally
+    against the broadcast hash set — the corpus never shuffles and the
+    contaminated id set never funnels through the driver."""
+    bench_ref = ray.put(benchmark_ngram_hashes(bench_ds, text_col, ngram))
+
+    def drop(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        hits = _doc_hits(t, bench, text_col, ngram)
+        from raycdc.functions.arrowsafe import mask_filter
+
+        return mask_filter(t, hits < min_hits)
+
+    return corpus_ds.map_batches(drop, batch_format="pyarrow")

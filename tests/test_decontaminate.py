@@ -1,0 +1,111 @@
+"""Benchmark decontamination: planted n-gram overlap must be detected
+(and only it), short docs fall back to whole-text grams, and the clean
+corpus is exactly the non-contaminated rows."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _corpus(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(2)
+
+
+def test_partial_ngram_overlap_detected():
+    from raycdc.ops.decontaminate import contamination_report
+
+    bench_text = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    corpus = _corpus(
+        [
+            # shares the 8-gram window q1..q8 inside unrelated text
+            (1, "a b c q1 q2 q3 q4 q5 q6 q7 q8 x y z"),
+            # shares only 7 consecutive benchmark tokens -> no 8-gram hit
+            (2, "a b c q1 q2 q3 q4 q5 q6 q7 zz x y"),
+            (3, "totally unrelated text with eight plus tokens in it"),
+        ]
+    )
+    bench = _corpus([(100, bench_text)])
+    rep = (
+        contamination_report(corpus, bench, ngram=8)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+    )
+    assert rep[1] == 1  # exactly the q1..q8 window
+    assert rep[2] == 0
+    assert rep[3] == 0
+
+
+def test_hit_count_is_distinct_matching_grams():
+    from raycdc.ops.decontaminate import contamination_report
+
+    bench = _corpus([(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")])
+    # doc contains the windows w1..w8, w2..w9, w3..w10 and a repeat of
+    # w1..w8 (counted once: distinct grams)
+    doc = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 pad w1 w2 w3 w4 w5 w6 w7 w8"
+    rep = (
+        contamination_report(_corpus([(7, doc)]), bench, ngram=8)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+    )
+    assert rep[7] == 3
+
+
+def test_short_doc_whole_text_gram():
+    from raycdc.ops.decontaminate import contamination_report
+
+    bench = _corpus([(0, "tiny bench doc")])
+    corpus = _corpus([(1, "tiny bench doc"), (2, "tiny bench"), (3, "")])
+    rep = (
+        contamination_report(corpus, bench, ngram=8)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+    )
+    # whole-text gram "tiny bench doc" matches doc 1 only
+    assert rep[1] == 1 and rep[2] == 0 and rep[3] == 0
+
+
+def test_decontaminate_drops_exactly_contaminated():
+    from raycdc.ops.decontaminate import decontaminate
+
+    bench = _corpus([(0, "b1 b2 b3 b4 b5 b6 b7 b8")])
+    corpus = _corpus(
+        [
+            (1, "x b1 b2 b3 b4 b5 b6 b7 b8 y"),
+            (2, "clean doc with many completely different tokens here"),
+            (3, "b1 b2 b3 b4 b5 b6 b7 b8"),
+        ]
+    )
+    out = decontaminate(corpus, bench, ngram=8).to_pandas()
+    assert sorted(out["doc_id"]) == [2]
+
+
+def test_empty_benchmark_keeps_everything():
+    from raycdc.ops.decontaminate import decontaminate
+
+    corpus = _corpus([(1, "a b c"), (2, "d e f")])
+    bench = _corpus([])
+    out = decontaminate(corpus, bench, ngram=8).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_min_hits_threshold():
+    from raycdc.ops.decontaminate import decontaminate
+
+    bench = _corpus([(0, "m1 m2 m3 m4 m5 m6 m7 m8 m9")])
+    corpus = _corpus(
+        [
+            (1, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),  # 2 distinct gram hits
+            (2, "z m1 m2 m3 m4 m5 m6 m7 m8 tail of something else"),  # 1
+        ]
+    )
+    out = decontaminate(corpus, bench, ngram=8, min_hits=2).to_pandas()
+    assert sorted(out["doc_id"]) == [2]
