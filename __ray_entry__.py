@@ -571,6 +571,37 @@ def _bench_docs(sf_dir):
     return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
 
 
+def _q_doc_len_quantiles(sf_dir):
+    """Exact n_chars quantiles per lang from zero-shuffle histogram
+    partials; definition pinned to DuckDB quantile_disc."""
+    from raycdc.ops.stats import exact_quantiles
+
+    return exact_quantiles(
+        _docs(sf_dir),
+        "n_chars",
+        qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+        group_col="lang",
+    )
+
+
+def _q_sample_docs(sf_dir):
+    """Deterministic 25% corpus sample — pure function of
+    (doc_id, seed), zero shuffle, rerun- and partitioning-stable."""
+    from raycdc.ops.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(sf_dir), "doc_id", 0.25, seed=7)
+
+
+def _q_stratified_docs(sf_dir):
+    """At most 20 docs per lang: the 20 smallest id-hashes per group
+    (bounded two-phase top-k, never a global sort)."""
+    from raycdc.ops.sampling import stratified_sample_n
+
+    return stratified_sample_n(
+        _docs(sf_dir), "lang", n=20, id_col="doc_id", seed=7
+    )
+
+
 def _q_dedup_distinct(sf_dir):
     """Exact dedup keeping full rows: one (min doc_id) row per
     distinct text — the materializing twin of dedup_exact's counts."""
@@ -984,6 +1015,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _tuned(_q_dedup_survivors),
         "decontam_report": _tuned(_q_decontam_report),
         "decontam_clean": _tuned(_q_decontam_clean),
+        "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
+        "sample_docs": _tuned(_q_sample_docs),
+        "stratified_docs": _tuned(_q_stratified_docs),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "ann_topk": _tuned(_q_ann_topk),
@@ -1162,6 +1196,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_survivors": """
             SELECT doc_id, text FROM documents
+        """,
+        "doc_len_quantiles": """
+            SELECT lang, 0.25 AS q, quantile_disc(n_chars, 0.25) AS n_chars
+              FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.5, quantile_disc(n_chars, 0.5)
+              FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.75, quantile_disc(n_chars, 0.75)
+              FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.9, quantile_disc(n_chars, 0.9)
+              FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.99, quantile_disc(n_chars, 0.99)
+              FROM documents GROUP BY lang
+        """,
+        # same Knuth multiplicative id-hash as ops/sampling.py, in
+        # plain integer SQL (no overflow at test-scale ids)
+        "sample_docs": """
+            SELECT * FROM documents
+            WHERE ((doc_id + 7) * 2654435761) % 4294967296
+                  < CAST(0.25 * 4294967296 AS BIGINT)
+        """,
+        "stratified_docs": """
+            WITH h AS (
+              SELECT *, ((doc_id + 7) * 2654435761) % 4294967296 AS hh
+              FROM documents
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY hh, doc_id) AS rn
+              FROM h
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 20
         """,
         # genuine independent reimplementation of 8-gram overlap:
         # DuckDB enumerates every doc's word 8-grams (whole text for

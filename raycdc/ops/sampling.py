@@ -1,0 +1,92 @@
+"""Deterministic sampling for training-data mixing: reproducible,
+rerun-stable subsets with zero shuffle.
+
+``ray.data.Dataset.random_sample`` is nondeterministic across runs and
+cluster shapes; training-data pipelines need the SAME subset on every
+rerun (resume, A/B, audit).  Both samplers here decide per ROW from the
+row's own id via a Knuth multiplicative hash — no RNG state, no
+ordering assumption, no shuffle — so the sample is a pure function of
+(id, seed) and is exactly reproducible in SQL for the driver oracle.
+
+The reference engine has no analog (point-read connector); this
+extends §2.7 for corpus curation (mixture weights, per-language caps).
+
+hash(id) = ((id + seed) * 2654435761) mod 2^32  — Knuth's
+multiplicative scheme; uniform enough for sampling and trivially
+expressible in ANSI SQL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_KNUTH = np.uint64(2654435761)
+_MOD = np.uint64(1) << np.uint64(32)
+
+
+def _id_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    x = (ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH
+    return x % _MOD
+
+
+def deterministic_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Keep a row iff hash(id) < fraction·2³². Pure per-row decision:
+    one vectorized streaming pass, zero shuffle, rerun-stable."""
+    cut = np.uint64(int(fraction * float(_MOD)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = _id_hash(ids, seed) < cut
+        from raycdc.functions.arrowsafe import mask_filter
+
+        return mask_filter(t, mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample_n(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """At most ``n`` rows per group — the n smallest id-hashes (ties
+    broken by id), i.e. a deterministic uniform draw per stratum.
+
+    Two-phase bounded top-k, never a global sort: each batch keeps its
+    local n smallest per group (so at most blocks×groups×n rows ride
+    the shuffle), then one hash-partitioned reduce takes the global n
+    smallest per group."""
+    from raycdc.ops.relational import hash_partition_reduce
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = _id_hash(
+            df[id_col].to_numpy(dtype=np.int64), seed
+        ).astype(np.int64)
+        return (
+            df.sort_values(["_h", id_col])
+            .groupby(group_col, sort=False)
+            .head(n)
+        )
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+
+    def global_topn(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["_h", id_col])
+            .groupby(group_col, sort=False)
+            .head(n)
+            .drop(columns=["_h"])
+        )
+
+    return hash_partition_reduce(pruned, [group_col], global_topn)

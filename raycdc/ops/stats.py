@@ -1,0 +1,133 @@
+"""Distribution statistics over discrete columns: exact distributed
+quantiles from mergeable value-histogram partials.
+
+The reference engine has no analog (point-read connector,
+embulk-input-jira JiraInputPlugin.java:103-160); this extends the
+§2.5 aggregation family for training-data curation (length / quality /
+token-count distributions drive filtering thresholds).
+
+Scale shape: each batch emits a (value, count) histogram partial — the
+same zero-shuffle partial/merge pattern as the HLL and Count-Min
+sketches (ops/sketch.py).  The driver merges histograms whose size is
+bounded by the VALUE DOMAIN, not the row count: exact for discrete
+columns (lengths, token counts, scores quantized to ints, enums).  For
+genuinely continuous high-cardinality columns, quantize first or use a
+sketch — this op's contract is |distinct values| ≪ rows, and it raises
+past ``max_bins`` rather than silently degrade into a corpus-sized
+driver merge.
+
+Quantile definition matches DuckDB ``quantile_disc`` exactly (pinned by
+the driver oracle): the value at 0-based rank ``max(ceil(q*n)-1, 0)``
+of the sorted column."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _merge_histogram(
+    parts: pd.DataFrame, value_col: str, group_cols: list[str]
+) -> pd.DataFrame:
+    return (
+        parts.groupby(group_cols + [value_col], sort=True)["cnt"]
+        .sum()
+        .reset_index()
+    )
+
+
+def _quantiles_from_hist(
+    hist: pd.DataFrame, value_col: str, qs: tuple[float, ...]
+) -> pd.DataFrame:
+    """hist: (value, cnt) sorted by value."""
+    counts = hist["cnt"].to_numpy(dtype=np.int64)
+    values = hist[value_col].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        k = max(math.ceil(q * n) - 1, 0)
+        i = int(np.searchsorted(cum, k + 1, side="left"))
+        out_q.append(float(q))
+        out_v.append(values[min(i, len(values) - 1)])
+    return pd.DataFrame({"q": out_q, value_col: out_v})
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    group_col: str | None = None,
+    max_bins: int = 1_000_000,
+) -> pd.DataFrame:
+    """Exact quantiles of a discrete column — (q, col) rows, or
+    (group, q, col) with ``group_col``.
+
+    One streaming pass: per-batch value counts (vectorized pandas
+    groupby) → driver histogram merge → rank lookup.  Zero shuffle;
+    driver memory is O(distinct values × groups), guarded by
+    ``max_bins``."""
+    group_cols = [group_col] if group_col else []
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(group_cols + [col], sort=False, dropna=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return g
+
+    parts = ds.select_columns(group_cols + [col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = _merge_histogram(parts.to_pandas(), col, group_cols)
+    if len(merged) > max_bins:
+        raise ValueError(
+            f"exact_quantiles: {len(merged)} distinct (group, value) bins "
+            f"exceed max_bins={max_bins}; quantize the column or use a "
+            "sketch for continuous data"
+        )
+    if not group_cols:
+        return _quantiles_from_hist(merged, col, qs)
+    out = []
+    for gval, hist in merged.groupby(group_col, sort=True):
+        qdf = _quantiles_from_hist(hist.reset_index(drop=True), col, qs)
+        qdf.insert(0, group_col, gval)
+        out.append(qdf)
+    return pd.concat(out, ignore_index=True)
+
+
+def value_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: str | None = None,
+    max_bins: int = 1_000_000,
+) -> pd.DataFrame:
+    """The merged (value, cnt) histogram itself — same partial/merge
+    pass as ``exact_quantiles``, for callers that want the full
+    distribution."""
+    group_cols = [group_col] if group_col else []
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(group_cols + [col], sort=False, dropna=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    parts = ds.select_columns(group_cols + [col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = _merge_histogram(parts.to_pandas(), col, group_cols)
+    if len(merged) > max_bins:
+        raise ValueError(
+            f"value_histogram: {len(merged)} bins exceed max_bins={max_bins}"
+        )
+    return merged

@@ -1,0 +1,111 @@
+"""Exact quantiles (vs numpy/duckdb-definition brute force) and
+deterministic samplers (pure function of (id, seed): rerun- and
+partitioning-stable)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _ds(df, nparts=4):
+    return ray.data.from_pandas(df).repartition(nparts)
+
+
+def _quantile_disc(vals: np.ndarray, q: float):
+    s = np.sort(vals)
+    return s[max(math.ceil(q * len(s)) - 1, 0)]
+
+
+def test_exact_quantiles_match_bruteforce():
+    from raycdc.ops.stats import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 300, size=5000).astype(np.int64)
+    df = pd.DataFrame({"x": vals})
+    qs = (0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    got = exact_quantiles(_ds(df), "x", qs=qs).set_index("q")["x"]
+    for q in qs:
+        assert got[q] == _quantile_disc(vals, q), q
+
+
+def test_exact_quantiles_grouped():
+    from raycdc.ops.stats import exact_quantiles
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=3000),
+            "x": rng.integers(0, 50, size=3000).astype(np.int64),
+        }
+    )
+    got = exact_quantiles(_ds(df), "x", qs=(0.5, 0.9), group_col="g")
+    for (gval, q), row in got.set_index(["g", "q"]).iterrows():
+        vals = df.loc[df["g"] == gval, "x"].to_numpy()
+        assert row["x"] == _quantile_disc(vals, q), (gval, q)
+
+
+def test_quantiles_max_bins_guard():
+    import pytest
+
+    from raycdc.ops.stats import exact_quantiles
+
+    df = pd.DataFrame({"x": np.arange(1000, dtype=np.int64)})
+    with pytest.raises(ValueError, match="max_bins"):
+        exact_quantiles(_ds(df), "x", max_bins=10)
+
+
+def test_value_histogram_counts():
+    from raycdc.ops.stats import value_histogram
+
+    df = pd.DataFrame({"x": np.array([1, 1, 2, 5, 5, 5], dtype=np.int64)})
+    h = value_histogram(_ds(df, 3), "x").set_index("x")["cnt"]
+    assert h[1] == 2 and h[2] == 1 and h[5] == 3
+
+
+def test_deterministic_sample_stable_across_partitionings():
+    from raycdc.ops.sampling import deterministic_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    a = deterministic_sample(_ds(df, 2), "doc_id", 0.3, seed=7).to_pandas()
+    b = deterministic_sample(_ds(df, 13), "doc_id", 0.3, seed=7).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # roughly the requested fraction
+    assert 0.25 < len(a) / len(df) < 0.35
+    # different seed -> different subset
+    c = deterministic_sample(_ds(df, 2), "doc_id", 0.3, seed=8).to_pandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+
+
+def test_stratified_sample_n_exact_and_stable():
+    from raycdc.ops.sampling import _id_hash, stratified_sample_n
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "g": rng.choice(["x", "y", "z"], size=3000),
+        }
+    )
+    out = stratified_sample_n(
+        _ds(df, 6), "g", n=25, id_col="doc_id", seed=3
+    ).to_pandas()
+    assert (out.groupby("g").size() == 25).all()
+    # exactness: per group, the 25 smallest (hash, id)
+    h = _id_hash(df["doc_id"].to_numpy(dtype=np.int64), 3).astype(np.int64)
+    df2 = df.assign(_h=h)
+    exp = (
+        df2.sort_values(["_h", "doc_id"]).groupby("g", sort=False).head(25)
+    )
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    # small group: returns the whole group
+    small = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64), "g": ["s"] * 5}
+    )
+    out2 = stratified_sample_n(
+        _ds(small, 2), "g", n=25, id_col="doc_id", seed=3
+    ).to_pandas()
+    assert len(out2) == 5
