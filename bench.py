@@ -171,6 +171,8 @@ def bench_queries() -> dict[str, float]:
         "dedup_exact",
         "dedup_minhash",
         "dedup_incremental",
+        "dedup_clusters",
+        "decontam_clean",
         "ann_topk",
         "doc_quality",
     ]:
