@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -122,8 +123,8 @@ def _pin(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def _cc_distributed(
-    edges: "ray.data.Dataset", max_rounds: int
-) -> pd.DataFrame:
+    edges: "ray.data.Dataset", max_rounds: int, as_dataset: bool = False
+):
     """Alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", ACM SoCC'14) as Ray
     Dataset rounds.
@@ -256,18 +257,30 @@ def _cc_distributed(
             "(adversarial graph?); raise max_rounds"
         )
     # final state: star edges (leaf u → root v); roots label themselves
-    star = E.to_pandas()
-    out = pd.DataFrame(
-        {
-            "node": np.concatenate(
-                [star["u"].to_numpy(), star["v"].to_numpy()]
-            ),
-            "cluster_id": np.concatenate(
-                [star["v"].to_numpy(), star["v"].to_numpy()]
-            ),
-        }
-    ).drop_duplicates()
-    return out
+    def to_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [df["u"].to_numpy(), df["v"].to_numpy()]
+                ),
+                "cluster_id": np.concatenate(
+                    [df["v"].to_numpy(), df["v"].to_numpy()]
+                ),
+            }
+        ).drop_duplicates()
+
+    labels = E.map_batches(to_labels, batch_format="pandas")
+    if as_dataset:
+        # roots appear once per block they star in — one slim
+        # hash-partitioned distinct keeps the result distributed
+        from raycdc.ops.relational import hash_partition_reduce
+
+        return _pin(
+            hash_partition_reduce(
+                labels, ["node"], lambda df: df.drop_duplicates()
+            )
+        )
+    return labels.to_pandas().drop_duplicates()
 
 
 def connected_components(
@@ -276,16 +289,23 @@ def connected_components(
     id_b: str = "id_b",
     mode: str = "auto",
     max_rounds: int = 64,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Cluster assignment for every node that appears in ``pairs``:
     (node, cluster_id) with cluster_id = the component's minimum node
     id.  ``pairs`` may be a pandas DataFrame (oracle/small path) or a
     Ray Dataset (e.g. the lake-backed pair output of the dedup ops).
 
     mode="auto" picks local for a DataFrame and distributed for a
-    Dataset; both are exact and pinned equal by tests."""
+    Dataset; both are exact and pinned equal by tests.
+
+    ``as_dataset=True`` (distributed mode only) keeps the assignment a
+    Ray Dataset — nothing funnels through the driver, the shape that
+    holds when the duplicate population itself is corpus-scale."""
     if mode == "auto":
         mode = "distributed" if isinstance(pairs, ray.data.Dataset) else "local"
+    if as_dataset and mode != "distributed":
+        raise ValueError("as_dataset=True requires mode='distributed'")
     empty = pd.DataFrame(
         {
             "node": pd.Series(dtype="int64"),
@@ -300,8 +320,10 @@ def connected_components(
     elif mode == "distributed":
         edges = _edges_dataset(pairs, id_a, id_b)
         if edges.count() == 0:
-            return empty
-        out = _cc_distributed(edges, max_rounds)
+            return ray.data.from_pandas(empty) if as_dataset else empty
+        out = _cc_distributed(edges, max_rounds, as_dataset=as_dataset)
+        if as_dataset:
+            return out
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return out.sort_values("node").reset_index(drop=True)
@@ -312,23 +334,85 @@ def dedup_survivors(
     pairs,
     id_col: str = "doc_id",
     mode: str = "auto",
+    broadcast: bool = True,
 ) -> "ray.data.Dataset":
     """Filter a corpus down to one canonical document per duplicate
     cluster (the minimum id) plus every untouched singleton.
 
-    The non-survivor id set is broadcast once (``ray.put``) and each
-    batch drops its members with one vectorized isin — no shuffle of
-    the corpus itself.  Broadcast contract: non-survivors are a subset
-    of the pair node set, i.e. collision-bounded (same contract as the
-    dedup family's candidate broadcast)."""
-    comp = connected_components(pairs, mode=mode)
-    losers = comp.loc[
-        comp["node"] != comp["cluster_id"], "node"
-    ].to_numpy(dtype=np.int64)
-    losers_ref = ray.put(losers)
+    ``broadcast=True`` (default): the non-survivor id set is broadcast
+    once (``ray.put``) and each batch drops its members with one
+    vectorized isin — the corpus never shuffles.  Right whenever the
+    loser set fits a worker heap (near-dup collision rates on curated
+    corpora).
 
-    def drop(df: pd.DataFrame) -> pd.DataFrame:
-        bad = ray.get(losers_ref)
-        return df[~df[id_col].isin(bad)]
+    ``broadcast=False``: the scale path for corpora where the
+    duplicate population itself is corpus-scale — losers stay a Ray
+    Dataset end to end and the corpus anti-joins them on one
+    hash-partitioned shuffle (tagged union, co-partitioned drop), the
+    same one-exchange cost class as any repartition of the corpus."""
+    if broadcast:
+        comp = connected_components(pairs, mode=mode)
+        losers = comp.loc[
+            comp["node"] != comp["cluster_id"], "node"
+        ].to_numpy(dtype=np.int64)
+        losers_ref = ray.put(losers)
 
-    return ds.map_batches(drop, batch_format="pandas")
+        def drop(df: pd.DataFrame) -> pd.DataFrame:
+            bad = ray.get(losers_ref)
+            return df[~df[id_col].isin(bad)]
+
+        return ds.map_batches(drop, batch_format="pandas")
+
+    from raycdc.ops.relational import hash_partition_reduce
+
+    comp_ds = connected_components(
+        pairs, mode="distributed", as_dataset=True
+    )
+    # loser rows are padded to the corpus schema with typed Arrow nulls
+    # so the tagged union has ONE schema (same pattern — and the same
+    # int-degradation repair — as relational.hash_join's tagged union)
+    cs = ds.schema()
+    c_fields = list(zip(cs.names, cs.types))
+    id_type = dict(c_fields)[id_col]
+
+    def loser_rows(df: pd.DataFrame) -> pa.Table:
+        bad = df.loc[df["node"] != df["cluster_id"], "node"].to_numpy(
+            dtype=np.int64
+        )
+        cols = {}
+        for name, typ in c_fields:
+            if name == id_col:
+                cols[name] = pa.array(bad).cast(id_type)
+            else:
+                cols[name] = pa.nulls(len(bad), typ)
+        cols["_is_loser"] = pa.array(np.ones(len(bad), np.uint8))
+        return pa.table(cols)
+
+    losers = comp_ds.map_batches(loser_rows, batch_format="pandas")
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_is_loser", pa.array(np.zeros(t.num_rows, np.uint8))
+        )
+
+    tagged = ds.map_batches(tag_corpus, batch_format="pyarrow").union(losers)
+
+    import pyarrow.types as pat
+
+    int_cols = [name for name, typ in c_fields if pat.is_integer(typ)]
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        bad = df.loc[df["_is_loser"] == 1, id_col].unique()
+        keep = df[df["_is_loser"] == 0]
+        keep = keep[~keep[id_col].isin(bad)].drop(columns=["_is_loser"])
+        # loser-row nulls floated integer columns in the pandas
+        # conversion; all null rows are gone now, so cast back
+        keep = keep.copy()
+        for name in int_cols:
+            if str(keep[name].dtype) != "int64":
+                keep[name] = keep[name].astype("int64")
+        return pa.Table.from_pandas(
+            keep, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return hash_partition_reduce(tagged, [id_col], anti)

@@ -136,6 +136,55 @@ def test_dedup_survivors_keeps_cluster_minimum_and_singletons():
     assert sorted(out["doc_id"]) == [0, 10, 20, 21]
 
 
+def test_as_dataset_labels_match_pandas_path():
+    from raycdc.ops.components import connected_components
+
+    pairs = _random_pairs(4, n_nodes=300, n_edges=220)
+    ds = ray.data.from_pandas(pairs).repartition(4)
+    lab_df = connected_components(ds, mode="distributed")
+    lab_ds = connected_components(ds, mode="distributed", as_dataset=True)
+    assert isinstance(lab_ds, ray.data.Dataset)
+    got = (
+        lab_ds.to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, lab_df)
+
+
+def test_shuffled_antijoin_survivors_match_broadcast():
+    """The no-broadcast scale path must produce the identical survivor
+    set, with corpus dtypes intact (int columns must not float)."""
+    from raycdc.ops.components import dedup_survivors
+
+    rng = np.random.default_rng(12)
+    pairs = pd.DataFrame(
+        {
+            "id_a": rng.integers(0, 400, 300),
+            "id_b": rng.integers(0, 400, 300),
+        }
+    ).astype(np.int64)
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(500), pa.int64()),
+                "text": pa.array([f"t{i}" for i in range(500)]),
+                "n_chars": pa.array(range(500), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    bc = dedup_survivors(corpus, pairs).to_pandas()
+    pair_ds = ray.data.from_pandas(pairs).repartition(3)
+    sh = dedup_survivors(
+        corpus, pair_ds, broadcast=False
+    ).to_pandas()
+    assert sorted(sh["doc_id"]) == sorted(bc["doc_id"])
+    assert str(sh["doc_id"].dtype) == "int64"
+    assert str(sh["n_chars"].dtype) == "int64"
+    assert list(sh.columns) == ["doc_id", "text", "n_chars"]
+
+
 def test_end_to_end_minhash_to_clusters():
     """Three identical copies of each doc → minhash pairs → components
     yields clusters of exactly the planted triples."""
