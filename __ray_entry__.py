@@ -602,6 +602,22 @@ def _q_stratified_docs(sf_dir):
     )
 
 
+def _q_curation_pipeline(sf_dir):
+    """Flagship LLM-data composition: quality gate → exact dedup →
+    benchmark decontamination → deterministic 50% sample, one lazy
+    streaming pipeline whose only shuffle is the dedup exchange."""
+    from raycdc.pipelines.curation import curate_corpus
+
+    return curate_corpus(
+        _docs(sf_dir),
+        _bench_docs(sf_dir),
+        min_tokens=5,
+        ngram=8,
+        fraction=0.5,
+        seed=11,
+    )
+
+
 def _q_dedup_distinct(sf_dir):
     """Exact dedup keeping full rows: one (min doc_id) row per
     distinct text — the materializing twin of dedup_exact's counts."""
@@ -1015,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _tuned(_q_dedup_survivors),
         "decontam_report": _tuned(_q_decontam_report),
         "decontam_clean": _tuned(_q_decontam_clean),
+        "curation_pipeline": _tuned(_q_curation_pipeline),
         "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
         "sample_docs": _tuned(_q_sample_docs),
         "stratified_docs": _tuned(_q_stratified_docs),
@@ -1196,6 +1213,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_survivors": """
             SELECT doc_id, text FROM documents
+        """,
+        # the composed pipeline, stage for stage: single-space token
+        # gate -> min-id row per distinct text -> 8-gram overlap vs the
+        # %17 eval set -> Knuth-hash 50% sample
+        "curation_pipeline": """
+            WITH fil AS (
+              SELECT * FROM documents
+              WHERE len(string_split(text, ' ')) >= 5
+            ),
+            ded AS (
+              SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY text ORDER BY doc_id) AS rn
+                FROM fil) t WHERE rn = 1
+            ),
+            bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+            btoks AS (SELECT string_split(text, ' ') AS ts FROM bench),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM btoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            dtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM ded),
+            dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM dtoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            bad AS (SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (g))
+            SELECT doc_id, text, lang, source, n_chars FROM ded
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+              AND ((doc_id + 11) * 2654435761) % 4294967296
+                  < CAST(0.5 * 4294967296 AS BIGINT)
         """,
         "doc_len_quantiles": """
             SELECT lang, 0.25 AS q, quantile_disc(n_chars, 0.25) AS n_chars

@@ -173,6 +173,7 @@ def bench_queries() -> dict[str, float]:
         "dedup_incremental",
         "dedup_clusters",
         "decontam_clean",
+        "curation_pipeline",
         "ann_topk",
         "doc_quality",
     ]:

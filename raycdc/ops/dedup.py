@@ -148,7 +148,15 @@ def distinct_rows(
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = _hash_strings(t[text_col].to_numpy(zero_copy_only=False))
-        return t.append_column("h", pa.array(h.astype(np.int64)))
+        t = t.append_column("h", pa.array(h.astype(np.int64)))
+        # batch-local combine: drop in-batch duplicates (keep min id)
+        # BEFORE the shuffle, so only one row per distinct text per
+        # batch rides the exchange
+        df = t.to_pandas()
+        df = df.sort_values(id_col).drop_duplicates("h", keep="first")
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
     def first_per_hash(df: pd.DataFrame) -> pd.DataFrame:
         return (

@@ -1,0 +1,65 @@
+"""End-to-end training-data curation: quality gate → exact dedup →
+benchmark decontamination → deterministic sample, composed from the
+ops/ primitives as one lazy Dataset pipeline.
+
+This is the flagship "what a user actually runs" composition for the
+LLM-data side of the engine (the CDC replay is the flagship for the
+ingest side).  Every stage is a streaming batch transform; the only
+shuffle in the whole pipeline is the exact-dedup exchange (one row per
+distinct text per batch after the batch-local combine) — the quality
+gate, the decontamination check, and the sampler are all zero-shuffle
+per-row decisions, so they run fused in the stream.
+
+Stage semantics are pinned 1:1 to the driver's DuckDB oracle
+(__ray_entry__.py curation_pipeline):
+
+- quality gate: single-space token count (``count(' ') + 1`` — the
+  ``len(string_split(text, ' '))`` definition, including empty
+  segments) ≥ ``min_tokens``;
+- exact dedup: one row per distinct text, minimum id wins
+  (ops/dedup.distinct_rows);
+- decontamination: drop docs sharing any word ``ngram``-gram with the
+  benchmark set (ops/decontaminate.decontaminate);
+- sample: keep iff Knuth-hash(id, seed) < fraction·2³²
+  (ops/sampling.deterministic_sample).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def curate_corpus(
+    docs: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    ngram: int = 8,
+    fraction: float = 0.5,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    from raycdc.functions.arrowsafe import mask_filter
+    from raycdc.ops.decontaminate import decontaminate
+    from raycdc.ops.dedup import distinct_rows
+    from raycdc.ops.sampling import deterministic_sample
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        n_tok = (
+            pc.count_substring(t[text_col], " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        return mask_filter(t, n_tok >= min_tokens)
+
+    gated = docs.map_batches(quality_gate, batch_format="pyarrow")
+    deduped = distinct_rows(gated, text_col=text_col, id_col=id_col)
+    clean = decontaminate(
+        deduped, bench, text_col=text_col, id_col=id_col, ngram=ngram
+    )
+    return deterministic_sample(clean, id_col, fraction, seed=seed)
