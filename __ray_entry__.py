@@ -592,6 +592,21 @@ def _q_sample_docs(sf_dir):
     return deterministic_sample(_docs(sf_dir), "doc_id", 0.25, seed=7)
 
 
+def _q_mixture_docs(sf_dir):
+    """Training-mixture weighting: per-source sampling rates via the
+    same pure (id, seed) hash rule — one zero-shuffle pass."""
+    from raycdc.ops.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(sf_dir),
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        id_col="doc_id",
+        default=0.1,
+        seed=5,
+    )
+
+
 def _q_stratified_docs(sf_dir):
     """At most 20 docs per lang: the 20 smallest id-hashes per group
     (bounded two-phase top-k, never a global sort)."""
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _tuned(_q_curation_pipeline),
         "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
         "sample_docs": _tuned(_q_sample_docs),
+        "mixture_docs": _tuned(_q_mixture_docs),
         "stratified_docs": _tuned(_q_stratified_docs),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_embedding": _tuned(_q_dedup_embedding),
@@ -1267,6 +1283,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE ((doc_id + 7) * 2654435761) % 4294967296
                   < CAST(0.25 * 4294967296 AS BIGINT)
+        """,
+        "mixture_docs": """
+            SELECT * FROM documents
+            WHERE ((doc_id + 5) * 2654435761) % 4294967296
+                  < CAST(4294967296 * (CASE source
+                      WHEN 'src0' THEN 1.0
+                      WHEN 'src1' THEN 0.5
+                      WHEN 'src2' THEN 0.25
+                      ELSE 0.1 END) AS BIGINT)
         """,
         "stratified_docs": """
             WITH h AS (

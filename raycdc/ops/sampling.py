@@ -52,6 +52,37 @@ def deterministic_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    fractions: dict,
+    id_col: str,
+    default: float = 0.0,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Per-group sampling rates — the training-mixture weighting pass
+    (e.g. keep 100% of books, 30% of web, 5% of logs).  Same pure
+    (id, seed) hash rule as ``deterministic_sample``, with the cut
+    chosen per row from its group: one vectorized streaming pass,
+    zero shuffle, rerun-stable, and groups stay unbiased relative to
+    each other because the hash ignores the group."""
+    cuts = {
+        k: np.uint64(int(float(v) * float(_MOD))) for k, v in fractions.items()
+    }
+    default_cut = np.uint64(int(float(default) * float(_MOD)))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _id_hash(df[id_col].to_numpy(dtype=np.int64), seed)
+        cut = (
+            df[group_col]
+            .map(lambda g: cuts.get(g, default_cut))
+            .to_numpy(dtype=np.uint64)
+        )
+        return df[h < cut]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def stratified_sample_n(
     ds: "ray.data.Dataset",
     group_col: str,

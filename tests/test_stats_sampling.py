@@ -80,6 +80,36 @@ def test_deterministic_sample_stable_across_partitionings():
     assert sorted(c["doc_id"]) != sorted(a["doc_id"])
 
 
+def test_mixture_sample_per_group_rates():
+    from raycdc.ops.sampling import _id_hash, mixture_sample
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6000, dtype=np.int64),
+            "src": rng.choice(["web", "books", "logs"], size=6000),
+        }
+    )
+    out = mixture_sample(
+        _ds(df, 5),
+        "src",
+        {"books": 1.0, "web": 0.3},
+        id_col="doc_id",
+        default=0.0,
+        seed=4,
+    ).to_pandas()
+    # exactness: row kept iff hash < cut for its group
+    h = _id_hash(df["doc_id"].to_numpy(dtype=np.int64), 4)
+    cut = {"books": 2**32, "web": int(0.3 * 2**32), "logs": 0}
+    exp = df[
+        h < df["src"].map(cut).to_numpy(dtype=np.uint64)
+    ]
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    kept = out.groupby("src").size()
+    assert kept.get("logs", 0) == 0
+    assert kept["books"] == (df["src"] == "books").sum()
+
+
 def test_stratified_sample_n_exact_and_stable():
     from raycdc.ops.sampling import _id_hash, stratified_sample_n
 
