@@ -584,6 +584,20 @@ def _q_doc_len_quantiles(sf_dir):
     )
 
 
+def _q_event_value_quantiles(sf_dir):
+    """EXACT quantiles of a continuous double column — iterative
+    zero-shuffle histogram refinement, no sketch and no global sort;
+    definition pinned to DuckDB quantile_disc."""
+    from raycdc.ops.stats import exact_quantiles_continuous
+
+    out = exact_quantiles_continuous(
+        _events(sf_dir, columns=["value"]),
+        "value",
+        qs=(0.01, 0.25, 0.5, 0.75, 0.9, 0.999),
+    )
+    return out
+
+
 def _q_sample_docs(sf_dir):
     """Deterministic 25% corpus sample — pure function of
     (doc_id, seed), zero shuffle, rerun- and partitioning-stable."""
@@ -1048,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_clean": _tuned(_q_decontam_clean),
         "curation_pipeline": _tuned(_q_curation_pipeline),
         "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
+        "event_value_quantiles": _tuned(_q_event_value_quantiles),
         "sample_docs": _tuned(_q_sample_docs),
         "mixture_docs": _tuned(_q_mixture_docs),
         "stratified_docs": _tuned(_q_stratified_docs),
@@ -1229,6 +1244,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_survivors": """
             SELECT doc_id, text FROM documents
+        """,
+        "event_value_quantiles": """
+            SELECT 0.01 AS q, quantile_disc(value, 0.01) AS value FROM events
+            UNION ALL
+            SELECT 0.25, quantile_disc(value, 0.25) FROM events
+            UNION ALL
+            SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.75, quantile_disc(value, 0.75) FROM events
+            UNION ALL
+            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.999, quantile_disc(value, 0.999) FROM events
         """,
         # the composed pipeline, stage for stage: single-space token
         # gate -> min-id row per distinct text -> 8-gram overlap vs the

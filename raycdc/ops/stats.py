@@ -103,6 +103,191 @@ def exact_quantiles(
     return pd.concat(out, ignore_index=True)
 
 
+def exact_quantiles_continuous(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    bins: int = 4096,
+    collect_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> pd.DataFrame:
+    """EXACT quantiles of a continuous (float/any-cardinality) column —
+    no sketch approximation and no global sort.
+
+    Iterative histogram refinement: each round is one zero-shuffle
+    streaming pass that bins every still-active quantile's candidate
+    interval into ``bins`` buckets (vectorized searchsorted per batch;
+    partials are sparse (q_idx, bin, cnt) rows).  The driver locates
+    each target rank's bucket and narrows the interval ``bins``-fold,
+    so a handful of rounds pins any float64 distribution; when a
+    bucket holds ≤ ``collect_threshold`` rows (or collapses to one
+    representable float) a final pass gathers just that bucket's
+    distinct values and reads the answer off exactly.  Adversarial
+    point masses terminate via the bucket-width collapse, not luck.
+
+    Rank definition matches DuckDB ``quantile_disc`` (the value at
+    0-based rank ``max(ceil(q*n)-1, 0)``), so the op is SQL-oracle
+    checkable even though the column is continuous.  NULLs are
+    ignored, like the SQL aggregate."""
+    import ray
+
+    # pass 0: count / min / max in one streaming pass of partials
+    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"n": [0], "lo": [np.nan], "hi": [np.nan]})
+        return pd.DataFrame(
+            {"n": [len(v)], "lo": [float(v.min())], "hi": [float(v.max())]}
+        )
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(minmax_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), col: [np.nan] * len(qs)})
+    glo = float(parts["lo"].min())
+    ghi = float(parts["hi"].max())
+
+    # per-q state: (lo, hi, rank_below); target 0-based rank k
+    targets = [max(math.ceil(q * n) - 1, 0) for q in qs]
+    state = [
+        {"lo": glo, "hi": ghi, "below": 0, "done": None} for _ in qs
+    ]
+
+    def _active() -> list[int]:
+        return [
+            i
+            for i, s in enumerate(state)
+            if s["done"] is None and not s.get("collect")
+        ]
+
+    for _ in range(max_rounds):
+        act = _active()
+        if not act:
+            break
+        # collapse-width and small-bucket cases resolve via collection
+        edges = {}
+        for i in act:
+            s = state[i]
+            if s["lo"] == s["hi"]:
+                s["done"] = s["lo"]
+                continue
+            edges[i] = np.linspace(s["lo"], s["hi"], bins + 1)
+        act = _active()
+        if not act:
+            break
+        edges_ref = ray.put({i: edges[i] for i in act if i in edges})
+
+        def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ed = ray.get(edges_ref)
+            v = df[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            out_q, out_b, out_c = [], [], []
+            for i, e in ed.items():
+                m = (v >= e[0]) & (v <= e[-1])
+                if not m.any():
+                    continue
+                idx = np.clip(
+                    np.searchsorted(e, v[m], side="right") - 1, 0, bins - 1
+                )
+                b, c = np.unique(idx, return_counts=True)
+                out_q.extend([i] * len(b))
+                out_b.extend(b.tolist())
+                out_c.extend(c.tolist())
+            return pd.DataFrame(
+                {
+                    "qi": np.array(out_q, dtype=np.int64),
+                    "b": np.array(out_b, dtype=np.int64),
+                    "cnt": np.array(out_c, dtype=np.int64),
+                }
+            )
+
+        hp = (
+            ds.select_columns([col])
+            .map_batches(hist_partial, batch_format="pandas")
+            .to_pandas()
+        )
+        merged = hp.groupby(["qi", "b"], sort=True)["cnt"].sum()
+        for i in act:
+            if i not in edges:
+                continue
+            s = state[i]
+            counts = np.zeros(bins, dtype=np.int64)
+            if i in merged.index.get_level_values(0):
+                sub = merged.loc[i]
+                counts[sub.index.to_numpy()] = sub.to_numpy()
+            cum = np.cumsum(counts)
+            local_target = targets[i] + 1 - s["below"]
+            bidx = min(
+                int(np.searchsorted(cum, local_target, side="left")),
+                bins - 1,
+            )
+            e = edges[i]
+            new_lo, new_hi = float(e[bidx]), float(e[bidx + 1])
+            s["below"] += int(cum[bidx - 1]) if bidx > 0 else 0
+            in_bucket = int(counts[bidx])
+            if new_lo == new_hi or in_bucket <= collect_threshold:
+                s["lo"], s["hi"] = new_lo, new_hi
+                s["collect"] = True
+            else:
+                s["lo"], s["hi"] = new_lo, new_hi
+        if all(
+            s["done"] is not None or s.get("collect") for s in state
+        ):
+            break
+
+    # final pass: gather distinct values per still-open bucket
+    open_idx = [i for i, s in enumerate(state) if s["done"] is None]
+    if open_idx:
+        bounds_ref = ray.put(
+            {i: (state[i]["lo"], state[i]["hi"]) for i in open_idx}
+        )
+
+        def collect_partial(df: pd.DataFrame) -> pd.DataFrame:
+            bd = ray.get(bounds_ref)
+            v = df[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            out_q, out_v, out_c = [], [], []
+            for i, (lo, hi) in bd.items():
+                m = (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                vals, cnts = np.unique(v[m], return_counts=True)
+                out_q.extend([i] * len(vals))
+                out_v.extend(vals.tolist())
+                out_c.extend(cnts.tolist())
+            return pd.DataFrame(
+                {
+                    "qi": np.array(out_q, dtype=np.int64),
+                    "v": np.array(out_v, dtype=np.float64),
+                    "cnt": np.array(out_c, dtype=np.int64),
+                }
+            )
+
+        cp = (
+            ds.select_columns([col])
+            .map_batches(collect_partial, batch_format="pandas")
+            .to_pandas()
+        )
+        merged = cp.groupby(["qi", "v"], sort=True)["cnt"].sum()
+        for i in open_idx:
+            s = state[i]
+            sub = merged.loc[i]
+            vals = sub.index.to_numpy()
+            cum = np.cumsum(sub.to_numpy())
+            local_target = targets[i] + 1 - s["below"]
+            j = int(np.searchsorted(cum, local_target, side="left"))
+            s["done"] = float(vals[min(j, len(vals) - 1)])
+
+    return pd.DataFrame(
+        {"q": [float(q) for q in qs], col: [s["done"] for s in state]}
+    )
+
+
 def value_histogram(
     ds: "ray.data.Dataset",
     col: str,

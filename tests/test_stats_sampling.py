@@ -48,6 +48,47 @@ def test_exact_quantiles_grouped():
         assert row["x"] == _quantile_disc(vals, q), (gval, q)
 
 
+def test_continuous_quantiles_exact_on_floats():
+    from raycdc.ops.stats import exact_quantiles_continuous
+
+    rng = np.random.default_rng(8)
+    vals = rng.lognormal(3.0, 2.0, size=200_000)
+    df = pd.DataFrame({"v": vals})
+    qs = (0.01, 0.25, 0.5, 0.9, 0.999)
+    got = exact_quantiles_continuous(
+        _ds(df, 8), "v", qs=qs, bins=512, collect_threshold=2000
+    ).set_index("q")["v"]
+    for q in qs:
+        assert got[q] == _quantile_disc(vals, q), q
+
+
+def test_continuous_quantiles_point_mass_and_nans():
+    from raycdc.ops.stats import exact_quantiles_continuous
+
+    # adversarial: 99% of mass on a single float, plus NaNs to ignore
+    vals = np.concatenate(
+        [np.full(50_000, 3.14159), np.linspace(0, 1, 500)]
+    )
+    withnan = np.concatenate([vals, np.full(100, np.nan)])
+    df = pd.DataFrame({"v": withnan})
+    got = exact_quantiles_continuous(
+        _ds(df, 4), "v", qs=(0.5, 0.002), bins=64, collect_threshold=100
+    ).set_index("q")["v"]
+    assert got[0.5] == 3.14159
+    assert got[0.002] == _quantile_disc(vals, 0.002)
+
+
+def test_continuous_quantiles_small_and_extremes():
+    from raycdc.ops.stats import exact_quantiles_continuous
+
+    vals = np.array([5.5, -2.0, 7.25, 0.0, 100.0])
+    df = pd.DataFrame({"v": vals})
+    got = exact_quantiles_continuous(
+        _ds(df, 2), "v", qs=(0.0, 0.5, 1.0)
+    ).set_index("q")["v"]
+    assert got[0.0] == -2.0 and got[0.5] == 5.5 and got[1.0] == 100.0
+
+
 def test_quantiles_max_bins_guard():
     import pytest
 
