@@ -392,6 +392,26 @@ def _q_dedup_exact(sf_dir):
     return exact_dedup_groups(_docs(sf_dir))
 
 
+def _q_segment_dedup(sf_dir):
+    """Corpus-wide exact segment dedup (C4-style repeated-passage
+    removal): non-overlapping 4-word segments, keep-first by
+    (doc_id, seg_idx), text rebuilt without later occurrences.
+    Segment text never rides the shuffle — slim 128-bit hash rows
+    only (late materialization)."""
+    from raycdc.ops.segdedup import segment_dedup
+
+    return segment_dedup(_docs(sf_dir), words_per_seg=4)
+
+
+def _q_repetition_stats(sf_dir):
+    """Gopher-style repetition quality signals per doc: word count,
+    distinct-word fraction, top-word fraction, top-bigram fraction —
+    one vectorized factorize/unique pass per batch."""
+    from raycdc.ops.text import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
 def _planted_dup_docs(sf_dir):
     """documents ∪ copy shifted by +10000 with identical text — a
     deterministic near-dup corpus whose true pairs are (i, i+10000)."""
@@ -1052,6 +1072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _tuned(_q_top_docs_per_lang),
         "doc_quality": _tuned(_q_doc_quality),
         "dedup_exact": _tuned(_q_dedup_exact),
+        "segment_dedup_docs": _tuned(_q_segment_dedup),
+        "repetition_stats": _tuned(_q_repetition_stats),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_ngram": _tuned(_q_dedup_ngram),
@@ -1226,6 +1248,67 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "segment_dedup_docs": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            segs AS (
+              SELECT d.doc_id, g.seg_idx,
+                     array_to_string(
+                       d.words[g.seg_idx*4+1 : g.seg_idx*4+4], ' ') AS seg
+              FROM d,
+                   LATERAL (SELECT unnest(range((len(d.words)+3)//4))
+                            AS seg_idx) g
+            ),
+            ranked AS (
+              SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (
+                       PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+              FROM segs
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE rn = 1), '') AS text,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS dropped_segments
+            FROM ranked GROUP BY doc_id
+        """,
+        "repetition_stats": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            w AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     unnest(range(len(ws))) AS idx
+              FROM d
+            ),
+            wc AS (
+              SELECT doc_id, count(*) AS n, count(DISTINCT word) AS nd
+              FROM w GROUP BY doc_id
+            ),
+            tw AS (
+              SELECT doc_id, max(c) AS mc FROM (
+                SELECT doc_id, word, count(*) AS c
+                FROM w GROUP BY doc_id, word) GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+              FROM w a JOIN w b
+                ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+            ),
+            tb AS (
+              SELECT doc_id, max(c) AS mc FROM (
+                SELECT doc_id, bigram, count(*) AS c
+                FROM bg GROUP BY doc_id, bigram) GROUP BY doc_id
+            )
+            SELECT wc.doc_id,
+                   CAST(wc.n AS BIGINT) AS word_count,
+                   CAST(wc.nd AS DOUBLE) / wc.n AS distinct_word_frac,
+                   CAST(tw.mc AS DOUBLE) / wc.n AS top_word_frac,
+                   coalesce(CAST(tb.mc AS DOUBLE) / greatest(wc.n - 1, 1),
+                            0.0) AS top_bigram_frac
+            FROM wc JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
         """,
         "dedup_minhash": """
             SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard

@@ -1,0 +1,266 @@
+"""Corpus-wide exact segment deduplication (the paragraph-dedup /
+repeated-passage removal step of C4/RefinedWeb-style curation,
+reference scope extension per SURVEY.md §2.7): every document is cut
+into non-overlapping ``words_per_seg``-word segments, each segment is
+kept only at its FIRST occurrence in the corpus (ordered by
+``(doc_id, seg_idx)``), and later occurrences are cut out of their
+documents' text.
+
+Scale shape:
+
+- segment TEXT never rides the shuffle — the map side emits one slim
+  row per segment: a 128-bit position-weighted content hash plus
+  ``(doc_id, seg_idx)`` (~28 B/row), the same late-materialization
+  trick as the CDC apply (stages/winner.py) and the MinHash band
+  shuffle;
+- winner selection is one ``hash_partition_reduce`` over the slim
+  rows (shuffle width scales with the cluster, vectorized per-group
+  first);
+- the loser set (duplicate segment occurrences only — tiny on curated
+  corpora) is broadcast once via ``ray.put`` and each corpus batch
+  drops its members with one C-speed merge (``broadcast=True``), or —
+  when the duplicate population itself is corpus-scale — losers stay
+  a Dataset and the corpus co-partitions with them on one
+  hash-partitioned exchange (``broadcast=False``), mirroring
+  ``components.dedup_survivors``.
+
+Hashing note: grouping by a 128-bit hash (two independently keyed
+64-bit halves, position-weighted so permutations and length changes
+diverge) stands in for grouping by the segment string; a collision
+needs both halves equal, ~2^-128 per pair — negligible even at
+10^12 segments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# independent 16-byte keys for the two hash halves
+_KEY_A = "0123456789123456"
+_KEY_B = "raycdc-seg-hash2"
+# odd multiplier for position weighting (FNV-1a prime); uint64 wraps
+_POS_P = np.uint64(1099511628211)
+
+
+def _flatten_words(
+    df: pd.DataFrame, text_col: str, words_per_seg: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Split every doc on single spaces (DuckDB ``string_split``
+    parity) and return flat arrays: word strings, the doc's row
+    position for each word, word position within the doc, segment
+    index, and per-doc word counts."""
+    words = df[text_col].str.split(" ")
+    counts = words.str.len().to_numpy(dtype=np.int64)
+    if len(df) == 0 or counts.sum() == 0:
+        e = np.array([], dtype=np.int64)
+        return np.array([], dtype=object), e, e, e, counts
+    flat = np.concatenate(words.to_numpy()).astype(object)
+    row = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = np.arange(flat.size, dtype=np.int64) - starts
+    seg_idx = pos // words_per_seg
+    return flat, row, pos, seg_idx, counts
+
+
+def _segment_hash_rows(
+    df: pd.DataFrame, text_col: str, id_col: str, words_per_seg: int
+) -> pd.DataFrame:
+    """Map-side slim rows: one (h1, h2, id, seg_idx) per segment.
+
+    Fully vectorized: per-word 64-bit hashes (two keys), weighted by
+    ``_POS_P ** position_in_segment`` (uint64 wraparound is the
+    modulus) and summed per segment with ``np.add.reduceat``; the
+    segment's word count is folded in so a short trailing segment
+    can't alias a longer one's prefix."""
+    empty = pd.DataFrame(
+        {
+            "h1": pd.Series(dtype="int64"),
+            "h2": pd.Series(dtype="int64"),
+            id_col: pd.Series(dtype="int64"),
+            "seg_idx": pd.Series(dtype="int64"),
+        }
+    )
+    flat, row, pos, seg_idx, counts = _flatten_words(
+        df, text_col, words_per_seg
+    )
+    if flat.size == 0:
+        return empty
+    h1 = pd.util.hash_array(flat, hash_key=_KEY_A, categorize=True)
+    h2 = pd.util.hash_array(flat, hash_key=_KEY_B, categorize=True)
+    pows = _POS_P ** np.arange(words_per_seg, dtype=np.uint64)
+    weight = pows[(pos % words_per_seg)]
+    t1 = h1 * weight
+    t2 = h2 * weight
+    # segment starts: first word, or the (row, seg_idx) pair changed
+    start = np.ones(flat.size, dtype=bool)
+    start[1:] = (row[1:] != row[:-1]) | (seg_idx[1:] != seg_idx[:-1])
+    bounds = np.flatnonzero(start)
+    s1 = np.add.reduceat(t1, bounds)
+    s2 = np.add.reduceat(t2, bounds)
+    seg_len = np.diff(np.append(bounds, flat.size)).astype(np.uint64)
+    s1 = s1 + seg_len
+    s2 = s2 + seg_len * _POS_P
+    doc_ids = df[id_col].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "h1": s1.view(np.int64),
+            "h2": s2.view(np.int64),
+            id_col: doc_ids[row[bounds]],
+            "seg_idx": seg_idx[bounds],
+        }
+    )
+
+
+def _loser_segments(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    words_per_seg: int,
+) -> "ray.data.Dataset":
+    """Slim rows → hash-partitioned keep-first → loser (id, seg_idx)
+    rows (every occurrence after the corpus-wide first)."""
+    from raycdc.ops.relational import hash_partition_reduce
+
+    slim = ds.map_batches(
+        lambda df: _segment_hash_rows(df, text_col, id_col, words_per_seg),
+        batch_format="pandas",
+    )
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
+        dup = df.duplicated(subset=["h1", "h2"], keep="first")
+        return df.loc[dup, [id_col, "seg_idx"]]
+
+    return hash_partition_reduce(slim, ["h1", "h2"], losers)
+
+
+def _rebuild_batch(
+    df: pd.DataFrame,
+    loser_pairs: pd.DataFrame,
+    text_col: str,
+    id_col: str,
+    words_per_seg: int,
+) -> pd.DataFrame:
+    """Drop each doc's losing segments and re-join the survivors with
+    single spaces.  One merge + one grouped join per batch — C-speed,
+    O(batch text bytes)."""
+    flat, row, pos, seg_idx, counts = _flatten_words(
+        df, text_col, words_per_seg
+    )
+    doc_ids = df[id_col].to_numpy(dtype=np.int64)
+    n_docs = len(df)
+    dropped = np.zeros(n_docs, dtype=np.int64)
+    if flat.size == 0:
+        return pd.DataFrame(
+            {
+                id_col: doc_ids,
+                text_col: df[text_col].to_numpy(),
+                "dropped_segments": dropped,
+            }
+        )
+    wdf = pd.DataFrame(
+        {
+            id_col: doc_ids[row],
+            "seg_idx": seg_idx,
+            "_row": row,
+            "_pos": pos,
+            "_word": flat,
+        }
+    )
+    merged = wdf.merge(
+        loser_pairs.assign(_drop=np.int8(1)),
+        on=[id_col, "seg_idx"],
+        how="left",
+    )
+    merged = merged.sort_values(["_row", "_pos"], kind="mergesort")
+    keep = merged[merged["_drop"].isna()]
+    texts = keep.groupby("_row", sort=True)["_word"].agg(" ".join)
+    out_text = np.full(n_docs, "", dtype=object)
+    out_text[texts.index.to_numpy()] = texts.to_numpy()
+    lost = merged[merged["_drop"].notna()]
+    if len(lost):
+        per_row = (
+            lost.drop_duplicates(["_row", "seg_idx"])
+            .groupby("_row", sort=False)
+            .size()
+        )
+        dropped[per_row.index.to_numpy()] = per_row.to_numpy()
+    return pd.DataFrame(
+        {
+            id_col: doc_ids,
+            text_col: out_text,
+            "dropped_segments": dropped,
+        }
+    )
+
+
+def segment_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 4,
+    broadcast: bool = True,
+) -> "ray.data.Dataset":
+    """Remove every repeated ``words_per_seg``-word segment from the
+    corpus, keeping only its first occurrence by ``(doc_id,
+    seg_idx)``.  Returns (id, deduped text, dropped_segments) for
+    EVERY input doc (a fully-duplicated doc comes back with empty
+    text, matching the SQL oracle's ``coalesce('')``)."""
+    losers = _loser_segments(ds, text_col, id_col, words_per_seg)
+    if broadcast:
+        ldf = losers.to_pandas()
+        if len(ldf) == 0:
+            ldf = pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "seg_idx": pd.Series(dtype="int64"),
+                }
+            )
+        losers_ref = ray.put(ldf)
+
+        def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+            return _rebuild_batch(
+                df, ray.get(losers_ref), text_col, id_col, words_per_seg
+            )
+
+        return ds.map_batches(rebuild, batch_format="pandas")
+
+    # no-broadcast path: co-partition corpus rows with their loser
+    # rows on one hash-partitioned exchange (losers padded into the
+    # slim tagged-union schema; corpus carries only id + text)
+    from raycdc.ops.relational import hash_partition_reduce
+
+    def tag_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                text_col: df[text_col].to_numpy(),
+                "seg_idx": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_losers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                text_col: np.full(len(df), None, dtype=object),
+                "seg_idx": df["seg_idx"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    tagged = ds.map_batches(tag_corpus, batch_format="pandas").union(
+        losers.map_batches(tag_losers, batch_format="pandas")
+    )
+
+    def rebuild_part(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["seg_idx"] < 0
+        docs = df.loc[is_doc, [id_col, text_col]]
+        lp = df.loc[~is_doc, [id_col, "seg_idx"]]
+        return _rebuild_batch(docs, lp, text_col, id_col, words_per_seg)
+
+    return hash_partition_reduce(tagged, [id_col], rebuild_part)

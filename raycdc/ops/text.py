@@ -113,6 +113,81 @@ def clean_text(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Data
     )
 
 
+def repetition_stats_batch(
+    df: "pd.DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "pd.DataFrame":
+    """Gopher-style per-document repetition signals: word count,
+    distinct-word fraction, most-common-word fraction, and
+    most-common-bigram fraction (of bigram slots).  Low distinct /
+    high top-word / high top-bigram fractions flag boilerplate and
+    degenerate repetition in training-data curation.
+
+    Fully vectorized: one factorize over the batch's flattened words,
+    (row, code) composite keys through ``np.unique``, per-row maxima
+    via ``np.maximum.at`` — no Python loop over docs or words.  Each
+    fraction is a single float64 division of exact integers, so the
+    DuckDB oracle reproduces it bit-identically."""
+    import pandas as pd
+
+    n_docs = len(df)
+    words = df[text_col].str.split(" ")
+    counts = words.str.len().to_numpy(dtype=np.int64)
+    doc_ids = df[id_col].to_numpy(dtype=np.int64)
+    if n_docs == 0 or counts.sum() == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        zf = np.zeros(n_docs, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                id_col: doc_ids,
+                "word_count": counts,
+                "distinct_word_frac": zf,
+                "top_word_frac": zf,
+                "top_bigram_frac": z.astype(np.float64),
+            }
+        )
+    flat = np.concatenate(words.to_numpy()).astype(object)
+    row = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    codes, uniques = pd.factorize(flat)
+    n_codes = np.int64(len(uniques))
+    comb = row * n_codes + codes
+    uniq, cnt = np.unique(comb, return_counts=True)
+    urow = (uniq // n_codes).astype(np.int64)
+    distinct = np.bincount(urow, minlength=n_docs).astype(np.int64)
+    top_word = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top_word, urow, cnt)
+    top_bigram = np.zeros(n_docs, dtype=np.int64)
+    same_doc = row[1:] == row[:-1]
+    if same_doc.any():
+        pair = codes[:-1][same_doc] * n_codes + codes[1:][same_doc]
+        brow = row[1:][same_doc]
+        bcodes, buniq = pd.factorize(pair)
+        bcomb = brow * np.int64(len(buniq)) + bcodes
+        buq, bct = np.unique(bcomb, return_counts=True)
+        np.maximum.at(
+            top_bigram, (buq // np.int64(len(buniq))).astype(np.int64), bct
+        )
+    fcounts = counts.astype(np.float64)
+    bigram_slots = np.maximum(counts - 1, 1).astype(np.float64)
+    return pd.DataFrame(
+        {
+            id_col: doc_ids,
+            "word_count": counts,
+            "distinct_word_frac": distinct / fcounts,
+            "top_word_frac": top_word / fcounts,
+            "top_bigram_frac": top_bigram / bigram_slots,
+        }
+    )
+
+
+def repetition_stats(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda df: repetition_stats_batch(df, text_col, id_col),
+        batch_format="pandas",
+    )
+
+
 class LangIdStage:
     """Heuristic language ID: stopword-hit ratio per language over
     whitespace tokens; ties/no-hits fall back to 'en'.  Actor-pool

@@ -732,3 +732,70 @@ def test_countmin_finds_planted_heavy_hitters():
     for true_n, est in zip([8000, 5000, 3000], out["est_count"]):
         assert est >= true_n  # CM never underestimates
         assert est <= true_n + 53_000 * 4 / 2048 * 4  # loose CM bound
+
+
+def test_segment_dedup_planted():
+    """Planted repeats: doc 2 repeats doc 0's first segment, doc 3 is
+    doc 1 verbatim (drops entirely), doc 4 repeats a segment within
+    itself (second occurrence drops)."""
+    from raycdc.ops.segdedup import segment_dedup
+
+    texts = {
+        0: "a b c d e f g h",
+        1: "p q r s",
+        2: "a b c d x y z w",
+        3: "p q r s",
+        4: "m n o k m n o k tail",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+            }
+        )
+    )
+    for broadcast in (True, False):
+        out = (
+            segment_dedup(ds, words_per_seg=4, broadcast=broadcast)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text"].tolist() == [
+            "a b c d e f g h",
+            "p q r s",
+            "x y z w",
+            "",
+            "m n o k tail",
+        ]
+        assert out["dropped_segments"].tolist() == [0, 0, 1, 1, 1]
+
+
+def test_repetition_stats_planted():
+    from raycdc.ops.text import repetition_stats
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a a a a",  # one word repeated
+                        "a b a b",  # dominant bigram "a b" twice
+                        "solo",  # single word: bigram frac 0
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        repetition_stats(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["word_count"].tolist() == [4, 4, 1]
+    assert out["distinct_word_frac"].tolist() == [0.25, 0.5, 1.0]
+    assert out["top_word_frac"].tolist() == [1.0, 0.5, 1.0]
+    assert out["top_bigram_frac"].tolist() == [1.0, 2 / 3, 0.0]
