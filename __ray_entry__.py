@@ -392,6 +392,121 @@ def _q_dedup_exact(sf_dir):
     return exact_dedup_groups(_docs(sf_dir))
 
 
+def _q_scd2_user_history(sf_dir):
+    """SCD2 materialization of the event stream: one validity-interval
+    version row per change, per-key hash exchange + grouped shift —
+    the classic CDC sink mode next to upsert and merge-on-read."""
+    from raycdc.ops.relational import scd2_history
+
+    ds = _events(
+        sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+    out = scd2_history(ds, ["user_id"], "event_id", "ts")
+    return out.select_columns(
+        [
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        ]
+    )
+
+
+def _distinct_users(sf_dir):
+    from raycdc.ops.relational import hash_partition_reduce
+
+    def uniq(df):
+        return df.drop_duplicates("user_id")
+
+    # batch-local combine first so only one row per user per batch
+    # rides the exchange
+    partial = _events(sf_dir, columns=["user_id"]).map_batches(
+        uniq, batch_format="pandas"
+    )
+    return hash_partition_reduce(partial, ["user_id"], uniq)
+
+
+def _purchase_users(sf_dir):
+    """Users with a high-value purchase (value > 180) — key column
+    only, predicate applied map-side before the exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raycdc.functions.arrowsafe import mask_filter
+
+    def purchases(t):
+        m = pc.and_(
+            pc.equal(t["event_type"], "purchase"),
+            pc.greater(t["value"], 180.0),
+        ).to_numpy(zero_copy_only=False)
+        return mask_filter(t.select(["user_id"]), np.asarray(m, dtype=bool))
+
+    return _events(
+        sf_dir, columns=["user_id", "event_type", "value"]
+    ).map_batches(purchases, batch_format="pyarrow")
+
+
+def _q_users_no_purchase(sf_dir):
+    """Partitioned ANTI join (NOT EXISTS): distinct users minus those
+    with a high-value purchase — only the right side's key rides the
+    shuffle."""
+    from raycdc.ops.relational import hash_join
+
+    return hash_join(
+        _distinct_users(sf_dir),
+        _purchase_users(sf_dir),
+        "user_id",
+        "user_id",
+        [],
+        how="anti",
+    )
+
+
+def _q_users_with_purchase(sf_dir):
+    """Partitioned SEMI join (EXISTS): distinct users having at least
+    one purchase event."""
+    from raycdc.ops.relational import hash_join
+
+    return hash_join(
+        _distinct_users(sf_dir),
+        _purchase_users(sf_dir),
+        "user_id",
+        "user_id",
+        [],
+        how="semi",
+    )
+
+
+def _q_customer_order_counts(sf_dir):
+    """Partitioned LEFT join: customers against per-customer order
+    counts (counts pre-aggregated map-side so only partials shuffle;
+    unmatched customers keep a null count)."""
+    import ray.data
+
+    from raycdc.ops.relational import hash_join, hash_partition_reduce
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def count_part(df):
+        out = df.groupby("o_custkey", sort=False).size().reset_index()
+        out.columns = ["o_custkey", "cnt"]
+        return out
+
+    counts = hash_partition_reduce(orders, ["o_custkey"], count_part)
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    return hash_join(
+        cust, counts, "c_custkey", "o_custkey", ["cnt"], how="left"
+    )
+
+
 def _q_segment_dedup(sf_dir):
     """Corpus-wide exact segment dedup (C4-style repeated-passage
     removal): non-overlapping 4-word segments, keep-first by
@@ -1074,6 +1189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _tuned(_q_dedup_exact),
         "segment_dedup_docs": _tuned(_q_segment_dedup),
         "repetition_stats": _tuned(_q_repetition_stats),
+        "scd2_user_history": _tuned(_q_scd2_user_history),
+        "users_no_purchase": _tuned(_q_users_no_purchase),
+        "users_with_purchase": _tuned(_q_users_with_purchase),
+        "customer_order_counts": _tuned(_q_customer_order_counts),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_ngram": _tuned(_q_dedup_ngram),
@@ -1248,6 +1367,35 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "scd2_user_history": """
+            SELECT user_id, event_id, event_type, value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "users_no_purchase": """
+            SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events e
+              WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+                AND e.value > 180)
+        """,
+        "users_with_purchase": """
+            SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+            WHERE EXISTS (
+              SELECT 1 FROM events e
+              WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+                AND e.value > 180)
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, c.c_name, o.cnt AS cnt_r
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+              FROM orders GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey
         """,
         "segment_dedup_docs": """
             WITH d AS (

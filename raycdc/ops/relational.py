@@ -272,6 +272,39 @@ def latest_by_key(
     return hash_partition_reduce(partial, key_cols, combine)
 
 
+def scd2_history(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    seq_col: str,
+    ts_col: str,
+) -> "ray.data.Dataset":
+    """Slowly-changing-dimension type-2 materialization of a change
+    stream: every change event becomes a VERSION row with a validity
+    interval — ``valid_from`` = its own timestamp, ``valid_to`` = the
+    key's next change (null while current), plus an ``is_current``
+    flag.  The classic CDC sink mode alongside upsert (J1) and
+    merge-on-read: downstream time-travel queries join on
+    ``valid_from <= t < valid_to`` instead of replaying the log.
+
+    Shape: one hash-partitioned exchange co-locating each key's
+    history (same contract as the CDC apply), then a per-partition
+    C-speed sort + grouped shift — never a global sort.  Version
+    order is ``seq_col`` (the replay cursor), not the wall-clock
+    column, so late-arriving events take their cursor position
+    exactly as the reference's incremental replay does."""
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key_cols + [seq_col], kind="mergesort")
+        nxt = df.groupby(key_cols, sort=False)[ts_col].shift(-1)
+        out = df.copy()
+        out["valid_from"] = out[ts_col]
+        out["valid_to"] = nxt
+        out["is_current"] = nxt.isna()
+        return out
+
+    return hash_partition_reduce(ds, key_cols, intervals)
+
+
 def broadcast_join(
     ds: "ray.data.Dataset",
     small_df: pd.DataFrame,
@@ -341,13 +374,21 @@ def hash_join(
     right_on: str,
     right_cols: list[str],
     num_partitions: int | None = None,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Large-×-large partitioned equi-join (inner).  When neither side
-    fits a broadcast (``broadcast_join`` is the small-side path), both
-    sides are tagged and hash-partitioned on the join key in ONE
-    shuffle over the union; each partition joins via a C-speed
-    ``pd.merge``.  Right columns come back as ``{col}_r``; the right
-    key is matched against ``left_on`` and not duplicated.
+    """Large-×-large partitioned equi-join.  When neither side fits a
+    broadcast (``broadcast_join`` is the small-side path), both sides
+    are tagged and hash-partitioned on the join key in ONE shuffle
+    over the union; each partition joins via a C-speed ``pd.merge``.
+    Right columns come back as ``{col}_r``; the right key is matched
+    against ``left_on`` and not duplicated.
+
+    ``how``: ``"inner"`` | ``"left"`` (unmatched left rows keep null
+    right columns) | ``"semi"`` (left rows WITH a match, left columns
+    only) | ``"anti"`` (left rows WITHOUT a match, left columns only —
+    NOT-EXISTS semantics: null-keyed left rows are kept, since SQL
+    NULL never matches).  Semi/anti move only the right side's KEY
+    through the shuffle — ``right_cols`` must be empty.
 
     Partitioning assumption: all rows of one key value fit a partition
     worker (same co-location contract as the CDC merge itself); heavy
@@ -355,6 +396,13 @@ def hash_join(
     spill.
     """
     import pyarrow.compute as pc
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown how {how!r}")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(
+            f"{how} join returns left columns only; pass right_cols=[]"
+        )
 
     if num_partitions is None:
         try:
@@ -370,16 +418,35 @@ def hash_join(
     key_type = dict(l_fields)[left_on]
 
     def _part(arr) -> pa.Array:
+        # nulls reach here only in left/anti mode (they never match, so
+        # their partition is arbitrary) — but they MUST be filled before
+        # to_numpy, or an int64-with-nulls column degrades to float64
+        # and the hash diverges from the other side's int hash, silently
+        # separating matching rows into different partitions
+        if arr.null_count:
+            import pyarrow.types as pat
+
+            t = arr.type
+            if pat.is_string(t) or pat.is_large_string(t):
+                fill = pa.scalar("", t)
+            elif pat.is_floating(t):
+                fill = pa.scalar(0.0, t)
+            else:
+                fill = pc.cast(pa.scalar(0, pa.int64()), t)
+            arr = pc.fill_null(arr, fill)
         h = pd.util.hash_pandas_object(
             pd.Series(arr.to_numpy(zero_copy_only=False)), index=False
         ).to_numpy()
         return pa.array((h % num_partitions).astype(np.int64))
 
     def tag_left(t: pa.Table) -> pa.Table:
-        # SQL inner-join semantics: NULL keys never match — drop early
-        t = mask_filter(
-            t, pc.is_valid(t[left_on]).to_numpy(zero_copy_only=False)
-        )
+        # SQL semantics: NULL keys never MATCH — drop early for the
+        # match-only variants; left/anti keep null-keyed left rows
+        # (they surface unmatched)
+        if how in ("inner", "semi"):
+            t = mask_filter(
+                t, pc.is_valid(t[left_on]).to_numpy(zero_copy_only=False)
+            )
         cols = {name: t[name] for name, _ in l_fields}
         for c, oc in zip(right_cols, right_out):
             cols[oc] = pa.nulls(t.num_rows, r_types[c])
@@ -434,7 +501,15 @@ def hash_join(
         df = df.drop(columns=["_part"])
         lhs = df[df["_side"] == 0].drop(columns=["_side"] + right_out)
         rhs = df[df["_side"] == 1][[left_on] + right_out]
-        merged = lhs.merge(rhs, on=left_on, how="inner")
+        if how in ("semi", "anti"):
+            # rhs null keys were dropped in tag_right, so a null-keyed
+            # lhs row can never be isin — anti keeps it, matching
+            # NOT-EXISTS
+            hit = lhs[left_on].isin(rhs[left_on].unique())
+            merged = lhs[hit] if how == "semi" else lhs[~hit]
+        else:
+            merged = lhs.merge(rhs, on=left_on, how=how)
+        merged = merged.copy()
         for oc in right_out:
             if r_target[oc] and str(merged[oc].dtype) != r_target[oc]:
                 merged[oc] = merged[oc].astype(r_target[oc])

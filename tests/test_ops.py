@@ -799,3 +799,78 @@ def test_repetition_stats_planted():
     assert out["distinct_word_frac"].tolist() == [0.25, 0.5, 1.0]
     assert out["top_word_frac"].tolist() == [1.0, 0.5, 1.0]
     assert out["top_bigram_frac"].tolist() == [1.0, 2 / 3, 0.0]
+
+
+def test_hash_join_left_semi_anti_semantics():
+    """SQL parity for the join variants: left keeps unmatched rows
+    with null right columns, semi/anti are EXISTS / NOT EXISTS —
+    null-keyed left rows never match, so anti keeps them and semi
+    drops them."""
+    from raycdc.ops.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, None], pa.int64()),
+                "lv": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 1, 3, None], pa.int64()),
+                "rv": pa.array([100, 101, 300, 999], pa.int64()),
+            }
+        )
+    )
+    lj = (
+        hash_join(left, right, "k", "rk", ["rv"], how="left")
+        .to_pandas()
+        .sort_values(["lv", "rv_r"])
+        .reset_index(drop=True)
+    )
+    assert lj["lv"].tolist() == [10, 10, 20, 30, 40]
+    got_rv = lj["rv_r"].tolist()
+    assert got_rv[:2] == [100, 101] and got_rv[3] == 300
+    assert pd.isna(got_rv[2]) and pd.isna(got_rv[4])
+
+    semi = hash_join(left, right, "k", "rk", [], how="semi").to_pandas()
+    assert sorted(semi["lv"].tolist()) == [10, 30]
+    assert list(semi.columns) == ["k", "lv"]
+
+    anti = hash_join(left, right, "k", "rk", [], how="anti").to_pandas()
+    assert sorted(anti["lv"].tolist()) == [20, 40]  # null-key row kept
+
+
+def test_scd2_history_intervals():
+    from raycdc.ops.relational import scd2_history
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-03", "2024-01-02", "2024-02-01"]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([7, 7, 7, 8], pa.int64()),
+                "seq": pa.array([1, 2, 3, 1], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "v": pa.array([0.5, 1.5, 2.5, 9.0]),
+            }
+        )
+    )
+    out = (
+        scd2_history(ds, ["k"], "seq", "ts")
+        .to_pandas()
+        .sort_values(["k", "seq"])
+        .reset_index(drop=True)
+    )
+    # version order follows seq (the replay cursor), not wall clock:
+    # seq 2 (Jan 3) closes at seq 3's ts (Jan 2) — late event takes
+    # its cursor position exactly
+    assert out["valid_from"].tolist() == list(ts[[0, 1, 2, 3]])
+    assert out["valid_to"].tolist()[:2] == [ts[1], ts[2]]
+    assert pd.isna(out["valid_to"].iloc[2]) and pd.isna(
+        out["valid_to"].iloc[3]
+    )
+    assert out["is_current"].tolist() == [False, False, True, True]
