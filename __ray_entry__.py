@@ -518,6 +518,15 @@ def _q_segment_dedup(sf_dir):
     return segment_dedup(_docs(sf_dir), words_per_seg=4)
 
 
+def _q_top_terms(sf_dir):
+    """tf×idf (linear idf — exact-arithmetic twin of log idf) top-3
+    terms per doc: vocab-bounded df shuffle + broadcast lookup; the
+    corpus itself never shuffles."""
+    from raycdc.ops.text import top_terms_per_doc
+
+    return top_terms_per_doc(_docs(sf_dir), k=3)
+
+
 def _q_repetition_stats(sf_dir):
     """Gopher-style repetition quality signals per doc: word count,
     distinct-word fraction, top-word fraction, top-bigram fraction —
@@ -1189,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _tuned(_q_dedup_exact),
         "segment_dedup_docs": _tuned(_q_segment_dedup),
         "repetition_stats": _tuned(_q_repetition_stats),
+        "top_terms": _tuned(_q_top_terms),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "users_no_purchase": _tuned(_q_users_no_purchase),
         "users_with_purchase": _tuned(_q_users_with_purchase),
@@ -1367,6 +1377,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "top_terms": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            w AS (SELECT doc_id, unnest(ws) AS word FROM d),
+            tf AS (
+              SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM w GROUP BY doc_id, word
+            ),
+            dfq AS (
+              SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM w GROUP BY word
+            ),
+            n AS (SELECT count(*) AS nd FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+                     CAST(tf.tf * n.nd AS DOUBLE) / dfq.df AS score,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf * n.nd AS DOUBLE) / dfq.df DESC,
+                                tf.word) AS rn
+              FROM tf JOIN dfq USING (word), n
+            )
+            SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
         """,
         "scd2_user_history": """
             SELECT user_id, event_id, event_type, value,

@@ -188,6 +188,118 @@ def repetition_stats(
     )
 
 
+def _doc_word_counts(
+    df: "pd.DataFrame", text_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-(doc, word) term frequencies for a batch:
+    returns (row index, word string, tf) triplets plus the batch's
+    per-doc word totals."""
+    import pandas as pd
+
+    words = df[text_col].str.split(" ")
+    counts = words.str.len().to_numpy(dtype=np.int64)
+    if len(df) == 0 or counts.sum() == 0:
+        e = np.array([], dtype=np.int64)
+        return e, np.array([], dtype=object), e, counts
+    flat = np.concatenate(words.to_numpy()).astype(object)
+    row = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+    codes, uniques = pd.factorize(flat)
+    n_codes = np.int64(len(uniques))
+    comb = row * n_codes + codes
+    uniq, tf = np.unique(comb, return_counts=True)
+    urow = (uniq // n_codes).astype(np.int64)
+    uword = np.asarray(uniques, dtype=object)[(uniq % n_codes)]
+    return urow, uword, tf.astype(np.int64), counts
+
+
+def top_terms_per_doc(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> "ray.data.Dataset":
+    """Top-k most distinctive terms per document by tf×idf with a
+    LINEAR idf (``score = tf * n_docs / df``): rank-equivalent to
+    classic tf-idf within a document (monotone in tf and in 1/df) and
+    — unlike a log idf — computable as one exact integer product and
+    one float64 division, so the DuckDB oracle reproduces every score
+    bit-identically (no cross-library libm divergence).
+
+    Two passes, both streaming:
+
+    1. document frequencies — per-batch distinct (doc, word) partials
+       collapse to (word, df) map-side, then one vocab-sized
+       hash-partitioned sum.  The corpus itself never shuffles; only
+       vocab-bounded partials do.  The merged table broadcasts via
+       ``ray.put`` (natural-language vocab ~10^7 rows fits a worker;
+       beyond that this would become a hash join on word).
+    2. per-batch tf + broadcast df lookup + per-doc top-k (C-speed
+       sort + grouped head), ties broken by ascending word.
+    """
+    import pandas as pd
+
+    from raycdc.ops.relational import hash_partition_reduce
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        urow, uword, _tf, _ = _doc_word_counts(df, text_col)
+        if len(uword) == 0:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series(dtype=object),
+                    "df": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.DataFrame({"word": uword})
+        return out.groupby("word", as_index=False).size().rename(
+            columns={"size": "df"}
+        )
+
+    def sum_df(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", as_index=False)["df"].sum()
+
+    dfc = hash_partition_reduce(
+        ds.map_batches(df_partial, batch_format="pandas"), ["word"], sum_df
+    ).to_pandas()
+    n_docs = ds.count()
+    df_ref = ray.put(dfc)
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        urow, uword, tf, _ = _doc_word_counts(df, text_col)
+        doc_ids = df[id_col].to_numpy(dtype=np.int64)
+        if len(uword) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "word": pd.Series(dtype=object),
+                    "tf": pd.Series(dtype="int64"),
+                    "df": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        t = pd.DataFrame({"_row": urow, "word": uword, "tf": tf})
+        t = t.merge(ray.get(df_ref), on="word", how="left")
+        t["score"] = (t["tf"] * np.int64(n_docs)).astype(np.float64) / t[
+            "df"
+        ].to_numpy()
+        t = t.sort_values(
+            ["_row", "score", "word"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = t.groupby("_row", sort=False).head(k)
+        return pd.DataFrame(
+            {
+                id_col: doc_ids[top["_row"].to_numpy()],
+                "word": top["word"].to_numpy(),
+                "tf": top["tf"].to_numpy(),
+                "df": top["df"].to_numpy(),
+                "score": top["score"].to_numpy(),
+            }
+        )
+
+    return ds.map_batches(score_batch, batch_format="pandas")
+
+
 class LangIdStage:
     """Heuristic language ID: stopword-hit ratio per language over
     whitespace tokens; ties/no-hits fall back to 'en'.  Actor-pool

@@ -874,3 +874,37 @@ def test_scd2_history_intervals():
         out["valid_to"].iloc[3]
     )
     assert out["is_current"].tolist() == [False, False, True, True]
+
+
+def test_top_terms_rare_word_wins():
+    """A word unique to one doc outranks a corpus-wide word even at
+    lower tf (idf dominance), with ties broken by ascending word."""
+    from raycdc.ops.text import top_terms_per_doc
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "common common common rare",
+                        "common common other",
+                        "common other",
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        top_terms_per_doc(ds, k=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 0: rare (tf=1, df=1, score=3) beats common (tf=3, df=3, score=3)
+    # ... equal scores -> tie broken by word asc: "common" < "rare"
+    assert out.loc[0, "word"] == "common" and out.loc[0, "score"] == 3.0
+    # doc 1: common tf=2 df=3 -> 2, other tf=1 df=2 -> 1.5
+    assert out.loc[1, "word"] == "common" and out.loc[1, "score"] == 2.0
+    # doc 2: other tf=1 df=2 -> 1.5 beats common tf=1 df=3 -> 1
+    assert out.loc[2, "word"] == "other" and out.loc[2, "score"] == 1.5
