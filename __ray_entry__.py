@@ -518,6 +518,18 @@ def _q_segment_dedup(sf_dir):
     return segment_dedup(_docs(sf_dir), words_per_seg=4)
 
 
+def _q_event_value_zscore(sf_dir):
+    """Per-user z-score of purchase values in exact integer-cents
+    arithmetic: associative (n, Σx, Σx²) partials + broadcast stats;
+    the events table never shuffles."""
+    from raycdc.ops.relational import group_zscore
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    return group_zscore(ds, ["user_id"], "value").select_columns(
+        ["user_id", "event_id", "zscore"]
+    )
+
+
 def _q_top_terms(sf_dir):
     """tf×idf (linear idf — exact-arithmetic twin of log idf) top-3
     terms per doc: vocab-bounded df shuffle + broadcast lookup; the
@@ -1199,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": _tuned(_q_segment_dedup),
         "repetition_stats": _tuned(_q_repetition_stats),
         "top_terms": _tuned(_q_top_terms),
+        "event_value_zscore": _tuned(_q_event_value_zscore),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "users_no_purchase": _tuned(_q_users_no_purchase),
         "users_with_purchase": _tuned(_q_users_with_purchase),
@@ -1377,6 +1390,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "event_value_zscore": """
+            WITH c AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            g AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS s,
+                     CAST(sum(cents * cents) AS BIGINT) AS ss
+              FROM c GROUP BY user_id
+            )
+            SELECT c.user_id, c.event_id,
+                   CASE WHEN g.n * g.ss - g.s * g.s = 0 THEN 0.0
+                        ELSE CAST(g.n * c.cents - g.s AS DOUBLE)
+                             / sqrt(CAST(g.n * g.ss - g.s * g.s AS DOUBLE))
+                   END AS zscore
+            FROM c JOIN g USING (user_id)
         """,
         "top_terms": """
             WITH d AS (

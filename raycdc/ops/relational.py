@@ -272,6 +272,70 @@ def latest_by_key(
     return hash_partition_reduce(partial, key_cols, combine)
 
 
+def group_zscore(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+    scale: int = 100,
+) -> "ray.data.Dataset":
+    """Per-group z-score normalization of a fixed-point numeric column
+    (population std), the feature-standardization step of a training
+    pipeline — in EXACT arithmetic.
+
+    Values are scaled to integers (``round(value*scale)``), per-group
+    (n, Σx, Σx²) partials fold associatively map-side (per-batch
+    combiner, same pattern as pricing_summary's integer cents), one
+    tiny group-count shuffle merges them, and the merged stats
+    broadcast back for a streaming scoring pass — the corpus never
+    shuffles.  z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²): every term is an
+    exact int64, the final cast and division are single float64 ops
+    and sqrt is IEEE-correctly-rounded, so a SQL oracle reproduces the
+    score bit-identically (no libm divergence — this is why the
+    formula avoids mean/std intermediates).  Zero-variance groups
+    score 0.0.
+
+    Bound (documented, loud): n·Σx² must fit int64 —
+    fine for ~1e9 rows/group at 4-digit cents; beyond that scale the
+    partials would move to int128/float."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["_c"] = np.round(g[value_col].to_numpy() * scale).astype(np.int64)
+        g["_c2"] = g["_c"] * g["_c"]
+        out = g.groupby(key_cols, sort=False, as_index=False).agg(
+            n=("_c", "size"), s=("_c", "sum"), ss=("_c2", "sum")
+        )
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_cols, sort=False, as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+        )
+
+    stats = hash_partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), key_cols, merge
+    ).to_pandas()
+    ref = ray.put(stats)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(ray.get(ref), on=key_cols, how="left")
+        c = np.round(out[value_col].to_numpy() * scale).astype(np.int64)
+        n = out["n"].to_numpy(dtype=np.int64)
+        s = out["s"].to_numpy(dtype=np.int64)
+        ss = out["ss"].to_numpy(dtype=np.int64)
+        var_n2 = n * ss - s * s  # n² · population variance, exact
+        num = (n * c - s).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = num / np.sqrt(var_n2.astype(np.float64))
+        z[var_n2 == 0] = 0.0
+        out = out.drop(columns=["n", "s", "ss"])
+        out[out_col] = z
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def scd2_history(
     ds: "ray.data.Dataset",
     key_cols: list[str],

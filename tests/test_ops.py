@@ -908,3 +908,32 @@ def test_top_terms_rare_word_wins():
     assert out.loc[1, "word"] == "common" and out.loc[1, "score"] == 2.0
     # doc 2: other tf=1 df=2 -> 1.5 beats common tf=1 df=3 -> 1
     assert out.loc[2, "word"] == "other" and out.loc[2, "score"] == 1.5
+
+
+def test_group_zscore_exact_and_zero_variance():
+    from raycdc.ops.relational import group_zscore
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "i": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "v": pa.array([1.0, 2.0, 3.0, 5.0, 5.0]),
+            }
+        )
+    )
+    out = (
+        group_zscore(ds, ["k"], "v")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # group 1: mean 2, population std sqrt(2/3); z = ±sqrt(3/2), 0
+    import math
+
+    exp = math.sqrt(1.5)
+    assert abs(out.loc[0, "zscore"] + exp) < 1e-12
+    assert out.loc[1, "zscore"] == 0.0
+    assert abs(out.loc[2, "zscore"] - exp) < 1e-12
+    # zero-variance group scores 0.0, not nan/inf
+    assert out.loc[3, "zscore"] == 0.0 and out.loc[4, "zscore"] == 0.0
