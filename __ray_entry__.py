@@ -29,17 +29,34 @@ import pyarrow.parquet as pq
 
 
 def _docs(sf_dir):
+    """Default doc read: full fan-out — per-row-heavy stages
+    (shingling, fingerprinting, lang-id) parallelize by block."""
     import ray.data
 
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _light_blocks(path):
+    from raycdc.tuning import light_read_num_blocks
+
+    return light_read_num_blocks(pq.read_metadata(path).num_rows)
+
+
+def _docs_light(sf_dir):
+    """Doc read for vectorized-kernel queries: sliver-guarded block
+    count (per-task scheduling otherwise dominates small tables)."""
+    import ray.data
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return ray.data.read_parquet(path, override_num_blocks=_light_blocks(path))
+
+
 def _events(sf_dir, columns=None, **kw):
     import ray.data
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=columns, **kw
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    kw.setdefault("override_num_blocks", _light_blocks(path))
+    return ray.data.read_parquet(path, columns=columns, **kw)
 
 
 def entry() -> Any:
@@ -344,7 +361,7 @@ def _q_doc_token_count_bpe(sf_dir):
     one vectorized count_substring_regex kernel per batch."""
     from raycdc.ops.text import token_count_bpe
 
-    return token_count_bpe(_docs(sf_dir)).select_columns(
+    return token_count_bpe(_docs_light(sf_dir)).select_columns(
         ["doc_id", "n_bpe_tokens"]
     )
 
@@ -354,7 +371,7 @@ def _q_clean_docs(sf_dir):
     whitespace, trim) — Arrow regex kernels, oracle-pinned per row."""
     from raycdc.ops.text import clean_text
 
-    return clean_text(_docs(sf_dir)).select_columns(["doc_id", "clean_text"])
+    return clean_text(_docs_light(sf_dir)).select_columns(["doc_id", "clean_text"])
 
 
 def _q_top_docs_per_lang(sf_dir):
@@ -364,7 +381,7 @@ def _q_top_docs_per_lang(sf_dir):
     from raycdc.ops.relational import topk_per_group
 
     out = topk_per_group(
-        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        _docs_light(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
         ["lang"],
         [("n_chars", "descending"), ("doc_id", "ascending")],
         5,
@@ -375,13 +392,13 @@ def _q_top_docs_per_lang(sf_dir):
 def _q_doc_token_count(sf_dir):
     from raycdc.ops.text import token_count
 
-    return token_count(_docs(sf_dir)).select_columns(["doc_id", "n_tokens"])
+    return token_count(_docs_light(sf_dir)).select_columns(["doc_id", "n_tokens"])
 
 
 def _q_doc_quality(sf_dir):
     from raycdc.ops.text import quality_stats
 
-    return quality_stats(_docs(sf_dir)).select_columns(
+    return quality_stats(_docs_light(sf_dir)).select_columns(
         ["doc_id", "text_len", "n_spaces", "n_tokens", "avg_token_len"]
     )
 
@@ -389,7 +406,7 @@ def _q_doc_quality(sf_dir):
 def _q_dedup_exact(sf_dir):
     from raycdc.ops.dedup import exact_dedup_groups
 
-    return exact_dedup_groups(_docs(sf_dir))
+    return exact_dedup_groups(_docs_light(sf_dir))
 
 
 def _q_scd2_user_history(sf_dir):
@@ -515,7 +532,7 @@ def _q_segment_dedup(sf_dir):
     only (late materialization)."""
     from raycdc.ops.segdedup import segment_dedup
 
-    return segment_dedup(_docs(sf_dir), words_per_seg=4)
+    return segment_dedup(_docs_light(sf_dir), words_per_seg=4)
 
 
 def _q_event_value_zscore(sf_dir):
@@ -536,7 +553,7 @@ def _q_top_terms(sf_dir):
     corpus itself never shuffles."""
     from raycdc.ops.text import top_terms_per_doc
 
-    return top_terms_per_doc(_docs(sf_dir), k=3)
+    return top_terms_per_doc(_docs_light(sf_dir), k=3)
 
 
 def _q_repetition_stats(sf_dir):
@@ -545,7 +562,7 @@ def _q_repetition_stats(sf_dir):
     one vectorized factorize/unique pass per batch."""
     from raycdc.ops.text import repetition_stats
 
-    return repetition_stats(_docs(sf_dir))
+    return repetition_stats(_docs_light(sf_dir))
 
 
 def _planted_dup_docs(sf_dir):
@@ -759,7 +776,7 @@ def _q_sample_docs(sf_dir):
     (doc_id, seed), zero shuffle, rerun- and partitioning-stable."""
     from raycdc.ops.sampling import deterministic_sample
 
-    return deterministic_sample(_docs(sf_dir), "doc_id", 0.25, seed=7)
+    return deterministic_sample(_docs_light(sf_dir), "doc_id", 0.25, seed=7)
 
 
 def _q_mixture_docs(sf_dir):
@@ -808,7 +825,7 @@ def _q_dedup_distinct(sf_dir):
     distinct text — the materializing twin of dedup_exact's counts."""
     from raycdc.ops.dedup import distinct_rows
 
-    return distinct_rows(_docs(sf_dir))
+    return distinct_rows(_docs_light(sf_dir))
 
 
 def _q_dedup_ngram(sf_dir):

@@ -169,6 +169,8 @@ def bench_queries() -> dict[str, float]:
         "session_windows",
         "asof_prior_purchase",
         "dedup_exact",
+        "segment_dedup_docs",
+        "scd2_user_history",
         "dedup_minhash",
         "dedup_incremental",
         "dedup_clusters",
