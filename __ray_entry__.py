@@ -409,6 +409,56 @@ def _q_dedup_exact(sf_dir):
     return exact_dedup_groups(_docs_light(sf_dir))
 
 
+def _q_cdc_snapshot_diff(sf_dir):
+    """table_changes analog: net row-level diff between two committed
+    lake versions (insert/update/delete per key).  The lake is built
+    in two ingest windows — the first half of the insert wave, then
+    everything else — and the diff runs one zero-shuffle Ray task per
+    partition (snapshots share the lake's hash partitioning;
+    manifest-identical partitions are pruned without a read)."""
+    import hashlib
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.maintenance import snapshot_diff
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_snapdiff_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    # fragments=6 slices the seq-ordered log at N/2 boundaries: the
+    # first fragment is exactly the first half of the insert wave
+    documents_changelog(sf_dir, staging, fragments=6)
+    os.makedirs(log_dir, exist_ok=True)
+    os.rename(
+        os.path.join(staging, "fragment-00000.parquet"),
+        os.path.join(log_dir, "fragment-00000.parquet"),
+    )
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=16,
+        columns=PAYLOAD_COLUMNS,
+    )
+    run_ingest(cfg)
+    for name in sorted(os.listdir(staging)):
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(cfg)
+    vs = Lake(lake_dir).versions()
+    return snapshot_diff(lake_dir, vs[-2], vs[-1])
+
+
 def _q_scd2_user_history(sf_dir):
     """SCD2 materialization of the event stream: one validity-interval
     version row per change, per-key hash exchange + grouped shift —
@@ -1230,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _tuned(_q_top_terms),
         "event_value_zscore": _tuned(_q_event_value_zscore),
         "scd2_user_history": _tuned(_q_scd2_user_history),
+        "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
         "users_no_purchase": _tuned(_q_users_no_purchase),
         "users_with_purchase": _tuned(_q_users_with_purchase),
         "customer_order_counts": _tuned(_q_customer_order_counts),
@@ -1451,6 +1502,33 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dfq USING (word), n
             )
             SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
+        """,
+        "cdc_snapshot_diff": """
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            v1 AS (
+              SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo,
+                     'docs/' || doc_id || '.txt' AS path,
+                     text || ' v0' AS content
+              FROM documents, n WHERE doc_id < n.c // 2
+            ),
+            v2 AS (
+              SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo,
+                     'docs/' || doc_id || '.txt' AS path,
+                     text || ' v2' AS content
+              FROM documents WHERE doc_id % 17 <> 0
+            )
+            SELECT coalesce(v2.repo, v1.repo) AS repo,
+                   coalesce(v2.path, v1.path) AS path,
+                   CASE WHEN v1.path IS NULL THEN 'insert'
+                        WHEN v2.path IS NULL THEN 'delete'
+                        ELSE 'update' END AS change,
+                   v2.content AS content
+            FROM v1 FULL OUTER JOIN v2
+              ON v1.repo = v2.repo AND v1.path = v2.path
+            WHERE v1.path IS NULL OR v2.path IS NULL
+               OR v1.content <> v2.content
         """,
         "scd2_user_history": """
             SELECT user_id, event_id, event_type, value,

@@ -468,3 +468,63 @@ def test_write_mode_validation():
         validate_config(
             IngestConfig(log_dir="/x", lake_dir="/y", write_mode="bogus")
         )
+
+
+def test_snapshot_diff_matches_bruteforce(tmp_path):
+    """snapshot_diff between two committed versions (second window as
+    merge-on-read deltas, so the diff resolves base+delta per
+    partition) equals a brute-force compare of the two time-travel
+    reads; untouched partitions are pruned at the manifest level."""
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1500, fragment_rows=500, seed=41)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=600, seed=43, start_seq=1500)
+    cfg2 = _cfg(tmp, write_mode="mor")
+    run_ingest(cfg2)
+
+    lake = Lake(cfg.lake_dir)
+    v1, v2 = lake.versions()[-2], lake.versions()[-1]
+    got = (
+        snapshot_diff(cfg.lake_dir, v1, v2)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+    old = lake.read_table(version=v1).select(
+        ["repo", "path", "content"]
+    ).to_pandas()
+    new = lake.read_table(version=v2).select(
+        ["repo", "path", "content"]
+    ).to_pandas()
+    j = old.merge(
+        new, on=["repo", "path"], how="outer",
+        suffixes=("_old", "_new"), indicator=True,
+    )
+    import pandas as pd
+
+    change = pd.Series("update", index=j.index)
+    change[j["_merge"] == "right_only"] = "insert"
+    change[j["_merge"] == "left_only"] = "delete"
+    keep = (j["_merge"] != "both") | (j["content_old"] != j["content_new"])
+    exp = (
+        pd.DataFrame(
+            {
+                "repo": j.loc[keep, "repo"],
+                "path": j.loc[keep, "path"],
+                "change": change[keep],
+                "content": j.loc[keep, "content_new"],
+            }
+        )
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert set(got["change"].unique()) <= {"insert", "update", "delete"}
+    pd.testing.assert_frame_equal(got, exp)
+
+    # identity diff: no partitions change -> empty, zero reads
+    assert snapshot_diff(cfg.lake_dir, v2, v2).count() == 0
