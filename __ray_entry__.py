@@ -1007,6 +1007,22 @@ def _q_kmeans_embeddings(sf_dir):
     )
 
 
+def _q_semantic_representatives(sf_dir):
+    """SemDeDup-style pruning: k-means the embedding corpus (zero-
+    shuffle iterative broadcast), keep the one vector nearest each
+    centroid.  Deterministic given the seed; pinned-file oracle
+    (iterative, not SQL-expressible).  d² rounded so the pin is
+    robust to BLAS build differences."""
+    import ray.data
+
+    from raycdc.ops.similarity import cluster_representatives
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cluster_representatives(ds, n_clusters=8)
+    out["d2"] = np.round(out["d2"], 6)
+    return out
+
+
 def _q_lang_id(sf_dir):
     from raycdc.ops.text import lang_id
 
@@ -1303,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
+        "semantic_representatives": _tuned(_q_semantic_representatives),
         "hll_user_count": _tuned(_q_hll_user_count),
         "heavy_hitter_users": _tuned(_q_heavy_hitter_users),
         "lang_id": _tuned(_q_lang_id),
@@ -1770,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _pin("dedup_simhash"),
         "ann_ivf": _pin("ann_ivf"),
         "kmeans_embeddings": _pin("kmeans_embeddings"),
+        "semantic_representatives": _pin("semantic_representatives"),
         "hll_user_count": _pin("hll_user_count"),
         "heavy_hitter_users": _pin("heavy_hitter_users"),
         "fingerprint_docs": _pin("fingerprint_docs"),

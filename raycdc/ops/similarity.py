@@ -183,6 +183,71 @@ def kmeans(
     }
 
 
+def cluster_representatives(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    seed: int = 42,
+) -> "pd.DataFrame":
+    """Semantic dedup by cluster representative: k-means the corpus,
+    then keep the single vector closest to each centroid (SemDeDup-
+    style pruning picks ONE canonical doc per semantic cluster).
+
+    Shape: k-means is the zero-shuffle iterative broadcast (see
+    ``kmeans``); the representative pass is ONE more streaming pass —
+    each batch emits at most k (cluster, id, d²) candidate rows
+    (batch-local argmin per cluster), and the driver reduces
+    #batches × k rows to k.  Ties break on (d², id) so the result is a
+    pure function of the data set, not of block boundaries.
+    """
+    import pandas as pd
+
+    km = kmeans(
+        ds, n_clusters=n_clusters, iters=iters, vec_col=vec_col,
+        id_col=id_col, seed=seed,
+    )
+    cent = km["centroids"]
+    cref = ray.put(cent)
+
+    def batch_best(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _vec_matrix(t[vec_col])
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        best = d2[np.arange(len(assign)), assign]
+        df = pd.DataFrame(
+            {
+                "cluster": assign.astype(np.int64),
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+                "d2": best,
+            }
+        )
+        df = (
+            df.sort_values(["cluster", "d2", id_col], kind="mergesort")
+            .groupby("cluster", sort=False)
+            .head(1)
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    cand = ds.map_batches(batch_best, batch_format="pyarrow").to_pandas()
+    out = (
+        cand.sort_values(["cluster", "d2", id_col], kind="mergesort")
+        .groupby("cluster", sort=False)
+        .head(1)
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def ivf_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

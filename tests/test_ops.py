@@ -937,3 +937,34 @@ def test_group_zscore_exact_and_zero_variance():
     assert abs(out.loc[2, "zscore"] - exp) < 1e-12
     # zero-variance group scores 0.0, not nan/inf
     assert out.loc[3, "zscore"] == 0.0 and out.loc[4, "zscore"] == 0.0
+
+
+def test_cluster_representatives_planted():
+    """Three tight planted clusters: the representative of each is the
+    point nearest its true center, regardless of block boundaries."""
+    from raycdc.ops.similarity import cluster_representatives
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    vecs, ids = [], []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(0, 0.1, size=(30, 2))
+        vecs.extend(pts.tolist())
+        ids.extend(range(ci * 100, ci * 100 + 30))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    vecs, pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(6)
+    out = cluster_representatives(ds, n_clusters=3, iters=20, seed=1)
+    assert len(out) == 3
+    # each representative must come from a distinct planted cluster
+    groups = sorted(set(out["vec_id"].to_numpy() // 100))
+    assert groups == [0, 1, 2]
+    # and be very close to its center (tight clusters, sigma=0.1)
+    assert (out["d2"] < 0.1).all()

@@ -30,6 +30,7 @@ PINNED = [
     "dedup_simhash",
     "ann_ivf",
     "kmeans_embeddings",
+    "semantic_representatives",
     "hll_user_count",
     "heavy_hitter_users",
     "fingerprint_docs",
