@@ -1,0 +1,194 @@
+"""Property-based tests (hypothesis): the distributed operators must
+equal their single-process pandas/python reference on arbitrary
+inputs — duplicates, nulls, skew, empty groups included.  Settings
+keep example counts small because each example spins Ray Data tasks
+(the session fixture owns ray.init)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+import ray.data
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+
+def _keys():
+    return st.lists(
+        st.one_of(st.integers(min_value=-3, max_value=3), st.none()),
+        min_size=0,
+        max_size=24,
+    )
+
+
+@st.composite
+def _join_frames(draw):
+    lk = draw(_keys())
+    rk = draw(_keys())
+    left = pd.DataFrame(
+        {
+            "k": pd.array(lk, dtype="Int64"),
+            "lv": np.arange(len(lk), dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": pd.array(rk, dtype="Int64"),
+            "rv": np.arange(100, 100 + len(rk), dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+def _ds(df: pd.DataFrame) -> "ray.data.Dataset":
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    return ray.data.from_arrow(t).repartition(3)
+
+
+@given(_join_frames())
+@settings(**_SETTINGS)
+def test_hash_join_matches_pandas_reference(frames):
+    from raycdc.ops.relational import hash_join
+
+    left, right = frames
+    if len(left) == 0 or len(right) == 0:
+        return  # empty Datasets lose their schema through the exchange
+    lnn = left[left["k"].notna()]
+    rnn = right[right["rk"].notna()]
+    for how in ("inner", "left", "semi", "anti"):
+        cols = [] if how in ("semi", "anti") else ["rv"]
+        got = hash_join(_ds(left), _ds(right), "k", "rk", cols, how=how)
+        g = got.to_pandas()
+        if how == "inner":
+            exp = lnn.merge(
+                rnn.rename(columns={"rk": "k", "rv": "rv_r"}), on="k"
+            )
+        elif how == "left":
+            exp = left.merge(
+                rnn.rename(columns={"rk": "k", "rv": "rv_r"}),
+                on="k",
+                how="left",
+            )
+        elif how == "semi":
+            exp = lnn[lnn["k"].isin(rnn["rk"].unique())]
+        else:
+            exp = left[~left["k"].isin(rnn["rk"].unique())]
+        assert len(g) == len(exp), (how, g, exp)
+        if len(exp) == 0:
+            continue  # an empty Dataset drops its schema — rows==0 is the check
+        cols_out = list(g.columns)
+        sg = (
+            g.astype({"k": "float64", "lv": "int64"})
+            .sort_values(cols_out)
+            .reset_index(drop=True)
+        )
+        se = (
+            exp.astype({"k": "float64", "lv": "int64"})
+            .sort_values(cols_out)
+            .reset_index(drop=True)[cols_out]
+        )
+        if "rv_r" in sg.columns:
+            sg["rv_r"] = sg["rv_r"].astype("float64")
+            se["rv_r"] = se["rv_r"].astype("float64")
+        pd.testing.assert_frame_equal(sg, se, check_dtype=False)
+
+
+@st.composite
+def _corpus(draw):
+    vocab = ["a", "b", "c", "d"]
+    n = draw(st.integers(min_value=1, max_value=12))
+    texts = []
+    for _ in range(n):
+        w = draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12)
+        )
+        texts.append(" ".join(w))
+    return texts
+
+
+def _segment_dedup_reference(texts, w):
+    seen = set()
+    out = []
+    for di, text in enumerate(texts):
+        words = text.split(" ")
+        kept, dropped = [], 0
+        for si in range(0, len(words), w):
+            seg = " ".join(words[si : si + w])
+            if seg in seen:
+                dropped += 1
+            else:
+                seen.add(seg)
+                kept.append(seg)
+        out.append((di, " ".join(kept), dropped))
+    return pd.DataFrame(out, columns=["doc_id", "text", "dropped_segments"])
+
+
+@given(_corpus(), st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_segment_dedup_matches_reference(texts, w):
+    from raycdc.ops.segdedup import segment_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    got = (
+        segment_dedup(ds, words_per_seg=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _segment_dedup_reference(texts, w)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@st.composite
+def _event_stream(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    keys = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=3), min_size=n, max_size=n
+        )
+    )
+    return pd.DataFrame(
+        {
+            "k": np.asarray(keys, dtype=np.int64),
+            "seq": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(
+                draw(
+                    st.lists(
+                        st.integers(min_value=0, max_value=9999),
+                        min_size=n,
+                        max_size=n,
+                    )
+                ),
+                unit="s",
+            ),
+        }
+    )
+
+
+@given(_event_stream())
+@settings(**_SETTINGS)
+def test_scd2_matches_pandas_reference(df):
+    from raycdc.ops.relational import scd2_history
+
+    got = (
+        scd2_history(_ds(df), ["k"], "seq", "ts")
+        .to_pandas()
+        .sort_values(["k", "seq"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "seq"]).reset_index(drop=True)
+    exp["valid_from"] = exp["ts"]
+    exp["valid_to"] = exp.groupby("k")["ts"].shift(-1)
+    exp["is_current"] = exp["valid_to"].isna()
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
