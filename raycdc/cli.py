@@ -104,6 +104,18 @@ def main(argv: list[str] | None = None) -> int:
     p_fsck.add_argument("--lake-dir", required=True)
     p_fsck.add_argument("--digests", action="store_true")
 
+    p_diff = sub.add_parser(
+        "diff",
+        help="net insert/update/delete rows between two committed "
+        "lake versions (table_changes export)",
+    )
+    p_diff.add_argument("--lake-dir", required=True)
+    p_diff.add_argument("--from", dest="v_from", type=int, required=True)
+    p_diff.add_argument("--to", dest="v_to", type=int, required=True)
+    p_diff.add_argument(
+        "--out", help="write the diff as Parquet here instead of printing counts"
+    )
+
     p_prev = sub.add_parser("preview", help="first-n preview, no state change")
     p_prev.add_argument("--log-dir", required=True)
     p_prev.add_argument("-n", type=int, default=10)
@@ -191,6 +203,22 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.maintenance import vacuum
 
         print(json.dumps(vacuum(args.lake_dir)))
+        return 0
+
+    if args.cmd == "diff":
+        from raycdc.pipelines.maintenance import snapshot_diff
+
+        ds = snapshot_diff(args.lake_dir, args.v_from, args.v_to)
+        if args.out:
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
+        else:
+            counts = (
+                ds.to_pandas()["change"].value_counts().to_dict()
+                if ds.count()
+                else {}
+            )
+            print(json.dumps({"rows": sum(counts.values()), **counts}))
         return 0
 
     if args.cmd == "fsck":
