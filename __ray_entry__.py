@@ -606,6 +606,17 @@ def _q_top_terms(sf_dir):
     return top_terms_per_doc(_docs_light(sf_dir), k=3)
 
 
+def _q_paragraph_dedup(sf_dir):
+    """Separator-delimited paragraph dedup (the C4 rule).  The test
+    corpus has no newlines, so the driver exercise uses sep=' ' —
+    degenerate (word-level keep-first) but it drives the identical
+    slim-hash-row machinery end to end under the oracle gate; the
+    real-separator behavior is pinned by tests/properties."""
+    from raycdc.ops.segdedup import paragraph_dedup
+
+    return paragraph_dedup(_docs_light(sf_dir), sep=" ")
+
+
 def _q_repetition_stats(sf_dir):
     """Gopher-style repetition quality signals per doc: word count,
     distinct-word fraction, top-word fraction, top-bigram fraction —
@@ -1292,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _tuned(_q_doc_quality),
         "dedup_exact": _tuned(_q_dedup_exact),
         "segment_dedup_docs": _tuned(_q_segment_dedup),
+        "paragraph_dedup_docs": _tuned(_q_paragraph_dedup),
         "repetition_stats": _tuned(_q_repetition_stats),
         "top_terms": _tuned(_q_top_terms),
         "event_value_zscore": _tuned(_q_event_value_zscore),
@@ -1596,6 +1608,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE rn = 1), '') AS text,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS dropped_segments
+            FROM ranked GROUP BY doc_id
+        """,
+        "paragraph_dedup_docs": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            w AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     unnest(range(len(ws))) AS seg_idx
+              FROM d
+            ),
+            ranked AS (
+              SELECT doc_id, seg_idx, word,
+                     row_number() OVER (
+                       PARTITION BY word ORDER BY doc_id, seg_idx) AS rn
+              FROM w
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(word, ' ' ORDER BY seg_idx)
                             FILTER (WHERE rn = 1), '') AS text,
                    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
                        AS dropped_segments

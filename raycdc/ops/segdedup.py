@@ -116,20 +116,49 @@ def _segment_hash_rows(
     )
 
 
-def _loser_segments(
-    ds: "ray.data.Dataset",
-    text_col: str,
-    id_col: str,
-    words_per_seg: int,
+def _paragraph_hash_rows(
+    df: pd.DataFrame, text_col: str, id_col: str, sep: str
+) -> pd.DataFrame:
+    """Slim rows for separator-delimited segments (paragraph mode):
+    one (h1, h2, id, seg_idx) per paragraph, hashing the paragraph
+    string directly (two independently keyed 64-bit halves)."""
+    empty = pd.DataFrame(
+        {
+            "h1": pd.Series(dtype="int64"),
+            "h2": pd.Series(dtype="int64"),
+            id_col: pd.Series(dtype="int64"),
+            "seg_idx": pd.Series(dtype="int64"),
+        }
+    )
+    if len(df) == 0:
+        return empty
+    paras = df[text_col].str.split(sep)
+    counts = paras.str.len().to_numpy(dtype=np.int64)
+    if counts.sum() == 0:
+        return empty
+    flat = np.concatenate(paras.to_numpy()).astype(object)
+    row = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    seg_idx = np.arange(flat.size, dtype=np.int64) - starts
+    h1 = pd.util.hash_array(flat, hash_key=_KEY_A, categorize=True)
+    h2 = pd.util.hash_array(flat, hash_key=_KEY_B, categorize=True)
+    doc_ids = df[id_col].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "h1": h1.view(np.int64),
+            "h2": h2.view(np.int64),
+            id_col: doc_ids[row],
+            "seg_idx": seg_idx,
+        }
+    )
+
+
+def _losers_from_slim(
+    slim: "ray.data.Dataset", id_col: str
 ) -> "ray.data.Dataset":
     """Slim rows → hash-partitioned keep-first → loser (id, seg_idx)
     rows (every occurrence after the corpus-wide first)."""
     from raycdc.ops.relational import hash_partition_reduce
-
-    slim = ds.map_batches(
-        lambda df: _segment_hash_rows(df, text_col, id_col, words_per_seg),
-        batch_format="pandas",
-    )
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
@@ -137,6 +166,19 @@ def _loser_segments(
         return df.loc[dup, [id_col, "seg_idx"]]
 
     return hash_partition_reduce(slim, ["h1", "h2"], losers)
+
+
+def _loser_segments(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    words_per_seg: int,
+) -> "ray.data.Dataset":
+    slim = ds.map_batches(
+        lambda df: _segment_hash_rows(df, text_col, id_col, words_per_seg),
+        batch_format="pandas",
+    )
+    return _losers_from_slim(slim, id_col)
 
 
 def _rebuild_batch(
@@ -197,6 +239,104 @@ def _rebuild_batch(
             "dropped_segments": dropped,
         }
     )
+
+
+def _rebuild_paragraph_batch(
+    df: pd.DataFrame,
+    loser_pairs: pd.DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str,
+) -> pd.DataFrame:
+    """Paragraph-mode rebuild: drop losing paragraph indexes and
+    re-join the survivors with ``sep``."""
+    doc_ids = df[id_col].to_numpy(dtype=np.int64)
+    n_docs = len(df)
+    dropped = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                id_col: doc_ids,
+                text_col: df[text_col].to_numpy(),
+                "dropped_segments": dropped,
+            }
+        )
+    paras = df[text_col].str.split(sep)
+    counts = paras.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate(paras.to_numpy()).astype(object)
+    row = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    seg_idx = np.arange(flat.size, dtype=np.int64) - starts
+    wdf = pd.DataFrame(
+        {
+            id_col: doc_ids[row],
+            "seg_idx": seg_idx,
+            "_row": row,
+            "_para": flat,
+        }
+    )
+    merged = wdf.merge(
+        loser_pairs.assign(_drop=np.int8(1)),
+        on=[id_col, "seg_idx"],
+        how="left",
+    ).sort_values(["_row", "seg_idx"], kind="mergesort")
+    keep = merged[merged["_drop"].isna()]
+    texts = keep.groupby("_row", sort=True)["_para"].agg(sep.join)
+    out_text = np.full(n_docs, "", dtype=object)
+    out_text[texts.index.to_numpy()] = texts.to_numpy()
+    lost = merged[merged["_drop"].notna()]
+    if len(lost):
+        per_row = lost.groupby("_row", sort=False).size()
+        dropped[per_row.index.to_numpy()] = per_row.to_numpy()
+    return pd.DataFrame(
+        {
+            id_col: doc_ids,
+            text_col: out_text,
+            "dropped_segments": dropped,
+        }
+    )
+
+
+def paragraph_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    broadcast: bool = True,
+) -> "ray.data.Dataset":
+    """Corpus-wide exact PARAGRAPH dedup (the C4 rule as published:
+    split on a separator, keep each paragraph only at its first
+    occurrence).  Same scale shape as ``segment_dedup`` — paragraph
+    text never rides the shuffle, only slim 128-bit hash rows — with
+    variable-length separator-delimited segments instead of fixed
+    word windows."""
+    slim = ds.map_batches(
+        lambda df: _paragraph_hash_rows(df, text_col, id_col, sep),
+        batch_format="pandas",
+    )
+    losers = _losers_from_slim(slim, id_col)
+    ldf = losers.to_pandas()
+    if len(ldf) == 0:
+        ldf = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "seg_idx": pd.Series(dtype="int64"),
+            }
+        )
+    if not broadcast:
+        raise NotImplementedError(
+            "paragraph mode currently applies losers via broadcast; "
+            "use segment_dedup(broadcast=False) for the co-partitioned "
+            "path"
+        )
+    losers_ref = ray.put(ldf)
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        return _rebuild_paragraph_batch(
+            df, ray.get(losers_ref), text_col, id_col, sep
+        )
+
+    return ds.map_batches(rebuild, batch_format="pandas")
 
 
 def segment_dedup(

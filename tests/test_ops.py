@@ -968,3 +968,36 @@ def test_cluster_representatives_planted():
     assert groups == [0, 1, 2]
     # and be very close to its center (tight clusters, sigma=0.1)
     assert (out["d2"] < 0.1).all()
+
+
+def test_paragraph_dedup_planted():
+    """C4-style paragraph dedup: repeated paragraphs (including a
+    within-doc repeat) drop at every occurrence after the corpus-wide
+    first; surviving paragraphs re-join with the separator."""
+    from raycdc.ops.segdedup import paragraph_dedup
+
+    texts = {
+        0: "alpha beta\n\ngamma delta",
+        1: "gamma delta\n\nunique one",
+        2: "same\n\nsame\n\nother",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)]),
+            }
+        )
+    )
+    out = (
+        paragraph_dedup(ds, sep="\n\n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "alpha beta\n\ngamma delta",
+        "unique one",
+        "same\n\nother",
+    ]
+    assert out["dropped_segments"].tolist() == [0, 1, 1]

@@ -192,3 +192,41 @@ def test_scd2_matches_pandas_reference(df):
     pd.testing.assert_frame_equal(
         got[exp.columns.tolist()], exp, check_dtype=False
     )
+
+
+def _paragraph_dedup_reference(texts, sep):
+    seen = set()
+    out = []
+    for di, text in enumerate(texts):
+        kept, dropped = [], 0
+        for para in text.split(sep):
+            if para in seen:
+                dropped += 1
+            else:
+                seen.add(para)
+                kept.append(para)
+        out.append((di, sep.join(kept), dropped))
+    return pd.DataFrame(out, columns=["doc_id", "text", "dropped_segments"])
+
+
+@given(_corpus())
+@settings(**_SETTINGS)
+def test_paragraph_dedup_matches_reference(texts):
+    from raycdc.ops.segdedup import paragraph_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    got = (
+        paragraph_dedup(ds, sep=" ")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _paragraph_dedup_reference(texts, " ")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
