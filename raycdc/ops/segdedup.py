@@ -315,43 +315,31 @@ def paragraph_dedup(
         batch_format="pandas",
     )
     losers = _losers_from_slim(slim, id_col)
-    ldf = losers.to_pandas()
-    if len(ldf) == 0:
-        ldf = pd.DataFrame(
-            {
-                id_col: pd.Series(dtype="int64"),
-                "seg_idx": pd.Series(dtype="int64"),
-            }
-        )
-    if not broadcast:
-        raise NotImplementedError(
-            "paragraph mode currently applies losers via broadcast; "
-            "use segment_dedup(broadcast=False) for the co-partitioned "
-            "path"
-        )
-    losers_ref = ray.put(ldf)
 
-    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        return _rebuild_paragraph_batch(
-            df, ray.get(losers_ref), text_col, id_col, sep
-        )
+    def rebuild(df: pd.DataFrame, lp: pd.DataFrame) -> pd.DataFrame:
+        return _rebuild_paragraph_batch(df, lp, text_col, id_col, sep)
 
-    return ds.map_batches(rebuild, batch_format="pandas")
+    return _apply_losers(ds, losers, rebuild, text_col, id_col, broadcast)
 
 
-def segment_dedup(
+def _apply_losers(
     ds: "ray.data.Dataset",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    words_per_seg: int = 4,
-    broadcast: bool = True,
+    losers: "ray.data.Dataset",
+    rebuild,
+    text_col: str,
+    id_col: str,
+    broadcast: bool,
 ) -> "ray.data.Dataset":
-    """Remove every repeated ``words_per_seg``-word segment from the
-    corpus, keeping only its first occurrence by ``(doc_id,
-    seg_idx)``.  Returns (id, deduped text, dropped_segments) for
-    EVERY input doc (a fully-duplicated doc comes back with empty
-    text, matching the SQL oracle's ``coalesce('')``)."""
-    losers = _loser_segments(ds, text_col, id_col, words_per_seg)
+    """Apply a loser (id, seg_idx) set to the corpus with
+    ``rebuild(docs_df, loser_pairs_df) -> df``.
+
+    ``broadcast=True``: losers collect once to the object store and
+    each corpus batch drops its members locally — right whenever the
+    duplicate-occurrence set fits a worker heap.  ``broadcast=False``:
+    the scale path — losers stay a Dataset and co-partition with the
+    corpus on one hash-partitioned exchange keyed on the doc id
+    (losers padded into a slim tagged-union schema; the corpus
+    carries only id + text)."""
     if broadcast:
         ldf = losers.to_pandas()
         if len(ldf) == 0:
@@ -363,16 +351,11 @@ def segment_dedup(
             )
         losers_ref = ray.put(ldf)
 
-        def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-            return _rebuild_batch(
-                df, ray.get(losers_ref), text_col, id_col, words_per_seg
-            )
+        def bcast_rebuild(df: pd.DataFrame) -> pd.DataFrame:
+            return rebuild(df, ray.get(losers_ref))
 
-        return ds.map_batches(rebuild, batch_format="pandas")
+        return ds.map_batches(bcast_rebuild, batch_format="pandas")
 
-    # no-broadcast path: co-partition corpus rows with their loser
-    # rows on one hash-partitioned exchange (losers padded into the
-    # slim tagged-union schema; corpus carries only id + text)
     from raycdc.ops.relational import hash_partition_reduce
 
     def tag_corpus(df: pd.DataFrame) -> pd.DataFrame:
@@ -401,6 +384,26 @@ def segment_dedup(
         is_doc = df["seg_idx"] < 0
         docs = df.loc[is_doc, [id_col, text_col]]
         lp = df.loc[~is_doc, [id_col, "seg_idx"]]
-        return _rebuild_batch(docs, lp, text_col, id_col, words_per_seg)
+        return rebuild(docs, lp)
 
     return hash_partition_reduce(tagged, [id_col], rebuild_part)
+
+
+def segment_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 4,
+    broadcast: bool = True,
+) -> "ray.data.Dataset":
+    """Remove every repeated ``words_per_seg``-word segment from the
+    corpus, keeping only its first occurrence by ``(doc_id,
+    seg_idx)``.  Returns (id, deduped text, dropped_segments) for
+    EVERY input doc (a fully-duplicated doc comes back with empty
+    text, matching the SQL oracle's ``coalesce('')``)."""
+    losers = _loser_segments(ds, text_col, id_col, words_per_seg)
+
+    def rebuild(df: pd.DataFrame, lp: pd.DataFrame) -> pd.DataFrame:
+        return _rebuild_batch(df, lp, text_col, id_col, words_per_seg)
+
+    return _apply_losers(ds, losers, rebuild, text_col, id_col, broadcast)

@@ -356,6 +356,64 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
     return out
 
 
+def _snapshot_diff_exchange(
+    lake: "Lake", version_old: int, version_new: int
+) -> "object":
+    """snapshot_diff fallback for versions with different partition
+    counts (a reshard in between): both snapshots stream their slim
+    (repo, path, content) projection tagged with a side marker
+    through one hash-partitioned exchange on the key, then each
+    partition classifies its co-located old/new rows locally."""
+    import pandas as pd
+
+    from raycdc.ops.relational import hash_partition_reduce
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["repo", "path", "content"]].copy()
+            out["_side"] = side
+            return out
+
+        return fn
+
+    old = lake.read_dataset(
+        columns=["repo", "path", "content"], version=version_old
+    ).map_batches(tag(0), batch_format="pandas")
+    new = lake.read_dataset(
+        columns=["repo", "path", "content"], version=version_new
+    ).map_batches(tag(1), batch_format="pandas")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0]
+        n = df[df["_side"] == 1]
+        j = o.merge(
+            n,
+            on=["repo", "path"],
+            how="outer",
+            suffixes=("_old", "_new"),
+            indicator=True,
+        )
+        change = pd.Series("update", index=j.index)
+        change[j["_merge"] == "right_only"] = "insert"
+        change[j["_merge"] == "left_only"] = "delete"
+        keep = (j["_merge"] != "both") | (
+            j["content_old"] != j["content_new"]
+        )
+        j = j[keep]
+        return pd.DataFrame(
+            {
+                "repo": j["repo"],
+                "path": j["path"],
+                "change": change[j.index],
+                "content": j["content_new"],
+            }
+        )
+
+    return hash_partition_reduce(
+        old.union(new), ["repo", "path"], classify
+    )
+
+
 def snapshot_diff(
     lake_dir: str,
     version_old: int,
@@ -386,10 +444,10 @@ def snapshot_diff(
     m_old = lake.manifest(version_old)
     m_new = lake.manifest(version_new)
     if m_old["num_partitions"] != m_new["num_partitions"]:
-        raise NotImplementedError(
-            "snapshot_diff across a reshard needs a hash exchange; "
-            "diff before resharding or compare via read_dataset"
-        )
+        # reshard between the versions: partition ids are no longer
+        # comparable, so fall back to ONE hash exchange co-locating
+        # each key's old+new rows (slim projection — key + content)
+        return _snapshot_diff_exchange(lake, version_old, version_new)
     parts_old = lake.part_paths(version_old)
     parts_new = lake.part_paths(version_new)
     deltas_old = lake.delta_paths(version_old)

@@ -528,3 +528,58 @@ def test_snapshot_diff_matches_bruteforce(tmp_path):
 
     # identity diff: no partitions change -> empty, zero reads
     assert snapshot_diff(cfg.lake_dir, v2, v2).count() == 0
+
+
+def test_snapshot_diff_across_reshard(tmp_path):
+    """A reshard between the two versions makes partition ids
+    incomparable — snapshot_diff falls back to the one-exchange path
+    and still equals the brute-force compare."""
+    from raycdc.pipelines.maintenance import repartition_lake, snapshot_diff
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1200, fragment_rows=400, seed=47)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    v1 = lake.versions()[-1]
+    repartition_lake(cfg.lake_dir, 16)
+    _second_window(tmp, cfg.log_dir, n=500, seed=49, start_seq=1200)
+    run_ingest(_cfg(tmp, write_mode="cow", num_partitions=16))
+    v2 = Lake(cfg.lake_dir).versions()[-1]
+
+    got = (
+        snapshot_diff(cfg.lake_dir, v1, v2)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    old = lake.read_table(version=v1).select(
+        ["repo", "path", "content"]
+    ).to_pandas()
+    new = lake.read_table(version=v2).select(
+        ["repo", "path", "content"]
+    ).to_pandas()
+    j = old.merge(
+        new, on=["repo", "path"], how="outer",
+        suffixes=("_old", "_new"), indicator=True,
+    )
+    change = pd.Series("update", index=j.index)
+    change[j["_merge"] == "right_only"] = "insert"
+    change[j["_merge"] == "left_only"] = "delete"
+    keep = (j["_merge"] != "both") | (j["content_old"] != j["content_new"])
+    exp = (
+        pd.DataFrame(
+            {
+                "repo": j.loc[keep, "repo"],
+                "path": j.loc[keep, "path"],
+                "change": change[keep],
+                "content": j.loc[keep, "content_new"],
+            }
+        )
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)

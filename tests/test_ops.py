@@ -989,15 +989,16 @@ def test_paragraph_dedup_planted():
             }
         )
     )
-    out = (
-        paragraph_dedup(ds, sep="\n\n")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    assert out["text"].tolist() == [
-        "alpha beta\n\ngamma delta",
-        "unique one",
-        "same\n\nother",
-    ]
-    assert out["dropped_segments"].tolist() == [0, 1, 1]
+    for broadcast in (True, False):
+        out = (
+            paragraph_dedup(ds, sep="\n\n", broadcast=broadcast)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text"].tolist() == [
+            "alpha beta\n\ngamma delta",
+            "unique one",
+            "same\n\nother",
+        ]
+        assert out["dropped_segments"].tolist() == [0, 1, 1]
