@@ -51,10 +51,10 @@ def _flatten_words(
     df: pd.DataFrame, text_col: str, words_per_seg: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Split every doc on single spaces (DuckDB ``string_split``
-    parity) and return flat arrays: word strings, the doc's row
-    position for each word, word position within the doc, segment
-    index, and per-doc word counts."""
-    words = df[text_col].str.split(" ")
+    parity; null text is treated as empty) and return flat arrays:
+    word strings, the doc's row position for each word, word position
+    within the doc, segment index, and per-doc word counts."""
+    words = df[text_col].fillna("").str.split(" ")
     counts = words.str.len().to_numpy(dtype=np.int64)
     if len(df) == 0 or counts.sum() == 0:
         e = np.array([], dtype=np.int64)
@@ -132,7 +132,7 @@ def _paragraph_hash_rows(
     )
     if len(df) == 0:
         return empty
-    paras = df[text_col].str.split(sep)
+    paras = df[text_col].fillna("").str.split(sep)
     counts = paras.str.len().to_numpy(dtype=np.int64)
     if counts.sum() == 0:
         return empty
@@ -261,7 +261,7 @@ def _rebuild_paragraph_batch(
                 "dropped_segments": dropped,
             }
         )
-    paras = df[text_col].str.split(sep)
+    paras = df[text_col].fillna("").str.split(sep)
     counts = paras.str.len().to_numpy(dtype=np.int64)
     flat = np.concatenate(paras.to_numpy()).astype(object)
     row = np.repeat(np.arange(n_docs, dtype=np.int64), counts)

@@ -130,7 +130,7 @@ def repetition_stats_batch(
     import pandas as pd
 
     n_docs = len(df)
-    words = df[text_col].str.split(" ")
+    words = df[text_col].fillna("").str.split(" ")
     counts = words.str.len().to_numpy(dtype=np.int64)
     doc_ids = df[id_col].to_numpy(dtype=np.int64)
     if n_docs == 0 or counts.sum() == 0:
@@ -196,7 +196,7 @@ def _doc_word_counts(
     per-doc word totals."""
     import pandas as pd
 
-    words = df[text_col].str.split(" ")
+    words = df[text_col].fillna("").str.split(" ")
     counts = words.str.len().to_numpy(dtype=np.int64)
     if len(df) == 0 or counts.sum() == 0:
         e = np.array([], dtype=np.int64)

@@ -1002,3 +1002,27 @@ def test_paragraph_dedup_planted():
             "same\n\nother",
         ]
         assert out["dropped_segments"].tolist() == [0, 1, 1]
+
+
+def test_text_ops_tolerate_null_text():
+    """Null text must never crash a vectorized text stage — it is
+    treated as empty (the engine's null-on-error convention, M6)."""
+    from raycdc.ops.segdedup import paragraph_dedup, segment_dedup
+    from raycdc.ops.text import repetition_stats, top_terms_per_doc
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b c d", None, "a b c d"]),
+            }
+        )
+    )
+    seg = segment_dedup(ds).to_pandas().sort_values("doc_id")
+    assert seg["text"].tolist() == ["a b c d", "", ""]
+    par = paragraph_dedup(ds, sep=" ").to_pandas().sort_values("doc_id")
+    assert par["dropped_segments"].tolist()[2] == 4
+    rep = repetition_stats(ds).to_pandas().sort_values("doc_id")
+    assert rep["word_count"].tolist() == [4, 1, 4]  # "" splits to [""]
+    tt = top_terms_per_doc(ds, k=1).to_pandas()
+    assert len(tt) == 3
