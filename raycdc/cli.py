@@ -104,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
     p_fsck.add_argument("--lake-dir", required=True)
     p_fsck.add_argument("--digests", action="store_true")
 
+    p_look = sub.add_parser(
+        "lookup", help="O(1) point read of one key's current row"
+    )
+    p_look.add_argument("--lake-dir", required=True)
+    p_look.add_argument("--repo", required=True)
+    p_look.add_argument("--path", required=True)
+    p_look.add_argument("--version", type=int, default=None)
+
     p_diff = sub.add_parser(
         "diff",
         help="net insert/update/delete rows between two committed "
@@ -203,6 +211,16 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.maintenance import vacuum
 
         print(json.dumps(vacuum(args.lake_dir)))
+        return 0
+
+    if args.cmd == "lookup":
+        from raycdc.state.checkpoint import Lake
+
+        t = Lake(args.lake_dir).lookup(
+            args.repo, args.path, version=args.version
+        )
+        rows = t.to_pylist()
+        print(json.dumps(rows[0] if rows else {}, default=str))
         return 0
 
     if args.cmd == "diff":

@@ -277,6 +277,49 @@ class Lake:
             resolve, batch_size=1, batch_format="pyarrow"
         )
 
+    def lookup(
+        self,
+        repo: str,
+        path: str,
+        columns=None,
+        version: int | None = None,
+    ) -> pa.Table:
+        """O(1) point read of one key's current row — the CDC
+        state-store access pattern: hash the key to its partition
+        (same ``partition_ids`` the write path uses), resolve ONLY
+        that partition's base + deltas, and filter to the key.
+        Returns a 0- or 1-row table; never touches the other P-1
+        partitions.  ``version`` time-travels like ``read_dataset``."""
+        import numpy as np
+
+        from raycdc.functions.arrowsafe import mask_filter
+        from raycdc.functions.hashing import partition_ids
+        from raycdc.stages.merge import resolve_partition
+
+        m = self.manifest(version)
+        pid = int(
+            partition_ids(
+                np.array([repo], dtype=object),
+                np.array([path], dtype=object),
+                int(m["num_partitions"]),
+            )[0]
+        )
+        base = self.part_paths(version).get(pid)
+        deltas = self.delta_paths(version).get(pid, [])
+        schema = self._lake_schema(m)
+        if base is None and not deltas:
+            t = pa.table(
+                {f.name: pa.array([], f.type) for f in schema}
+            )
+        else:
+            t = resolve_partition(base, deltas, schema)
+        mask = np.logical_and(
+            np.asarray(t["repo"].to_numpy(zero_copy_only=False) == repo),
+            np.asarray(t["path"].to_numpy(zero_copy_only=False) == path),
+        )
+        t = mask_filter(t, mask)
+        return t.select(columns) if columns else t
+
     def read_table(self, columns=None, version: int | None = None) -> pa.Table:
         """Driver-side full read with merge-on-read resolve — small
         lakes / tests only.  ``version`` time-travels like

@@ -583,3 +583,36 @@ def test_snapshot_diff_across_reshard(tmp_path):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_lookup_point_read(tmp_path):
+    """Lake.lookup resolves one key from exactly its partition —
+    present keys return their single current row (also across
+    merge-on-read deltas and time travel), absent keys return 0
+    rows."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1500, fragment_rows=500, seed=61)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    v1 = lake.versions()[-1]
+    _second_window(tmp, cfg.log_dir, n=600, seed=67, start_seq=1500)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+
+    full = lake.read_table().to_pandas()
+    for _, row in full.sample(5, random_state=0).iterrows():
+        got = lake.lookup(row["repo"], row["path"]).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["content"] == row["content"]
+        assert got.iloc[0]["seq"] == row["seq"]
+    assert lake.lookup("no/such", "missing.txt").num_rows == 0
+    # time travel: v1's value for a key that changed in window 2
+    old = lake.read_table(version=v1).to_pandas().set_index(["repo", "path"])
+    changed = full.set_index(["repo", "path"]).join(
+        old, how="inner", rsuffix="_old"
+    )
+    changed = changed[changed["content"] != changed["content_old"]]
+    if len(changed):
+        r, p = changed.index[0]
+        got_old = lake.lookup(r, p, version=v1).to_pandas()
+        assert got_old.iloc[0]["content"] == changed.iloc[0]["content_old"]
