@@ -519,7 +519,8 @@ def _purchase_users(sf_dir):
 def _q_users_no_purchase(sf_dir):
     """Partitioned ANTI join (NOT EXISTS): distinct users minus those
     with a high-value purchase — only the right side's key rides the
-    shuffle."""
+    shuffle, and the Bloom prefilter (exact: no false negatives)
+    bypasses definite non-matches around the exchange entirely."""
     from raycdc.ops.relational import hash_join
 
     return hash_join(
@@ -529,6 +530,7 @@ def _q_users_no_purchase(sf_dir):
         "user_id",
         [],
         how="anti",
+        bloom_bits=1 << 20,
     )
 
 

@@ -439,6 +439,7 @@ def hash_join(
     right_cols: list[str],
     num_partitions: int | None = None,
     how: str = "inner",
+    bloom_bits: int = 0,
 ) -> "ray.data.Dataset":
     """Large-×-large partitioned equi-join.  When neither side fits a
     broadcast (``broadcast_join`` is the small-side path), both sides
@@ -453,6 +454,16 @@ def hash_join(
     NOT-EXISTS semantics: null-keyed left rows are kept, since SQL
     NULL never matches).  Semi/anti move only the right side's KEY
     through the shuffle — ``right_cols`` must be empty.
+
+    ``bloom_bits > 0`` prefilters the LEFT side with a Bloom filter
+    of the right keys (one extra streaming pass over each side; the
+    filter itself is a mergeable zero-shuffle sketch).  A Bloom has
+    no false negatives, so the prefilter is EXACT: left rows whose
+    key is definitely absent are dropped before the shuffle
+    (inner/semi) or bypass it straight to the output (left/anti) —
+    only possible-match rows ride the exchange.  Worth it when the
+    join is selective (most left keys unmatched); false positives
+    merely shuffle extra rows.
 
     Partitioning assumption: all rows of one key value fit a partition
     worker (same co-location contract as the CDC merge itself); heavy
@@ -480,6 +491,28 @@ def hash_join(
     l_fields = list(zip(ls.names, ls.types))
     r_types = dict(zip(rs.names, rs.types))
     key_type = dict(l_fields)[left_on]
+
+    bloom_ref = None
+    if bloom_bits:
+        from raycdc.ops.sketch import bloom_build
+
+        def cast_key(t: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.cast(t[right_on], key_type)})
+
+        bloom_ref = ray.put(
+            bloom_build(
+                right.map_batches(cast_key, batch_format="pyarrow"),
+                "k",
+                num_bits=bloom_bits,
+            )
+        )
+
+    def _bloom_hits(arr) -> np.ndarray:
+        from raycdc.ops.sketch import bloom_contains
+
+        return bloom_contains(
+            ray.get(bloom_ref), arr.to_numpy(zero_copy_only=False)
+        )
 
     def _part(arr) -> pa.Array:
         # nulls reach here only in left/anti mode (they never match, so
@@ -511,6 +544,11 @@ def hash_join(
             t = mask_filter(
                 t, pc.is_valid(t[left_on]).to_numpy(zero_copy_only=False)
             )
+        if bloom_ref is not None:
+            # definite non-matches never ride the exchange: dropped
+            # here for the match-only variants, emitted via the bypass
+            # dataset for left/anti
+            t = mask_filter(t, _bloom_hits(t[left_on]))
         cols = {name: t[name] for name, _ in l_fields}
         for c, oc in zip(right_cols, right_out):
             cols[oc] = pa.nulls(t.num_rows, r_types[c])
@@ -592,8 +630,24 @@ def hash_join(
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
-    return tagged.groupby("_part").map_groups(
+    joined = tagged.groupby("_part").map_groups(
         join_part, batch_format="pandas"
+    )
+    if bloom_ref is None or how in ("inner", "semi"):
+        return joined
+
+    # left/anti bypass: definite non-matches (complement of the exact
+    # same probe tag_left applied) skip the exchange entirely
+    def bypass(t: pa.Table) -> pa.Table:
+        t = mask_filter(t, ~_bloom_hits(t[left_on]))
+        cols = {name: t[name] for name, _ in l_fields}
+        if how == "left":
+            for c, oc in zip(right_cols, right_out):
+                cols[oc] = pa.nulls(t.num_rows, r_types[c])
+        return pa.table(cols)
+
+    return joined.union(
+        left.map_batches(bypass, batch_format="pyarrow")
     )
 
 

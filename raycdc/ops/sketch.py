@@ -139,3 +139,63 @@ def countmin_heavy_hitters(
         .reset_index(drop=True)
     )
     return out
+
+
+def bloom_build(
+    ds: "ray.data.Dataset",
+    col: str,
+    num_bits: int = 1 << 22,
+    k: int = 4,
+) -> np.ndarray:
+    """Bloom filter over a column — the join-prefilter sketch: one
+    streaming pass, each block emits a packed ``num_bits/64``-word
+    partial bitset and the driver ORs them (mergeable, zero shuffle).
+    Membership via ``bloom_contains`` has no false negatives, so a
+    join prefilter built on it can only shuffle EXTRA rows, never
+    drop a match.  Double hashing (h1 + i·h2) gives the k probe
+    positions from two base hashes — the standard Kirsch-Mitzenmacher
+    construction."""
+    words = num_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        bits = np.zeros(words, dtype=np.uint64)
+        if len(vals):
+            h1 = _hash64(vals)
+            h2 = _hash64(vals, seed=1) | np.uint64(1)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+                # bitwise_or.at, NOT fancy |=: duplicate word indices
+                # in one assignment keep only one row's bit otherwise
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        return pa.table({"bits": pa.array([bits.view(np.int64)])})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    out = np.zeros(words, dtype=np.uint64)
+    for b in parts["bits"]:
+        out |= np.asarray(b, dtype=np.int64).view(np.uint64)
+    return out
+
+
+def bloom_contains(
+    bits: np.ndarray, values: np.ndarray, k: int = 4
+) -> np.ndarray:
+    """Vectorized membership probe against a ``bloom_build`` bitset:
+    True = possibly present, False = DEFINITELY absent."""
+    num_bits = np.uint64(len(bits) * 64)
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    h1 = _hash64(values)
+    h2 = _hash64(values, seed=1) | np.uint64(1)
+    hit = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % num_bits
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return hit

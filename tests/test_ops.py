@@ -1026,3 +1026,52 @@ def test_text_ops_tolerate_null_text():
     assert rep["word_count"].tolist() == [4, 1, 4]  # "" splits to [""]
     tt = top_terms_per_doc(ds, k=1).to_pandas()
     assert len(tt) == 3
+
+
+def test_hash_join_bloom_prefilter_exact():
+    """bloom_bits>0 must be output-identical to the plain path for
+    every variant (a Bloom has no false negatives; false positives
+    only shuffle extra rows)."""
+    from raycdc.ops.relational import hash_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 1000, 400)
+    rk = rng.integers(0, 100, 50)  # selective: most left keys unmatched
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(lk, pa.int64()),
+                "lv": pa.array(np.arange(400), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(rk, pa.int64()),
+                "rv": pa.array(np.arange(50), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    for how in ("inner", "left", "semi", "anti"):
+        cols = [] if how in ("semi", "anti") else ["rv"]
+        plain = hash_join(left, right, "k", "rk", cols, how=how).to_pandas()
+        bloom = hash_join(
+            left, right, "k", "rk", cols, how=how, bloom_bits=1 << 16
+        ).to_pandas()
+        sc = sorted(plain.columns)
+        a = plain[sc].sort_values(sc).reset_index(drop=True)
+        b = bloom[sc].sort_values(sc).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_bloom_no_false_negatives():
+    from raycdc.ops.sketch import bloom_build, bloom_contains
+
+    vals = np.arange(5000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals)})).repartition(4)
+    bits = bloom_build(ds, "k", num_bits=1 << 16)
+    assert bloom_contains(bits, vals).all()  # no false negatives, ever
+    probe = np.arange(100000, 110000, dtype=np.int64)
+    fp = bloom_contains(bits, probe).mean()
+    assert fp < 0.05  # 64k bits / 5k keys, k=4 -> ~0.2% expected
