@@ -974,6 +974,23 @@ def _q_ann_ivf(sf_dir):
     return out[["vec_id", "cos"]].reset_index(drop=True)
 
 
+def _q_hll_by_event_type(sf_dir):
+    """Grouped HyperLogLog: distinct-user estimate PER event type —
+    the grouped-sketch pattern (one register array per (batch, group)
+    partial, max-merged; zero shuffle).  Pinned-file oracle;
+    per-group accuracy vs exact is pinned by tests."""
+    from raycdc.ops.sketch import hll_distinct_by
+
+    out = hll_distinct_by(
+        _events(sf_dir, columns=["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+        p=12,
+    )
+    out["distinct_est"] = out["distinct_est"].round(3)
+    return out
+
+
 def _q_hll_user_count(sf_dir):
     """HyperLogLog distinct-user estimate — zero-shuffle mergeable
     sketch (2^12 registers per block partial, max-merge).  Rows-only:
@@ -1335,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "semantic_representatives": _tuned(_q_semantic_representatives),
         "hll_user_count": _tuned(_q_hll_user_count),
+        "hll_by_event_type": _tuned(_q_hll_by_event_type),
         "heavy_hitter_users": _tuned(_q_heavy_hitter_users),
         "lang_id": _tuned(_q_lang_id),
         "fingerprint_docs": _tuned(_q_fingerprint),
@@ -1825,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _pin("kmeans_embeddings"),
         "semantic_representatives": _pin("semantic_representatives"),
         "hll_user_count": _pin("hll_user_count"),
+        "hll_by_event_type": _pin("hll_by_event_type"),
         "heavy_hitter_users": _pin("heavy_hitter_users"),
         "fingerprint_docs": _pin("fingerprint_docs"),
         "media_decode": _pin("media_decode"),

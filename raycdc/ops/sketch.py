@@ -199,3 +199,70 @@ def bloom_contains(
         word = bits[(pos >> np.uint64(6)).astype(np.int64)]
         hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
     return hit
+
+
+def hll_distinct_by(
+    ds: "ray.data.Dataset", group_col: str, col: str, p: int = 12
+) -> "pd.DataFrame":
+    """Grouped HyperLogLog: ``count(distinct col)`` estimate PER
+    ``group_col`` value, the grouped-sketch pattern — each batch
+    emits one 2^p register array per group it saw (mergeable by
+    elementwise max), the driver folds #batches × #groups partials.
+    Zero shuffle; bounded by #groups × 2^p bytes on the driver, so
+    it's for LOW-cardinality group columns (event types, languages,
+    shards) — high-cardinality grouping belongs to exact
+    hash_partition_reduce counting instead.
+
+    Deterministic (same seeded hash as ``hll_distinct``) and the
+    estimate for a group equals ``hll_distinct`` run on that group's
+    rows alone (registers are max-merged, order-free)."""
+    import pandas as pd
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        h = _hash64(vals)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        rank = 64 - np.floor(
+            np.log2(rest.astype(np.float64))
+        ).astype(np.int64)
+        rank = np.clip(rank, 1, 64 - p + 1).astype(np.uint8)
+        gcodes, guniq = pd.factorize(grp)
+        out_g, out_r = [], []
+        for gi in range(len(guniq)):
+            sel = gcodes == gi
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, idx[sel], rank[sel])
+            out_g.append(guniq[gi])
+            out_r.append(regs.tobytes())
+        return pa.table(
+            {
+                "g": pa.array([str(x) for x in out_g], pa.string()),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    merged: dict[str, np.ndarray] = {}
+    for batch in (
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for g, b in zip(batch["g"].to_pylist(), batch["regs"].to_pylist()):
+            cur = merged.get(g)
+            regs = np.frombuffer(b, dtype=np.uint8)
+            merged[g] = regs if cur is None else np.maximum(cur, regs)
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for g in sorted(merged):
+        regs = merged[g]
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        rows.append((g, float(est)))
+    return pd.DataFrame(rows, columns=[group_col, "distinct_est"])

@@ -32,6 +32,7 @@ PINNED = [
     "kmeans_embeddings",
     "semantic_representatives",
     "hll_user_count",
+    "hll_by_event_type",
     "heavy_hitter_users",
     "fingerprint_docs",
     "media_decode",
