@@ -549,6 +549,28 @@ def _q_users_with_purchase(sf_dir):
     )
 
 
+def _q_users_customers_outer(sf_dir):
+    """Partitioned FULL OUTER join: event users × the customer
+    dimension on user_id = c_custkey — matched pairs plus unmatched
+    rows from BOTH sides (null keys never match)."""
+    import ray.data
+
+    from raycdc.ops.relational import hash_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    return hash_join(
+        _distinct_users(sf_dir),
+        cust,
+        "user_id",
+        "c_custkey",
+        ["c_name"],
+        how="outer",
+    )
+
+
 def _q_customer_order_counts(sf_dir):
     """Partitioned LEFT join: customers against per-customer order
     counts (counts pre-aggregated map-side so only partials shuffle;
@@ -1331,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_no_purchase": _tuned(_q_users_no_purchase),
         "users_with_purchase": _tuned(_q_users_with_purchase),
         "customer_order_counts": _tuned(_q_customer_order_counts),
+        "users_customers_outer": _tuned(_q_users_customers_outer),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_ngram": _tuned(_q_dedup_ngram),
@@ -1600,6 +1623,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM events e
               WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
                 AND e.value > 180)
+        """,
+        "users_customers_outer": """
+            SELECT coalesce(u.user_id, c.c_custkey) AS user_id,
+                   c.c_name AS c_name_r
+            FROM (SELECT DISTINCT user_id FROM events) u
+            FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
         """,
         "customer_order_counts": """
             SELECT c.c_custkey, c.c_name, o.cnt AS cnt_r

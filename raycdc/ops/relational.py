@@ -472,8 +472,11 @@ def hash_join(
     """
     import pyarrow.compute as pc
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"unknown how {how!r}")
+    if how == "outer" and bloom_bits:
+        raise ValueError("bloom prefilter cannot apply to a full outer "
+                         "join (every row of both sides surfaces)")
     if how in ("semi", "anti") and right_cols:
         raise ValueError(
             f"{how} join returns left columns only; pass right_cols=[]"
@@ -557,9 +560,12 @@ def hash_join(
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        t = mask_filter(
-            t, pc.is_valid(t[right_on]).to_numpy(zero_copy_only=False)
-        )
+        # null right keys never MATCH; they only surface in a full
+        # outer join, so every other variant drops them early
+        if how != "outer":
+            t = mask_filter(
+                t, pc.is_valid(t[right_on]).to_numpy(zero_copy_only=False)
+            )
         # hash the key AFTER casting to the left key type so both sides
         # partition on identical values (int-vs-float hash divergence
         # would silently drop matches)
@@ -609,6 +615,19 @@ def hash_join(
             # NOT-EXISTS
             hit = lhs[left_on].isin(rhs[left_on].unique())
             merged = lhs[hit] if how == "semi" else lhs[~hit]
+        elif how == "outer":
+            # SQL FULL OUTER: null keys never match — merge the
+            # non-null key subsets (pandas would match NaN == NaN),
+            # then append both sides' null-key rows as unmatched
+            lk, rk = lhs[left_on].notna(), rhs[left_on].notna()
+            merged = pd.concat(
+                [
+                    lhs[lk].merge(rhs[rk], on=left_on, how="outer"),
+                    lhs[~lk],
+                    rhs[~rk],
+                ],
+                ignore_index=True,
+            )
         else:
             merged = lhs.merge(rhs, on=left_on, how=how)
         merged = merged.copy()

@@ -1102,3 +1102,42 @@ def test_hll_distinct_by_groups():
     sub = ds.filter(lambda r: r["g"] == "b")
     solo = hll_distinct(sub, "v")["estimate"]
     assert abs(solo - out["b"]) < 1e-9
+
+
+def test_hash_join_outer_semantics():
+    """FULL OUTER: matched rows merge, unmatched from BOTH sides
+    surface, and null keys never match (each null-key row appears
+    once, unmatched — unlike pandas' NaN==NaN merge)."""
+    from raycdc.ops.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, None], pa.int64()),
+                "lv": pa.array([10, 20, 30], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([2, 3, None], pa.int64()),
+                "rv": pa.array([200, 300, 999], pa.int64()),
+            }
+        )
+    )
+    out = (
+        hash_join(left, right, "k", "rk", ["rv"], how="outer")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv_r"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5  # 1 match + left-only(1, null) + right-only(3, null)
+    m = out[(out["k"] == 2)]
+    assert m["lv"].tolist() == [20] and m["rv_r"].tolist() == [200]
+    lonly = out[(out["k"] == 1)]
+    assert lonly["lv"].tolist() == [10] and pd.isna(lonly["rv_r"]).all()
+    ronly = out[(out["k"] == 3)]
+    assert pd.isna(ronly["lv"]).all() and ronly["rv_r"].tolist() == [300]
+    nullk = out[pd.isna(out["k"])]
+    assert len(nullk) == 2  # one from each side, never matched together
