@@ -440,6 +440,9 @@ def hash_join(
     num_partitions: int | None = None,
     how: str = "inner",
     bloom_bits: int = 0,
+    skew_salt: int = 0,
+    hot_keys: list | None = None,
+    hot_threshold: int | None = None,
 ) -> "ray.data.Dataset":
     """Large-×-large partitioned equi-join.  When neither side fits a
     broadcast (``broadcast_join`` is the small-side path), both sides
@@ -465,6 +468,16 @@ def hash_join(
     join is selective (most left keys unmatched); false positives
     merely shuffle extra rows.
 
+    ``skew_salt > 0`` is the fragment-replicate skew join: hot LEFT
+    keys (``hot_keys``, or Count-Min-detected over the left key when
+    None) have their left rows SPLIT across ``skew_salt`` salted
+    partitions by a row hash while their right rows are REPLICATED to
+    all ``skew_salt`` salted partitions — one monster key stops
+    serializing on a single worker.  Exact for inner/left/semi/anti
+    (left rows split disjointly; right replicas only surface through
+    matches); not applicable to outer, which raises (an unmatched
+    replicated right row would surface once per replica).
+
     Partitioning assumption: all rows of one key value fit a partition
     worker (same co-location contract as the CDC merge itself); heavy
     key skew costs time inside its partition, never a cross-partition
@@ -477,6 +490,11 @@ def hash_join(
     if how == "outer" and bloom_bits:
         raise ValueError("bloom prefilter cannot apply to a full outer "
                          "join (every row of both sides surfaces)")
+    if skew_salt and how == "outer":
+        raise ValueError(
+            "skew_salt cannot apply to a full outer join: an unmatched "
+            "replicated right row would surface once per replica"
+        )
     if how in ("semi", "anti") and right_cols:
         raise ValueError(
             f"{how} join returns left columns only; pass right_cols=[]"
@@ -517,12 +535,13 @@ def hash_join(
             ray.get(bloom_ref), arr.to_numpy(zero_copy_only=False)
         )
 
-    def _part(arr) -> pa.Array:
-        # nulls reach here only in left/anti mode (they never match, so
-        # their partition is arbitrary) — but they MUST be filled before
-        # to_numpy, or an int64-with-nulls column degrades to float64
-        # and the hash diverges from the other side's int hash, silently
-        # separating matching rows into different partitions
+    def _key_hash(arr) -> np.ndarray:
+        # nulls reach here only in left/anti/outer mode (they never
+        # match, so their partition is arbitrary) — but they MUST be
+        # filled before to_numpy, or an int64-with-nulls column
+        # degrades to float64 and the hash diverges from the other
+        # side's int hash, silently separating matching rows into
+        # different partitions
         if arr.null_count:
             import pyarrow.types as pat
 
@@ -534,10 +553,36 @@ def hash_join(
             else:
                 fill = pc.cast(pa.scalar(0, pa.int64()), t)
             arr = pc.fill_null(arr, fill)
-        h = pd.util.hash_pandas_object(
+        return pd.util.hash_pandas_object(
             pd.Series(arr.to_numpy(zero_copy_only=False)), index=False
         ).to_numpy()
-        return pa.array((h % num_partitions).astype(np.int64))
+
+    _SALT_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _salted_part(h: np.ndarray, s) -> np.ndarray:
+        # salt 0 equals the plain partition, so unsalted rows and
+        # replica 0 land together by construction
+        return (
+            (h + np.asarray(s, dtype=np.uint64) * _SALT_GOLD)
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+
+    def _part(arr) -> pa.Array:
+        return pa.array(_salted_part(_key_hash(arr), 0))
+
+    hot_ref = None
+    if skew_salt:
+        if hot_keys is None:
+            if hot_threshold is None:
+                raise ValueError(
+                    "skew_salt needs hot_keys or hot_threshold "
+                    "(Count-Min detection cutoff)"
+                )
+            hot_keys = detect_hot_keys(
+                left.select_columns([left_on]), left_on, hot_threshold
+            )
+        if hot_keys:
+            hot_ref = ray.put(np.asarray(list(hot_keys), dtype=object))
 
     def tag_left(t: pa.Table) -> pa.Table:
         # SQL semantics: NULL keys never MATCH — drop early for the
@@ -556,7 +601,20 @@ def hash_join(
         for c, oc in zip(right_cols, right_out):
             cols[oc] = pa.nulls(t.num_rows, r_types[c])
         cols["_side"] = pa.array(np.zeros(t.num_rows, np.uint8))
-        cols["_part"] = _part(t[left_on])
+        if hot_ref is None:
+            cols["_part"] = _part(t[left_on])
+        else:
+            # fragment side of the skew join: a hot key's left rows
+            # spread across skew_salt salted partitions (split, never
+            # duplicated — any per-row salt preserves correctness)
+            h = _key_hash(t[left_on])
+            vals = t[left_on].to_numpy(zero_copy_only=False)
+            is_hot = np.isin(vals, ray.get(hot_ref))
+            salt = np.zeros(t.num_rows, dtype=np.uint64)
+            salt[is_hot] = np.arange(int(is_hot.sum()), dtype=np.uint64) % (
+                np.uint64(skew_salt)
+            )
+            cols["_part"] = pa.array(_salted_part(h, salt))
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -579,8 +637,28 @@ def hash_join(
         for c, oc in zip(right_cols, right_out):
             cols[oc] = t[c]
         cols["_side"] = pa.array(np.ones(t.num_rows, np.uint8))
-        cols["_part"] = _part(key)
-        return pa.table(cols)
+        if hot_ref is None:
+            cols["_part"] = pa.array(_salted_part(_key_hash(key), 0))
+            return pa.table(cols)
+        # replicate side of the skew join: a hot key's right rows go to
+        # EVERY salted partition (replicas only surface through
+        # matches, so inner/left/semi/anti stay exact)
+        h = _key_hash(key)
+        vals = key.to_numpy(zero_copy_only=False)
+        is_hot = np.isin(vals, ray.get(hot_ref))
+        base = pa.table({**cols, "_part": pa.array(_salted_part(h, 0))})
+        if not is_hot.any() or skew_salt <= 1:
+            return base
+        hot_rows = mask_filter(pa.table(cols), is_hot)
+        hh = h[is_hot]
+        replicas = [base]
+        for s in range(1, skew_salt):
+            replicas.append(
+                hot_rows.append_column(
+                    "_part", pa.array(_salted_part(hh, s))
+                )
+            )
+        return pa.concat_tables(replicas)
 
     # arrow-derived dtype repair (same pitfall as asof_join): the mixed
     # tagged frame floats integer right columns wherever left-tagged

@@ -1141,3 +1141,59 @@ def test_hash_join_outer_semantics():
     assert pd.isna(ronly["lv"]).all() and ronly["rv_r"].tolist() == [300]
     nullk = out[pd.isna(out["k"])]
     assert len(nullk) == 2  # one from each side, never matched together
+
+
+def test_hash_join_skew_salt_exact():
+    """Fragment-replicate skew join: with one zipfian monster key the
+    salted path must be output-identical to the plain path for
+    inner/left/semi/anti (hot left rows split, hot right rows
+    replicated — replicas only surface through matches)."""
+    from raycdc.ops.relational import hash_join
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    lk = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, n)).astype(
+        np.int64
+    )  # 80% of left rows share key 7
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(lk),
+                "lv": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    rk = np.concatenate([np.array([7, 7, 7]), np.arange(0, 40)]).astype(
+        np.int64
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(rk),
+                "rv": pa.array(np.arange(len(rk)) * 10, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    for how in ("inner", "left", "semi", "anti"):
+        cols = [] if how in ("semi", "anti") else ["rv"]
+        plain = hash_join(left, right, "k", "rk", cols, how=how).to_pandas()
+        salted = hash_join(
+            left, right, "k", "rk", cols, how=how,
+            skew_salt=4, hot_keys=[7],
+        ).to_pandas()
+        sc = sorted(plain.columns)
+        a = plain[sc].sort_values(sc).reset_index(drop=True)
+        b = salted[sc].sort_values(sc).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), how
+    # detection path: hot_threshold drives Count-Min detection
+    auto = hash_join(
+        left, right, "k", "rk", ["rv"], how="inner",
+        skew_salt=4, hot_threshold=500,
+    ).to_pandas()
+    plain = hash_join(left, right, "k", "rk", ["rv"], how="inner").to_pandas()
+    sc = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        auto[sc].sort_values(sc).reset_index(drop=True),
+        plain[sc].sort_values(sc).reset_index(drop=True),
+        check_dtype=False,
+    )
