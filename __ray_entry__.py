@@ -571,6 +571,48 @@ def _q_users_customers_outer(sf_dir):
     )
 
 
+def _event_pairs(sf_dir, lo: float, hi: float | None = None):
+    """Distinct (user_id, event_type) pairs with value in (lo, hi]."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raycdc.functions.arrowsafe import mask_filter
+
+    def pick(t):
+        m = pc.greater(t["value"], lo)
+        if hi is not None:
+            m = pc.and_(m, pc.less_equal(t["value"], hi))
+        return mask_filter(
+            t.select(["user_id", "event_type"]),
+            np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool),
+        )
+
+    return _events(
+        sf_dir, columns=["user_id", "event_type", "value"]
+    ).map_batches(pick, batch_format="pyarrow")
+
+
+def _q_pairs_except(sf_dir):
+    """SQL EXCEPT as a distributed set op: (user, event_type) pairs
+    seen above value 100 minus pairs seen above 180 — per-batch
+    distinct map-side, one full-row hash exchange."""
+    from raycdc.ops.relational import except_rows
+
+    return except_rows(
+        _event_pairs(sf_dir, 100.0), _event_pairs(sf_dir, 180.0)
+    )
+
+
+def _q_pairs_intersect(sf_dir):
+    """SQL INTERSECT: pairs seen both at low values (≤100) and at
+    high values (>180)."""
+    from raycdc.ops.relational import intersect_rows
+
+    return intersect_rows(
+        _event_pairs(sf_dir, -1.0, 100.0), _event_pairs(sf_dir, 180.0)
+    )
+
+
 def _q_customer_order_counts(sf_dir):
     """Partitioned LEFT join: customers against per-customer order
     counts (counts pre-aggregated map-side so only partials shuffle;
@@ -1354,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_with_purchase": _tuned(_q_users_with_purchase),
         "customer_order_counts": _tuned(_q_customer_order_counts),
         "users_customers_outer": _tuned(_q_users_customers_outer),
+        "pairs_except": _tuned(_q_pairs_except),
+        "pairs_intersect": _tuned(_q_pairs_intersect),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_ngram": _tuned(_q_dedup_ngram),
@@ -1623,6 +1667,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM events e
               WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
                 AND e.value > 180)
+        """,
+        "pairs_except": """
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE value > 100
+            EXCEPT
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE value > 180
+        """,
+        "pairs_intersect": """
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE value > -1 AND value <= 100
+            INTERSECT
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE value > 180
         """,
         "users_customers_outer": """
             SELECT coalesce(u.user_id, c.c_custkey) AS user_id,

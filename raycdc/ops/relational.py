@@ -272,6 +272,69 @@ def latest_by_key(
     return hash_partition_reduce(partial, key_cols, combine)
 
 
+def except_rows(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SQL ``EXCEPT``: distinct left rows not present in right.
+    Both sides reduce to per-batch distinct rows map-side, then one
+    tagged-union hash exchange on the full-row hash co-locates
+    identical rows; each partition drops left rows that meet a right
+    row (full-column equality check inside the partition guards the
+    ~2^-64 hash collision).  Shuffled volume is bounded by the
+    DISTINCT row count of each side, never the raw row count."""
+    return _set_op(left, right, "except", num_partitions)
+
+
+def intersect_rows(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SQL ``INTERSECT``: distinct rows present in both sides (same
+    shape as ``except_rows``)."""
+    return _set_op(left, right, "intersect", num_partitions)
+
+
+def _set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    op: str,
+    num_partitions: int | None,
+) -> "ray.data.Dataset":
+    cols = list(left.schema().names)
+    if list(right.schema().names) != cols:
+        raise ValueError(
+            f"set ops need identical schemas: {cols} vs "
+            f"{list(right.schema().names)}"
+        )
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.drop_duplicates(cols).copy()
+            out["_side"] = np.uint8(side)
+            return out
+
+        return fn
+
+    tagged = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0].drop(columns=["_side"]).drop_duplicates(cols)
+        r = df[df["_side"] == 1].drop(columns=["_side"]).drop_duplicates(cols)
+        m = l.merge(r, on=cols, how="left", indicator=True)
+        if op == "except":
+            keep = m[m["_merge"] == "left_only"]
+        else:
+            keep = m[m["_merge"] == "both"]
+        return keep.drop(columns=["_merge"])
+
+    return hash_partition_reduce(tagged, cols, reduce_part, num_partitions)
+
+
 def group_zscore(
     ds: "ray.data.Dataset",
     key_cols: list[str],

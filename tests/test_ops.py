@@ -1197,3 +1197,36 @@ def test_hash_join_skew_salt_exact():
         plain[sc].sort_values(sc).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_set_ops_null_and_dup_semantics():
+    """EXCEPT/INTERSECT are DISTINCT set ops with SQL null semantics
+    (NULL IS NOT DISTINCT FROM NULL — null rows compare equal, which
+    pandas NaN-merge matches)."""
+    from raycdc.ops.relational import except_rows, intersect_rows
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 2, None], pa.int64()),
+                "b": pa.array(["x", "x", "y", "z"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([2, None, 5], pa.int64()),
+                "b": pa.array(["y", "z", "q"]),
+            }
+        )
+    )
+    ex = except_rows(left, right).to_pandas()
+    assert len(ex) == 1 and ex.iloc[0]["a"] == 1  # dups collapsed, (2,y) and (None,z) removed
+    it = (
+        intersect_rows(left, right)
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    assert it["b"].tolist() == ["y", "z"]  # includes the null-keyed row
