@@ -651,6 +651,18 @@ def _q_segment_dedup(sf_dir):
     return segment_dedup(_docs_light(sf_dir), words_per_seg=4)
 
 
+def _q_user_running_spend(sf_dir):
+    """Cumulative window: running per-user spend ordered by the
+    replay cursor — exact integer-cents accumulation so the running
+    sums are bit-identical to the serial oracle."""
+    from raycdc.ops.relational import running_sum_by_key
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    return running_sum_by_key(
+        ds, ["user_id"], "event_id", "value", out_col="running_spend"
+    ).select_columns(["user_id", "event_id", "running_spend"])
+
+
 def _q_event_value_zscore(sf_dir):
     """Per-user z-score of purchase values in exact integer-cents
     arithmetic: associative (n, Σx, Σx²) partials + broadcast stats;
@@ -1390,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _tuned(_q_repetition_stats),
         "top_terms": _tuned(_q_top_terms),
         "event_value_zscore": _tuned(_q_event_value_zscore),
+        "user_running_spend": _tuned(_q_user_running_spend),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
         "users_no_purchase": _tuned(_q_users_no_purchase),
@@ -1574,6 +1587,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "user_running_spend": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY event_id)
+                        AS DOUBLE) / 100.0 AS running_spend
+            FROM events
         """,
         "event_value_zscore": """
             WITH c AS (

@@ -399,6 +399,33 @@ def group_zscore(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def running_sum_by_key(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    scale: int = 100,
+) -> "ray.data.Dataset":
+    """Cumulative window aggregate: ``sum(value) OVER (PARTITION BY
+    key ORDER BY order_col)`` — one per-key hash exchange, then a
+    C-speed per-partition sort + grouped cumsum.  Values accumulate
+    as exact scaled integers (int64 cents) so the running sum is
+    bit-identical to any serial oracle regardless of partitioning;
+    the output divides back to a float64 at the end."""
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(key_cols + [order_col], kind="mergesort").copy()
+        out["_c"] = np.round(out[value_col].to_numpy() * scale).astype(
+            np.int64
+        )
+        run = out.groupby(key_cols, sort=False)["_c"].cumsum()
+        out[out_col] = run.to_numpy() / float(scale)
+        return out.drop(columns=["_c"])
+
+    return hash_partition_reduce(ds, key_cols, cum)
+
+
 def scd2_history(
     ds: "ray.data.Dataset",
     key_cols: list[str],
