@@ -651,6 +651,42 @@ def _q_segment_dedup(sf_dir):
     return segment_dedup(_docs_light(sf_dir), words_per_seg=4)
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _q_user_event_pivot(sf_dir):
+    """PIVOT: per-user count column per event type (conditional
+    aggregation; indicator-matrix partials, one small exchange)."""
+    from raycdc.ops.relational import pivot_counts
+
+    return pivot_counts(
+        _events(sf_dir, columns=["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+        _EVENT_TYPES,
+    )
+
+
+def _q_user_event_unpivot(sf_dir):
+    """UNPIVOT: the pivot melted back to long (user_id, event_type,
+    n) — wide→long is a zero-shuffle per-batch reshape."""
+    from raycdc.ops.relational import pivot_counts, unpivot
+
+    wide = pivot_counts(
+        _events(sf_dir, columns=["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+        _EVENT_TYPES,
+    )
+    return unpivot(
+        wide,
+        ["user_id"],
+        [f"n_{c}" for c in _EVENT_TYPES],
+        var_name="event_type",
+        value_name="n",
+    )
+
+
 def _q_user_running_spend(sf_dir):
     """Cumulative window: running per-user spend ordered by the
     replay cursor — exact integer-cents accumulation so the running
@@ -1403,6 +1439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _tuned(_q_top_terms),
         "event_value_zscore": _tuned(_q_event_value_zscore),
         "user_running_spend": _tuned(_q_user_running_spend),
+        "user_event_pivot": _tuned(_q_user_event_pivot),
+        "user_event_unpivot": _tuned(_q_user_event_unpivot),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
         "users_no_purchase": _tuned(_q_users_no_purchase),
@@ -1587,6 +1625,45 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "user_event_unpivot": """
+            WITH wide AS (
+              SELECT user_id,
+                     CAST(count(*) FILTER (WHERE event_type = 'click')
+                          AS BIGINT) AS n_click,
+                     CAST(count(*) FILTER (WHERE event_type = 'view')
+                          AS BIGINT) AS n_view,
+                     CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                          AS BIGINT) AS n_purchase,
+                     CAST(count(*) FILTER (WHERE event_type = 'signup')
+                          AS BIGINT) AS n_signup,
+                     CAST(count(*) FILTER (WHERE event_type = 'error')
+                          AS BIGINT) AS n_error
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, 'n_click' AS event_type, n_click AS n FROM wide
+            UNION ALL
+            SELECT user_id, 'n_view', n_view FROM wide
+            UNION ALL
+            SELECT user_id, 'n_purchase', n_purchase FROM wide
+            UNION ALL
+            SELECT user_id, 'n_signup', n_signup FROM wide
+            UNION ALL
+            SELECT user_id, 'n_error', n_error FROM wide
         """,
         "user_running_spend": """
             SELECT user_id, event_id,

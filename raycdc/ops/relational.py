@@ -399,6 +399,59 @@ def group_zscore(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    pivot_col: str,
+    categories: list[str],
+    prefix: str = "n_",
+) -> "ray.data.Dataset":
+    """PIVOT: one row per key with a count column per category
+    (``prefix{cat}``).  Classic conditional aggregation — per batch an
+    indicator-matrix groupby produces partial count columns, then one
+    small hash exchange sums partials; values outside ``categories``
+    are ignored (SQL FILTER semantics).  The category list is
+    explicit because the output SCHEMA must be known up front — at
+    scale discover it first with ``value_histogram``."""
+    cat_cols = [f"{prefix}{c}" for c in categories]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[key_cols].copy()
+        pv = df[pivot_col].to_numpy()
+        for cat, cc in zip(categories, cat_cols):
+            out[cc] = (pv == cat).astype(np.int64)
+        return out.groupby(key_cols, sort=False, as_index=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_cols, sort=False, as_index=False).sum()
+
+    return hash_partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), key_cols, merge
+    )
+
+
+def unpivot(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> "ray.data.Dataset":
+    """UNPIVOT/melt: wide → long, one output row per (key, value
+    column).  Pure per-batch reshape (pandas ``melt``) — embarrassingly
+    parallel, zero shuffle."""
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(
+            id_vars=key_cols,
+            value_vars=value_cols,
+            var_name=var_name,
+            value_name=value_name,
+        )
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
 def running_sum_by_key(
     ds: "ray.data.Dataset",
     key_cols: list[str],
