@@ -1,0 +1,110 @@
+"""Steady-state dedup wired into the continuous tail loop: an
+``on_round`` hook for ``run_follow`` that keeps a persistent MinHash
+band index in lockstep with the lake and reports near-dup pairs for
+every arriving window.
+
+Composition of three existing pieces, no new machinery:
+
+- ``maintenance.snapshot_diff(v_prev, v_now)`` extracts exactly the
+  rows this round changed (zero-shuffle per-partition version diff) —
+  the window's documents without re-reading the log;
+- ``dedup.incremental_minhash_pairs`` dedups those docs against the
+  index in O(window + touched index partitions), verifying candidates
+  with texts gathered late from the lake;
+- the append is idempotent via ``window_id = run_id``, so a crashed
+  round retries exactly like the lake commit it mirrors.
+
+Doc identity is ``stable_key_hash(repo, path)`` (the lake's own key
+hash, as int64), so a path's content UPDATE re-probes the index under
+the same id and its pairs refresh naturally.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raycdc.state.checkpoint import Lake
+
+
+def _doc_view(ds) -> "object":
+    """(repo, path, content) rows → (doc_id, text); deletes/null
+    content dropped (nothing to shingle)."""
+
+    def to_docs(df: pd.DataFrame) -> pd.DataFrame:
+        from raycdc.functions.hashing import stable_key_hash
+
+        df = df[df["content"].notna()]
+        return pd.DataFrame(
+            {
+                "doc_id": stable_key_hash(
+                    df["repo"].to_numpy(), df["path"].to_numpy()
+                ).view(np.int64),
+                "text": df["content"].to_numpy(),
+            }
+        )
+
+    return ds.map_batches(to_docs, batch_format="pandas")
+
+
+def make_dedup_on_round(
+    lake_dir: str,
+    index_dir: str,
+    threshold: float = 0.8,
+    pairs_root: str | None = None,
+    on_pairs=None,
+    **index_kwargs,
+):
+    """Build the ``run_follow(on_round=...)`` hook.
+
+    First non-noop round bootstraps the index from the lake's full
+    current state; every later round diffs the last two committed
+    versions, dedups the changed docs against the index, appends
+    their band rows (idempotent per run_id), and delivers the pairs —
+    to ``on_pairs(run_id, pairs_df)`` and/or as Parquet under
+    ``pairs_root/run_id/``."""
+    from raycdc.ops.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    def on_round(res) -> None:
+        if res.no_op:
+            return
+        lake = Lake(lake_dir)
+        vs = lake.versions()
+        if not os.path.exists(os.path.join(index_dir, "_index_meta.json")):
+            build_minhash_index(
+                _doc_view(lake.read_dataset(columns=["repo", "path", "content"])),
+                index_dir,
+                **index_kwargs,
+            )
+            return
+        if len(vs) < 2:
+            return
+        changed = snapshot_diff(lake_dir, vs[-2], vs[-1])
+        new_docs = _doc_view(changed)
+        corpus = _doc_view(
+            lake.read_dataset(columns=["repo", "path", "content"])
+        )
+        out_dir = (
+            os.path.join(pairs_root, res.run_id) if pairs_root else None
+        )
+        pairs = incremental_minhash_pairs(
+            new_docs,
+            corpus,
+            index_dir,
+            threshold=threshold,
+            window_id=res.run_id,
+            out_dir=out_dir,
+        )
+        if on_pairs is not None:
+            if not isinstance(pairs, pd.DataFrame):
+                pairs = pairs.to_pandas()
+            on_pairs(res.run_id, pairs)
+
+    return on_round

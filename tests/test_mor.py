@@ -616,3 +616,86 @@ def test_lookup_point_read(tmp_path):
         r, p = changed.index[0]
         got_old = lake.lookup(r, p, version=v1).to_pandas()
         assert got_old.iloc[0]["content"] == changed.iloc[0]["content_old"]
+
+
+def test_follow_with_dedup_on_round(tmp_path):
+    """Steady-state dedup in the tail loop: round 1 bootstraps the
+    MinHash index from the lake, a later window inserts a near-copy of
+    an existing doc, and the on_round hook reports the pair by
+    diffing the last two lake versions and probing the index —
+    without recomputing corpus signatures."""
+    import pyarrow.parquet as pq_mod
+
+    from raycdc.pipelines.cdc import run_follow
+    from raycdc.pipelines.dedup_follow import make_dedup_on_round
+    from raycdc.functions.hashing import stable_key_hash
+    import numpy as np
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 600, fragment_rows=600, seed=71)
+    seen: list = []
+
+    dedup_hook = make_dedup_on_round(
+        cfg.lake_dir,
+        os.path.join(tmp, "mhindex"),
+        threshold=0.6,
+        on_pairs=lambda run_id, pairs: seen.append((run_id, pairs)),
+    )
+
+    fed = {"done": False}
+
+    def on_round(res):
+        dedup_hook(res)
+        if not fed["done"]:
+            fed["done"] = True
+            # window 2: one brand-new path whose content is a
+            # near-copy (one appended token) of a doc now in the lake
+            lake_now = Lake(cfg.lake_dir).read_table().to_pandas()
+            src = lake_now.sort_values(["repo", "path"]).iloc[0]
+            fed["src"] = (src["repo"], src["path"])
+            t = pa.table(
+                {
+                    "seq": pa.array([600], pa.int64()),
+                    "ts": pa.array([1_717_200_000_000_000], pa.timestamp("us")),
+                    "op": pa.array(["insert"]),
+                    "repo": pa.array(["dup/repo"]),
+                    "path": pa.array(["near_copy.txt"]),
+                    "commit": pa.array(["c" * 40]),
+                    "lang": pa.array(["py"]),
+                    "content": pa.array([src["content"] + " extra"]),
+                    "content_len": pa.array(
+                        [len(src["content"]) + 6], pa.int32()
+                    ),
+                    "payload_json": pa.array(['{"author":{"name":"x"}}']),
+                }
+            )
+            pq_mod.write_table(
+                t, os.path.join(cfg.log_dir, "fragment-600-0000.parquet")
+            )
+
+    import pandas as pd
+
+    run_follow(
+        cfg,
+        stop_after_idle_rounds=2,
+        on_round=on_round,
+        _sleep=lambda s: None,
+    )
+    all_pairs = pd.concat([p for _, p in seen]) if seen else pd.DataFrame()
+    assert len(all_pairs) >= 1
+    src_repo, src_path = fed["src"]
+    a = np.int64(
+        stable_key_hash(
+            np.array([src_repo], object), np.array([src_path], object)
+        ).view(np.int64)[0]
+    )
+    b = np.int64(
+        stable_key_hash(
+            np.array(["dup/repo"], object),
+            np.array(["near_copy.txt"], object),
+        ).view(np.int64)[0]
+    )
+    expect = (min(a, b), max(a, b))
+    got = set(zip(all_pairs["id_a"].astype(np.int64), all_pairs["id_b"].astype(np.int64)))
+    assert expect in got, (expect, got)
