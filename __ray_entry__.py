@@ -654,6 +654,26 @@ def _q_segment_dedup(sf_dir):
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
+def _q_part_qty_price_corr(sf_dir):
+    """Pearson correlation per group in exact integer arithmetic:
+    corr(l_quantity, l_extendedprice) per part — associative integer
+    partials, one tiny exchange, two IEEE sqrts + one division, so
+    the spelled-out-sums SQL oracle is bit-identical (a library
+    corr() would not be: float accumulation is order-dependent)."""
+    import ray.data
+
+    from raycdc.ops.relational import group_corr
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    return group_corr(
+        li, ["l_partkey"], "l_quantity", "l_extendedprice",
+        x_scale=1, y_scale=100,
+    )
+
+
 def _q_user_event_pivot(sf_dir):
     """PIVOT: per-user count column per event type (conditional
     aggregation; indicator-matrix partials, one small exchange)."""
@@ -1440,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_zscore": _tuned(_q_event_value_zscore),
         "user_running_spend": _tuned(_q_user_running_spend),
         "user_event_pivot": _tuned(_q_user_event_pivot),
+        "part_qty_price_corr": _tuned(_q_part_qty_price_corr),
         "user_event_unpivot": _tuned(_q_user_event_unpivot),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
@@ -1625,6 +1646,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "part_qty_price_corr": """
+            WITH c AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+            ),
+            g AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM c GROUP BY l_partkey
+            )
+            SELECT l_partkey,
+                   CASE WHEN n * sxx - sx * sx = 0
+                          OR n * syy - sy * sy = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                   END AS corr
+            FROM g
         """,
         "user_event_pivot": """
             SELECT user_id,

@@ -399,6 +399,83 @@ def group_zscore(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def group_corr(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+    out_col: str = "corr",
+) -> "pd.DataFrame":
+    """Pearson correlation of two fixed-point columns per group, in
+    EXACT arithmetic: per-batch (n, Σx, Σy, Σxy, Σx², Σy²) integer
+    partials fold associatively map-side, one tiny exchange merges
+    them, and the final
+    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²̂) · sqrt(n·Σy² − Σy²̂))``
+    uses only exact int64 terms, two IEEE-rounded sqrts and one
+    division — so a SQL oracle spelling out the same sums reproduces
+    it bit-identically (a library ``corr()`` would not: Welford-style
+    float accumulation is order-dependent).  Zero-variance groups
+    yield 0.0.  Bound: n·Σx² must fit int64 (documented, same
+    contract as ``group_zscore``)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["_x"] = np.round(g[x_col].to_numpy() * x_scale).astype(np.int64)
+        g["_y"] = np.round(g[y_col].to_numpy() * y_scale).astype(np.int64)
+        g["_xx"] = g["_x"] * g["_x"]
+        g["_yy"] = g["_y"] * g["_y"]
+        g["_xy"] = g["_x"] * g["_y"]
+        return g.groupby(key_cols, sort=False, as_index=False).agg(
+            n=("_x", "size"),
+            sx=("_x", "sum"),
+            sy=("_y", "sum"),
+            sxx=("_xx", "sum"),
+            syy=("_yy", "sum"),
+            sxy=("_xy", "sum"),
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_cols, sort=False, as_index=False).agg(
+            n=("n", "sum"),
+            sx=("sx", "sum"),
+            sy=("sy", "sum"),
+            sxx=("sxx", "sum"),
+            syy=("syy", "sum"),
+            sxy=("sxy", "sum"),
+        )
+
+    stats = hash_partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"), key_cols, merge
+    ).to_pandas()
+    n = stats["n"].to_numpy(dtype=np.int64)
+    sx = stats["sx"].to_numpy(dtype=np.int64)
+    sy = stats["sy"].to_numpy(dtype=np.int64)
+    sxx = stats["sxx"].to_numpy(dtype=np.int64)
+    syy = stats["syy"].to_numpy(dtype=np.int64)
+    # int64 wrap tripwire: Σx² can't be negative, and n·Σx² must fit —
+    # fail loudly instead of returning a silently-wrapped correlation
+    if (sxx < 0).any() or (syy < 0).any() or (
+        n.astype(np.float64) * np.maximum(sxx, syy).astype(np.float64)
+    ).max(initial=0.0) > 9.0e18:
+        raise OverflowError(
+            "group_corr int64 headroom exceeded — reduce x_scale/"
+            "y_scale or split groups"
+        )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * stats["sxy"].to_numpy(dtype=np.int64) - sx * sy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = cov.astype(np.float64) / (
+            np.sqrt(vx.astype(np.float64)) * np.sqrt(vy.astype(np.float64))
+        )
+    corr[(vx == 0) | (vy == 0)] = 0.0
+    out = stats[key_cols].copy()
+    out[out_col] = corr
+    return out.sort_values(key_cols).reset_index(drop=True)
+
+
 def pivot_counts(
     ds: "ray.data.Dataset",
     key_cols: list[str],

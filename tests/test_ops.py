@@ -1230,3 +1230,24 @@ def test_set_ops_null_and_dup_semantics():
         .reset_index(drop=True)
     )
     assert it["b"].tolist() == ["y", "z"]  # includes the null-keyed row
+
+
+def test_group_corr_exact_and_guards():
+    from raycdc.ops.relational import group_corr
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "x": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 5.0]),
+                "y": pa.array([2.0, 4.0, 6.0, 5.0, 3.0, 7.0]),
+            }
+        )
+    )
+    out = group_corr(ds, ["g"], "x", "y", x_scale=100, y_scale=100)
+    got = out.set_index("g")["corr"]
+    assert abs(got[1] - 1.0) < 1e-12  # perfectly linear (two sqrts
+    # don't compose algebraically; the op is bit-REPRODUCIBLE, which
+    # the SQL oracle twin pins, not symbolically exact)
+    assert abs(got[2] + 1.0) < 1e-12  # perfectly anti-linear
+    assert got[3] == 0.0  # single row: zero variance -> 0.0
