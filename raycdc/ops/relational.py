@@ -25,6 +25,7 @@ def hash_partition_reduce(
     keys: list[str],
     reduce_fn,
     num_partitions: int | None = None,
+    disk_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """THE high-cardinality groupby primitive: shuffle on
     ``hash(keys) % P`` (P bounded by cluster size, not key count),
@@ -37,7 +38,17 @@ def hash_partition_reduce(
     partition id keeps the shuffle all-to-all exchange identical in
     volume while the per-partition reduce is one pandas C-speed
     groupby.  ``reduce_fn`` sees every row of each key group together
-    (co-location guarantee) and must itself group by ``keys``."""
+    (co-location guarantee) and must itself group by ``keys``.
+
+    ``disk_dir`` routes the exchange through map-side partitioned
+    Parquet files instead of the object store — the same
+    store-bounded pattern as the CDC replay's ``_disk_exchange_merge``
+    (Ray's sort shuffle materializes ~3× the data in plasma; past the
+    store's capacity that spills and cliffs).  Exact under retries
+    WITHOUT deterministic filenames: each map task returns the file
+    names it wrote, only files listed in that collected manifest are
+    read by the reduce (a retried task's orphan files are ignored).
+    Caller owns the scratch directory's lifecycle."""
     if num_partitions is None:
         try:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -56,10 +67,64 @@ def hash_partition_reduce(
     def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
         return reduce_fn(df.drop(columns=["_part"]))
 
-    return (
-        ds.map_batches(add_part, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(reduce_part, batch_format="pandas")
+    if disk_dir is None:
+        return (
+            ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(reduce_part, batch_format="pandas")
+        )
+
+    import os
+    import uuid
+
+    os.makedirs(disk_dir, exist_ok=True)
+
+    def write_parts(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq_mod
+
+        df = add_part(df)
+        out_p, out_f = [], []
+        for pid, sub in df.groupby("_part", sort=False):
+            d = os.path.join(disk_dir, f"part-{int(pid):05d}")
+            os.makedirs(d, exist_ok=True)
+            f = os.path.join(d, f"{uuid.uuid4().hex}.parquet")
+            pq_mod.write_table(
+                pa.Table.from_pandas(
+                    sub.drop(columns=["_part"]), preserve_index=False
+                ).replace_schema_metadata(None),
+                f,
+                compression="zstd",
+                compression_level=1,
+            )
+            out_p.append(int(pid))
+            out_f.append(f)
+        return pd.DataFrame({"pid": out_p, "file": out_f})
+
+    # the collected manifest IS the barrier and the retry guard: a
+    # re-executed map task's earlier orphan files are never listed
+    manifest = ds.map_batches(write_parts, batch_format="pandas").to_pandas()
+    files_by_pid = {
+        int(pid): sorted(g["file"].tolist())
+        for pid, g in manifest.groupby("pid")
+    }
+    import ray.data as _rd
+
+    def reduce_files(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq_mod
+
+        out = []
+        for pid in batch["item"].tolist():
+            tables = [
+                pq_mod.read_table(f) for f in files_by_pid[int(pid)]
+            ]
+            grp = pa.concat_tables(
+                tables, promote_options="default"
+            ).to_pandas()
+            out.append(reduce_fn(grp))
+        return pd.concat(out, ignore_index=True)
+
+    return _rd.from_items(sorted(files_by_pid)).map_batches(
+        reduce_files, batch_size=1, batch_format="pandas"
     )
 
 

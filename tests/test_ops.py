@@ -1251,3 +1251,51 @@ def test_group_corr_exact_and_guards():
     # the SQL oracle twin pins, not symbolically exact)
     assert abs(got[2] + 1.0) < 1e-12  # perfectly anti-linear
     assert got[3] == 0.0  # single row: zero variance -> 0.0
+
+
+def test_hash_partition_reduce_disk_exchange_matches_plasma(tmp_path):
+    """The disk exchange (map-side partitioned files + collected
+    manifest) must produce the same result as the object-store path;
+    orphan files in the scratch dir are ignored (retry semantics)."""
+    import os
+
+    from raycdc.ops.relational import hash_partition_reduce
+
+    rng = np.random.default_rng(17)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 500, n),
+            "v": rng.integers(0, 10_000, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    def red(part):
+        return part.groupby("k", as_index=False)["v"].agg(["sum", "max"])
+
+    a = (
+        hash_partition_reduce(ds, ["k"], red)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    scratch = str(tmp_path / "xchg")
+    # plant an orphan file BEFORE the run: it must be ignored because
+    # only manifest-listed files are read
+    os.makedirs(os.path.join(scratch, "part-00000"), exist_ok=True)
+    pa_t = pa.table({"k": pa.array([999999], pa.int64()),
+                     "v": pa.array([1], pa.int64())})
+    import pyarrow.parquet as pq_mod
+
+    pq_mod.write_table(
+        pa_t, os.path.join(scratch, "part-00000", "orphan.parquet")
+    )
+    b = (
+        hash_partition_reduce(ds, ["k"], red, disk_dir=scratch)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert 999999 not in set(b["k"])
