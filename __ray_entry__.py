@@ -654,6 +654,18 @@ def _q_segment_dedup(sf_dir):
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
+def _q_user_funnel(sf_dir):
+    """Ordered funnel: earliest signup → strictly-later view →
+    strictly-later purchase per user; one per-user exchange, two
+    vectorized passes per step."""
+    from raycdc.ops.relational import funnel_steps
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+    return funnel_steps(
+        ds, "user_id", "event_type", "ts", ["signup", "view", "purchase"]
+    )
+
+
 def _q_part_qty_price_corr(sf_dir):
     """Pearson correlation per group in exact integer arithmetic:
     corr(l_quantity, l_extendedprice) per part — associative integer
@@ -1461,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_spend": _tuned(_q_user_running_spend),
         "user_event_pivot": _tuned(_q_user_event_pivot),
         "part_qty_price_corr": _tuned(_q_part_qty_price_corr),
+        "user_funnel": _tuned(_q_user_funnel),
         "user_event_unpivot": _tuned(_q_user_event_unpivot),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
@@ -1646,6 +1659,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "user_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (
+              SELECT user_id, min(ts) AS t_signup FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t_view
+              FROM events e JOIN s1
+                ON e.user_id = s1.user_id AND e.ts > s1.t_signup
+              WHERE e.event_type = 'view' GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN s2
+                ON e.user_id = s2.user_id AND e.ts > s2.t_view
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT u.user_id, s1.t_signup, s2.t_view, s3.t_purchase,
+                   s3.t_purchase IS NOT NULL AS converted
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "part_qty_price_corr": """
             WITH c AS (

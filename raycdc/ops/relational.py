@@ -464,6 +464,49 @@ def group_zscore(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def funnel_steps(
+    ds: "ray.data.Dataset",
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: for each user, the earliest timestamp
+    of step 1, then the earliest STRICTLY-LATER occurrence of step 2,
+    and so on — one row per user with a nullable ``t_{step}`` column
+    per step plus ``converted`` (reached the last step).
+
+    Shape: one per-user hash exchange, then each partition resolves
+    every step with two C-speed vectorized passes (masked per-user
+    min via grouped transform — no Python per user).  SQL-expressible
+    as chained correlated-min CTEs, which the oracle pins."""
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col], kind="mergesort")
+        users = df[[user_col]].drop_duplicates().reset_index(drop=True)
+        prev = None
+        for step in steps:
+            mask = df[type_col].to_numpy() == step
+            if prev is not None:
+                pm = df[[user_col]].merge(prev, on=user_col, how="left")
+                gate = pm[f"_gate"].to_numpy()
+                ts = df[ts_col].to_numpy()
+                mask = mask & pd.notna(gate) & (ts > gate)
+            hit = df[mask]
+            t = (
+                hit.groupby(user_col, sort=False)[ts_col]
+                .min()
+                .rename(f"t_{step}")
+                .reset_index()
+            )
+            users = users.merge(t, on=user_col, how="left")
+            prev = t.rename(columns={f"t_{step}": "_gate"})
+        users["converted"] = users[f"t_{steps[-1]}"].notna()
+        return users
+
+    return hash_partition_reduce(ds, [user_col], resolve)
+
+
 def group_corr(
     ds: "ray.data.Dataset",
     key_cols: list[str],

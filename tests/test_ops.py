@@ -1299,3 +1299,48 @@ def test_hash_partition_reduce_disk_exchange_matches_plasma(tmp_path):
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert 999999 not in set(b["k"])
+
+
+def test_funnel_steps_ordering_strictness():
+    """Funnel steps must occur in strict time order: a purchase BEFORE
+    the first signup doesn't count; a later one does; users missing a
+    middle step never convert."""
+    from raycdc.ops.relational import funnel_steps
+
+    ts = pd.to_datetime(
+        [
+            # user 1: purchase(t0) BEFORE signup(t1) -> not counted;
+            # view(t2), purchase(t3) after -> converted
+            "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+            # user 2: signup then purchase but NO view -> not converted
+            "2024-01-01", "2024-01-02",
+            # user 3: view only -> nothing
+            "2024-01-01",
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+                "event_type": pa.array(
+                    [
+                        "purchase", "signup", "view", "purchase",
+                        "signup", "purchase",
+                        "view",
+                    ]
+                ),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+    )
+    out = (
+        funnel_steps(ds, "user_id", "event_type", "ts",
+                     ["signup", "view", "purchase"])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["converted"].tolist() == [True, False, False]
+    assert out.loc[0, "t_purchase"] == ts[3]  # the later purchase, not t0
+    assert pd.isna(out.loc[1, "t_view"]) and pd.isna(out.loc[1, "t_purchase"])
+    assert pd.isna(out.loc[2, "t_signup"])
