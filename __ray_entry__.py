@@ -654,6 +654,19 @@ def _q_segment_dedup(sf_dir):
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
+def _q_value_quantiles_by_type(sf_dir):
+    """GROUPED exact continuous quantiles (no sort, no sketch): one
+    interval tracked per (event_type, q), every refinement round is
+    one streaming pass binning all active pairs."""
+    from raycdc.ops.stats import exact_quantiles_continuous_by
+
+    return exact_quantiles_continuous_by(
+        _events(sf_dir, columns=["event_type", "value"]),
+        "value",
+        "event_type",
+    ).sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def _q_user_funnel(sf_dir):
     """Ordered funnel: earliest signup → strictly-later view →
     strictly-later purchase per user; one per-user exchange, two
@@ -1474,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": _tuned(_q_user_event_pivot),
         "part_qty_price_corr": _tuned(_q_part_qty_price_corr),
         "user_funnel": _tuned(_q_user_funnel),
+        "value_quantiles_by_type": _tuned(_q_value_quantiles_by_type),
         "user_event_unpivot": _tuned(_q_user_event_unpivot),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
@@ -1659,6 +1673,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type, 0.25 AS q,
+                   quantile_disc(value, 0.25) AS value
+              FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5, quantile_disc(value, 0.5)
+              FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.75, quantile_disc(value, 0.75)
+              FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, quantile_disc(value, 0.9)
+              FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.99, quantile_disc(value, 0.99)
+              FROM events GROUP BY event_type
         """,
         "user_funnel": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

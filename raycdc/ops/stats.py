@@ -316,3 +316,206 @@ def value_histogram(
             f"value_histogram: {len(merged)} bins exceed max_bins={max_bins}"
         )
     return merged
+
+
+def exact_quantiles_continuous_by(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    bins: int = 1024,
+    collect_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> pd.DataFrame:
+    """GROUPED exact continuous quantiles — ``quantile_disc(col, q)
+    ... GROUP BY group_col`` without sort or sketch: the same
+    iterative zero-shuffle histogram refinement as
+    ``exact_quantiles_continuous``, with one interval tracked per
+    (group, q) pair.  Every round is still ONE streaming pass over
+    the data (each batch bins all active pairs), so the pass count is
+    ~log_bins(range/gap), independent of the group count; driver
+    state is O(groups × qs).  Meant for low-cardinality groups
+    (event types, languages) — the broadcast interval table and the
+    per-batch pair loop scale with groups × qs."""
+    import math
+
+    import ray
+
+    # pass 0: per-group count / min / max
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        g = df[group_col].to_numpy()[ok]
+        v = v[ok]
+        if len(v) == 0:
+            return pd.DataFrame(
+                {group_col: [], "n": [], "lo": [], "hi": []}
+            )
+        t = pd.DataFrame({group_col: g, "_v": v})
+        agg = t.groupby(group_col, sort=False)["_v"].agg(
+            ["size", "min", "max"]
+        )
+        return pd.DataFrame(
+            {
+                group_col: agg.index.to_numpy(),
+                "n": agg["size"].to_numpy(np.int64),
+                "lo": agg["min"].to_numpy(np.float64),
+                "hi": agg["max"].to_numpy(np.float64),
+            }
+        )
+
+    parts = (
+        ds.select_columns([group_col, col])
+        .map_batches(mm_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({group_col: [], "q": [], col: []})
+    gstats = parts.groupby(group_col, sort=True).agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+    )
+    groups = list(gstats.index)
+
+    # per-(group, q) state
+    state: dict = {}
+    for g in groups:
+        n = int(gstats.loc[g, "n"])
+        for q in qs:
+            state[(g, q)] = {
+                "lo": float(gstats.loc[g, "lo"]),
+                "hi": float(gstats.loc[g, "hi"]),
+                "below": 0,
+                "target": max(math.ceil(q * n) - 1, 0),
+                "done": None,
+            }
+
+    def _active():
+        return [
+            k
+            for k, s in state.items()
+            if s["done"] is None and not s.get("collect")
+        ]
+
+    for _ in range(max_rounds):
+        act = _active()
+        if not act:
+            break
+        edges = {}
+        for k in act:
+            s = state[k]
+            if s["lo"] == s["hi"]:
+                s["done"] = s["lo"]
+                continue
+            edges[k] = np.linspace(s["lo"], s["hi"], bins + 1)
+        if not edges:
+            continue
+        edges_ref = ray.put(edges)
+
+        def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ed = ray.get(edges_ref)
+            v = df[col].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(v)
+            gv = df[group_col].to_numpy()[ok]
+            v = v[ok]
+            out_k, out_b, out_c = [], [], []
+            for ki, ((g, q), e) in enumerate(sorted(ed.items())):
+                m = (gv == g) & (v >= e[0]) & (v <= e[-1])
+                if not m.any():
+                    continue
+                idx = np.clip(
+                    np.searchsorted(e, v[m], side="right") - 1,
+                    0,
+                    bins - 1,
+                )
+                b, c = np.unique(idx, return_counts=True)
+                out_k.extend([ki] * len(b))
+                out_b.extend(b.tolist())
+                out_c.extend(c.tolist())
+            return pd.DataFrame(
+                {
+                    "ki": np.array(out_k, dtype=np.int64),
+                    "b": np.array(out_b, dtype=np.int64),
+                    "cnt": np.array(out_c, dtype=np.int64),
+                }
+            )
+
+        hp = (
+            ds.select_columns([group_col, col])
+            .map_batches(hist_partial, batch_format="pandas")
+            .to_pandas()
+        )
+        merged = hp.groupby(["ki", "b"], sort=True)["cnt"].sum()
+        keys_sorted = sorted(edges)
+        for ki, k in enumerate(keys_sorted):
+            s = state[k]
+            counts = np.zeros(bins, dtype=np.int64)
+            if (
+                len(merged)
+                and ki in merged.index.get_level_values(0)
+            ):
+                sub = merged.loc[ki]
+                counts[sub.index.to_numpy()] = sub.to_numpy()
+            cum = np.cumsum(counts)
+            local_target = s["target"] + 1 - s["below"]
+            bidx = min(
+                int(np.searchsorted(cum, local_target, side="left")),
+                bins - 1,
+            )
+            e = edges[k]
+            new_lo, new_hi = float(e[bidx]), float(e[bidx + 1])
+            s["below"] += int(cum[bidx - 1]) if bidx > 0 else 0
+            s["lo"], s["hi"] = new_lo, new_hi
+            if new_lo == new_hi or int(counts[bidx]) <= collect_threshold:
+                s["collect"] = True
+
+    # final pass: gather distinct values per still-open bucket
+    open_keys = [k for k, s in state.items() if s["done"] is None]
+    if open_keys:
+        bounds_ref = ray.put(
+            {k: (state[k]["lo"], state[k]["hi"]) for k in open_keys}
+        )
+
+        def collect_partial(df: pd.DataFrame) -> pd.DataFrame:
+            bd = ray.get(bounds_ref)
+            v = df[col].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(v)
+            gv = df[group_col].to_numpy()[ok]
+            v = v[ok]
+            out_k, out_v, out_c = [], [], []
+            for ki, ((g, q), (lo, hi)) in enumerate(sorted(bd.items())):
+                m = (gv == g) & (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                vals, cnts = np.unique(v[m], return_counts=True)
+                out_k.extend([ki] * len(vals))
+                out_v.extend(vals.tolist())
+                out_c.extend(cnts.tolist())
+            return pd.DataFrame(
+                {
+                    "ki": np.array(out_k, dtype=np.int64),
+                    "v": np.array(out_v, dtype=np.float64),
+                    "cnt": np.array(out_c, dtype=np.int64),
+                }
+            )
+
+        cp = (
+            ds.select_columns([group_col, col])
+            .map_batches(collect_partial, batch_format="pandas")
+            .to_pandas()
+        )
+        merged = cp.groupby(["ki", "v"], sort=True)["cnt"].sum()
+        for ki, k in enumerate(sorted(open_keys)):
+            s = state[k]
+            sub = merged.loc[ki]
+            vals = sub.index.to_numpy()
+            cum = np.cumsum(sub.to_numpy())
+            local_target = s["target"] + 1 - s["below"]
+            j = int(np.searchsorted(cum, local_target, side="left"))
+            s["done"] = float(vals[min(j, len(vals) - 1)])
+
+    rows = [
+        {group_col: g, "q": float(q), col: state[(g, q)]["done"]}
+        for g in groups
+        for q in qs
+    ]
+    return pd.DataFrame(rows)

@@ -180,3 +180,36 @@ def test_stratified_sample_n_exact_and_stable():
         _ds(small, 2), "g", n=25, id_col="doc_id", seed=3
     ).to_pandas()
     assert len(out2) == 5
+
+
+def test_grouped_continuous_quantiles_point_mass_and_skew():
+    """Grouped continuous quantiles: lognormal + a 99% point-mass
+    group resolve exactly (per-group numpy reference with the
+    quantile_disc rank definition)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raycdc.ops.stats import exact_quantiles_continuous_by
+
+    rng = np.random.default_rng(23)
+    a = rng.lognormal(0, 2, 50_000)
+    b = np.where(rng.random(30_000) < 0.99, 42.0, rng.normal(0, 1, 30_000))
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b),
+            "v": np.concatenate([a, b]),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    got = exact_quantiles_continuous_by(ds, "v", "g", qs=qs)
+    for g, vals in (("a", a), ("b", b)):
+        sv = np.sort(vals)
+        for q in qs:
+            k = max(int(np.ceil(q * len(sv))) - 1, 0)
+            exp = float(sv[k])
+            gv = float(
+                got[(got["g"] == g) & (got["q"] == q)]["v"].iloc[0]
+            )
+            assert gv == exp, (g, q, gv, exp)
