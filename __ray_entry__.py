@@ -776,6 +776,19 @@ def _q_paragraph_dedup(sf_dir):
     return paragraph_dedup(_docs_light(sf_dir), sep=" ")
 
 
+def _q_pack_sequences(sf_dir):
+    """Training-sequence packing (concat-and-chunk): docs laid
+    head-to-tail per language in doc_id order, bin = floor(offset /
+    2048) — the deterministic pretraining chunk assignment."""
+    from raycdc.ops.text import pack_sequences, token_count
+
+    ds = token_count(_docs_light(sf_dir)).select_columns(
+        ["doc_id", "lang", "n_tokens"]
+    )
+    out = pack_sequences(ds, "lang", "doc_id", "n_tokens", capacity=2048)
+    return out.select_columns(["lang", "doc_id", "offset", "bin"])
+
+
 def _q_repetition_stats(sf_dir):
     """Gopher-style repetition quality signals per doc: word count,
     distinct-word fraction, top-word fraction, top-bigram fraction —
@@ -1481,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": _tuned(_q_segment_dedup),
         "paragraph_dedup_docs": _tuned(_q_paragraph_dedup),
         "repetition_stats": _tuned(_q_repetition_stats),
+        "pack_sequences": _tuned(_q_pack_sequences),
         "top_terms": _tuned(_q_top_terms),
         "event_value_zscore": _tuned(_q_event_value_zscore),
         "user_running_spend": _tuned(_q_user_running_spend),
@@ -1953,6 +1967,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
                        AS dropped_segments
             FROM ranked GROUP BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            )
+            SELECT lang, doc_id,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS "offset",
+                   CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 2048 AS BIGINT) AS bin
+            FROM t
         """,
         "repetition_stats": """
             WITH d AS (

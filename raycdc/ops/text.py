@@ -300,6 +300,38 @@ def top_terms_per_doc(
     return ds.map_batches(score_batch, batch_format="pandas")
 
 
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    capacity: int,
+) -> "ray.data.Dataset":
+    """Training-sequence packing, concat-and-chunk style: within each
+    group (e.g. language shard), documents in ``order_col`` order are
+    laid head-to-tail into a token stream and assigned
+    ``bin = floor(start_offset / capacity)`` — the deterministic
+    chunking used for pretraining batches (docs spanning a boundary
+    belong to the bin where they START; consumers split the remainder
+    at read time).  One per-group hash exchange + a vectorized
+    cumsum; emits (group, order, offset, bin).  SQL-expressible as an
+    exclusive window cumsum, which the oracle pins."""
+
+    def pack(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([group_col, order_col], kind="mergesort").copy()
+        tok = df[token_col].to_numpy(dtype=np.int64)
+        df["_t"] = tok
+        cum = df.groupby(group_col, sort=False)["_t"].cumsum().to_numpy()
+        start = cum - tok  # exclusive prefix sum = the doc's offset
+        df["offset"] = start
+        df["bin"] = start // capacity
+        return df.drop(columns=["_t"])
+
+    from raycdc.ops.relational import hash_partition_reduce
+
+    return hash_partition_reduce(ds, [group_col], pack)
+
+
 class LangIdStage:
     """Heuristic language ID: stopword-hit ratio per language over
     whitespace tokens; ties/no-hits fall back to 'en'.  Actor-pool

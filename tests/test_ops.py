@@ -1344,3 +1344,28 @@ def test_funnel_steps_ordering_strictness():
     assert out.loc[0, "t_purchase"] == ts[3]  # the later purchase, not t0
     assert pd.isna(out.loc[1, "t_view"]) and pd.isna(out.loc[1, "t_purchase"])
     assert pd.isna(out.loc[2, "t_signup"])
+
+
+def test_pack_sequences_bin_assignment():
+    from raycdc.ops.text import pack_sequences
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["a"] * 4 + ["b"] * 2),
+                "i": pa.array([0, 1, 2, 3, 0, 1], pa.int64()),
+                "tok": pa.array([60, 60, 60, 60, 150, 10], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = (
+        pack_sequences(ds, "g", "i", "tok", capacity=100)
+        .to_pandas()
+        .sort_values(["g", "i"])
+        .reset_index(drop=True)
+    )
+    # group a offsets: 0,60,120,180 -> bins 0,0,1,1
+    assert out[out["g"] == "a"]["offset"].tolist() == [0, 60, 120, 180]
+    assert out[out["g"] == "a"]["bin"].tolist() == [0, 0, 1, 1]
+    # group b: doc 0 starts bin 0 even though it spans; doc 1 at 150 -> bin 1
+    assert out[out["g"] == "b"]["bin"].tolist() == [0, 1]
