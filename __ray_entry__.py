@@ -1037,6 +1037,17 @@ def _q_stratified_docs(sf_dir):
     )
 
 
+def _q_leak_report(sf_dir):
+    """Per-benchmark-item leak severity: corpus docs sharing ≥1 word
+    8-gram with each eval item — the inverted decontamination view;
+    CSR gram→item multimap broadcast once, one corpus pass."""
+    from raycdc.ops.decontaminate import benchmark_leak_report
+
+    return benchmark_leak_report(
+        _docs_light(sf_dir), _bench_docs(sf_dir)
+    ).rename(columns={"doc_id": "bench_id"})
+
+
 def _q_curation_pipeline(sf_dir):
     """Flagship LLM-data composition: quality gate → exact dedup →
     benchmark decontamination → deterministic 50% sample, one lazy
@@ -1519,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _tuned(_q_dedup_survivors),
         "decontam_report": _tuned(_q_decontam_report),
         "decontam_clean": _tuned(_q_decontam_clean),
+        "leak_report": _tuned(_q_leak_report),
         "curation_pipeline": _tuned(_q_curation_pipeline),
         "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
         "event_value_quantiles": _tuned(_q_event_value_quantiles),
@@ -2132,6 +2144,37 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB enumerates every doc's word 8-grams (whole text for
         # shorter docs, matching _shingles) and joins them against the
         # eval set's distinct grams
+        "leak_report": """
+            WITH bench AS (
+              SELECT doc_id AS bench_id, text FROM documents
+              WHERE doc_id % 17 = 0
+            ),
+            btoks AS (
+              SELECT bench_id, string_split(text, ' ') AS ts FROM bench
+            ),
+            bgrams AS (
+              SELECT DISTINCT bench_id,
+                     array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM btoks,
+                   UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            dtoks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            dgrams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM dtoks,
+                   UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            hits AS (
+              SELECT bench_id, count(DISTINCT doc_id) AS n_docs
+              FROM bgrams JOIN dgrams USING (g) GROUP BY bench_id
+            )
+            SELECT b.bench_id,
+                   CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs
+            FROM bench b LEFT JOIN hits h USING (bench_id)
+        """,
         "decontam_report": """
             WITH bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
             btoks AS (SELECT string_split(text, ' ') AS ts FROM bench),

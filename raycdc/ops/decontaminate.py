@@ -143,3 +143,116 @@ def decontaminate(
         return mask_filter(t, hits < min_hits)
 
     return corpus_ds.map_batches(drop, batch_format="pyarrow")
+
+
+def benchmark_leak_report(
+    corpus_ds: "ray.data.Dataset",
+    bench_ds: "ray.data.Dataset",
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> pd.DataFrame:
+    """The decontamination report INVERTED: per benchmark item, how
+    many corpus documents share at least one word n-gram with it —
+    the leak-severity view an eval owner reads (which benchmark items
+    are compromised, and how broadly).
+
+    Shape: the benchmark side (small by contract) collapses to a
+    driver-built CSR multimap gram-hash → bench ids, broadcast once;
+    the corpus takes ONE streaming pass — each batch probes its docs'
+    distinct gram hashes (vectorized searchsorted) and emits per-
+    (bench item) partial doc counts, which a vocab-small driver merge
+    sums.  Zero shuffle of the corpus."""
+    import ray
+
+    # bench side: distinct (bench_id, gram_hash) pairs on the driver
+    def bpairs(t: pa.Table) -> pa.Table:
+        ids = t[bench_id].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        out_i, out_h = [], []
+        for i, x in zip(ids, texts):
+            sh = _shingles(x or "", ngram)
+            if len(sh):
+                hs = np.unique(_hash_strings(sh).astype(np.uint64))
+                out_i.extend([int(i)] * len(hs))
+                out_h.extend(hs.tolist())
+        return pa.table(
+            {
+                "bid": pa.array(out_i, pa.int64()),
+                "h": pa.array(
+                    np.array(out_h, dtype=np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+    bp = (
+        bench_ds.select_columns([bench_id, text_col])
+        .map_batches(bpairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(["bid", "h"])
+        .sort_values(["h", "bid"], kind="mergesort")
+    )
+    all_bids = np.sort(bp["bid"].unique()).astype(np.int64)
+    if len(bp) == 0:
+        return pd.DataFrame(
+            {
+                bench_id: pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+            }
+        )
+    hs = bp["h"].to_numpy().astype(np.uint64)
+    bids = bp["bid"].to_numpy().astype(np.int64)
+    uh, starts = np.unique(hs, return_index=True)
+    offsets = np.append(starts, len(hs))
+    csr_ref = ray.put((uh, offsets.astype(np.int64), bids))
+
+    def probe(t: pa.Table) -> pa.Table:
+        u, off, ids = ray.get(csr_ref)
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        hit_b: list = []
+        for x in texts:
+            sh = _shingles(x or "", ngram)
+            if not len(sh):
+                continue
+            dh = np.unique(_hash_strings(sh).astype(np.uint64))
+            idx = np.searchsorted(u, dh)
+            m = (idx < len(u)) & (u[np.clip(idx, 0, len(u) - 1)] == dh)
+            matched = idx[m]
+            if len(matched) == 0:
+                continue
+            # all bench ids touched by THIS doc, counted once each
+            doc_bids = np.unique(
+                np.concatenate(
+                    [ids[off[j]: off[j + 1]] for j in matched]
+                )
+            )
+            hit_b.append(doc_bids)
+        if hit_b:
+            flat = np.concatenate(hit_b)
+            ub, cnt = np.unique(flat, return_counts=True)
+        else:
+            ub = np.array([], dtype=np.int64)
+            cnt = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "bid": pa.array(ub.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        corpus_ds.select_columns([corpus_id, text_col])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = (
+        parts.groupby("bid")["n"].sum()
+        if len(parts)
+        else pd.Series(dtype="int64")
+    )
+    out = pd.DataFrame({bench_id: all_bids})
+    out["n_docs"] = (
+        out[bench_id].map(merged).fillna(0).astype(np.int64)
+    )
+    return out.sort_values(bench_id).reset_index(drop=True)

@@ -109,3 +109,45 @@ def test_min_hits_threshold():
     )
     out = decontaminate(corpus, bench, ngram=8, min_hits=2).to_pandas()
     assert sorted(out["doc_id"]) == [2]
+
+
+def test_leak_report_attribution():
+    """Each bench item's n_docs counts corpus docs sharing >=1 gram
+    with THAT item specifically; unleaked items report 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raycdc.ops.decontaminate import benchmark_leak_report
+
+    # 8-word grams; bench item 0 leaks into docs 10 and 11, item 1
+    # into doc 12 only, item 2 nowhere
+    g0 = "a b c d e f g h"
+    g1 = "p q r s t u v w"
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([g0, g1, "z y x w v u t s"]),
+            }
+        )
+    )
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": pa.array(
+                    [
+                        g0 + " tail words here",
+                        "prefix " + g0,
+                        g1,
+                        "nothing shared at all in this one",
+                    ]
+                ),
+            }
+        )
+    ).repartition(2)
+    out = benchmark_leak_report(corpus, bench).set_index("doc_id")[
+        "n_docs"
+    ]
+    assert out[0] == 2 and out[1] == 1 and out[2] == 0
