@@ -171,6 +171,8 @@ def bench_queries() -> dict[str, float]:
         "dedup_exact",
         "segment_dedup_docs",
         "scd2_user_history",
+        "users_no_purchase",
+        "top_terms",
         "dedup_minhash",
         "dedup_incremental",
         "dedup_clusters",

@@ -230,3 +230,90 @@ def test_paragraph_dedup_matches_reference(texts):
     )
     exp = _paragraph_dedup_reference(texts, " ")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@st.composite
+def _keyed_values(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    keys = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=n, max_size=n
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.integers(min_value=-999, max_value=999),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame(
+        {
+            "k": np.asarray(keys, dtype=np.int64),
+            "i": np.arange(n, dtype=np.int64),
+            "v": np.asarray(vals, dtype=np.float64) / 100.0,
+        }
+    )
+
+
+@given(_keyed_values())
+@settings(**_SETTINGS)
+def test_running_sum_matches_pandas_reference(df):
+    from raycdc.ops.relational import running_sum_by_key
+
+    got = (
+        running_sum_by_key(_ds(df), ["k"], "i", "v", out_col="rs")
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "i"]).reset_index(drop=True)
+    cents = np.round(exp["v"].to_numpy() * 100).astype(np.int64)
+    exp["rs"] = (
+        pd.Series(cents).groupby(exp["k"]).cumsum().to_numpy() / 100.0
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+
+
+@given(_keyed_values())
+@settings(**_SETTINGS)
+def test_group_zscore_matches_reference(df):
+    from raycdc.ops.relational import group_zscore
+
+    got = (
+        group_zscore(_ds(df), ["k"], "v")
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "i"]).reset_index(drop=True)
+    z = np.zeros(len(exp))
+    for k, g in exp.groupby("k"):
+        c = np.round(g["v"].to_numpy() * 100).astype(np.float64)
+        std = c.std()  # population
+        if std > 0:
+            z[g.index.to_numpy()] = (c - c.mean()) / std
+    assert np.allclose(got["zscore"].to_numpy(), z, atol=1e-9)
+
+
+@given(_keyed_values())
+@settings(**_SETTINGS)
+def test_pivot_counts_matches_crosstab(df):
+    from raycdc.ops.relational import pivot_counts
+
+    df = df.copy()
+    df["cat"] = np.where(df["v"] > 0, "pos", "neg")
+    got = (
+        pivot_counts(_ds(df), ["k"], "cat", ["pos", "neg"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ct = pd.crosstab(df["k"], df["cat"]).reindex(
+        columns=["pos", "neg"], fill_value=0
+    )
+    for _, row in got.iterrows():
+        assert row["n_pos"] == ct.loc[row["k"], "pos"]
+        assert row["n_neg"] == ct.loc[row["k"], "neg"]
