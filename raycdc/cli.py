@@ -87,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("--lake-dir", required=True)
     p_compact.add_argument("--min-deltas", type=int, default=1)
 
+    p_opt = sub.add_parser(
+        "optimize",
+        help="rewrite partition bases sorted by key (layout only; "
+        "folds merge-on-read deltas)",
+    )
+    p_opt.add_argument("--lake-dir", required=True)
+    p_opt.add_argument(
+        "--by", nargs="+", default=None, help="sort columns (default PK)"
+    )
+
     p_vac = sub.add_parser(
         "vacuum", help="delete data/checkpoint files unreferenced by the manifest"
     )
@@ -205,6 +215,13 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.cdc import guess
 
         print(json.dumps(guess(args.log_dir), indent=1))
+        return 0
+
+    if args.cmd == "optimize":
+        from raycdc.pipelines.maintenance import optimize_sort
+
+        res = optimize_sort(args.lake_dir, by=args.by)
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "vacuum":

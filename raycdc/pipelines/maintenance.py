@@ -518,3 +518,74 @@ def snapshot_diff(
     return ray.data.from_items(pids).map_batches(
         diff_part, batch_size=4, batch_format="pyarrow"
     )
+
+
+def optimize_sort(
+    lake_dir: str,
+    by: list[str] | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Layout optimization (the OPTIMIZE ... ZORDER analog, single
+    lexicographic key): rewrite every partition base sorted by
+    ``by`` (default the primary key ``[repo, path]``) so range/point
+    predicates prune at the Parquet row-group level and scans read
+    keys in order.  Pure layout change — merge-on-read deltas are
+    folded in first (same resolve kernel as compact/read, so
+    observable state CANNOT change; fsck --digests pins it), and one
+    atomic commit swaps all rewritten bases.
+
+    One Ray task per partition; skips nothing (a sort rewrite is only
+    worth requesting when you want every partition ordered)."""
+    import ray.data
+
+    lake = Lake(lake_dir)
+    manifest = lake.manifest()
+    by = by or ["repo", "path"]
+    parts = lake.part_paths()
+    deltas = lake.delta_paths()
+    targets = sorted(set(parts) | set(deltas))
+    if not targets:
+        return {"optimized": [], "run_id": None}
+    run_id = run_id or f"optimize-{int(manifest['version']) + 1:06d}"
+    payload_columns = manifest.get("payload_columns") or []
+    root = lake.root
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from raycdc.stages.merge import lake_schema, resolve_partition
+
+        schema = lake_schema(payload_columns)
+        out_pid, out_path = [], []
+        for pid in batch["item"].to_pylist():
+            pid = int(pid)
+            resolved = resolve_partition(
+                parts.get(pid), deltas.get(pid, []), schema
+            )
+            order = pc.sort_indices(
+                resolved, sort_keys=[(c, "ascending") for c in by]
+            )
+            resolved = resolved.take(order)
+            d = os.path.join(root, "data", f"part-{pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            staged = os.path.join(d, f"{run_id}.parquet")
+            pq.write_table(
+                resolved, staged, compression="zstd", compression_level=1
+            )
+            out_pid.append(pid)
+            out_path.append(staged)
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.int32()),
+                "path": pa.array(out_path, pa.string()),
+            }
+        )
+
+    rows = (
+        ray.data.from_items(targets)
+        .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    staged = {int(r["pid"]): r["path"] for r in rows}
+    lake.commit(run_id, staged, {}, payload_columns=None)
+    return {"optimized": sorted(staged), "run_id": run_id, "by": by}

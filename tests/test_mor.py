@@ -699,3 +699,37 @@ def test_follow_with_dedup_on_round(tmp_path):
     expect = (min(a, b), max(a, b))
     got = set(zip(all_pairs["id_a"].astype(np.int64), all_pairs["id_b"].astype(np.int64)))
     assert expect in got, (expect, got)
+
+
+def test_optimize_sort_layout_only(tmp_path):
+    """optimize_sort rewrites partition bases sorted by the key but
+    cannot change observable state: resolved content identical before
+    and after (with merge-on-read deltas folded in), files ordered."""
+    import pyarrow.parquet as pq
+
+    from raycdc.pipelines.maintenance import optimize_sort, vacuum
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1200, fragment_rows=400, seed=73)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=400, seed=79, start_seq=1200)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+
+    lake = Lake(cfg.lake_dir)
+    before = _canon(lake.read_table())
+    res = optimize_sort(cfg.lake_dir)
+    assert res["optimized"]
+    after = _canon(lake.read_table())
+    assert before.equals(after)
+    # deltas were folded: none remain; each base is key-sorted
+    assert not any(lake.delta_paths().values())
+    for pid, path in lake.part_paths().items():
+        t = pq.read_table(path, columns=["repo", "path"]).to_pandas()
+        assert (
+            t.sort_values(["repo", "path"]).reset_index(drop=True).equals(
+                t.reset_index(drop=True)
+            )
+        ), pid
+    vacuum(cfg.lake_dir)
+    assert _canon(lake.read_table()).equals(before)
