@@ -1004,6 +1004,19 @@ def _q_event_value_quantiles(sf_dir):
     return out
 
 
+def _q_split_docs(sf_dir):
+    """Deterministic train/val/test assignment: disjoint, exhaustive,
+    rerun-stable — pure function of (doc_id, seed)."""
+    from raycdc.ops.sampling import split_assign
+
+    return split_assign(
+        _docs_light(sf_dir).select_columns(["doc_id"]),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=3,
+    )
+
+
 def _q_sample_docs(sf_dir):
     """Deterministic 25% corpus sample — pure function of
     (doc_id, seed), zero shuffle, rerun- and partitioning-stable."""
@@ -1535,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
         "event_value_quantiles": _tuned(_q_event_value_quantiles),
         "sample_docs": _tuned(_q_sample_docs),
+        "split_docs": _tuned(_q_split_docs),
         "mixture_docs": _tuned(_q_mixture_docs),
         "stratified_docs": _tuned(_q_stratified_docs),
         "dedup_simhash": _tuned(_q_dedup_simhash),
@@ -2114,6 +2128,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same Knuth multiplicative id-hash as ops/sampling.py, in
         # plain integer SQL (no overflow at test-scale ids)
+        "split_docs": """
+            -- cut literals are int(frac * 2^32) truncated, matching the
+            -- engine's python int() (DuckDB CAST(double AS BIGINT)
+            -- would ROUND and disagree at the boundary hash)
+            SELECT doc_id,
+                   CASE
+                     WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                          < 3435973836 THEN 'train'
+                     WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                          < 3865470566 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
         "sample_docs": """
             SELECT * FROM documents
             WHERE ((doc_id + 7) * 2654435761) % 4294967296

@@ -121,3 +121,36 @@ def stratified_sample_n(
         )
 
     return hash_partition_reduce(pruned, [group_col], global_topn)
+
+
+def split_assign(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: each row gets the
+    split whose cumulative-fraction interval contains ``hash(id) /
+    2³²`` — a pure function of (id, seed), so the partition is
+    rerun-stable, disjoint, exhaustive, and SQL-reproducible for the
+    oracle.  Fractions must sum to 1 (the last split absorbs the hash
+    space's top edge).  One vectorized streaming pass, zero
+    shuffle."""
+    names = list(fractions)
+    fr = np.array([fractions[n] for n in names], dtype=np.float64)
+    if abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fr.sum()}")
+    cuts = np.array(
+        [int(c * float(_MOD)) for c in np.cumsum(fr)[:-1]],
+        dtype=np.uint64,
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _id_hash(ids, seed)
+        idx = np.searchsorted(cuts, h, side="right")
+        lab = np.asarray(names, dtype=object)[idx]
+        return t.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -213,3 +213,28 @@ def test_grouped_continuous_quantiles_point_mass_and_skew():
                 got[(got["g"] == g) & (got["q"] == q)]["v"].iloc[0]
             )
             assert gv == exp, (g, q, gv, exp)
+
+
+def test_split_assign_disjoint_exhaustive_stable():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raycdc.ops.sampling import split_assign
+
+    ids = np.arange(20000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(5)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(ds, "doc_id", fr, seed=3).to_pandas()
+    b = split_assign(ds.repartition(11), "doc_id", fr, seed=3).to_pandas()
+    # exhaustive + disjoint by construction (one label per row)
+    assert len(a) == len(ids)
+    # rerun/partitioning stable
+    am = a.set_index("doc_id")["split"]
+    bm = b.set_index("doc_id")["split"]
+    assert (am.sort_index() == bm.sort_index()).all()
+    # proportions near fractions
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
