@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Sum
 
 from raycdc.functions.arrowsafe import mask_filter
 

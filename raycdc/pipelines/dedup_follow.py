@@ -25,7 +25,6 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from raycdc.state.checkpoint import Lake
 
