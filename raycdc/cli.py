@@ -114,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     p_fsck.add_argument("--lake-dir", required=True)
     p_fsck.add_argument("--digests", action="store_true")
 
+    p_stats = sub.add_parser(
+        "stats", help="lake overview: versions, partitions, rows, deltas"
+    )
+    p_stats.add_argument("--lake-dir", required=True)
+
     p_look = sub.add_parser(
         "lookup", help="O(1) point read of one key's current row"
     )
@@ -228,6 +233,41 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.maintenance import vacuum
 
         print(json.dumps(vacuum(args.lake_dir)))
+        return 0
+
+    if args.cmd == "stats":
+        import pyarrow.parquet as pq_mod
+
+        from raycdc.state.checkpoint import Lake
+
+        lake = Lake(args.lake_dir)
+        m = lake.manifest()
+        parts = lake.part_paths()
+        deltas = lake.delta_paths()
+        base_rows = sum(
+            pq_mod.read_metadata(p).num_rows for p in parts.values()
+        )
+        print(
+            json.dumps(
+                {
+                    "version": int(m["version"]),
+                    "versions_available": lake.versions(),
+                    "num_partitions": int(m["num_partitions"]),
+                    "partitions_with_base": len(parts),
+                    "base_file_rows": base_rows,
+                    "delta_files": sum(len(v) for v in deltas.values()),
+                    "partitions_with_deltas": sum(
+                        1 for v in deltas.values() if v
+                    ),
+                    "watermarks_min": min(lake.watermarks().values())
+                    if lake.watermarks()
+                    else None,
+                    "watermarks_max": max(lake.watermarks().values())
+                    if lake.watermarks()
+                    else None,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "lookup":

@@ -1369,3 +1369,48 @@ def test_pack_sequences_bin_assignment():
     assert out[out["g"] == "a"]["bin"].tolist() == [0, 0, 1, 1]
     # group b: doc 0 starts bin 0 even though it spans; doc 1 at 150 -> bin 1
     assert out[out["g"] == "b"]["bin"].tolist() == [0, 1]
+
+
+def test_hash_join_string_keys_bloom_and_skew():
+    """String join keys through every new path: variants, bloom
+    prefilter, and the fragment-replicate skew join (hash consistency
+    between build/probe and fragment/replica sides)."""
+    from raycdc.ops.relational import hash_join
+
+    rng = np.random.default_rng(29)
+    lk = np.where(rng.random(800) < 0.6, "hot", rng.integers(0, 40, 800).astype(str))
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk.astype(object), pa.string()),
+                  "lv": pa.array(np.arange(800), pa.int64())})
+    ).repartition(4)
+    rk = np.array(["hot", "hot", "3", "7", "zzz"], dtype=object)
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(rk, pa.string()),
+                  "rv": pa.array(np.arange(5), pa.int64())})
+    )
+    base = {}
+    for how in ("inner", "left", "semi", "anti"):
+        cols = [] if how in ("semi", "anti") else ["rv"]
+        base[how] = hash_join(left, right, "k", "rk", cols, how=how).to_pandas()
+        for kw in (dict(bloom_bits=1 << 14),
+                   dict(skew_salt=4, hot_keys=["hot"])):
+            got = hash_join(left, right, "k", "rk", cols, how=how, **kw).to_pandas()
+            sc = sorted(base[how].columns)
+            a = base[how][sc].sort_values(sc).reset_index(drop=True)
+            b = got[sc].sort_values(sc).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False), (how, kw)
+
+
+def test_segment_dedup_unicode():
+    from raycdc.ops.segdedup import segment_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["héllo wörld ünïcode ok", "héllo wörld ünïcode ok tail x y z"]),
+            }
+        )
+    )
+    out = segment_dedup(ds, words_per_seg=4).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == ["héllo wörld ünïcode ok", "tail x y z"]
