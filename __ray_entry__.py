@@ -776,6 +776,17 @@ def _q_paragraph_dedup(sf_dir):
     return paragraph_dedup(_docs_light(sf_dir), sep=" ")
 
 
+def _q_match_tokens(sf_dir):
+    """Regex extraction to rows: every token containing a doubled
+    letter, with its document position — one vectorized RE2 kernel
+    over the flattened words."""
+    from raycdc.ops.text import match_tokens
+
+    return match_tokens(
+        _docs_light(sf_dir), r"[a-z]*(?:gg|ll|ss|ee|oo)[a-z]*"
+    )
+
+
 def _q_pack_sequences(sf_dir):
     """Training-sequence packing (concat-and-chunk): docs laid
     head-to-tail per language in doc_id order, bin = floor(offset /
@@ -1519,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": _tuned(_q_paragraph_dedup),
         "repetition_stats": _tuned(_q_repetition_stats),
         "pack_sequences": _tuned(_q_pack_sequences),
+        "match_tokens": _tuned(_q_match_tokens),
         "top_terms": _tuned(_q_top_terms),
         "event_value_zscore": _tuned(_q_event_value_zscore),
         "user_running_spend": _tuned(_q_user_running_spend),
@@ -1993,6 +2005,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
                        AS dropped_segments
             FROM ranked GROUP BY doc_id
+        """,
+        "match_tokens": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                     unnest(range(len(string_split(text, ' ')))) AS pos
+              FROM documents
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+            FROM w
+            WHERE regexp_matches(
+              token, '^(?:[a-z]*(?:gg|ll|ss|ee|oo)[a-z]*)$')
         """,
         "pack_sequences": """
             WITH t AS (

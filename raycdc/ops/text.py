@@ -300,6 +300,55 @@ def top_terms_per_doc(
     return ds.map_batches(score_batch, batch_format="pandas")
 
 
+def match_tokens(
+    ds: "ray.data.Dataset",
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Extraction to rows: one output row per token whose FULL text
+    matches ``pattern`` — (id, token position, token).  Fully
+    vectorized: the batch's words flatten once and a single RE2
+    kernel (``match_substring_regex`` over the anchored pattern)
+    masks them; no Python per row or per match.  The oracle runs the
+    same anchored RE2 in DuckDB over the unnested words."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    anchored = f"^(?:{pattern})$"
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].fillna("").str.split(" ")
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        if len(df) == 0 or counts.sum() == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int64"),
+                    "token": pd.Series(dtype=object),
+                }
+            )
+        flat = np.concatenate(words.to_numpy()).astype(object)
+        row = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(flat.size, dtype=np.int64) - starts
+        m = pc.match_substring_regex(
+            pa.array(flat, pa.string()), anchored
+        ).to_numpy(zero_copy_only=False)
+        m = np.asarray(m, dtype=bool)
+        return pd.DataFrame(
+            {
+                id_col: ids[row[m]],
+                "pos": pos[m],
+                "token": flat[m],
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
 def pack_sequences(
     ds: "ray.data.Dataset",
     group_col: str,
