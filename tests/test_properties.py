@@ -11,7 +11,12 @@ from hypothesis import given, settings, strategies as st
 
 import ray.data
 
-_SETTINGS = dict(max_examples=12, deadline=None)
+import os
+
+_SETTINGS = dict(
+    max_examples=int(os.environ.get("RAYCDC_PROP_EXAMPLES", "12")),
+    deadline=None,
+)
 
 
 def _keys():
