@@ -444,6 +444,18 @@ def group_zscore(
     stats = hash_partition_reduce(
         ds.map_batches(partial, batch_format="pandas"), key_cols, merge
     ).to_pandas()
+    # int64 wrap tripwire (same headroom check as group_corr): Σx² is
+    # non-negative by construction, and n·Σx² must fit int64 — fail
+    # loudly instead of returning silently-wrapped z-scores
+    _n = stats["n"].to_numpy(dtype=np.int64)
+    _ss = stats["ss"].to_numpy(dtype=np.int64)
+    if (_ss < 0).any() or (
+        _n.astype(np.float64) * _ss.astype(np.float64)
+    ).max(initial=0.0) > 9.0e18:
+        raise OverflowError(
+            "group_zscore int64 headroom exceeded — reduce scale or "
+            "split groups"
+        )
     ref = ray.put(stats)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -841,12 +853,35 @@ def hash_join(
     r_types = dict(zip(rs.names, rs.types))
     key_type = dict(l_fields)[left_on]
 
+    def _fill_key_nulls(arr):
+        """Null-fill a key array before ``to_numpy`` — an
+        int64-with-nulls column otherwise degrades to float64 and every
+        hash (partition AND bloom) diverges from the int hashes computed
+        on the other side.  Returns ``(filled, null_mask_or_None)`` so
+        callers can re-assert null-never-matches after hashing."""
+        if not arr.null_count:
+            return arr, None
+        import pyarrow.types as pat
+
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        t = arr.type
+        if pat.is_string(t) or pat.is_large_string(t):
+            fill = pa.scalar("", t)
+        elif pat.is_floating(t):
+            fill = pa.scalar(0.0, t)
+        else:
+            fill = pc.cast(pa.scalar(0, pa.int64()), t)
+        return pc.fill_null(arr, fill), nulls
+
     bloom_ref = None
     if bloom_bits:
         from raycdc.ops.sketch import bloom_build
 
         def cast_key(t: pa.Table) -> pa.Table:
-            return pa.table({"k": pc.cast(t[right_on], key_type)})
+            # drop nulls: a null right key never matches, and letting it
+            # degrade the array to float64 would build the filter from
+            # hashes the (null-filled, int-typed) probe never produces
+            return pa.table({"k": pc.drop_null(pc.cast(t[right_on], key_type))})
 
         bloom_ref = ray.put(
             bloom_build(
@@ -859,28 +894,22 @@ def hash_join(
     def _bloom_hits(arr) -> np.ndarray:
         from raycdc.ops.sketch import bloom_contains
 
-        return bloom_contains(
+        # same null repair as _key_hash — probe with the filled int
+        # array, then force null positions to a definite miss (SQL NULL
+        # never matches): left/anti null-keyed rows take the bypass
+        arr, nulls = _fill_key_nulls(arr)
+        hits = bloom_contains(
             ray.get(bloom_ref), arr.to_numpy(zero_copy_only=False)
         )
+        if nulls is not None:
+            hits[nulls] = False
+        return hits
 
     def _key_hash(arr) -> np.ndarray:
         # nulls reach here only in left/anti/outer mode (they never
-        # match, so their partition is arbitrary) — but they MUST be
-        # filled before to_numpy, or an int64-with-nulls column
-        # degrades to float64 and the hash diverges from the other
-        # side's int hash, silently separating matching rows into
-        # different partitions
-        if arr.null_count:
-            import pyarrow.types as pat
-
-            t = arr.type
-            if pat.is_string(t) or pat.is_large_string(t):
-                fill = pa.scalar("", t)
-            elif pat.is_floating(t):
-                fill = pa.scalar(0.0, t)
-            else:
-                fill = pc.cast(pa.scalar(0, pa.int64()), t)
-            arr = pc.fill_null(arr, fill)
+        # match, so their partition is arbitrary) — filled so the
+        # numpy dtype stays int and hashes match the other side's
+        arr, _ = _fill_key_nulls(arr)
         return pd.util.hash_pandas_object(
             pd.Series(arr.to_numpy(zero_copy_only=False)), index=False
         ).to_numpy()

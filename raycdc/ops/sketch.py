@@ -238,14 +238,18 @@ def hll_distinct_by(
             np.maximum.at(regs, idx[sel], rank[sel])
             out_g.append(guniq[gi])
             out_r.append(regs.tobytes())
+        # carry the group values in their NATIVE Arrow type (not str):
+        # a stringified group column would come back with a changed
+        # dtype + lexicographic order, breaking joins of the result
+        # back onto the original column
         return pa.table(
             {
-                "g": pa.array([str(x) for x in out_g], pa.string()),
+                "g": pa.array(out_g, type=t.schema.field(group_col).type),
                 "regs": pa.array(out_r, pa.binary()),
             }
         )
 
-    merged: dict[str, np.ndarray] = {}
+    merged: dict = {}
     for batch in (
         ds.select_columns([group_col, col])
         .map_batches(partial, batch_format="pyarrow")
@@ -257,12 +261,22 @@ def hll_distinct_by(
             merged[g] = regs if cur is None else np.maximum(cur, regs)
 
     alpha = 0.7213 / (1 + 1.079 / m)
-    rows = []
-    for g in sorted(merged):
+    keys = sorted(merged)
+    ests = []
+    for g in keys:
         regs = merged[g]
         est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
         zeros = int((regs == 0).sum())
         if est <= 2.5 * m and zeros:
             est = m * np.log(m / zeros)
-        rows.append((g, float(est)))
-    return pd.DataFrame(rows, columns=[group_col, "distinct_est"])
+        ests.append(float(est))
+    # group column in its native type: build from an Arrow array typed
+    # like the input so int64 groups stay int64, timestamps stay
+    # timestamps, etc.
+    s = ds.schema()
+    gtype = dict(zip(s.names, s.types))[group_col]
+    out = pa.table(
+        {group_col: pa.array(keys, type=gtype),
+         "distinct_est": pa.array(ests, pa.float64())}
+    ).to_pandas()
+    return out

@@ -22,7 +22,15 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from raycdc.state.checkpoint import Lake
+from raycdc.state.checkpoint import ConcurrentCommitError, Lake
+
+# Rewrite commits (compact / optimize_sort) resolve partition state
+# from manifest version V and their commit CLEARS each staged
+# partition's delta list — a delta committed concurrently (e.g. by the
+# continuous follow loop) between resolve and commit would be silently
+# discarded.  Both ops therefore commit with expected_version=V and
+# re-resolve on ConcurrentCommitError, up to this many attempts.
+_REWRITE_COMMIT_ATTEMPTS = 5
 
 
 def compact(
@@ -43,7 +51,25 @@ def compact(
     import ray.data
 
     lake = Lake(lake_dir)
+    last_err: Exception | None = None
+    for _ in range(_REWRITE_COMMIT_ATTEMPTS):
+        try:
+            return _compact_once(lake, pids, min_deltas, run_id)
+        except ConcurrentCommitError as e:
+            last_err = e  # manifest moved: re-resolve from the new version
+    raise last_err  # type: ignore[misc]
+
+
+def _compact_once(
+    lake: Lake,
+    pids: list[int] | None,
+    min_deltas: int,
+    run_id: str | None,
+) -> dict:
+    import ray.data
+
     manifest = lake.manifest()
+    base_version = int(manifest["version"])
     deltas = lake.delta_paths()
     targets = sorted(
         pid
@@ -52,7 +78,7 @@ def compact(
     )
     if not targets:
         return {"compacted": [], "run_id": None}
-    run_id = run_id or f"compact-{int(manifest['version']) + 1:06d}"
+    run_id = run_id or f"compact-{base_version + 1:06d}"
     parts = lake.part_paths()
     payload_columns = manifest.get("payload_columns") or []
     root = lake.root
@@ -90,8 +116,13 @@ def compact(
         .take_all()
     )
     staged = {int(r["pid"]): r["path"] for r in rows}
-    # watermarks unchanged — this commit only swaps data layout
-    lake.commit(run_id, staged, {}, payload_columns=None)
+    # watermarks unchanged — this commit only swaps data layout; the
+    # expected_version guard aborts (→ retry) if a concurrent delta
+    # commit landed after this rewrite resolved
+    lake.commit(
+        run_id, staged, {}, payload_columns=None,
+        expected_version=base_version,
+    )
     return {"compacted": sorted(staged), "run_id": run_id}
 
 
@@ -536,17 +567,30 @@ def optimize_sort(
 
     One Ray task per partition; skips nothing (a sort rewrite is only
     worth requesting when you want every partition ordered)."""
+    lake = Lake(lake_dir)
+    last_err: Exception | None = None
+    for _ in range(_REWRITE_COMMIT_ATTEMPTS):
+        try:
+            return _optimize_sort_once(lake, by, run_id)
+        except ConcurrentCommitError as e:
+            last_err = e  # manifest moved: re-resolve from the new version
+    raise last_err  # type: ignore[misc]
+
+
+def _optimize_sort_once(
+    lake: Lake, by: list[str] | None, run_id: str | None
+) -> dict:
     import ray.data
 
-    lake = Lake(lake_dir)
     manifest = lake.manifest()
+    base_version = int(manifest["version"])
     by = by or ["repo", "path"]
     parts = lake.part_paths()
     deltas = lake.delta_paths()
     targets = sorted(set(parts) | set(deltas))
     if not targets:
         return {"optimized": [], "run_id": None}
-    run_id = run_id or f"optimize-{int(manifest['version']) + 1:06d}"
+    run_id = run_id or f"optimize-{base_version + 1:06d}"
     payload_columns = manifest.get("payload_columns") or []
     root = lake.root
 
@@ -587,5 +631,8 @@ def optimize_sort(
         .take_all()
     )
     staged = {int(r["pid"]): r["path"] for r in rows}
-    lake.commit(run_id, staged, {}, payload_columns=None)
+    lake.commit(
+        run_id, staged, {}, payload_columns=None,
+        expected_version=base_version,
+    )
     return {"optimized": sorted(staged), "run_id": run_id, "by": by}

@@ -47,6 +47,11 @@ CHECKPOINT_SCHEMA = pa.schema(
 LAKE_COLUMNS = ["repo", "path", "commit", "lang", "content", "seq"]
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A rewrite commit found the manifest moved past the version its
+    partition state was resolved from (optimistic-concurrency loss)."""
+
+
 class Lake:
     """Handle to a lake table rooted at ``lake_dir``."""
 
@@ -174,6 +179,7 @@ class Lake:
         payload_columns=None,
         staged_deltas: dict[int, str] | None = None,
         new_num_partitions: int | None = None,
+        expected_version: int | None = None,
     ) -> dict:
         """Atomic commit: checkpoint parquet first, then the manifest
         swap (the commit point).
@@ -183,8 +189,26 @@ class Lake:
         ``staged_deltas`` entries append to the partition's delta list
         (merge-on-read).  Both are idempotent: re-committing the same
         run re-registers the same deterministic file paths.
+
+        ``expected_version`` is an optimistic-concurrency guard for
+        rewrite commits (compaction / OPTIMIZE): the rewrite resolved
+        partition state from manifest version V, and replacing a base
+        clears that partition's delta list — if another writer (e.g. the
+        continuous follow loop) committed a delta after V, blindly
+        committing would silently discard it.  Pass the version the
+        rewrite was resolved from; a moved manifest raises
+        ``ConcurrentCommitError`` so the caller re-resolves and retries.
         """
         manifest = self.manifest()
+        if expected_version is not None and (
+            int(manifest["version"]) != int(expected_version)
+        ):
+            raise ConcurrentCommitError(
+                f"manifest moved from v{expected_version} to "
+                f"v{manifest['version']} since this rewrite resolved "
+                "partition state — re-resolve and retry (a blind commit "
+                "would discard the concurrent writer's deltas)"
+            )
         if new_num_partitions is not None:
             # resharding commit: the partition space changes, so parts /
             # deltas / watermarks are replaced wholesale by this commit

@@ -701,6 +701,53 @@ def test_follow_with_dedup_on_round(tmp_path):
     assert expect in got, (expect, got)
 
 
+def test_rewrite_commit_concurrency_guard(tmp_path, monkeypatch):
+    """Regression (round-2 ADVICE): a rewrite commit (compact /
+    optimize_sort) clears the staged partitions' delta lists, so a
+    delta committed concurrently between resolve and commit (the
+    continuous follow loop) was silently discarded.  Now the commit
+    carries expected_version: a moved manifest raises
+    ConcurrentCommitError and the op re-resolves and retries — the
+    concurrent delta survives."""
+    from raycdc.pipelines.maintenance import optimize_sort
+    from raycdc.state.checkpoint import ConcurrentCommitError, Lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 600, fragment_rows=300, seed=41)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=200, seed=43, start_seq=600)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+
+    lake = Lake(cfg.lake_dir)
+
+    # bare CAS: stale expected_version must refuse to commit
+    v = int(lake.manifest()["version"])
+    with pytest.raises(ConcurrentCommitError):
+        lake.commit("stale-run", {}, {}, expected_version=v - 1)
+
+    # race injection: the FIRST guarded commit attempt finds the
+    # manifest moved (a concurrent writer bumped it mid-rewrite);
+    # the op must retry from the new version and succeed
+    before = _canon(lake.read_table())
+    real_commit = Lake.commit
+    state = {"raced": 0}
+
+    def racy_commit(self, run_id, staged, wm, **kw):
+        if not state["raced"] and kw.get("expected_version") is not None:
+            state["raced"] = 1
+            m = self.manifest()
+            m["version"] += 1  # stand-in for a follow-loop delta commit
+            self._write_manifest(m)
+        return real_commit(self, run_id, staged, wm, **kw)
+
+    monkeypatch.setattr(Lake, "commit", racy_commit)
+    res = optimize_sort(cfg.lake_dir)
+    assert state["raced"] == 1
+    assert res["optimized"]
+    assert _canon(lake.read_table()).equals(before)
+
+
 def test_optimize_sort_layout_only(tmp_path):
     """optimize_sort rewrites partition bases sorted by the key but
     cannot change observable state: resolved content identical before

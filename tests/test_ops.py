@@ -1065,6 +1065,54 @@ def test_hash_join_bloom_prefilter_exact():
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_hash_join_bloom_nullable_keys():
+    """Regression (round-2 ADVICE high): nullable int64 keys with
+    bloom_bits>0.  The raw key arrays degrade to float64 through
+    to_numpy when any null is present, so the bloom build/probe hashes
+    diverged from the int hashes — false negatives silently dropped
+    matching rows (inner/semi) or routed them to the unmatched bypass
+    (left/anti).  Bloom output must equal the plain path exactly."""
+    from raycdc.ops.relational import hash_join
+
+    rng = np.random.default_rng(23)
+    lk = rng.integers(0, 200, 300).astype(object)
+    rk = rng.integers(0, 60, 80).astype(object)
+    lk[::7] = None  # nulls on BOTH sides: left probe + right build
+    rk[::9] = None
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(lk), pa.int64()),
+                "lv": pa.array(np.arange(300), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(list(rk), pa.int64()),
+                "rv": pa.array(np.arange(80), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    for how in ("inner", "left", "semi", "anti"):
+        cols = [] if how in ("semi", "anti") else ["rv"]
+        plain = hash_join(left, right, "k", "rk", cols, how=how).to_pandas()
+        bloom = hash_join(
+            left, right, "k", "rk", cols, how=how, bloom_bits=1 << 16
+        ).to_pandas()
+        sc = sorted(plain.columns)
+        a = plain[sc].sort_values(sc).reset_index(drop=True)
+        b = bloom[sc].sort_values(sc).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        if how == "inner":
+            # sanity vs an independent oracle, not just path-vs-path
+            lp = pd.DataFrame({"k": lk, "lv": np.arange(300)}).dropna()
+            rp = pd.DataFrame({"rk": rk, "rv": np.arange(80)}).dropna()
+            exp = lp.merge(rp, left_on="k", right_on="rk")
+            assert len(a) == len(exp)
+
+
 def test_bloom_no_false_negatives():
     from raycdc.ops.sketch import bloom_build, bloom_contains
 
@@ -1102,6 +1150,51 @@ def test_hll_distinct_by_groups():
     sub = ds.filter(lambda r: r["g"] == "b")
     solo = hll_distinct(sub, "v")["estimate"]
     assert abs(solo - out["b"]) < 1e-9
+
+
+def test_hll_distinct_by_preserves_group_dtype():
+    """Regression (round-2 ADVICE): the group column must come back in
+    its NATIVE dtype (int64 stays int64, numeric order), not
+    stringified — otherwise joining the estimates back onto the
+    original column silently breaks."""
+    from raycdc.ops.sketch import hll_distinct_by
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([2, 10, 10, 2, 7, 7, 7], pa.int64()),
+                "v": pa.array([1, 2, 3, 1, 4, 4, 5], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = hll_distinct_by(ds, "g", "v")
+    assert out["g"].dtype.kind == "i", out.dtypes
+    assert out["g"].tolist() == [2, 7, 10]  # numeric, not lexicographic
+    est = out.set_index("g")["distinct_est"]
+    assert round(est[2]) == 1 and round(est[7]) == 2 and round(est[10]) == 2
+    # the result joins back onto the source column without a cast
+    joined = pd.DataFrame({"g": [7, 2]}).merge(out, on="g", how="left")
+    assert joined["distinct_est"].notna().all()
+
+
+def test_group_zscore_overflow_tripwire():
+    """group_zscore must fail LOUD (OverflowError) when n·Σx² exceeds
+    int64 headroom, same contract as group_corr — never silently wrap
+    into wrong scores."""
+    from raycdc.ops.relational import group_zscore
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                # c = 3.1e9 -> c² = 9.61e18 > 2^63: wraps NEGATIVE,
+                # deterministically caught by the Σx² >= 0 invariant
+                "v": pa.array([3.1e9], pa.float64()),
+            }
+        )
+    )
+    with pytest.raises(OverflowError):
+        group_zscore(ds, ["k"], "v", scale=1).to_pandas()
 
 
 def test_hash_join_outer_semantics():
