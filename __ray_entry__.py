@@ -78,6 +78,17 @@ def _q_cdc_replay_documents(sf_dir):
     return ds.select_columns(["repo", "path", "lang", "content"])
 
 
+def _q_cdc_jsonl_replay(sf_dir):
+    """Same converged state as cdc_replay_documents, ingested through
+    the JSONL/NDJSON source connector (registry kind
+    "jsonl-changelog") — proves the source seam end-to-end against the
+    same SQL oracle."""
+    from raycdc.pipelines.flagship import flagship_state_jsonl
+
+    ds = flagship_state_jsonl(sf_dir)
+    return ds.select_columns(["repo", "path", "lang", "content"])
+
+
 def _q_cdc_mor_replay(sf_dir):
     """Merge-on-read lifecycle end-to-end: base load (cow) → delta
     apply with tombstones (mor) → compaction → vacuum; converges to
@@ -1566,6 +1577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _tuned(_q_dedup_clusters),
         "dedup_survivors": _tuned(_q_dedup_survivors),
         "curation_pipeline": _tuned(_q_curation_pipeline),
+        # -- (b) new this round ------------------------------------------
+        "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
         # ---- driver-window boundary (~50) ------------------------------
         # -- (d) stable, r02-green --------------------------------------
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
@@ -1629,6 +1642,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 17 <> 0
         """,
         "cdc_mor_replay": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0
+        """,
+        "cdc_jsonl_replay": """
             SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
                    'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    lang,

@@ -78,16 +78,47 @@ def _sample_payloads(log_dir: str, n: int = GUESS_RECORDS_COUNT) -> list[dict]:
     return out
 
 
-def guess(log_dir: str) -> list[dict]:
+def _sample_payloads_jsonl(
+    log_dir: str, n: int = GUESS_RECORDS_COUNT
+) -> list[dict]:
+    """JSONL twin of the guess sample: first lines of the first
+    fragment(s), payload_json extracted per line."""
+    from raycdc.sources.jsonl import jsonl_fragment_paths
+
+    out: list[dict] = []
+    for path in jsonl_fragment_paths(log_dir):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                try:
+                    s = json.loads(line).get("payload_json")
+                    if s is not None:
+                        out.append(json.loads(s))
+                except (ValueError, AttributeError):
+                    continue
+                if len(out) >= n:
+                    return out
+    return out
+
+
+def guess(log_dir: str, source_kind: str = "parquet-changelog") -> list[dict]:
     """Infer payload column configs from a sample of the change log
     (the reference's `guess` command, JiraInputPlugin.java:170-220)."""
-    return guess_schema(_sample_payloads(log_dir))
+    sample = (
+        _sample_payloads_jsonl(log_dir)
+        if source_kind == "jsonl-changelog"
+        else _sample_payloads(log_dir)
+    )
+    return guess_schema(sample)
 
 
-def _slim_columns(log_dir: str) -> list[str]:
+def _slim_columns(log_dir: str, source_kind: str = "parquet-changelog") -> list[str]:
     """Slim (phase A) projection: prefer the WAL's ``content_len``
     header column over decoding the fat ``content`` pages; fall back
     for logs written before the column existed."""
+    if source_kind == "jsonl-changelog":
+        # the JSONL reader guarantees content_len (derives it when the
+        # wire omits it), and there is no physical projection anyway
+        return ["seq", "op", "repo", "path", "content_len", "payload_json"]
     paths = fragment_paths(log_dir)
     names = pq.read_schema(paths[0]).names if paths else []
     probe = "content_len" if "content_len" in names else "content"
@@ -211,7 +242,7 @@ def _late_materialized_apply(
     # -- phase A: winner selection over slim rows -----------------------
     ds = get_source(cfg.source_kind, cfg.log_dir).read(
         min_watermark=min_watermark,
-        columns=_slim_columns(cfg.log_dir),
+        columns=_slim_columns(cfg.log_dir, cfg.source_kind),
         predicate=cfg.predicate,
         override_num_blocks=blocks,
     )
@@ -346,7 +377,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
         # (dynamic_schema analog, JiraInputPlugin.java:106-127); empty
         # source degrades to the old schema (:117-121).
         try:
-            guessed = guess(cfg.log_dir)
+            guessed = guess(cfg.log_dir, cfg.source_kind)
             payload_columns = merge_schemas(
                 manifest.get("payload_columns") or [], guessed
             )
@@ -695,6 +726,8 @@ def preview(cfg: IngestConfig, n: int = PREVIEW_RECORDS_COUNT) -> pa.Table:
     )
 
 
-def total_events(log_dir: str) -> int:
-    """Count probe (S2) — Parquet footers only."""
-    return count_probe(log_dir)
+def total_events(log_dir: str, source_kind: str = "parquet-changelog") -> int:
+    """Count probe (S2) — Parquet footers (or the connector's probe)."""
+    if source_kind == "parquet-changelog":
+        return count_probe(log_dir)
+    return get_source(source_kind, log_dir).count_probe()

@@ -116,6 +116,44 @@ def flagship_state(sf_dir: str, workdir: str | None = None, num_partitions: int 
     return Lake(cfg.lake_dir).read_dataset()
 
 
+def flagship_state_jsonl(
+    sf_dir: str, workdir: str | None = None, num_partitions: int = 16
+):
+    """The same converged state as ``flagship_state``, ingested through
+    the JSONL/NDJSON connector (sources/jsonl.py): the identical
+    documents-derived event stream is serialized as NDJSON fragments
+    and replayed with ``source_kind="jsonl-changelog"`` — transport
+    and semantics are orthogonal, which the shared oracle pins."""
+    import pyarrow.parquet as pq_mod
+
+    from raycdc.sources.jsonl import write_table_jsonl
+
+    workdir = workdir or os.path.join(
+        "/tmp",
+        "raycdc_flagship_jsonl_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    documents_changelog(sf_dir, staging)
+    os.makedirs(log_dir, exist_ok=True)
+    for name in sorted(os.listdir(staging)):
+        t = pq_mod.read_table(os.path.join(staging, name))
+        write_table_jsonl(
+            t, os.path.join(log_dir, name.replace(".parquet", ".jsonl"))
+        )
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=os.path.join(workdir, "lake"),
+        num_partitions=num_partitions,
+        columns=PAYLOAD_COLUMNS,
+        source_kind="jsonl-changelog",
+    )
+    run_ingest(cfg)
+    return Lake(cfg.lake_dir).read_dataset()
+
+
 def flagship_state_mor(
     sf_dir: str, workdir: str | None = None, num_partitions: int = 16
 ):

@@ -1,0 +1,352 @@
+"""JSONL/NDJSON change-log source — the second real connector behind
+the source registry (SURVEY.md §2.10: the reference's extensible
+``auth_method`` switch, AuthenticateMethod.java:8-27, dispatched in
+JiraClient.java:212-223, generalizes to pluggable log transports).
+
+Wire format: a directory of seq-ordered ``*.jsonl`` fragments, one
+JSON object per line with the event envelope::
+
+    {"seq": 7, "ts": "2024-01-01T00:00:07.000000+0000", "op": "update",
+     "repo": "...", "path": "...", "commit": "...", "lang": "py",
+     "content": "...", "content_len": 123, "payload_json": "{...}"}
+
+``payload_json`` stays a STRING field (as real CDC wire formats ship
+stringified sub-documents), so the downstream parse/coerce stages
+(M2-M6, raycdc.functions.jsonpath / coerce) are reused unchanged, and
+malformed payloads remain representable.
+
+Physical trade-offs vs the Parquet connector, stated honestly:
+
+- **No footers.**  ``count_probe`` streams the files counting
+  newlines (exact, no parse); ``max_seq_probe`` reads only each
+  file's LAST line (fragments are seq-ordered by contract, like the
+  reference's server-ordered pages); ``window_stats`` prunes whole
+  files by tail seq and ESTIMATES rows from bytes / sampled line
+  width (Parquet gets exact rows free; a row-oriented text log
+  cannot).
+- **No projection pushdown.**  Every line must be fully parsed; the
+  ``columns`` argument projects after parse.  This is precisely why
+  the LAKE side is Parquet — JSONL is an ingest transport.
+- **C-speed happy path, per-line salvage on dirty files.**  Each file
+  parses via ``pyarrow.json`` (vectorized, zero Python per row); only
+  a file that fails wholesale falls back to line-by-line ``loads``,
+  where unparsable lines (torn writes) become null-PK rows that the
+  parse stage dead-letters with a reason — the main lane stays total
+  (north rule; generalizes the reference's null-on-error,
+  JiraUtil.java:169-264).  A torn line has no cursor of its own, so
+  it inherits the nearest good line's seq and is dead-lettered in
+  whichever replay window covers that seq (idempotent under replay).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.json as pj
+
+# envelope as it appears on the wire: ts is an ISO string (parsed with
+# the M7 strptime machinery below), everything else matches EVENT_SCHEMA
+WIRE_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("ts", pa.string()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("content_len", pa.int32()),
+        ("payload_json", pa.string()),
+    ]
+)
+
+_TAIL_WINDOW = 1 << 18  # 256 KiB: bounds the last-line probe
+
+
+def jsonl_fragment_paths(log_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(log_dir, "*.jsonl")))
+
+
+def _last_line_seq(path: str) -> int | None:
+    """seq of the file's last complete line — O(1) tail read; None if
+    the tail is unparsable (then the file can never be pruned)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - _TAIL_WINDOW))
+        tail = f.read()
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            return int(json.loads(line)["seq"])
+        except (ValueError, KeyError, TypeError):
+            # torn trailing write: the previous complete line carries
+            # the file's real max seq (a torn line has no cursor)
+            continue
+    return None
+
+
+def _head_line_bytes(path: str) -> int:
+    """Width of the first line — the row-size sample for estimates."""
+    with open(path, "rb") as f:
+        head = f.read(_TAIL_WINDOW)
+    nl = head.find(b"\n")
+    return (nl + 1) if nl >= 0 else max(len(head), 1)
+
+
+def count_probe(log_dir: str) -> int:
+    """Exact event count: stream the files counting newlines (S2
+    analog — no parse, but unlike Parquet footers it must touch every
+    byte once; the honest cost of a footerless format)."""
+    total = 0
+    for p in jsonl_fragment_paths(log_dir):
+        with open(p, "rb") as f:
+            while chunk := f.read(1 << 24):
+                total += chunk.count(b"\n")
+    return total
+
+
+def max_seq_probe(log_dir: str) -> int:
+    """Replay-target watermark from each fragment's LAST line only
+    (fragments are seq-ordered by contract, so the tail is the max)."""
+    best = -1
+    for p in jsonl_fragment_paths(log_dir):
+        s = _last_line_seq(p)
+        if s is not None:
+            best = max(best, s)
+    return best
+
+
+def window_stats(log_dir: str, min_watermark: int | None) -> tuple[int, int]:
+    """(bytes, rows≈) of fragments that can contain events above the
+    watermark.  Rows are ESTIMATED as file bytes / first-line width —
+    good enough for block sizing, and the only metadata a text log
+    affords without a full scan."""
+    total_bytes = 0
+    total_rows = 0
+    for p in jsonl_fragment_paths(log_dir):
+        if min_watermark is not None and min_watermark >= 0:
+            s = _last_line_seq(p)
+            if s is not None and s <= min_watermark:
+                continue
+        size = os.path.getsize(p)
+        total_bytes += size
+        total_rows += max(1, size // _head_line_bytes(p))
+    return total_bytes, total_rows
+
+
+def _salvage(data: bytes) -> pa.Table:
+    """Line-by-line fallback for a file pyarrow.json rejects: valid
+    lines parse normally; torn lines become null-PK rows carrying the
+    raw line in payload_json (dead-letter lane downstream).
+
+    A torn line has no cursor of its own, so it inherits the seq of
+    the nearest preceding good line (or the first following one) —
+    it then rides the same replay window as the file's real events,
+    and the dead-letter capture is idempotent under replay exactly
+    like any other event of that window."""
+    cols: dict[str, list] = {f.name: [] for f in WIRE_SCHEMA}
+    torn_idx: list[int] = []
+    last_seq: int | None = None
+    for raw in data.splitlines():
+        raw = raw.strip()
+        if not raw:
+            continue
+        try:
+            rec = json.loads(raw)
+            if not isinstance(rec, dict):
+                raise ValueError("not an object")
+            if rec.get("seq") is not None:
+                last_seq = int(rec["seq"])
+        except ValueError:
+            rec = {
+                "seq": last_seq,
+                "payload_json": raw.decode("utf-8", "replace"),
+            }
+            if last_seq is None:
+                torn_idx.append(len(cols["seq"]))
+        for f in WIRE_SCHEMA:
+            cols[f.name].append(rec.get(f.name))
+    # torn lines BEFORE the first good line borrow the first good seq;
+    # a fully-torn file falls back to 0 (captured on full replay)
+    first_seq = next((s for s in cols["seq"] if s is not None), 0)
+    for i in torn_idx:
+        cols["seq"][i] = first_seq
+    cols["seq"] = [int(0 if s is None else s) for s in cols["seq"]]
+    return pa.table(
+        {f.name: pa.array(cols[f.name], f.type) for f in WIRE_SCHEMA}
+    )
+
+
+def _parse_file(data: bytes) -> pa.Table:
+    if not data.strip():
+        return WIRE_SCHEMA.empty_table()
+    try:
+        return pj.read_json(
+            io.BytesIO(data),
+            parse_options=pj.ParseOptions(
+                explicit_schema=WIRE_SCHEMA,
+                unexpected_field_behavior="ignore",
+            ),
+        )
+    except pa.ArrowInvalid:
+        return _salvage(data)
+
+
+class _JsonlToEvents:
+    """map_batches callable: file bytes → typed event rows.  A class so
+    the (tiny) setup cost and the broadcast filter args bind once per
+    task, matching the engine's stage conventions."""
+
+    def __init__(self, min_watermark, predicate, columns):
+        self.min_watermark = min_watermark
+        self.predicate = predicate
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raycdc.functions.timestamps import parse_timestamp_strings
+
+        tabs = [_parse_file(b.as_py()) for b in batch["bytes"]]
+        t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+        # M7 reuse: ISO wire timestamps through the strptime machinery
+        ts = parse_timestamp_strings(t["ts"].to_pandas())
+        ts_us = pa.Array.from_pandas(ts.dt.tz_localize(None)).cast(
+            pa.timestamp("us")
+        )
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+        # logs written before content_len existed: derive it (same
+        # fallback the Parquet reader's slim path performs)
+        if t["content_len"].null_count == t.num_rows and t.num_rows:
+            import pyarrow.compute as pc
+
+            t = t.set_column(
+                t.schema.get_field_index("content_len"),
+                "content_len",
+                pc.cast(pc.utf8_length(t["content"]), pa.int32()),
+            )
+        filt = None
+        if self.min_watermark is not None and self.min_watermark >= 0:
+            filt = pads.field("seq") > self.min_watermark
+        if self.predicate is not None:
+            filt = self.predicate if filt is None else (filt & self.predicate)
+        if filt is not None or self.columns is not None:
+            # same dataset-scanner machinery the Parquet read pushes
+            # filters through (NOT the table-level kernels — see
+            # functions/arrowsafe.py for why those are avoided here)
+            t = pads.dataset(t).to_table(
+                columns=self.columns, filter=filt
+            )
+        return t
+
+
+def read_jsonl_changelog(
+    log_dir: str,
+    min_watermark: int | None = None,
+    columns: list[str] | None = None,
+    predicate=None,
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """The JSONL log as a Dataset of typed event rows.
+
+    One read task per fragment (a text log splits safely only at file
+    boundaries — write fragment-sized files, like Parquet fragments);
+    whole-file pruning by tail seq replaces Parquet's row-group
+    pruning.  ``override_num_blocks`` is accepted for interface parity
+    but the natural parallelism is the fragment count.
+    """
+    import ray.data
+
+    paths = jsonl_fragment_paths(log_dir)
+    if min_watermark is not None and min_watermark >= 0:
+        kept = []
+        for p in paths:
+            s = _last_line_seq(p)
+            if s is None or s > min_watermark:
+                kept.append(p)
+        paths = kept
+    if not paths:
+        event_schema = pa.schema(
+            [
+                (f.name, pa.timestamp("us") if f.name == "ts" else f.type)
+                for f in WIRE_SCHEMA
+            ]
+        )
+        empty = event_schema.empty_table()
+        if columns:
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty)
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(
+        _JsonlToEvents(min_watermark, predicate, columns),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer (test/bench generation): same deterministic stream as the
+# Parquet writer, serialized as NDJSON fragments
+# ---------------------------------------------------------------------------
+
+
+def write_changelog_jsonl(
+    log_dir: str,
+    num_events: int,
+    fragment_rows: int = 100_000,
+    duplicate_boundaries: bool = True,
+    fragment_index_offset: int = 0,
+    **kwargs,
+) -> list[str]:
+    """JSONL twin of ``synth.write_changelog`` — identical event
+    stream, different container, so lake state after ingest must
+    byte-match the Parquet path's."""
+    from raycdc.sources.synth import synth_event_chunks
+
+    os.makedirs(log_dir, exist_ok=True)
+    paths = []
+    carry = None
+    for i, chunk in enumerate(
+        synth_event_chunks(num_events, chunk_rows=fragment_rows, **kwargs)
+    ):
+        if duplicate_boundaries and carry is not None:
+            chunk = pa.concat_tables([carry, chunk])
+        if duplicate_boundaries:
+            carry = chunk.slice(chunk.num_rows - 1, 1)
+        frag = os.path.join(
+            log_dir, f"fragment-{i + fragment_index_offset:05d}.jsonl"
+        )
+        write_table_jsonl(chunk, frag)
+        paths.append(frag)
+    return paths
+
+
+def write_table_jsonl(chunk: pa.Table, path: str) -> None:
+    """Serialize one event table as NDJSON (ts → ISO string)."""
+    df = chunk.to_pandas()
+    df["ts"] = (
+        pd.to_datetime(df["ts"], utc=True)
+        .dt.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
+    )
+    if "content_len" in df.columns:
+        # pandas floats Int32-with-nulls; to_json then writes 123.0
+        # which pyarrow.json refuses for an int32 field — go object
+        df["content_len"] = np.where(
+            df["content_len"].isna(), None, df["content_len"]
+        )
+        df["content_len"] = pd.Series(
+            [None if v is None else int(v) for v in df["content_len"]],
+            dtype=object,
+        )
+    buf = df.to_json(orient="records", lines=True, force_ascii=False)
+    with open(path, "w", encoding="utf-8") as f:
+        # exactly one newline per record (count_probe counts them)
+        f.write(buf.rstrip("\n"))
+        f.write("\n")

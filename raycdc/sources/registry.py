@@ -112,6 +112,59 @@ class ParquetChangelogSource(SourceConnector):
         return window_stats(self.log_dir, min_watermark)
 
 
+class JsonlChangelogSource(SourceConnector):
+    """Second real connector: a directory of NDJSON change-log
+    fragments (see raycdc.sources.jsonl for wire format, probe
+    mechanics and the honest no-footer trade-offs).  Proves the
+    registry seam the way the reference's 3-way auth enum does —
+    same pipeline, different transport."""
+
+    kind = "jsonl-changelog"
+
+    def validate(self) -> None:
+        if not os.path.isdir(self.log_dir):
+            raise ConfigError(
+                f"Change-log directory does not exist or is not a "
+                f"directory: {self.log_dir}"
+            )
+        if not os.access(self.log_dir, os.R_OK):
+            raise ConfigError(
+                f"Change-log directory is not readable: {self.log_dir}"
+            )
+
+    def read(
+        self,
+        min_watermark: int | None = None,
+        columns: list[str] | None = None,
+        predicate=None,
+        override_num_blocks: int | None = None,
+    ):
+        from raycdc.sources.jsonl import read_jsonl_changelog
+
+        return read_jsonl_changelog(
+            self.log_dir,
+            min_watermark=min_watermark,
+            columns=columns,
+            predicate=predicate,
+            override_num_blocks=override_num_blocks,
+        )
+
+    def count_probe(self) -> int:
+        from raycdc.sources.jsonl import count_probe
+
+        return count_probe(self.log_dir)
+
+    def max_seq_probe(self) -> int:
+        from raycdc.sources.jsonl import max_seq_probe
+
+        return max_seq_probe(self.log_dir)
+
+    def window_stats(self, min_watermark: int | None) -> tuple[int, int]:
+        from raycdc.sources.jsonl import window_stats
+
+        return window_stats(self.log_dir, min_watermark)
+
+
 _REGISTRY: dict[str, type[SourceConnector]] = {}
 
 
@@ -143,3 +196,4 @@ def get_source(kind: str, log_dir: str) -> SourceConnector:
 
 
 register_source(ParquetChangelogSource)
+register_source(JsonlChangelogSource)

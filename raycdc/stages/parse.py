@@ -81,8 +81,12 @@ class ParseStage:
             if batch.schema.get_field_index("content") >= 0
             else batch["content_len"]
         )
-        bad_content = pc.and_(
-            pc.is_null(null_src), pc.not_equal(op, "delete")
+        # fill_null(False): a null op makes not_equal null-propagate
+        # (torn JSONL lines) — those rows are dead-lettered as
+        # "unknown op" below, not as a content problem
+        bad_content = pc.fill_null(
+            pc.and_(pc.is_null(null_src), pc.not_equal(op, "delete")),
+            False,
         ).to_numpy(zero_copy_only=False)
         reasons[bad_content] = "null content on non-delete"
         reasons[bad_op] = "unknown op"
