@@ -961,6 +961,33 @@ def _q_dedup_survivors(sf_dir):
     return dedup_survivors(corpus, pairs, id_col="doc_id")
 
 
+def _q_dedup_chain_lake(sf_dir):
+    """The 100-TB dedup shape end to end with NO driver DataFrame in
+    the chain: near-dup pairs STREAM to a lake table
+    (``minhash_lsh_pairs(out_dir=...)``), clustering stays a Dataset
+    (``as_dataset=True`` large/small-star), survivors resolve via the
+    no-broadcast co-partition anti-join — pairs, labels and corpus all
+    remain Datasets; the tripled corpus collapses back to exactly the
+    original documents, which the SQL oracle pins."""
+    import shutil
+
+    from raycdc.ops.components import dedup_survivors
+    from raycdc.ops.dedup import minhash_lsh_pairs
+
+    corpus = _tripled_dup_docs(sf_dir)
+    pairs_lake = os.path.join(
+        "/tmp",
+        "raycdc_pairs_lake_"
+        + __import__("hashlib").blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(pairs_lake, ignore_errors=True)
+    pairs_ds = minhash_lsh_pairs(corpus, threshold=1.0, out_dir=pairs_lake)
+    surv = dedup_survivors(
+        corpus, pairs_ds, id_col="doc_id", broadcast=False
+    )
+    return surv.select_columns(["doc_id", "text"])
+
+
 def _q_decontam_report(sf_dir):
     """Benchmark decontamination report: every 17th doc plays the eval
     set; n_hits = the doc's distinct 8-grams found in it.  Benchmark
@@ -1579,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _tuned(_q_curation_pipeline),
         # -- (b) new this round ------------------------------------------
         "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
+        "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
         # ---- driver-window boundary (~50) ------------------------------
         # -- (d) stable, r02-green --------------------------------------
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
@@ -2120,6 +2148,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + 20000 AS node, doc_id AS cluster_id FROM documents
         """,
         "dedup_survivors": """
+            SELECT doc_id, text FROM documents
+        """,
+        "dedup_chain_lake": """
             SELECT doc_id, text FROM documents
         """,
         "event_value_quantiles": """

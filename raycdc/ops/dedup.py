@@ -406,6 +406,14 @@ def _verify_pairs_jaccard(
     )
 
 
+class PairBudgetExceeded(RuntimeError):
+    """Candidate-pair generation would exceed the broadcast budget —
+    the corpus has a degenerate collision structure (mass-identical
+    documents).  Run ``exact_dedup_groups`` first to collapse exact
+    copies, or raise ``max_candidate_pairs`` if the broadcast genuinely
+    fits."""
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     k: int = 64,
@@ -415,6 +423,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_dir: str | None = None,
+    max_candidate_pairs: int = 5_000_000,
 ):
     """Near-duplicate pairs via MinHash banding, verified with exact
     shingle-set Jaccard.  Returns (id_a, id_b, jaccard) with
@@ -437,10 +446,14 @@ def minhash_lsh_pairs(
     Broadcast assumption (same contract as winner.py's
     max_broadcast_winners): the candidate-pair ID set fits the object
     store — bounded by band-collision counts (tunable via
-    bands/threshold), not corpus size.  Pathological corpora where one
-    bucket holds ~everything (mass-identical docs) should run
-    exact_dedup_groups first; candidate generation is quadratic per
-    bucket."""
+    bands/threshold), not corpus size.  The contract is ENFORCED by
+    ``max_candidate_pairs`` (default 5M pairs ≈ 80 MB broadcast): each
+    shuffle group pre-counts its bucket collisions (Σ n·(n−1)/2, one
+    value_counts — no pair is materialized) and raises
+    ``PairBudgetExceeded`` BEFORE the quadratic enumeration allocates,
+    so a pathological mass-identical corpus fails fast with a
+    remediation message (run exact_dedup_groups first) instead of
+    OOMing a worker or the driver broadcast."""
     ncpu = _ncpu()
     num_coarse = _shuffle_width(ncpu)
 
@@ -472,6 +485,20 @@ def minhash_lsh_pairs(
         if df.empty:
             return empty
         df = df.drop_duplicates(["band", "bh", id_col])
+        # budget tripwire BEFORE the quadratic enumeration: bucket
+        # sizes alone give the exact pair count this group would emit
+        sizes = df.groupby(["band", "bh"], sort=False).size().to_numpy()
+        est = int((sizes * (sizes - 1) // 2).sum())
+        if est > max_candidate_pairs:
+            raise PairBudgetExceeded(
+                f"candidate-pair budget exceeded: one shuffle group "
+                f"alone would enumerate {est:,} pairs "
+                f"(max_candidate_pairs={max_candidate_pairs:,}; largest "
+                f"bucket {int(sizes.max()):,} docs).  The corpus has "
+                "mass-identical documents — run exact_dedup_groups "
+                "first, or raise max_candidate_pairs if the broadcast "
+                "genuinely fits."
+            )
         frames = []
         for _, g in df.groupby(["band", "bh"], sort=False):
             ids = np.sort(g[id_col].to_numpy())
@@ -490,6 +517,16 @@ def minhash_lsh_pairs(
     # must land on the driver for the ray.put broadcast regardless, so
     # an extra shuffle round would buy nothing.
     pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    if len(pairs_df) > max_candidate_pairs:
+        # aggregate tripwire: every group stayed under budget but the
+        # union does not — refuse the ray.put broadcast
+        raise PairBudgetExceeded(
+            f"candidate-pair budget exceeded: {len(pairs_df):,} unique "
+            f"pairs across all buckets "
+            f"(max_candidate_pairs={max_candidate_pairs:,}).  Run "
+            "exact_dedup_groups first, or raise max_candidate_pairs "
+            "if the broadcast genuinely fits."
+        )
     empty = pd.DataFrame(
         {"id_a": pd.Series(dtype="int64"),
          "id_b": pd.Series(dtype="int64"),

@@ -1152,6 +1152,92 @@ def test_hll_distinct_by_groups():
     assert abs(solo - out["b"]) < 1e-9
 
 
+def test_pil_presence_upgrades_decoder_without_code_changes():
+    """Capability seam: installing PIL must upgrade the default decode
+    in place — no code change, no NotImplementedError trap.  Simulated
+    with a fake PIL module: after reload the registry selects 'pil'
+    and DecodeImageStage routes payloads through it; removing the fake
+    reverts to the documented deterministic stub."""
+    import importlib
+    import sys
+    import types
+
+    import raycdc.ops.multimodal as mm
+
+    class _FakeImg:
+        size = (32, 24)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return self
+
+        def __array__(self, dtype=None):
+            return np.full((8, 8), 128.0, dtype=np.float64)
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda buf: _FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        mm2 = importlib.reload(mm)
+        assert mm2.default_decoder() == "pil"
+        out = mm2.DecodeImageStage()(mm2.synth_media_table(5))
+        assert out["width"].to_pylist() == [32] * 5
+        assert out["height"].to_pylist() == [24] * 5
+        for feat in out["feature"].to_pylist():
+            assert len(feat) == 8
+            assert all(abs(v - 128.0 / 255.0) < 1e-12 for v in feat)
+    finally:
+        del sys.modules["PIL"]
+        del sys.modules["PIL.Image"]
+        mm3 = importlib.reload(mm)
+    assert mm3.default_decoder() == "fake"
+    # the stub path still works after the round-trip
+    out = mm3.DecodeImageStage()(mm3.synth_media_table(3))
+    assert out.num_rows == 3 and "feature" in out.column_names
+
+
+def test_minhash_pair_budget_fails_fast_on_mass_identical_corpus():
+    """The documented broadcast bound (dedup.py minhash_lsh_pairs
+    docstring) is now ENFORCED: a mass-identical corpus (every doc the
+    same text → one bucket holds everything, C(n,2) pairs) must raise
+    PairBudgetExceeded from the cheap bucket-size pre-count — before
+    the quadratic enumeration allocates — not OOM."""
+    from raycdc.ops.dedup import PairBudgetExceeded, minhash_lsh_pairs
+
+    n = 400  # C(400,2) = 79,800 pairs > budget of 1,000
+    text = "the same exact document text repeated verbatim everywhere ok"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array([text] * n, pa.string()),
+            }
+        )
+    ).repartition(4)
+    with pytest.raises(Exception, match="candidate-pair budget"):
+        minhash_lsh_pairs(ds, threshold=1.0, max_candidate_pairs=1000)
+    # a healthy corpus with the same budget is unaffected
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(60), pa.int64()),
+                "text": pa.array(
+                    [f"unique document body number {i} with words" for i in range(50)]
+                    + [text] * 10,
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(4)
+    out = minhash_lsh_pairs(ds2, threshold=1.0, max_candidate_pairs=1000)
+    assert len(out) == 45  # C(10,2) planted identical pairs
+
+
 def test_hll_distinct_by_preserves_group_dtype():
     """Regression (round-2 ADVICE): the group column must come back in
     its NATIVE dtype (int64 stays int64, numeric order), not
