@@ -1596,7 +1596,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
-        "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "dedup_minhash": _tuned(_q_dedup_minhash),
@@ -1609,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
         # ---- driver-window boundary (~50) ------------------------------
         # -- (d) stable, r02-green --------------------------------------
+        "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
         "cdc_preview": _tuned(_q_cdc_preview),
         "cdc_dead_letter": _tuned(_q_cdc_dead_letter),
