@@ -414,6 +414,21 @@ class PairBudgetExceeded(RuntimeError):
     fits."""
 
 
+# default ceiling for every candidate-pair driver funnel (~80 MB of
+# (id_a, id_b) rows); minhash_lsh_pairs exposes it as a parameter,
+# the incremental-index probes apply it as a module default
+DEFAULT_MAX_CANDIDATE_PAIRS = 5_000_000
+
+
+def _check_pair_budget(n: int, budget: int) -> None:
+    if n > budget:
+        raise PairBudgetExceeded(
+            f"candidate-pair budget exceeded: {n:,} unique pairs "
+            f"(budget {budget:,}).  Run exact_dedup_groups first, or "
+            "raise the budget if the broadcast genuinely fits."
+        )
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     k: int = 64,
@@ -1191,6 +1206,7 @@ def incremental_minhash_pairs(
         coarse_group_candidates, batch_format="pandas"
     )
     pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    _check_pair_budget(len(pairs_df), DEFAULT_MAX_CANDIDATE_PAIRS)
     empty = pd.DataFrame(
         {"id_a": pd.Series(dtype="int64"),
          "id_b": pd.Series(dtype="int64"),
@@ -1578,6 +1594,7 @@ def incremental_embedding_pairs(
         coarse_group_candidates, batch_format="pandas"
     )
     pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    _check_pair_budget(len(pairs_df), DEFAULT_MAX_CANDIDATE_PAIRS)
     committed = set(meta.get("windows", []))
     if update_index and (window_id is None or window_id not in committed):
         _write_index_rows(ray.data.from_pandas(new_df), index_dir)
