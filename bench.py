@@ -333,6 +333,8 @@ def scaling() -> None:
             {
                 "metric": "scaling efficiency, same input at "
                 f"num_cpus={lo} vs {hi} (best of {trials})",
+                "calib_sec": _calibrate(),
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
                 f"sec_{lo}": t_lo,
                 f"sec_{hi}": t_hi,
                 f"trials_{lo}": lo_all,
