@@ -755,6 +755,44 @@ def _q_user_running_spend(sf_dir):
     ).select_columns(["user_id", "event_id", "running_spend"])
 
 
+def _q_user_event_rank(sf_dir):
+    """ROW_NUMBER + LAG window functions per user ordered by the
+    replay cursor (event_id as the deterministic tiebreaker): one
+    per-key hash exchange, per-partition C-speed cumcount/shift."""
+    from raycdc.ops.relational import window_rank_lag
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    return window_rank_lag(
+        ds, ["user_id"], ["event_id"], "value"
+    ).select_columns(["user_id", "event_id", "rn", "prev_value"])
+
+
+def _q_rolling_value_mean(sf_dir):
+    """Frame window: 3-row rolling mean of event value per user —
+    exact int64-cents cumsum difference, single float division, so
+    every row is bit-identical to the mirrored SQL formula."""
+    from raycdc.ops.relational import rolling_mean_by_key
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    return rolling_mean_by_key(
+        ds, ["user_id"], ["event_id"], "value", window=3
+    ).select_columns(["user_id", "event_id", "rolling_mean"])
+
+
+_SCRUB_TERMS = ["spark", "dup", "slow"]
+
+
+def _q_scrub_blocklist(sf_dir):
+    """Blocklist scrub (C4-style badwords stage): whole-word replace +
+    per-doc hit count, Arrow RE2 kernels — the same regex engine as
+    the DuckDB oracle, so each row pins exactly."""
+    from raycdc.ops.text import scrub_terms
+
+    return scrub_terms(_docs_light(sf_dir), _SCRUB_TERMS).select_columns(
+        ["doc_id", "n_hits", "text_scrubbed"]
+    )
+
+
 def _q_event_value_zscore(sf_dir):
     """Per-user z-score of purchase values in exact integer-cents
     arithmetic: associative (n, Σx, Σx²) partials + broadcast stats;
@@ -1591,9 +1629,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_except": _tuned(_q_pairs_except),
         "pairs_intersect": _tuned(_q_pairs_intersect),
         # -- headline CDC + dedup families ------------------------------
-        "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
-        "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
-        "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
@@ -1606,8 +1641,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- (b) new this round ------------------------------------------
         "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
         "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
-        # ---- driver-window boundary (~50) ------------------------------
+        "user_event_rank": _tuned(_q_user_event_rank),
+        "rolling_value_mean": _tuned(_q_rolling_value_mean),
+        "scrub_blocklist": _tuned(_q_scrub_blocklist),
+        # ---- driver-window boundary (50) -------------------------------
         # -- (d) stable, r02-green --------------------------------------
+        # (cdc_replay_documents / cdc_mor_replay / cdc_latest_by_key were
+        #  demoted from the window this round to make room for the three
+        #  new entries above — all three have green r02 rows, so the
+        #  union of r02 + this round's window still covers every query)
+        "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
+        "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
+        "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
         "cdc_preview": _tuned(_q_cdc_preview),
@@ -1899,6 +1944,33 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY event_id)
                         AS DOUBLE) / 100.0 AS running_spend
             FROM events
+        """,
+        "user_event_rank": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rn,
+                   CAST(lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY event_id)
+                        AS DOUBLE) AS prev_value
+            FROM events
+        """,
+        "rolling_value_mean": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          OVER w AS DOUBLE)
+                   / (100.0 * count(*) OVER w) AS rolling_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "scrub_blocklist": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '\b(?:dup|slow|spark)\b')) AS BIGINT)
+                       AS n_hits,
+                   regexp_replace(text, '\b(?:dup|slow|spark)\b',
+                                  '<SCRUB>', 'g') AS text_scrubbed
+            FROM documents
         """,
         "event_value_zscore": """
             WITH c AS (

@@ -676,6 +676,71 @@ def running_sum_by_key(
     return hash_partition_reduce(ds, key_cols, cum)
 
 
+def window_rank_lag(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    rank_col: str = "rn",
+    lag_col: str = "prev_value",
+) -> "ray.data.Dataset":
+    """``ROW_NUMBER()`` + ``LAG(value)`` OVER (PARTITION BY keys ORDER
+    BY order_cols): one per-key hash exchange, then a per-partition
+    mergesort + grouped cumcount/shift at C speed.  ``order_cols``
+    must be a unique total order within each key group (pass a
+    tiebreaker column) so ranks are deterministic under any
+    partitioning.  LAG of the first row per key is NaN, matching the
+    SQL NULL; the lag column is float64 either way."""
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(key_cols + order_cols, kind="mergesort").copy()
+        g = out.groupby(key_cols, sort=False)
+        out[rank_col] = (g.cumcount() + 1).astype(np.int64)
+        out[lag_col] = g[value_col].shift(1).astype(np.float64)
+        return out
+
+    return hash_partition_reduce(ds, key_cols, win)
+
+
+def rolling_mean_by_key(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling_mean",
+    scale: int = 100,
+) -> "ray.data.Dataset":
+    """Frame window aggregate: ``avg(value) OVER (PARTITION BY keys
+    ORDER BY order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)``.  The rolling sum is computed as the difference of two
+    exact int64 scaled-cents cumsums (cumsum[i] - cumsum[i-window]),
+    then ONE float division by ``scale * count`` — bit-identical to a
+    serial oracle that mirrors the same formula, regardless of
+    partitioning or accumulation order."""
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(key_cols + order_cols, kind="mergesort").copy()
+        out["_c"] = np.round(out[value_col].to_numpy() * scale).astype(
+            np.int64
+        )
+        g = out.groupby(key_cols, sort=False)
+        cs = g["_c"].cumsum()
+        out["_cs"] = cs
+        lag = (
+            out.groupby(key_cols, sort=False)["_cs"]
+            .shift(window)
+            .fillna(0)
+            .astype(np.int64)
+        )
+        roll_sum = (cs - lag).to_numpy()
+        cnt = np.minimum(g.cumcount().to_numpy() + 1, window)
+        out[out_col] = roll_sum / (float(scale) * cnt)
+        return out.drop(columns=["_c", "_cs"])
+
+    return hash_partition_reduce(ds, key_cols, roll)
+
+
 def scd2_history(
     ds: "ray.data.Dataset",
     key_cols: list[str],

@@ -113,6 +113,42 @@ def clean_text(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Data
     )
 
 
+def scrub_terms_batch(
+    batch: pa.Table,
+    terms: list[str],
+    text_col: str = "text",
+    repl: str = "<SCRUB>",
+    out_col: str = "text_scrubbed",
+    hits_col: str = "n_hits",
+) -> pa.Table:
+    """Blocklist scrub (the C4-style badwords / policy-term stage):
+    replace whole-word occurrences of any blocklisted term and report
+    the per-row hit count.  Both kernels are Arrow RE2 regexes — the
+    SAME engine DuckDB uses — so ``regexp_replace(text, pat, repl,
+    'g')`` / ``len(regexp_extract_all(text, pat))`` pin every row
+    exactly.  Terms are regex-escaped and wrapped in ``\\b`` word
+    boundaries; matching is non-overlapping left-to-right on both
+    sides."""
+    import re as _re
+
+    pat = r"\b(?:" + "|".join(_re.escape(t) for t in sorted(terms)) + r")\b"
+    col = batch[text_col]
+    hits = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+    scrubbed = pc.replace_substring_regex(col, pat, repl)
+    return batch.append_column(hits_col, hits).append_column(
+        out_col, scrubbed
+    )
+
+
+def scrub_terms(
+    ds: "ray.data.Dataset", terms: list[str], text_col: str = "text"
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: scrub_terms_batch(t, terms, text_col),
+        batch_format="pyarrow",
+    )
+
+
 def repetition_stats_batch(
     df: "pd.DataFrame", text_col: str = "text", id_col: str = "doc_id"
 ) -> "pd.DataFrame":

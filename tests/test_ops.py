@@ -1593,3 +1593,103 @@ def test_segment_dedup_unicode():
     )
     out = segment_dedup(ds, words_per_seg=4).to_pandas().sort_values("doc_id")
     assert out["text"].tolist() == ["héllo wörld ünïcode ok", "tail x y z"]
+
+
+def test_window_rank_lag_small_groups():
+    from raycdc.ops.relational import window_rank_lag
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "o": [3, 1, 2, 5, 9, 8],
+            "v": [10.0, 20.0, 30.0, 7.0, 1.0, 2.0],
+        }
+    )
+    out = (
+        window_rank_lag(
+            ray.data.from_pandas(df), ["k"], ["o"], "v"
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == [1, 2, 3, 1, 1, 2]
+    # lag follows the ORDER column, not input order; first-per-key is NaN
+    prev = out["prev_value"].tolist()
+    assert np.isnan(prev[0]) and prev[1] == 20.0 and prev[2] == 30.0
+    assert np.isnan(prev[3]) and np.isnan(prev[4]) and prev[5] == 2.0
+    assert out["prev_value"].dtype == np.float64
+    assert out["rn"].dtype == np.int64
+
+
+def test_rolling_mean_window_longer_than_group():
+    from raycdc.ops.relational import rolling_mean_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "o": [1, 2, 1],
+            "v": [1.00, 2.00, 5.25],
+        }
+    )
+    out = (
+        rolling_mean_by_key(
+            ray.data.from_pandas(df), ["k"], ["o"], "v", window=10
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    # window exceeds every group size -> plain running mean, exact
+    assert out["rolling_mean"].tolist() == [1.0, 1.5, 5.25]
+
+
+def test_rolling_mean_frame_drops_old_rows():
+    from raycdc.ops.relational import rolling_mean_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5,
+            "o": [1, 2, 3, 4, 5],
+            "v": [1.0, 2.0, 3.0, 4.0, 100.0],
+        }
+    )
+    out = (
+        rolling_mean_by_key(
+            ray.data.from_pandas(df), ["k"], ["o"], "v", window=2
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert out["rolling_mean"].tolist() == [1.0, 1.5, 2.5, 3.5, 52.0]
+
+
+def test_scrub_terms_whole_word_only():
+    from raycdc.ops.text import scrub_terms
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spark dup sparkle slowly slow",
+                        "no hits here",
+                        "dup dup dup",
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        scrub_terms(ds, ["spark", "dup", "slow"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 'sparkle' and 'slowly' must NOT match (word boundaries)
+    assert out["n_hits"].tolist() == [3, 0, 3]
+    assert out["text_scrubbed"][0] == "<SCRUB> <SCRUB> sparkle slowly <SCRUB>"
+    assert out["text_scrubbed"][2] == "<SCRUB> <SCRUB> <SCRUB>"
+    assert out["n_hits"].dtype == np.int64
