@@ -779,6 +779,26 @@ def _q_rolling_value_mean(sf_dir):
     ).select_columns(["user_id", "event_id", "rolling_mean"])
 
 
+def _q_pricing_rollup(sf_dir):
+    """GROUP BY ROLLUP over lineitem: finest-level per-batch combiner,
+    coarser subtotal levels folded exactly from the finest partials —
+    one pass over the rows, exact int-cents sums."""
+    import ray.data
+
+    from raycdc.ops.relational import rollup_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    return rollup_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        out_col="sum_price",
+    )
+
+
 _SCRUB_TERMS = ["spark", "dup", "slow"]
 
 
@@ -1629,7 +1649,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_except": _tuned(_q_pairs_except),
         "pairs_intersect": _tuned(_q_pairs_intersect),
         # -- headline CDC + dedup families ------------------------------
-        "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
         "scd2_user_history": _tuned(_q_scd2_user_history),
@@ -1644,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_rank": _tuned(_q_user_event_rank),
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
         "scrub_blocklist": _tuned(_q_scrub_blocklist),
+        "pricing_rollup": _tuned(_q_pricing_rollup),
         # ---- driver-window boundary (50) -------------------------------
         # -- (d) stable, r02-green --------------------------------------
         # (cdc_replay_documents / cdc_mor_replay / cdc_latest_by_key were
@@ -1653,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
         "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
+        "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
         "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
         "cdc_preview": _tuned(_q_cdc_preview),
@@ -1962,6 +1983,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_price,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "scrub_blocklist": r"""
             SELECT doc_id,

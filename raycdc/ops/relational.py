@@ -323,6 +323,62 @@ def pricing_summary(lineitem: "ray.data.Dataset") -> pd.DataFrame:
     return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def rollup_sum(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "sum_value",
+    count_col: str = "n",
+    scale: int = 100,
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(cols)``: every prefix level's subtotals plus
+    the grand total in ONE pass over the data.  The per-batch combiner
+    aggregates at the FINEST level only — each coarser level is an
+    exact sum of finer partials, so nothing coarser ever touches the
+    raw rows — and the driver-side fold is bounded by #finest-groups
+    (a low-cardinality contract, like pricing_summary).  Subtotal rows
+    carry SQL-style NULLs in the rolled-up columns; sums accumulate as
+    exact int64 scaled cents, bit-identical to the serial oracle."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        slim = pd.DataFrame(
+            {
+                **{c: df[c] for c in group_cols},
+                "_c": np.round(df[value_col].to_numpy() * scale).astype(
+                    np.int64
+                ),
+            }
+        )
+        return slim.groupby(group_cols, as_index=False, sort=False, dropna=False).agg(
+            _c=("_c", "sum"), _n=("_c", "size")
+        )
+
+    parts = ds.map_batches(combine, batch_format="pandas").to_pandas()
+    finest = parts.groupby(group_cols, as_index=False, sort=False, dropna=False).agg(
+        _c=("_c", "sum"), _n=("_n", "sum")
+    )
+    levels = [finest]
+    for i in range(len(group_cols) - 1, -1, -1):
+        if i:
+            lvl = finest.groupby(
+                group_cols[:i], as_index=False, sort=False, dropna=False
+            ).agg(_c=("_c", "sum"), _n=("_n", "sum"))
+        else:
+            lvl = pd.DataFrame(
+                {
+                    "_c": [int(finest["_c"].sum())],
+                    "_n": [int(finest["_n"].sum())],
+                }
+            )
+        for c in group_cols[i:]:
+            lvl[c] = None
+        levels.append(lvl[group_cols + ["_c", "_n"]])
+    out = pd.concat(levels, ignore_index=True)
+    out[out_col] = out["_c"] / float(scale)
+    out[count_col] = out["_n"].astype(np.int64)
+    return out.drop(columns=["_c", "_n"]).reset_index(drop=True)
+
+
 def latest_by_key(
     ds: "ray.data.Dataset", key_cols: list[str], seq_col: str
 ) -> "ray.data.Dataset":

@@ -322,3 +322,108 @@ def test_pivot_counts_matches_crosstab(df):
     for _, row in got.iterrows():
         assert row["n_pos"] == ct.loc[row["k"], "pos"]
         assert row["n_neg"] == ct.loc[row["k"], "neg"]
+
+
+@st.composite
+def _window_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    keys = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=n, max_size=n
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.integers(min_value=-10000, max_value=10000),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame(
+        {
+            "k": np.asarray(keys, dtype=np.int64),
+            "o": np.arange(n, dtype=np.int64),  # unique total order
+            "v": np.asarray(vals, dtype=np.int64) / 100.0,  # exact cents
+        }
+    )
+
+
+@given(_window_frames())
+@settings(**_SETTINGS)
+def test_window_rank_lag_matches_pandas_reference(df):
+    from raycdc.ops.relational import window_rank_lag
+
+    got = (
+        window_rank_lag(_ds(df), ["k"], ["o"], "v")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = ref.groupby("k", sort=False)
+    exp_rn = (g.cumcount() + 1).astype(np.int64)
+    exp_prev = g["v"].shift(1).astype(np.float64)
+    assert got["rn"].tolist() == exp_rn.tolist()
+    pd.testing.assert_series_equal(
+        got["prev_value"], exp_prev.rename("prev_value"), check_index=False
+    )
+
+
+@given(_window_frames(), st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_rolling_mean_matches_pandas_reference(df, window):
+    from raycdc.ops.relational import rolling_mean_by_key
+
+    got = (
+        rolling_mean_by_key(_ds(df), ["k"], ["o"], "v", window=window)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+    # serial reference mirrors the exact-cents formula
+    cents = np.round(ref["v"].to_numpy() * 100).astype(np.int64)
+    ref["_c"] = cents
+    g = ref.groupby("k", sort=False)
+    rs = g["_c"].rolling(window, min_periods=1).sum().reset_index(drop=True)
+    cnt = np.minimum(g.cumcount().to_numpy() + 1, window)
+    exp = rs.to_numpy() / (100.0 * cnt)
+    assert got["rolling_mean"].tolist() == exp.tolist()
+
+
+@given(_window_frames())
+@settings(**_SETTINGS)
+def test_rollup_sum_matches_pandas_reference(df):
+    from raycdc.ops.relational import rollup_sum
+
+    df = df.copy()
+    df["k2"] = (df["o"] % 3).astype(np.int64).astype(str)
+    df["k"] = df["k"].astype(str)
+    got = rollup_sum(_ds(df), ["k", "k2"], "v", out_col="s")
+    cents = np.round(df["v"].to_numpy() * 100).astype(np.int64)
+    df["_c"] = cents
+    fine = df.groupby(["k", "k2"], as_index=False).agg(
+        _c=("_c", "sum"), _n=("_c", "size")
+    )
+    mid = df.groupby(["k"], as_index=False).agg(
+        _c=("_c", "sum"), _n=("_c", "size")
+    )
+    mid["k2"] = None
+    tot = pd.DataFrame(
+        {
+            "k": [None],
+            "k2": [None],
+            "_c": [int(cents.sum())],
+            "_n": [len(df)],
+        }
+    )
+    exp = pd.concat(
+        [fine, mid[["k", "k2", "_c", "_n"]], tot], ignore_index=True
+    )
+    exp["s"] = exp["_c"] / 100.0
+    exp["n"] = exp["_n"].astype(np.int64)
+    exp = exp.drop(columns=["_c", "_n"])
+    sc = ["k", "k2", "s", "n"]
+    a = got[sc].sort_values(sc, na_position="last").reset_index(drop=True)
+    b = exp[sc].sort_values(sc, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
