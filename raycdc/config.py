@@ -193,5 +193,5 @@ def validate_config(cfg: IngestConfig) -> IngestConfig:
     # ConfigError.
     from raycdc.sources.registry import get_source
 
-    get_source(cfg.source_kind, cfg.log_dir).validate()
+    get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).validate()
     return cfg

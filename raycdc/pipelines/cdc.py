@@ -240,7 +240,7 @@ def _late_materialized_apply(
     from raycdc.stages.winner import WinnerSelector
 
     # -- phase A: winner selection over slim rows -----------------------
-    ds = get_source(cfg.source_kind, cfg.log_dir).read(
+    ds = get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).read(
         min_watermark=min_watermark,
         columns=_slim_columns(cfg.log_dir, cfg.source_kind),
         predicate=cfg.predicate,
@@ -293,7 +293,7 @@ def _late_materialized_apply(
         pos = np.minimum(np.searchsorted(ws, seqs), len(ws) - 1)
         return mask_filter(t, ws[pos] == seqs)
 
-    ds2 = get_source(cfg.source_kind, cfg.log_dir).read(
+    ds2 = get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).read(
         min_watermark=min_watermark,
         columns=EVENT_COLUMNS,
         predicate=cfg.predicate,
@@ -387,7 +387,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     watermarks = lake.watermarks()
     covered = len(watermarks) == num_partitions and num_partitions > 0
     min_wm = min(watermarks.values()) if covered else -1
-    source = get_source(cfg.source_kind, cfg.log_dir)
+    source = get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry)
     target = source.max_seq_probe()
     if target <= min_wm:
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
@@ -595,7 +595,7 @@ def replay_dead_letters(
     predicate = pads.field("seq") <= max_wm
     if cfg.predicate is not None:
         predicate = predicate & cfg.predicate
-    ds = get_source(cfg.source_kind, cfg.log_dir).read(
+    ds = get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).read(
         columns=EVENT_COLUMNS, predicate=predicate
     )
     parse = ParseStage(
@@ -708,7 +708,7 @@ def preview(cfg: IngestConfig, n: int = PREVIEW_RECORDS_COUNT) -> pa.Table:
     """Preview mode (S5): identical stage graph over ``limit(n)``; no
     state is touched (reference JiraInputPlugin.java:149-152)."""
     validate_config(cfg)
-    ds = get_source(cfg.source_kind, cfg.log_dir).read(columns=EVENT_COLUMNS)
+    ds = get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).read(columns=EVENT_COLUMNS)
     parse = ParseStage(
         num_partitions=cfg.num_partitions,
         payload_columns=cfg.columns or [],

@@ -72,6 +72,7 @@ def read_changelog(
     columns: list[str] | None = None,
     predicate=None,
     override_num_blocks: int | None = None,
+    ray_remote_args: dict | None = None,
 ) -> "ray.data.Dataset":
     """Read change-log fragments as a Dataset with pushdown.
 
@@ -93,4 +94,8 @@ def read_changelog(
         kwargs["filter"] = filt
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
+    if ray_remote_args:
+        # transient-IO task retries (registry._io_remote_args): OSError
+        # retried up to the policy limit, application errors fail loud
+        kwargs["ray_remote_args"] = ray_remote_args
     return ray.data.read_parquet(fragment_paths(log_dir), **kwargs)

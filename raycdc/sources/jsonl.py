@@ -254,6 +254,7 @@ def read_jsonl_changelog(
     columns: list[str] | None = None,
     predicate=None,
     override_num_blocks: int | None = None,
+    ray_remote_args: dict | None = None,
 ) -> "ray.data.Dataset":
     """The JSONL log as a Dataset of typed event rows.
 
@@ -284,10 +285,15 @@ def read_jsonl_changelog(
         if columns:
             empty = empty.select(columns)
         return ray.data.from_arrow(empty)
-    files = ray.data.read_binary_files(paths)
+    rr = ray_remote_args or {}
+    files = ray.data.read_binary_files(paths, ray_remote_args=rr or None)
+    # map_batches takes remote args as plain **kwargs (retry transient
+    # IO inside the parse task too — it re-reads nothing, but a worker
+    # lost mid-parse replays via lineage with the same retry budget)
     return files.map_batches(
         _JsonlToEvents(min_watermark, predicate, columns),
         batch_format="pyarrow",
+        **rr,
     )
 
 

@@ -37,8 +37,31 @@ class SourceConnector:
 
     kind = "abstract"
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, retry=None):
         self.log_dir = log_dir
+        self.retry = retry  # RetryPolicy | None
+
+    def _guarded(self, fn):
+        """Run a driver-side probe under the configured retry policy.
+        The reference wraps every metadata request in its
+        RetryExecutor envelope (JiraInputPlugin.java:69-83,
+        JiraClient.java:133-155); probes are read-only so a retry is
+        always safe.  Data-plane read tasks get their transient-IO
+        retries from Ray instead (``_io_remote_args``)."""
+        return self.retry.run(fn) if self.retry is not None else fn()
+
+    def _io_remote_args(self) -> dict:
+        """``ray_remote_args`` for read tasks: retry TRANSIENT IO
+        (OSError — the IOException→retry rule of the reference's
+        classifier, JiraInputPlugin.java:75-80) up to the policy's
+        limit, on top of Ray's built-in worker-death lineage retries.
+        Application errors still fail loud."""
+        if self.retry is None:
+            return {}
+        return {
+            "max_retries": self.retry.retry_limit,
+            "retry_exceptions": [OSError],
+        }
 
     def validate(self) -> None:
         raise NotImplementedError
@@ -94,22 +117,25 @@ class ParquetChangelogSource(SourceConnector):
             columns=columns,
             predicate=predicate,
             override_num_blocks=override_num_blocks,
+            ray_remote_args=self._io_remote_args(),
         )
 
     def count_probe(self) -> int:
         from raycdc.sources.changelog import count_probe
 
-        return count_probe(self.log_dir)
+        return self._guarded(lambda: count_probe(self.log_dir))
 
     def max_seq_probe(self) -> int:
         from raycdc.sources.changelog import max_seq_probe
 
-        return max_seq_probe(self.log_dir)
+        return self._guarded(lambda: max_seq_probe(self.log_dir))
 
     def window_stats(self, min_watermark: int | None) -> tuple[int, int]:
         from raycdc.sources.changelog import window_stats
 
-        return window_stats(self.log_dir, min_watermark)
+        return self._guarded(
+            lambda: window_stats(self.log_dir, min_watermark)
+        )
 
 
 class JsonlChangelogSource(SourceConnector):
@@ -147,22 +173,25 @@ class JsonlChangelogSource(SourceConnector):
             columns=columns,
             predicate=predicate,
             override_num_blocks=override_num_blocks,
+            ray_remote_args=self._io_remote_args(),
         )
 
     def count_probe(self) -> int:
         from raycdc.sources.jsonl import count_probe
 
-        return count_probe(self.log_dir)
+        return self._guarded(lambda: count_probe(self.log_dir))
 
     def max_seq_probe(self) -> int:
         from raycdc.sources.jsonl import max_seq_probe
 
-        return max_seq_probe(self.log_dir)
+        return self._guarded(lambda: max_seq_probe(self.log_dir))
 
     def window_stats(self, min_watermark: int | None) -> tuple[int, int]:
         from raycdc.sources.jsonl import window_stats
 
-        return window_stats(self.log_dir, min_watermark)
+        return self._guarded(
+            lambda: window_stats(self.log_dir, min_watermark)
+        )
 
 
 _REGISTRY: dict[str, type[SourceConnector]] = {}
@@ -182,7 +211,7 @@ def available_sources() -> list[str]:
     return sorted(_REGISTRY)
 
 
-def get_source(kind: str, log_dir: str) -> SourceConnector:
+def get_source(kind: str, log_dir: str, retry=None) -> SourceConnector:
     """Dispatch ``kind`` to a connector instance — the engine's analog
     of the reference's auth_method switch, with the reference's
     fail-fast unknown-value error shape."""
@@ -192,7 +221,7 @@ def get_source(kind: str, log_dir: str) -> SourceConnector:
             f"Unknown source kind: {kind!r} (available: "
             f"{', '.join(available_sources())})"
         )
-    return cls(log_dir)
+    return cls(log_dir, retry=retry)
 
 
 register_source(ParquetChangelogSource)

@@ -151,3 +151,67 @@ def test_retry_success_after_transient():
         return "ok"
 
     assert RetryPolicy(retry_limit=5, initial_wait_ms=1).run(flaky, sleep=lambda s: None) == "ok"
+
+
+def test_retry_policy_wired_into_source_probes(tmp_path, monkeypatch):
+    """cfg.retry must actually guard the runtime, not just validate:
+    a probe failing transiently (OSError) succeeds after backoff, a
+    non-retryable error raises immediately, and an exhausted budget
+    wraps the last cause into ConfigError (JiraClient.java:149-154)."""
+    import raycdc.sources.changelog as ch
+    from raycdc.config import RetryPolicy
+    from raycdc.sources.registry import get_source
+
+    policy = RetryPolicy(retry_limit=5, initial_wait_ms=1, max_wait_ms=2)
+    calls = {"n": 0}
+    real = ch.max_seq_probe
+
+    def flaky(log_dir):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient fs hiccup")
+        return real(log_dir)
+
+    monkeypatch.setattr(ch, "max_seq_probe", flaky)
+    src = get_source("parquet-changelog", str(tmp_path), retry=policy)
+    assert src.max_seq_probe() == -1  # empty dir converges after retries
+    assert calls["n"] == 3
+
+    # without a policy the hiccup surfaces on the first call
+    calls["n"] = 0
+    with pytest.raises(OSError):
+        get_source("parquet-changelog", str(tmp_path)).max_seq_probe()
+    assert calls["n"] == 1
+
+    # non-retryable (ConfigError) never retries even under a policy
+    def fatal(log_dir):
+        calls["n"] += 1
+        raise ConfigError("bad config")
+
+    monkeypatch.setattr(ch, "max_seq_probe", fatal)
+    calls["n"] = 0
+    with pytest.raises(ConfigError):
+        get_source("parquet-changelog", str(tmp_path), retry=policy).max_seq_probe()
+    assert calls["n"] == 1
+
+    # budget exhaustion wraps the transient cause into ConfigError
+    def always(log_dir):
+        raise OSError("still down")
+
+    monkeypatch.setattr(ch, "max_seq_probe", always)
+    with pytest.raises(ConfigError, match="still down"):
+        get_source("parquet-changelog", str(tmp_path), retry=policy).max_seq_probe()
+
+
+def test_retry_policy_sets_read_task_io_retries(tmp_path):
+    """The data-plane read must carry transient-IO task retries
+    (retry_exceptions=[OSError]) sized by the policy."""
+    from raycdc.config import RetryPolicy
+    from raycdc.sources.registry import get_source
+
+    src = get_source(
+        "parquet-changelog", str(tmp_path), retry=RetryPolicy(retry_limit=4)
+    )
+    args = src._io_remote_args()
+    assert args == {"max_retries": 4, "retry_exceptions": [OSError]}
+    assert get_source("parquet-changelog", str(tmp_path))._io_remote_args() == {}
