@@ -582,6 +582,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_dir: str | None = None,
+    max_block_rows: int = 8192,
 ):
     """Exact n-gram Jaccard similarity pairs within blocks.
 
@@ -606,6 +607,16 @@ def ngram_jaccard_pairs(
         )
         if len(df) < 2:
             return empty
+        if len(df) > max_block_rows:
+            # quadratic tripwire: this operator is the TEST-GROUND-TRUTH
+            # verifier, O(rows^2) per block by contract — a block past
+            # the ceiling means it is being pointed at production data.
+            raise PairBudgetExceeded(
+                f"ngram_jaccard_pairs block {df[block_col].iloc[0]!r} has "
+                f"{len(df):,} rows (> max_block_rows={max_block_rows:,}); "
+                "the O(rows\u00b2) incidence matrix would not fit.  Use "
+                "minhash_lsh_pairs (the scale path) or a finer block_col."
+            )
         df = df.drop_duplicates(id_col).sort_values(id_col)
         ids = df[id_col].to_numpy()
         # unigrams split on the literal space (keeping empty tokens) to

@@ -1693,3 +1693,28 @@ def test_scrub_terms_whole_word_only():
     assert out["text_scrubbed"][0] == "<SCRUB> <SCRUB> sparkle slowly <SCRUB>"
     assert out["text_scrubbed"][2] == "<SCRUB> <SCRUB> <SCRUB>"
     assert out["n_hits"].dtype == np.int64
+
+
+def test_ngram_jaccard_block_size_tripwire():
+    """The exact verifier is O(rows²) per block by contract: a block
+    past max_block_rows must fail fast with guidance, not OOM."""
+    import pytest as _pytest
+
+    from raycdc.ops.dedup import PairBudgetExceeded, ngram_jaccard_pairs
+
+    n = 50
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array([f"tok{i} common words" for i in range(n)]),
+                "lang": pa.array(["en"] * n),
+            }
+        )
+    )
+    with _pytest.raises((PairBudgetExceeded, Exception)) as ei:
+        ngram_jaccard_pairs(ds, max_block_rows=10)
+    assert "max_block_rows" in str(ei.value)
+    # under the ceiling the same corpus runs fine
+    out = ngram_jaccard_pairs(ds, max_block_rows=64, threshold=0.5)
+    assert {"id_a", "id_b", "jaccard"} <= set(out.columns)
