@@ -1433,7 +1433,8 @@ def _q_lineitem_order_priority(sf_dir):
         ["o_orderpriority_r"],
         sums={"price_c": "revenue_c"},
         count_as="n_items",
-    ).to_pandas()
+        driver_fold=True,  # 5 priorities: partials tiny at any scale
+    )
     agg["revenue"] = agg["revenue_c"] / 100.0
     agg["n_items"] = agg["n_items"].astype("int64")
     agg = agg.rename(columns={"o_orderpriority_r": "o_orderpriority"})

@@ -15,8 +15,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
-
 from raycdc.functions.arrowsafe import mask_filter
 
 
@@ -236,13 +234,19 @@ def partial_agg(
     keys: list[str],
     sums: dict[str, str] | None = None,
     count_as: str | None = None,
-) -> "ray.data.Dataset":
+    driver_fold: bool = False,
+):
     """Two-phase aggregation: combine inside each batch (pandas
-    groupby), then a hash-partitioned vectorized reduce over the (much
-    smaller) partials.  The shuffle moves one row per key per batch
-    instead of every row — the FP-Hadoop/combiner pattern
-    (SURVEY.md §4.2) — and the reduce side never pays Ray's per-group
-    combine cost (see hash_partition_reduce)."""
+    groupby), then reduce the (much smaller) partials.  The exchange
+    moves one row per key per batch instead of every row — the
+    FP-Hadoop/combiner pattern (SURVEY.md §4.2).
+
+    ``driver_fold=True`` folds the partials on the driver and returns
+    a DataFrame — for LOW-cardinality keys (nations, priorities,
+    flags) the partials are #blocks × #keys rows at ANY corpus size,
+    and the fold skips the distributed exchange's barrier entirely
+    (~1.5 s saved per query at sf0.1).  High-cardinality keys must
+    keep the default distributed reduce."""
     sums = sums or {}
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -251,13 +255,16 @@ def partial_agg(
             aggs[count_as] = (keys[0], "size")
         return df.groupby(keys, as_index=False, sort=False).agg(**aggs)
 
+    cols = list(sums.values()) + ([count_as] if count_as else [])
+
     def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
-        cols = list(sums.values()) + ([count_as] if count_as else [])
         return df.groupby(keys, as_index=False, sort=False).agg(
             **{c: (c, "sum") for c in cols}
         )
 
     partial = ds.map_batches(combine, batch_format="pandas")
+    if driver_fold:
+        return reduce_fn(partial.to_pandas())
     return hash_partition_reduce(partial, keys, reduce_fn)
 
 
@@ -295,17 +302,20 @@ def pricing_summary(lineitem: "ray.data.Dataset") -> pd.DataFrame:
             count_order=("qty_i", "size"),
         )
 
-    partial = lineitem.map_batches(derive, batch_format="pandas")
-    out = (
-        partial.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_i", alias_name="sum_qty_i"),
-            Sum("sum_price_c", alias_name="sum_price_c"),
-            Sum("sum_disc_c4", alias_name="sum_disc_c4"),
-            Sum("sum_charge_c6", alias_name="sum_charge_c6"),
-            Sum("count_order", alias_name="count_order"),
-        )
-        .to_pandas()
+    # fold the partials driver-side: they are bounded by
+    # #blocks × #groups (6 groups here — a LOW-cardinality contract),
+    # so a pandas fold beats Ray's groupby barrier by ~2 s at sf0.1
+    # and stays trivial at any corpus size; high-cardinality
+    # aggregation belongs to hash_partition_reduce instead
+    parts = lineitem.map_batches(derive, batch_format="pandas").to_pandas()
+    out = parts.groupby(
+        ["l_returnflag", "l_linestatus"], as_index=False, sort=False
+    ).agg(
+        sum_qty_i=("sum_qty_i", "sum"),
+        sum_price_c=("sum_price_c", "sum"),
+        sum_disc_c4=("sum_disc_c4", "sum"),
+        sum_charge_c6=("sum_charge_c6", "sum"),
+        count_order=("count_order", "sum"),
     )
     res = pd.DataFrame(
         {
@@ -879,13 +889,13 @@ def orders_per_nation(sf_dir: str) -> pd.DataFrame:
         dim.rename(columns={"c_custkey": "o_custkey"}),
         on="o_custkey",
     )
-    agg = partial_agg(
+    out = partial_agg(
         joined,
         keys=["n_name"],
         sums={"price_c": "total_price_c"},
         count_as="order_count",
+        driver_fold=True,  # 25 nations: partials are tiny at any scale
     )
-    out = agg.to_pandas()
     out["total_price"] = out["total_price_c"] / 100.0
     out = out.drop(columns=["total_price_c"])
     out["order_count"] = out["order_count"].astype(np.int64)
