@@ -427,3 +427,52 @@ def test_rollup_sum_matches_pandas_reference(df):
     a = got[sc].sort_values(sc, na_position="last").reset_index(drop=True)
     b = exp[sc].sort_values(sc, na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@st.composite
+def _scrub_inputs(draw):
+    words = st.text(
+        alphabet=st.sampled_from("abcdef.+*"), min_size=1, max_size=6
+    )
+    terms = draw(st.lists(words, min_size=1, max_size=4, unique=True))
+    texts = draw(
+        st.lists(
+            st.lists(words, min_size=0, max_size=12).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    return terms, texts
+
+
+@given(_scrub_inputs())
+@settings(**_SETTINGS)
+def test_scrub_terms_matches_python_re_reference(inp):
+    """Arrow's RE2 scrub must agree with a serial Python ``re``
+    reference on arbitrary term lists (incl. regex metacharacters,
+    which re.escape must neutralize identically in both engines)."""
+    import re
+
+    from raycdc.ops.text import scrub_terms
+
+    terms, texts = inp
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = (
+        scrub_terms(ds, terms)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pat = re.compile(
+        r"\b(?:" + "|".join(re.escape(t) for t in sorted(terms)) + r")\b"
+    )
+    for i, t in enumerate(texts):
+        assert got["n_hits"][i] == len(pat.findall(t)), (terms, t)
+        assert got["text_scrubbed"][i] == pat.sub("<SCRUB>", t), (terms, t)
