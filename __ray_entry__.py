@@ -779,6 +779,17 @@ def _q_rolling_value_mean(sf_dir):
     ).select_columns(["user_id", "event_id", "rolling_mean"])
 
 
+def _q_event_value_histogram(sf_dir):
+    """Histogram sketch over event values: per-batch bincount partials,
+    driver vector-add merge — zero shuffle, nbins ints per block.  The
+    bucket formula mirrors the SQL oracle op-for-op (same IEEE float64
+    division/floor/clamp), so every count pins exactly."""
+    from raycdc.ops.sketch import value_histogram
+
+    ds = _events(sf_dir, columns=["value"])
+    return value_histogram(ds, "value", nbins=64)
+
+
 def _q_pricing_rollup(sf_dir):
     """GROUP BY ROLLUP over lineitem: finest-level per-batch combiner,
     coarser subtotal levels folded exactly from the finest partials —
@@ -1651,7 +1662,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_intersect": _tuned(_q_pairs_intersect),
         # -- headline CDC + dedup families ------------------------------
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
-        "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
         "scd2_user_history": _tuned(_q_scd2_user_history),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
@@ -1665,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
         "scrub_blocklist": _tuned(_q_scrub_blocklist),
         "pricing_rollup": _tuned(_q_pricing_rollup),
+        "event_value_histogram": _tuned(_q_event_value_histogram),
         # ---- driver-window boundary (50) -------------------------------
         # -- (d) stable, r02-green --------------------------------------
         # (cdc_replay_documents / cdc_mor_replay / cdc_latest_by_key were
@@ -1675,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
+        "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
         "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
         "cdc_preview": _tuned(_q_cdc_preview),
@@ -1984,6 +1996,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "event_value_histogram": """
+            WITH m AS (
+              SELECT min(value) AS lo, max(value) AS hi FROM events
+            ), p AS (
+              SELECT lo, (hi - lo) / 64 AS w FROM m
+            )
+            SELECT CAST(GREATEST(LEAST(floor((e.value - p.lo) / p.w), 63),
+                                 0) AS BIGINT) AS bucket,
+                   p.lo + CAST(GREATEST(LEAST(floor((e.value - p.lo) / p.w),
+                                              63), 0) AS BIGINT) * p.w
+                       AS lo_edge,
+                   count(*) AS n
+            FROM events e, p
+            GROUP BY 1, 2
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -280,3 +280,110 @@ def hll_distinct_by(
          "distinct_est": pa.array(ests, pa.float64())}
     ).to_pandas()
     return out
+
+
+def _histogram_counts(
+    ds: "ray.data.Dataset",
+    col: str,
+    nbins: int,
+    lo: float | None,
+    hi: float | None,
+):
+    """Shared sketch core: (int64 counts vector, lo, w) — per-batch
+    bincount partials, driver merge = vector add.  Two streaming passes
+    when the range is not given; zero shuffle either way."""
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": [float(v.min())], "hi": [float(v.max())]})
+
+    if lo is None or hi is None:
+        mm = ds.select_columns([col]).map_batches(
+            minmax, batch_format="pyarrow"
+        ).to_pandas()
+        if mm.empty:
+            return None, 0.0, 1.0
+        lo = float(mm["lo"].min()) if lo is None else lo
+        hi = float(mm["hi"].max()) if hi is None else hi
+    w = (hi - lo) / nbins if hi > lo else 1.0
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.minimum(
+            np.floor((v - lo) / w), nbins - 1
+        ).astype(np.int64)
+        idx = np.maximum(idx, 0)
+        c = np.bincount(idx, minlength=nbins).astype(np.int64)
+        return pa.table({"c": pa.array([c.tobytes()], pa.binary())})
+
+    total = np.zeros(nbins, dtype=np.int64)
+    for batch in ds.select_columns([col]).map_batches(
+        counts, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for b in batch["c"].to_pylist():
+            total += np.frombuffer(b, dtype=np.int64)
+    return total, lo, w
+
+
+def value_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    nbins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> pd.DataFrame:
+    """Fixed-width histogram sketch: per-batch int64 bin counts, driver
+    merge = vector add (associative, exact, order-free).  The bucket
+    formula is deliberately SQL-mirrorable so every count is
+    oracle-exact: ``bucket = min(floor((x - lo)/w), nbins-1)`` with
+    ``w = (hi - lo)/nbins`` — identical IEEE float64 ops on both
+    sides.  Returns (bucket, lo_edge, n) for non-empty buckets."""
+    total, lo, w = _histogram_counts(ds, col, nbins, lo, hi)
+    if total is None:
+        return pd.DataFrame(
+            {"bucket": pd.Series(dtype="int64"),
+             "lo_edge": pd.Series(dtype="float64"),
+             "n": pd.Series(dtype="int64")}
+        )
+    nz = np.nonzero(total)[0]
+    return pd.DataFrame(
+        {
+            "bucket": nz.astype(np.int64),
+            "lo_edge": lo + nz * w,
+            "n": total[nz],
+        }
+    )
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: list[float],
+    nbins: int = 4096,
+) -> pd.DataFrame:
+    """Approximate quantiles from the histogram sketch: the scale path
+    next to ``stats.py``'s exact distributed quantiles.  Value error is
+    bounded by one bin width ``(max-min)/nbins``; rank error by the
+    largest bucket.  Deterministic (exact int counts, fixed edges), so
+    repeated runs agree bit-for-bit; accuracy is pinned by tests
+    against the exact quantiles on random data."""
+    total, lo, w = _histogram_counts(ds, col, nbins, None, None)
+    if total is None:
+        return pd.DataFrame(
+            {"q": pd.Series(dtype="float64"),
+             "value": pd.Series(dtype="float64")}
+        )
+    cdf = np.cumsum(total)
+    n = int(cdf[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        b = int(np.searchsorted(cdf, q * n, side="left"))
+        b = min(b, len(total) - 1)
+        out_q.append(float(q))
+        out_v.append(lo + (b + 1) * w)  # right edge of the crossing bin
+    return pd.DataFrame({"q": out_q, "value": out_v})

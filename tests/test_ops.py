@@ -1718,3 +1718,46 @@ def test_ngram_jaccard_block_size_tripwire():
     # under the ceiling the same corpus runs fine
     out = ngram_jaccard_pairs(ds, max_block_rows=64, threshold=0.5)
     assert {"id_a", "id_b", "jaccard"} <= set(out.columns)
+
+
+def test_value_histogram_counts_exact():
+    from raycdc.ops.sketch import value_histogram
+
+    rng = np.random.RandomState(7)
+    v = np.round(rng.uniform(-50, 150, 5000), 2)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(v)})).repartition(7)
+    nbins = 32
+    out = value_histogram(ds, "value", nbins=nbins)
+    lo, hi = float(v.min()), float(v.max())
+    w = (hi - lo) / nbins
+    idx = np.minimum(np.floor((v - lo) / w), nbins - 1).astype(np.int64)
+    ref = np.bincount(idx, minlength=nbins)
+    got = np.zeros(nbins, dtype=np.int64)
+    got[out["bucket"].to_numpy()] = out["n"].to_numpy()
+    assert (got == ref).all()
+    assert int(out["n"].sum()) == len(v)
+
+
+def test_approx_quantiles_within_bin_width():
+    from raycdc.ops.sketch import approx_quantiles
+
+    rng = np.random.RandomState(11)
+    v = rng.lognormal(0, 1.0, 20000)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(v)})).repartition(5)
+    nbins = 4096
+    w = (v.max() - v.min()) / nbins
+    out = approx_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99], nbins=nbins)
+    for q, est in zip(out["q"], out["value"]):
+        exact = np.quantile(v, q)
+        assert abs(est - exact) <= w + 1e-9, (q, est, exact, w)
+    # deterministic: rerun bit-identical
+    out2 = approx_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99], nbins=nbins)
+    assert out["value"].tolist() == out2["value"].tolist()
+
+
+def test_histogram_empty_input():
+    from raycdc.ops.sketch import approx_quantiles, value_histogram
+
+    ds = ray.data.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+    assert value_histogram(ds, "value").empty
+    assert approx_quantiles(ds, "value", [0.5]).empty
