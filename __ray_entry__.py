@@ -790,6 +790,17 @@ def _q_event_value_histogram(sf_dir):
     return value_histogram(ds, "value", nbins=64)
 
 
+def _q_value_histogram_by_type(sf_dir):
+    """Grouped histogram sketch over a shared global range: one
+    fixed-width histogram per event type, zero shuffle (per-batch
+    (group, counts) partials, driver vector-add), #groups x nbins
+    driver budget with a loud guard."""
+    from raycdc.ops.sketch import value_histogram_by
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return value_histogram_by(ds, "event_type", "value", nbins=16)
+
+
 def _q_pricing_rollup(sf_dir):
     """GROUP BY ROLLUP over lineitem: finest-level per-batch combiner,
     coarser subtotal levels folded exactly from the finest partials —
@@ -1662,7 +1673,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_intersect": _tuned(_q_pairs_intersect),
         # -- headline CDC + dedup families ------------------------------
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
-        "scd2_user_history": _tuned(_q_scd2_user_history),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_clusters": _tuned(_q_dedup_clusters),
@@ -1676,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_blocklist": _tuned(_q_scrub_blocklist),
         "pricing_rollup": _tuned(_q_pricing_rollup),
         "event_value_histogram": _tuned(_q_event_value_histogram),
+        "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
         # ---- driver-window boundary (50) -------------------------------
         # -- (d) stable, r02-green --------------------------------------
         # (cdc_replay_documents / cdc_mor_replay / cdc_latest_by_key were
@@ -1687,6 +1698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
         "cdc_snapshot_diff": _tuned(_q_cdc_snapshot_diff),
+        "scd2_user_history": _tuned(_q_scd2_user_history),
         "cdc_incremental_filter": _tuned(_q_cdc_incremental_filter),
         "cdc_count_probe": _tuned(_q_cdc_count_probe),
         "cdc_preview": _tuned(_q_cdc_preview),
@@ -2011,6 +2023,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events e, p
             GROUP BY 1, 2
+        """,
+        "value_histogram_by_type": """
+            WITH m AS (
+              SELECT min(value) AS lo, max(value) AS hi FROM events
+            ), p AS (
+              SELECT lo, (hi - lo) / 16 AS w FROM m
+            )
+            SELECT e.event_type,
+                   CAST(GREATEST(LEAST(floor((e.value - p.lo) / p.w), 15),
+                                 0) AS BIGINT) AS bucket,
+                   p.lo + CAST(GREATEST(LEAST(floor((e.value - p.lo) / p.w),
+                                              15), 0) AS BIGINT) * p.w
+                       AS lo_edge,
+                   count(*) AS n
+            FROM events e, p
+            GROUP BY 1, 2, 3
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,

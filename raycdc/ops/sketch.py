@@ -387,3 +387,91 @@ def approx_quantiles(
         out_q.append(float(q))
         out_v.append(lo + (b + 1) * w)  # right edge of the crossing bin
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def value_histogram_by(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    nbins: int = 64,
+    max_groups: int = 4096,
+) -> pd.DataFrame:
+    """Grouped histogram sketch: one fixed-width histogram PER
+    ``group_col`` value over a SHARED global range, so buckets are
+    comparable across groups (distribution drift between event types,
+    languages, shards).  Zero shuffle — each batch emits
+    (group, counts-vector) partials, the driver vector-adds; memory is
+    #groups × nbins × 8 bytes, guarded by ``max_groups`` (the same
+    LOW-cardinality contract as ``hll_distinct_by``; high-cardinality
+    grouping belongs to exact hash_partition_reduce).  Bucket formula
+    identical to ``value_histogram`` — SQL-mirrorable, counts
+    oracle-exact.  Returns (group, bucket, lo_edge, n)."""
+    total, lo, w = None, None, None
+    # pass 1: shared global range (same two-pass shape as ungrouped)
+    probe, lo, w = _histogram_counts(
+        ds, col, nbins, None, None
+    )
+    if probe is None:
+        return pd.DataFrame(
+            {group_col: pd.Series(dtype="object"),
+             "bucket": pd.Series(dtype="int64"),
+             "lo_edge": pd.Series(dtype="float64"),
+             "n": pd.Series(dtype="int64")}
+        )
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, g = v[ok], g[ok]
+        idx = np.maximum(
+            np.minimum(np.floor((v - lo) / w), nbins - 1), 0
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(g)
+        out_g, out_c = [], []
+        for gi in range(len(uniq)):
+            sel = codes == gi
+            c = np.bincount(idx[sel], minlength=nbins).astype(np.int64)
+            out_g.append(uniq[gi])
+            out_c.append(c.tobytes())
+        return pa.table(
+            {
+                "g": pa.array(out_g, type=t.schema.field(group_col).type),
+                "c": pa.array(out_c, pa.binary()),
+            }
+        )
+
+    merged: dict = {}
+    for batch in (
+        ds.select_columns([group_col, col])
+        .map_batches(counts, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for g, b in zip(batch["g"].to_pylist(), batch["c"].to_pylist()):
+            cur = merged.get(g)
+            c = np.frombuffer(b, dtype=np.int64)
+            merged[g] = c if cur is None else cur + c
+            if len(merged) > max_groups:
+                raise ValueError(
+                    f"value_histogram_by: > {max_groups} groups — this "
+                    "grouped sketch is for low-cardinality group "
+                    "columns; use hash_partition_reduce for "
+                    "high-cardinality grouping."
+                )
+    rows_g, rows_b, rows_n = [], [], []
+    for g in merged:
+        nz = np.nonzero(merged[g])[0]
+        rows_g.extend([g] * len(nz))
+        rows_b.extend(nz.tolist())
+        rows_n.extend(merged[g][nz].tolist())
+    out = pd.DataFrame(
+        {
+            group_col: rows_g,
+            "bucket": np.asarray(rows_b, dtype=np.int64),
+            "n": np.asarray(rows_n, dtype=np.int64),
+        }
+    )
+    out["lo_edge"] = lo + out["bucket"].to_numpy() * w
+    return out[[group_col, "bucket", "lo_edge", "n"]].sort_values(
+        [group_col, "bucket"]
+    ).reset_index(drop=True)

@@ -1761,3 +1761,44 @@ def test_histogram_empty_input():
     ds = ray.data.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
     assert value_histogram(ds, "value").empty
     assert approx_quantiles(ds, "value", [0.5]).empty
+
+
+def test_value_histogram_by_matches_per_group_reference():
+    from raycdc.ops.sketch import value_histogram_by
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    g = rng.choice(["a", "b", "c"], n)
+    v = np.round(rng.uniform(0, 100, n), 2)
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(g), "value": pa.array(v)})
+    ).repartition(6)
+    nbins = 16
+    out = value_histogram_by(ds, "grp", "value", nbins=nbins)
+    lo, hi = float(v.min()), float(v.max())
+    w = (hi - lo) / nbins
+    for grp in ["a", "b", "c"]:
+        vv = v[g == grp]
+        idx = np.maximum(
+            np.minimum(np.floor((vv - lo) / w), nbins - 1), 0
+        ).astype(np.int64)
+        ref = np.bincount(idx, minlength=nbins)
+        sub = out[out["grp"] == grp]
+        got = np.zeros(nbins, dtype=np.int64)
+        got[sub["bucket"].to_numpy()] = sub["n"].to_numpy()
+        assert (got == ref).all(), grp
+    # group dtype preserved (no stringification drift)
+    assert out["grp"].dtype == object
+    # cardinality guard fails loud
+    import pytest as _pytest
+
+    big = ray.data.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array([str(i) for i in range(50)]),
+                "value": pa.array(np.arange(50, dtype=np.float64)),
+            }
+        )
+    )
+    with _pytest.raises(ValueError, match="low-cardinality"):
+        value_histogram_by(big, "grp", "value", max_groups=10)
