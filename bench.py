@@ -208,6 +208,10 @@ def bench_queries() -> dict[str, float]:
         "curation_pipeline",
         "ann_topk",
         "doc_quality",
+        "pricing_rollup",
+        "event_value_histogram",
+        "user_event_rank",
+        "scrub_blocklist",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

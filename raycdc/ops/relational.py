@@ -348,7 +348,11 @@ def rollup_sum(
     raw rows — and the driver-side fold is bounded by #finest-groups
     (a low-cardinality contract, like pricing_summary).  Subtotal rows
     carry SQL-style NULLs in the rolled-up columns; sums accumulate as
-    exact int64 scaled cents, bit-identical to the serial oracle."""
+    exact int64 scaled cents, bit-identical to the serial oracle.
+    Group values that are themselves NULL survive aggregation
+    (``dropna=False``) but are indistinguishable from subtotal rows in
+    the output — the same ambiguity SQL ROLLUP has without
+    ``GROUPING()`` — so prefer non-null group columns."""
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         slim = pd.DataFrame(
