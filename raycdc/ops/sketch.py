@@ -367,11 +367,14 @@ def approx_quantiles(
     nbins: int = 4096,
 ) -> pd.DataFrame:
     """Approximate quantiles from the histogram sketch: the scale path
-    next to ``stats.py``'s exact distributed quantiles.  Value error is
-    bounded by one bin width ``(max-min)/nbins``; rank error by the
-    largest bucket.  Deterministic (exact int counts, fixed edges), so
-    repeated runs agree bit-for-bit; accuracy is pinned by tests
-    against the exact quantiles on random data."""
+    next to ``stats.py``'s exact distributed quantiles.  Value error
+    vs the DISCRETE quantile (the rank-ceil(q*n) order statistic, SQL
+    ``percentile_disc``/``quantile_disc``) is bounded by one bin width
+    ``(max-min)/nbins`` — that order statistic provably lies inside
+    the crossing bin.  Interpolating definitions (``quantile_cont``)
+    can differ by up to one inter-order-statistic gap in sparse tails
+    on top of that.  Deterministic (exact int counts, fixed edges), so
+    repeated runs agree bit-for-bit; the bound is pinned by tests."""
     total, lo, w = _histogram_counts(ds, col, nbins, None, None)
     if total is None:
         return pd.DataFrame(
@@ -475,3 +478,49 @@ def value_histogram_by(
     return out[[group_col, "bucket", "lo_edge", "n"]].sort_values(
         [group_col, "bucket"]
     ).reset_index(drop=True)
+
+
+def approx_quantiles_by(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: list[float],
+    nbins: int = 4096,
+    max_groups: int = 4096,
+) -> pd.DataFrame:
+    """Grouped approximate quantiles from the grouped histogram sketch
+    (shared global range, so one two-pass scan serves every group).
+    Same error contract as ``approx_quantiles``: value error ≤ one bin
+    width vs each group's rank-ceil(q*n) order statistic
+    (``quantile_disc``).  Returns (group, q, value)."""
+    hist = value_histogram_by(
+        ds, group_col, col, nbins=nbins, max_groups=max_groups
+    )
+    if hist.empty:
+        return pd.DataFrame(
+            {group_col: pd.Series(dtype="object"),
+             "q": pd.Series(dtype="float64"),
+             "value": pd.Series(dtype="float64")}
+        )
+    # reconstruct lo/w from any row: lo_edge = lo + bucket*w; the
+    # sketch always emits bucket 0 somewhere ONLY if occupied, so
+    # derive from two distinct buckets or fall back to a single bin
+    b = hist["bucket"].to_numpy()
+    e = hist["lo_edge"].to_numpy()
+    if b.max() > b.min():
+        w = float((e[b.argmax()] - e[b.argmin()]) / (b.max() - b.min()))
+    else:
+        w = 1.0
+    lo = float(e[0] - b[0] * w)
+    out_g, out_q, out_v = [], [], []
+    for g, sub in hist.groupby(group_col, sort=True):
+        counts = np.zeros(nbins, dtype=np.int64)
+        counts[sub["bucket"].to_numpy()] = sub["n"].to_numpy()
+        cdf = np.cumsum(counts)
+        n = int(cdf[-1])
+        for q in qs:
+            bi = min(int(np.searchsorted(cdf, q * n, side="left")), nbins - 1)
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(lo + (bi + 1) * w)
+    return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})

@@ -1747,8 +1747,11 @@ def test_approx_quantiles_within_bin_width():
     nbins = 4096
     w = (v.max() - v.min()) / nbins
     out = approx_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99], nbins=nbins)
+    sv = np.sort(v)
     for q, est in zip(out["q"], out["value"]):
-        exact = np.quantile(v, q)
+        # the contract is vs the DISCRETE quantile (rank-ceil(q*n)
+        # order statistic, SQL quantile_disc) — see docstring
+        exact = sv[max(int(np.ceil(q * len(sv))) - 1, 0)]
         assert abs(est - exact) <= w + 1e-9, (q, est, exact, w)
     # deterministic: rerun bit-identical
     out2 = approx_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99], nbins=nbins)
@@ -1802,3 +1805,22 @@ def test_value_histogram_by_matches_per_group_reference():
     )
     with _pytest.raises(ValueError, match="low-cardinality"):
         value_histogram_by(big, "grp", "value", max_groups=10)
+
+
+def test_approx_quantiles_by_within_bin_width():
+    from raycdc.ops.sketch import approx_quantiles_by
+
+    rng = np.random.RandomState(5)
+    n = 12000
+    g = rng.choice(["x", "y"], n)
+    v = np.where(g == "x", rng.uniform(0, 10, n), rng.uniform(50, 100, n))
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(g), "value": pa.array(v)})
+    ).repartition(5)
+    nbins = 4096
+    w = (v.max() - v.min()) / nbins
+    out = approx_quantiles_by(ds, "grp", "value", [0.25, 0.5, 0.9], nbins=nbins)
+    for _, row in out.iterrows():
+        sv = np.sort(v[g == row["grp"]])
+        exact = sv[max(int(np.ceil(row["q"] * len(sv))) - 1, 0)]
+        assert abs(row["value"] - exact) <= w + 1e-9, dict(row)
