@@ -102,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vac.add_argument("--lake-dir", required=True)
 
+    p_exp = sub.add_parser(
+        "export",
+        help="resumable partitioned export of committed lake state "
+        "(reruns skip unchanged partitions)",
+    )
+    p_exp.add_argument("--lake-dir", required=True)
+    p_exp.add_argument("--out-dir", required=True)
+    p_exp.add_argument("--version", type=int, default=None)
+    p_exp.add_argument("--columns", nargs="+", default=None)
+
     p_resh = sub.add_parser(
         "reshard", help="repartition the lake to a new partition count"
     )
@@ -233,6 +243,16 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.maintenance import vacuum
 
         print(json.dumps(vacuum(args.lake_dir)))
+        return 0
+
+    if args.cmd == "export":
+        from raycdc.pipelines.maintenance import export_lake
+
+        res = export_lake(
+            args.lake_dir, args.out_dir,
+            version=args.version, columns=args.columns,
+        )
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "stats":

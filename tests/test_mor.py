@@ -780,3 +780,109 @@ def test_optimize_sort_layout_only(tmp_path):
         ), pid
     vacuum(cfg.lake_dir)
     assert _canon(lake.read_table()).equals(before)
+
+
+# -- export_lake: resumable partitioned export --------------------------
+
+
+def _export_state(out_dir) -> pa.Table:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "data.parquet")))
+    return _canon(
+        pa.concat_tables([pq.read_table(f) for f in files],
+                         promote_options="default")
+    )
+
+
+def _unit_hashes(out_dir) -> dict:
+    import glob
+    import hashlib
+
+    out = {}
+    for f in sorted(glob.glob(os.path.join(out_dir, "part-*", "data.parquet"))):
+        out[f] = hashlib.sha256(open(f, "rb").read()).hexdigest()
+    return out
+
+
+def test_export_lake_matches_state_and_rerun_skips(tmp_path):
+    from raycdc.pipelines.maintenance import export_lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 3000, fragment_rows=500, seed=21)
+    run_ingest(cfg)
+    out_dir = os.path.join(tmp, "export")
+    rep = export_lake(cfg.lake_dir, out_dir)
+    assert not rep["skipped"] and rep["exported"]
+    # exported bytes reproduce the committed state exactly
+    assert _export_state(out_dir).equals(_canon(Lake(cfg.lake_dir).read_table()))
+    h1 = _unit_hashes(out_dir)
+    # rerun: every unit skipped, bytes untouched
+    rep2 = export_lake(cfg.lake_dir, out_dir)
+    assert not rep2["exported"] and sorted(rep2["skipped"]) == sorted(rep["exported"])
+    assert _unit_hashes(out_dir) == h1
+    assert rep2["rows"] == rep["rows"]
+
+
+def test_export_lake_resumes_after_partial_crash(tmp_path):
+    from raycdc.pipelines.maintenance import export_lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 3000, fragment_rows=500, seed=23)
+    run_ingest(cfg)
+    out_dir = os.path.join(tmp, "export")
+    rep = export_lake(cfg.lake_dir, out_dir)
+    clean = _unit_hashes(out_dir)
+    # simulate a crash that lost two units (data gone, marker gone)
+    import shutil
+
+    lost = rep["exported"][:2]
+    for pid in lost:
+        shutil.rmtree(os.path.join(out_dir, f"part-{pid:05d}"))
+    rep2 = export_lake(cfg.lake_dir, out_dir)
+    assert sorted(rep2["exported"]) == sorted(lost)  # only the missing units
+    assert _unit_hashes(out_dir) == clean  # byte-stable reconstruction
+    # marker-less data (crash between data and marker) is also rewritten
+    pid = rep["exported"][-1]
+    os.remove(os.path.join(out_dir, f"part-{pid:05d}", "_done.json"))
+    rep3 = export_lake(cfg.lake_dir, out_dir)
+    assert rep3["exported"] == [pid]
+    assert _unit_hashes(out_dir) == clean
+
+
+def test_export_lake_stale_version_rewrites_and_pins_snapshot(tmp_path):
+    from raycdc.pipelines.maintenance import export_lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 2000, fragment_rows=500, seed=25)
+    run_ingest(cfg)
+    out_dir = os.path.join(tmp, "export")
+    rep1 = export_lake(cfg.lake_dir, out_dir)
+    v1 = rep1["version"]
+    old_state = _export_state(out_dir)
+    # new window commits a new version
+    more = write_changelog(
+        os.path.join(tmp, "log2"), 1000, fragment_rows=500, seed=25,
+        start_seq=2000,
+    )
+    for i, p in enumerate(more):
+        os.rename(p, os.path.join(cfg.log_dir, f"fragment-1{i:04d}.parquet"))
+    run_ingest(cfg)
+    # re-export: stale markers rewritten, state matches the new version
+    rep2 = export_lake(cfg.lake_dir, out_dir)
+    assert rep2["version"] > v1
+    touched = set(rep2["exported"])
+    assert touched  # the partitions the new window hit
+    # incremental re-export: partitions the new window did NOT touch
+    # keep their marker (file set unchanged) and are skipped
+    assert set(rep2["skipped"]) == set(rep1["exported"]) - touched
+    assert _export_state(out_dir).equals(_canon(Lake(cfg.lake_dir).read_table()))
+    # pinned-version export reproduces the OLD snapshot byte-for-byte
+    out_old = os.path.join(tmp, "export_v1")
+    export_lake(cfg.lake_dir, out_old, version=v1)
+    assert _export_state(out_old).equals(old_state)
