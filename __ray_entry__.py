@@ -1633,6 +1633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exercising code touched this round, (d) the long-stable CDC core
     # last (every tail entry has a green r02 row; the local oracle twin
     # tests/test_queries_oracle.py covers ALL entries every run).
+    # ROUND-4 ROTATION NOTE: after CORRECTNESS_r03 lands, the entries
+    # BELOW the boundary will be the ones without an r03 row — next
+    # round, move them (plus anything new) into the first 50 and keep
+    # the invariant union(latest-two-rounds, window) == all queries.
     return {
         # -- (a) no driver row in r02 -----------------------------------
         "events_after_purchase": _tuned(_q_events_after_purchase),
