@@ -111,6 +111,10 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--out-dir", required=True)
     p_exp.add_argument("--version", type=int, default=None)
     p_exp.add_argument("--columns", nargs="+", default=None)
+    p_exp.add_argument(
+        "--partition-by", default=None,
+        help="hive layout: {col}={value}/part-{pid}.parquet",
+    )
 
     p_resh = sub.add_parser(
         "reshard", help="repartition the lake to a new partition count"
@@ -251,6 +255,7 @@ def main(argv: list[str] | None = None) -> int:
         res = export_lake(
             args.lake_dir, args.out_dir,
             version=args.version, columns=args.columns,
+            partition_by=args.partition_by,
         )
         print(json.dumps(res))
         return 0

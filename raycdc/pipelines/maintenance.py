@@ -643,6 +643,7 @@ def export_lake(
     out_dir: str,
     version: int | None = None,
     columns: list[str] | None = None,
+    partition_by: str | None = None,
 ) -> dict:
     """Resumable partitioned export of committed lake state to a
     consumer-facing Parquet layout (the brief's "failed run skips
@@ -655,6 +656,12 @@ def export_lake(
     reruns are byte-stable.  After each unit's data file lands
     (tmp + atomic rename), a ``_done.json`` marker records the
     manifest version exported.
+
+    ``partition_by`` writes a hive layout instead —
+    ``{col}={value}/part-{pid:05d}.parquet`` — split locally inside
+    each partition's task (NO shuffle: a consumer directory simply
+    collects one file per lake partition that has rows for that
+    value), with the same per-pid marker/resume semantics.
 
     Resumability: each unit's marker records the SOURCE FILE SET
     (base + delta paths) it was exported from; a rerun skips every
@@ -714,9 +721,36 @@ def export_lake(
             # canonical order: unit bytes are a function of state only
             t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
             os.makedirs(unit, exist_ok=True)
-            tmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}")
-            pq.write_table(t, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, os.path.join(unit, "data.parquet"))
+            if partition_by is None:
+                tmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}")
+                pq.write_table(
+                    t, tmp, compression="zstd", compression_level=1
+                )
+                os.replace(tmp, os.path.join(unit, "data.parquet"))
+            else:
+                from raycdc.functions.arrowsafe import mask_filter
+                import glob as _glob
+
+                import numpy as np
+
+                # drop this pid's files from a PRIOR export first: a
+                # value the pid no longer has rows for would otherwise
+                # leave a stale file in its hive directory
+                for stale in _glob.glob(
+                    os.path.join(out_dir, f"{partition_by}=*",
+                                 f"part-{pid:05d}.parquet")
+                ):
+                    os.remove(stale)
+                vals = t[partition_by].to_numpy(zero_copy_only=False)
+                for val in np.unique(vals):
+                    sub = mask_filter(t, vals == val)
+                    d = os.path.join(out_dir, f"{partition_by}={val}")
+                    os.makedirs(d, exist_ok=True)
+                    tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
+                    pq.write_table(
+                        sub, tmp, compression="zstd", compression_level=1
+                    )
+                    os.replace(tmp, os.path.join(d, f"part-{pid:05d}.parquet"))
             mtmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}")
             with open(mtmp, "w", encoding="utf-8") as f:
                 _json.dump(

@@ -886,3 +886,33 @@ def test_export_lake_stale_version_rewrites_and_pins_snapshot(tmp_path):
     out_old = os.path.join(tmp, "export_v1")
     export_lake(cfg.lake_dir, out_old, version=v1)
     assert _export_state(out_old).equals(old_state)
+
+
+def test_export_lake_hive_layout(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    from raycdc.pipelines.maintenance import export_lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 3000, fragment_rows=500, seed=27)
+    run_ingest(cfg)
+    out_dir = os.path.join(tmp, "export_hive")
+    rep = export_lake(cfg.lake_dir, out_dir, partition_by="lang")
+    assert rep["exported"]
+    files = sorted(glob.glob(os.path.join(out_dir, "lang=*", "*.parquet")))
+    assert files
+    got = pa.concat_tables(
+        [pq_mod.read_table(f) for f in files], promote_options="default"
+    )
+    assert _canon(got).equals(_canon(Lake(cfg.lake_dir).read_table()))
+    # every file's rows carry exactly its directory's lang value
+    for f in files:
+        lang = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+        vals = set(pq_mod.read_table(f, columns=["lang"])["lang"].to_pylist())
+        assert vals == {lang}, f
+    # resume semantics carry over: rerun skips everything
+    rep2 = export_lake(cfg.lake_dir, out_dir, partition_by="lang")
+    assert not rep2["exported"]
