@@ -387,7 +387,16 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     watermarks = lake.watermarks()
     covered = len(watermarks) == num_partitions and num_partitions > 0
     min_wm = min(watermarks.values()) if covered else -1
-    source = get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry)
+    # footer probes go through a per-lake persistent cache: a
+    # steady-state tail (run_follow) re-probes the log every window,
+    # and without the cache that driver cost is O(#fragments) per
+    # window — minutes at a 10^5-fragment 10^10-event log
+    source = get_source(
+        cfg.source_kind,
+        cfg.log_dir,
+        retry=cfg.retry,
+        probe_cache=os.path.join(cfg.lake_dir, "_probe_cache.json"),
+    )
     target = source.max_seq_probe()
     if target <= min_wm:
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},

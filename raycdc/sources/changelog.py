@@ -25,44 +25,131 @@ def fragment_paths(log_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(log_dir, "*.parquet")))
 
 
-def count_probe(log_dir: str) -> int:
+def _fragment_meta(p: str, cache: "ProbeCache | None") -> dict:
+    """Per-fragment footer facts ``{rows, bytes, max_seq}`` — via the
+    probe cache when one is attached (a steady-state tail over 10^10
+    events has ~10^5 immutable fragments; re-reading every footer per
+    window makes the driver probe O(#fragments), the cache makes it
+    O(new fragments); entries are invalidated by (size, mtime_ns))."""
+    if cache is not None:
+        hit = cache.get(p)
+        if hit is not None:
+            return hit
+    md = pq.read_metadata(p)
+    idx = md.schema.to_arrow_schema().get_field_index("seq")
+    frag_max = -1
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(idx).statistics
+        if stats is not None and stats.has_min_max:
+            frag_max = max(frag_max, stats.max)
+    meta = {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(p),
+        "max_seq": int(frag_max),
+    }
+    if cache is not None:
+        cache.put(p, meta)
+    return meta
+
+
+class ProbeCache:
+    """Persistent footer-probe cache (one JSON per lake, advisory).
+
+    Keyed by fragment path; an entry is valid only while the file's
+    (size, mtime_ns) match, so an appended/rewritten fragment
+    re-probes.  Saved atomically (tmp + rename); a torn or missing
+    cache only costs re-probing.  The reference has no analog — it
+    re-fetches ``total`` every run (JiraClient.java:86-89); this is
+    what makes a 10^5-fragment tail's per-window driver cost flat."""
+
+    def __init__(self, path: str):
+        import json as _json
+
+        self.path = path
+        self._json = _json
+        self._dirty = False
+        try:
+            with open(path, encoding="utf-8") as f:
+                self._entries = _json.load(f)
+        except (OSError, ValueError):
+            self._entries = {}
+
+    def _stamp(self, p: str) -> list | None:
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        return [st.st_size, st.st_mtime_ns]
+
+    def get(self, p: str) -> dict | None:
+        e = self._entries.get(p)
+        if e is None or e.get("stamp") != self._stamp(p):
+            return None
+        return e["meta"]
+
+    def put(self, p: str, meta: dict) -> None:
+        stamp = self._stamp(p)
+        if stamp is None:
+            return
+        self._entries[p] = {"stamp": stamp, "meta": meta}
+        self._dirty = True
+
+    def save(self) -> None:
+        if not self._dirty:
+            return
+        import uuid as _uuid
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            self._json.dump(self._entries, f)
+        os.replace(tmp, self.path)
+        self._dirty = False
+
+
+def count_probe(log_dir: str, cache: ProbeCache | None = None) -> int:
     """Total event count from Parquet footers only (S2)."""
-    return sum(pq.read_metadata(p).num_rows for p in fragment_paths(log_dir))
+    n = sum(
+        _fragment_meta(p, cache)["rows"] for p in fragment_paths(log_dir)
+    )
+    if cache is not None:
+        cache.save()
+    return n
 
 
-def max_seq_probe(log_dir: str) -> int:
+def max_seq_probe(log_dir: str, cache: ProbeCache | None = None) -> int:
     """Max ``seq`` across fragments from footer column statistics —
     the replay target watermark, discovered without reading data."""
     best = -1
     for p in fragment_paths(log_dir):
-        md = pq.read_metadata(p)
-        idx = md.schema.to_arrow_schema().get_field_index("seq")
-        for rg in range(md.num_row_groups):
-            stats = md.row_group(rg).column(idx).statistics
-            if stats is not None and stats.has_min_max:
-                best = max(best, stats.max)
+        best = max(best, _fragment_meta(p, cache)["max_seq"])
+    if cache is not None:
+        cache.save()
     return best
 
 
-def window_stats(log_dir: str, min_watermark: int | None) -> tuple[int, int]:
+def window_stats(
+    log_dir: str,
+    min_watermark: int | None,
+    cache: ProbeCache | None = None,
+) -> tuple[int, int]:
     """(bytes, rows) of fragments that can contain events above the
     watermark — footer metadata only.  Sizes the read for incremental
     windows instead of the whole log."""
     total_bytes = 0
     total_rows = 0
     for p in fragment_paths(log_dir):
-        md = pq.read_metadata(p)
-        if min_watermark is not None and min_watermark >= 0:
-            idx = md.schema.to_arrow_schema().get_field_index("seq")
-            frag_max = -1
-            for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(idx).statistics
-                if stats is not None and stats.has_min_max:
-                    frag_max = max(frag_max, stats.max)
-            if frag_max <= min_watermark:
-                continue
-        total_bytes += os.path.getsize(p)
-        total_rows += md.num_rows
+        meta = _fragment_meta(p, cache)
+        if (
+            min_watermark is not None
+            and min_watermark >= 0
+            and meta["max_seq"] <= min_watermark
+        ):
+            continue
+        total_bytes += meta["bytes"]
+        total_rows += meta["rows"]
+    if cache is not None:
+        cache.save()
     return total_bytes, total_rows
 
 

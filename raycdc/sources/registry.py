@@ -37,9 +37,23 @@ class SourceConnector:
 
     kind = "abstract"
 
-    def __init__(self, log_dir: str, retry=None):
+    def __init__(self, log_dir: str, retry=None, probe_cache: str | None = None):
         self.log_dir = log_dir
         self.retry = retry  # RetryPolicy | None
+        # path of a persistent footer-probe cache (see
+        # changelog.ProbeCache) — connectors that can use one do;
+        # others ignore it
+        self.probe_cache_path = probe_cache
+        self._probe_cache = None
+
+    def _cache(self):
+        if self.probe_cache_path is None:
+            return None
+        if self._probe_cache is None:
+            from raycdc.sources.changelog import ProbeCache
+
+            self._probe_cache = ProbeCache(self.probe_cache_path)
+        return self._probe_cache
 
     def _guarded(self, fn):
         """Run a driver-side probe under the configured retry policy.
@@ -123,18 +137,24 @@ class ParquetChangelogSource(SourceConnector):
     def count_probe(self) -> int:
         from raycdc.sources.changelog import count_probe
 
-        return self._guarded(lambda: count_probe(self.log_dir))
+        return self._guarded(
+            lambda: count_probe(self.log_dir, cache=self._cache())
+        )
 
     def max_seq_probe(self) -> int:
         from raycdc.sources.changelog import max_seq_probe
 
-        return self._guarded(lambda: max_seq_probe(self.log_dir))
+        return self._guarded(
+            lambda: max_seq_probe(self.log_dir, cache=self._cache())
+        )
 
     def window_stats(self, min_watermark: int | None) -> tuple[int, int]:
         from raycdc.sources.changelog import window_stats
 
         return self._guarded(
-            lambda: window_stats(self.log_dir, min_watermark)
+            lambda: window_stats(
+                self.log_dir, min_watermark, cache=self._cache()
+            )
         )
 
 
@@ -211,7 +231,9 @@ def available_sources() -> list[str]:
     return sorted(_REGISTRY)
 
 
-def get_source(kind: str, log_dir: str, retry=None) -> SourceConnector:
+def get_source(
+    kind: str, log_dir: str, retry=None, probe_cache: str | None = None
+) -> SourceConnector:
     """Dispatch ``kind`` to a connector instance — the engine's analog
     of the reference's auth_method switch, with the reference's
     fail-fast unknown-value error shape."""
@@ -221,7 +243,7 @@ def get_source(kind: str, log_dir: str, retry=None) -> SourceConnector:
             f"Unknown source kind: {kind!r} (available: "
             f"{', '.join(available_sources())})"
         )
-    return cls(log_dir, retry=retry)
+    return cls(log_dir, retry=retry, probe_cache=probe_cache)
 
 
 register_source(ParquetChangelogSource)

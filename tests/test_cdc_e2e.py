@@ -380,3 +380,59 @@ def test_disk_exchange_matches_plasma_exchange(tmp_path):
             os.path.join(cfg.lake_dir, "_shuffle", res.run_id)
         )
     assert results["disk"] == results["plasma"]
+
+
+def test_probe_cache_skips_footer_reads_and_invalidates(tmp_path, monkeypatch):
+    """Steady-state probes must be O(new fragments), not O(#fragments):
+    a second run's driver probes hit the per-lake cache (zero footer
+    reads for unchanged fragments); a rewritten fragment re-probes."""
+    import raycdc.sources.changelog as ch
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 2000, fragment_rows=500, seed=31)
+    run_ingest(cfg)
+
+    real = ch.pq.read_metadata
+    calls = {"n": 0}
+
+    def counting(p, *a, **kw):
+        calls["n"] += 1
+        return real(p, *a, **kw)
+
+    monkeypatch.setattr(ch.pq, "read_metadata", counting)
+    res = run_ingest(cfg)  # no-op rerun: probes only
+    assert res.no_op
+    assert calls["n"] == 0  # every footer served from the cache
+
+    # new fragments arriving probe ONLY themselves
+    more = write_changelog(
+        os.path.join(tmp, "log2"), 1000, fragment_rows=500, seed=31,
+        start_seq=2000,
+    )
+    for i, p in enumerate(more):
+        os.rename(p, os.path.join(cfg.log_dir, f"fragment-1{i:04d}.parquet"))
+    calls["n"] = 0
+    res2 = run_ingest(cfg)
+    assert not res2.no_op
+    n_new = len(more)
+    # max_seq_probe + window_stats each touch only the new fragments
+    # (same connector instance shares one in-memory cache, so the
+    # second probe is free)
+    assert 0 < calls["n"] <= n_new + 1, calls["n"]
+    _assert_lake_matches_oracle(Lake(cfg.lake_dir), cfg.log_dir)
+
+    # invalidation: rewrite one fragment in place -> it re-probes
+    frag = sorted(
+        os.path.join(cfg.log_dir, f) for f in os.listdir(cfg.log_dir)
+        if f.endswith(".parquet")
+    )[0]
+    t = ch.pq.read_table(frag)
+    import time as _time
+
+    _time.sleep(0.01)
+    ch.pq.write_table(t, frag)  # same rows, new mtime/size stamp
+    calls["n"] = 0
+    res3 = run_ingest(cfg)
+    assert res3.no_op  # content unchanged -> still a no-op
+    assert calls["n"] >= 1  # but the touched fragment was re-probed

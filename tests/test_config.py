@@ -166,7 +166,7 @@ def test_retry_policy_wired_into_source_probes(tmp_path, monkeypatch):
     calls = {"n": 0}
     real = ch.max_seq_probe
 
-    def flaky(log_dir):
+    def flaky(log_dir, cache=None):
         calls["n"] += 1
         if calls["n"] < 3:
             raise OSError("transient fs hiccup")
@@ -184,7 +184,7 @@ def test_retry_policy_wired_into_source_probes(tmp_path, monkeypatch):
     assert calls["n"] == 1
 
     # non-retryable (ConfigError) never retries even under a policy
-    def fatal(log_dir):
+    def fatal(log_dir, cache=None):
         calls["n"] += 1
         raise ConfigError("bad config")
 
@@ -195,7 +195,7 @@ def test_retry_policy_wired_into_source_probes(tmp_path, monkeypatch):
     assert calls["n"] == 1
 
     # budget exhaustion wraps the transient cause into ConfigError
-    def always(log_dir):
+    def always(log_dir, cache=None):
         raise OSError("still down")
 
     monkeypatch.setattr(ch, "max_seq_probe", always)
