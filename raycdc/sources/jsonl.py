@@ -103,37 +103,86 @@ def _head_line_bytes(path: str) -> int:
     return (nl + 1) if nl >= 0 else max(len(head), 1)
 
 
-def count_probe(log_dir: str) -> int:
+def _jsonl_meta(p: str, cache=None) -> dict:
+    """Per-fragment probe facts ``{rows, bytes, max_seq}`` via the
+    shared ProbeCache when attached.  Caching matters MORE here than
+    for Parquet: the exact row count must touch every byte of a
+    footerless format, so an uncached steady-state count probe is
+    O(log bytes) per window; cached it is O(new fragments)."""
+    if cache is not None:
+        hit = cache.get(p)
+        if hit is not None:
+            return hit
+    rows = 0
+    with open(p, "rb") as f:
+        while chunk := f.read(1 << 24):
+            rows += chunk.count(b"\n")
+    s = _last_line_seq(p)
+    # max_seq None = unparsable tail: such a file can NEVER be pruned
+    # (the uncached path's contract) — keep the None through the cache
+    meta = {
+        "rows": rows,
+        "bytes": os.path.getsize(p),
+        "max_seq": None if s is None else int(s),
+    }
+    if cache is not None:
+        cache.put(p, meta)
+    return meta
+
+
+def count_probe(log_dir: str, cache=None) -> int:
     """Exact event count: stream the files counting newlines (S2
     analog — no parse, but unlike Parquet footers it must touch every
-    byte once; the honest cost of a footerless format)."""
+    byte once; the honest cost of a footerless format, paid once per
+    fragment thanks to the probe cache)."""
     total = 0
     for p in jsonl_fragment_paths(log_dir):
-        with open(p, "rb") as f:
-            while chunk := f.read(1 << 24):
-                total += chunk.count(b"\n")
+        total += _jsonl_meta(p, cache)["rows"]
+    if cache is not None:
+        cache.save()
     return total
 
 
-def max_seq_probe(log_dir: str) -> int:
+def max_seq_probe(log_dir: str, cache=None) -> int:
     """Replay-target watermark from each fragment's LAST line only
     (fragments are seq-ordered by contract, so the tail is the max)."""
     best = -1
     for p in jsonl_fragment_paths(log_dir):
-        s = _last_line_seq(p)
-        if s is not None:
-            best = max(best, s)
+        if cache is not None:
+            s = _jsonl_meta(p, cache)["max_seq"]
+            if s is not None:
+                best = max(best, s)
+        else:
+            s = _last_line_seq(p)
+            if s is not None:
+                best = max(best, s)
+    if cache is not None:
+        cache.save()
     return best
 
 
-def window_stats(log_dir: str, min_watermark: int | None) -> tuple[int, int]:
-    """(bytes, rows≈) of fragments that can contain events above the
-    watermark.  Rows are ESTIMATED as file bytes / first-line width —
-    good enough for block sizing, and the only metadata a text log
-    affords without a full scan."""
+def window_stats(
+    log_dir: str, min_watermark: int | None, cache=None
+) -> tuple[int, int]:
+    """(bytes, rows) of fragments that can contain events above the
+    watermark.  Uncached, rows are ESTIMATED as file bytes /
+    first-line width; through the cache they are the exact newline
+    counts the count probe already paid for."""
     total_bytes = 0
     total_rows = 0
     for p in jsonl_fragment_paths(log_dir):
+        if cache is not None:
+            meta = _jsonl_meta(p, cache)
+            if (
+                min_watermark is not None
+                and min_watermark >= 0
+                and meta["max_seq"] is not None
+                and meta["max_seq"] <= min_watermark
+            ):
+                continue
+            total_bytes += meta["bytes"]
+            total_rows += meta["rows"]
+            continue
         if min_watermark is not None and min_watermark >= 0:
             s = _last_line_seq(p)
             if s is not None and s <= min_watermark:
@@ -141,6 +190,8 @@ def window_stats(log_dir: str, min_watermark: int | None) -> tuple[int, int]:
         size = os.path.getsize(p)
         total_bytes += size
         total_rows += max(1, size // _head_line_bytes(p))
+    if cache is not None:
+        cache.save()
     return total_bytes, total_rows
 
 

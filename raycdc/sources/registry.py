@@ -199,18 +199,24 @@ class JsonlChangelogSource(SourceConnector):
     def count_probe(self) -> int:
         from raycdc.sources.jsonl import count_probe
 
-        return self._guarded(lambda: count_probe(self.log_dir))
+        return self._guarded(
+            lambda: count_probe(self.log_dir, cache=self._cache())
+        )
 
     def max_seq_probe(self) -> int:
         from raycdc.sources.jsonl import max_seq_probe
 
-        return self._guarded(lambda: max_seq_probe(self.log_dir))
+        return self._guarded(
+            lambda: max_seq_probe(self.log_dir, cache=self._cache())
+        )
 
     def window_stats(self, min_watermark: int | None) -> tuple[int, int]:
         from raycdc.sources.jsonl import window_stats
 
         return self._guarded(
-            lambda: window_stats(self.log_dir, min_watermark)
+            lambda: window_stats(
+                self.log_dir, min_watermark, cache=self._cache()
+            )
         )
 
 

@@ -199,3 +199,40 @@ def test_jsonl_torn_line_salvage_dead_letters(tmp_path):
     assert torn[:20] in joined
     reasons = set(dl["reason"].to_pylist())
     assert "null primary key" in reasons
+
+
+def test_jsonl_probe_cache_counts_and_never_prunes_torn_tail(tmp_path):
+    """The cached JSONL probes must (a) serve exact counts without
+    re-reading bytes, (b) preserve the 'unparsable tail can never be
+    pruned' contract through the cache."""
+    import json as _json
+
+    from raycdc.sources.changelog import ProbeCache
+    from raycdc.sources.jsonl import (
+        count_probe,
+        max_seq_probe,
+        window_stats,
+        write_changelog_jsonl,
+    )
+
+    log = str(tmp_path / "log")
+    write_changelog_jsonl(log, 500, fragment_rows=100, seed=41)
+    # one extra file whose tail (and body) is torn — unparsable seqs
+    torn = os.path.join(log, "fragment-99999.jsonl")
+    with open(torn, "w", encoding="utf-8") as f:
+        f.write('{"seq": not-json\n{"broken\n')
+    cache = ProbeCache(str(tmp_path / "cache.json"))
+    n1 = count_probe(log, cache=cache)
+    m1 = max_seq_probe(log, cache=cache)
+    assert n1 == count_probe(log) and m1 == max_seq_probe(log)
+    # cached round agrees with uncached on a fresh cache instance
+    cache2 = ProbeCache(str(tmp_path / "cache.json"))
+    assert count_probe(log, cache=cache2) == n1
+    assert max_seq_probe(log, cache=cache2) == m1
+    # the torn file must survive watermark pruning (max_seq unknown):
+    # its bytes are counted no matter how high the watermark is
+    b_hi, _ = window_stats(log, 10**9, cache=cache2)
+    assert b_hi >= os.path.getsize(torn)
+    # and the cache entry holds None, not a prunable sentinel
+    entry = _json.load(open(str(tmp_path / "cache.json")))[torn]
+    assert entry["meta"]["max_seq"] is None
