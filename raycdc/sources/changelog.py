@@ -99,6 +99,13 @@ class ProbeCache:
             return
         import uuid as _uuid
 
+        # prune entries whose fragment is gone (archived/vacuumed log
+        # retention) so the cache is bounded by the LIVE fragment
+        # count, not the log's lifetime total — one stat per entry,
+        # the same order of work the per-get stamp validation pays
+        self._entries = {
+            p: e for p, e in self._entries.items() if os.path.exists(p)
+        }
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:

@@ -436,3 +436,38 @@ def test_probe_cache_skips_footer_reads_and_invalidates(tmp_path, monkeypatch):
     res3 = run_ingest(cfg)
     assert res3.no_op  # content unchanged -> still a no-op
     assert calls["n"] >= 1  # but the touched fragment was re-probed
+
+
+def test_probe_cache_prunes_deleted_fragments(tmp_path):
+    """Log retention (archived fragments) must bound the cache: a
+    saved cache drops entries for files that no longer exist."""
+    import json as _json
+
+    from raycdc.sources.changelog import ProbeCache, max_seq_probe
+
+    log = str(tmp_path / "log")
+    write_changelog(log, 1000, fragment_rows=250, seed=43)
+    cpath = str(tmp_path / "cache.json")
+    cache = ProbeCache(cpath)
+    max_seq_probe(log, cache=cache)
+    n0 = len(_json.load(open(cpath)))
+    assert n0 >= 4
+    # retention archives the first two fragments
+    frags = sorted(os.listdir(log))[:2]
+    for f in frags:
+        os.remove(os.path.join(log, f))
+    cache2 = ProbeCache(cpath)
+    max_seq_probe(log, cache=cache2)  # no new files -> not dirty...
+    # force a dirty save via a new fragment
+    write_changelog(
+        os.path.join(str(tmp_path), "log2"), 250, fragment_rows=250,
+        seed=43, start_seq=1000,
+    )
+    os.rename(
+        os.path.join(str(tmp_path), "log2", "fragment-00000.parquet"),
+        os.path.join(log, "fragment-10000.parquet"),
+    )
+    max_seq_probe(log, cache=cache2)
+    left = _json.load(open(cpath))
+    assert len(left) == n0 - 2 + 1
+    assert not any(f in p for p in left for f in frags)
