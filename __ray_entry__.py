@@ -1626,78 +1626,21 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS EVIDENCE: the driver's correctness gate
-    # verifies the FIRST 50 entries.  Risk-first — (a) the 28 queries
-    # with no driver-green row in CORRECTNESS_r02 (they sat at
-    # positions 51-78; includes round-1's red events_after_purchase,
-    # locally green since), (b) queries new this round, (c) queries
-    # exercising code touched this round, (d) the long-stable CDC core
-    # last (every tail entry has a green r02 row; the local oracle twin
+    # verifies the FIRST 50 entries.  Round-4 rotation (the invariant:
+    # union(latest-two-rounds driver rows, this window) == all queries,
+    # zero reds) — (a) the 36 queries whose latest driver-green row is
+    # CORRECTNESS_r02 (rotated out by round 3's risk-first window),
+    # (b) queries NEW this round, (c) queries exercising code touched
+    # this round (window-reducer salting, driver-fold tripwires, the
+    # dedup candidate-verify engine refactor, JSONL salvage fixes,
+    # histogram bin-width fix), (d) the r03-green stable set last
+    # (every tail entry has a green r03 row; the local oracle twin
     # tests/test_queries_oracle.py covers ALL entries every run).
-    # ROUND-4 ROTATION NOTE: after CORRECTNESS_r03 lands, the entries
-    # BELOW the boundary will be the ones without an r03 row — next
-    # round, move them (plus anything new) into the first 50 and keep
-    # the invariant union(latest-two-rounds, window) == all queries.
+    # ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, the entries
+    # BELOW the boundary are the ones whose latest row is r03 — next
+    # round, move them (plus anything new) into the first 50.
     return {
-        # -- (a) no driver row in r02 -----------------------------------
-        "events_after_purchase": _tuned(_q_events_after_purchase),
-        "content_digests": _tuned(_q_content_digests),
-        "pricing_summary": _tuned(_q_pricing_summary),
-        "orders_per_nation": _tuned(_q_orders_per_nation),
-        "topk_orders": _tuned(_q_topk_orders),
-        "lineitem_order_priority": _tuned(_q_lineitem_order_priority),
-        "window_hourly": _tuned(_q_window_hourly),
-        "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
-        "session_windows": _tuned(_q_session_windows),
-        "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
-        "event_value_quantiles": _tuned(_q_event_value_quantiles),
-        "sample_docs": _tuned(_q_sample_docs),
-        "split_docs": _tuned(_q_split_docs),
-        "mixture_docs": _tuned(_q_mixture_docs),
-        "stratified_docs": _tuned(_q_stratified_docs),
-        "dedup_simhash": _tuned(_q_dedup_simhash),
-        "dedup_embedding": _tuned(_q_dedup_embedding),
-        "ann_topk": _tuned(_q_ann_topk),
-        "ann_ivf": _tuned(_q_ann_ivf),
-        "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
-        "semantic_representatives": _tuned(_q_semantic_representatives),
-        "hll_user_count": _tuned(_q_hll_user_count),
-        "hll_by_event_type": _tuned(_q_hll_by_event_type),
-        "heavy_hitter_users": _tuned(_q_heavy_hitter_users),
-        "lang_id": _tuned(_q_lang_id),
-        "fingerprint_docs": _tuned(_q_fingerprint),
-        "media_decode": _tuned(_q_media_decode),
-        "media_frame_sample": _tuned(_q_media_frames),
-        # -- (c) code touched this round (join/zscore/sketch fixes) ------
-        "event_value_zscore": _tuned(_q_event_value_zscore),
-        "users_no_purchase": _tuned(_q_users_no_purchase),
-        "users_with_purchase": _tuned(_q_users_with_purchase),
-        "customer_order_counts": _tuned(_q_customer_order_counts),
-        "users_customers_outer": _tuned(_q_users_customers_outer),
-        "pairs_except": _tuned(_q_pairs_except),
-        "pairs_intersect": _tuned(_q_pairs_intersect),
-        # -- headline CDC + dedup families ------------------------------
-        "cdc_watermarks": _tuned(_q_cdc_watermarks),
-        "dedup_minhash": _tuned(_q_dedup_minhash),
-        "dedup_incremental": _tuned(_q_dedup_incremental),
-        "dedup_clusters": _tuned(_q_dedup_clusters),
-        "dedup_survivors": _tuned(_q_dedup_survivors),
-        "curation_pipeline": _tuned(_q_curation_pipeline),
-        # -- (b) new this round ------------------------------------------
-        "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
-        "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
-        "user_event_rank": _tuned(_q_user_event_rank),
-        "rolling_value_mean": _tuned(_q_rolling_value_mean),
-        "scrub_blocklist": _tuned(_q_scrub_blocklist),
-        "pricing_rollup": _tuned(_q_pricing_rollup),
-        "event_value_histogram": _tuned(_q_event_value_histogram),
-        "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
-        # ---- driver-window boundary (50) -------------------------------
-        # -- (d) stable, r02-green --------------------------------------
-        # (cdc_replay_documents / cdc_mor_replay / cdc_latest_by_key were
-        #  demoted from the window this round to make room for the three
-        #  new entries above — all three have green r02 rows, so the
-        #  union of r02 + this round's window still covers every query)
-        "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
+        # -- (a) latest driver-green row is r02 ---------------------------
         "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
@@ -1734,6 +1677,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_report": _tuned(_q_decontam_report),
         "decontam_clean": _tuned(_q_decontam_clean),
         "leak_report": _tuned(_q_leak_report),
+        # -- (b) new this round -------------------------------------------
+        # (inserted above the touched set as they land; demote from the
+        #  bottom of (c) to keep the window at exactly 50)
+        # -- (c) code touched this round ------------------------------------
+        "user_event_rank": _tuned(_q_user_event_rank),
+        "rolling_value_mean": _tuned(_q_rolling_value_mean),
+        "pricing_summary": _tuned(_q_pricing_summary),
+        "orders_per_nation": _tuned(_q_orders_per_nation),
+        "pricing_rollup": _tuned(_q_pricing_rollup),
+        "event_value_histogram": _tuned(_q_event_value_histogram),
+        "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
+        "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
+        "dedup_minhash": _tuned(_q_dedup_minhash),
+        "dedup_incremental": _tuned(_q_dedup_incremental),
+        "dedup_embedding": _tuned(_q_dedup_embedding),
+        "dedup_simhash": _tuned(_q_dedup_simhash),
+        "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
+        "semantic_representatives": _tuned(_q_semantic_representatives),
+        # ---- driver-window boundary (50) ---------------------------------
+        # -- (d) stable, r03-green ------------------------------------------
+        "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
+        "cdc_watermarks": _tuned(_q_cdc_watermarks),
+        "events_after_purchase": _tuned(_q_events_after_purchase),
+        "content_digests": _tuned(_q_content_digests),
+        "topk_orders": _tuned(_q_topk_orders),
+        "lineitem_order_priority": _tuned(_q_lineitem_order_priority),
+        "window_hourly": _tuned(_q_window_hourly),
+        "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
+        "session_windows": _tuned(_q_session_windows),
+        "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
+        "event_value_quantiles": _tuned(_q_event_value_quantiles),
+        "sample_docs": _tuned(_q_sample_docs),
+        "split_docs": _tuned(_q_split_docs),
+        "mixture_docs": _tuned(_q_mixture_docs),
+        "stratified_docs": _tuned(_q_stratified_docs),
+        "ann_topk": _tuned(_q_ann_topk),
+        "ann_ivf": _tuned(_q_ann_ivf),
+        "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
+        "hll_user_count": _tuned(_q_hll_user_count),
+        "hll_by_event_type": _tuned(_q_hll_by_event_type),
+        "heavy_hitter_users": _tuned(_q_heavy_hitter_users),
+        "lang_id": _tuned(_q_lang_id),
+        "fingerprint_docs": _tuned(_q_fingerprint),
+        "media_decode": _tuned(_q_media_decode),
+        "media_frame_sample": _tuned(_q_media_frames),
+        "event_value_zscore": _tuned(_q_event_value_zscore),
+        "users_no_purchase": _tuned(_q_users_no_purchase),
+        "users_with_purchase": _tuned(_q_users_with_purchase),
+        "customer_order_counts": _tuned(_q_customer_order_counts),
+        "users_customers_outer": _tuned(_q_users_customers_outer),
+        "pairs_except": _tuned(_q_pairs_except),
+        "pairs_intersect": _tuned(_q_pairs_intersect),
+        "dedup_clusters": _tuned(_q_dedup_clusters),
+        "dedup_survivors": _tuned(_q_dedup_survivors),
+        "curation_pipeline": _tuned(_q_curation_pipeline),
+        "scrub_blocklist": _tuned(_q_scrub_blocklist),
     }
 
 
