@@ -229,6 +229,146 @@ def salted_partition_reduce(
     return rest_out.union(merged)
 
 
+def _order_f64(s: pd.Series) -> np.ndarray:
+    """Order column as float64 for slice-bucket math (datetime64 →
+    epoch integers first).  Only MONOTONICITY matters — the bucket id
+    just has to be non-decreasing in the order value so slices are
+    contiguous; which slice a row lands in never affects results."""
+    if np.issubdtype(s.dtype, np.datetime64):
+        return s.astype("int64").to_numpy().astype(np.float64)
+    return s.to_numpy().astype(np.float64)
+
+
+def salted_ordered_window(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: list[str],
+    plain_fn,
+    state_fn,
+    local_fn,
+    hot_keys: list,
+    num_salt: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Skew-safe engine for ORDER-DEPENDENT, PREFIX-DECOMPOSABLE
+    window reducers (rank/lag, rolling mean, running sum, SCD2) — the
+    broadcast prefix-handoff pattern the salted as-of join uses,
+    generalized (north rule: "skewed hot keys handled via salted
+    repartitioning").
+
+    hash_partition_reduce co-locates each key's FULL ordered history
+    on one worker; a 90%-hot key serializes the reduce.  Here hot-key
+    rows are sliced into CONTIGUOUS order-column buckets (bucket id =
+    monotone function of the order value, so slice s holds exactly
+    the rows between slice s-1 and s+1 in window order):
+
+    1. non-hot keys take the plain path (one shuffle, ``plain_fn``);
+    2. pass A reduces each hot (key, slice) to a one-row TERMINAL
+       state (``state_fn``: count / scaled cumsum / trailing-window
+       tail / boundary timestamps — whatever the op's prefix needs),
+       gathered to the driver: ≤ len(hot_keys) × num_salt rows;
+    3. pass B re-runs each (key, slice) with the full per-key state
+       frame broadcast into the closure; ``local_fn(g, kst, s)``
+       computes the local window and resolves it exactly against the
+       prefix (rank offsets, cumsum bases, lag/tail carry-in, SCD2
+       interval stitches).
+
+    Cost: the split scans the source twice (same contract as
+    salted_partition_reduce) plus one tiny driver gather.  Exactness
+    argument: every one of these windows is a function of (prefix
+    aggregate state, local slice rows) — the per-slice terminals ARE
+    that prefix state, combined in slice order, so the fixed-up local
+    result is bit-identical to the single-worker computation (proven
+    per op by the zipfian tests in tests/test_skew_and_evolution.py).
+    """
+    if not hot_keys:
+        return hash_partition_reduce(
+            ds, [key], plain_fn, num_partitions=num_partitions
+        )
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    num_salt = num_salt or max(2 * ncpu, 16)
+    hot = np.sort(np.asarray(hot_keys))
+    order0 = order_cols[0]
+
+    def split(df: pd.DataFrame, keep_hot: bool) -> pd.DataFrame:
+        mask = np.isin(df[key].to_numpy(), hot)
+        return df[mask] if keep_hot else df[~mask]
+
+    rest_out = hash_partition_reduce(
+        ds.map_batches(lambda df: split(df, False), batch_format="pandas"),
+        [key],
+        plain_fn,
+        num_partitions=num_partitions,
+    )
+
+    hot_ds = ds.map_batches(
+        lambda df: split(df, True), batch_format="pandas"
+    )
+
+    # per-hot-key order-range scan: streaming min/max partials, driver
+    # fold bounded by len(hot_keys) rows per block
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.assign(_ov=_order_f64(df[order0]))
+            .groupby(key, as_index=False)["_ov"]
+            .agg(mn="min", mx="max")
+        )
+
+    mm = (
+        hot_ds.map_batches(mm_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(key, as_index=False)
+        .agg(mn=("mn", "min"), mx=("mx", "max"))
+    )
+    lo_map = dict(zip(mm[key], mm["mn"]))
+    hi_map = dict(zip(mm[key], mm["mx"]))
+
+    def add_slice(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        v = _order_f64(df[order0])
+        lo = df[key].map(lo_map).to_numpy(dtype=np.float64)
+        hi = df[key].map(hi_map).to_numpy(dtype=np.float64)
+        span = np.maximum(hi - lo, 1.0)
+        df["_slice"] = np.clip(
+            ((v - lo) / span * num_salt).astype(np.int64), 0, num_salt - 1
+        )
+        return df
+
+    salted = hot_ds.map_batches(add_slice, batch_format="pandas")
+
+    def state_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (k, s), g in df.groupby([key, "_slice"], sort=False):
+            st = state_fn(g.sort_values(order_cols, kind="mergesort"))
+            st[key] = k
+            st["_slice"] = np.int64(s)
+            outs.append(st)
+        return pd.concat(outs, ignore_index=True)
+
+    states = (
+        hash_partition_reduce(salted, [key, "_slice"], state_reduce)
+        .to_pandas()
+        .sort_values([key, "_slice"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    def fix_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (k, s), g in df.groupby([key, "_slice"], sort=False):
+            g = g.sort_values(order_cols, kind="mergesort")
+            kst = states[states[key] == k]
+            outs.append(local_fn(g, kst, int(s)))
+        return pd.concat(outs, ignore_index=True).drop(columns=["_slice"])
+
+    hot_out = hash_partition_reduce(
+        salted, [key, "_slice"], fix_reduce, num_partitions=num_partitions
+    )
+    return rest_out.union(hot_out)
+
+
 def partial_agg(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -719,6 +859,27 @@ def unpivot(
     return ds.map_batches(melt, batch_format="pandas")
 
 
+def _resolve_hot(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    hot_keys: list | None,
+    hot_key_threshold: int | None,
+) -> list:
+    """Shared hot-key resolution for the window reducers: explicit
+    ``hot_keys`` wins; ``hot_key_threshold`` runs Count-Min detection
+    (single-key partitioning only — the salted slicing needs one hot
+    column to broadcast)."""
+    if hot_keys:
+        if len(key_cols) != 1:
+            raise ValueError(
+                "salted window path requires a single key column"
+            )
+        return list(hot_keys)
+    if hot_key_threshold is not None and len(key_cols) == 1:
+        return detect_hot_keys(ds, key_cols[0], hot_key_threshold)
+    return []
+
+
 def running_sum_by_key(
     ds: "ray.data.Dataset",
     key_cols: list[str],
@@ -726,13 +887,22 @@ def running_sum_by_key(
     value_col: str,
     out_col: str = "running_sum",
     scale: int = 100,
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    num_salt: int | None = None,
 ) -> "ray.data.Dataset":
     """Cumulative window aggregate: ``sum(value) OVER (PARTITION BY
     key ORDER BY order_col)`` — one per-key hash exchange, then a
     C-speed per-partition sort + grouped cumsum.  Values accumulate
     as exact scaled integers (int64 cents) so the running sum is
     bit-identical to any serial oracle regardless of partitioning;
-    the output divides back to a float64 at the end."""
+    the output divides back to a float64 at the end.
+
+    Skew: a zipfian hot key's full history co-locating on one worker
+    is the plain path's bound — ``hot_keys`` / ``hot_key_threshold``
+    route hot keys through salted_ordered_window (contiguous order
+    slices, per-slice scaled-int sums, broadcast cumsum-base handoff;
+    bit-identical, proven by the zipfian test)."""
 
     def cum(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(key_cols + [order_col], kind="mergesort").copy()
@@ -743,7 +913,30 @@ def running_sum_by_key(
         out[out_col] = run.to_numpy() / float(scale)
         return out.drop(columns=["_c"])
 
-    return hash_partition_reduce(ds, key_cols, cum)
+    hot_keys = _resolve_hot(
+        ds, key_cols, hot_keys, hot_key_threshold
+    )
+    if not hot_keys:
+        return hash_partition_reduce(ds, key_cols, cum)
+
+    # salted path: prefix state = the slice's exact scaled-int sum;
+    # fix = add the cumulative sum of all earlier slices (int64 adds
+    # commute/associate, so the base is bit-identical to serial)
+    def state(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(g[value_col].to_numpy() * scale).astype(np.int64)
+        return pd.DataFrame({"_sum_c": [int(c.sum())]})
+
+    def local(g: pd.DataFrame, kst: pd.DataFrame, s: int) -> pd.DataFrame:
+        base = int(kst.loc[kst["_slice"] < s, "_sum_c"].sum())
+        out = g.copy()
+        c = np.round(out[value_col].to_numpy() * scale).astype(np.int64)
+        out[out_col] = (np.cumsum(c) + base) / float(scale)
+        return out
+
+    return salted_ordered_window(
+        ds, key_cols[0], [order_col], cum, state, local,
+        hot_keys, num_salt=num_salt,
+    )
 
 
 def window_rank_lag(
@@ -753,6 +946,9 @@ def window_rank_lag(
     value_col: str,
     rank_col: str = "rn",
     lag_col: str = "prev_value",
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    num_salt: int | None = None,
 ) -> "ray.data.Dataset":
     """``ROW_NUMBER()`` + ``LAG(value)`` OVER (PARTITION BY keys ORDER
     BY order_cols): one per-key hash exchange, then a per-partition
@@ -760,7 +956,14 @@ def window_rank_lag(
     must be a unique total order within each key group (pass a
     tiebreaker column) so ranks are deterministic under any
     partitioning.  LAG of the first row per key is NaN, matching the
-    SQL NULL; the lag column is float64 either way."""
+    SQL NULL; the lag column is float64 either way.
+
+    Skew: ``hot_keys`` / ``hot_key_threshold`` slice a hot key into
+    contiguous order buckets (salted_ordered_window); the prefix
+    handoff is (row count → rank offset, last value → first-row lag).
+    NOTE a tie on ``order_cols[0]`` always lands in one slice (the
+    bucket id is a function of that value), so cross-slice rank order
+    matches the global mergesort exactly."""
 
     def win(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(key_cols + order_cols, kind="mergesort").copy()
@@ -769,7 +972,33 @@ def window_rank_lag(
         out[lag_col] = g[value_col].shift(1).astype(np.float64)
         return out
 
-    return hash_partition_reduce(ds, key_cols, win)
+    hot_keys = _resolve_hot(ds, key_cols, hot_keys, hot_key_threshold)
+    if not hot_keys:
+        return hash_partition_reduce(ds, key_cols, win)
+
+    def state(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"_n": [len(g)], "_last_v": [float(g[value_col].iloc[-1])]}
+        )
+
+    def local(g: pd.DataFrame, kst: pd.DataFrame, s: int) -> pd.DataFrame:
+        prev = kst[kst["_slice"] < s]
+        offset = int(prev["_n"].sum())
+        out = g.copy()
+        out[rank_col] = (
+            np.arange(1, len(g) + 1, dtype=np.int64) + offset
+        )
+        lag = out[value_col].shift(1).astype(np.float64)
+        if len(prev):
+            # carry-in: last value of the nearest earlier slice
+            lag.iloc[0] = float(prev["_last_v"].iloc[-1])
+        out[lag_col] = lag
+        return out
+
+    return salted_ordered_window(
+        ds, key_cols[0], order_cols, win, state, local,
+        hot_keys, num_salt=num_salt,
+    )
 
 
 def rolling_mean_by_key(
@@ -780,6 +1009,9 @@ def rolling_mean_by_key(
     window: int,
     out_col: str = "rolling_mean",
     scale: int = 100,
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    num_salt: int | None = None,
 ) -> "ray.data.Dataset":
     """Frame window aggregate: ``avg(value) OVER (PARTITION BY keys
     ORDER BY order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT
@@ -787,7 +1019,17 @@ def rolling_mean_by_key(
     exact int64 scaled-cents cumsums (cumsum[i] - cumsum[i-window]),
     then ONE float division by ``scale * count`` — bit-identical to a
     serial oracle that mirrors the same formula, regardless of
-    partitioning or accumulation order."""
+    partitioning or accumulation order.
+
+    Skew: the salted path's per-slice terminal carries the slice's
+    TRAILING min(window-1, n) scaled values plus its row count; the
+    carry-in for slice s is the concatenation of earlier tails
+    truncated to the last window-1 values (any value within window-1
+    positions of a slice boundary is by construction inside that
+    slice's tail, so the truncated concat IS the true trailing
+    window).  The local pass prepends the carry-in, runs the same
+    cumsum-difference over identical int64 values, and divides by the
+    GLOBAL position count — bit-identical to the plain path."""
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(key_cols + order_cols, kind="mergesort").copy()
@@ -808,7 +1050,48 @@ def rolling_mean_by_key(
         out[out_col] = roll_sum / (float(scale) * cnt)
         return out.drop(columns=["_c", "_cs"])
 
-    return hash_partition_reduce(ds, key_cols, roll)
+    hot_keys = _resolve_hot(ds, key_cols, hot_keys, hot_key_threshold)
+    if not hot_keys:
+        return hash_partition_reduce(ds, key_cols, roll)
+
+    def state(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(g[value_col].to_numpy() * scale).astype(np.int64)
+        tail = c[-(window - 1):] if window > 1 else c[:0]
+        return pd.DataFrame(
+            {"_n": [len(g)], "_tail": [[int(x) for x in tail]]}
+        )
+
+    def local(g: pd.DataFrame, kst: pd.DataFrame, s: int) -> pd.DataFrame:
+        prev = kst[kst["_slice"] < s]
+        offset = int(prev["_n"].sum())
+        carry_parts = [
+            np.asarray(t, dtype=np.int64) for t in prev["_tail"]
+        ]
+        carry = (
+            np.concatenate(carry_parts)
+            if carry_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        if window > 1:
+            carry = carry[-(window - 1):]
+        else:
+            carry = carry[:0]
+        out = g.copy()
+        c = np.round(out[value_col].to_numpy() * scale).astype(np.int64)
+        x = np.concatenate([carry, c])
+        cs = np.cumsum(x)
+        k = len(carry)
+        idx = np.arange(k, len(x))
+        base = np.where(idx - window >= 0, cs[np.maximum(idx - window, 0)], 0)
+        roll_sum = cs[idx] - base
+        cnt = np.minimum(offset + np.arange(1, len(c) + 1), window)
+        out[out_col] = roll_sum / (float(scale) * cnt)
+        return out
+
+    return salted_ordered_window(
+        ds, key_cols[0], order_cols, roll, state, local,
+        hot_keys, num_salt=num_salt,
+    )
 
 
 def scd2_history(
@@ -816,6 +1099,9 @@ def scd2_history(
     key_cols: list[str],
     seq_col: str,
     ts_col: str,
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    num_salt: int | None = None,
 ) -> "ray.data.Dataset":
     """Slowly-changing-dimension type-2 materialization of a change
     stream: every change event becomes a VERSION row with a validity
@@ -841,7 +1127,31 @@ def scd2_history(
         out["is_current"] = nxt.isna()
         return out
 
-    return hash_partition_reduce(ds, key_cols, intervals)
+    hot_keys = _resolve_hot(ds, key_cols, hot_keys, hot_key_threshold)
+    if not hot_keys:
+        return hash_partition_reduce(ds, key_cols, intervals)
+
+    # salted path: the only cross-slice dependency is LOOKAHEAD — the
+    # last version of slice s closes at the FIRST change of the next
+    # non-empty slice; the terminal state is just that first timestamp
+    def state(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_first_ts": [g[ts_col].iloc[0]]})
+
+    def local(g: pd.DataFrame, kst: pd.DataFrame, s: int) -> pd.DataFrame:
+        out = g.copy()
+        nxt = out[ts_col].shift(-1)
+        ahead = kst[kst["_slice"] > s]
+        if len(ahead):
+            nxt.iloc[-1] = ahead["_first_ts"].iloc[0]
+        out["valid_from"] = out[ts_col]
+        out["valid_to"] = nxt
+        out["is_current"] = nxt.isna()
+        return out
+
+    return salted_ordered_window(
+        ds, key_cols[0], [seq_col], intervals, state, local,
+        hot_keys, num_salt=num_salt,
+    )
 
 
 def broadcast_join(

@@ -313,3 +313,131 @@ def test_asof_salting_zipfian_exact():
         )
     )
     pd.testing.assert_frame_equal(plain, detected)
+
+
+def _zipfian_events(n: int = 24_000, hot_frac: float = 0.9, seed: int = 11):
+    """One monster key owns ``hot_frac`` of the rows; timestamps on a
+    coarse 1-second grid so duplicate order values (ties) are common —
+    ties must land in ONE salt slice and resolve via the event_id
+    tiebreaker exactly as the plain path's mergesort does."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    hot_n = int(n * hot_frac)
+    base = 1_700_000_000_000_000
+    user = np.concatenate(
+        [np.zeros(hot_n, np.int64), rng.integers(1, 300, n - hot_n)]
+    )
+    ts = base + rng.integers(0, 86_400, n).astype(np.int64) * 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(
+                rng.permutation(n).astype(np.int64), pa.int64()
+            ),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(user, pa.int64()),
+            "value": pa.array(rng.random(n).round(2), pa.float64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(8).materialize()
+
+
+def _canon_events(ds):
+    df = ds.to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)[
+        sorted(df.columns)
+    ]
+
+
+def test_window_rank_lag_salting_zipfian_exact():
+    """North-rule skew evidence for the order-dependent rank/lag
+    window: the salted path (contiguous order slices + broadcast
+    count/last-value prefix handoff) must be bit-identical to the
+    plain one-worker-per-key path, both with explicit hot_keys and
+    with Count-Min detection."""
+    import pandas as pd
+
+    from raycdc.ops.relational import window_rank_lag
+
+    ds = _zipfian_events()
+    plain = _canon_events(
+        window_rank_lag(ds, ["user_id"], ["ts", "event_id"], "value")
+    )
+    salted = _canon_events(
+        window_rank_lag(
+            ds, ["user_id"], ["ts", "event_id"], "value",
+            hot_keys=[0], num_salt=8,
+        )
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+    detected = _canon_events(
+        window_rank_lag(
+            ds, ["user_id"], ["ts", "event_id"], "value",
+            hot_key_threshold=5000, num_salt=8,
+        )
+    )
+    pd.testing.assert_frame_equal(plain, detected)
+
+
+def test_rolling_mean_salting_zipfian_exact():
+    """Rolling-mean skew path: the per-slice terminal carries the
+    trailing window-1 scaled values; windows crossing slice
+    boundaries must be bit-identical (same int64 sums, same single
+    float division)."""
+    import pandas as pd
+
+    from raycdc.ops.relational import rolling_mean_by_key
+
+    ds = _zipfian_events(seed=12)
+    for w in (1, 7):
+        plain = _canon_events(
+            rolling_mean_by_key(
+                ds, ["user_id"], ["ts", "event_id"], "value", w
+            )
+        )
+        salted = _canon_events(
+            rolling_mean_by_key(
+                ds, ["user_id"], ["ts", "event_id"], "value", w,
+                hot_keys=[0], num_salt=8,
+            )
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_running_sum_salting_zipfian_exact():
+    """Running-sum skew path: per-slice scaled-int sums + broadcast
+    cumsum-base handoff — int64 adds commute, so bit-identical."""
+    import pandas as pd
+
+    from raycdc.ops.relational import running_sum_by_key
+
+    ds = _zipfian_events(seed=13)
+    plain = _canon_events(
+        running_sum_by_key(ds, ["user_id"], "event_id", "value")
+    )
+    salted = _canon_events(
+        running_sum_by_key(
+            ds, ["user_id"], "event_id", "value",
+            hot_keys=[0], num_salt=8,
+        )
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_scd2_salting_zipfian_exact():
+    """SCD2 skew path: the only cross-slice dependency is lookahead —
+    the last version per slice closes at the next slice's first
+    change timestamp; is_current survives only on the final slice."""
+    import pandas as pd
+
+    from raycdc.ops.relational import scd2_history
+
+    ds = _zipfian_events(seed=14)
+    plain = _canon_events(scd2_history(ds, ["user_id"], "event_id", "ts"))
+    salted = _canon_events(
+        scd2_history(
+            ds, ["user_id"], "event_id", "ts", hot_keys=[0], num_salt=8
+        )
+    )
+    pd.testing.assert_frame_equal(plain, salted)
