@@ -375,6 +375,7 @@ def partial_agg(
     sums: dict[str, str] | None = None,
     count_as: str | None = None,
     driver_fold: bool = False,
+    max_fold_rows: int = 2_000_000,
 ):
     """Two-phase aggregation: combine inside each batch (pandas
     groupby), then reduce the (much smaller) partials.  The exchange
@@ -386,7 +387,10 @@ def partial_agg(
     flags) the partials are #blocks × #keys rows at ANY corpus size,
     and the fold skips the distributed exchange's barrier entirely
     (~1.5 s saved per query at sf0.1).  High-cardinality keys must
-    keep the default distributed reduce."""
+    keep the default distributed reduce; ``max_fold_rows`` is the
+    loud tripwire for that contract (the fold streams the partials
+    batchwise, folding incrementally, so it fails before — not
+    after — materializing #blocks × #keys rows in driver heap)."""
     sums = sums or {}
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -404,7 +408,25 @@ def partial_agg(
 
     partial = ds.map_batches(combine, batch_format="pandas")
     if driver_fold:
-        return reduce_fn(partial.to_pandas())
+        folded: pd.DataFrame | None = None
+        for batch in partial.iter_batches(
+            batch_format="pandas", batch_size=65536
+        ):
+            folded = (
+                batch
+                if folded is None
+                else reduce_fn(pd.concat([folded, batch], ignore_index=True))
+            )
+            if len(folded) > max_fold_rows:
+                raise ValueError(
+                    f"partial_agg(driver_fold=True): folded partials "
+                    f"exceed {max_fold_rows} rows — the key set "
+                    f"{keys} is not low-cardinality; use the default "
+                    "distributed reduce (hash_partition_reduce)."
+                )
+        if folded is None:
+            return combine(pd.DataFrame(columns=list(sums) + keys))
+        return reduce_fn(folded)
     return hash_partition_reduce(partial, keys, reduce_fn)
 
 
@@ -480,6 +502,7 @@ def rollup_sum(
     out_col: str = "sum_value",
     count_col: str = "n",
     scale: int = 100,
+    max_fold_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """``GROUP BY ROLLUP(cols)``: every prefix level's subtotals plus
     the grand total in ONE pass over the data.  The per-batch combiner
@@ -507,10 +530,36 @@ def rollup_sum(
             _c=("_c", "sum"), _n=("_c", "size")
         )
 
-    parts = ds.map_batches(combine, batch_format="pandas").to_pandas()
-    finest = parts.groupby(group_cols, as_index=False, sort=False, dropna=False).agg(
-        _c=("_c", "sum"), _n=("_n", "sum")
-    )
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            group_cols, as_index=False, sort=False, dropna=False
+        ).agg(_c=("_c", "sum"), _n=("_n", "sum"))
+
+    # stream-fold the finest-level partials on the driver; the
+    # low-cardinality contract fails LOUD past max_fold_rows instead
+    # of silently materializing #blocks × #finest-groups rows
+    finest: pd.DataFrame | None = None
+    for batch in (
+        ds.map_batches(combine, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=65536)
+    ):
+        finest = (
+            batch
+            if finest is None
+            else fold(pd.concat([finest, batch], ignore_index=True))
+        )
+        if len(finest) > max_fold_rows:
+            raise ValueError(
+                f"rollup_sum: folded finest-level partials exceed "
+                f"{max_fold_rows} rows — {group_cols} is not a "
+                "low-cardinality rollup key; pre-aggregate with "
+                "hash_partition_reduce first."
+            )
+    if finest is None:
+        finest = combine(
+            pd.DataFrame({c: [] for c in group_cols + [value_col]})
+        )
+    finest = fold(finest)
     levels = [finest]
     for i in range(len(group_cols) - 1, -1, -1):
         if i:

@@ -441,3 +441,38 @@ def test_scd2_salting_zipfian_exact():
         )
     )
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_driver_fold_tripwires_fail_loud():
+    """partial_agg(driver_fold=True) and rollup_sum carry a
+    low-cardinality contract — folding a high-cardinality key must
+    raise with a remediation message BEFORE materializing
+    #blocks x #keys rows on the driver, matching the sibling guards
+    (max_groups / max_candidate_pairs / max_block_rows)."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from raycdc.ops.relational import partial_agg, rollup_sum
+
+    n = 5_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),  # all-unique key
+            "v": pa.array(np.ones(n), pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    with pytest.raises(ValueError, match="hash_partition_reduce"):
+        partial_agg(
+            ds, ["k"], sums={"v": "sum_v"}, driver_fold=True,
+            max_fold_rows=1000,
+        )
+    with pytest.raises(ValueError, match="low-cardinality"):
+        rollup_sum(ds, ["k"], "v", max_fold_rows=1000)
+    # under the budget the fold is exact
+    out = partial_agg(
+        ds, ["k"], sums={"v": "sum_v"}, driver_fold=True,
+        max_fold_rows=100_000,
+    )
+    assert len(out) == n and float(out["sum_v"].sum()) == float(n)
