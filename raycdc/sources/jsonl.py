@@ -114,9 +114,17 @@ def _jsonl_meta(p: str, cache=None) -> dict:
         if hit is not None:
             return hit
     rows = 0
+    last_byte = b""
     with open(p, "rb") as f:
         while chunk := f.read(1 << 24):
             rows += chunk.count(b"\n")
+            last_byte = chunk[-1:]
+    # an external producer's torn/unterminated tail line has no
+    # trailing newline but IS parsed by the read path — count it, or
+    # the cached rows figure feeding window_stats and total_events
+    # disagrees with what ingest actually applies
+    if last_byte not in (b"", b"\n"):
+        rows += 1
     s = _last_line_seq(p)
     # max_seq None = unparsable tail: such a file can NEVER be pruned
     # (the uncached path's contract) — keep the None through the cache
@@ -195,6 +203,38 @@ def window_stats(
     return total_bytes, total_rows
 
 
+_STRING_FIELDS = (
+    "ts", "op", "repo", "path", "commit", "lang", "content",
+    "payload_json",
+)
+
+
+def _validated(rec) -> dict:
+    """Envelope type check for the salvage lane: returns a dict whose
+    values are guaranteed to build cleanly against WIRE_SCHEMA, or
+    raises ValueError/TypeError so the caller dead-letters the line.
+    int() raises TypeError on non-scalars (list/object seq) and
+    ValueError on garbage strings — both demote, never crash the
+    task."""
+    if not isinstance(rec, dict):
+        raise ValueError("not an object")
+    out: dict = {}
+    s = rec.get("seq")
+    out["seq"] = None if s is None else int(s)
+    for name in _STRING_FIELDS:
+        v = rec.get(name)
+        if v is not None and not isinstance(v, str):
+            raise TypeError(f"{name}: expected string")
+        out[name] = v
+    cl = rec.get("content_len")
+    if cl is not None:
+        if isinstance(cl, bool) or not isinstance(cl, (int, float)):
+            raise TypeError("content_len: expected integer")
+        cl = int(cl)
+    out["content_len"] = cl
+    return out
+
+
 def _salvage(data: bytes) -> pa.Table:
     """Line-by-line fallback for a file pyarrow.json rejects: valid
     lines parse normally; torn lines become null-PK rows carrying the
@@ -204,7 +244,14 @@ def _salvage(data: bytes) -> pa.Table:
     the nearest preceding good line (or the first following one) —
     it then rides the same replay window as the file's real events,
     and the dead-letter capture is idempotent under replay exactly
-    like any other event of that window."""
+    like any other event of that window.
+
+    TOTALITY: "torn" covers more than invalid JSON — a JSON-valid
+    line whose envelope is type-mismatched (list seq, object content,
+    string content_len) would otherwise crash the column build with
+    ArrowInvalid and kill the whole read task.  ``_validated``
+    enforces every field's wire type and any mismatch demotes the
+    record to the same null-PK dead-letter shape."""
     cols: dict[str, list] = {f.name: [] for f in WIRE_SCHEMA}
     torn_idx: list[int] = []
     last_seq: int | None = None
@@ -213,12 +260,10 @@ def _salvage(data: bytes) -> pa.Table:
         if not raw:
             continue
         try:
-            rec = json.loads(raw)
-            if not isinstance(rec, dict):
-                raise ValueError("not an object")
-            if rec.get("seq") is not None:
-                last_seq = int(rec["seq"])
-        except ValueError:
+            rec = _validated(json.loads(raw))
+            if rec["seq"] is not None:
+                last_seq = rec["seq"]
+        except (ValueError, TypeError, KeyError):
             rec = {
                 "seq": last_seq,
                 "payload_json": raw.decode("utf-8", "replace"),

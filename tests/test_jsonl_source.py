@@ -236,3 +236,65 @@ def test_jsonl_probe_cache_counts_and_never_prunes_torn_tail(tmp_path):
     # and the cache entry holds None, not a prunable sentinel
     entry = _json.load(open(str(tmp_path / "cache.json")))[torn]
     assert entry["meta"]["max_seq"] is None
+
+
+def test_jsonl_type_mismatched_lines_dead_letter_not_crash(tmp_path):
+    """Salvage-lane TOTALITY: JSON-valid lines whose envelope is
+    type-mismatched (list seq, object content, string content_len)
+    must demote to the dead-letter lane like torn writes — never
+    raise TypeError/ArrowInvalid and kill the read task."""
+    tmp = str(tmp_path)
+    jl_dir = os.path.join(tmp, "log")
+    write_changelog_jsonl(jl_dir, 300, fragment_rows=300, seed=SEED)
+    bad_lines = [
+        '{"seq": [1, 2], "op": "update", "repo": "x/y"}',  # non-scalar seq
+        '{"seq": 90001, "op": "update", "repo": "x/y", "path": "p",'
+        ' "commit": "c", "lang": "py", "content": {"nested": true},'
+        ' "content_len": 5, "payload_json": "{}"}',  # object content
+        '{"seq": 90002, "op": "update", "repo": "x/y", "path": "p2",'
+        ' "commit": "c", "lang": "py", "content": "ok",'
+        ' "content_len": "five", "payload_json": "{}"}',  # string len
+    ]
+    with open(os.path.join(jl_dir, "fragment-00000.jsonl"), "a") as f:
+        for line in bad_lines:
+            f.write(line + "\n")
+    cfg = _cfg(tmp, jl_dir, "lake_mismatch", "jsonl-changelog")
+    res = run_ingest(cfg)
+
+    clean_dir = os.path.join(tmp, "log_clean")
+    write_changelog_jsonl(clean_dir, 300, fragment_rows=300, seed=SEED)
+    cfg2 = _cfg(tmp, clean_dir, "lake_clean", "jsonl-changelog")
+    res2 = run_ingest(cfg2)
+    assert res.dead_lettered == res2.dead_lettered + len(bad_lines)
+    a = _canon(Lake(cfg.lake_dir).read_table())
+    b = _canon(Lake(cfg2.lake_dir).read_table())
+    assert a.equals(b)
+
+
+def test_jsonl_unterminated_tail_line_is_counted(tmp_path):
+    """A final line with no trailing newline (external producer, torn
+    write) is parsed by the read path — the count probe must count it
+    too, cached and uncached, so window_stats/total_events agree with
+    what ingest applies."""
+    from raycdc.sources.changelog import ProbeCache
+
+    log = str(tmp_path / "log")
+    write_changelog_jsonl(log, 200, fragment_rows=200, seed=SEED)
+    frag = os.path.join(log, "fragment-00000.jsonl")
+    with open(frag, "a", encoding="utf-8") as f:
+        f.write(
+            '{"seq": 90000, "ts": "2024-01-01T00:00:00.000000+0000",'
+            ' "op": "update", "repo": "x/y", "path": "tail", "commit":'
+            ' "c", "lang": "py", "content": "zz", "content_len": 2,'
+            ' "payload_json": "{}"}'
+        )  # no trailing newline
+    assert count_probe(log) == 201
+    cache = ProbeCache(str(tmp_path / "cache.json"))
+    assert count_probe(log, cache=cache) == 201
+    # the tail line is real data: ingest applies it
+    cfg = _cfg(str(tmp_path), log, "lake_tail", "jsonl-changelog")
+    run_ingest(cfg)
+    t = Lake(cfg.lake_dir).read_table()
+    import pyarrow.compute as _pc
+
+    assert _pc.sum(_pc.equal(t["path"], "tail")).as_py() == 1
