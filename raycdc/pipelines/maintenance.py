@@ -706,7 +706,16 @@ def export_lake(
             if os.path.exists(marker):
                 with open(marker, encoding="utf-8") as f:
                     done = _json.load(f)
-                if done.get("files") == src_files:
+                # a skip is only valid if the unit was exported from
+                # the SAME source file set AND with the same output
+                # layout — a re-export with different columns /
+                # partition_by must rewrite, not silently keep the
+                # old layout while reporting success
+                if (
+                    done.get("files") == src_files
+                    and done.get("columns") == columns
+                    and done.get("partition_by") == partition_by
+                ):
                     out_pid.append(pid)
                     out_rows.append(int(done.get("rows", 0)))
                     out_skipped.append(True)
@@ -722,6 +731,14 @@ def export_lake(
             t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
             os.makedirs(unit, exist_ok=True)
             if partition_by is None:
+                # a prior HIVE export of this pid leaves per-value
+                # files; remove them or a layout switch double-counts
+                import glob as _glob
+
+                for stale in _glob.glob(
+                    os.path.join(out_dir, "*=*", f"part-{pid:05d}.parquet")
+                ):
+                    os.remove(stale)
                 tmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}")
                 pq.write_table(
                     t, tmp, compression="zstd", compression_level=1
@@ -736,11 +753,16 @@ def export_lake(
                 # drop this pid's files from a PRIOR export first: a
                 # value the pid no longer has rows for would otherwise
                 # leave a stale file in its hive directory
+                # ANY "col=value" dir: also catches a prior export
+                # that hive-partitioned by a different column
                 for stale in _glob.glob(
-                    os.path.join(out_dir, f"{partition_by}=*",
-                                 f"part-{pid:05d}.parquet")
+                    os.path.join(out_dir, "*=*", f"part-{pid:05d}.parquet")
                 ):
                     os.remove(stale)
+                # and a prior PLAIN export's unit data file
+                plain = os.path.join(unit, "data.parquet")
+                if os.path.exists(plain):
+                    os.remove(plain)
                 vals = t[partition_by].to_numpy(zero_copy_only=False)
                 for val in np.unique(vals):
                     sub = mask_filter(t, vals == val)
@@ -754,7 +776,13 @@ def export_lake(
             mtmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}")
             with open(mtmp, "w", encoding="utf-8") as f:
                 _json.dump(
-                    {"version": v, "rows": t.num_rows, "files": src_files},
+                    {
+                        "version": v,
+                        "rows": t.num_rows,
+                        "files": src_files,
+                        "columns": columns,
+                        "partition_by": partition_by,
+                    },
                     f,
                 )
             os.replace(mtmp, marker)

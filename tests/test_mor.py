@@ -916,3 +916,50 @@ def test_export_lake_hive_layout(tmp_path):
     # resume semantics carry over: rerun skips everything
     rep2 = export_lake(cfg.lake_dir, out_dir, partition_by="lang")
     assert not rep2["exported"]
+
+
+def test_export_lake_layout_change_rewrites(tmp_path):
+    """A rerun against the same out_dir with DIFFERENT columns or
+    partition_by must rewrite every unit (the marker records the
+    output layout, not just the source file set) and clean the prior
+    layout's files — never skip and report success over stale
+    output."""
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    from raycdc.pipelines.maintenance import export_lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 3000, fragment_rows=500, seed=29)
+    run_ingest(cfg)
+    out_dir = os.path.join(tmp, "export")
+    rep = export_lake(cfg.lake_dir, out_dir)
+    assert rep["exported"] and not rep["skipped"]
+
+    # same source files, new hive layout: nothing may be skipped
+    rep2 = export_lake(cfg.lake_dir, out_dir, partition_by="lang")
+    assert sorted(rep2["exported"]) == sorted(rep["exported"])
+    assert not rep2["skipped"]
+    hive_files = glob.glob(os.path.join(out_dir, "lang=*", "*.parquet"))
+    assert hive_files
+    # the plain layout's unit data files are gone (no double data)
+    assert not glob.glob(os.path.join(out_dir, "part-*", "data.parquet"))
+    got = pa.concat_tables(
+        [pq_mod.read_table(f) for f in hive_files],
+        promote_options="default",
+    )
+    assert _canon(got).equals(_canon(Lake(cfg.lake_dir).read_table()))
+
+    # switch back to plain with a column subset: rewritten again,
+    # hive files cleaned, output carries only the requested columns
+    rep3 = export_lake(cfg.lake_dir, out_dir, columns=["repo", "path"])
+    assert sorted(rep3["exported"]) == sorted(rep["exported"])
+    assert not glob.glob(os.path.join(out_dir, "lang=*", "*.parquet"))
+    unit_files = glob.glob(os.path.join(out_dir, "part-*", "data.parquet"))
+    assert unit_files
+    assert pq_mod.read_table(unit_files[0]).schema.names == ["repo", "path"]
+    # and an identical-args rerun skips everything again
+    rep4 = export_lake(cfg.lake_dir, out_dir, columns=["repo", "path"])
+    assert not rep4["exported"]
