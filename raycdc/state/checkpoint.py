@@ -198,7 +198,41 @@ class Lake:
         committing would silently discard it.  Pass the version the
         rewrite was resolved from; a moved manifest raises
         ``ConcurrentCommitError`` so the caller re-resolves and retries.
+
+        The read→check→replace sequence is serialized by an exclusive
+        ``flock`` on ``_commit.lock`` — without it two committers could
+        both pass the version check and the later ``os.replace`` would
+        silently overwrite the earlier commit (check-then-write race).
+        flock is advisory and per-open-file-description, so it excludes
+        concurrent processes AND threads on one host; on network
+        filesystems where flock is unreliable, run one committer per
+        lake (the follow loop's own contract).
         """
+        import fcntl
+
+        lock_path = os.path.join(self.root, "_commit.lock")
+        with open(lock_path, "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            return self._commit_locked(
+                run_id,
+                staged,
+                new_watermarks,
+                payload_columns,
+                staged_deltas,
+                new_num_partitions,
+                expected_version,
+            )
+
+    def _commit_locked(
+        self,
+        run_id: str,
+        staged: dict[int, str],
+        new_watermarks: dict[int, int],
+        payload_columns=None,
+        staged_deltas: dict[int, str] | None = None,
+        new_num_partitions: int | None = None,
+        expected_version: int | None = None,
+    ) -> dict:
         manifest = self.manifest()
         if expected_version is not None and (
             int(manifest["version"]) != int(expected_version)

@@ -963,3 +963,46 @@ def test_export_lake_layout_change_rewrites(tmp_path):
     # and an identical-args rerun skips everything again
     rep4 = export_lake(cfg.lake_dir, out_dir, columns=["repo", "path"])
     assert not rep4["exported"]
+
+
+def test_commit_lock_serializes_racing_committers(tmp_path):
+    """Regression (round-3 ADVICE): the expected_version guard was
+    check-then-write with no lock — two committers could both pass
+    the version check and the later os.replace silently overwrote
+    the earlier commit.  The flock on _commit.lock serializes
+    read→check→replace, so of two racing expected_version commits
+    exactly ONE succeeds and the other raises ConcurrentCommitError,
+    under any interleaving."""
+    import threading
+
+    from raycdc.state.checkpoint import ConcurrentCommitError, Lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 600, fragment_rows=300, seed=47)
+    run_ingest(cfg)
+    lake_path = cfg.lake_dir
+    v = int(Lake(lake_path).manifest()["version"])
+
+    results: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def committer(i: int):
+        lake = Lake(lake_path)  # own instance, own lock fd
+        barrier.wait()
+        try:
+            lake.commit(f"racer-{i}", {}, {}, expected_version=v)
+            results[i] = "ok"
+        except ConcurrentCommitError:
+            results[i] = "lost"
+
+    threads = [
+        threading.Thread(target=committer, args=(i,)) for i in (0, 1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == ["lost", "ok"], results
+    # exactly one version bump — the loser's commit left no trace
+    assert int(Lake(lake_path).manifest()["version"]) == v + 1
