@@ -392,14 +392,21 @@ def approx_quantiles(
     return pd.DataFrame({"q": out_q, "value": out_v})
 
 
-def value_histogram_by(
+def _value_histogram_by_impl(
     ds: "ray.data.Dataset",
     group_col: str,
     col: str,
-    nbins: int = 64,
-    max_groups: int = 4096,
-) -> pd.DataFrame:
-    """Grouped histogram sketch: one fixed-width histogram PER
+    nbins: int,
+    max_groups: int,
+) -> tuple[pd.DataFrame, float | None, float | None]:
+    """Shared engine for ``value_histogram_by`` / ``approx_quantiles_by``
+    returning (frame, lo, w) so quantiles use the sketch's REAL bin
+    geometry instead of reverse-engineering it from occupied edges
+    (round-3 ADVICE: the reconstruction silently fell back to w=1.0
+    when all occupied buckets shared one index, and added float
+    round-trip error otherwise).
+
+    Grouped histogram sketch: one fixed-width histogram PER
     ``group_col`` value over a SHARED global range, so buckets are
     comparable across groups (distribution drift between event types,
     languages, shards).  Zero shuffle — each batch emits
@@ -415,11 +422,15 @@ def value_histogram_by(
         ds, col, nbins, None, None
     )
     if probe is None:
-        return pd.DataFrame(
-            {group_col: pd.Series(dtype="object"),
-             "bucket": pd.Series(dtype="int64"),
-             "lo_edge": pd.Series(dtype="float64"),
-             "n": pd.Series(dtype="int64")}
+        return (
+            pd.DataFrame(
+                {group_col: pd.Series(dtype="object"),
+                 "bucket": pd.Series(dtype="int64"),
+                 "lo_edge": pd.Series(dtype="float64"),
+                 "n": pd.Series(dtype="int64")}
+            ),
+            None,
+            None,
         )
 
     def counts(t: pa.Table) -> pa.Table:
@@ -475,9 +486,26 @@ def value_histogram_by(
         }
     )
     out["lo_edge"] = lo + out["bucket"].to_numpy() * w
-    return out[[group_col, "bucket", "lo_edge", "n"]].sort_values(
+    out = out[[group_col, "bucket", "lo_edge", "n"]].sort_values(
         [group_col, "bucket"]
     ).reset_index(drop=True)
+    return out, lo, w
+
+
+def value_histogram_by(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    nbins: int = 64,
+    max_groups: int = 4096,
+) -> pd.DataFrame:
+    """Public grouped-histogram surface — see
+    ``_value_histogram_by_impl`` for the full contract.  Returns
+    (group, bucket, lo_edge, n)."""
+    out, _lo, _w = _value_histogram_by_impl(
+        ds, group_col, col, nbins, max_groups
+    )
+    return out
 
 
 def approx_quantiles_by(
@@ -493,8 +521,8 @@ def approx_quantiles_by(
     Same error contract as ``approx_quantiles``: value error ≤ one bin
     width vs each group's rank-ceil(q*n) order statistic
     (``quantile_disc``).  Returns (group, q, value)."""
-    hist = value_histogram_by(
-        ds, group_col, col, nbins=nbins, max_groups=max_groups
+    hist, lo, w = _value_histogram_by_impl(
+        ds, group_col, col, nbins, max_groups
     )
     if hist.empty:
         return pd.DataFrame(
@@ -502,16 +530,6 @@ def approx_quantiles_by(
              "q": pd.Series(dtype="float64"),
              "value": pd.Series(dtype="float64")}
         )
-    # reconstruct lo/w from any row: lo_edge = lo + bucket*w; the
-    # sketch always emits bucket 0 somewhere ONLY if occupied, so
-    # derive from two distinct buckets or fall back to a single bin
-    b = hist["bucket"].to_numpy()
-    e = hist["lo_edge"].to_numpy()
-    if b.max() > b.min():
-        w = float((e[b.argmax()] - e[b.argmin()]) / (b.max() - b.min()))
-    else:
-        w = 1.0
-    lo = float(e[0] - b[0] * w)
     out_g, out_q, out_v = [], [], []
     for g, sub in hist.groupby(group_col, sort=True):
         counts = np.zeros(nbins, dtype=np.int64)

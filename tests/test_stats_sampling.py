@@ -238,3 +238,46 @@ def test_split_assign_disjoint_exhaustive_stable():
     assert abs(frac["train"] - 0.8) < 0.02
     assert abs(frac["val"] - 0.1) < 0.02
     assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_approx_quantiles_by_single_occupied_bucket_geometry():
+    """Regression (round-3 ADVICE): when every group's occupied
+    buckets share ONE index, the old lo/w reconstruction from
+    occupied edges silently fell back to w=1.0, producing wrong
+    quantile values for any real bin width.  The sketch's real
+    geometry must flow through: all mass sits in one bucket, so every
+    quantile equals that bucket's right edge = lo + (b+1)*(hi-lo)/nbins."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycdc.ops.sketch import approx_quantiles_by
+
+    # two groups, constant values 1000.0 apart -> global range
+    # [100.0, 1100.0]; with nbins=4 a group's mass occupies exactly
+    # one bucket (index 0 for A, 3 for B) — same index per group,
+    # and across ALL occupied rows only indexes {0, 3} appear; the
+    # old code then derived w=(1100-100)/3 ≈ 333.3 instead of 250.0
+    t = pa.table(
+        {
+            "g": pa.array(["A"] * 50 + ["B"] * 50),
+            "v": pa.array([100.0] * 50 + [1100.0] * 50, pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    out = approx_quantiles_by(ds, "g", "v", qs=[0.5], nbins=4)
+    w = (1100.0 - 100.0) / 4
+    got = dict(zip(out["g"], out["value"]))
+    assert got["A"] == 100.0 + 1 * w  # right edge of bucket 0
+    assert got["B"] == 100.0 + 4 * w  # right edge of bucket 3
+    # the DEGENERATE case the old fallback targeted: every value in
+    # every group identical -> one occupied bucket overall; the real
+    # geometry (w = span/nbins with the +1e-9 range epsilon) must
+    # still bound the error by one bin width
+    t2 = pa.table(
+        {"g": pa.array(["A"] * 10), "v": pa.array([42.0] * 10)}
+    )
+    out2 = approx_quantiles_by(
+        rd.from_arrow(t2).materialize(), "g", "v", qs=[0.5], nbins=4
+    )
+    assert abs(float(out2["value"].iloc[0]) - 42.0) <= 1.0
