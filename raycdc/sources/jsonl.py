@@ -70,18 +70,92 @@ WIRE_SCHEMA = pa.schema(
 
 _TAIL_WINDOW = 1 << 18  # 256 KiB: bounds the last-line probe
 
+# real CDC wire logs ship compressed; fragments may mix codecs in one
+# directory (a producer upgrade mid-stream).  gzip is stdlib (real
+# path); zstd is gated behind an import-try (the container has no
+# zstandard module — the seam is the same shape as the media decoder
+# registry: capability-selected, loud when absent).
+_COMPRESSED_SUFFIXES = (".jsonl.gz", ".jsonl.zst")
+
+
+def _is_compressed(path: str) -> bool:
+    return path.endswith(_COMPRESSED_SUFFIXES)
+
+
+def _open_stream(path: str):
+    """Binary read stream, decompressing by extension."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    if path.endswith(".zst"):
+        try:
+            import zstandard
+        except ImportError as exc:  # pragma: no cover - env-bound
+            raise RuntimeError(
+                f"{path}: .zst fragments need the 'zstandard' package "
+                "(not installed in this environment); re-ship as .gz "
+                "or install zstandard"
+            ) from exc
+        return zstandard.ZstdDecompressor().stream_reader(
+            open(path, "rb")
+        )
+    return open(path, "rb")
+
+
+def _decompress(data: bytes, path: str) -> bytes:
+    """Whole-buffer decompress for the read path (one fragment's bytes
+    are one read task's batch — fragment-sized by contract).
+
+    Magic-byte gated, not extension-gated: Ray's read_binary_files
+    auto-detects compression by extension on some codecs, so the
+    bytes may arrive already decompressed — decompressing twice would
+    raise BadGzipFile on plain NDJSON."""
+    if path.endswith(".gz") and data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    if path.endswith(".zst") and data[:4] == b"\x28\xb5\x2f\xfd":
+        try:
+            import zstandard
+        except ImportError as exc:  # pragma: no cover - env-bound
+            raise RuntimeError(
+                f"{path}: .zst fragments need the 'zstandard' package "
+                "(not installed in this environment); re-ship as .gz "
+                "or install zstandard"
+            ) from exc
+        return zstandard.ZstdDecompressor().decompressobj().decompress(
+            data
+        )
+    return data
+
 
 def jsonl_fragment_paths(log_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(log_dir, "*.jsonl")))
+    return sorted(
+        f
+        for pat in ("*.jsonl", "*.jsonl.gz", "*.jsonl.zst")
+        for f in glob.glob(os.path.join(log_dir, pat))
+    )
 
 
-def _last_line_seq(path: str) -> int | None:
-    """seq of the file's last complete line — O(1) tail read; None if
-    the tail is unparsable (then the file can never be pruned)."""
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
-        f.seek(max(0, size - _TAIL_WINDOW))
-        tail = f.read()
+def _streamed_tail_rows(path: str) -> tuple[bytes, int, bytes]:
+    """One decompress-streaming pass: (tail window, newline count,
+    last byte).  The probe plane for compressed fragments — no seek
+    exists, so rows/tail/terminator all come from the same pass (paid
+    once per fragment; the ProbeCache makes steady-state windows
+    O(new fragments))."""
+    rows = 0
+    tail = b""
+    last = b""
+    with _open_stream(path) as f:
+        while chunk := f.read(1 << 24):
+            rows += chunk.count(b"\n")
+            last = chunk[-1:]
+            tail = (tail + chunk)[-_TAIL_WINDOW:]
+    return tail, rows, last
+
+
+def _tail_seq(tail: bytes) -> int | None:
     for line in reversed(tail.splitlines()):
         line = line.strip()
         if not line:
@@ -95,9 +169,27 @@ def _last_line_seq(path: str) -> int | None:
     return None
 
 
+def _last_line_seq(path: str) -> int | None:
+    """seq of the file's last complete line — O(1) tail read on plain
+    files (seek), one streaming pass on compressed ones; None if the
+    tail is unparsable (then the file can never be pruned)."""
+    if _is_compressed(path):
+        tail, _rows, _last = _streamed_tail_rows(path)
+    else:
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            f.seek(max(0, size - _TAIL_WINDOW))
+            tail = f.read()
+    return _tail_seq(tail)
+
+
 def _head_line_bytes(path: str) -> int:
-    """Width of the first line — the row-size sample for estimates."""
-    with open(path, "rb") as f:
+    """Width of the first line — the row-size sample for estimates.
+    For compressed fragments the width is of the DECOMPRESSED line
+    while window_stats sizes use compressed bytes, so uncached
+    estimates skew low — an estimate either way; the cache serves
+    exact rows."""
+    with _open_stream(path) as f:
         head = f.read(_TAIL_WINDOW)
     nl = head.find(b"\n")
     return (nl + 1) if nl >= 0 else max(len(head), 1)
@@ -113,19 +205,24 @@ def _jsonl_meta(p: str, cache=None) -> dict:
         hit = cache.get(p)
         if hit is not None:
             return hit
-    rows = 0
-    last_byte = b""
-    with open(p, "rb") as f:
-        while chunk := f.read(1 << 24):
-            rows += chunk.count(b"\n")
-            last_byte = chunk[-1:]
+    if _is_compressed(p):
+        # one streaming pass serves rows, tail seq and the terminator
+        tail, rows, last_byte = _streamed_tail_rows(p)
+        s = _tail_seq(tail)
+    else:
+        rows = 0
+        last_byte = b""
+        with open(p, "rb") as f:
+            while chunk := f.read(1 << 24):
+                rows += chunk.count(b"\n")
+                last_byte = chunk[-1:]
+        s = _last_line_seq(p)
     # an external producer's torn/unterminated tail line has no
     # trailing newline but IS parsed by the read path — count it, or
     # the cached rows figure feeding window_stats and total_events
     # disagrees with what ingest actually applies
     if last_byte not in (b"", b"\n"):
         rows += 1
-    s = _last_line_seq(p)
     # max_seq None = unparsable tail: such a file can NEVER be pruned
     # (the uncached path's contract) — keep the None through the cache
     meta = {
@@ -311,7 +408,15 @@ class _JsonlToEvents:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from raycdc.functions.timestamps import parse_timestamp_strings
 
-        tabs = [_parse_file(b.as_py()) for b in batch["bytes"]]
+        paths = (
+            batch["path"].to_pylist()
+            if "path" in batch.schema.names
+            else [""] * batch.num_rows
+        )
+        tabs = [
+            _parse_file(_decompress(b.as_py(), p))
+            for b, p in zip(batch["bytes"], paths)
+        ]
         t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
         # M7 reuse: ISO wire timestamps through the strptime machinery
         ts = parse_timestamp_strings(t["ts"].to_pandas())
@@ -382,7 +487,9 @@ def read_jsonl_changelog(
             empty = empty.select(columns)
         return ray.data.from_arrow(empty)
     rr = ray_remote_args or {}
-    files = ray.data.read_binary_files(paths, ray_remote_args=rr or None)
+    files = ray.data.read_binary_files(
+        paths, include_paths=True, ray_remote_args=rr or None
+    )
     # map_batches takes remote args as plain **kwargs (retry transient
     # IO inside the parse task too — it re-reads nothing, but a worker
     # lost mid-parse replays via lineage with the same retry budget)
@@ -405,14 +512,17 @@ def write_changelog_jsonl(
     fragment_rows: int = 100_000,
     duplicate_boundaries: bool = True,
     fragment_index_offset: int = 0,
+    compression: str | None = None,
     **kwargs,
 ) -> list[str]:
     """JSONL twin of ``synth.write_changelog`` — identical event
     stream, different container, so lake state after ingest must
-    byte-match the Parquet path's."""
+    byte-match the Parquet path's.  ``compression="gz"`` writes
+    ``*.jsonl.gz`` fragments (the compressed-wire-log test lane)."""
     from raycdc.sources.synth import synth_event_chunks
 
     os.makedirs(log_dir, exist_ok=True)
+    suffix = ".jsonl" if compression is None else f".jsonl.{compression}"
     paths = []
     carry = None
     for i, chunk in enumerate(
@@ -423,7 +533,7 @@ def write_changelog_jsonl(
         if duplicate_boundaries:
             carry = chunk.slice(chunk.num_rows - 1, 1)
         frag = os.path.join(
-            log_dir, f"fragment-{i + fragment_index_offset:05d}.jsonl"
+            log_dir, f"fragment-{i + fragment_index_offset:05d}{suffix}"
         )
         write_table_jsonl(chunk, frag)
         paths.append(frag)
@@ -431,7 +541,8 @@ def write_changelog_jsonl(
 
 
 def write_table_jsonl(chunk: pa.Table, path: str) -> None:
-    """Serialize one event table as NDJSON (ts → ISO string)."""
+    """Serialize one event table as NDJSON (ts → ISO string);
+    compressed by extension (``.gz``)."""
     df = chunk.to_pandas()
     df["ts"] = (
         pd.to_datetime(df["ts"], utc=True)
@@ -448,7 +559,13 @@ def write_table_jsonl(chunk: pa.Table, path: str) -> None:
             dtype=object,
         )
     buf = df.to_json(orient="records", lines=True, force_ascii=False)
-    with open(path, "w", encoding="utf-8") as f:
-        # exactly one newline per record (count_probe counts them)
-        f.write(buf.rstrip("\n"))
-        f.write("\n")
+    # exactly one newline per record (count_probe counts them)
+    payload = (buf.rstrip("\n") + "\n").encode("utf-8")
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "wb", compresslevel=1) as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)

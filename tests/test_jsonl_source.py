@@ -298,3 +298,41 @@ def test_jsonl_unterminated_tail_line_is_counted(tmp_path):
     import pyarrow.compute as _pc
 
     assert _pc.sum(_pc.equal(t["path"], "tail")).as_py() == 1
+
+
+def test_gzip_jsonl_fragments_byte_identical_lake(tmp_path):
+    """Compressed wire logs (*.jsonl.gz): the same deterministic
+    stream shipped gzipped must converge the lake to a byte-identical
+    state, and the probe plane (newline count, tail max-seq,
+    watermark pruning) must serve through the decompress-streaming
+    path — cached and uncached."""
+    from raycdc.sources.changelog import ProbeCache
+
+    tmp = str(tmp_path)
+    jl_dir = os.path.join(tmp, "log_plain")
+    gz_dir = os.path.join(tmp, "log_gz")
+    write_changelog_jsonl(jl_dir, N_EVENTS, fragment_rows=FRAG, seed=SEED)
+    gz_paths = write_changelog_jsonl(
+        gz_dir, N_EVENTS, fragment_rows=FRAG, seed=SEED, compression="gz"
+    )
+    assert all(p.endswith(".jsonl.gz") for p in gz_paths)
+    # probes agree with the plain twin
+    assert count_probe(gz_dir) == count_probe(jl_dir)
+    assert max_seq_probe(gz_dir) == max_seq_probe(jl_dir)
+    cache = ProbeCache(str(tmp_path / "cache.json"))
+    assert count_probe(gz_dir, cache=cache) == count_probe(jl_dir)
+    assert max_seq_probe(gz_dir, cache=cache) == max_seq_probe(jl_dir)
+    # watermark pruning by tail seq works on compressed fragments
+    b_all, _ = window_stats(gz_dir, None, cache=cache)
+    b_hi, _ = window_stats(gz_dir, max_seq_probe(gz_dir) - 10, cache=cache)
+    assert 0 < b_hi < b_all
+    # ingest: byte-identical lake vs the plain-JSONL twin
+    cfg_jl = _cfg(tmp, jl_dir, "lake_plain", "jsonl-changelog")
+    cfg_gz = _cfg(tmp, gz_dir, "lake_gz", "jsonl-changelog")
+    res_jl = run_ingest(cfg_jl)
+    res_gz = run_ingest(cfg_gz)
+    a = _canon(Lake(cfg_jl.lake_dir).read_table())
+    b = _canon(Lake(cfg_gz.lake_dir).read_table())
+    assert a.equals(b)
+    assert res_gz.applied == res_jl.applied
+    assert res_gz.dead_lettered == res_jl.dead_lettered
