@@ -84,6 +84,28 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+# hot-host gate: a calibration read above this multiple of the pinned
+# reference means another tenant is burning this box's CPU right now
+_CALIB_HOT_FACTOR = 1.3
+
+
+def _calibrate_settled(max_wait_sec: float = 60.0) -> tuple[float, bool]:
+    """Calibrate, WAITING OUT transient host noise: re-probe every few
+    seconds until the single-threaded kernel reads inside the idle
+    band or the wait budget runs out.  Returns (last calib, settled).
+    Round-2 shipped a pure-host-noise 2.35x 'regression' as the
+    official number; this makes that impossible for a transient spike
+    and self-labels the artifact (host_hot) for a persistent one."""
+    deadline = time.monotonic() + max_wait_sec
+    c = _calibrate()
+    while c > CALIB_REFERENCE_SEC * _CALIB_HOT_FACTOR:
+        if time.monotonic() >= deadline:
+            return c, False
+        time.sleep(5)
+        c = _calibrate()
+    return c, True
+
+
 def bench_headline(trials: int) -> dict:
     """Full CDC replay-to-convergence over a synthetic change log at
     the north-rule input shape — best of ``trials`` (each from a fresh
@@ -246,7 +268,7 @@ def main() -> None:
     trials = int(
         os.environ.get("GRAFT_BENCH_TRIALS", "1" if headline_only else "3")
     )
-    calib_before = _calibrate()
+    calib_before, settled = _calibrate_settled()
     try:
         head = bench_headline(trials)
         if headline_only:
@@ -275,6 +297,15 @@ def main() -> None:
                 # engine, is slow this run
                 "calib_sec": [calib_before, calib_after],
                 "calib_reference_sec": CALIB_REFERENCE_SEC,
+                # True when BOTH probes read hot even after the
+                # settle-wait: the host (not the engine) is loaded —
+                # absolutes of this artifact are unreliable; judge
+                # against the calibration-stamped BASELINE.md band
+                "host_hot": (
+                    not settled
+                    and calib_after
+                    > CALIB_REFERENCE_SEC * _CALIB_HOT_FACTOR
+                ),
                 "events_per_sec": round(head["events_per_sec"]),
                 "incremental_sec": round(inc["sec"], 3),
                 "incremental_events_per_sec": round(
@@ -337,7 +368,7 @@ def scaling() -> None:
             {
                 "metric": "scaling efficiency, same input at "
                 f"num_cpus={lo} vs {hi} (best of {trials})",
-                "calib_sec": _calibrate(),
+                "calib_sec": _calibrate_settled()[0],
                 "calib_reference_sec": CALIB_REFERENCE_SEC,
                 f"sec_{lo}": t_lo,
                 f"sec_{hi}": t_hi,
@@ -351,8 +382,192 @@ def scaling() -> None:
     )
 
 
+def _synth_rows(n_rows: int, num_keys: int, hot_frac: float = 0.0):
+    """Deterministic events-shaped dataset (user_id, ts, id, value,
+    event_type) synthesized block-parallel from ``range`` — no disk,
+    no RNG state, same rows at any parallelism.  ``hot_frac`` routes
+    that fraction of rows to user_id 0 (the zipfian skew probe)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        mix = (ids * np.int64(2654435761)) % np.int64(2**31 - 1)
+        user = (mix % num_keys).astype(np.int64)
+        if hot_frac:
+            user = np.where(mix % 100 < int(hot_frac * 100), 0, user)
+        kinds = np.array(["view", "click", "purchase", "scroll"])
+        return pd.DataFrame(
+            {
+                "user_id": user,
+                "ts": ((ids * np.int64(48271)) % np.int64(1_000_000_007)),
+                "id": ids,
+                "value": (mix % 10_000).astype(np.float64) / 100.0,
+                "event_type": kinds[(ids % 4).astype(np.int64)],
+            }
+        )
+
+    return ray.data.range(
+        n_rows, override_num_blocks=max(NUM_CPUS * 2, 16)
+    ).map_batches(gen, batch_format="pandas")
+
+
+def soak() -> None:
+    """Linearity ladder for the round-3/4 operators: each op runs at
+    2M and 8M synthetic rows in one 32-CPU session; linear-with-data
+    behavior means the 8M time is ~4x the 2M time minus fixed session
+    cost.  Also probes the salted window reducers under 90%-hot
+    zipfian skew (plain vs salted on the same input) and ladders the
+    JSONL ingest transport at 1M vs 4M events."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    calib, _ = _calibrate_settled()
+    import ray.data
+
+    ray.data.range(1000).map_batches(lambda b: b).materialize()
+
+    from raycdc.ops.relational import (
+        rolling_mean_by_key,
+        rollup_sum,
+        running_sum_by_key,
+        window_rank_lag,
+    )
+    from raycdc.ops.sketch import value_histogram, value_histogram_by
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 3)
+
+    sizes = [2_000_000, 8_000_000]
+    ladder: dict[str, dict[str, float]] = {}
+    for n in sizes:
+        ds = _synth_rows(n, num_keys=100_000)
+        ops = {
+            "window_rank_lag": lambda: window_rank_lag(
+                ds, ["user_id"], ["ts", "id"], "value"
+            ).sum("rn"),
+            "rolling_mean_by_key": lambda: rolling_mean_by_key(
+                ds, ["user_id"], ["ts", "id"], "value", window=16
+            ).sum("rolling_mean"),
+            "running_sum_by_key": lambda: running_sum_by_key(
+                ds, ["user_id"], "ts", "value"
+            ).sum("running_sum"),
+            "rollup_sum": lambda: rollup_sum(ds, ["event_type"], "value"),
+            "value_histogram": lambda: value_histogram(
+                ds, "value", nbins=256, lo=0.0, hi=100.0
+            ),
+            "value_histogram_by": lambda: value_histogram_by(
+                ds, "event_type", "value"
+            ),
+        }
+        for name, fn in ops.items():
+            ladder.setdefault(name, {})[f"sec_{n}"] = timed(fn)
+
+    # skew probe: same 90%-hot input, plain vs salted (hot key pinned
+    # so Count-Min detection cost isn't conflated into the comparison)
+    skew_n = 4_000_000
+    ds_hot = _synth_rows(skew_n, num_keys=100_000, hot_frac=0.9)
+    skew = {
+        "rows": skew_n,
+        "hot_frac": 0.9,
+        "rank_lag_plain_sec": timed(
+            lambda: window_rank_lag(
+                ds_hot, ["user_id"], ["ts", "id"], "value"
+            ).sum("rn")
+        ),
+        "rank_lag_salted_sec": timed(
+            lambda: window_rank_lag(
+                ds_hot, ["user_id"], ["ts", "id"], "value", hot_keys=[0]
+            ).sum("rn")
+        ),
+        "rolling_plain_sec": timed(
+            lambda: rolling_mean_by_key(
+                ds_hot, ["user_id"], ["ts", "id"], "value", window=16
+            ).sum("rolling_mean")
+        ),
+        "rolling_salted_sec": timed(
+            lambda: rolling_mean_by_key(
+                ds_hot,
+                ["user_id"],
+                ["ts", "id"],
+                "value",
+                window=16,
+                hot_keys=[0],
+            ).sum("rolling_mean")
+        ),
+    }
+
+    # JSONL transport ladder: generation is cached per size; ingest
+    # replays to a fresh lake each time
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.sources.jsonl import write_changelog_jsonl
+
+    jsonl: dict[str, float] = {}
+    for n in (1_000_000, 4_000_000):
+        jl_dir = os.path.join(WORK_ROOT, f"jsonl_log_{n}")
+        marker = os.path.join(jl_dir, f".complete-{n}-{FRAGMENT_ROWS}")
+        if not os.path.exists(marker):
+            shutil.rmtree(jl_dir, ignore_errors=True)
+            write_changelog_jsonl(
+                jl_dir, n, fragment_rows=FRAGMENT_ROWS, seed=42
+            )
+            open(marker, "w").close()
+        lake_dir = os.path.join(WORK_ROOT, f"jsonl_lake_{n}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        cfg = IngestConfig(
+            log_dir=jl_dir,
+            lake_dir=lake_dir,
+            source_kind="jsonl-changelog",
+            num_partitions=max(NUM_CPUS * 2, 16),
+            columns=[
+                {"name": "author.name", "type": "string"},
+                {"name": "stats.adds", "type": "long"},
+                {"name": "review.state", "type": "string"},
+            ],
+        )
+        jsonl[f"sec_{n}"] = timed(lambda: run_ingest(cfg))
+    ray.shutdown()
+
+    for name, row in ladder.items():
+        row["ratio_8m_over_2m"] = round(
+            row[f"sec_{sizes[1]}"] / row[f"sec_{sizes[0]}"], 2
+        )
+    jsonl["ratio_4m_over_1m"] = round(
+        jsonl["sec_4000000"] / jsonl["sec_1000000"], 2
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "operator linearity ladder (2M vs 8M rows) "
+                "+ zipfian skew probe + JSONL transport ladder",
+                "calib_sec": calib,
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "num_cpus": NUM_CPUS,
+                "ladder": ladder,
+                "skew": skew,
+                "jsonl_ingest": jsonl,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--soak" in sys.argv:
+        soak()
     else:
         main()
