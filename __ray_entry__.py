@@ -89,6 +89,18 @@ def _q_cdc_jsonl_replay(sf_dir):
     return ds.select_columns(["repo", "path", "lang", "content"])
 
 
+def _q_cdc_jsonl_gz_replay(sf_dir):
+    """Compressed-wire-log lane: the identical event stream shipped as
+    gzipped NDJSON fragments (``*.jsonl.gz``) — probe plane (newline
+    count, tail max-seq) and read plane both decompress-stream, and
+    the converged lake matches the same SQL oracle as every other
+    transport."""
+    from raycdc.pipelines.flagship import flagship_state_jsonl
+
+    ds = flagship_state_jsonl(sf_dir, compression="gz")
+    return ds.select_columns(["repo", "path", "lang", "content"])
+
+
 def _q_cdc_mor_replay(sf_dir):
     """Merge-on-read lifecycle end-to-end: base load (cow) → delta
     apply with tombstones (mor) → compaction → vacuum; converges to
@@ -764,6 +776,24 @@ def _q_user_event_rank(sf_dir):
     ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
     return window_rank_lag(
         ds, ["user_id"], ["event_id"], "value"
+    ).select_columns(["user_id", "event_id", "rn", "prev_value"])
+
+
+def _q_user_event_rank_salted(sf_dir):
+    """The same ROW_NUMBER + LAG result forced through the salted
+    hot-key path (explicit ``hot_keys`` pins a deterministic set, so
+    Count-Min detection cost/nondeterminism stays out of the oracle
+    comparison): hot keys are sliced into contiguous order buckets,
+    per-slice partials get their rank offsets / lag seams fixed by a
+    broadcast per-slice terminal handoff — bit-identical to the plain
+    exchange, which sharing ``user_event_rank``'s SQL oracle proves at
+    the driver level (the zipfian exactness test proves it under real
+    90%-hot skew)."""
+    from raycdc.ops.relational import window_rank_lag
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    return window_rank_lag(
+        ds, ["user_id"], ["event_id"], "value", hot_keys=[0, 7, 41]
     ).select_columns(["user_id", "event_id", "rn", "prev_value"])
 
 
@@ -1679,7 +1709,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leak_report": _tuned(_q_leak_report),
         # -- (b) new this round -------------------------------------------
         # (inserted above the touched set as they land; demote from the
-        #  bottom of (c) to keep the window at exactly 50)
+        #  bottom of (c) to keep the window at exactly 50 — demoted
+        #  entries must have a green r03 row, preserving the union)
+        "cdc_jsonl_gz_replay": _tuned(_q_cdc_jsonl_gz_replay),
+        "user_event_rank_salted": _tuned(_q_user_event_rank_salted),
         # -- (c) code touched this round ------------------------------------
         "user_event_rank": _tuned(_q_user_event_rank),
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
@@ -1693,10 +1726,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "dedup_simhash": _tuned(_q_dedup_simhash),
-        "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
-        "semantic_representatives": _tuned(_q_semantic_representatives),
         # ---- driver-window boundary (50) ---------------------------------
         # -- (d) stable, r03-green ------------------------------------------
+        "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
+        "semantic_representatives": _tuned(_q_semantic_representatives),
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
         "events_after_purchase": _tuned(_q_events_after_purchase),
@@ -1771,6 +1804,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 17 <> 0
         """,
         "cdc_jsonl_replay": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0
+        """,
+        # same converged state, gzipped NDJSON transport
+        "cdc_jsonl_gz_replay": """
             SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
                    'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    lang,
@@ -1995,6 +2036,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "user_event_rank": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rn,
+                   CAST(lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY event_id)
+                        AS DOUBLE) AS prev_value
+            FROM events
+        """,
+        # identical window semantics, salted hot-key execution path
+        "user_event_rank_salted": """
             SELECT user_id, event_id,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY event_id) AS rn,

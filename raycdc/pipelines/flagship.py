@@ -117,20 +117,26 @@ def flagship_state(sf_dir: str, workdir: str | None = None, num_partitions: int 
 
 
 def flagship_state_jsonl(
-    sf_dir: str, workdir: str | None = None, num_partitions: int = 16
+    sf_dir: str,
+    workdir: str | None = None,
+    num_partitions: int = 16,
+    compression: str | None = None,
 ):
     """The same converged state as ``flagship_state``, ingested through
     the JSONL/NDJSON connector (sources/jsonl.py): the identical
     documents-derived event stream is serialized as NDJSON fragments
     and replayed with ``source_kind="jsonl-changelog"`` — transport
-    and semantics are orthogonal, which the shared oracle pins."""
+    and semantics are orthogonal, which the shared oracle pins.
+    ``compression="gz"`` ships the fragments gzipped (``*.jsonl.gz``),
+    the compressed-wire-log lane: probe plane and read plane both
+    decompress-stream, and the converged lake is byte-identical."""
     import pyarrow.parquet as pq_mod
 
     from raycdc.sources.jsonl import write_table_jsonl
 
     workdir = workdir or os.path.join(
         "/tmp",
-        "raycdc_flagship_jsonl_"
+        f"raycdc_flagship_jsonl_{compression or 'plain'}_"
         + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
     )
     shutil.rmtree(workdir, ignore_errors=True)
@@ -138,10 +144,11 @@ def flagship_state_jsonl(
     log_dir = os.path.join(workdir, "log")
     documents_changelog(sf_dir, staging)
     os.makedirs(log_dir, exist_ok=True)
+    suffix = ".jsonl" if compression is None else f".jsonl.{compression}"
     for name in sorted(os.listdir(staging)):
         t = pq_mod.read_table(os.path.join(staging, name))
         write_table_jsonl(
-            t, os.path.join(log_dir, name.replace(".parquet", ".jsonl"))
+            t, os.path.join(log_dir, name.replace(".parquet", suffix))
         )
     cfg = IngestConfig(
         log_dir=log_dir,
