@@ -865,6 +865,39 @@ def _q_scrub_blocklist(sf_dir):
     )
 
 
+def _q_redact_pii(sf_dir):
+    """PII redaction over documents: a deterministic doc_id-derived
+    suffix plants one email, one IPv4 and one phone per row (the
+    corpus text itself carries none, so the op must do real work),
+    then the Arrow RE2 redaction chain replaces each category with a
+    typed placeholder and counts hits per category — the DuckDB
+    oracle mirrors both the planting expression and the sequential
+    regexp_replace chain, pinning every row and count."""
+    import pandas as pd
+
+    from raycdc.ops.text import redact_pii
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        df = df.copy()
+        df["text"] = (
+            df["text"]
+            + " contact u" + d.astype(str) + "@ex.com from 10."
+            + (d % 256).astype(str) + ".0." + (d % 100).astype(str)
+            + " call +1-555-" + (d % 10000).astype(str).str.zfill(4)
+        )
+        return df
+
+    ds = (
+        _docs_light(sf_dir)
+        .select_columns(["doc_id", "text"])  # projection fuses into the read
+        .map_batches(plant, batch_format="pandas")
+    )
+    return redact_pii(ds).select_columns(
+        ["doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"]
+    )
+
+
 def _q_event_value_zscore(sf_dir):
     """Per-user z-score of purchase values in exact integer-cents
     arithmetic: associative (n, Σx, Σx²) partials + broadcast stats;
@@ -1713,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  entries must have a green r03 row, preserving the union)
         "cdc_jsonl_gz_replay": _tuned(_q_cdc_jsonl_gz_replay),
         "user_event_rank_salted": _tuned(_q_user_event_rank_salted),
+        "redact_pii_docs": _tuned(_q_redact_pii),
         # -- (c) code touched this round ------------------------------------
         "user_event_rank": _tuned(_q_user_event_rank),
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
@@ -1725,9 +1759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_embedding": _tuned(_q_dedup_embedding),
-        "dedup_simhash": _tuned(_q_dedup_simhash),
         # ---- driver-window boundary (50) ---------------------------------
         # -- (d) stable, r03-green ------------------------------------------
+        "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
         "semantic_representatives": _tuned(_q_semantic_representatives),
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
@@ -2110,6 +2144,41 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '\b(?:dup|slow|spark)\b',
                                   '<SCRUB>', 'g') AS text_scrubbed
             FROM documents
+        """,
+        "redact_pii_docs": r"""
+            WITH s0 AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@ex.com from 10.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                          || CAST(doc_id % 100 AS VARCHAR)
+                          || ' call +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM s0
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                     regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                    '<IP>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t,
+                     '\+\d{1,2}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(t, '\+\d{1,2}-\d{3}-\d{4}\b',
+                                  '<PHONE>', 'g') AS text_redacted
+            FROM s2
         """,
         "event_value_zscore": """
             WITH c AS (

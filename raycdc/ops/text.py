@@ -149,6 +149,49 @@ def scrub_terms(
     )
 
 
+# PII categories applied IN ORDER (ipv4 before phone so digit-group
+# patterns never match inside an address already claimed as an IP);
+# every pattern is RE2-safe — no backreferences or lookaround — so the
+# Arrow kernel and DuckDB's regexp_* (both RE2) agree byte-for-byte
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_redacted"
+) -> pa.Table:
+    """PII redaction (the pre-training scrub stage): replace emails,
+    IPv4 addresses and phone numbers with typed placeholders and
+    report a per-row count per category.  All kernels are Arrow RE2
+    regexes compiled once inside Arrow — zero Python per row — and the
+    categories apply sequentially, each counting on the text the
+    previous category already redacted (the order DuckDB's chained
+    ``regexp_replace`` CTEs mirror, so every row and count pins
+    exactly).  Builder-brief curation extra (no reference analog —
+    the reference scrubs schema, not content)."""
+    col = batch[text_col]
+    for name, pat, repl in PII_PATTERNS:
+        n = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+        batch = batch.append_column(f"n_{name}", n)
+        col = pc.replace_substring_regex(col, pat, repl)
+    return batch.append_column(out_col, col)
+
+
+def redact_pii(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: redact_pii_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
 def repetition_stats_batch(
     df: "pd.DataFrame", text_col: str = "text", id_col: str = "doc_id"
 ) -> "pd.DataFrame":

@@ -476,3 +476,64 @@ def test_scrub_terms_matches_python_re_reference(inp):
     for i, t in enumerate(texts):
         assert got["n_hits"][i] == len(pat.findall(t)), (terms, t)
         assert got["text_scrubbed"][i] == pat.sub("<SCRUB>", t), (terms, t)
+
+
+@st.composite
+def _pii_texts(draw):
+    fragments = st.sampled_from(
+        [
+            "alice.b+spam@ex-mail.co",
+            "u@x.io",
+            "a@@b.com",          # not an email (double @ splits oddly)
+            "@nodomain",         # not an email
+            "10.0.0.1",
+            "999.999.999.999",   # still matches the \d{1,3} shape
+            "1.2.3",             # too few octets
+            "+1-555-0199",
+            "+44-123-4567",
+            "+1-55-0199",        # wrong group width
+            "call",
+            "the",
+            "x1.2",
+        ]
+    )
+    return draw(
+        st.lists(
+            st.lists(fragments, min_size=0, max_size=8).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+
+
+@given(_pii_texts())
+@settings(**_SETTINGS)
+def test_redact_pii_matches_python_re_reference(texts):
+    """Arrow's RE2 redaction chain must agree with a serial Python
+    ``re`` reference applying the same category patterns in the same
+    order (each category counts on the text the previous one already
+    redacted) — near-miss shapes included."""
+    import re
+
+    from raycdc.ops.text import PII_PATTERNS, redact_pii
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = (
+        redact_pii(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        for name, pat, repl in PII_PATTERNS:
+            rx = re.compile(pat)
+            assert got[f"n_{name}"][i] == len(rx.findall(t)), (name, t)
+            t = rx.sub(repl, t)
+        assert got["text_redacted"][i] == t, texts[i]
