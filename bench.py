@@ -233,7 +233,10 @@ def bench_queries() -> dict[str, float]:
         "pricing_rollup",
         "event_value_histogram",
         "user_event_rank",
+        "user_event_rank_salted",
         "scrub_blocklist",
+        "redact_pii_docs",
+        "cdc_jsonl_gz_replay",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

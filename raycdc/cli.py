@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
         "--partition-by", default=None,
         help="hive layout: {col}={value}/part-{pid}.parquet",
     )
+    p_exp.add_argument(
+        "--format", default="parquet",
+        choices=["parquet", "jsonl", "jsonl.gz"],
+        help="consumer wire format (jsonl.gz gzips with mtime=0 so "
+        "reruns stay byte-stable)",
+    )
 
     p_resh = sub.add_parser(
         "reshard", help="repartition the lake to a new partition count"
@@ -255,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
         res = export_lake(
             args.lake_dir, args.out_dir,
             version=args.version, columns=args.columns,
-            partition_by=args.partition_by,
+            partition_by=args.partition_by, format=args.format,
         )
         print(json.dumps(res))
         return 0

@@ -644,12 +644,16 @@ def export_lake(
     version: int | None = None,
     columns: list[str] | None = None,
     partition_by: str | None = None,
+    format: str = "parquet",
 ) -> dict:
     """Resumable partitioned export of committed lake state to a
-    consumer-facing Parquet layout (the brief's "failed run skips
-    finished partitions" contract, made explicit).
+    consumer-facing layout (the brief's "failed run skips finished
+    partitions" contract, made explicit).  ``format`` selects the
+    wire format: ``parquet`` (default), ``jsonl`` (NDJSON) or
+    ``jsonl.gz`` (NDJSON, deterministic mtime=0 gzip) — transport
+    symmetry with the JSONL source connector.
 
-    One ``part-{pid:05d}/data.parquet`` unit per lake partition, each
+    One ``part-{pid:05d}/data.<format>`` unit per lake partition, each
     written by its own zero-shuffle Ray task (MoR deltas resolved with
     the same kernel the read path uses); rows are sorted by the
     primary key so a unit's bytes are a pure function of its state —
@@ -676,6 +680,23 @@ def export_lake(
     import uuid as _uuid
 
     import ray.data
+
+    if format not in ("parquet", "jsonl", "jsonl.gz"):
+        raise ValueError(
+            f"export format {format!r}: expected 'parquet', 'jsonl' or "
+            "'jsonl.gz' (NDJSON consumers; gz is written with mtime=0 "
+            "so reruns stay byte-stable)"
+        )
+
+    def _write(t, tmp_path):
+        if format == "parquet":
+            pq.write_table(
+                t, tmp_path, compression="zstd", compression_level=1
+            )
+        else:
+            from raycdc.sources.jsonl import dump_table_jsonl
+
+            dump_table_jsonl(t, tmp_path)
 
     lake = Lake(lake_dir)
     manifest = lake.manifest(version)
@@ -715,6 +736,7 @@ def export_lake(
                     done.get("files") == src_files
                     and done.get("columns") == columns
                     and done.get("partition_by") == partition_by
+                    and done.get("format", "parquet") == format
                 ):
                     out_pid.append(pid)
                     out_rows.append(int(done.get("rows", 0)))
@@ -736,14 +758,16 @@ def export_lake(
                 import glob as _glob
 
                 for stale in _glob.glob(
-                    os.path.join(out_dir, "*=*", f"part-{pid:05d}.parquet")
+                    os.path.join(out_dir, "*=*", f"part-{pid:05d}.*")
                 ):
                     os.remove(stale)
-                tmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}")
-                pq.write_table(
-                    t, tmp, compression="zstd", compression_level=1
-                )
-                os.replace(tmp, os.path.join(unit, "data.parquet"))
+                # a prior export in another FORMAT leaves data.<ext>
+                for stale in _glob.glob(os.path.join(unit, "data.*")):
+                    os.remove(stale)
+                sfx = ".gz" if format.endswith(".gz") else ""
+                tmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}{sfx}")
+                _write(t, tmp)
+                os.replace(tmp, os.path.join(unit, f"data.{format}"))
             else:
                 from raycdc.functions.arrowsafe import mask_filter
                 import glob as _glob
@@ -756,23 +780,23 @@ def export_lake(
                 # ANY "col=value" dir: also catches a prior export
                 # that hive-partitioned by a different column
                 for stale in _glob.glob(
-                    os.path.join(out_dir, "*=*", f"part-{pid:05d}.parquet")
+                    os.path.join(out_dir, "*=*", f"part-{pid:05d}.*")
                 ):
                     os.remove(stale)
-                # and a prior PLAIN export's unit data file
-                plain = os.path.join(unit, "data.parquet")
-                if os.path.exists(plain):
-                    os.remove(plain)
+                # and a prior PLAIN export's unit data file (any format)
+                for stale in _glob.glob(os.path.join(unit, "data.*")):
+                    os.remove(stale)
                 vals = t[partition_by].to_numpy(zero_copy_only=False)
                 for val in np.unique(vals):
                     sub = mask_filter(t, vals == val)
                     d = os.path.join(out_dir, f"{partition_by}={val}")
                     os.makedirs(d, exist_ok=True)
-                    tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
-                    pq.write_table(
-                        sub, tmp, compression="zstd", compression_level=1
+                    sfx = ".gz" if format.endswith(".gz") else ""
+                    tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex}{sfx}")
+                    _write(sub, tmp)
+                    os.replace(
+                        tmp, os.path.join(d, f"part-{pid:05d}.{format}")
                     )
-                    os.replace(tmp, os.path.join(d, f"part-{pid:05d}.parquet"))
             mtmp = os.path.join(unit, f".tmp-{_uuid.uuid4().hex}")
             with open(mtmp, "w", encoding="utf-8") as f:
                 _json.dump(
@@ -782,6 +806,7 @@ def export_lake(
                         "files": src_files,
                         "columns": columns,
                         "partition_by": partition_by,
+                        "format": format,
                     },
                     f,
                 )

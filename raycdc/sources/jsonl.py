@@ -540,6 +540,35 @@ def write_changelog_jsonl(
     return paths
 
 
+def dump_table_jsonl(t: pa.Table, path: str) -> None:
+    """Generic table → NDJSON sink (any schema; timestamps become ISO
+    strings for JSON portability).  Gzip by ``.gz`` extension, written
+    with ``mtime=0`` so the bytes are a pure function of the rows —
+    the export path's rerun-byte-stability contract (a default
+    ``gzip.open`` stamps wall-clock time into the header)."""
+    df = t.to_pandas()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = (
+                pd.to_datetime(df[c], utc=True)
+                .dt.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
+            )
+    buf = df.to_json(orient="records", lines=True, force_ascii=False)
+    payload = (buf.rstrip("\n") + "\n").encode("utf-8") if len(df) else b""
+    if path.endswith(".gz"):
+        import gzip
+        import io
+
+        bio = io.BytesIO()
+        with gzip.GzipFile(
+            fileobj=bio, mode="wb", compresslevel=1, mtime=0
+        ) as f:
+            f.write(payload)
+        payload = bio.getvalue()
+    with open(path, "wb") as f:
+        f.write(payload)
+
+
 def write_table_jsonl(chunk: pa.Table, path: str) -> None:
     """Serialize one event table as NDJSON (ts → ISO string);
     compressed by extension (``.gz``)."""

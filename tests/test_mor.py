@@ -1006,3 +1006,60 @@ def test_commit_lock_serializes_racing_committers(tmp_path):
     assert sorted(results) == ["lost", "ok"], results
     # exactly one version bump — the loser's commit left no trace
     assert int(Lake(lake_path).manifest()["version"]) == v + 1
+
+
+def test_export_lake_jsonl_format(tmp_path):
+    """NDJSON consumer export: jsonl.gz units reproduce the committed
+    state row-for-row, reruns are byte-stable (mtime=0 gzip), and a
+    format switch rewrites every unit and removes the other format's
+    files instead of leaving a mixed layout."""
+    import glob
+    import gzip
+    import hashlib
+    import json as _json
+
+    from raycdc.pipelines.maintenance import export_lake
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 3000, fragment_rows=500, seed=29)
+    run_ingest(cfg)
+    out_dir = os.path.join(tmp, "export")
+    rep = export_lake(cfg.lake_dir, out_dir, format="jsonl.gz")
+    assert rep["exported"] and not rep["skipped"]
+
+    def units():
+        return sorted(
+            glob.glob(os.path.join(out_dir, "part-*", "data.jsonl.gz"))
+        )
+
+    def rows():
+        out = []
+        for f in units():
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                out.extend(_json.loads(line) for line in fh)
+        return sorted(out, key=lambda r: (r["repo"], r["path"]))
+
+    lake_t = _canon(Lake(cfg.lake_dir).read_table())
+    got = rows()
+    assert len(got) == lake_t.num_rows == rep["rows"]
+    assert [r["repo"] for r in got] == lake_t["repo"].to_pylist()
+    assert [r["path"] for r in got] == lake_t["path"].to_pylist()
+    assert [r["content"] for r in got] == lake_t["content"].to_pylist()
+
+    h1 = {
+        f: hashlib.sha256(open(f, "rb").read()).hexdigest()
+        for f in units()
+    }
+    rep2 = export_lake(cfg.lake_dir, out_dir, format="jsonl.gz")
+    assert not rep2["exported"]  # every unit skipped
+    assert {
+        f: hashlib.sha256(open(f, "rb").read()).hexdigest()
+        for f in units()
+    } == h1  # gzip bytes identical across reruns
+
+    # format switch: every unit rewritten, no jsonl files left behind
+    rep3 = export_lake(cfg.lake_dir, out_dir, format="parquet")
+    assert sorted(rep3["exported"]) == sorted(rep["exported"])
+    assert not units()
+    assert _export_state(out_dir).equals(lake_t)
