@@ -336,3 +336,68 @@ def test_gzip_jsonl_fragments_byte_identical_lake(tmp_path):
     assert a.equals(b)
     assert res_gz.applied == res_jl.applied
     assert res_gz.dead_lettered == res_jl.dead_lettered
+
+
+def test_follow_tails_gzipped_jsonl_windows(tmp_path):
+    """The production CDC shape end-to-end: run_follow tailing a
+    compressed NDJSON wire log (gzipped fragments arriving between
+    rounds) converges to the same lake state as the identical event
+    stream replayed through the Parquet transport — the tail loop,
+    the registry dispatch and the decompress-streaming probe/read
+    planes composed in one scenario."""
+    from raycdc.pipelines.cdc import run_follow
+
+    tmp = str(tmp_path)
+    gz_dir = os.path.join(tmp, "log_gz")
+    pq_dir = os.path.join(tmp, "log_pq")
+    windows = [
+        dict(num_events=600, seed=71, kw={}),
+        dict(num_events=200, seed=72, kw=dict(start_seq=600)),
+        dict(num_events=150, seed=73, kw=dict(start_seq=800)),
+    ]
+
+    def emit(i: int) -> None:
+        w = windows[i]
+        write_changelog_jsonl(
+            gz_dir, w["num_events"], fragment_rows=200, seed=w["seed"],
+            compression="gz", fragment_index_offset=10 * i, **w["kw"],
+        )
+        write_changelog(
+            pq_dir, w["num_events"], fragment_rows=200, seed=w["seed"],
+            fragment_index_offset=10 * i, **w["kw"],
+        )
+
+    emit(0)
+    arrivals = iter([1, 2, None, None])
+
+    def on_round(res):
+        nxt = next(arrivals, None)
+        if nxt is not None:
+            emit(nxt)
+
+    cfg = IngestConfig(
+        log_dir=gz_dir,
+        lake_dir=os.path.join(tmp, "lake_gz"),
+        num_partitions=8,
+        columns=PAYLOAD_COLUMNS,
+        source_kind="jsonl-changelog",
+    )
+    results = run_follow(
+        cfg,
+        poll_interval_s=1.0,
+        stop_after_idle_rounds=2,
+        on_round=on_round,
+        _sleep=lambda s: None,
+    )
+    assert [r.no_op for r in results] == [False, False, False, True, True]
+
+    twin = IngestConfig(
+        log_dir=pq_dir,
+        lake_dir=os.path.join(tmp, "lake_pq"),
+        num_partitions=8,
+        columns=PAYLOAD_COLUMNS,
+    )
+    run_ingest(twin)
+    assert _canon(Lake(cfg.lake_dir).read_table()).equals(
+        _canon(Lake(twin.lake_dir).read_table())
+    )
