@@ -898,6 +898,21 @@ def _q_redact_pii(sf_dir):
     )
 
 
+def _q_exact_substring_dedup(sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022) in report mode: every
+    sliding 8-word window kept only at its corpus-wide first
+    occurrence by (doc_id, pos); later occurrences mark their span.
+    Slim 128-bit hash rows are the only shuffle (window text never
+    moves); the oracle mirrors the first-occurrence rule with a
+    row_number() over the materialized grams."""
+    from raycdc.ops.segdedup import exact_substring_dedup
+
+    ds = _docs_light(sf_dir).select_columns(["doc_id", "text"])
+    return exact_substring_dedup(ds, k=8, mode="report").select_columns(
+        ["doc_id", "n_words", "dup_words", "dup_frac"]
+    )
+
+
 def _q_event_value_zscore(sf_dir):
     """Per-user z-score of purchase values in exact integer-cents
     arithmetic: associative (n, Σx, Σx²) partials + broadcast stats;
@@ -1747,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_jsonl_gz_replay": _tuned(_q_cdc_jsonl_gz_replay),
         "user_event_rank_salted": _tuned(_q_user_event_rank_salted),
         "redact_pii_docs": _tuned(_q_redact_pii),
+        "exact_substring_dedup": _tuned(_q_exact_substring_dedup),
         # -- (c) code touched this round ------------------------------------
         "user_event_rank": _tuned(_q_user_event_rank),
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
@@ -1758,9 +1774,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
-        "dedup_embedding": _tuned(_q_dedup_embedding),
         # ---- driver-window boundary (50) ---------------------------------
         # -- (d) stable, r03-green ------------------------------------------
+        "dedup_embedding": _tuned(_q_dedup_embedding),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
         "semantic_representatives": _tuned(_q_semantic_representatives),
@@ -2179,6 +2195,37 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t, '\+\d{1,2}-\d{3}-\d{4}\b',
                                   '<PHONE>', 'g') AS text_redacted
             FROM s2
+        """,
+        "exact_substring_dedup": """
+            WITH w AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, gs.pos AS pos,
+                     array_to_string(ws[gs.pos + 1 : gs.pos + 8], ' ') AS gram
+              FROM w, LATERAL (
+                SELECT unnest(range(0, greatest(len(ws) - 8 + 1, 0))) AS pos
+              ) gs
+            ), ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM g
+            ), dupw AS (
+              SELECT DISTINCT doc_id, pos + o.off AS wp
+              FROM (SELECT doc_id, pos FROM ranked WHERE rn > 1) losers,
+                   LATERAL (SELECT unnest(range(0, 8)) AS off) o
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(coalesce(d.text, ''), ' '))
+                        AS BIGINT) AS n_words,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS dup_words,
+                   CAST(coalesce(c.cnt, 0) AS DOUBLE)
+                     / CAST(len(string_split(coalesce(d.text, ''), ' '))
+                            AS DOUBLE) AS dup_frac
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, count(*) AS cnt
+                       FROM dupw GROUP BY doc_id) c USING (doc_id)
         """,
         "event_value_zscore": """
             WITH c AS (

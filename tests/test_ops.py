@@ -1824,3 +1824,110 @@ def test_approx_quantiles_by_within_bin_width():
         sv = np.sort(v[g == row["grp"]])
         exact = sv[max(int(np.ceil(row["q"] * len(sv))) - 1, 0)]
         assert abs(row["value"] - exact) <= w + 1e-9, dict(row)
+
+
+def test_exact_substring_dedup_planted():
+    """ExactSubstr (k=3) planted cases: doc 1 embeds doc 0's 4-word
+    run (marks 4 words), doc 2 is doc 0 verbatim (fully duplicated),
+    doc 3 repeats a run within itself (second occurrence marks), a
+    short doc (< k words) never matches.  Cut mode removes exactly
+    the marked spans, merged when windows overlap."""
+    from raycdc.ops.segdedup import exact_substring_dedup
+
+    texts = {
+        0: "a b c d e f",
+        1: "x y a b c d q",
+        2: "a b c d e f",
+        3: "m n o z m n o w",
+        4: "u v",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+            }
+        )
+    )
+    for broadcast in (True, False):
+        rep = (
+            exact_substring_dedup(ds, k=3, mode="report", broadcast=broadcast)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert rep["n_words"].tolist() == [6, 7, 6, 8, 2]
+        assert rep["dup_words"].tolist() == [0, 4, 6, 3, 0]
+        assert rep["dup_frac"].tolist() == [0.0, 4 / 7, 1.0, 3 / 8, 0.0]
+    cut = (
+        exact_substring_dedup(ds, k=3, mode="cut")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert cut["text"].tolist() == [
+        "a b c d e f",
+        "x y q",
+        "",
+        "m n o z w",
+        "u v",
+    ]
+    assert cut["dropped_words"].tolist() == [0, 4, 6, 3, 0]
+
+
+def test_exact_substring_winnow_detects_misaligned_runs():
+    """winnow=w is a GUARANTEED detector for duplicated runs of
+    >= k + w - 1 words at ANY alignment: selection is content-defined
+    (min hash of each w consecutive windows, the MOSS rule), so both
+    copies of a shared run select the same relative window even when
+    their absolute offsets differ — the property an absolute-position
+    stride cannot give.  Report totals under winnowing are sampled
+    (lower bound), but detection (dup_words > 0) must never miss."""
+    from raycdc.ops.segdedup import exact_substring_dedup
+
+    k, w = 4, 3
+    run = " ".join(f"r{i}" for i in range(k + w - 1))  # exactly k+w-1
+    # every pairwise alignment offset 0..w-1 appears
+    docs = {0: "p0 p1 p2 " + run + " t0"}
+    for off in range(1, w + 1):
+        docs[off] = " ".join(f"q{off}_{j}" for j in range(off)) + " " + run
+    docs[9] = "filler only no shared runs here at all"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[i] for i in sorted(docs)]),
+            }
+        )
+    )
+    rep = (
+        exact_substring_dedup(ds, k=k, winnow=w, mode="report")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # one copy wins (stays clean), every other copy detected
+    assert (rep["dup_words"] > 0).sum() == w
+    assert int(rep.loc[rep["doc_id"] == 9, "dup_words"].iloc[0]) == 0
+
+
+def test_exact_substring_winnow_short_doc_single_min():
+    """A doc with fewer than w windows still emits its minimum — two
+    identical short docs are detected under winnowing."""
+    from raycdc.ops.segdedup import exact_substring_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["s1 s2 s3 s4", "s1 s2 s3 s4"]),
+            }
+        )
+    )
+    rep = (
+        exact_substring_dedup(ds, k=4, winnow=8, mode="report")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert rep["dup_words"].tolist() == [0, 4]
