@@ -236,6 +236,7 @@ def bench_queries() -> dict[str, float]:
         "user_event_rank_salted",
         "scrub_blocklist",
         "redact_pii_docs",
+        "exact_substring_dedup",
         "cdc_jsonl_gz_replay",
     ]:
         # best of 2: the first execution after the headline replay
