@@ -797,6 +797,56 @@ def _q_user_event_rank_salted(sf_dir):
     ).select_columns(["user_id", "event_id", "rn", "prev_value"])
 
 
+def _q_cdc_patch_state(sf_dir):
+    """CDC partial-update ("patch") state: events are read as SPARSE
+    field patches — a 'view' carries no value update, and only a
+    'purchase' stamps the purchase clock — and the per-user profile is
+    the last NON-NULL per column in replay-cursor order
+    (relational.patch_coalesce).  Debezium-style partial updates; the
+    reference re-fetches whole issues (JiraInputPlugin.java:154-163),
+    so this is the engine-extra generalization of keep-latest-by-key.
+    Unlike the window reducers, the combiner is associative: each
+    batch folds to one slim row per key before the exchange, so a
+    90%-hot key costs one row per map task — no salting needed."""
+    from raycdc.ops.relational import patch_coalesce
+
+    ds = _events(
+        sf_dir,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def mask(df):
+        df = df.copy()
+        df["last_value"] = df["value"].where(df["event_type"] != "view")
+        df["last_purchase_ts"] = df["ts"].where(
+            df["event_type"] == "purchase"
+        )
+        return df[
+            ["user_id", "event_id", "last_value", "last_purchase_ts",
+             "event_type"]
+        ].rename(columns={"event_type": "last_type"})
+
+    masked = ds.map_batches(mask, batch_format="pandas")
+    out = patch_coalesce(
+        masked,
+        ["user_id"],
+        "event_id",
+        ["last_value", "last_purchase_ts", "last_type"],
+    ).to_pandas()
+    # driver hash can't compare NaN/NaT — pin the "never patched"
+    # sentinel on both sides (oracle COALESCEs identically)
+    out["last_value"] = out["last_value"].fillna(-1.0)
+    out["last_purchase_ts"] = (
+        out["last_purchase_ts"]
+        .fillna(pd.Timestamp("1970-01-01"))
+        .astype("datetime64[us]")
+    )
+    return out[
+        ["user_id", "last_seq", "last_value", "last_purchase_ts",
+         "last_type"]
+    ].sort_values("user_id").reset_index(drop=True)
+
+
 def _q_rolling_value_mean(sf_dir):
     """Frame window: 3-row rolling mean of event value per user —
     exact int64-cents cumsum difference, single float division, so
@@ -1763,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_rank_salted": _tuned(_q_user_event_rank_salted),
         "redact_pii_docs": _tuned(_q_redact_pii),
         "exact_substring_dedup": _tuned(_q_exact_substring_dedup),
+        "cdc_patch_state": _tuned(_q_cdc_patch_state),
         # -- (c) code touched this round ------------------------------------
         "user_event_rank": _tuned(_q_user_event_rank),
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
@@ -1773,9 +1824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
         "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
         "dedup_minhash": _tuned(_q_dedup_minhash),
-        "dedup_incremental": _tuned(_q_dedup_incremental),
         # ---- driver-window boundary (50) ---------------------------------
         # -- (d) stable, r03-green ------------------------------------------
+        "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
@@ -2084,6 +2135,25 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY event_id)
                         AS DOUBLE) / 100.0 AS running_spend
             FROM events
+        """,
+        # patch semantics: per column, the last NON-NULL in cursor
+        # order (arg_max ignores NULL args; FILTER makes it explicit)
+        "cdc_patch_state": """
+            SELECT user_id,
+                   max(event_id) AS last_seq,
+                   coalesce(
+                     arg_max(value, event_id)
+                       FILTER (WHERE event_type <> 'view'
+                               AND value IS NOT NULL),
+                     -1.0) AS last_value,
+                   coalesce(
+                     arg_max(ts, event_id)
+                       FILTER (WHERE event_type = 'purchase'),
+                     TIMESTAMP '1970-01-01') AS last_purchase_ts,
+                   arg_max(event_type, event_id) AS last_type
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "user_event_rank": """
             SELECT user_id, event_id,

@@ -596,6 +596,64 @@ def latest_by_key(
     return hash_partition_reduce(partial, key_cols, combine)
 
 
+def patch_coalesce(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_col: str,
+    value_cols: list[str],
+    out_order_col: str = "last_seq",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """CDC partial-update ("patch") coalescing: one row per key where
+    each value column independently holds its LAST NON-NULL value in
+    ``order_col`` order (a null field in an update means "keep the
+    previous value" — Debezium-style sparse patches; the reference
+    always re-fetches whole issues, JiraInputPlugin.java:154-163, so
+    this is the engine-extra generalization of keep-latest-by-key).
+    ``out_order_col`` carries ``max(order_col)`` per key.
+
+    Scale shape: the per-column argmax-over-non-null combiner is
+    associative, so each batch folds to ONE slim row per key before
+    the exchange — shuffle volume is O(keys × blocks) regardless of
+    history length, and a 90%-hot key costs one row per map task, no
+    salting needed (unlike the order-dependent window reducers, which
+    must see full history).
+
+    Dtype note: integer value columns come back as float64 when any
+    key lacks a value for them (the usual pandas NaN widening); cast
+    on the way out if exact int64 round-trip matters.
+    """
+    po = [f"_po_{c}" for c in value_cols]
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_cols, sort=False)
+        out = g[out_order_col].max().to_frame()
+        for c, o in zip(value_cols, po):
+            # rows with a null patch value carry a null order stamp;
+            # groupby.last() skips nulls, so after sorting by the
+            # stamp the survivor is the value at the max stamp.
+            sub = df.sort_values(o, na_position="first")
+            gg = sub.groupby(key_cols, sort=False)
+            out[c] = gg[c].last()
+            out[o] = gg[o].max()
+        return out.reset_index()
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_order_col] = df[order_col]
+        for c, o in zip(value_cols, po):
+            df[o] = df[order_col].where(df[c].notna())
+        return _fold(df)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return _fold(df).drop(columns=po)
+
+    partial = ds.map_batches(_local, batch_format="pandas")
+    return hash_partition_reduce(
+        partial, key_cols, _final, num_partitions=num_partitions
+    )
+
+
 def except_rows(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

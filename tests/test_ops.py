@@ -1931,3 +1931,79 @@ def test_exact_substring_winnow_short_doc_single_min():
         .reset_index(drop=True)
     )
     assert rep["dup_words"].tolist() == [0, 4]
+
+
+def test_patch_coalesce_zipfian_exact():
+    """Partial-update coalescing under 90%-hot skew: every value
+    column independently keeps its last NON-NULL in order, matching a
+    serial pandas reference exactly — and the hot key needs no
+    salting because the combiner folds each block to one row/key."""
+    from raycdc.ops.relational import patch_coalesce
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    k = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 40, n))
+    df = pd.DataFrame(
+        {
+            "k": k.astype(np.int64),
+            "seq": rng.permutation(n).astype(np.int64),
+            "a": rng.normal(size=n),
+            "b": rng.choice(
+                np.array(["x", "y", "z", None], dtype=object), n
+            ),
+            "t": pd.to_datetime(
+                1_700_000_000_000_000 + rng.integers(0, 10**9, n),
+                unit="us",
+            ),
+        }
+    )
+    df.loc[rng.random(n) < 0.7, "a"] = np.nan
+    df.loc[rng.random(n) < 0.95, "t"] = pd.NaT
+
+    ds = ray.data.from_pandas(
+        [df.iloc[i : i + 500] for i in range(0, n, 500)]
+    )
+    out = (
+        patch_coalesce(ds, ["k"], "seq", ["a", "b", "t"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    srt = df.sort_values("seq")
+    g = srt.groupby("k")
+    exp = pd.DataFrame(
+        {
+            "last_seq": g["seq"].max(),
+            # groupby.last() IS "last non-null in order" in pandas
+            "a": g["a"].last(),
+            "b": g["b"].last(),
+            "t": g["t"].last(),
+        }
+    ).reset_index().sort_values("k").reset_index(drop=True)
+
+    assert out["last_seq"].tolist() == exp["last_seq"].tolist()
+    pd.testing.assert_series_equal(out["a"], exp["a"], check_names=False)
+    assert out["b"].tolist() == exp["b"].tolist()
+    pd.testing.assert_series_equal(out["t"], exp["t"], check_names=False)
+    assert out["last_seq"].dtype == np.int64
+
+
+def test_patch_coalesce_all_null_column_stays_null():
+    from raycdc.ops.relational import patch_coalesce
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "seq": [1, 2, 3],
+            "v": [np.nan, np.nan, 5.0],
+        }
+    )
+    out = (
+        patch_coalesce(ray.data.from_pandas(df), ["k"], "seq", ["v"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert np.isnan(out["v"].iloc[0]) and out["v"].iloc[1] == 5.0
+    assert out["last_seq"].tolist() == [2, 3]
