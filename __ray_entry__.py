@@ -78,6 +78,19 @@ def _q_cdc_replay_documents(sf_dir):
     return ds.select_columns(["repo", "path", "lang", "content"])
 
 
+def _q_cdc_patch_replay(sf_dir):
+    """The FULL engine path under partial-update (op="patch")
+    semantics: documents-derived log where j=1 patches only content
+    and j=2 patches only metadata — converged content must keep ' v1'
+    and lang must survive from the j=0 insert (merge-patch, RFC 7386;
+    stages/merge.fold_events_by_key).  Any full-replace misreading
+    nulls one of them and the oracle catches it."""
+    from raycdc.pipelines.flagship import flagship_state_patched
+
+    ds = flagship_state_patched(sf_dir)
+    return ds.select_columns(["repo", "path", "lang", "content"])
+
+
 def _q_cdc_jsonl_replay(sf_dir):
     """Same converged state as cdc_replay_documents, ingested through
     the JSONL/NDJSON source connector (registry kind
@@ -1814,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_docs": _tuned(_q_redact_pii),
         "exact_substring_dedup": _tuned(_q_exact_substring_dedup),
         "cdc_patch_state": _tuned(_q_cdc_patch_state),
+        "cdc_patch_replay": _tuned(_q_cdc_patch_replay),
         # -- (c) code touched this round ------------------------------------
         "user_event_rank": _tuned(_q_user_event_rank),
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
@@ -1823,9 +1837,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
         "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
-        "dedup_minhash": _tuned(_q_dedup_minhash),
         # ---- driver-window boundary (50) ---------------------------------
         # -- (d) stable, r03-green ------------------------------------------
+        "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "dedup_simhash": _tuned(_q_dedup_simhash),
@@ -1895,6 +1909,15 @@ def oracle_sql() -> dict[str, str]:
                    'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    lang,
                    text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0
+        """,
+        # partial-update replay: content keeps the j=1 patch through
+        # the metadata-only j=2 patch; lang survives from the insert
+        "cdc_patch_replay": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v1' AS content
             FROM documents WHERE doc_id % 17 <> 0
         """,
         "cdc_mor_replay": """

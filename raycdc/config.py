@@ -139,6 +139,15 @@ class IngestConfig:
     # None = use the op's own default (2x the per-partition row
     # target).
     hot_key_salt_threshold: int | None = None
+    # partial-update CDC semantics: accept op="patch" rows whose null
+    # fields mean "keep the previous value" (RFC 7386 merge-patch;
+    # Debezium-style sparse updates).  Patches fold per COLUMN
+    # (stages/merge.fold_events_by_key), so late materialization —
+    # which picks ONE winner row per key — is bypassed when this is
+    # on; the map-side combine still bounds a hot key's shuffle rows
+    # to 1 + its live patches per read task
+    # (stages/parse.combine_keep_anchor_patches).
+    patch_ops: bool = False
     predicate: Any = None  # optional pyarrow.dataset filter expression
     # write-amplification control (stages/merge.py + state/checkpoint.py):
     #   "cow"  — copy-on-write: every run rewrites the partition base

@@ -434,7 +434,11 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     base_deltas = lake.delta_paths()
 
     metrics = None
-    if cfg.late_materialize and win_rows >= cfg.late_materialize_min_rows:
+    if (
+        cfg.late_materialize
+        and not cfg.patch_ops
+        and win_rows >= cfg.late_materialize_min_rows
+    ):
         metrics = _late_materialized_apply(
             cfg, lake, run_id, num_partitions, payload_columns,
             watermarks, min_wm if covered else None, blocks,
@@ -453,6 +457,7 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
             num_partitions=num_partitions,
             payload_columns=payload_columns,
             strict=cfg.strict,
+            patch_ops=cfg.patch_ops,
         )
         kwargs = {"batch_size": cfg.batch_size} if cfg.batch_size else {}
         parsed = ds.map_batches(parse, batch_format="pyarrow", **kwargs)
@@ -611,6 +616,7 @@ def replay_dead_letters(
         num_partitions=num_partitions,
         payload_columns=payload_columns,
         strict=strict,
+        patch_ops=cfg.patch_ops,
     )
     merger = PartitionMerger(
         run_id=run_id,
@@ -723,6 +729,7 @@ def preview(cfg: IngestConfig, n: int = PREVIEW_RECORDS_COUNT) -> pa.Table:
         payload_columns=cfg.columns or [],
         strict=cfg.strict,
         combine=False,
+        patch_ops=cfg.patch_ops,
     )
     out = ds.limit(n).map_batches(parse, batch_format="pyarrow")
     t = pa.concat_tables(

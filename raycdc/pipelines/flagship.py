@@ -36,8 +36,27 @@ PAYLOAD_COLUMNS = [
 ]
 
 
-def documents_changelog(sf_dir: str, log_dir: str, fragments: int = 4) -> int:
-    """Write the documents-derived change log; returns event count."""
+def documents_changelog(
+    sf_dir: str,
+    log_dir: str,
+    fragments: int = 4,
+    patch_semantics: bool = False,
+) -> int:
+    """Write the documents-derived change log; returns event count.
+
+    With ``patch_semantics`` the j=1,2 events become PARTIAL updates
+    (op="patch", IngestConfig.patch_ops):
+
+      j=1  content-only patch: content = text || ' v1';
+           commit/lang/payload null (= keep)
+      j=2  metadata-only patch: commit+payload set, content/lang null
+           (or delete when doc_id % 17 == 0, as before)
+
+    so the converged state pins merge-patch semantics end-to-end:
+    content keeps ' v1' through the j=2 patch and lang survives from
+    the j=0 insert — any full-replace misreading of a patch nulls one
+    of them and the DuckDB oracle catches it.
+    """
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source", "n_chars"],
@@ -59,21 +78,31 @@ def documents_changelog(sf_dir: str, log_dir: str, fragments: int = 4) -> int:
             seq = j * n + i
             delete = j == 2 and d % 17 == 0
             op = "delete" if delete else ("insert" if j == 0 else "update")
+            if patch_semantics and not delete and j > 0:
+                op = "patch"
             repo = f"org{d % 5}/repo{d % 13}"
             path = f"docs/{d}.txt"
+            commit = hashlib.blake2b(
+                f"{repo}|{path}|{seq}".encode(), digest_size=20
+            ).hexdigest()
+            content = None if delete else f"{text[i]} v{j}"
+            payload = f'{{"source":"{source[i]}","n_chars":{n_chars[i]}}}'
+            row_lang = lang[i]
+            if op == "patch":
+                row_lang = None  # never patched — must survive j=0
+                if j == 1:  # content-only patch
+                    commit, payload = None, None
+                else:  # j == 2: metadata-only patch
+                    content = None
             rows["seq"].append(seq)
             rows["ts"].append(1_704_067_200_000_000 + seq * 1_000_000)
             rows["op"].append(op)
             rows["repo"].append(repo)
             rows["path"].append(path)
-            rows["commit"].append(
-                hashlib.blake2b(f"{repo}|{path}|{seq}".encode(), digest_size=20).hexdigest()
-            )
-            rows["lang"].append(lang[i])
-            rows["content"].append(None if delete else f"{text[i]} v{j}")
-            rows["payload_json"].append(
-                f'{{"source":"{source[i]}","n_chars":{n_chars[i]}}}'
-            )
+            rows["commit"].append(commit)
+            rows["lang"].append(row_lang)
+            rows["content"].append(content)
+            rows["payload_json"].append(payload)
     t = pa.table(
         {
             "seq": pa.array(rows["seq"], pa.int64()),
@@ -112,6 +141,30 @@ def flagship_state(sf_dir: str, workdir: str | None = None, num_partitions: int 
         columns=PAYLOAD_COLUMNS,
     )
     documents_changelog(sf_dir, cfg.log_dir)
+    run_ingest(cfg)
+    return Lake(cfg.lake_dir).read_dataset()
+
+
+def flagship_state_patched(
+    sf_dir: str, workdir: str | None = None, num_partitions: int = 16
+):
+    """Patch-semantics twin of ``flagship_state``: replay the
+    documents-derived PARTIAL-update log (op="patch") through the full
+    engine with ``patch_ops`` on and return the converged lake."""
+    workdir = workdir or os.path.join(
+        "/tmp",
+        "raycdc_flagship_patch_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    cfg = IngestConfig(
+        log_dir=os.path.join(workdir, "log"),
+        lake_dir=os.path.join(workdir, "lake"),
+        num_partitions=num_partitions,
+        columns=PAYLOAD_COLUMNS,
+        patch_ops=True,
+    )
+    documents_changelog(sf_dir, cfg.log_dir, patch_semantics=True)
     run_ingest(cfg)
     return Lake(cfg.lake_dir).read_dataset()
 

@@ -97,8 +97,17 @@ def synth_event_chunks(
     malformed_frac: float = 0.01,
     monorepo_frac: float = 0.3,
     start_seq: int = 0,
+    patch_frac: float = 0.0,
 ) -> Iterator[pa.Table]:
-    """Yield Arrow chunks of the deterministic event stream."""
+    """Yield Arrow chunks of the deterministic event stream.
+
+    ``patch_frac`` > 0 turns that fraction of the update band into
+    partial-update events (op="patch") carrying only a SUBSET of
+    fields — even seq: content only; odd seq: commit+payload only —
+    for exercising merge-patch semantics (IngestConfig.patch_ops).
+    The extra rng draw happens only when patch_frac > 0, so existing
+    logs remain byte-identical at the default.
+    """
     num_keys = num_keys or max(1, num_events // 4)
     repos, paths, langs = _key_tables(num_keys, monorepo_frac)
     blob = _base_blob(seed)
@@ -163,11 +172,31 @@ def synth_event_chunks(
             ],
             dtype=object,
         )
+        if patch_frac > 0:
+            psel = rng.random(n)
+            is_patch = (~is_del) & (~is_ins) & (psel < patch_frac)
+            col_op[is_patch] = "patch"
+            even = (seq % 2) == 0
+            for i in np.flatnonzero(is_patch & even):
+                # content-only patch: metadata fields stay unset
+                col_commit[i] = None
+                col_payload[i] = None
+            for i in np.flatnonzero(is_patch & ~even):
+                # metadata-only patch: the fat content stays unset
+                col_content[i] = None
+            # lang is key-derived (never patched) — null it on every
+            # patch so the fold must actually carry it forward
+            col_lang = col_lang.copy()
+            col_lang[is_patch] = None
+
         # malformed events: broken JSON / null repo / null path
         for i in np.flatnonzero(mal):
             kind = int(mal_kind[i])
             if kind == 0:
-                col_payload[i] = col_payload[i][: len(col_payload[i]) // 2]
+                # a content-only patch already nulled its payload —
+                # give it a truncated one so the row is still broken
+                src = col_payload[i] or '{"author":{"name":"x"}}'
+                col_payload[i] = src[: len(src) // 2]
             elif kind == 1:
                 col_repo[i] = None
             else:
@@ -248,8 +277,45 @@ def expected_final_state(log_dir: str) -> "pa.Table":
         except (ValueError, TypeError):
             return False
 
-    ok &= df["payload_json"].map(_valid)
+    # a patch may legitimately carry no payload at all (null = keep)
+    ok &= df["payload_json"].map(_valid) | (
+        df["payload_json"].isna() & (df["op"] == "patch")
+    )
     df = df[ok]
+    if (df["op"] == "patch").any():
+        # serial merge-patch state machine (the semantics
+        # stages/merge.fold_events_by_key must reproduce distributed)
+        fields = ("commit", "lang", "content")
+        state: dict = {}
+        for row in df.sort_values("seq").itertuples():
+            key = (row.repo, row.path)
+            if row.op == "delete":
+                state.pop(key, None)
+            elif row.op == "patch":
+                cur = state.get(key) or dict.fromkeys(fields)
+                for f in fields:
+                    v = getattr(row, f)
+                    if v is not None and not (
+                        isinstance(v, float) and pd.isna(v)
+                    ):
+                        cur[f] = v
+                cur["seq"] = row.seq
+                state[key] = cur
+            else:
+                state[key] = {
+                    "commit": row.commit,
+                    "lang": row.lang,
+                    "content": row.content,
+                    "seq": row.seq,
+                }
+        out = pd.DataFrame(
+            [
+                {"repo": r, "path": p, **vals}
+                for (r, p), vals in state.items()
+            ],
+            columns=["repo", "path", "commit", "lang", "content", "seq"],
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
     df = df.sort_values("seq").drop_duplicates(["repo", "path"], keep="last")
     df = df[df["op"] != "delete"]
     out = df[["repo", "path", "commit", "lang", "content", "seq"]].reset_index(

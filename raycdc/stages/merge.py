@@ -72,6 +72,116 @@ def keep_latest_by_key(t: pa.Table) -> pa.Table:
     return gather(t, order[~dup])
 
 
+def has_patch_rows(t: pa.Table) -> bool:
+    """True when the table carries partial-update (op="patch") rows —
+    the sniff that routes merge/resolve through the patch-aware fold.
+    Lakes that never saw a patch keep the legacy keep-latest path (and
+    stay byte-identical to pre-patch engines)."""
+    if t.num_rows == 0 or "op" not in t.column_names:
+        return False
+    return bool(pc.any(pc.equal(t["op"], "patch")).as_py())
+
+
+def fold_events_by_key(t: pa.Table, seq_col: str = "seq") -> pa.Table:
+    """Patch-aware generalization of ``keep_latest_by_key``: one
+    resolved row per (repo, path), folding rows in ``seq`` order with
+    CDC partial-update semantics (RFC 7386 merge-patch; engine extra —
+    the reference always re-fetches whole issues,
+    JiraInputPlugin.java:154-163):
+
+      * insert/update rows replace the WHOLE payload (the anchor);
+      * delete clears the key;
+      * patch overwrites only its NON-NULL fields — applied to a
+        deleted or absent key it creates the row from those fields.
+
+    Output ``op`` per key: "delete" (tombstone), "update" (resolved
+    full row — an anchor existed in this set), or "patch" (every row
+    for the key was a patch: the result is still RELATIVE to an unseen
+    base, so delta-mode persists it for read-time resolve).
+
+    Associative over seq-contiguous segments (an anchor discards all
+    earlier state; an all-patch segment composes per column), so
+    folding deltas early (compaction) or late (read) resolves
+    identically — pinned by tests/test_patch_ops.py.
+
+    All index math runs on slim numpy arrays; the fat ``content``
+    bytes are only touched by one per-column take at the end (same
+    discipline as keep_latest_by_key).
+    """
+    if t.num_rows <= 1:
+        return t
+    n = t.num_rows
+    seq = t[seq_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(seq, kind="stable")
+    idx_arr = pa.array(order)
+    op_o = t["op"].take(idx_arr).to_numpy(zero_copy_only=False)
+    kdf = pd.DataFrame(
+        {
+            "r": t["repo"].take(idx_arr).to_numpy(zero_copy_only=False),
+            "p": t["path"].take(idx_arr).to_numpy(zero_copy_only=False),
+        }
+    )
+    gid = kdf.groupby(["r", "p"], sort=False).ngroup().to_numpy()
+    n_groups = int(gid.max()) + 1
+    pos = np.arange(n, dtype=np.int64)
+    is_patch = op_o == "patch"
+    is_delete = op_o == "delete"
+
+    # anchor = the key's last full-row event (insert/update/delete)
+    anchor = np.full(n_groups, -1, np.int64)
+    np.maximum.at(anchor, gid[~is_patch], pos[~is_patch])
+    arow = anchor[gid]
+    live_patch = is_patch & (pos > arow)  # arow=-1 → every patch lives
+    has_live_patch = np.zeros(n_groups, bool)
+    np.logical_or.at(has_live_patch, gid[live_patch], True)
+    anchored = anchor >= 0
+    anchor_is_delete = np.zeros(n_groups, bool)
+    anchor_is_delete[anchored] = is_delete[anchor[anchored]]
+    deleted = anchor_is_delete & ~has_live_patch
+    pure_patch = ~anchored
+
+    # representative row (keys, max seq) = the key's last row in order
+    last = np.full(n_groups, -1, np.int64)
+    np.maximum.at(last, gid, pos)
+
+    # per-row "sets this column" base mask: a non-delete anchor sets
+    # every column (null means null); live patches set non-null fields
+    anchor_sets = (pos == arow) & ~is_delete
+
+    out_cols = []
+    for name in t.column_names:
+        col = t[name]
+        if name in ("repo", "path"):
+            out_cols.append(col.take(pa.array(order[last])))
+            continue
+        if name == seq_col:
+            out_cols.append(
+                pa.array(seq[order][last], type=t.schema.field(name).type)
+            )
+            continue
+        if name == "op":
+            out_cols.append(
+                pa.array(
+                    np.where(
+                        deleted,
+                        "delete",
+                        np.where(pure_patch, "patch", "update"),
+                    ),
+                    pa.string(),
+                )
+            )
+            continue
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)[order]
+        setter = anchor_sets | (live_patch & valid)
+        sel = np.full(n_groups, -1, np.int64)
+        np.maximum.at(sel, gid[setter], pos[setter])
+        # tombstones carry their delete row verbatim (null payload)
+        sel[deleted] = anchor[deleted]
+        take = order[np.clip(sel, 0, None)]
+        out_cols.append(col.take(pa.array(take, mask=sel < 0)))
+    return pa.table(out_cols, names=t.column_names)
+
+
 def lake_schema(payload_columns: list[dict] | None) -> pa.Schema:
     """The committed lake-row schema for a given payload-column config."""
     fields = [
@@ -121,7 +231,13 @@ def resolve_partition(
         return pa.table(
             [pa.array([], f.type) for f in schema], schema=schema
         )
-    merged = keep_latest_by_key(pa.concat_tables(sides))
+    combined = pa.concat_tables(sides)
+    # patch deltas (partial updates) need the per-column fold; lakes
+    # without them keep the byte-identical legacy keep-latest path
+    if has_patch_rows(combined):
+        merged = fold_events_by_key(combined)
+    else:
+        merged = keep_latest_by_key(combined)
     is_delete = pc.equal(merged["op"], "delete").to_numpy(zero_copy_only=False)
     return mask_filter(merged, ~is_delete).drop_columns(["op"])
 
@@ -202,7 +318,15 @@ class PartitionMerger:
         if n_dl:
             self._write_deadletter(pid, dl)
 
-        events = keep_latest_by_key(events)
+        if has_patch_rows(events):
+            # partial updates: per-column fold (an anchor full-replaces,
+            # later patches override their non-null fields; a key whose
+            # window is all patches stays op="patch", still relative to
+            # the base — COW folds it against the base below, delta mode
+            # persists it for read-time resolve)
+            events = fold_events_by_key(events)
+        else:
+            events = keep_latest_by_key(events)
         new_wm = (
             max(wm, pc.max(window["seq"]).as_py())
             if window.num_rows
@@ -271,9 +395,11 @@ class PartitionMerger:
                     )
                 )
         sides.append(ev_side)
-        merged = keep_latest_by_key(
-            pa.concat_tables(sides) if len(sides) > 1 else sides[0]
-        )
+        combined = pa.concat_tables(sides) if len(sides) > 1 else sides[0]
+        if has_patch_rows(combined):
+            merged = fold_events_by_key(combined)
+        else:
+            merged = keep_latest_by_key(combined)
         is_delete = pc.equal(merged["op"], "delete").to_numpy(
             zero_copy_only=False
         )

@@ -44,11 +44,19 @@ class ParseStage:
         strict: bool = True,
         combine: bool = True,
         slim: bool = False,
+        patch_ops: bool = False,
     ):
         self.num_partitions = num_partitions
         self.payload_columns = payload_columns or []
         self.strict = strict
         self.combine = combine
+        # partial-update support: op="patch" becomes a valid op whose
+        # null fields mean "keep the previous value" — so patches are
+        # exempt from the null-content rule, and the map-side combine
+        # must keep every patch above the key's last full row instead
+        # of collapsing to one winner (stages/merge.fold_events_by_key
+        # resolves them)
+        self.patch_ops = patch_ops
         # slim mode (late materialization, phase A): drop the bulk
         # ``content`` bytes right after validity is computed, so the
         # winner-selection shuffle moves ~40 B/row instead of the full
@@ -70,9 +78,12 @@ class ParseStage:
         bad_pk = pc.or_(pc.is_null(repo), pc.is_null(path)).to_numpy(
             zero_copy_only=False
         )
-        bad_op = pc.invert(pc.is_in(op, value_set=pa.array(VALID_OPS))).to_numpy(
-            zero_copy_only=False
+        valid_ops = (
+            VALID_OPS + ("patch",) if self.patch_ops else VALID_OPS
         )
+        bad_op = pc.invert(
+            pc.is_in(op, value_set=pa.array(valid_ops))
+        ).to_numpy(zero_copy_only=False)
         # content validity comes from the WAL's content_len header
         # column when the read projected it (slim phase A — avoids
         # decoding the fat content pages); else from content itself
@@ -84,8 +95,16 @@ class ParseStage:
         # fill_null(False): a null op makes not_equal null-propagate
         # (torn JSONL lines) — those rows are dead-lettered as
         # "unknown op" below, not as a content problem
+        content_exempt_ops = (
+            ("delete", "patch") if self.patch_ops else ("delete",)
+        )
         bad_content = pc.fill_null(
-            pc.and_(pc.is_null(null_src), pc.not_equal(op, "delete")),
+            pc.and_(
+                pc.is_null(null_src),
+                pc.invert(
+                    pc.is_in(op, value_set=pa.array(content_exempt_ops))
+                ),
+            ),
             False,
         ).to_numpy(zero_copy_only=False)
         reasons[bad_content] = "null content on non-delete"
@@ -150,7 +169,11 @@ class ParseStage:
         )
 
         if self.combine:
-            out = combine_keep_latest(out)
+            out = (
+                combine_keep_anchor_patches(out)
+                if self.patch_ops
+                else combine_keep_latest(out)
+            )
         return out
 
     def _empty_out(self) -> pa.Table:
@@ -183,6 +206,75 @@ class ParseStage:
         cols["_dl_reason"] = pa.array([], pa.string())
         cols["_dl_raw"] = pa.array([], pa.string())
         return pa.table(cols)
+
+
+def combine_keep_anchor_patches(t: pa.Table) -> pa.Table:
+    """Map-side pre-reduce when partial updates (op="patch") are
+    enabled: per (repo, path) keep the highest-seq NON-patch row (the
+    anchor — it full-replaces or deletes everything older) plus every
+    patch row above it; dead-letter rows always pass.
+
+    Correct with NO seq-contiguity assumption: a patch at or below any
+    full row is dead wherever it lives, and the survivors are
+    re-folded globally by the merge stage
+    (stages/merge.fold_events_by_key).  Patches are deliberately NOT
+    composed here — composing would collapse their per-column seq
+    stamps and mis-order against patches arriving in other batches.
+
+    A hot key still collapses to ~(1 + its live patches) rows per read
+    task, so the shuffle stays bounded by patch density, not history
+    length.
+    """
+    if t.num_rows == 0:
+        return t
+    from raycdc.functions.arrowsafe import gather
+
+    mask_dl = pc.is_valid(t["_dl_reason"]).to_numpy(zero_copy_only=False)
+    seq = t["seq"].to_numpy(zero_copy_only=False)
+    valid_idx = np.flatnonzero(~mask_dl)
+    order = valid_idx[np.argsort(seq[valid_idx], kind="stable")]
+    idx_arr = pa.array(order)
+    kdf = pd.DataFrame(
+        {
+            "r": t["repo"].take(idx_arr).to_numpy(zero_copy_only=False),
+            "p": t["path"].take(idx_arr).to_numpy(zero_copy_only=False),
+        }
+    )
+    gid = kdf.groupby(["r", "p"], sort=False).ngroup().to_numpy()
+    m = len(order)
+    if m == 0:
+        return gather(t, np.flatnonzero(mask_dl))
+    n_groups = int(gid.max()) + 1
+    pos = np.arange(m, dtype=np.int64)
+    is_patch = (
+        t["op"].take(idx_arr).to_numpy(zero_copy_only=False) == "patch"
+    )
+    anchor = np.full(n_groups, -1, np.int64)
+    np.maximum.at(anchor, gid[~is_patch], pos[~is_patch])
+    arow = anchor[gid]
+    keep = (pos == arow) | (is_patch & (pos > arow))
+    final_idx = np.concatenate([order[keep], np.flatnonzero(mask_dl)])
+    out = gather(t, final_idx)
+    if "_n_src" in t.column_names:
+        # lineage: survivors keep their own count; each key's folded
+        # (dropped) counts land on its max-seq survivor, so the per-key
+        # sum is preserved across repeated combines
+        n_src = t["_n_src"].to_numpy(zero_copy_only=False)
+        surv_n = n_src[order].copy()
+        dropped = np.zeros(n_groups, np.int64)
+        np.add.at(dropped, gid[~keep], n_src[order][~keep])
+        last_surv = np.full(n_groups, -1, np.int64)
+        np.maximum.at(last_surv, gid[keep], pos[keep])
+        surv_n[last_surv] += dropped
+        merged_n = np.concatenate(
+            [surv_n[keep], n_src[mask_dl]]
+        ).astype(np.int64)
+        out = out.set_column(
+            out.schema.get_field_index("_n_src"),
+            "_n_src",
+            pa.array(merged_n),
+        )
+    return out
 
 
 def combine_keep_latest(t: pa.Table) -> pa.Table:

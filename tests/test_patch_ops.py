@@ -1,0 +1,245 @@
+"""Partial-update (op="patch") CDC semantics: null patch fields mean
+"keep the previous value" (RFC 7386 merge-patch; Debezium-style sparse
+updates — engine extra, the reference re-fetches whole issues,
+JiraInputPlugin.java:154-163).
+
+Pins: the distributed fold (stages/merge.fold_events_by_key) against
+the serial state machine (sources/synth.expected_final_state); COW vs
+MOR vs compaction equivalence (fold-early == fold-late associativity);
+idempotent reruns; patches rejected as unknown ops when the feature is
+off.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.sources.synth import expected_final_state, write_changelog
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD_COLUMNS = [
+    {"name": "author.name", "type": "string"},
+    {"name": "stats.adds", "type": "long"},
+]
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+        columns=PAYLOAD_COLUMNS,
+        patch_ops=True,
+    )
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def _canon(t: pa.Table) -> pa.Table:
+    cols = ["repo", "path", "commit", "lang", "content", "seq"]
+    t = t.select(cols)
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("repo", "ascending"), ("path", "ascending")],
+        )
+    )
+
+
+def _assert_matches_oracle(lake: Lake, log_dir: str):
+    got = _canon(lake.read_table())
+    exp = _canon(expected_final_state(log_dir))
+    assert got.num_rows == exp.num_rows
+    for col in got.column_names:
+        assert (
+            got[col].to_pylist() == exp[col].to_pylist()
+        ), f"mismatch in {col}"
+
+
+def test_fold_events_by_key_unit():
+    from raycdc.stages.merge import fold_events_by_key
+
+    t = pa.table(
+        {
+            "repo": ["r"] * 7 + ["q", "q"],
+            "path": ["a"] * 5 + ["b", "b"] + ["c", "c"],
+            "seq": pa.array([1, 2, 3, 4, 5, 10, 11, 20, 21], pa.int64()),
+            "op": [
+                "insert",   # a@1 full row
+                "patch",    # a@2 content only
+                "patch",    # a@3 lang only
+                "delete",   # a@4 delete clears the key
+                "patch",    # a@5 patch after delete → fresh row
+                "insert",   # b@10
+                "patch",    # b@11 null fields → keeps b@10 values
+                "patch",    # c@20 pure patch (no anchor)
+                "patch",    # c@21 pure patch
+            ],
+            "lang": ["py", None, "go", None, None, "rs", None, None, "md"],
+            "content": ["c1", "c2", None, None, "c5", "cb", None, "cc", None],
+        }
+    )
+    out = fold_events_by_key(t).to_pandas().set_index(["repo", "path"])
+    a = out.loc[("r", "a")]
+    # delete@4 cleared insert+patches; patch@5 created fresh
+    assert a["op"] == "update" and a["seq"] == 5
+    assert a["content"] == "c5" and a["lang"] is None
+    b = out.loc[("r", "b")]
+    assert b["op"] == "update" and b["seq"] == 11
+    # null patch fields kept the anchor's values
+    assert b["content"] == "cb" and b["lang"] == "rs"
+    c = out.loc[("q", "c")]
+    # no anchor anywhere: still a (composed) patch, relative to a base
+    assert c["op"] == "patch" and c["seq"] == 21
+    assert c["content"] == "cc" and c["lang"] == "md"
+
+
+def test_fold_tombstone_and_legacy_equivalence():
+    from raycdc.stages.merge import fold_events_by_key, keep_latest_by_key
+
+    t = pa.table(
+        {
+            "repo": ["r", "r", "r", "r"],
+            "path": ["a", "a", "b", "b"],
+            "seq": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": ["insert", "delete", "update", "update"],
+            "content": ["x", None, "y", "z"],
+        }
+    )
+    out = fold_events_by_key(t).to_pandas().set_index("path")
+    assert out.loc["a", "op"] == "delete" and out.loc["a", "seq"] == 2
+    assert out.loc["b", "content"] == "z" and out.loc["b", "seq"] == 4
+    # without patches the fold selects exactly keep-latest's rows
+    legacy = keep_latest_by_key(t).to_pandas().set_index("path")
+    assert out["content"].to_dict() == legacy["content"].to_dict()
+    assert out["seq"].to_dict() == legacy["seq"].to_dict()
+
+
+def test_patch_cow_matches_serial_oracle(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(
+        cfg.log_dir, 4000, fragment_rows=800, patch_frac=0.3
+    )
+    res = run_ingest(cfg)
+    assert res.dead_lettered > 0  # malformed lane still works
+    _assert_matches_oracle(Lake(cfg.lake_dir), cfg.log_dir)
+
+
+def test_patch_rerun_is_noop(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 2000, fragment_rows=500, patch_frac=0.3)
+    run_ingest(cfg)
+    v1 = Lake(cfg.lake_dir).manifest()["version"]
+    res2 = run_ingest(cfg)
+    assert res2.no_op
+    assert Lake(cfg.lake_dir).manifest()["version"] == v1
+    _assert_matches_oracle(Lake(cfg.lake_dir), cfg.log_dir)
+
+
+def test_patch_mor_resolve_and_compaction_equivalence(tmp_path):
+    """Fold-late (MOR read-time resolve) == fold-early (COW /
+    compaction): the associativity contract of fold_events_by_key."""
+    from raycdc.pipelines.maintenance import compact
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    # window 1: first half, COW (builds a base)
+    write_changelog(
+        cfg.log_dir, 2000, fragment_rows=500, patch_frac=0.3
+    )
+    run_ingest(cfg)
+    # window 2: second half appended, forced MOR (patch rows land in
+    # delta files and resolve lazily)
+    write_changelog(
+        cfg.log_dir,
+        2000,
+        fragment_rows=500,
+        patch_frac=0.3,
+        start_seq=2000,
+        fragment_index_offset=4,
+    )
+    cfg_mor = _cfg(tmp, write_mode="mor")
+    run_ingest(cfg_mor)
+    lake = Lake(cfg.lake_dir)
+    assert lake.delta_paths(), "second window should have appended deltas"
+    _assert_matches_oracle(lake, cfg.log_dir)  # fold-late
+    compact(cfg.lake_dir)  # fold-early
+    lake2 = Lake(cfg.lake_dir)
+    assert not lake2.delta_paths()
+    _assert_matches_oracle(lake2, cfg.log_dir)
+
+
+def test_patch_rejected_when_disabled(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, patch_ops=False)
+    write_changelog(cfg.log_dir, 1000, fragment_rows=500, patch_frac=0.5)
+    res = run_ingest(cfg)
+    dl_dir = os.path.join(cfg.lake_dir, "_deadletter", res.run_id)
+    dl = pa.concat_tables(
+        [pq.read_table(os.path.join(dl_dir, f)) for f in os.listdir(dl_dir)]
+    )
+    assert "unknown op" in set(dl["reason"].to_pylist())
+    # and no patch semantics leaked: lake rows never carry a null commit
+    lake = Lake(cfg.lake_dir).read_table()
+    assert pc.count(lake["commit"], mode="only_null").as_py() == 0
+
+
+def test_patch_log_byte_identical_at_zero_frac(tmp_path):
+    """patch_frac=0 must not consume rng draws: the log is
+    byte-identical to one written before the feature existed."""
+    import hashlib
+
+    a = os.path.join(str(tmp_path), "a")
+    b = os.path.join(str(tmp_path), "b")
+    write_changelog(a, 1500, fragment_rows=700)
+    write_changelog(b, 1500, fragment_rows=700, patch_frac=0.0)
+    for fa, fb in zip(sorted(os.listdir(a)), sorted(os.listdir(b))):
+        ha = hashlib.sha256(open(os.path.join(a, fa), "rb").read()).hexdigest()
+        hb = hashlib.sha256(open(os.path.join(b, fb), "rb").read()).hexdigest()
+        assert ha == hb
+
+
+def test_patch_hot_key_combine_bounds_shuffle():
+    """The map-side combine keeps (anchor + live patches) per key —
+    a 90%-hot key's batch collapses regardless of history length."""
+    from raycdc.stages.parse import ParseStage
+
+    n = 5000
+    rng = np.random.default_rng(5)
+    is_patch = rng.random(n) < 0.2
+    ops = np.where(is_patch, "patch", "update").astype(object)
+    t = pa.table(
+        {
+            "seq": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                np.full(n, 1_700_000_000_000_000), pa.timestamp("us")
+            ),
+            "op": pa.array(ops, pa.string()),
+            "repo": pa.array(["mono"] * n, pa.string()),
+            "path": pa.array(["hot.py"] * n, pa.string()),
+            "commit": pa.array(["c"] * n, pa.string()),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(
+                np.where(is_patch & (np.arange(n) % 2 == 1), None, "body"),
+                pa.string(),
+            ),
+            "content_len": pa.array([4] * n, pa.int32()),
+            "payload_json": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    parse = ParseStage(num_partitions=4, patch_ops=True)
+    out = parse(t)
+    n_live_patches = int(
+        (is_patch & (np.arange(n) > np.max(np.flatnonzero(~is_patch)))).sum()
+    )
+    assert out.num_rows == 1 + n_live_patches
+    # lineage conserved: folded counts land on survivors
+    assert int(pc.sum(out["_n_src"]).as_py()) == n
