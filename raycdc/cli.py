@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="cow: rewrite partition bases; mor: append "
                             "delta files (merge-on-read); auto: mor for "
                             "small steady-state windows")
+    p_run.add_argument("--patch-ops", action="store_true",
+                       help="accept op=patch partial updates (null "
+                            "fields keep the previous value)")
 
     p_tail = sub.add_parser(
         "tail", help="continuous ingest loop (binlog tailer)"
@@ -70,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
         "--stop-after-idle", type=int, default=None,
         help="exit after N consecutive empty polls (default: run forever)",
     )
+    p_tail.add_argument("--patch-ops", action="store_true",
+                        help="accept op=patch partial updates")
 
     p_dlr = sub.add_parser(
         "dlreplay", help="re-apply a past run's dead-lettered events from the log"
@@ -387,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
                 lake_dir=args.lake_dir,
                 num_partitions=args.partitions,
                 columns=cols,
+                patch_ops=args.patch_ops,
             )
 
             def report(res):
@@ -512,6 +518,7 @@ def main(argv: list[str] | None = None) -> int:
                 columns=cols,
                 dynamic_schema=args.dynamic_schema,
                 write_mode=args.write_mode,
+                patch_ops=args.patch_ops,
             )
             res = run_ingest(cfg)
             print(
