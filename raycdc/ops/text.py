@@ -113,6 +113,29 @@ def clean_text(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Data
     )
 
 
+def _regex_hits_via_replace(col, pat: str, repl: str):
+    """Non-overlapping match count of ``pat`` per row, derived from
+    two RE2 GlobalReplace passes instead of Arrow's
+    ``count_substring_regex``: that kernel resumes each scan at the
+    previous match end with no lookbehind context (FindAndConsume),
+    so a ``\\b`` whose truth depends on the consumed character flips —
+    terms=['.','b'] on "b.a" counts 1 where RE2 GlobalReplace, DuckDB
+    and Python all find 2.  With s1 = replace(text, pat, repl) and
+    s0 = replace(text, pat, ''):  n = (len(s1) - len(s0)) / len(repl)
+    — exact for ANY pattern, no sentinel-collision caveats.  Returns
+    ``(hits int64, s1)`` so callers reuse the replaced column."""
+    s1 = pc.replace_substring_regex(col, pat, repl)
+    s0 = pc.replace_substring_regex(col, pat, "")
+    hits = pc.divide(
+        pc.subtract(
+            pc.cast(pc.binary_length(s1), pa.int64()),
+            pc.cast(pc.binary_length(s0), pa.int64()),
+        ),
+        len(repl.encode("utf-8")),
+    )
+    return hits, s1
+
+
 def scrub_terms_batch(
     batch: pa.Table,
     terms: list[str],
@@ -123,18 +146,17 @@ def scrub_terms_batch(
 ) -> pa.Table:
     """Blocklist scrub (the C4-style badwords / policy-term stage):
     replace whole-word occurrences of any blocklisted term and report
-    the per-row hit count.  Both kernels are Arrow RE2 regexes — the
+    the per-row hit count.  The kernels are Arrow RE2 regexes — the
     SAME engine DuckDB uses — so ``regexp_replace(text, pat, repl,
     'g')`` / ``len(regexp_extract_all(text, pat))`` pin every row
     exactly.  Terms are regex-escaped and wrapped in ``\\b`` word
     boundaries; matching is non-overlapping left-to-right on both
-    sides."""
+    sides.  The hit count comes from ``_regex_hits_via_replace`` —
+    Arrow's count kernel miscounts context-dependent ``\\b`` edges."""
     import re as _re
 
     pat = r"\b(?:" + "|".join(_re.escape(t) for t in sorted(terms)) + r")\b"
-    col = batch[text_col]
-    hits = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
-    scrubbed = pc.replace_substring_regex(col, pat, repl)
+    hits, scrubbed = _regex_hits_via_replace(batch[text_col], pat, repl)
     return batch.append_column(hits_col, hits).append_column(
         out_col, scrubbed
     )
@@ -174,13 +196,16 @@ def redact_pii_batch(
     categories apply sequentially, each counting on the text the
     previous category already redacted (the order DuckDB's chained
     ``regexp_replace`` CTEs mirror, so every row and count pins
-    exactly).  Builder-brief curation extra (no reference analog —
-    the reference scrubs schema, not content)."""
+    exactly).  Counts via ``_regex_hits_via_replace`` — the ipv4
+    pattern's leading ``\\b`` is exposed to Arrow's count-kernel
+    context loss when two addresses abut.  Builder-brief curation
+    extra (no reference analog — the reference scrubs schema, not
+    content)."""
     col = batch[text_col]
     for name, pat, repl in PII_PATTERNS:
-        n = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+        n, replaced = _regex_hits_via_replace(col, pat, repl)
         batch = batch.append_column(f"n_{name}", n)
-        col = pc.replace_substring_regex(col, pat, repl)
+        col = replaced
     return batch.append_column(out_col, col)
 
 

@@ -1695,6 +1695,66 @@ def test_scrub_terms_whole_word_only():
     assert out["n_hits"].dtype == np.int64
 
 
+def test_regex_hit_counts_survive_consumed_boundary_context():
+    """Arrow's count_substring_regex resumes after each match with no
+    lookbehind context, so a \\b that depends on the consumed char
+    flips (terms=['.','b'] on 'b.a': kernel says 1, RE2 GlobalReplace
+    / DuckDB / Python all say 2).  The replace-derived counts must
+    match the Python re reference on exactly these shapes — both for
+    scrub_terms (non-word-edge terms) and redact_pii (two abutting
+    IPv4 addresses expose the ipv4 pattern's leading \\b)."""
+    import re
+
+    from raycdc.ops.text import PII_PATTERNS, redact_pii, scrub_terms
+
+    texts = ["b.a", "a.b", "b.", ".b", "b . b", "."]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    out = (
+        scrub_terms(ds, [".", "b"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pat = re.compile(r"\b(?:\.|b)\b")
+    assert out["n_hits"].tolist() == [len(pat.findall(t)) for t in texts]
+    assert out["text_scrubbed"].tolist() == [
+        pat.sub("<SCRUB>", t) for t in texts
+    ]
+
+    # abutting IPv4s: the second address starts right where the first
+    # match ended, so its leading \b sees lost context in the count
+    # kernel (true \b is FALSE after a digit) — counts must not drift
+    # from the replace pass
+    pii_texts = ["ip 1.2.3.45.6.7.8 tail", "10.0.0.1 10.0.0.2"]
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(pii_texts)), pa.int64()),
+                "text": pa.array(pii_texts),
+            }
+        )
+    )
+    got = (
+        redact_pii(ds2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(pii_texts):
+        for name, p, repl in PII_PATTERNS:
+            rx = re.compile(p)
+            assert got[f"n_{name}"][i] == len(rx.findall(t)), (name, t)
+            t = rx.sub(repl, t)
+        assert got["text_redacted"][i] == t
+
+
 def test_ngram_jaccard_block_size_tripwire():
     """The exact verifier is O(rows²) per block by contract: a block
     past max_block_rows must fail fast with guidance, not OOM."""
