@@ -872,6 +872,37 @@ def _q_rolling_value_mean(sf_dir):
     ).select_columns(["user_id", "event_id", "rolling_mean"])
 
 
+def _q_user_event_lead_tile(sf_dir):
+    """LEAD + NTILE(4) + DENSE_RANK per user ordered by (value,
+    event_id): the forward-looking / quantile-bucket / tie-aware
+    window complements.  Ordering by the rounded float value makes
+    ties COMMON, so dense_rank genuinely diverges from row_number in
+    this oracle comparison; event_id is the deterministic tiebreaker
+    both engines share.  One per-key hash exchange, then C-speed
+    shift / integer tile arithmetic / change-flag cumsum."""
+    from raycdc.ops.relational import window_lead_ntile
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    return window_lead_ntile(
+        ds, ["user_id"], ["value", "event_id"], "value", n_tiles=4
+    ).select_columns(
+        ["user_id", "event_id", "next_value", "tile", "dense_rn"]
+    )
+
+
+def _q_rolling_value_extrema(sf_dir):
+    """Frame window extrema: 5-row rolling min/max of event value per
+    user — pandas' monotonic-deque grouped rolling kernel; min/max
+    select an existing float64, so every row is bit-identical to the
+    SQL frame."""
+    from raycdc.ops.relational import rolling_extrema_by_key
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    return rolling_extrema_by_key(
+        ds, ["user_id"], ["event_id"], "value", window=5
+    ).select_columns(["user_id", "event_id", "rolling_min", "rolling_max"])
+
+
 def _q_event_value_histogram(sf_dir):
     """Histogram sketch over event values: per-batch bincount partials,
     driver vector-add merge — zero shuffle, nbins ints per block.  The
@@ -1828,17 +1859,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substring_dedup": _tuned(_q_exact_substring_dedup),
         "cdc_patch_state": _tuned(_q_cdc_patch_state),
         "cdc_patch_replay": _tuned(_q_cdc_patch_replay),
+        "user_event_lead_tile": _tuned(_q_user_event_lead_tile),
+        "rolling_value_extrema": _tuned(_q_rolling_value_extrema),
         # -- (c) code touched this round ------------------------------------
         "user_event_rank": _tuned(_q_user_event_rank),
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
-        "pricing_summary": _tuned(_q_pricing_summary),
-        "orders_per_nation": _tuned(_q_orders_per_nation),
         "pricing_rollup": _tuned(_q_pricing_rollup),
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
         "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
         # ---- driver-window boundary (50) ---------------------------------
         # -- (d) stable, r03-green ------------------------------------------
+        # (pricing_summary / orders_per_nation demoted to fit the two
+        #  new window queries: both r03-green, and the only round-4
+        #  change on their path is the driver-fold tripwire — an
+        #  error-path guard pinned directly by
+        #  test_driver_fold_tripwires_fail_loud)
+        "pricing_summary": _tuned(_q_pricing_summary),
+        "orders_per_nation": _tuned(_q_orders_per_nation),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_embedding": _tuned(_q_dedup_embedding),
@@ -2196,6 +2234,24 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY event_id)
                         AS DOUBLE) AS prev_value
             FROM events
+        """,
+        "user_event_lead_tile": """
+            SELECT user_id, event_id,
+                   CAST(lead(value) OVER w AS DOUBLE) AS next_value,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile,
+                   CAST(dense_rank() OVER (PARTITION BY user_id
+                                           ORDER BY value)
+                        AS BIGINT) AS dense_rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        """,
+        "rolling_value_extrema": """
+            SELECT user_id, event_id,
+                   min(value) OVER w AS rolling_min,
+                   max(value) OVER w AS rolling_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "rolling_value_mean": """
             SELECT user_id, event_id,

@@ -1201,6 +1201,208 @@ def rolling_mean_by_key(
     )
 
 
+def _ntile_of(pos: np.ndarray, m: int, n: int) -> np.ndarray:
+    """SQL NTILE(n) for 1-based positions ``pos`` in a group of ``m``
+    rows: the first ``m % n`` tiles get ``m // n + 1`` rows, the rest
+    ``m // n`` — pure integer arithmetic, so any SQL engine agrees."""
+    q, r = divmod(int(m), int(n))
+    boundary = r * (q + 1)
+    big = (pos - 1) // (q + 1) + 1
+    if q == 0:
+        return big.astype(np.int64)
+    small = r + (pos - boundary - 1) // q + 1
+    return np.where(pos <= boundary, big, small).astype(np.int64)
+
+
+def window_lead_ntile(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_tiles: int = 4,
+    lead_col: str = "next_value",
+    tile_col: str = "tile",
+    dense_col: str = "dense_rn",
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    num_salt: int | None = None,
+) -> "ray.data.Dataset":
+    """``LEAD(value)`` + ``NTILE(n)`` + ``DENSE_RANK()`` OVER
+    (PARTITION BY keys ORDER BY order_cols) — the forward-looking /
+    quantile-bucket / tie-aware complements of ``window_rank_lag``.
+    One per-key hash exchange, then C-speed shift / integer tile
+    arithmetic / change-flag cumsum per partition.  ``order_cols``
+    must be a unique total order within each key group; DENSE_RANK
+    ranks by ``order_cols[0]`` alone (the column where ties are
+    meaningful — trailing order_cols are the tiebreaker for row
+    order, exactly SQL's ``DENSE_RANK() OVER (ORDER BY c1)`` next to
+    ``ROWS`` ordered by ``(c1, c2)``).  LEAD of the last row per key
+    is NaN (SQL NULL); NTILE uses the SQL fill rule (first ``m % n``
+    tiles get the extra row).
+
+    Skew: ``hot_keys`` / ``hot_key_threshold`` route hot keys through
+    salted_ordered_window.  The prefix handoff per slice is (row
+    count → position/tile offset, distinct-order0 count → dense-rank
+    base, first value → the PREVIOUS slice's last-row LEAD); a tie on
+    ``order_cols[0]`` always lands in one slice (the bucket id is a
+    function of that value), so cross-slice dense ranks never split a
+    tie group.  NTILE needs the key's TOTAL row count — available
+    exactly as the sum of all per-slice counts in the broadcast state
+    frame, which is why NTILE is prefix-decomposable here at all."""
+    order0 = order_cols[0]
+
+    def _dense_local(vals: np.ndarray) -> np.ndarray:
+        if len(vals) == 0:
+            return np.empty(0, dtype=np.int64)
+        chg = np.ones(len(vals), dtype=np.int64)
+        chg[1:] = (vals[1:] != vals[:-1]).astype(np.int64)
+        return np.cumsum(chg)
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(key_cols + order_cols, kind="mergesort").copy()
+        g = out.groupby(key_cols, sort=False)
+        out[lead_col] = g[value_col].shift(-1).astype(np.float64)
+        pos = (g.cumcount() + 1).to_numpy(dtype=np.int64)
+        sizes = g[value_col].transform("size").to_numpy(dtype=np.int64)
+        # per-key NTILE: vectorize the integer formula over rows by
+        # computing both branches from each row's own (pos, m)
+        q = sizes // n_tiles
+        r = sizes % n_tiles
+        boundary = r * (q + 1)
+        big = (pos - 1) // (q + 1) + 1
+        small = np.where(q > 0, r + (pos - boundary - 1) // np.maximum(q, 1) + 1, 0)
+        out[tile_col] = np.where(pos <= boundary, big, small).astype(np.int64)
+        # dense rank per key over order0 (groups are contiguous after
+        # the mergesort): restart the change-flag cumsum at key starts
+        key_start = pos == 1
+        vals = out[order0].to_numpy()
+        chg = np.ones(len(out), dtype=np.int64)
+        if len(out) > 1:
+            chg[1:] = (vals[1:] != vals[:-1]).astype(np.int64)
+        chg[key_start] = 1
+        run = np.cumsum(chg)
+        # subtract each key's starting run value to restart at 1
+        base = np.zeros(len(out), dtype=np.int64)
+        starts = np.flatnonzero(key_start)
+        if len(starts):
+            base_vals = run[starts] - 1
+            base = np.repeat(base_vals, np.diff(np.append(starts, len(out))))
+        out[dense_col] = run - base
+        return out
+
+    hot_keys = _resolve_hot(ds, key_cols, hot_keys, hot_key_threshold)
+    if not hot_keys:
+        return hash_partition_reduce(ds, key_cols, win)
+
+    def state(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[order0].to_numpy()
+        nd = int(_dense_local(vals)[-1]) if len(vals) else 0
+        return pd.DataFrame(
+            {
+                "_n": [len(g)],
+                "_nd": [nd],
+                "_first_v": [float(g[value_col].iloc[0])],
+            }
+        )
+
+    def local(g: pd.DataFrame, kst: pd.DataFrame, s: int) -> pd.DataFrame:
+        prev = kst[kst["_slice"] < s]
+        later = kst[kst["_slice"] > s]
+        offset = int(prev["_n"].sum())
+        m = int(kst["_n"].sum())
+        out = g.copy()
+        lead = out[value_col].shift(-1).astype(np.float64)
+        if len(later):
+            lead.iloc[-1] = float(later["_first_v"].iloc[0])
+        out[lead_col] = lead
+        pos = np.arange(1, len(g) + 1, dtype=np.int64) + offset
+        out[tile_col] = _ntile_of(pos, m, n_tiles)
+        dense_base = int(prev["_nd"].sum())
+        out[dense_col] = _dense_local(out[order0].to_numpy()) + dense_base
+        return out
+
+    return salted_ordered_window(
+        ds, key_cols[0], order_cols, win, state, local,
+        hot_keys, num_salt=num_salt,
+    )
+
+
+def rolling_extrema_by_key(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    min_col: str = "rolling_min",
+    max_col: str = "rolling_max",
+    hot_keys: list | None = None,
+    hot_key_threshold: int | None = None,
+    num_salt: int | None = None,
+) -> "ray.data.Dataset":
+    """Frame window extrema: ``min(value)`` / ``max(value)`` OVER
+    (PARTITION BY keys ORDER BY order_cols ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW) — the monitoring/feature-engineering
+    twin of ``rolling_mean_by_key``.  One per-key hash exchange, then
+    pandas' C-level grouped rolling min/max (monotonic-deque, O(n)).
+    Unlike the mean there is no accumulation order to pin: min/max
+    over the identical float64 values is exact under any grouping.
+
+    Skew: the salted path reuses rolling_mean's trailing-tail
+    handoff — each slice's terminal state carries its LAST
+    min(window-1, n) raw values; slice s prepends the concatenated
+    earlier tails truncated to window-1 (any value within window-1
+    positions of the boundary is inside that tail by construction),
+    recomputes the same rolling kernel, and drops the carry rows —
+    bit-identical to the plain path."""
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(key_cols + order_cols, kind="mergesort").copy()
+        r = out.groupby(key_cols, sort=False)[value_col].rolling(
+            window, min_periods=1
+        )
+        # grouped rolling emits rows in group-appearance order, which
+        # equals out's row order because out is key-sorted — positional
+        # alignment after dropping the group level is exact
+        out[min_col] = r.min().reset_index(drop=True).to_numpy()
+        out[max_col] = r.max().reset_index(drop=True).to_numpy()
+        return out
+
+    hot_keys = _resolve_hot(ds, key_cols, hot_keys, hot_key_threshold)
+    if not hot_keys:
+        return hash_partition_reduce(ds, key_cols, roll)
+
+    def state(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        tail = v[-(window - 1):] if window > 1 else v[:0]
+        return pd.DataFrame({"_tail": [[float(x) for x in tail]]})
+
+    def local(g: pd.DataFrame, kst: pd.DataFrame, s: int) -> pd.DataFrame:
+        prev = kst[kst["_slice"] < s]
+        carry_parts = [
+            np.asarray(t, dtype=np.float64) for t in prev["_tail"]
+        ]
+        carry = (
+            np.concatenate(carry_parts)
+            if carry_parts
+            else np.empty(0, dtype=np.float64)
+        )
+        carry = carry[-(window - 1):] if window > 1 else carry[:0]
+        out = g.copy()
+        x = np.concatenate(
+            [carry, out[value_col].to_numpy(dtype=np.float64)]
+        )
+        sr = pd.Series(x).rolling(window, min_periods=1)
+        k = len(carry)
+        out[min_col] = sr.min().to_numpy()[k:]
+        out[max_col] = sr.max().to_numpy()[k:]
+        return out
+
+    return salted_ordered_window(
+        ds, key_cols[0], order_cols, roll, state, local,
+        hot_keys, num_salt=num_salt,
+    )
+
+
 def scd2_history(
     ds: "ray.data.Dataset",
     key_cols: list[str],

@@ -1665,6 +1665,60 @@ def test_rolling_mean_frame_drops_old_rows():
     assert out["rolling_mean"].tolist() == [1.0, 1.5, 2.5, 3.5, 52.0]
 
 
+def test_window_lead_ntile_small_groups():
+    from raycdc.ops.relational import window_lead_ntile
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "a", "b", "b", "c"],
+            "o": [1, 1, 2, 3, 3, 8, 9, 1],
+            "i": [1, 2, 3, 4, 5, 6, 7, 8],
+            "v": [10.0, 20.0, 30.0, 40.0, 50.0, 5.0, 6.0, 2.0],
+        }
+    )
+    out = (
+        window_lead_ntile(
+            ray.data.from_pandas(df), ["k"], ["o", "i"], "v", n_tiles=2
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "i"])
+        .reset_index(drop=True)
+    )
+    nxt = out["next_value"].tolist()
+    # LEAD follows the window order; last row per key is NaN (SQL NULL)
+    assert nxt[:4] == [20.0, 30.0, 40.0, 50.0] and np.isnan(nxt[4])
+    assert nxt[5] == 6.0 and np.isnan(nxt[6]) and np.isnan(nxt[7])
+    # NTILE(2): m=5 -> sizes [3,2]; m=2 -> [1,1]; m=1 -> [1]
+    assert out["tile"].tolist() == [1, 1, 1, 2, 2, 1, 2, 1]
+    # DENSE_RANK over o alone: ties share a rank, no gaps
+    assert out["dense_rn"].tolist() == [1, 1, 2, 3, 3, 1, 2, 1]
+    assert out["next_value"].dtype == np.float64
+    assert out["tile"].dtype == np.int64
+    assert out["dense_rn"].dtype == np.int64
+
+
+def test_rolling_extrema_small_groups():
+    from raycdc.ops.relational import rolling_extrema_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"],
+            "o": [1, 2, 3, 4, 5, 1],
+            "v": [3.0, 1.0, 4.0, 1.0, 5.0, 7.5],
+        }
+    )
+    out = (
+        rolling_extrema_by_key(
+            ray.data.from_pandas(df), ["k"], ["o"], "v", window=3
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["rolling_min"].tolist() == [3.0, 1.0, 1.0, 1.0, 1.0, 7.5]
+    assert out["rolling_max"].tolist() == [3.0, 3.0, 4.0, 4.0, 5.0, 7.5]
+
+
 def test_scrub_terms_whole_word_only():
     from raycdc.ops.text import scrub_terms
 

@@ -443,6 +443,65 @@ def test_scd2_salting_zipfian_exact():
     pd.testing.assert_frame_equal(plain, salted)
 
 
+def test_window_lead_ntile_salting_zipfian_exact():
+    """LEAD/NTILE/DENSE_RANK skew path: the per-slice terminal carries
+    (row count, distinct-order0 count, first value); NTILE needs the
+    key's TOTAL row count, recovered exactly as the sum of all slice
+    counts in the broadcast state frame, and a tie group on the coarse
+    1-second ts grid never splits across slices (bucket id is a
+    function of the order value) — so dense ranks stitch additively
+    and the result is bit-identical to the plain path."""
+    import pandas as pd
+
+    from raycdc.ops.relational import window_lead_ntile
+
+    ds = _zipfian_events(seed=15)
+    plain = _canon_events(
+        window_lead_ntile(
+            ds, ["user_id"], ["ts", "event_id"], "value", n_tiles=5
+        )
+    )
+    salted = _canon_events(
+        window_lead_ntile(
+            ds, ["user_id"], ["ts", "event_id"], "value", n_tiles=5,
+            hot_keys=[0], num_salt=8,
+        )
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+    detected = _canon_events(
+        window_lead_ntile(
+            ds, ["user_id"], ["ts", "event_id"], "value", n_tiles=5,
+            hot_key_threshold=5000, num_salt=8,
+        )
+    )
+    pd.testing.assert_frame_equal(plain, detected)
+
+
+def test_rolling_extrema_salting_zipfian_exact():
+    """Rolling min/max skew path: reuses rolling_mean's trailing-tail
+    handoff (each slice's terminal carries its last window-1 raw
+    values); min/max over identical float64 values is exact under any
+    grouping, so boundary-crossing frames are bit-identical."""
+    import pandas as pd
+
+    from raycdc.ops.relational import rolling_extrema_by_key
+
+    ds = _zipfian_events(seed=16)
+    for w in (1, 7):
+        plain = _canon_events(
+            rolling_extrema_by_key(
+                ds, ["user_id"], ["ts", "event_id"], "value", w
+            )
+        )
+        salted = _canon_events(
+            rolling_extrema_by_key(
+                ds, ["user_id"], ["ts", "event_id"], "value", w,
+                hot_keys=[0], num_salt=8,
+            )
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+
+
 def test_driver_fold_tripwires_fail_loud():
     """partial_agg(driver_fold=True) and rollup_sum carry a
     low-cardinality contract — folding a high-cardinality key must
