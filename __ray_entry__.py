@@ -873,20 +873,22 @@ def _q_rolling_value_mean(sf_dir):
 
 
 def _q_user_event_lead_tile(sf_dir):
-    """LEAD + NTILE(4) + DENSE_RANK per user ordered by (value,
-    event_id): the forward-looking / quantile-bucket / tie-aware
-    window complements.  Ordering by the rounded float value makes
-    ties COMMON, so dense_rank genuinely diverges from row_number in
-    this oracle comparison; event_id is the deterministic tiebreaker
-    both engines share.  One per-key hash exchange, then C-speed
-    shift / integer tile arithmetic / change-flag cumsum."""
+    """LEAD + NTILE(4) + DENSE_RANK + PERCENT_RANK + CUME_DIST per
+    user ordered by (value, event_id): the forward-looking /
+    quantile-bucket / tie-aware window complements.  Ordering by the
+    rounded float value makes ties COMMON, so dense_rank / cume_dist
+    genuinely diverge from row_number-derived values in this oracle
+    comparison; event_id is the deterministic tiebreaker both engines
+    share.  One per-key hash exchange, then C-speed shift / integer
+    tile arithmetic / change-flag cumsum / int64-ratio divisions."""
     from raycdc.ops.relational import window_lead_ntile
 
     ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
     return window_lead_ntile(
         ds, ["user_id"], ["value", "event_id"], "value", n_tiles=4
     ).select_columns(
-        ["user_id", "event_id", "next_value", "tile", "dense_rn"]
+        ["user_id", "event_id", "next_value", "tile", "dense_rn",
+         "pct_rank", "cume_dist"]
     )
 
 
@@ -2239,11 +2241,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    CAST(lead(value) OVER w AS DOUBLE) AS next_value,
                    CAST(ntile(4) OVER w AS BIGINT) AS tile,
-                   CAST(dense_rank() OVER (PARTITION BY user_id
-                                           ORDER BY value)
-                        AS BIGINT) AS dense_rn
+                   CAST(dense_rank() OVER wv AS BIGINT) AS dense_rn,
+                   CAST(percent_rank() OVER wv AS DOUBLE) AS pct_rank,
+                   CAST(cume_dist() OVER wv AS DOUBLE) AS cume_dist
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+            WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+                   wv AS (PARTITION BY user_id ORDER BY value)
         """,
         "rolling_value_extrema": """
             SELECT user_id, event_id,

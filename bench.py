@@ -442,9 +442,11 @@ def soak() -> None:
     ray.data.range(1000).map_batches(lambda b: b).materialize()
 
     from raycdc.ops.relational import (
+        rolling_extrema_by_key,
         rolling_mean_by_key,
         rollup_sum,
         running_sum_by_key,
+        window_lead_ntile,
         window_rank_lag,
     )
     from raycdc.ops.sketch import value_histogram, value_histogram_by
@@ -468,6 +470,12 @@ def soak() -> None:
             "running_sum_by_key": lambda: running_sum_by_key(
                 ds, ["user_id"], "ts", "value"
             ).sum("running_sum"),
+            "window_lead_ntile": lambda: window_lead_ntile(
+                ds, ["user_id"], ["ts", "id"], "value"
+            ).sum("tile"),
+            "rolling_extrema_by_key": lambda: rolling_extrema_by_key(
+                ds, ["user_id"], ["ts", "id"], "value", window=16
+            ).sum("rolling_max"),
             "rollup_sum": lambda: rollup_sum(ds, ["event_type"], "value"),
             "value_histogram": lambda: value_histogram(
                 ds, "value", nbins=256, lo=0.0, hi=100.0

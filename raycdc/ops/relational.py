@@ -1214,6 +1214,23 @@ def _ntile_of(pos: np.ndarray, m: int, n: int) -> np.ndarray:
     return np.where(pos <= boundary, big, small).astype(np.int64)
 
 
+def _rank_cume_local(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For a SORTED single-key order0 array: SQL RANK() (first
+    position of each tie group) and the CUME_DIST numerator (last
+    position of each tie group), both 1-based int64."""
+    n = len(vals)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    chg = np.ones(n, dtype=np.int64)
+    chg[1:] = (vals[1:] != vals[:-1]).astype(np.int64)
+    starts = np.flatnonzero(chg)
+    lens = np.diff(np.append(starts, n))
+    pos = np.arange(1, n + 1, dtype=np.int64)
+    ends = np.append(starts[1:], n) - 1
+    return np.repeat(pos[starts], lens), np.repeat(pos[ends], lens)
+
+
 def window_lead_ntile(
     ds: "ray.data.Dataset",
     key_cols: list[str],
@@ -1223,32 +1240,42 @@ def window_lead_ntile(
     lead_col: str = "next_value",
     tile_col: str = "tile",
     dense_col: str = "dense_rn",
+    pct_col: str = "pct_rank",
+    cume_col: str = "cume_dist",
     hot_keys: list | None = None,
     hot_key_threshold: int | None = None,
     num_salt: int | None = None,
 ) -> "ray.data.Dataset":
-    """``LEAD(value)`` + ``NTILE(n)`` + ``DENSE_RANK()`` OVER
-    (PARTITION BY keys ORDER BY order_cols) — the forward-looking /
-    quantile-bucket / tie-aware complements of ``window_rank_lag``.
-    One per-key hash exchange, then C-speed shift / integer tile
-    arithmetic / change-flag cumsum per partition.  ``order_cols``
-    must be a unique total order within each key group; DENSE_RANK
-    ranks by ``order_cols[0]`` alone (the column where ties are
-    meaningful — trailing order_cols are the tiebreaker for row
-    order, exactly SQL's ``DENSE_RANK() OVER (ORDER BY c1)`` next to
-    ``ROWS`` ordered by ``(c1, c2)``).  LEAD of the last row per key
-    is NaN (SQL NULL); NTILE uses the SQL fill rule (first ``m % n``
-    tiles get the extra row).
+    """``LEAD(value)`` + ``NTILE(n)`` + ``DENSE_RANK()`` +
+    ``PERCENT_RANK()`` + ``CUME_DIST()`` OVER (PARTITION BY keys
+    ORDER BY order_cols) — the forward-looking / quantile-bucket /
+    tie-aware complements of ``window_rank_lag``.  One per-key hash
+    exchange, then C-speed shift / integer tile arithmetic /
+    change-flag cumsum per partition.  ``order_cols`` must be a
+    unique total order within each key group; DENSE_RANK /
+    PERCENT_RANK / CUME_DIST rank by ``order_cols[0]`` alone (the
+    column where ties are meaningful — trailing order_cols are the
+    tiebreaker for row order, exactly SQL's ``DENSE_RANK() OVER
+    (ORDER BY c1)`` next to ``ROWS`` ordered by ``(c1, c2)``).  LEAD
+    of the last row per key is NaN (SQL NULL); NTILE uses the SQL
+    fill rule (first ``m % n`` tiles get the extra row);
+    PERCENT_RANK is ``(rank-1)/(m-1)`` (0 for a 1-row key),
+    CUME_DIST is ``peers-at-or-below / m`` — both a single int64
+    ratio in float64, so any SQL engine agrees bitwise.
 
     Skew: ``hot_keys`` / ``hot_key_threshold`` route hot keys through
     salted_ordered_window.  The prefix handoff per slice is (row
-    count → position/tile offset, distinct-order0 count → dense-rank
-    base, first value → the PREVIOUS slice's last-row LEAD); a tie on
-    ``order_cols[0]`` always lands in one slice (the bucket id is a
-    function of that value), so cross-slice dense ranks never split a
-    tie group.  NTILE needs the key's TOTAL row count — available
-    exactly as the sum of all per-slice counts in the broadcast state
-    frame, which is why NTILE is prefix-decomposable here at all."""
+    count → position/tile/rank/cume offset, distinct-order0 count →
+    dense-rank base, first value → the PREVIOUS slice's last-row
+    LEAD); a tie on ``order_cols[0]`` always lands in one slice (the
+    bucket id is a function of that value), so cross-slice dense
+    ranks never split a tie group, rank is offset + local RANK, and
+    the CUME_DIST numerator is offset + the local tie-group end
+    (later slices hold strictly greater order0 values).  NTILE /
+    PERCENT_RANK / CUME_DIST need the key's TOTAL row count —
+    available exactly as the sum of all per-slice counts in the
+    broadcast state frame, which is why they are prefix-decomposable
+    here at all."""
     order0 = order_cols[0]
 
     def _dense_local(vals: np.ndarray) -> np.ndarray:
@@ -1288,6 +1315,21 @@ def window_lead_ntile(
             base_vals = run[starts] - 1
             base = np.repeat(base_vals, np.diff(np.append(starts, len(out))))
         out[dense_col] = run - base
+        # RANK / CUME numerators from the same tie-group structure:
+        # rank = within-key pos of the tie group's first row, cume
+        # numerator = pos of its last row (chg already restarts at
+        # key boundaries, so groups never span keys)
+        tie_start = np.flatnonzero(chg)
+        if len(tie_start):
+            lens = np.diff(np.append(tie_start, len(out)))
+            rank = np.repeat(pos[tie_start], lens)
+            ends = np.append(tie_start[1:], len(out)) - 1
+            cume_num = np.repeat(pos[ends], lens)
+        else:
+            rank = np.empty(0, dtype=np.int64)
+            cume_num = np.empty(0, dtype=np.int64)
+        out[pct_col] = (rank - 1) / np.maximum(sizes - 1, 1)
+        out[cume_col] = cume_num / sizes
         return out
 
     hot_keys = _resolve_hot(ds, key_cols, hot_keys, hot_key_threshold)
@@ -1318,7 +1360,11 @@ def window_lead_ntile(
         pos = np.arange(1, len(g) + 1, dtype=np.int64) + offset
         out[tile_col] = _ntile_of(pos, m, n_tiles)
         dense_base = int(prev["_nd"].sum())
-        out[dense_col] = _dense_local(out[order0].to_numpy()) + dense_base
+        vals = out[order0].to_numpy()
+        out[dense_col] = _dense_local(vals) + dense_base
+        rank_l, cume_l = _rank_cume_local(vals)
+        out[pct_col] = (rank_l + offset - 1) / np.int64(max(m - 1, 1))
+        out[cume_col] = (cume_l + offset) / np.int64(m)
         return out
 
     return salted_ordered_window(

@@ -1692,9 +1692,19 @@ def test_window_lead_ntile_small_groups():
     assert out["tile"].tolist() == [1, 1, 1, 2, 2, 1, 2, 1]
     # DENSE_RANK over o alone: ties share a rank, no gaps
     assert out["dense_rn"].tolist() == [1, 1, 2, 3, 3, 1, 2, 1]
+    # PERCENT_RANK = (rank-1)/(m-1), 0 for a 1-row key; CUME_DIST =
+    # peers-at-or-below / m (tie groups share both)
+    assert out["pct_rank"].tolist() == [
+        0.0, 0.0, 0.5, 0.75, 0.75, 0.0, 1.0, 0.0,
+    ]
+    assert out["cume_dist"].tolist() == [
+        0.4, 0.4, 0.6, 1.0, 1.0, 0.5, 1.0, 1.0,
+    ]
     assert out["next_value"].dtype == np.float64
     assert out["tile"].dtype == np.int64
     assert out["dense_rn"].dtype == np.int64
+    assert out["pct_rank"].dtype == np.float64
+    assert out["cume_dist"].dtype == np.float64
 
 
 def test_rolling_extrema_small_groups():
