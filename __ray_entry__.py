@@ -947,6 +947,27 @@ def _q_pricing_rollup(sf_dir):
     )
 
 
+def _q_pricing_cube(sf_dir):
+    """GROUP BY CUBE over lineitem: every subset level (flag x status,
+    flag, status, grand total) folded exactly from the SAME one-pass
+    finest-level partials the rollup uses — 2^k levels as driver
+    arithmetic over #finest-groups rows, never a second data pass."""
+    import ray.data
+
+    from raycdc.ops.relational import cube_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    return cube_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        out_col="sum_price",
+    )
+
+
 _SCRUB_TERMS = ["spark", "dup", "slow"]
 
 
@@ -1863,8 +1884,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_patch_replay": _tuned(_q_cdc_patch_replay),
         "user_event_lead_tile": _tuned(_q_user_event_lead_tile),
         "rolling_value_extrema": _tuned(_q_rolling_value_extrema),
+        "pricing_cube": _tuned(_q_pricing_cube),
         # -- (c) code touched this round ------------------------------------
-        "user_event_rank": _tuned(_q_user_event_rank),
+        # (user_event_rank demoted for pricing_cube: r03-green, and the
+        #  salted twin user_event_rank_salted — the path that changed —
+        #  stays in the window)
         "rolling_value_mean": _tuned(_q_rolling_value_mean),
         "pricing_rollup": _tuned(_q_pricing_rollup),
         "event_value_histogram": _tuned(_q_event_value_histogram),
@@ -1879,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  test_driver_fold_tripwires_fail_loud)
         "pricing_summary": _tuned(_q_pricing_summary),
         "orders_per_nation": _tuned(_q_orders_per_nation),
+        "user_event_rank": _tuned(_q_user_event_rank),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_embedding": _tuned(_q_dedup_embedding),
@@ -2303,6 +2328,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pricing_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_price,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "scrub_blocklist": r"""
             SELECT doc_id,

@@ -495,6 +495,99 @@ def pricing_summary(lineitem: "ray.data.Dataset") -> pd.DataFrame:
     return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def _finest_partials(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    scale: int,
+    max_fold_rows: int,
+    caller: str,
+) -> pd.DataFrame:
+    """Shared engine for the grouping-sets family: per-batch combiner
+    at the FINEST grouping level (exact int64 scaled cents + count),
+    stream-folded on the driver — bounded by #finest-groups, failing
+    LOUD past ``max_fold_rows`` instead of silently materializing
+    #blocks × #finest-groups rows.  Every coarser level any caller
+    wants is an exact sum of these partials."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        slim = pd.DataFrame(
+            {
+                **{c: df[c] for c in group_cols},
+                "_c": np.round(df[value_col].to_numpy() * scale).astype(
+                    np.int64
+                ),
+            }
+        )
+        return slim.groupby(group_cols, as_index=False, sort=False, dropna=False).agg(
+            _c=("_c", "sum"), _n=("_c", "size")
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            group_cols, as_index=False, sort=False, dropna=False
+        ).agg(_c=("_c", "sum"), _n=("_n", "sum"))
+
+    finest: pd.DataFrame | None = None
+    for batch in (
+        ds.map_batches(combine, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=65536)
+    ):
+        finest = (
+            batch
+            if finest is None
+            else fold(pd.concat([finest, batch], ignore_index=True))
+        )
+        if len(finest) > max_fold_rows:
+            raise ValueError(
+                f"{caller}: folded finest-level partials exceed "
+                f"{max_fold_rows} rows — {group_cols} is not a "
+                f"low-cardinality grouping key; pre-aggregate with "
+                "hash_partition_reduce first."
+            )
+    if finest is None:
+        finest = combine(
+            pd.DataFrame({c: [] for c in group_cols + [value_col]})
+        )
+    return fold(finest)
+
+
+def _grouping_levels(
+    finest: pd.DataFrame,
+    group_cols: list[str],
+    sets: list[list[str]],
+    out_col: str,
+    count_col: str,
+    scale: int,
+) -> pd.DataFrame:
+    """Fold the finest partials down to each grouping set; columns
+    outside a set carry SQL-style NULLs."""
+    levels = []
+    for keep in sets:
+        keep = [c for c in group_cols if c in keep]
+        if keep == group_cols:
+            lvl = finest.copy()
+        elif keep:
+            lvl = finest.groupby(
+                keep, as_index=False, sort=False, dropna=False
+            ).agg(_c=("_c", "sum"), _n=("_n", "sum"))
+        else:
+            lvl = pd.DataFrame(
+                {
+                    "_c": [int(finest["_c"].sum())],
+                    "_n": [int(finest["_n"].sum())],
+                }
+            )
+        for c in group_cols:
+            if c not in keep:
+                lvl[c] = None
+        levels.append(lvl[group_cols + ["_c", "_n"]])
+    out = pd.concat(levels, ignore_index=True)
+    out[out_col] = out["_c"] / float(scale)
+    out[count_col] = out["_n"].astype(np.int64)
+    return out.drop(columns=["_c", "_n"]).reset_index(drop=True)
+
+
 def rollup_sum(
     ds: "ray.data.Dataset",
     group_cols: list[str],
@@ -516,70 +609,77 @@ def rollup_sum(
     (``dropna=False``) but are indistinguishable from subtotal rows in
     the output — the same ambiguity SQL ROLLUP has without
     ``GROUPING()`` — so prefer non-null group columns."""
+    finest = _finest_partials(
+        ds, group_cols, value_col, scale, max_fold_rows, "rollup_sum"
+    )
+    sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
+    return _grouping_levels(
+        finest, group_cols, sets, out_col, count_col, scale
+    )
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        slim = pd.DataFrame(
-            {
-                **{c: df[c] for c in group_cols},
-                "_c": np.round(df[value_col].to_numpy() * scale).astype(
-                    np.int64
-                ),
-            }
-        )
-        return slim.groupby(group_cols, as_index=False, sort=False, dropna=False).agg(
-            _c=("_c", "sum"), _n=("_c", "size")
-        )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(
-            group_cols, as_index=False, sort=False, dropna=False
-        ).agg(_c=("_c", "sum"), _n=("_n", "sum"))
-
-    # stream-fold the finest-level partials on the driver; the
-    # low-cardinality contract fails LOUD past max_fold_rows instead
-    # of silently materializing #blocks × #finest-groups rows
-    finest: pd.DataFrame | None = None
-    for batch in (
-        ds.map_batches(combine, batch_format="pandas")
-        .iter_batches(batch_format="pandas", batch_size=65536)
-    ):
-        finest = (
-            batch
-            if finest is None
-            else fold(pd.concat([finest, batch], ignore_index=True))
+def cube_sum(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "sum_value",
+    count_col: str = "n",
+    scale: int = 100,
+    max_fold_rows: int = 2_000_000,
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(cols)``: subtotals for EVERY subset of the
+    grouping columns (2^k levels) plus the grand total, still ONE
+    pass over the raw rows — every level is an exact int64 fold of
+    the same finest-level partials rollup_sum uses.  2^k is driver
+    arithmetic over #finest-groups rows, never a data pass; the
+    low-cardinality contract (and its loud tripwire) is inherited
+    from the shared engine."""
+    if len(group_cols) > 8:
+        raise ValueError(
+            f"cube_sum: {len(group_cols)} grouping columns means "
+            f"{2 ** len(group_cols)} cube levels — cap is 8 columns; "
+            "use grouping_sets_sum with an explicit set list."
         )
-        if len(finest) > max_fold_rows:
+    sets: list[list[str]] = [[]]
+    for c in group_cols:
+        sets = sets + [s + [c] for s in sets]
+    sets.sort(key=len, reverse=True)
+    finest = _finest_partials(
+        ds, group_cols, value_col, scale, max_fold_rows, "cube_sum"
+    )
+    return _grouping_levels(
+        finest, group_cols, sets, out_col, count_col, scale
+    )
+
+
+def grouping_sets_sum(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    sets: list[list[str]],
+    out_col: str = "sum_value",
+    count_col: str = "n",
+    scale: int = 100,
+    max_fold_rows: int = 2_000_000,
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS (...)``: the caller picks exactly
+    which levels to emit; same one-pass finest-partials engine as
+    rollup_sum/cube_sum.  Each set must be a subset of
+    ``group_cols``."""
+    for s in sets:
+        extra = [c for c in s if c not in group_cols]
+        if extra:
             raise ValueError(
-                f"rollup_sum: folded finest-level partials exceed "
-                f"{max_fold_rows} rows — {group_cols} is not a "
-                "low-cardinality rollup key; pre-aggregate with "
-                "hash_partition_reduce first."
+                f"grouping_sets_sum: set {s} names columns {extra} "
+                f"outside group_cols {group_cols}"
             )
-    if finest is None:
-        finest = combine(
-            pd.DataFrame({c: [] for c in group_cols + [value_col]})
-        )
-    finest = fold(finest)
-    levels = [finest]
-    for i in range(len(group_cols) - 1, -1, -1):
-        if i:
-            lvl = finest.groupby(
-                group_cols[:i], as_index=False, sort=False, dropna=False
-            ).agg(_c=("_c", "sum"), _n=("_n", "sum"))
-        else:
-            lvl = pd.DataFrame(
-                {
-                    "_c": [int(finest["_c"].sum())],
-                    "_n": [int(finest["_n"].sum())],
-                }
-            )
-        for c in group_cols[i:]:
-            lvl[c] = None
-        levels.append(lvl[group_cols + ["_c", "_n"]])
-    out = pd.concat(levels, ignore_index=True)
-    out[out_col] = out["_c"] / float(scale)
-    out[count_col] = out["_n"].astype(np.int64)
-    return out.drop(columns=["_c", "_n"]).reset_index(drop=True)
+    finest = _finest_partials(
+        ds, group_cols, value_col, scale, max_fold_rows,
+        "grouping_sets_sum",
+    )
+    return _grouping_levels(
+        finest, group_cols, sets, out_col, count_col, scale
+    )
 
 
 def latest_by_key(

@@ -1729,6 +1729,38 @@ def test_rolling_extrema_small_groups():
     assert out["rolling_max"].tolist() == [3.0, 3.0, 4.0, 4.0, 5.0, 7.5]
 
 
+def test_cube_and_grouping_sets_levels():
+    from raycdc.ops.relational import cube_sum, grouping_sets_sum
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": ["p", "q", "p", "p"],
+            "v": [1.00, 2.00, 3.00, 4.00],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    cube = cube_sum(ds, ["a", "b"], "v")
+    # 2^2 levels: finest 3 rows + by-a 2 + by-b 2 + grand 1 = 8 rows
+    assert len(cube) == 8
+    grand = cube[cube["a"].isna() & cube["b"].isna()]
+    assert grand["sum_value"].tolist() == [10.0]
+    assert grand["n"].tolist() == [4]
+    by_b = cube[cube["a"].isna() & cube["b"].notna()]
+    assert dict(zip(by_b["b"], by_b["sum_value"])) == {"p": 8.0, "q": 2.0}
+    # grouping sets picks exactly the requested levels, nothing else
+    gs = grouping_sets_sum(ds, ["a", "b"], "v", sets=[["a"], []])
+    assert len(gs) == 3
+    assert gs["b"].isna().all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outside group_cols"):
+        grouping_sets_sum(ds, ["a"], "v", sets=[["b"]])
+    with pytest.raises(ValueError, match="cap is 8"):
+        cube_sum(ds, [f"c{i}" for i in range(9)], "v")
+
+
 def test_scrub_terms_whole_word_only():
     from raycdc.ops.text import scrub_terms
 
