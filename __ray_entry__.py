@@ -947,6 +947,21 @@ def _q_pricing_rollup(sf_dir):
     )
 
 
+def _q_event_value_outliers(sf_dir):
+    """Per-event-type z-score + 3-sigma outlier flag: the broadcast
+    small-side pattern — one streaming pass folds exact int64 moments
+    per group on the driver (tripwired), the tiny (mean, std) frame
+    is ray.put once, and a second fused pass annotates every batch
+    with a pandas hash-merge.  No row rides an exchange; mean/std/z
+    are the identical float64 expression the oracle computes."""
+    from raycdc.ops.stats import zscore_by_group
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    return zscore_by_group(
+        ds, ["event_type"], "value", threshold=3.0
+    ).select_columns(["event_id", "event_type", "zscore", "is_outlier"])
+
+
 def _q_pricing_cube(sf_dir):
     """GROUP BY CUBE over lineitem: every subset level (flag x status,
     flag, status, grand total) folded exactly from the SAME one-pass
@@ -1885,11 +1900,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_lead_tile": _tuned(_q_user_event_lead_tile),
         "rolling_value_extrema": _tuned(_q_rolling_value_extrema),
         "pricing_cube": _tuned(_q_pricing_cube),
+        "event_value_outliers": _tuned(_q_event_value_outliers),
         # -- (c) code touched this round ------------------------------------
-        # (user_event_rank demoted for pricing_cube: r03-green, and the
-        #  salted twin user_event_rank_salted — the path that changed —
-        #  stays in the window)
-        "rolling_value_mean": _tuned(_q_rolling_value_mean),
+        # (user_event_rank / rolling_value_mean demoted for the new
+        #  queries: both r03-green; the salted twin user_event_rank_salted
+        #  — the path that changed — stays in the window, and the
+        #  rolling-mean salting is pinned by its zipfian exactness test)
         "pricing_rollup": _tuned(_q_pricing_rollup),
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
@@ -1904,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _tuned(_q_pricing_summary),
         "orders_per_nation": _tuned(_q_orders_per_nation),
         "user_event_rank": _tuned(_q_user_event_rank),
+        "rolling_value_mean": _tuned(_q_rolling_value_mean),
         "dedup_minhash": _tuned(_q_dedup_minhash),
         "dedup_incremental": _tuned(_q_dedup_incremental),
         "dedup_embedding": _tuned(_q_dedup_embedding),
@@ -2328,6 +2345,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "event_value_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ), s AS (
+              SELECT event_type,
+                     CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c * c) AS BIGINT) AS ss,
+                     count(*) AS n
+              FROM c GROUP BY event_type
+            ), st AS (
+              SELECT event_type, s / n AS mean_c,
+                     sqrt(GREATEST(ss / n - (s / n) * (s / n), 0))
+                         AS std_c
+              FROM s
+            )
+            SELECT c.event_id, c.event_type,
+                   CASE WHEN st.std_c > 0
+                        THEN (c.c - st.mean_c) / st.std_c
+                        ELSE 0.0 END AS zscore,
+                   CAST(CASE WHEN st.std_c > 0
+                             AND abs((c.c - st.mean_c) / st.std_c) > 3.0
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM c JOIN st USING (event_type)
         """,
         "pricing_cube": """
             SELECT l_returnflag, l_linestatus,

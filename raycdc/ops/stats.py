@@ -519,3 +519,99 @@ def exact_quantiles_continuous_by(
         for q in qs
     ]
     return pd.DataFrame(rows)
+
+
+def zscore_by_group(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.0,
+    z_col: str = "zscore",
+    flag_col: str = "is_outlier",
+    scale: int = 100,
+    max_groups: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-group z-score annotation + outlier flag — the data-cleaning
+    gate a curation pipeline runs before training (drop value rows
+    more than ``threshold`` sigmas from their group's mean).
+
+    Scale shape (the broadcast-small-side pattern, not a shuffle
+    join): pass 1 folds per-batch (sum, sum-of-squares, count) int64
+    partials on the driver — #groups rows, tripwired at
+    ``max_groups`` — then the tiny per-group (mean, std) frame is
+    ``ray.put`` ONCE and every pass-2 task annotates its batch with a
+    pandas hash-merge against the broadcast.  No row ever rides an
+    exchange; the corpus pass stays fused streaming.
+
+    Exactness: values quantize to int64 ``scale``-ths, so the moments
+    are exact integers; mean/std/z are then the IDENTICAL float64
+    expression the mirrored SQL computes (``s/n``,
+    ``sqrt(greatest(ss/n - (s/n)^2, 0))``, ``(c - mean)/std``) —
+    bit-equal while ``ss < 2^53`` (int→double exact); past that the
+    z-scores drift in the last ulp, which no 3-sigma gate can see.
+    A zero-variance group z-scores to 0.0 (never NaN/inf); the flag
+    is int64 0/1 for stable cross-engine hashing."""
+    import ray
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df[value_col].to_numpy() * scale).astype(np.int64)
+        slim = df[group_cols].copy()
+        slim["_s"] = c
+        slim["_ss"] = c * c
+        return slim.groupby(group_cols, as_index=False, sort=False).agg(
+            _s=("_s", "sum"), _ss=("_ss", "sum"), _n=("_s", "size")
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, as_index=False, sort=False).agg(
+            _s=("_s", "sum"), _ss=("_ss", "sum"), _n=("_n", "sum")
+        )
+
+    stats: pd.DataFrame | None = None
+    for batch in (
+        ds.select_columns(group_cols + [value_col])
+        .map_batches(part, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=65536)
+    ):
+        stats = (
+            batch
+            if stats is None
+            else fold(pd.concat([stats, batch], ignore_index=True))
+        )
+        if len(stats) > max_groups:
+            raise ValueError(
+                f"zscore_by_group: folded group stats exceed "
+                f"{max_groups} rows — {group_cols} is not a "
+                "low-cardinality group key; raise max_groups or "
+                "pre-bucket the key."
+            )
+    if stats is None or not len(stats):
+        return ds.map_batches(
+            lambda df: df.assign(
+                **{z_col: np.float64(0.0), flag_col: np.int64(0)}
+            ),
+            batch_format="pandas",
+        )
+    stats = fold(stats)
+    mean = stats["_s"].to_numpy() / stats["_n"].to_numpy()
+    var = stats["_ss"].to_numpy() / stats["_n"].to_numpy() - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    small = stats[group_cols].copy()
+    small["_mean"] = mean
+    small["_std"] = std
+    small_ref = ray.put(small)
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(small_ref)
+        out = df.merge(sm, on=group_cols, how="left", sort=False)
+        out.index = df.index
+        c = np.round(out[value_col].to_numpy() * scale).astype(np.int64)
+        m = out["_mean"].to_numpy()
+        sd = out["_std"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (c - m) / sd, 0.0)
+        out[z_col] = z
+        out[flag_col] = (np.abs(z) > threshold).astype(np.int64)
+        return out.drop(columns=["_mean", "_std"])
+
+    return ds.map_batches(annotate, batch_format="pandas")

@@ -281,3 +281,50 @@ def test_approx_quantiles_by_single_occupied_bucket_geometry():
         rd.from_arrow(t2).materialize(), "g", "v", qs=[0.5], nbins=4
     )
     assert abs(float(out2["value"].iloc[0]) - 42.0) <= 1.0
+
+
+def test_zscore_by_group_flags_and_zero_variance():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from raycdc.ops.stats import zscore_by_group
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 10 + ["b"] * 3,
+            "id": list(range(13)),
+            # group a: nine 1.0s and one huge spike; group b: constant
+            "v": [1.0] * 9 + [1000.0] + [5.0, 5.0, 5.0],
+        }
+    )
+    out = (
+        zscore_by_group(ray.data.from_pandas(df), ["g"], "v", threshold=2.0)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[9, "is_outlier"] == 1 and out.loc[9, "zscore"] > 2.0
+    assert out.loc[:8, "is_outlier"].sum() == 0
+    # zero-variance group: z pinned to 0.0, never NaN/inf
+    b = out[out["g"] == "b"]
+    assert (b["zscore"] == 0.0).all() and (b["is_outlier"] == 0).all()
+    assert out["is_outlier"].dtype == np.int64
+
+
+def test_zscore_by_group_tripwire_fails_loud():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from raycdc.ops.stats import zscore_by_group
+
+    n = 5000
+    df = pd.DataFrame(
+        {"g": np.arange(n), "v": np.ones(n)}
+    )
+    with pytest.raises(ValueError, match="low-cardinality"):
+        zscore_by_group(
+            ray.data.from_pandas(df), ["g"], "v", max_groups=100
+        ).materialize()
