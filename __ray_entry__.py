@@ -1776,6 +1776,24 @@ def _q_window_hourly(sf_dir):
     )
 
 
+def _q_cohort_retention(sf_dir):
+    """Cohort retention triangle over the event log (daily
+    granularity — the testdata spans one month, so days give a real
+    ~30x30 triangle): ONE hash exchange on user_id co-locates each
+    user's history, so the per-user cohort day, the distinct
+    (user, day) pairs, and the per-cell counts all compute locally —
+    the driver folds only #periods² slim rows.  Periods are exact
+    int64 epoch days."""
+    from raycdc.ops.relational import cohort_retention
+
+    return cohort_retention(
+        _events(sf_dir, columns=["user_id", "ts"]),
+        "user_id",
+        "ts",
+        granularity="day",
+    )
+
+
 def _q_content_digests(sf_dir):
     """A4: per-row sha256(content) — the verification invariant from
     BASELINE.json input_hint, as a vectorizable map stage."""
@@ -1901,6 +1919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value_extrema": _tuned(_q_rolling_value_extrema),
         "pricing_cube": _tuned(_q_pricing_cube),
         "event_value_outliers": _tuned(_q_event_value_outliers),
+        "cohort_retention": _tuned(_q_cohort_retention),
         # -- (c) code touched this round ------------------------------------
         # (user_event_rank / rolling_value_mean demoted for the new
         #  queries: both r03-green; the salted twin user_event_rank_salted
@@ -1909,8 +1928,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": _tuned(_q_pricing_rollup),
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
-        "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
         # ---- driver-window boundary (50) ---------------------------------
+        # (cdc_jsonl_replay demoted for cohort_retention: it is
+        #  r03-green, and this round's JSONL salvage/probe changes stay
+        #  in-window via cdc_jsonl_gz_replay, which runs the same parse
+        #  lane plus the compressed transport)
+        "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
         # -- (d) stable, r03-green ------------------------------------------
         # (pricing_summary / orders_per_nation demoted to fit the two
         #  new window queries: both r03-green, and the only round-4
@@ -2986,6 +3009,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "cohort_retention": """
+            WITH m AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) AS d
+                FROM events
+            ), c AS (
+                SELECT user_id, MIN(d) AS cohort FROM m GROUP BY user_id
+            )
+            SELECT c.cohort,
+                   m.d AS period,
+                   CAST(m.d - c.cohort AS BIGINT) AS age,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM m JOIN c ON m.user_id = c.user_id
+            GROUP BY c.cohort, m.d
         """,
         "asof_prior_purchase": """
             SELECT e.event_id, e.user_id,

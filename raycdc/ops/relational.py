@@ -2608,3 +2608,86 @@ def hourly_user_window(events: "ray.data.Dataset", as_dataset: bool = False):
         .sort_values(["user_id", "window_start"])
         .reset_index(drop=True)
     )
+
+
+def cohort_retention(
+    ds: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    granularity: str = "month",
+    cohort_col: str = "cohort",
+    period_col: str = "period",
+    age_col: str = "age",
+    n_col: str = "n_users",
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST
+    active period (``granularity`` = ``"month"`` | ``"week"`` |
+    ``"day"``), and each (cohort, activity period) cell counts the
+    distinct users from that cohort active in that period — the
+    standard growth-analytics triangle.
+
+    Shape: ONE hash exchange on the user key.  Because a user's full
+    history is co-located after the exchange, the cohort (per-user
+    min period), the distinct (user, period) pairs, AND the per-cell
+    user counts are all computed locally per partition — users never
+    double-count across partitions, so local cell counts are
+    additive and the driver folds only #periods² slim rows.  Periods
+    are exact int64 (months as ``year*100 + month``, weeks/days as
+    epoch days — Monday-aligned for weeks); ``age`` is whole periods
+    since the cohort period — integer arithmetic any SQL engine
+    mirrors exactly."""
+    if granularity not in ("month", "week", "day"):
+        raise ValueError(
+            f"granularity must be month|week|day, got {granularity!r}"
+        )
+
+    def to_period(dt: pd.DatetimeIndex) -> np.ndarray:
+        if granularity == "month":
+            return dt.year.to_numpy(np.int64) * 100 + dt.month.to_numpy(
+                np.int64
+            )
+        days = (dt - pd.Timestamp("1970-01-01")).days.to_numpy(np.int64)
+        if granularity == "week":
+            # epoch day 0 is a Thursday; shift so weeks start Monday
+            return (days + 3) // 7 * 7 - 3
+        return days
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        m = to_period(pd.DatetimeIndex(df[ts_col]))
+        t = pd.DataFrame({user_col: df[user_col].to_numpy(), "_m": m})
+        t["_cohort"] = t.groupby(user_col, sort=False)["_m"].transform(
+            "min"
+        )
+        d = t.drop_duplicates([user_col, "_m"])
+        return d.groupby(["_cohort", "_m"], as_index=False, sort=False).agg(
+            _n=(user_col, "size")
+        )
+
+    partials = hash_partition_reduce(
+        ds.select_columns([user_col, ts_col]),
+        [user_col],
+        per_part,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    out = partials.groupby(["_cohort", "_m"], as_index=False, sort=True).agg(
+        _n=("_n", "sum")
+    )
+    cohort = out["_cohort"].to_numpy()
+    period = out["_m"].to_numpy()
+    if granularity == "month":
+        age = (period // 100 - cohort // 100) * 12 + (
+            period % 100 - cohort % 100
+        )
+    elif granularity == "week":
+        age = (period - cohort) // 7
+    else:
+        age = period - cohort
+    return pd.DataFrame(
+        {
+            cohort_col: cohort,
+            period_col: period,
+            age_col: age.astype(np.int64),
+            n_col: out["_n"].to_numpy().astype(np.int64),
+        }
+    )

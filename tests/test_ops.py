@@ -2163,3 +2163,118 @@ def test_patch_coalesce_all_null_column_stays_null():
     )
     assert np.isnan(out["v"].iloc[0]) and out["v"].iloc[1] == 5.0
     assert out["last_seq"].tolist() == [2, 3]
+
+
+def _serial_cohort_retention(
+    df: pd.DataFrame, granularity: str = "month"
+) -> pd.DataFrame:
+    """Plain-pandas reference: cohort = each user's first active
+    period; cell = distinct users from that cohort active then."""
+    t = df.copy()
+    dt = pd.DatetimeIndex(t["user_ts"])
+    if granularity == "month":
+        t["period"] = dt.year.astype(np.int64) * 100 + dt.month.astype(
+            np.int64
+        )
+    else:
+        days = (dt - pd.Timestamp("1970-01-01")).days.to_numpy(np.int64)
+        t["period"] = (
+            days if granularity == "day" else (days + 3) // 7 * 7 - 3
+        )
+    t["cohort"] = t.groupby("uid")["period"].transform("min")
+    d = t.drop_duplicates(["uid", "period"])
+    out = (
+        d.groupby(["cohort", "period"], as_index=False)
+        .agg(n_users=("uid", "size"))
+        .sort_values(["cohort", "period"])
+        .reset_index(drop=True)
+    )
+    if granularity == "month":
+        out["age"] = (out["period"] // 100 - out["cohort"] // 100) * 12 + (
+            out["period"] % 100 - out["cohort"] % 100
+        )
+    elif granularity == "week":
+        out["age"] = (out["period"] - out["cohort"]) // 7
+    else:
+        out["age"] = out["period"] - out["cohort"]
+    return out[["cohort", "period", "age", "n_users"]].astype(np.int64)
+
+
+@pytest.mark.parametrize("granularity", ["month", "week", "day"])
+def test_cohort_retention_matches_serial_reference(granularity):
+    from raycdc.ops.relational import cohort_retention
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 300, n),
+            "user_ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 400 * 24 * 3600, n), unit="s"),
+        }
+    )
+    # many partitions so users start scattered across blocks
+    ds = ray.data.from_pandas(
+        [df.iloc[i::7].reset_index(drop=True) for i in range(7)]
+    )
+    got = (
+        cohort_retention(
+            ds, "uid", "user_ts", granularity=granularity, num_partitions=5
+        )
+        .sort_values(["cohort", "period"])
+        .reset_index(drop=True)
+    )
+    want = _serial_cohort_retention(df, granularity)
+    pd.testing.assert_frame_equal(got, want)
+    # sanity: age-0 cell exists for every cohort
+    zero = got[got["age"] == 0]
+    assert set(zero["cohort"]) == set(got["cohort"].unique())
+
+
+def test_cohort_retention_single_user_multiple_months():
+    from raycdc.ops.relational import cohort_retention
+
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 1, 1],
+            "user_ts": pd.to_datetime(
+                ["2024-01-05", "2024-01-20", "2024-03-02", "2025-01-01"]
+            ),
+        }
+    )
+    got = (
+        cohort_retention(ray.data.from_pandas(df), "uid", "user_ts")
+        .sort_values("period")
+        .reset_index(drop=True)
+    )
+    assert got["cohort"].tolist() == [202401, 202401, 202401]
+    assert got["period"].tolist() == [202401, 202403, 202501]
+    # age spans a year boundary: 0, 2, 12 months
+    assert got["age"].tolist() == [0, 2, 12]
+    assert got["n_users"].tolist() == [1, 1, 1]
+
+
+def test_cohort_retention_week_periods_are_monday_aligned():
+    from raycdc.ops.relational import cohort_retention
+
+    # 2024-01-01 is a Monday; 2024-01-07 the following Sunday
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 1],
+            "user_ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-07", "2024-01-08"]
+            ),
+        }
+    )
+    got = (
+        cohort_retention(
+            ray.data.from_pandas(df), "uid", "user_ts", granularity="week"
+        )
+        .sort_values("period")
+        .reset_index(drop=True)
+    )
+    # Mon+Sun share a week; next Monday starts the next one
+    assert len(got) == 2
+    assert got["age"].tolist() == [0, 1]
+    monday = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).days
+    assert got["period"].tolist() == [monday, monday + 7]
