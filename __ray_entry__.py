@@ -1776,6 +1776,27 @@ def _q_window_hourly(sf_dir):
     )
 
 
+def _q_seq_audit(sf_dir):
+    """Wire-log integrity audit over a deliberately-defective cursor
+    stream lifted from events (drop 'error' seqs → gaps; emit
+    'purchase' seqs twice → dups).  ONE slim int64 exchange bucketed
+    by seq range; reducers emit only defect rows plus one summary row
+    per bucket; the driver stitches cross-bucket gaps.  bucket_size
+    is set small so the sf-scale run exercises the stitching path."""
+    from raycdc.ops.audit import sequence_audit
+
+    ds = _events(sf_dir, columns=["event_id", "event_type"])
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["event_id"].to_numpy(np.int64)
+        keep = df["event_type"].to_numpy() != "error"
+        extra = df["event_type"].to_numpy() == "purchase"
+        return pd.DataFrame({"seq": np.concatenate([s[keep], s[extra]])})
+
+    log = ds.map_batches(lift, batch_format="pandas")
+    return sequence_audit(log, "seq", bucket_size=1024)
+
+
 def _q_cohort_retention(sf_dir):
     """Cohort retention triangle over the event log (daily
     granularity — the testdata spans one month, so days give a real
@@ -1920,15 +1941,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_cube": _tuned(_q_pricing_cube),
         "event_value_outliers": _tuned(_q_event_value_outliers),
         "cohort_retention": _tuned(_q_cohort_retention),
+        "seq_audit": _tuned(_q_seq_audit),
         # -- (c) code touched this round ------------------------------------
         # (user_event_rank / rolling_value_mean demoted for the new
         #  queries: both r03-green; the salted twin user_event_rank_salted
         #  — the path that changed — stays in the window, and the
         #  rolling-mean salting is pinned by its zipfian exactness test)
-        "pricing_rollup": _tuned(_q_pricing_rollup),
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
         # ---- driver-window boundary (50) ---------------------------------
+        # (pricing_rollup demoted for seq_audit: it is r03-green, and
+        #  this round's CUBE refactor routed rollup through the shared
+        #  finest-partials engine that pricing_cube — in-window, new —
+        #  exercises; the rollup driver-fold tripwire is an error-path
+        #  guard pinned by test_driver_fold_tripwires_fail_loud)
+        "pricing_rollup": _tuned(_q_pricing_rollup),
         # (cdc_jsonl_replay demoted for cohort_retention: it is
         #  r03-green, and this round's JSONL salvage/probe changes stay
         #  in-window via cdc_jsonl_gz_replay, which runs the same parse
@@ -3009,6 +3036,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "seq_audit": """
+            WITH log AS (
+                SELECT event_id AS seq FROM events
+                WHERE event_type <> 'error'
+                UNION ALL
+                SELECT event_id FROM events WHERE event_type = 'purchase'
+            ), d AS (
+                SELECT seq, COUNT(*) AS cnt FROM log GROUP BY seq
+            ), g AS (
+                SELECT seq, lead(seq) OVER (ORDER BY seq) AS nxt FROM d
+            )
+            SELECT 'dup' AS kind, seq AS start_seq, seq AS end_seq,
+                   CAST(cnt AS BIGINT) AS n
+            FROM d WHERE cnt > 1
+            UNION ALL
+            SELECT 'gap', seq + 1, nxt - 1, CAST(nxt - seq - 1 AS BIGINT)
+            FROM g WHERE nxt > seq + 1
         """,
         "cohort_retention": """
             WITH m AS (

@@ -1,0 +1,80 @@
+"""sequence_audit: wire-log cursor integrity (dups + gap ranges)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from raycdc.ops.audit import DefectBudgetExceeded, sequence_audit
+
+
+def _ds(seqs, blocks=5):
+    df = pd.DataFrame({"seq": np.asarray(seqs, dtype=np.int64)})
+    return ray.data.from_pandas(
+        [df.iloc[i::blocks].reset_index(drop=True) for i in range(blocks)]
+    )
+
+
+def _serial_audit(seqs) -> pd.DataFrame:
+    s = np.sort(np.asarray(seqs, dtype=np.int64))
+    u, c = np.unique(s, return_counts=True)
+    rows = [("dup", int(v), int(v), int(n)) for v, n in zip(u, c) if n > 1]
+    for a, b in zip(u[:-1], u[1:]):
+        if b > a + 1:
+            rows.append(("gap", int(a) + 1, int(b) - 1, int(b - a - 1)))
+    out = pd.DataFrame(
+        rows, columns=["kind", "start_seq", "end_seq", "n"]
+    ).astype({"start_seq": np.int64, "end_seq": np.int64, "n": np.int64})
+    return out.sort_values(["start_seq", "kind"]).reset_index(drop=True)
+
+
+def test_clean_log_is_empty():
+    out = sequence_audit(_ds(np.arange(1000)), bucket_size=64)
+    assert out.empty
+    assert list(out.columns) == ["kind", "start_seq", "end_seq", "n"]
+
+
+def test_dups_and_gaps_across_bucket_boundaries():
+    # dup inside a bucket, dup AT a bucket edge, in-bucket gap,
+    # cross-bucket gap spanning several entirely-missing buckets
+    seqs = (
+        list(range(0, 10))
+        + list(range(20, 35))
+        + [5, 5, 31, 7 * 8]  # 56 duplicates the range() value? no: 56 not in ranges
+        + list(range(100, 103))
+    )
+    # 56 appears once (new) -> creates its own island between 35..99
+    out = sequence_audit(_ds(seqs), bucket_size=8)
+    pd.testing.assert_frame_equal(out, _serial_audit(seqs))
+
+
+@pytest.mark.parametrize("bucket_size", [2, 7, 64, 1 << 20])
+def test_matches_serial_reference_random(bucket_size):
+    rng = np.random.default_rng(42)
+    # random multiset over a sparse domain: plenty of dups and gaps
+    seqs = rng.integers(0, 5000, 3000)
+    out = sequence_audit(_ds(seqs, blocks=7), bucket_size=bucket_size)
+    pd.testing.assert_frame_equal(out, _serial_audit(seqs))
+
+
+def test_single_row_and_empty():
+    out = sequence_audit(_ds([17]), bucket_size=4)
+    assert out.empty
+    out = sequence_audit(
+        ray.data.from_pandas(pd.DataFrame({"seq": pd.Series([], dtype=np.int64)})),
+        bucket_size=4,
+    )
+    assert out.empty
+
+
+def test_defect_budget_fails_loud():
+    # every seq duplicated -> defect count ~n_distinct >> budget
+    seqs = np.repeat(np.arange(500, dtype=np.int64), 2)
+    with pytest.raises(DefectBudgetExceeded, match="max_defects"):
+        sequence_audit(_ds(seqs), bucket_size=1 << 20, max_defects=10)
+
+
+def test_negative_and_large_seqs():
+    seqs = [-5, -3, -3, 0, 1 << 40, (1 << 40) + 2]
+    out = sequence_audit(_ds(seqs, blocks=2), bucket_size=16)
+    pd.testing.assert_frame_equal(out, _serial_audit(seqs))
