@@ -495,6 +495,121 @@ def _q_cdc_snapshot_diff(sf_dir):
     return snapshot_diff(lake_dir, vs[-2], vs[-1])
 
 
+def _q_matview_repo_stats(sf_dir):
+    """Incrementally-maintained materialized aggregate view (docs +
+    content bytes per repo): created after the FIRST ingest window,
+    then TWO more windows (the rest of the inserts, every update wave,
+    the deletes) land as separate commits and ONE refresh folds their
+    snapshot diff as weighted retract/add contributions — O(changed
+    keys), never a recompute.  The oracle is the full aggregate over
+    the final state, so any drift between incremental maintenance and
+    recompute-from-scratch hash-mismatches."""
+    import hashlib
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.matview import (
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_matview_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    view_dir = os.path.join(workdir, "view")
+    documents_changelog(sf_dir, staging, fragments=6)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=16,
+        columns=PAYLOAD_COLUMNS,
+    )
+    frags = sorted(os.listdir(staging))
+    for i, names in enumerate((frags[:1], frags[1:4], frags[4:])):
+        for name in names:
+            os.rename(
+                os.path.join(staging, name), os.path.join(log_dir, name)
+            )
+        run_ingest(cfg)
+        if i == 0:
+            create_matview(
+                lake_dir,
+                view_dir,
+                ["repo"],
+                {
+                    "n_docs": ("count", None),
+                    "content_bytes": ("sum_len", "content"),
+                },
+            )
+    refresh_matview(view_dir)
+    return read_matview(view_dir)
+
+
+def _q_cdc_change_feed(sf_dir):
+    """Per-commit change-data-feed consumer surface: the same
+    three-window lake as the matview query, read back as one feed
+    from the first committed version — each row tagged with the
+    commit that introduced it (normalized to a dense 1-based
+    commit_idx so the oracle is version-numbering independent).
+    Unlike the net snapshot diff, a key changed in both later windows
+    appears once PER commit."""
+    import hashlib
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.maintenance import change_feed
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_feed_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    documents_changelog(sf_dir, staging, fragments=6)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=16,
+        columns=PAYLOAD_COLUMNS,
+    )
+    frags = sorted(os.listdir(staging))
+    for names in (frags[:1], frags[1:4], frags[4:]):
+        for name in names:
+            os.rename(
+                os.path.join(staging, name), os.path.join(log_dir, name)
+            )
+        run_ingest(cfg)
+    vs = Lake(lake_dir).versions()
+    df = change_feed(lake_dir, vs[-3], vs[-1]).to_pandas()
+    df["commit_idx"] = (
+        df["_commit_version"].rank(method="dense").astype("int64")
+    )
+    return df[["repo", "path", "change", "content", "commit_idx"]]
+
+
 def _q_scd2_user_history(sf_dir):
     """SCD2 materialization of the event stream: one validity-interval
     version row per change, per-key hash exchange + grouped shift —
@@ -1942,14 +2057,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": _tuned(_q_event_value_outliers),
         "cohort_retention": _tuned(_q_cohort_retention),
         "seq_audit": _tuned(_q_seq_audit),
+        "matview_repo_stats": _tuned(_q_matview_repo_stats),
+        "cdc_change_feed": _tuned(_q_cdc_change_feed),
+        # ---- driver-window boundary (50) ---------------------------------
         # -- (c) code touched this round ------------------------------------
         # (user_event_rank / rolling_value_mean demoted for the new
         #  queries: both r03-green; the salted twin user_event_rank_salted
         #  — the path that changed — stays in the window, and the
-        #  rolling-mean salting is pinned by its zipfian exactness test)
+        #  rolling-mean salting is pinned by its zipfian exactness test.
+        #  event_value_histogram / value_histogram_by_type demoted for
+        #  matview_repo_stats / cdc_change_feed: both r03-green, and the
+        #  round-4 bin-geometry change on their path is pinned directly
+        #  by test_value_histogram_counts_exact /
+        #  test_approx_quantiles_by_within_bin_width)
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
-        # ---- driver-window boundary (50) ---------------------------------
         # (pricing_rollup demoted for seq_audit: it is r03-green, and
         #  this round's CUBE refactor routed rollup through the shared
         #  finest-partials engine that pricing_cube — in-window, new —
@@ -2575,6 +2697,45 @@ def oracle_sql() -> dict[str, str]:
               ON v1.repo = v2.repo AND v1.path = v2.path
             WHERE v1.path IS NULL OR v2.path IS NULL
                OR v1.content <> v2.content
+        """,
+        # materialized view = full aggregate over the final state: any
+        # drift between incremental maintenance and recompute mismatches
+        "matview_repo_stats": """
+            SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                     AS repo,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LENGTH(text || ' v2')) AS BIGINT)
+                     AS content_bytes
+            FROM documents WHERE doc_id % 17 <> 0
+            GROUP BY 1
+        """,
+        # per-commit feed: commit 1 = rest of the insert wave (second
+        # half inserts at their post-update ' v1' state) + first-half
+        # updates; commit 2 = the ' v2' update wave + deletes
+        "cdc_change_feed": """
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            c1 AS (
+              SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo,
+                     'docs/' || doc_id || '.txt' AS path,
+                     CASE WHEN doc_id < n.c // 2 THEN 'update'
+                          ELSE 'insert' END AS change,
+                     text || ' v1' AS content,
+                     CAST(1 AS BIGINT) AS commit_idx
+              FROM documents, n
+            ),
+            c2 AS (
+              SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo,
+                     'docs/' || doc_id || '.txt' AS path,
+                     CASE WHEN doc_id % 17 = 0 THEN 'delete'
+                          ELSE 'update' END AS change,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL
+                          ELSE text || ' v2' END AS content,
+                     CAST(2 AS BIGINT) AS commit_idx
+              FROM documents
+            )
+            SELECT * FROM c1 UNION ALL SELECT * FROM c2
         """,
         "scd2_user_history": """
             SELECT user_id, event_id, event_type, value,

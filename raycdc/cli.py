@@ -164,6 +164,42 @@ def main(argv: list[str] | None = None) -> int:
         "--out", help="write the diff as Parquet here instead of printing counts"
     )
 
+    p_feed = sub.add_parser(
+        "feed",
+        help="per-commit change feed between two lake versions "
+        "(table_changes with _commit_version/_commit_run_id tags)",
+    )
+    p_feed.add_argument("--lake-dir", required=True)
+    p_feed.add_argument("--from", dest="v_from", type=int, required=True)
+    p_feed.add_argument("--to", dest="v_to", type=int, default=None)
+    p_feed.add_argument(
+        "--out", help="write the feed as Parquet here instead of printing counts"
+    )
+
+    p_vc = sub.add_parser(
+        "view-create",
+        help="full-compute a materialized aggregate view at the "
+        "lake's current version",
+    )
+    p_vc.add_argument("--lake-dir", required=True)
+    p_vc.add_argument("--view-dir", required=True)
+    p_vc.add_argument(
+        "--group-by", required=True, help="comma-separated group columns"
+    )
+    p_vc.add_argument(
+        "--agg",
+        action="append",
+        required=True,
+        help="NAME=KIND[:COL] (kinds: count, sum, sum_len); repeatable",
+    )
+
+    p_vr = sub.add_parser(
+        "view-refresh",
+        help="advance a materialized view to the lake's current "
+        "version by folding the snapshot diff (O(changed keys))",
+    )
+    p_vr.add_argument("--view-dir", required=True)
+
     p_prev = sub.add_parser("preview", help="first-n preview, no state change")
     p_prev.add_argument("--log-dir", required=True)
     p_prev.add_argument("-n", type=int, default=10)
@@ -330,6 +366,55 @@ def main(argv: list[str] | None = None) -> int:
                 else {}
             )
             print(json.dumps({"rows": sum(counts.values()), **counts}))
+        return 0
+
+    if args.cmd == "feed":
+        from raycdc.pipelines.maintenance import change_feed
+
+        ds = change_feed(args.lake_dir, args.v_from, args.v_to)
+        if args.out:
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
+        else:
+            df = ds.to_pandas()
+            counts = (
+                df.groupby("_commit_version")["change"]
+                .value_counts()
+                .to_dict()
+                if len(df)
+                else {}
+            )
+            print(
+                json.dumps(
+                    {
+                        "rows": len(df),
+                        **{f"v{v}/{c}": n for (v, c), n in counts.items()},
+                    }
+                )
+            )
+        return 0
+
+    if args.cmd == "view-create":
+        from raycdc.pipelines.matview import create_matview
+
+        aggs = {}
+        for spec in args.agg:
+            name, rhs = spec.split("=", 1)
+            kind, _, col = rhs.partition(":")
+            aggs[name] = (kind, col or None)
+        out = create_matview(
+            args.lake_dir,
+            args.view_dir,
+            args.group_by.split(","),
+            aggs,
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "view-refresh":
+        from raycdc.pipelines.matview import refresh_matview
+
+        print(json.dumps(refresh_matview(args.view_dir)))
         return 0
 
     if args.cmd == "fsck":

@@ -387,75 +387,132 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
     return out
 
 
+def _diff_classify(
+    o: "object",
+    n: "object",
+    value_cols: list[str],
+    include_old: bool,
+    out_types: dict[str, "pa.DataType"],
+) -> pa.Table:
+    """Shared snapshot-diff classifier: outer-merge one partition's
+    old/new key-resolved frames on the primary key and keep rows whose
+    projected values differ (null-safe per column).  Emits the new
+    image per value column, plus the old image (``{col}_old``) when
+    ``include_old`` — the retraction side incremental view maintenance
+    needs."""
+    import pandas as pd
+
+    j = o.merge(
+        n,
+        on=["repo", "path"],
+        how="outer",
+        suffixes=("_old", "_new"),
+        indicator=True,
+    )
+    change = pd.Series("update", index=j.index)
+    change[j["_merge"] == "right_only"] = "insert"
+    change[j["_merge"] == "left_only"] = "delete"
+    differs = pd.Series(False, index=j.index)
+    for c in value_cols:
+        a, b = j[f"{c}_old"], j[f"{c}_new"]
+        differs |= (a != b) & ~(a.isna() & b.isna())
+    j = j[(j["_merge"] != "both") | differs]
+    cols: dict[str, pa.Array] = {
+        "repo": pa.array(j["repo"], pa.string()),
+        "path": pa.array(j["path"], pa.string()),
+        "change": pa.array(change[j.index].to_numpy(), pa.string()),
+    }
+    for c in value_cols:
+        cols[c] = pa.Array.from_pandas(j[f"{c}_new"], type=out_types[c])
+    if include_old:
+        for c in value_cols:
+            cols[f"{c}_old"] = pa.Array.from_pandas(
+                j[f"{c}_old"], type=out_types[c]
+            )
+    return pa.table(cols)
+
+
+def _diff_schema(
+    value_cols: list[str],
+    include_old: bool,
+    out_types: dict[str, "pa.DataType"],
+) -> pa.Schema:
+    fields = [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("change", pa.string()),
+    ]
+    fields += [(c, out_types[c]) for c in value_cols]
+    if include_old:
+        fields += [(f"{c}_old", out_types[c]) for c in value_cols]
+    return pa.schema(fields)
+
+
 def _snapshot_diff_exchange(
-    lake: "Lake", version_old: int, version_new: int
+    lake: "Lake",
+    version_old: int,
+    version_new: int,
+    value_cols: list[str],
+    include_old: bool,
+    out_types: dict[str, "pa.DataType"],
 ) -> "object":
     """snapshot_diff fallback for versions with different partition
     counts (a reshard in between): both snapshots stream their slim
-    (repo, path, content) projection tagged with a side marker
+    (repo, path, *values) projection tagged with a side marker
     through one hash-partitioned exchange on the key, then each
     partition classifies its co-located old/new rows locally."""
     import pandas as pd
 
     from raycdc.ops.relational import hash_partition_reduce
 
+    proj = ["repo", "path", *value_cols]
+
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["repo", "path", "content"]].copy()
+            out = df[proj].copy()
             out["_side"] = side
             return out
 
         return fn
 
-    old = lake.read_dataset(
-        columns=["repo", "path", "content"], version=version_old
-    ).map_batches(tag(0), batch_format="pandas")
-    new = lake.read_dataset(
-        columns=["repo", "path", "content"], version=version_new
-    ).map_batches(tag(1), batch_format="pandas")
+    old = lake.read_dataset(columns=proj, version=version_old).map_batches(
+        tag(0), batch_format="pandas"
+    )
+    new = lake.read_dataset(columns=proj, version=version_new).map_batches(
+        tag(1), batch_format="pandas"
+    )
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        o = df[df["_side"] == 0]
-        n = df[df["_side"] == 1]
-        j = o.merge(
-            n,
-            on=["repo", "path"],
-            how="outer",
-            suffixes=("_old", "_new"),
-            indicator=True,
-        )
-        change = pd.Series("update", index=j.index)
-        change[j["_merge"] == "right_only"] = "insert"
-        change[j["_merge"] == "left_only"] = "delete"
-        keep = (j["_merge"] != "both") | (
-            j["content_old"] != j["content_new"]
-        )
-        j = j[keep]
-        return pd.DataFrame(
-            {
-                "repo": j["repo"],
-                "path": j["path"],
-                "change": change[j.index],
-                "content": j["content_new"],
-            }
-        )
+        o = df[df["_side"] == 0][proj]
+        n = df[df["_side"] == 1][proj]
+        return _diff_classify(
+            o, n, value_cols, include_old, out_types
+        ).to_pandas()
 
-    return hash_partition_reduce(
-        old.union(new), ["repo", "path"], classify
-    )
+    return hash_partition_reduce(old.union(new), ["repo", "path"], classify)
 
 
 def snapshot_diff(
     lake_dir: str,
     version_old: int,
     version_new: int,
+    columns: list[str] | None = None,
+    include_old: bool = False,
 ) -> "object":
     """Net row-level changes between two committed lake snapshots
     (the table_changes / CDC-export analog): one row per key whose
     state differs — ``change`` ∈ insert (key only in the new
-    snapshot), ``delete`` (only in the old), ``update`` (content
-    differs); ``content`` is the new snapshot's value (null for
-    deletes).
+    snapshot), ``delete`` (only in the old), ``update`` (any projected
+    value differs, null-safe); each projected column carries the new
+    snapshot's value (null for deletes).
+
+    ``columns`` selects the projected value columns (default
+    ``["content"]`` — the digest-bearing payload); change detection
+    compares exactly the projected set, so a lang-only update is
+    visible to ``columns=["lang"]`` and invisible to the default.
+    ``include_old=True`` additionally emits ``{col}_old`` (null for
+    inserts) — the retraction image that incremental aggregate-view
+    maintenance (``pipelines/matview.py``) folds as a Z-set.
 
     Scale shape: both snapshots share the lake's hash partitioning
     (keys live in the same partition id across versions unless a
@@ -467,23 +524,31 @@ def snapshot_diff(
     reshard, fall back to reading both versions and diffing with a
     hash exchange.
     """
-    import pandas as pd
-
     import ray.data
 
     lake = Lake(lake_dir)
     m_old = lake.manifest(version_old)
     m_new = lake.manifest(version_new)
+    schema = lake._lake_schema(m_new)
+    value_cols = list(columns) if columns else ["content"]
+    for c in value_cols:
+        if c in ("repo", "path"):
+            raise ValueError(
+                f"snapshot_diff columns: {c!r} is a primary-key column "
+                "(always emitted); project value columns only"
+            )
+    out_types = {c: schema.field(c).type for c in value_cols}
     if m_old["num_partitions"] != m_new["num_partitions"]:
         # reshard between the versions: partition ids are no longer
         # comparable, so fall back to ONE hash exchange co-locating
-        # each key's old+new rows (slim projection — key + content)
-        return _snapshot_diff_exchange(lake, version_old, version_new)
+        # each key's old+new rows (slim projection — key + values)
+        return _snapshot_diff_exchange(
+            lake, version_old, version_new, value_cols, include_old, out_types
+        )
     parts_old = lake.part_paths(version_old)
     parts_new = lake.part_paths(version_new)
     deltas_old = lake.delta_paths(version_old)
     deltas_new = lake.delta_paths(version_new)
-    schema = lake._lake_schema(m_new)
 
     # manifest-level pruning: identical file lists -> identical state
     pids = [
@@ -494,16 +559,11 @@ def snapshot_diff(
         if (parts_old.get(pid), deltas_old.get(pid, []))
         != (parts_new.get(pid), deltas_new.get(pid, []))
     ]
-    empty = pa.table(
-        {
-            "repo": pa.array([], pa.string()),
-            "path": pa.array([], pa.string()),
-            "change": pa.array([], pa.string()),
-            "content": pa.array([], pa.string()),
-        }
-    )
+    empty = _diff_schema(value_cols, include_old, out_types).empty_table()
     if not pids:
         return ray.data.from_arrow(empty)
+
+    proj = ["repo", "path", *value_cols]
 
     def diff_part(batch: pa.Table) -> pa.Table:
         from raycdc.stages.merge import resolve_partition
@@ -516,32 +576,13 @@ def snapshot_diff(
             new = resolve_partition(
                 parts_new.get(pid), deltas_new.get(pid, []), schema
             )
-            o = old.select(["repo", "path", "content"]).to_pandas()
-            n = new.select(["repo", "path", "content"]).to_pandas()
-            j = o.merge(
-                n,
-                on=["repo", "path"],
-                how="outer",
-                suffixes=("_old", "_new"),
-                indicator=True,
-            )
-            change = pd.Series("update", index=j.index)
-            change[j["_merge"] == "right_only"] = "insert"
-            change[j["_merge"] == "left_only"] = "delete"
-            keep = (j["_merge"] != "both") | (
-                j["content_old"] != j["content_new"]
-            )
-            j = j[keep]
             out.append(
-                pa.table(
-                    {
-                        "repo": pa.array(j["repo"], pa.string()),
-                        "path": pa.array(j["path"], pa.string()),
-                        "change": pa.array(
-                            change[j.index].to_numpy(), pa.string()
-                        ),
-                        "content": pa.array(j["content_new"], pa.string()),
-                    }
+                _diff_classify(
+                    old.select(proj).to_pandas(),
+                    new.select(proj).to_pandas(),
+                    value_cols,
+                    include_old,
+                    out_types,
                 )
             )
         return pa.concat_tables(out) if out else empty
@@ -549,6 +590,77 @@ def snapshot_diff(
     return ray.data.from_items(pids).map_batches(
         diff_part, batch_size=4, batch_format="pyarrow"
     )
+
+
+def change_feed(
+    lake_dir: str,
+    version_from: int,
+    version_to: int | None = None,
+    columns: list[str] | None = None,
+    include_old: bool = False,
+) -> "object":
+    """Per-commit change rows between two lake versions (the
+    table_changes / change-data-feed consumer surface): one
+    ``snapshot_diff`` per consecutive committed version pair in
+    ``(version_from, version_to]``, each row tagged with
+    ``_commit_version`` (the commit that introduced it) and
+    ``_commit_run_id`` — so a downstream consumer can subscribe from
+    its own cursor and replay commits in order, exactly the contract
+    this engine's own ingest holds upstream.
+
+    Unlike a single ``snapshot_diff(version_from, version_to)`` (the
+    NET state change), the feed preserves per-commit granularity: a
+    key updated in two commits appears twice, once per commit, and an
+    insert-then-delete appears as both rows rather than vanishing.
+
+    Scale shape: each per-pair diff is zero-shuffle and
+    manifest-pruned to the partitions that commit touched, so a
+    steady-state feed over k commits costs O(sum of touched
+    partitions), not O(k × corpus).  The lazy union keeps streaming —
+    nothing materializes.  Readable while the underlying snapshots
+    survive ``vacuum`` (the time-travel contract).
+    """
+    import ray.data
+
+    lake = Lake(lake_dir)
+    if version_to is None:
+        version_to = int(lake.manifest()["version"])
+    vs = [v for v in lake.versions() if version_from <= v <= version_to]
+    if not vs or vs[0] != version_from:
+        raise FileNotFoundError(
+            f"change_feed: version {version_from} has no snapshot "
+            "manifest (vacuumed?)"
+        )
+    feeds = []
+    for v_lo, v_hi in zip(vs, vs[1:]):
+        run_id = lake.manifest(v_hi).get("last_run_id")
+        diff = snapshot_diff(
+            lake_dir, v_lo, v_hi, columns=columns, include_old=include_old
+        )
+
+        def tag(batch: pa.Table, v=v_hi, r=run_id) -> pa.Table:
+            batch = batch.append_column(
+                "_commit_version",
+                pa.array([v] * batch.num_rows, pa.int64()),
+            )
+            return batch.append_column(
+                "_commit_run_id",
+                pa.array([r] * batch.num_rows, pa.string()),
+            )
+
+        feeds.append(diff.map_batches(tag, batch_format="pyarrow"))
+    if not feeds:
+        schema = Lake(lake_dir)._lake_schema(lake.manifest(version_to))
+        value_cols = list(columns) if columns else ["content"]
+        out_types = {c: schema.field(c).type for c in value_cols}
+        empty = _diff_schema(value_cols, include_old, out_types)
+        empty = empty.append(pa.field("_commit_version", pa.int64()))
+        empty = empty.append(pa.field("_commit_run_id", pa.string()))
+        return ray.data.from_arrow(empty.empty_table())
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.union(f)
+    return out
 
 
 def optimize_sort(

@@ -1,0 +1,353 @@
+"""Incrementally-maintained materialized aggregate views over a lake.
+
+The canonical downstream of a CDC engine: a grouped aggregate table
+(docs per repo, bytes per language, ...) kept current from the change
+stream instead of recomputed from the full corpus.  The reference's
+consumers rebuild such rollups by re-running full paginated pulls
+(embulk-input-jira re-fetches every issue matching the JQL window,
+src/main/java/org/embulk/input/jira/JiraInputPlugin.java run());
+here the refresh cost is O(changed keys), not O(corpus).
+
+Mechanics (the Z-set / delta-relation formulation of incremental view
+maintenance): ``snapshot_diff(include_old=True)`` emits, per changed
+key, the old and new row images; each change row becomes up to two
+weighted contribution rows — retract the old image (weight −1 for
+delete/update), add the new image (weight +1 for insert/update).  The
+per-group aggregate delta is then an ordinary sum of contributions,
+associative and exact because every supported aggregate is an int64
+sum (COUNT ≡ sum of ±1, SUM(int col), SUM(LENGTH(str col))).  Groups
+whose maintained row count reaches zero are dropped — bit-identical
+to a full recompute at the new version, which is exactly what the
+tests pin.
+
+Scale shape: the diff is zero-shuffle and partition-pruned (see
+``snapshot_diff``); contributions fold per batch (combiner) and the
+folded partials stream to the driver under a loud ``max_groups``
+tripwire — a materialized view is by contract a SMALL summary of a
+large table.  A view too wide for driver heap belongs in a second
+lake keyed by group, not in this module.
+
+State layout under ``view_dir``::
+
+    _view.json            {lake_dir, lake_version, group_by, aggs, file}
+    view-v{N:06d}.parquet  group_by cols + agg cols + _nrows (int64)
+
+The refresh protocol is crash-safe and idempotent: the new
+``view-v{W}.parquet`` is written first (deterministic content — sorted
+by group), then ``_view.json`` swaps atomically via ``os.replace``
+(the commit point), then superseded view files are unlinked.  A crash
+anywhere re-runs cleanly: before the swap the state still points at
+version V and the recompute overwrites the same deterministic file;
+after the swap the refresh is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycdc.state.checkpoint import Lake
+
+_KEY_COLS = ("repo", "path")
+_NROWS = "_nrows"
+
+AGG_KINDS = ("count", "sum", "sum_len")
+
+
+class ViewGroupBudgetExceeded(ValueError):
+    """The folded view partials exceeded ``max_groups`` rows."""
+
+
+def _state_path(view_dir: str) -> str:
+    return os.path.join(view_dir, "_view.json")
+
+
+def _load_state(view_dir: str) -> dict:
+    with open(_state_path(view_dir)) as f:
+        return json.load(f)
+
+
+def _validate_aggs(aggs: dict, schema: pa.Schema) -> None:
+    for name, (kind, col) in aggs.items():
+        if kind not in AGG_KINDS:
+            raise ValueError(
+                f"matview agg {name!r}: unknown kind {kind!r} "
+                f"(supported: {AGG_KINDS})"
+            )
+        if kind == "count":
+            continue
+        typ = schema.field(col).type
+        if kind == "sum" and not pa.types.is_integer(typ):
+            raise ValueError(
+                f"matview agg {name!r}: sum over non-integer column "
+                f"{col!r} ({typ}) — float sums are parallel-order-"
+                "dependent; pre-scale to integer units (cents) in the "
+                "ingest payload instead"
+            )
+        if kind == "sum_len" and not pa.types.is_string(typ):
+            raise ValueError(
+                f"matview agg {name!r}: sum_len over non-string column "
+                f"{col!r} ({typ})"
+            )
+
+
+def _value_cols(group_by: list[str], aggs: dict) -> list[str]:
+    """Non-key columns the view needs from the lake / the diff."""
+    cols: list[str] = []
+    for g in group_by:
+        if g not in _KEY_COLS and g not in cols:
+            cols.append(g)
+    for kind, col in aggs.values():
+        if kind != "count" and col not in _KEY_COLS and col not in cols:
+            cols.append(col)
+    return cols
+
+
+def _contrib(
+    df: pd.DataFrame,
+    group_by: list[str],
+    aggs: dict,
+    sign: int,
+    rename: dict[str, str],
+) -> pd.DataFrame:
+    """One image's weighted contribution rows.  ``rename`` maps a
+    logical lake column to its column name in ``df`` (``{c}_old`` for
+    the retraction image; key columns always map to themselves)."""
+    out: dict[str, object] = {}
+    for g in group_by:
+        out[g] = df[rename.get(g, g)]
+    out[_NROWS] = np.full(len(df), sign, dtype=np.int64)
+    for name, (kind, col) in aggs.items():
+        if kind == "count":
+            v = np.full(len(df), 1, dtype=np.int64)
+        elif kind == "sum_len":
+            v = (
+                df[rename.get(col, col)]
+                .str.len()
+                .fillna(0)
+                .to_numpy(np.int64)
+            )
+        else:  # sum (integer column; nulls contribute 0, as in SQL SUM)
+            v = (
+                pd.to_numeric(df[rename.get(col, col)])
+                .fillna(0)
+                .to_numpy(np.int64)
+            )
+        out[name] = sign * v
+    return pd.DataFrame(out)
+
+
+def _fold(
+    ds,
+    group_by: list[str],
+    agg_cols: list[str],
+    max_groups: int,
+) -> pd.DataFrame:
+    """Stream per-batch partials to the driver and fold incrementally
+    (``partial_agg(driver_fold=True)``'s shape, but with SQL GROUP BY
+    null semantics: a null group key is a real group, ``dropna=False``).
+    Fails loud past ``max_groups`` — the small-summary contract."""
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_by, as_index=False, sort=False, dropna=False)[
+            agg_cols
+        ].sum()
+
+    folded: pd.DataFrame | None = None
+    for batch in ds.iter_batches(batch_format="pandas", batch_size=65536):
+        if batch.empty:
+            continue
+        folded = (
+            batch
+            if folded is None
+            else reduce_fn(pd.concat([folded, batch], ignore_index=True))
+        )
+        if len(folded) > max_groups:
+            raise ViewGroupBudgetExceeded(
+                f"matview: folded partials exceed max_groups="
+                f"{max_groups} — the group set {group_by} is not a "
+                "small summary; materialize it as a second lake keyed "
+                "by group (hash_partition_reduce) instead of a view"
+            )
+    if folded is None:
+        return pd.DataFrame(columns=[*group_by, *agg_cols])
+    return reduce_fn(folded)
+
+
+def _write_view(
+    view_dir: str,
+    state: dict,
+    view: pd.DataFrame,
+    group_by: list[str],
+    agg_cols: list[str],
+) -> dict:
+    """Commit one view version: deterministic parquet, atomic state
+    swap, then GC of superseded view files."""
+    view = view.sort_values(group_by, na_position="last").reset_index(
+        drop=True
+    )
+    for c in agg_cols:
+        view[c] = view[c].astype(np.int64)
+    fname = f"view-v{int(state['lake_version']):06d}.parquet"
+    os.makedirs(view_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(view, preserve_index=False),
+        os.path.join(view_dir, fname),
+        compression="zstd",
+        compression_level=1,
+    )
+    state = dict(state, file=fname)
+    tmp = _state_path(view_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _state_path(view_dir))  # commit point
+    for f in os.listdir(view_dir):
+        if f.startswith("view-v") and f.endswith(".parquet") and f != fname:
+            os.unlink(os.path.join(view_dir, f))
+    return state
+
+
+def create_matview(
+    lake_dir: str,
+    view_dir: str,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    max_groups: int = 2_000_000,
+) -> dict:
+    """Full-compute the view at the lake's current version and persist
+    it.  ``aggs`` maps output column → (kind, lake column): ``count``
+    (col ignored), ``sum`` (int64 column), ``sum_len`` (string column,
+    sums per-row lengths).  One streaming pass, per-batch combiner,
+    zero shuffle."""
+    lake = Lake(lake_dir)
+    manifest = lake.manifest()
+    schema = lake._lake_schema(manifest)
+    aggs = {k: (kind, col) for k, (kind, col) in aggs.items()}
+    _validate_aggs(aggs, schema)
+    for g in group_by:
+        schema.field(g)  # raises KeyError on an unknown group column
+    agg_cols = [_NROWS, *aggs]
+    proj = [g for g in group_by if g in _KEY_COLS] + _value_cols(
+        group_by, aggs
+    )
+    if not proj:  # count-only view grouped by nothing real can't happen
+        proj = [group_by[0]]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        c = _contrib(df, group_by, aggs, +1, {})
+        return c.groupby(group_by, as_index=False, sort=False, dropna=False)[
+            agg_cols
+        ].sum()
+
+    ds = lake.read_dataset(columns=proj).map_batches(
+        combine, batch_format="pandas"
+    )
+    view = _fold(ds, group_by, agg_cols, max_groups)
+    state = {
+        "lake_dir": os.path.abspath(lake_dir),
+        "lake_version": int(manifest["version"]),
+        "group_by": list(group_by),
+        "aggs": {k: list(v) for k, v in aggs.items()},
+        "max_groups": max_groups,
+    }
+    state = _write_view(view_dir, state, view, group_by, agg_cols)
+    return {
+        "lake_version": state["lake_version"],
+        "groups": len(view),
+        "created": True,
+    }
+
+
+def refresh_matview(view_dir: str) -> dict:
+    """Advance the view to the lake's current version by folding the
+    snapshot diff as weighted retract/add contributions — O(changed
+    keys) regardless of how many commits landed since the last
+    refresh (the diff composes over states, so k commits cost ONE
+    partition-pruned diff, not k).  Idempotent: already-current views
+    return without touching storage."""
+    state = _load_state(view_dir)
+    lake = Lake(state["lake_dir"])
+    v_old = int(state["lake_version"])
+    v_new = int(lake.manifest()["version"])
+    if v_new == v_old:
+        return {"lake_version": v_old, "changed_rows": 0, "refreshed": False}
+    group_by = list(state["group_by"])
+    aggs = {k: (kind, col) for k, (kind, col) in state["aggs"].items()}
+    agg_cols = [_NROWS, *aggs]
+    max_groups = int(state.get("max_groups", 2_000_000))
+
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    vcols = _value_cols(group_by, aggs)
+    diff = snapshot_diff(
+        state["lake_dir"], v_old, v_new, columns=vcols or None,
+        include_old=True,
+    )
+    old_names = {c: f"{c}_old" for c in vcols}
+    changed = 0
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        add = _contrib(
+            df[df["change"].isin(("insert", "update"))],
+            group_by, aggs, +1, {},
+        )
+        retract = _contrib(
+            df[df["change"].isin(("update", "delete"))],
+            group_by, aggs, -1, old_names,
+        )
+        c = pd.concat([add, retract], ignore_index=True)
+        return c.groupby(group_by, as_index=False, sort=False, dropna=False)[
+            agg_cols
+        ].sum()
+
+    # fold the per-batch delta partials; count diff rows from the
+    # partials' _nrows is wrong (updates net 0), so track separately
+    # via a passthrough column
+    def combine_counted(df: pd.DataFrame) -> pd.DataFrame:
+        out = combine(df)
+        out["_diff_rows"] = np.int64(0)
+        if len(out):
+            out.loc[out.index[0], "_diff_rows"] = np.int64(len(df))
+        return out
+
+    delta = _fold(
+        diff.map_batches(combine_counted, batch_format="pandas"),
+        group_by,
+        agg_cols + ["_diff_rows"],
+        max_groups,
+    )
+    changed = int(delta["_diff_rows"].sum()) if len(delta) else 0
+    delta = delta.drop(columns=["_diff_rows"])
+    current = pq.read_table(
+        os.path.join(view_dir, state["file"])
+    ).to_pandas()
+    merged = pd.concat([current, delta], ignore_index=True)
+    merged = merged.groupby(
+        group_by, as_index=False, sort=False, dropna=False
+    )[agg_cols].sum()
+    merged = merged[merged[_NROWS] > 0]
+    state = dict(state, lake_version=v_new)
+    state = _write_view(view_dir, state, merged, group_by, agg_cols)
+    return {
+        "lake_version": v_new,
+        "from_version": v_old,
+        "changed_rows": changed,
+        "groups": len(merged),
+        "refreshed": True,
+    }
+
+
+def read_matview(view_dir: str, include_internal: bool = False) -> pa.Table:
+    """The committed view as an Arrow table (sorted by group)."""
+    state = _load_state(view_dir)
+    t = pq.read_table(os.path.join(view_dir, state["file"]))
+    if not include_internal:
+        t = t.drop_columns([_NROWS])
+    return t

@@ -1,0 +1,252 @@
+"""Incremental materialized-view maintenance vs full recompute.
+
+The invariant under test: after any sequence of commits,
+``refresh_matview`` (which folds only the snapshot diff) produces a
+view bit-identical to ``create_matview`` run from scratch at the same
+lake version — inserts, updates (including group-key migration, e.g. a
+document changing language), and deletes all included.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.matview import (
+    ViewGroupBudgetExceeded,
+    create_matview,
+    read_matview,
+    refresh_matview,
+)
+from raycdc.state.checkpoint import Lake
+
+LOG_COLS = (
+    "seq", "ts", "op", "repo", "path", "commit", "lang", "content",
+    "payload_json",
+)
+
+
+def _frag(log_dir: str, idx: int, events: list[dict]) -> None:
+    """Write one changelog fragment from sparse event dicts."""
+    os.makedirs(log_dir, exist_ok=True)
+    cols = {c: [] for c in LOG_COLS}
+    for e in events:
+        for c in LOG_COLS:
+            cols[c].append(e.get(c))
+    t = pa.table(
+        {
+            "seq": pa.array(cols["seq"], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + (s or 0) for s in cols["seq"]],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(cols["op"], pa.string()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "commit": pa.array(cols["commit"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "content": pa.array(cols["content"], pa.string()),
+            "payload_json": pa.array(cols["payload_json"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(log_dir, f"fragment-{idx:05d}.parquet"))
+
+
+def _ev(seq, op, repo, path, lang=None, content=None):
+    return {
+        "seq": seq, "op": op, "repo": repo, "path": path,
+        "commit": f"c{seq}", "lang": lang, "content": content,
+        "payload_json": "{}",
+    }
+
+
+_AGGS = {
+    "n_docs": ("count", None),
+    "content_bytes": ("sum_len", "content"),
+}
+
+
+def _views_equal(a: pa.Table, b: pa.Table):
+    assert a.column_names == b.column_names
+    assert a.num_rows == b.num_rows
+    for c in a.column_names:
+        assert a[c].to_pylist() == b[c].to_pylist(), f"mismatch in {c}"
+
+
+def _setup(tmp_path, group_by):
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    cfg = IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4)
+    # window 1: three docs across two repos / two langs
+    _frag(log, 0, [
+        _ev(0, "insert", "org/a", "x.py", "py", "aaaa"),
+        _ev(1, "insert", "org/a", "y.py", "py", "bb"),
+        _ev(2, "insert", "org/b", "z.go", "go", "cccccc"),
+    ])
+    run_ingest(cfg)
+    create_matview(lake, view, group_by, _AGGS)
+    return cfg, log, lake, view
+
+
+def _full_recompute(lake, tmp_path, group_by) -> pa.Table:
+    scratch = str(tmp_path / "view_full")
+    create_matview(lake, scratch, group_by, _AGGS)
+    return read_matview(scratch)
+
+
+def test_refresh_matches_full_recompute_across_commits(tmp_path):
+    """Two more windows (update in place, lang migration, delete,
+    insert) landed as TWO commits; ONE refresh folds both."""
+    cfg, log, lake, view = _setup(tmp_path, ["lang"])
+    # window 2: content grows in place, z.go migrates go->rs
+    _frag(log, 1, [
+        _ev(3, "update", "org/a", "x.py", "py", "aaaaAAAA"),
+        _ev(4, "update", "org/b", "z.go", "rs", "cccccc"),
+    ])
+    run_ingest(cfg)
+    # window 3: delete one py doc, insert a new go doc
+    _frag(log, 2, [
+        _ev(5, "delete", "org/a", "y.py"),
+        _ev(6, "insert", "org/b", "w.go", "go", "ddd"),
+    ])
+    run_ingest(cfg)
+
+    out = refresh_matview(view)
+    assert out["refreshed"] and out["from_version"] < out["lake_version"]
+    got = read_matview(view)
+    _views_equal(got, _full_recompute(lake, tmp_path, ["lang"]))
+    by_lang = {
+        r["lang"]: (r["n_docs"], r["content_bytes"])
+        for r in got.to_pylist()
+    }
+    # py: x.py only (y.py deleted), 8 bytes; go: w.go; rs: migrated z.go
+    assert by_lang == {"py": (1, 8), "go": (1, 3), "rs": (1, 6)}
+
+
+def test_group_disappears_when_last_member_deleted(tmp_path):
+    cfg, log, lake, view = _setup(tmp_path, ["repo"])
+    _frag(log, 1, [
+        _ev(3, "delete", "org/b", "z.go"),
+    ])
+    run_ingest(cfg)
+    refresh_matview(view)
+    got = read_matview(view)
+    assert got["repo"].to_pylist() == ["org/a"]
+    _views_equal(got, _full_recompute(lake, tmp_path, ["repo"]))
+
+
+def test_refresh_is_idempotent_and_noop_when_current(tmp_path):
+    cfg, log, lake, view = _setup(tmp_path, ["repo"])
+    _frag(log, 1, [_ev(3, "update", "org/a", "x.py", "py", "longer text")])
+    run_ingest(cfg)
+    first = refresh_matview(view)
+    assert first["refreshed"]
+    with open(os.path.join(view, "_view.json")) as f:
+        state1 = json.load(f)
+    raw1 = open(os.path.join(view, state1["file"]), "rb").read()
+    second = refresh_matview(view)
+    assert not second["refreshed"] and second["changed_rows"] == 0
+    raw2 = open(os.path.join(view, state1["file"]), "rb").read()
+    assert raw1 == raw2  # storage untouched
+    # exactly one view file survives (superseded versions GC'd)
+    files = [f for f in os.listdir(view) if f.endswith(".parquet")]
+    assert files == [state1["file"]]
+
+
+def test_group_budget_tripwire_fails_loud(tmp_path):
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    cfg = IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4)
+    _frag(log, 0, [
+        _ev(i, "insert", "org/a", f"f{i}.py", "py", "x") for i in range(8)
+    ])
+    run_ingest(cfg)
+    with pytest.raises(ViewGroupBudgetExceeded, match="max_groups"):
+        # grouping by the primary-key path column: one group per row
+        create_matview(lake, str(tmp_path / "v"), ["path"], _AGGS,
+                       max_groups=3)
+
+
+def test_sum_agg_and_float_rejection(tmp_path):
+    cfg, log, lake, view2 = _setup(tmp_path, ["repo"])
+    # integer sum over seq (the only stock int64 column) works
+    v = str(tmp_path / "vsum")
+    create_matview(lake, v, ["repo"], {"seq_sum": ("sum", "seq")})
+    got = {r["repo"]: r["seq_sum"] for r in read_matview(v).to_pylist()}
+    assert got == {"org/a": 1, "org/b": 2}
+    with pytest.raises(ValueError, match="unknown kind"):
+        create_matview(lake, str(tmp_path / "bad"), ["repo"],
+                       {"x": ("avg", "seq")})
+
+
+def test_snapshot_diff_columns_and_include_old(tmp_path):
+    """The generalized diff: a lang-only update is invisible to the
+    default content projection, visible with columns=['lang'], and
+    include_old carries the exact retraction image."""
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    cfg, log, lake, _ = _setup(tmp_path, ["repo"])
+    _frag(log, 1, [
+        _ev(3, "update", "org/b", "z.go", "rs", "cccccc"),  # lang only
+        _ev(4, "delete", "org/a", "y.py"),
+    ])
+    run_ingest(cfg)
+    vs = Lake(lake).versions()
+    default = snapshot_diff(lake, vs[-2], vs[-1]).to_pandas()
+    assert set(zip(default["path"], default["change"])) == {
+        ("y.py", "delete")
+    }
+    by_lang = snapshot_diff(
+        lake, vs[-2], vs[-1], columns=["lang", "content"], include_old=True
+    ).to_pandas().set_index("path")
+    assert set(by_lang.index) == {"z.go", "y.py"}
+    z = by_lang.loc["z.go"]
+    assert (z["change"], z["lang"], z["lang_old"]) == ("update", "rs", "go")
+    assert z["content"] == z["content_old"] == "cccccc"
+    y = by_lang.loc["y.py"]
+    assert y["change"] == "delete" and y["lang"] is None
+    assert (y["lang_old"], y["content_old"]) == ("py", "bb")
+
+
+def test_change_feed_per_commit_granularity(tmp_path):
+    """The feed preserves per-commit rows (unlike the net diff): a key
+    updated in two commits appears once per commit; an
+    insert-then-delete key appears as both rows while vanishing from
+    the net snapshot_diff over the same span."""
+    from raycdc.pipelines.maintenance import change_feed, snapshot_diff
+
+    cfg, log, lake, _ = _setup(tmp_path, ["repo"])
+    _frag(log, 1, [
+        _ev(3, "update", "org/a", "x.py", "py", "aaaa2"),
+        _ev(4, "insert", "org/c", "t.md", "md", "tmp"),
+    ])
+    run_ingest(cfg)
+    _frag(log, 2, [
+        _ev(5, "update", "org/a", "x.py", "py", "aaaa3"),
+        _ev(6, "delete", "org/c", "t.md"),
+    ])
+    run_ingest(cfg)
+    vs = Lake(lake).versions()
+    v1, v2, v3 = vs[-3], vs[-2], vs[-1]
+
+    feed = change_feed(lake, v1, v3).to_pandas()
+    x = feed[feed["path"] == "x.py"].sort_values("_commit_version")
+    assert list(x["_commit_version"]) == [v2, v3]
+    assert list(x["change"]) == ["update", "update"]
+    assert list(x["content"]) == ["aaaa2", "aaaa3"]
+    t = feed[feed["path"] == "t.md"].sort_values("_commit_version")
+    assert list(zip(t["_commit_version"], t["change"])) == [
+        (v2, "insert"), (v3, "delete")
+    ]
+    assert feed["_commit_run_id"].notna().all()
+
+    net = snapshot_diff(lake, v1, v3).to_pandas()
+    assert "t.md" not in set(net["path"])  # insert-then-delete nets out
+
+    with pytest.raises(FileNotFoundError, match="change_feed"):
+        change_feed(lake, 9999)
