@@ -610,6 +610,36 @@ def _q_cdc_change_feed(sf_dir):
     return df[["repo", "path", "change", "content", "commit_idx"]]
 
 
+def _q_cross_corpus_dedup(sf_dir):
+    """Near-dup decontamination across corpora: find near-copies of a
+    (small, broadcast) query corpus inside the documents table with
+    the zero-shuffle MinHash probe — planted identical copies of every
+    7th doc at threshold 1.0, so the oracle enumerates exactly the
+    plants (sub-1.0 recall and exactness-vs-full-minhash are pinned by
+    tests/test_ops.py::test_cross_corpus_matches_full_minhash)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raycdc.functions.arrowsafe import mask_filter
+    from raycdc.ops.dedup import cross_corpus_dup_pairs
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    sel = t["doc_id"].to_numpy(zero_copy_only=False) % 7 == 0
+    q = mask_filter(t, sel)
+    query = pa.table(
+        {"doc_id": pc.add(q["doc_id"], 50000), "text": q["text"]}
+    )
+    pairs = cross_corpus_dup_pairs(
+        ray.data.from_arrow(t),
+        ray.data.from_arrow(query),
+        threshold=1.0,
+    )
+    pairs["jaccard"] = np.round(pairs["jaccard"], 6)
+    return pairs
+
+
 def _q_scd2_user_history(sf_dir):
     """SCD2 materialization of the event stream: one validity-interval
     version row per change, per-key hash exchange + grouped shift —
@@ -2098,6 +2128,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _tuned(_q_dedup_embedding),
         "dedup_simhash": _tuned(_q_dedup_simhash),
         "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
+        # (cross_corpus_dedup is NEW this round but the 50-entry window
+        #  is full — the 36 r02-latest entries are immovable and the 14
+        #  remaining slots went to this round's earlier queries.  Its
+        #  correctness evidence this round is the local oracle twin
+        #  (tests/test_queries_oracle.py runs ALL entries) plus the
+        #  exactness-vs-full-minhash test; ROUND-5 ROTATION: front-load
+        #  it with the r03-latest set.)
+        "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
         "semantic_representatives": _tuned(_q_semantic_representatives),
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
@@ -2905,6 +2943,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": """
             SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard
             FROM documents WHERE doc_id % 5 = 0
+        """,
+        "cross_corpus_dedup": """
+            SELECT doc_id AS corpus_id, doc_id + 50000 AS query_id,
+                   1.0 AS jaccard
+            FROM documents WHERE doc_id % 7 = 0
         """,
         "dedup_clusters": """
             SELECT doc_id AS node, doc_id AS cluster_id FROM documents

@@ -707,6 +707,220 @@ def minhash_lsh_pairs(
     )
 
 
+# -- cross-corpus near-dup probe (decontamination at near-dup level) --------
+
+
+class _CrossCorpusProbe:
+    """Map-side near-dup probe of a broadcast query corpus: per corpus
+    batch, MinHash band hashes are joined (C-speed pandas hash join)
+    against the query side's broadcast band index to propose
+    candidates, and the exact shingle-Jaccard verify runs IN PLACE —
+    corpus shingle sets are computed locally for candidate docs only,
+    query shingle sets come from the broadcast.  Nothing about the
+    corpus leaves its batch except emitted pairs; zero shuffle."""
+
+    def __init__(
+        self,
+        ref,
+        k: int,
+        bands: int,
+        ngram: int,
+        threshold: float,
+        id_col: str,
+        text_col: str,
+    ):
+        self.__name__ = "CrossCorpusProbe"
+        self.q_bands, self.q_ids, self.q_sh = ray.get(ref)
+        self.stage = MinHashStage(k=k, ngram=ngram)
+        self.k, self.bands, self.ngram = k, bands, ngram
+        self.threshold = threshold
+        self.id_col, self.text_col = id_col, text_col
+
+    _EMPTY = pa.table(
+        {
+            "corpus_id": pa.array([], pa.int64()),
+            "query_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return self._EMPTY
+        sig = self.stage(
+            pa.table({self.id_col: t[self.id_col], "text": t[self.text_col]})
+        )
+        rows = _explode_band_rows(
+            sig, k=self.k, bands=self.bands, id_col=self.id_col,
+            part_modulus=1,
+        )
+        a = pd.DataFrame(
+            {
+                "band": rows["band"].to_numpy(),
+                "bh": rows["bh"].to_numpy(),
+                "aid": rows[self.id_col].to_numpy(),
+            }
+        )
+        cand = a.merge(self.q_bands, on=["band", "bh"])[
+            ["aid", "qpos"]
+        ].drop_duplicates()
+        if cand.empty:
+            return self._EMPTY
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[self.text_col].to_numpy(zero_copy_only=False)
+        need = np.unique(cand["aid"].to_numpy())
+        order = np.argsort(ids)
+        pos = order[np.searchsorted(ids[order], need)]
+        # batch-vectorized shingle hashing for candidate docs only
+        per_doc = [_shingles(texts[p] or "", self.ngram) for p in pos]
+        counts = np.array([len(s) for s in per_doc], dtype=np.int64)
+        flat = _hash_strings(np.concatenate(per_doc)).astype(np.uint64)
+        bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        sh_of = {
+            int(aid): np.unique(flat[bounds[i] : bounds[i + 1]])
+            for i, aid in enumerate(need)
+        }
+        out_a, out_q, out_j = [], [], []
+        for aid, qpos in cand.itertuples(index=False):
+            sa = sh_of[int(aid)]
+            sb = self.q_sh[int(qpos)]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter or 1
+            j = inter / union
+            if j >= self.threshold:
+                out_a.append(int(aid))
+                out_q.append(int(self.q_ids[int(qpos)]))
+                out_j.append(j)
+        if not out_a:
+            return self._EMPTY
+        return pa.table(
+            {
+                "corpus_id": pa.array(out_a, pa.int64()),
+                "query_id": pa.array(out_q, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+
+def cross_corpus_dup_pairs(
+    corpus_ds: "ray.data.Dataset",
+    query_ds: "ray.data.Dataset",
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str | None = None,
+    query_text_col: str | None = None,
+    out_dir: str | None = None,
+    max_query_docs: int = 1_000_000,
+):
+    """Near-duplicates of a (small) query corpus inside a (large)
+    corpus — decontamination at NEAR-DUP level, where the exact 8-gram
+    pass (``ops/decontaminate.py``) misses lightly-edited copies.
+    Returns (corpus_id, query_id, jaccard ≥ threshold).
+
+    Scale shape (differs from ``minhash_lsh_pairs`` on purpose): the
+    query side is eval-benchmark sized by contract, so it folds to the
+    driver (loud ``max_query_docs`` tripwire), and its band index AND
+    exact shingle-hash sets broadcast once via ``ray.put``.  The
+    corpus then streams through ONE zero-shuffle pass — per batch,
+    band-hash probes propose candidates and the exact Jaccard verify
+    runs in place (a corpus doc lives in exactly one batch, so no
+    global pair dedup round is needed).  Corpus-vs-corpus near-dup
+    (both sides large) belongs to ``minhash_lsh_pairs`` over the
+    union, not here.
+
+    Same signature family as the rest of the MinHash ops (shared
+    ``MinHashStage`` / ``_explode_band_rows`` / shingle hashing), so
+    thresholds and recall behave identically."""
+    qid = query_id_col or id_col
+    qtx = query_text_col or text_col
+    ncpu = _ncpu()
+    qid_parts: list[np.ndarray] = []
+    qtx_parts: list[np.ndarray] = []
+    n = 0
+    for b in query_ds.select_columns([qid, qtx]).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        n += b.num_rows
+        if n > max_query_docs:
+            raise ValueError(
+                f"cross_corpus_dup_pairs: query corpus exceeds "
+                f"max_query_docs={max_query_docs} — the broadcast-probe "
+                "shape assumes an eval-benchmark-sized query side; for "
+                "big-vs-big near-dup run minhash_lsh_pairs on the union"
+            )
+        qid_parts.append(
+            b[qid].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        qtx_parts.append(b[qtx].to_numpy(zero_copy_only=False))
+    empty = pd.DataFrame(
+        {
+            "corpus_id": pd.Series(dtype="int64"),
+            "query_id": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    if not qid_parts:
+        return empty
+    q_ids = np.concatenate(qid_parts)
+    q_texts = np.concatenate(qtx_parts)
+    stage = MinHashStage(k=k, ngram=ngram)
+    sig = stage(
+        pa.table(
+            {
+                "_qpos": pa.array(
+                    np.arange(len(q_ids), dtype=np.int64), pa.int64()
+                ),
+                "text": pa.array(q_texts, pa.string()),
+            }
+        )
+    )
+    rows = _explode_band_rows(
+        sig, k=k, bands=bands, id_col="_qpos", part_modulus=1
+    )
+    q_bands = pd.DataFrame(
+        {
+            "band": rows["band"].to_numpy(),
+            "bh": rows["bh"].to_numpy(),
+            "qpos": rows["_qpos"].to_numpy(),
+        }
+    )
+    per_doc = [_shingles(x or "", ngram) for x in q_texts]
+    counts = np.array([len(s) for s in per_doc], dtype=np.int64)
+    flat = _hash_strings(np.concatenate(per_doc)).astype(np.uint64)
+    bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    q_sh = [
+        np.unique(flat[bounds[i] : bounds[i + 1]])
+        for i in range(len(per_doc))
+    ]
+    ref = ray.put((q_bands, q_ids, q_sh))
+
+    def probe_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            ("cross_probe", ref, k, bands, ngram, threshold, id_col,
+             text_col),
+            lambda: _CrossCorpusProbe(
+                ref, k, bands, ngram, threshold, id_col, text_col
+            ),
+        )(batch)
+
+    probed = corpus_ds.select_columns([id_col, text_col]).map_batches(
+        probe_fn, batch_format="pyarrow"
+    )
+    if out_dir is not None:
+        probed.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    out = probed.to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["corpus_id", "query_id"]).reset_index(drop=True)
+
+
 # -- exact n-gram Jaccard (blocked) -----------------------------------------
 
 

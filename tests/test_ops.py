@@ -2278,3 +2278,85 @@ def test_cohort_retention_week_periods_are_monday_aligned():
     assert got["age"].tolist() == [0, 1]
     monday = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).days
     assert got["period"].tolist() == [monday, monday + 7]
+
+
+def test_cross_corpus_matches_full_minhash(tmp_path):
+    """The zero-shuffle broadcast probe gives EXACTLY the cross pairs a
+    full minhash_lsh_pairs over corpus ∪ query would find — same
+    signatures, same thresholds, no shuffle."""
+    from raycdc.ops.dedup import cross_corpus_dup_pairs, minhash_lsh_pairs
+
+    full_df = _docs_with_near_dups().to_pandas()
+    corpus_df = full_df[full_df["doc_id"] < 100]  # originals 0..59
+    # query corpus: the near-dup edits (of docs 0..9) + one novel doc
+    query_df = pd.concat(
+        [
+            full_df[full_df["doc_id"] >= 100],
+            pd.DataFrame(
+                {
+                    "doc_id": pd.array([300], dtype="int64"),
+                    "text": [" ".join(f"q{i}" for i in range(40))],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    corpus = ray.data.from_pandas(corpus_df.reset_index(drop=True))
+    query = ray.data.from_pandas(query_df)
+
+    got = cross_corpus_dup_pairs(corpus, query, threshold=0.5)
+    full = minhash_lsh_pairs(corpus.union(query), threshold=0.5)
+    qids = set(query_df["doc_id"])
+    want = full[full["id_a"].isin(qids) != full["id_b"].isin(qids)]
+    want_keys = {
+        (min(a, b), max(a, b)): round(j, 9)
+        for a, b, j in zip(want["id_a"], want["id_b"], want["jaccard"])
+    }
+    got_keys = {
+        (min(c, q), max(c, q)): round(j, 9)
+        for c, q, j in zip(
+            got["corpus_id"], got["query_id"], got["jaccard"]
+        )
+    }
+    assert got_keys == want_keys
+    assert {(i, 100 + i) for i in range(10)} <= set(got_keys)
+
+    # out_dir lane streams the same pairs to Parquet
+    out = str(tmp_path / "pairs")
+    ds = cross_corpus_dup_pairs(corpus, query, threshold=0.5, out_dir=out)
+    lake = ds.to_pandas()
+    lake_keys = {
+        (min(c, q), max(c, q)): round(j, 9)
+        for c, q, j in zip(
+            lake["corpus_id"], lake["query_id"], lake["jaccard"]
+        )
+    }
+    assert lake_keys == got_keys
+
+
+def test_cross_corpus_query_budget_tripwire():
+    from raycdc.ops.dedup import cross_corpus_dup_pairs
+
+    ds = _docs_with_near_dups()
+    with pytest.raises(ValueError, match="max_query_docs"):
+        cross_corpus_dup_pairs(ds, ds, max_query_docs=5)
+
+
+def test_cross_corpus_empty_query_and_no_hits():
+    from raycdc.ops.dedup import cross_corpus_dup_pairs
+
+    corpus = _docs_with_near_dups()
+    none = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([900], pa.int64()),
+                "text": pa.array([" ".join(f"x{i}" for i in range(40))]),
+            }
+        )
+    )
+    out = cross_corpus_dup_pairs(corpus, none, threshold=0.5)
+    assert out.empty and list(out.columns) == [
+        "corpus_id", "query_id", "jaccard",
+    ]
+    empty = cross_corpus_dup_pairs(corpus, none.filter(lambda r: False))
+    assert empty.empty
