@@ -355,6 +355,37 @@ def refresh_matview(view_dir: str) -> dict:
     }
 
 
+def make_matview_on_round(
+    lake_dir: str,
+    view_dir: str,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    on_view=None,
+    max_groups: int = 2_000_000,
+):
+    """A ``run_follow(on_round=...)`` hook that keeps a materialized
+    view in lockstep with the tailed lake (the dedup_follow pattern):
+    the first non-noop round full-computes the view, every later round
+    folds that round's snapshot diff — each refresh rides the commit
+    the round just made, so the view is never more than one poll
+    behind the lake.  Crash-safe for free: both the lake commit and
+    the view swap are atomic and idempotent, so a round retried after
+    a crash refreshes to the same state.  ``on_view(run_id, table)``
+    delivers the refreshed view (dashboard/export sink)."""
+
+    def on_round(res) -> None:
+        if res.no_op:
+            return
+        if not os.path.exists(_state_path(view_dir)):
+            create_matview(lake_dir, view_dir, group_by, aggs, max_groups)
+        else:
+            refresh_matview(view_dir)
+        if on_view is not None:
+            on_view(res.run_id, read_matview(view_dir))
+
+    return on_round
+
+
 def read_matview(view_dir: str, include_internal: bool = False) -> pa.Table:
     """The committed view as an Arrow table (sorted by group)."""
     state = _load_state(view_dir)

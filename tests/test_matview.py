@@ -250,3 +250,57 @@ def test_change_feed_per_commit_granularity(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="change_feed"):
         change_feed(lake, 9999)
+
+
+def test_follow_with_matview_on_round(tmp_path):
+    """The tail loop keeps the view current: round 1 bootstraps it,
+    later rounds (arriving fragments with an update, a delete, and an
+    insert) refresh it via the snapshot diff — after the loop stops
+    the view equals a full recompute, and on_view saw every round."""
+    from raycdc.pipelines.cdc import run_follow
+    from raycdc.pipelines.matview import make_matview_on_round
+
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    cfg = IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4)
+    _frag(log, 0, [
+        _ev(0, "insert", "org/a", "x.py", "py", "aaaa"),
+        _ev(1, "insert", "org/a", "y.py", "py", "bb"),
+        _ev(2, "insert", "org/b", "z.go", "go", "cccccc"),
+    ])
+    seen: list = []
+    fed = {"n": 0}
+
+    hook = make_matview_on_round(
+        lake, view, ["repo"], _AGGS,
+        on_view=lambda run_id, t: seen.append((run_id, t)),
+    )
+
+    def on_round(res):
+        hook(res)
+        fed["n"] += 1
+        if fed["n"] == 1:
+            _frag(log, 1, [
+                _ev(3, "update", "org/a", "x.py", "py", "aaaa grew"),
+                _ev(4, "delete", "org/a", "y.py"),
+            ])
+        elif fed["n"] == 2:
+            _frag(log, 2, [
+                _ev(5, "insert", "org/c", "n.md", "md", "mm"),
+            ])
+
+    run_follow(
+        cfg, stop_after_idle_rounds=2, on_round=on_round,
+        _sleep=lambda s: None,
+    )
+    got = read_matview(view)
+    _views_equal(got, _full_recompute(lake, tmp_path, ["repo"]))
+    by_repo = {
+        r["repo"]: (r["n_docs"], r["content_bytes"])
+        for r in got.to_pylist()
+    }
+    assert by_repo == {
+        "org/a": (1, 9), "org/b": (1, 6), "org/c": (1, 2)
+    }
+    assert len(seen) == 3  # one delivery per non-noop round
