@@ -495,6 +495,64 @@ def _q_cdc_snapshot_diff(sf_dir):
     return snapshot_diff(lake_dir, vs[-2], vs[-1])
 
 
+def _q_cdc_selective_scan(sf_dir):
+    """Selective scan with key-predicate pushdown BELOW the
+    merge-on-read resolve: the lake is left with live tombstone/update
+    deltas (no compaction), and the repo-equality filter pushes into
+    every base and delta file read — exact because a key predicate
+    selects whole keys uniformly across versions (the value-predicate
+    trap is rejected; test_selective_scan_key_filter_pushdown).  The
+    oracle pins that updates still win over filtered base rows and
+    deleted keys stay gone."""
+    import hashlib
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_selscan_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    documents_changelog(sf_dir, staging, fragments=3)
+    os.makedirs(log_dir, exist_ok=True)
+    os.rename(
+        os.path.join(staging, "fragment-00000.parquet"),
+        os.path.join(log_dir, "fragment-00000.parquet"),
+    )
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS, write_mode="cow",
+        )
+    )
+    for name in sorted(os.listdir(staging)):
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS, write_mode="mor",
+        )
+    )
+    lake = Lake(lake_dir)
+    assert lake.delta_paths()  # the resolve pushdown path, not plain scan
+    ds = lake.read_dataset(
+        columns=["repo", "path", "lang", "content"],
+        key_filter=(pads.field("repo") == "org1/repo8"),
+    )
+    return ds
+
+
 def _q_matview_repo_stats(sf_dir):
     """Incrementally-maintained materialized aggregate view (docs +
     content bytes per repo): created after the FIRST ingest window,
@@ -2136,6 +2194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  exactness-vs-full-minhash test; ROUND-5 ROTATION: front-load
         #  it with the r03-latest set.)
         "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
+        # (cdc_selective_scan: same situation as cross_corpus_dedup —
+        #  NEW this round, window full, local twin + the MOR pushdown
+        #  test carry it; ROUND-5 ROTATION: front-load it)
+        "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "semantic_representatives": _tuned(_q_semantic_representatives),
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
@@ -2948,6 +3010,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS corpus_id, doc_id + 50000 AS query_id,
                    1.0 AS jaccard
             FROM documents WHERE doc_id % 7 = 0
+        """,
+        # selective scan: repo 'org1/repo8' ⇔ doc_id ≡ 1 (mod 5) and
+        # ≡ 8 (mod 13); updates win over base rows, deletes stay gone
+        "cdc_selective_scan": """
+            SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                     AS repo,
+                   'docs/' || doc_id || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents
+            WHERE doc_id % 17 <> 0 AND doc_id % 5 = 1 AND doc_id % 13 = 8
         """,
         "dedup_clusters": """
             SELECT doc_id AS node, doc_id AS cluster_id FROM documents

@@ -201,6 +201,7 @@ def resolve_partition(
     base_path: str | None,
     delta_paths: list[str],
     schema: pa.Schema,
+    filters=None,
 ) -> pa.Table:
     """Merge-on-read resolve for one partition: base rows (op=insert at
     their stored seq) + delta files (which carry ``op``, deletes as
@@ -210,12 +211,19 @@ def resolve_partition(
     ``PartitionMerger.__call__`` — both funnel through
     ``keep_latest_by_key`` — so resolving N deltas lazily or folding
     them into the base (compaction) yields the same table.
+
+    ``filters`` (a ``pyarrow.dataset`` expression) pushes into every
+    file read BELOW the resolve.  Only exact for predicates over the
+    primary-key columns — a key's rows match or miss uniformly across
+    versions, so filtering first cannot change which row wins;
+    callers enforce that contract (``Lake._validate_key_filter``).
     """
     from raycdc.functions.arrowsafe import mask_filter
 
+    read_kwargs = {"filters": filters} if filters is not None else {}
     sides = []
     if base_path and os.path.exists(base_path):
-        base = pq.read_table(base_path)
+        base = pq.read_table(base_path, **read_kwargs)
         sides.append(
             align_to_schema(base, schema).append_column(
                 "op", pa.array(["insert"] * base.num_rows, pa.string())
@@ -224,7 +232,7 @@ def resolve_partition(
     for p in delta_paths:
         if not os.path.exists(p):
             continue
-        d = pq.read_table(p)
+        d = pq.read_table(p, **read_kwargs)
         op = pc.cast(d["op"], pa.string())
         sides.append(align_to_schema(d, schema).append_column("op", op))
     if not sides:

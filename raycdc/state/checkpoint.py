@@ -287,16 +287,57 @@ class Lake:
         return manifest
 
     # -- reads over the whole lake ----------------------------------------
+    @staticmethod
+    def _validate_key_filter(expr) -> None:
+        """Enforce the selective-scan contract: the filter may
+        reference ONLY primary-key columns.  A key predicate selects
+        whole keys uniformly across every version of a row, so
+        applying it BELOW the merge-on-read resolve is exact; a value
+        predicate below the resolve is wrong (a base row matching the
+        filter could be superseded by a non-matching delta, or vice
+        versa — the classic pushdown-through-upsert trap), so it is
+        rejected loudly here."""
+        import pyarrow.dataset as pads
+
+        probe = pa.table(
+            {
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+            }
+        )
+        try:
+            pads.dataset(probe).scanner(filter=expr).to_table()
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                "read_dataset(key_filter=...) may reference only the "
+                f"primary-key columns (repo, path): {e}.  Filter "
+                "non-key columns AFTER the read (ds.filter / "
+                "map_batches), where the merge-on-read resolve has "
+                "already picked each key's live row."
+            ) from None
+
     def read_dataset(
-        self, columns=None, version: int | None = None
+        self,
+        columns=None,
+        version: int | None = None,
+        key_filter=None,
     ) -> "ray.data.Dataset":
         """The lake as a Dataset.  With merge-on-read deltas committed,
         each partition is resolved (base + deltas → keep-latest,
         tombstones dropped) by its own Ray task; without deltas this is
         a plain parallel Parquet scan.  ``version`` reads a historical
-        snapshot (time travel) while its files survive vacuum."""
+        snapshot (time travel) while its files survive vacuum.
+
+        ``key_filter`` is a ``pyarrow.dataset`` expression over the
+        PRIMARY-KEY columns only (validated — see
+        ``_validate_key_filter``): it pushes into every Parquet read
+        below the resolve, so after ``optimize_sort`` (key-sorted
+        bases) a selective scan prunes whole row groups via Parquet
+        min/max stats instead of reading the partition."""
         import ray.data
 
+        if key_filter is not None:
+            self._validate_key_filter(key_filter)
         parts = self.part_paths(version)
         deltas = self.delta_paths(version)
         if not deltas:
@@ -306,6 +347,8 @@ class Lake:
                     pa.table({c: [] for c in LAKE_COLUMNS})
                 )
             kwargs = {"columns": columns} if columns else {}
+            if key_filter is not None:
+                kwargs["filter"] = key_filter
             return ray.data.read_parquet(paths, **kwargs)
 
         m = self.manifest(version)
@@ -327,6 +370,7 @@ class Lake:
                     os.path.join(root, base) if base else None,
                     [os.path.join(root, r) for r in deltas_rel.get(pid, [])],
                     schema,
+                    filters=key_filter,
                 )
                 out.append(t.select(columns) if columns else t)
             return pa.concat_tables(out)

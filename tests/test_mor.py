@@ -1063,3 +1063,69 @@ def test_export_lake_jsonl_format(tmp_path):
     assert sorted(rep3["exported"]) == sorted(rep["exported"])
     assert not units()
     assert _export_state(out_dir).equals(lake_t)
+
+
+def test_selective_scan_key_filter_pushdown(tmp_path):
+    """Key-predicate pushdown through the merge-on-read resolve: the
+    filter pushes into every file read (row-group pruning after
+    optimize_sort), yet the result equals filter-AFTER-read — the
+    update-in-delta and delete-in-delta cases that a value-predicate
+    pushdown would corrupt are exercised, and value predicates are
+    rejected loudly."""
+    import pyarrow.dataset as pads
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1200, fragment_rows=600, seed=19)
+    run_ingest(cfg)
+    # window 2 as MOR deltas: updates + deletes land in delta files
+    _second_window(tmp, cfg.log_dir, n=400, seed=23, start_seq=1200)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    assert lake.delta_paths(), "harness must leave MOR deltas in place"
+
+    full = lake.read_dataset().to_pandas()
+    target = sorted(set(full["repo"]))[0]
+    want = _canon(
+        pa.Table.from_pandas(
+            full[full["repo"] == target], preserve_index=False
+        )
+    )
+    got = _canon(
+        pa.Table.from_pandas(
+            lake.read_dataset(
+                key_filter=(pads.field("repo") == target)
+            ).to_pandas(),
+            preserve_index=False,
+        )
+    )
+    assert got.num_rows == want.num_rows > 0
+    for c in got.column_names:
+        assert got[c].to_pylist() == want[c].to_pylist(), c
+
+    # compound key predicate (repo equality AND path range)
+    got2 = lake.read_dataset(
+        key_filter=(pads.field("repo") == target)
+        & (pads.field("path") >= "src/0")
+    ).to_pandas()
+    want2 = full[(full["repo"] == target) & (full["path"] >= "src/0")]
+    assert sorted(got2["path"]) == sorted(want2["path"])
+
+    # value predicates are the pushdown-through-upsert trap: rejected
+    with pytest.raises(ValueError, match="primary-key columns"):
+        lake.read_dataset(key_filter=(pads.field("content") == "x"))
+
+    # COW path (no deltas) takes the plain read_parquet pushdown lane
+    compact(cfg.lake_dir)
+    lake2 = Lake(cfg.lake_dir)
+    assert not lake2.delta_paths()
+    got3 = _canon(
+        pa.Table.from_pandas(
+            lake2.read_dataset(
+                key_filter=(pads.field("repo") == target)
+            ).to_pandas(),
+            preserve_index=False,
+        )
+    )
+    for c in got3.column_names:
+        assert got3[c].to_pylist() == got[c].to_pylist(), c
