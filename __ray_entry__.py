@@ -553,6 +553,67 @@ def _q_cdc_selective_scan(sf_dir):
     return ds
 
 
+def _q_cdc_indexed_read(sf_dir):
+    """Index-accelerated selective read over a NON-KEY column: the
+    lake is hash-partitioned on (repo, path), so `lang = 'de'` can
+    prune nothing by itself; the secondary index (built after window
+    1, diff-refreshed through the MOR update/delete windows) maps the
+    value to its keys, whose repo set then pushes down as a key_filter
+    below the resolve.  Oracle = the final state filtered directly, so
+    any staleness or postings drift hash-mismatches."""
+    import hashlib
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.state.secondary import (
+        create_secondary_index,
+        read_by_value,
+        refresh_secondary_index,
+    )
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_secidx_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    idx_dir = os.path.join(workdir, "idx")
+    documents_changelog(sf_dir, staging, fragments=3)
+    os.makedirs(log_dir, exist_ok=True)
+    os.rename(
+        os.path.join(staging, "fragment-00000.parquet"),
+        os.path.join(log_dir, "fragment-00000.parquet"),
+    )
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS, write_mode="cow",
+        )
+    )
+    create_secondary_index(lake_dir, idx_dir, "lang", num_buckets=16)
+    for name in sorted(os.listdir(staging)):
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS, write_mode="mor",
+        )
+    )
+    refresh_secondary_index(idx_dir)
+    return read_by_value(
+        lake_dir, idx_dir, ["de"],
+        columns=["repo", "path", "lang", "content"],
+    )
+
+
 def _q_matview_repo_stats(sf_dir):
     """Incrementally-maintained materialized aggregate view (docs +
     content bytes per repo): created after the FIRST ingest window,
@@ -2194,10 +2255,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  exactness-vs-full-minhash test; ROUND-5 ROTATION: front-load
         #  it with the r03-latest set.)
         "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
-        # (cdc_selective_scan: same situation as cross_corpus_dedup —
-        #  NEW this round, window full, local twin + the MOR pushdown
-        #  test carry it; ROUND-5 ROTATION: front-load it)
+        # (cdc_selective_scan / cdc_indexed_read: same situation as
+        #  cross_corpus_dedup — NEW this round, window full, local twin
+        #  + the MOR pushdown / secondary-index tests carry them;
+        #  ROUND-5 ROTATION: front-load them)
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
+        "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
         "semantic_representatives": _tuned(_q_semantic_representatives),
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
@@ -3010,6 +3073,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS corpus_id, doc_id + 50000 AS query_id,
                    1.0 AS jaccard
             FROM documents WHERE doc_id % 7 = 0
+        """,
+        # indexed read on the non-key lang column == direct filter of
+        # the final state (index staleness would hash-mismatch)
+        "cdc_indexed_read": """
+            SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                     AS repo,
+                   'docs/' || doc_id || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents
+            WHERE doc_id % 17 <> 0 AND lang = 'de'
         """,
         # selective scan: repo 'org1/repo8' ⇔ doc_id ≡ 1 (mod 5) and
         # ≡ 8 (mod 13); updates win over base rows, deletes stay gone

@@ -200,6 +200,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vr.add_argument("--view-dir", required=True)
 
+    p_ic = sub.add_parser(
+        "index-create",
+        help="build a secondary index (non-key column -> keys) at the "
+        "lake's current version",
+    )
+    p_ic.add_argument("--lake-dir", required=True)
+    p_ic.add_argument("--index-dir", required=True)
+    p_ic.add_argument("--column", required=True)
+    p_ic.add_argument("--buckets", type=int, default=64)
+
+    p_ir = sub.add_parser(
+        "index-refresh",
+        help="advance a secondary index to the lake's current version "
+        "(diff fold; touched buckets only)",
+    )
+    p_ir.add_argument("--index-dir", required=True)
+
+    p_il = sub.add_parser(
+        "index-lookup",
+        help="postings for a value (reads only its bucket)",
+    )
+    p_il.add_argument("--index-dir", required=True)
+    p_il.add_argument("--value", required=True)
+
     p_prev = sub.add_parser("preview", help="first-n preview, no state change")
     p_prev.add_argument("--log-dir", required=True)
     p_prev.add_argument("-n", type=int, default=10)
@@ -415,6 +439,32 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.matview import refresh_matview
 
         print(json.dumps(refresh_matview(args.view_dir)))
+        return 0
+
+    if args.cmd == "index-create":
+        from raycdc.state.secondary import create_secondary_index
+
+        print(
+            json.dumps(
+                create_secondary_index(
+                    args.lake_dir, args.index_dir, args.column,
+                    num_buckets=args.buckets,
+                )
+            )
+        )
+        return 0
+
+    if args.cmd == "index-refresh":
+        from raycdc.state.secondary import refresh_secondary_index
+
+        print(json.dumps(refresh_secondary_index(args.index_dir)))
+        return 0
+
+    if args.cmd == "index-lookup":
+        from raycdc.state.secondary import index_lookup
+
+        t = index_lookup(args.index_dir, [args.value])
+        print(json.dumps({"rows": t.num_rows, "postings": t.to_pylist()[:20]}))
         return 0
 
     if args.cmd == "fsck":

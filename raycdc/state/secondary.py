@@ -1,0 +1,409 @@
+"""Incrementally-maintained secondary index: non-key column → keys.
+
+The lake is hash-partitioned on the primary key, so a predicate on a
+non-key column (``lang = 'py'``) can prune nothing and must scan every
+partition.  This module maintains an inverted posting table
+``value → (repo, path)`` as its own versioned store, kept in lockstep
+with the lake by folding ``snapshot_diff`` — the same
+diff-as-maintenance pattern as ``pipelines/matview.py``, applied to an
+index instead of an aggregate.  The reference has no index plane at
+all (every JQL filter is a server-side re-query,
+src/main/java/org/embulk/in/jira/JiraInputPlugin.java buildSearchUrl);
+here the engine owns one.
+
+Storage layout under ``index_dir``::
+
+    _index.json                      {lake_dir, column, lake_version,
+                                      num_buckets, buckets: {b: version}}
+    bucket={b}/v{N:06d}.parquet      (value, repo, path) postings
+
+Postings are hive-bucketed on ``hash(value) % num_buckets`` so a
+refresh rewrites ONLY the buckets whose values changed, and a lookup
+reads ONLY the probed values' buckets.  Each bucket's live file is the
+version recorded in ``_index.json`` — the refresh writes new bucket
+files first, swaps the state atomically (the commit point), then GCs
+stale files, so a crash anywhere re-runs cleanly (deterministic file
+content per version) and readers never observe a half-refreshed index.
+
+Scale shape: creation is one distributed pass over the lake (slim
+(value, key) rows, one bucket-coalescing shuffle); a refresh folds the
+window's diff rows on the driver under a loud ``max_delta_rows``
+tripwire (a refresh is by contract window-sized — a corpus-sized
+"delta" is a rebuild, use ``create_secondary_index``), then rewrites
+touched buckets with one Ray task each.  ``read_by_value`` turns
+postings into a selective lake read: the repo set pushes down as a
+``key_filter`` (row-group pruning below the merge-on-read resolve) and
+the exact (repo, path) membership filters per batch.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from raycdc.state.checkpoint import Lake
+
+_KEY_COLS = ("repo", "path")
+
+
+def _state_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_index.json")
+
+
+def _load_state(index_dir: str) -> dict:
+    with open(_state_path(index_dir)) as f:
+        return json.load(f)
+
+
+def _bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    return (
+        pd.util.hash_array(values.astype(object), categorize=False)
+        % num_buckets
+    ).astype(np.int64)
+
+
+def _bucket_file(index_dir: str, b: int, version: int) -> str:
+    return os.path.join(
+        index_dir, f"bucket={int(b)}", f"v{int(version):06d}.parquet"
+    )
+
+
+def _write_bucket(
+    index_dir: str, b: int, version: int, df: pd.DataFrame, column: str
+) -> None:
+    df = df.sort_values([column, "repo", "path"]).reset_index(drop=True)
+    path = _bucket_file(index_dir, b, version)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        path,
+        compression="zstd",
+        compression_level=1,
+    )
+
+
+def _swap_state(index_dir: str, state: dict) -> None:
+    tmp = _state_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _state_path(index_dir))  # commit point
+    # GC: every bucket file not referenced by the committed state
+    live = {
+        os.path.abspath(_bucket_file(index_dir, int(b), int(v)))
+        for b, v in state["buckets"].items()
+    }
+    for f in glob.glob(os.path.join(index_dir, "bucket=*", "v*.parquet")):
+        if os.path.abspath(f) not in live:
+            os.unlink(f)
+
+
+def create_secondary_index(
+    lake_dir: str,
+    index_dir: str,
+    column: str,
+    num_buckets: int = 64,
+) -> dict:
+    """Full index build at the lake's current version: one distributed
+    pass emitting slim (value, repo, path) rows, one bucket-coalescing
+    shuffle, one file per non-empty bucket.  Null values are not
+    indexed (SQL predicate semantics: ``col = v`` never matches null).
+    """
+    lake = Lake(lake_dir)
+    manifest = lake.manifest()
+    schema = lake._lake_schema(manifest)
+    if column in _KEY_COLS:
+        raise ValueError(
+            f"secondary index on {column!r}: key columns are the lake's "
+            "own partitioning — use read_dataset(key_filter=) directly"
+        )
+    schema.field(column)  # raises KeyError on an unknown column
+    version = int(manifest["version"])
+
+    def to_postings(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[column].notna()]
+        return pd.DataFrame(
+            {
+                column: df[column].to_numpy(),
+                "repo": df["repo"].to_numpy(),
+                "path": df["path"].to_numpy(),
+                "bucket": _bucket_of(df[column].to_numpy(), num_buckets),
+            }
+        )
+
+    rows = lake.read_dataset(columns=["repo", "path", column]).map_batches(
+        to_postings, batch_format="pandas"
+    )
+
+    def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        _write_bucket(
+            index_dir, b, version, df.drop(columns=["bucket"]), column
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(df)]})
+
+    os.makedirs(index_dir, exist_ok=True)
+    written = rows.groupby("bucket").map_groups(
+        write_group, batch_format="pandas"
+    ).to_pandas()
+    state = {
+        "lake_dir": os.path.abspath(lake_dir),
+        "column": column,
+        "lake_version": version,
+        "num_buckets": num_buckets,
+        "buckets": {
+            str(int(b)): version for b in written["bucket"].tolist()
+        },
+    }
+    _swap_state(index_dir, state)
+    return {
+        "lake_version": version,
+        "buckets": len(state["buckets"]),
+        "postings": int(written["rows"].sum()) if len(written) else 0,
+    }
+
+
+def refresh_secondary_index(
+    index_dir: str, max_delta_rows: int = 2_000_000
+) -> dict:
+    """Advance the index to the lake's current version: fold the
+    snapshot diff (projected to the indexed column, so value-unchanged
+    updates never appear) into per-bucket add/remove sets and rewrite
+    ONLY the touched buckets — O(changed keys + touched buckets), for
+    any number of commits since the last refresh.  Idempotent no-op
+    when current."""
+    state = _load_state(index_dir)
+    lake = Lake(state["lake_dir"])
+    column = state["column"]
+    num_buckets = int(state["num_buckets"])
+    v_old = int(state["lake_version"])
+    v_new = int(lake.manifest()["version"])
+    if v_new == v_old:
+        return {"lake_version": v_old, "refreshed": False}
+
+    # local `import ray.data` would shadow the module-level `ray`
+    # binding for the whole function body — import it up front
+    import ray.data
+
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    diff = snapshot_diff(
+        state["lake_dir"], v_old, v_new, columns=[column], include_old=True
+    )
+    adds: list[pd.DataFrame] = []
+    dels: list[pd.DataFrame] = []
+    n = 0
+    for b in diff.iter_batches(batch_format="pandas", batch_size=65536):
+        n += len(b)
+        if n > max_delta_rows:
+            raise ValueError(
+                f"refresh_secondary_index: diff exceeds max_delta_rows="
+                f"{max_delta_rows} — a corpus-sized delta is a rebuild; "
+                "run create_secondary_index instead"
+            )
+        a = b[b["change"].isin(("insert", "update")) & b[column].notna()]
+        adds.append(
+            pd.DataFrame(
+                {
+                    column: a[column].to_numpy(),
+                    "repo": a["repo"].to_numpy(),
+                    "path": a["path"].to_numpy(),
+                }
+            )
+        )
+        d = b[
+            b["change"].isin(("update", "delete"))
+            & b[f"{column}_old"].notna()
+        ]
+        dels.append(
+            pd.DataFrame(
+                {
+                    column: d[f"{column}_old"].to_numpy(),
+                    "repo": d["repo"].to_numpy(),
+                    "path": d["path"].to_numpy(),
+                }
+            )
+        )
+    add_df = (
+        pd.concat(adds, ignore_index=True) if adds else pd.DataFrame()
+    )
+    del_df = (
+        pd.concat(dels, ignore_index=True) if dels else pd.DataFrame()
+    )
+    if len(add_df) == 0 and len(del_df) == 0:
+        # commits happened but none touched the indexed column
+        state = dict(state, lake_version=v_new)
+        _swap_state(index_dir, state)
+        return {"lake_version": v_new, "refreshed": True, "buckets": 0}
+    for df in (add_df, del_df):
+        if len(df):
+            df["bucket"] = _bucket_of(df[column].to_numpy(), num_buckets)
+    touched = sorted(
+        set(add_df["bucket"].tolist() if len(add_df) else [])
+        | set(del_df["bucket"].tolist() if len(del_df) else [])
+    )
+    buckets = dict(state["buckets"])
+    ref = ray.put((add_df, del_df, column))
+    index_root = index_dir
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        a_df, d_df, col = ray.get(ref)
+        out_b, out_rows = [], []
+        for b in batch["item"].to_pylist():
+            b = int(b)
+            prev_v = buckets.get(str(b))
+            cur = (
+                pq.read_table(
+                    _bucket_file(index_root, b, int(prev_v))
+                ).to_pandas()
+                if prev_v is not None
+                else pd.DataFrame(
+                    {col: [], "repo": [], "path": []}
+                )
+            )
+            if len(d_df):
+                d_b = d_df[d_df["bucket"] == b][
+                    [col, "repo", "path"]
+                ].drop_duplicates()
+                if len(d_b):
+                    m = cur.merge(
+                        d_b, on=[col, "repo", "path"], how="left",
+                        indicator=True,
+                    )
+                    # anti-join alignment holds because d_b is deduped:
+                    # each cur row matches at most one right row
+                    cur = cur[(m["_merge"] == "left_only").to_numpy()]
+            if len(a_df):
+                a_b = a_df[a_df["bucket"] == b][[col, "repo", "path"]]
+                cur = pd.concat([cur, a_b], ignore_index=True)
+            cur = cur.drop_duplicates([col, "repo", "path"])
+            _write_bucket(index_root, b, v_new, cur, col)
+            out_b.append(b)
+            out_rows.append(len(cur))
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "rows": pa.array(out_rows, pa.int64()),
+            }
+        )
+
+    written = (
+        ray.data.from_items(touched)
+        .map_batches(rewrite, batch_size=4, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for _, r in written.iterrows():
+        if int(r["rows"]) > 0:
+            buckets[str(int(r["bucket"]))] = v_new
+        else:
+            buckets.pop(str(int(r["bucket"])), None)
+    state = dict(state, lake_version=v_new, buckets=buckets)
+    _swap_state(index_dir, state)
+    return {
+        "lake_version": v_new,
+        "from_version": v_old,
+        "refreshed": True,
+        "buckets": len(touched),
+        "adds": int(len(add_df)),
+        "removes": int(len(del_df)),
+    }
+
+
+def index_lookup(index_dir: str, values: list) -> pa.Table:
+    """Postings for the probed values: reads ONLY their buckets'
+    live files."""
+    state = _load_state(index_dir)
+    column = state["column"]
+    num_buckets = int(state["num_buckets"])
+    probe = np.asarray(values, dtype=object)
+    bs = sorted(set(_bucket_of(probe, num_buckets).tolist()))
+    frames = []
+    for b in bs:
+        v = state["buckets"].get(str(int(b)))
+        if v is None:
+            continue
+        t = pq.read_table(_bucket_file(index_dir, int(b), int(v)))
+        df = t.to_pandas()
+        frames.append(df[df[column].isin(set(values))])
+    if not frames:
+        return pa.table(
+            {
+                column: pa.array([], pa.string()),
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+            }
+        )
+    out = pd.concat(frames, ignore_index=True).sort_values(
+        [column, "repo", "path"]
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def read_by_value(
+    lake_dir: str,
+    index_dir: str,
+    values: list,
+    columns=None,
+) -> "object":
+    """Index-accelerated selective read: postings → ``key_filter``
+    pushdown (the repo set prunes row groups below the merge-on-read
+    resolve) → exact (repo, path) membership per batch.  Consistency
+    contract: reads the lake's CURRENT state restricted to the
+    INDEX's keys — refresh the index first for an exact
+    ``col IN values`` snapshot (the tests pin refreshed-index equality
+    with a direct filtered scan)."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    postings = index_lookup(index_dir, values).to_pandas()
+    lake = Lake(lake_dir)
+    if postings.empty:
+        schema = lake._lake_schema(lake.manifest())
+        fields = [
+            (f.name, f.type)
+            for f in schema
+            if columns is None or f.name in columns
+        ]
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], t) for n, t in fields})
+        )
+    repos = sorted(set(postings["repo"]))
+    pairs_ref = ray.put(
+        postings[["repo", "path"]].drop_duplicates().reset_index(drop=True)
+    )
+
+    def member(t: pa.Table) -> pa.Table:
+        from raycdc.functions.arrowsafe import mask_filter
+
+        want = ray.get(pairs_ref)
+        df = pd.DataFrame(
+            {
+                "repo": t["repo"].to_numpy(zero_copy_only=False),
+                "path": t["path"].to_numpy(zero_copy_only=False),
+            }
+        )
+        # vectorized membership: left join against the deduped pair
+        # frame keeps row alignment (each row matches at most once)
+        m = df.merge(want, on=["repo", "path"], how="left", indicator=True)
+        return mask_filter(t, (m["_merge"] == "both").to_numpy())
+
+    need = columns
+    if columns is not None:
+        need = list(dict.fromkeys(["repo", "path", *columns]))
+    ds = lake.read_dataset(
+        columns=need, key_filter=pads.field("repo").isin(repos)
+    ).map_batches(member, batch_format="pyarrow")
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

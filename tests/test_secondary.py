@@ -1,0 +1,150 @@
+"""Secondary index (non-key column → keys) maintained from snapshot
+diffs: lookups and index-accelerated reads must equal direct filtered
+scans at every refresh point, touched buckets only are rewritten, and
+the delta tripwire fails loud."""
+
+import json
+import os
+
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.state.checkpoint import Lake
+from raycdc.state.secondary import (
+    create_secondary_index,
+    index_lookup,
+    read_by_value,
+    refresh_secondary_index,
+)
+
+from test_matview import _ev, _frag
+
+
+def _setup(tmp_path):
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "idx")
+    cfg = IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4)
+    _frag(log, 0, [
+        _ev(0, "insert", "org/a", "x.py", "py", "aaaa"),
+        _ev(1, "insert", "org/a", "y.py", "py", "bb"),
+        _ev(2, "insert", "org/b", "z.go", "go", "cccccc"),
+        _ev(3, "insert", "org/b", "w.rs", "rs", "dd"),
+    ])
+    run_ingest(cfg)
+    create_secondary_index(lake, idx, "lang", num_buckets=8)
+    return cfg, log, lake, idx
+
+
+def _direct(lake, lang):
+    df = Lake(lake).read_table().to_pandas()
+    return sorted(
+        map(tuple, df[df["lang"] == lang][["repo", "path"]].to_numpy())
+    )
+
+
+def test_lookup_and_read_match_direct_scan(tmp_path):
+    cfg, log, lake, idx = _setup(tmp_path)
+    post = index_lookup(idx, ["py"]).to_pandas()
+    assert sorted(map(tuple, post[["repo", "path"]].to_numpy())) == _direct(
+        lake, "py"
+    )
+    got = read_by_value(lake, idx, ["py"]).to_pandas()
+    assert sorted(map(tuple, got[["repo", "path"]].to_numpy())) == _direct(
+        lake, "py"
+    )
+    assert set(got["lang"]) == {"py"}
+    # multi-value probe spans buckets
+    both = read_by_value(
+        lake, idx, ["py", "go"], columns=["repo", "path", "lang"]
+    ).to_pandas()
+    assert len(both) == 3 and set(both.columns) == {"repo", "path", "lang"}
+
+
+def test_refresh_tracks_migration_delete_insert(tmp_path):
+    """A lang migration must move the key between postings (remove old
+    value, add new), a delete must remove it, an insert must add it —
+    across TWO commits folded by ONE refresh."""
+    cfg, log, lake, idx = _setup(tmp_path)
+    _frag(log, 1, [
+        _ev(4, "update", "org/b", "z.go", "rs", "cccccc"),  # go -> rs
+        _ev(5, "delete", "org/a", "y.py"),
+    ])
+    run_ingest(cfg)
+    _frag(log, 2, [
+        _ev(6, "insert", "org/c", "n.py", "py", "nn"),
+    ])
+    run_ingest(cfg)
+    out = refresh_secondary_index(idx)
+    assert out["refreshed"] and out["adds"] >= 2 and out["removes"] >= 2
+    for lang in ("py", "go", "rs"):
+        post = index_lookup(idx, [lang]).to_pandas()
+        assert sorted(
+            map(tuple, post[["repo", "path"]].to_numpy())
+        ) == _direct(lake, lang), lang
+        got_ds = read_by_value(lake, idx, [lang])
+        if not _direct(lake, lang):
+            assert got_ds.count() == 0, lang
+            continue
+        got = got_ds.to_pandas()
+        assert sorted(
+            map(tuple, got[["repo", "path"]].to_numpy())
+        ) == _direct(lake, lang), lang
+    assert index_lookup(idx, ["go"]).num_rows == 0  # migrated away
+    # rebuilt-from-scratch index agrees bucket for bucket
+    idx2 = str(tmp_path / "idx2")
+    create_secondary_index(lake, idx2, "lang", num_buckets=8)
+    for lang in ("py", "rs", "md"):
+        a = index_lookup(idx, [lang]).to_pylist()
+        b = index_lookup(idx2, [lang]).to_pylist()
+        assert a == b, lang
+
+
+def test_refresh_rewrites_touched_buckets_only(tmp_path):
+    cfg, log, lake, idx = _setup(tmp_path)
+    with open(os.path.join(idx, "_index.json")) as f:
+        before = json.load(f)
+    v0 = int(before["lake_version"])
+    # a content-only update: the diff projected to `lang` is EMPTY, so
+    # no bucket is rewritten at all
+    _frag(log, 1, [_ev(4, "update", "org/a", "x.py", "py", "aaaa v2")])
+    run_ingest(cfg)
+    out = refresh_secondary_index(idx)
+    assert out["refreshed"] and out["buckets"] == 0
+    with open(os.path.join(idx, "_index.json")) as f:
+        mid = json.load(f)
+    assert mid["lake_version"] > v0
+    assert mid["buckets"] == before["buckets"]  # every bucket untouched
+    # now touch ONE value: only its bucket version moves
+    _frag(log, 2, [_ev(5, "insert", "org/c", "m.rs", "rs", "mm")])
+    run_ingest(cfg)
+    refresh_secondary_index(idx)
+    with open(os.path.join(idx, "_index.json")) as f:
+        after = json.load(f)
+    changed = {
+        b for b in set(before["buckets"]) | set(after["buckets"])
+        if before["buckets"].get(b) != after["buckets"].get(b)
+    }
+    assert len(changed) == 1  # the rs bucket only
+    # idempotent no-op when current
+    assert refresh_secondary_index(idx) == {
+        "lake_version": after["lake_version"], "refreshed": False,
+    }
+
+
+def test_budget_tripwire_and_validation(tmp_path):
+    cfg, log, lake, idx = _setup(tmp_path)
+    with pytest.raises(ValueError, match="key columns"):
+        create_secondary_index(lake, str(tmp_path / "bad"), "repo")
+    _frag(log, 1, [
+        _ev(4 + i, "insert", "org/z", f"f{i}.md", "md", "x")
+        for i in range(8)
+    ])
+    run_ingest(cfg)
+    with pytest.raises(ValueError, match="max_delta_rows"):
+        refresh_secondary_index(idx, max_delta_rows=3)
+    # probing a value that hashes to an absent bucket is empty, not an
+    # error (and read_by_value returns an empty dataset)
+    assert index_lookup(idx, ["nope"]).num_rows == 0
+    assert read_by_value(lake, idx, ["nope"]).count() == 0
