@@ -1850,6 +1850,54 @@ def _q_semantic_representatives(sf_dir):
     return out
 
 
+def _q_pca_components(sf_dir):
+    """Distributed PCA over the embeddings table: one streaming pass
+    of (n, Σx, XᵀX) partials, d×d eigh on the driver — no shuffle.
+    Pinned-file oracle (no SQL eigensolver); the numpy-equivalence,
+    planted-low-rank, and repartition-invariance grounding lives in
+    tests/test_ops.py::test_pca_matches_numpy_and_is_partition_stable.
+    Loadings rounded so the pin is robust to BLAS build differences."""
+    import ray.data
+
+    from raycdc.ops.similarity import pca_embeddings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    p = pca_embeddings(ds, n_components=4)
+    k, d = p["components"].shape
+    return pd.DataFrame(
+        {
+            "component": np.repeat(np.arange(k, dtype=np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), k),
+            "loading": np.round(p["components"].ravel(), 6),
+            "explained_ratio": np.repeat(
+                np.round(p["explained_variance_ratio"], 6), d
+            ),
+        }
+    )
+
+
+def _q_hash_embed_representatives(sf_dir):
+    """Model-free semantic dedup over TEXT: feature-hashing embedder
+    (signed hashing trick, unit-norm) → k-means → one representative
+    doc per semantic cluster — the full embed→cluster→SemDeDup
+    pipeline with no external model.  Pinned-file oracle; the
+    embedder's metric properties (near-dups close, unrelated far,
+    partitioning-invariant) are test-pinned."""
+    from raycdc.ops.similarity import cluster_representatives
+    from raycdc.ops.text import hash_embed
+
+    emb = hash_embed(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), dim=64
+    )
+    out = cluster_representatives(
+        emb, n_clusters=8, id_col="doc_id"
+    )
+    out["d2"] = np.round(out["d2"], 6)
+    return out
+
+
 def _q_lang_id(sf_dir):
     from raycdc.ops.text import lang_id
 
@@ -2261,6 +2309,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  ROUND-5 ROTATION: front-load them)
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
+        # (pca_components / hash_embed_representatives: NEW, below the
+        #  full window, pinned-file oracles + numpy-equivalence /
+        #  metric-property tests; ROUND-5 ROTATION: front-load them)
+        "pca_components": _tuned(_q_pca_components),
+        "hash_embed_representatives": _tuned(_q_hash_embed_representatives),
         "semantic_representatives": _tuned(_q_semantic_representatives),
         "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
@@ -3293,6 +3346,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _pin("fingerprint_docs"),
         "media_decode": _pin("media_decode"),
         "media_frame_sample": _pin("media_frame_sample"),
+        "pca_components": _pin("pca_components"),
+        "hash_embed_representatives": _pin("hash_embed_representatives"),
         # lang_id: genuine independent SQL reimplementation of the
         # stopword-hit heuristic (ops/text.py LangIdStage): tokens =
         # whitespace-split lower(text); hits per language counted with

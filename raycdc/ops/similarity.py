@@ -326,3 +326,95 @@ def ivf_topk(
         g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
         out.append(g)
     return pd.concat(out, ignore_index=True)
+
+
+def pca_embeddings(
+    ds: "ray.data.Dataset",
+    n_components: int = 8,
+    vec_col: str = "embedding",
+) -> dict:
+    """Distributed PCA over an embedding column — the dimensionality-
+    reduction stage in front of clustering / semantic dedup.
+
+    Scale shape (the kmeans pattern, minus the iteration): ONE
+    streaming pass where each batch emits a single partial row
+    ``(n, Σx (d), ΣxᵀX (d×d, flattened))``; the driver folds
+    #batches × (d² + d + 1) floats — independent of corpus size, and
+    for typical embedding widths (d ≤ 1024) a few MB total.  The
+    covariance is then ``(ΣxᵀX − n·μμᵀ) / (n − 1)`` and one LOCAL
+    ``np.linalg.eigh`` on the d×d matrix gives the components — no
+    shuffle anywhere.
+
+    Deterministic up to float associativity (the pinned-oracle
+    contract shared with kmeans); component signs are canonicalized
+    (largest-|coordinate| positive) so eigensolver sign freedom never
+    leaks into output.
+
+    Returns ``{"components": (k, d), "mean": (d,),
+    "explained_variance": (k,), "explained_variance_ratio": (k,),
+    "n": int}``.
+    """
+
+    def partials(t: pa.Table) -> pa.Table:
+        mat = _vec_matrix(t[vec_col])
+        return pa.table(
+            {
+                "n": pa.array([float(mat.shape[0])], pa.float64()),
+                "s": pa.array([mat.sum(axis=0)]),
+                "ss": pa.array([(mat.T @ mat).ravel()]),
+            }
+        )
+
+    rows = (
+        ds.select_columns([vec_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = float(rows["n"].sum())
+    if n < 2:
+        raise ValueError("pca_embeddings: need at least 2 vectors")
+    s = np.sum(np.stack(rows["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(rows["ss"].to_numpy()), axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    evals = np.maximum(evals[order], 0.0)
+    # canonical sign: the largest-|.| coordinate of each component is
+    # positive (eigh's sign choice is arbitrary)
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    total_var = float(np.trace(cov))
+    return {
+        "components": comps,
+        "mean": mean,
+        "explained_variance": evals,
+        "explained_variance_ratio": evals / total_var
+        if total_var > 0
+        else np.zeros_like(evals),
+        "n": int(n),
+    }
+
+
+def pca_project(
+    ds: "ray.data.Dataset",
+    pca: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> "ray.data.Dataset":
+    """Project every vector onto the fitted components in one
+    streaming pass (components broadcast once via ``ray.put``)."""
+    ref = ray.put((pca["components"], pca["mean"]))
+
+    def project(t: pa.Table) -> pa.Table:
+        comps, mean = ray.get(ref)
+        mat = _vec_matrix(t[vec_col])
+        proj = (mat - mean[None, :]) @ comps.T
+        return t.drop_columns([vec_col]).append_column(
+            out_col, pa.array(list(proj))
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

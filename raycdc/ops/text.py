@@ -573,3 +573,67 @@ def fingerprint(ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Dataset":
     return ds.map_batches(
         FingerprintStage(window), batch_format="pyarrow"
     )
+
+
+def hash_embed_batch(
+    batch: pa.Table,
+    dim: int = 64,
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> pa.Table:
+    """Deterministic feature-hashing text embedder (the hashing
+    trick): word unigrams (+ bigrams) hash into a signed ``dim``-wide
+    bucket space, rows l2-normalized.  A model-free embedding column —
+    no weights, no network — that composes with the vector stack
+    (``ann_topk`` / ``kmeans`` / ``cluster_representatives`` /
+    ``embedding_dup_pairs``), so a text corpus can run the full
+    embed → cluster → semantic-dedup pipeline inside the engine.
+
+    Pure per-document function of the text (batch- and
+    partitioning-independent by construction); one vectorized hash
+    pass over the batch's flattened tokens, scatter-add per doc —
+    no Python loop beyond the per-doc token-list build."""
+    import pandas as pd
+
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    per_doc: list[np.ndarray] = []
+    for t in texts:
+        toks = (t or "").split()
+        grams = toks
+        if bigrams and len(toks) > 1:
+            grams = toks + [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+        per_doc.append(np.array(grams, dtype=object))
+    counts = np.array([len(g) for g in per_doc], dtype=np.int64)
+    vecs = np.zeros((n, dim), dtype=np.float64)
+    if counts.sum() > 0:
+        flat = np.concatenate([g for g in per_doc if len(g)])
+        h = pd.util.hash_array(flat, categorize=False)
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sign = (((h >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
+                * 2.0 - 1.0)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        np.add.at(vecs.reshape(-1), doc_of * dim + idx, sign)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vecs /= norms
+    return batch.drop_columns([text_col]).append_column(
+        "embedding", pa.array(list(vecs))
+    )
+
+
+def hash_embed(
+    ds: "ray.data.Dataset",
+    dim: int = 64,
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> "ray.data.Dataset":
+    """Dataset wrapper for ``hash_embed_batch``."""
+    return ds.map_batches(
+        lambda t: hash_embed_batch(
+            t, dim=dim, text_col=text_col, bigrams=bigrams
+        ),
+        batch_format="pyarrow",
+    )

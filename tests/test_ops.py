@@ -2360,3 +2360,92 @@ def test_cross_corpus_empty_query_and_no_hits():
     ]
     empty = cross_corpus_dup_pairs(corpus, none.filter(lambda r: False))
     assert empty.empty
+
+
+def test_pca_matches_numpy_and_is_partition_stable():
+    """Distributed PCA (one streaming pass of (n, Σx, XᵀX) partials)
+    equals full-data numpy PCA, recovers a planted low-rank structure,
+    and is invariant to repartitioning."""
+    from raycdc.ops.similarity import pca_embeddings, pca_project
+
+    rng = np.random.default_rng(11)
+    basis = rng.normal(size=(2, 8))
+    coords = rng.normal(size=(500, 2)) * np.array([5.0, 2.0])
+    x = coords @ basis + rng.normal(size=(500, 8)) * 1e-3
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(500), pa.int64()),
+                "embedding": pa.array(list(x)),
+            }
+        )
+    )
+    pca = pca_embeddings(ds, n_components=2)
+    assert pca["n"] == 500
+    assert pca["explained_variance_ratio"].sum() > 0.999
+
+    # numpy reference on the full matrix
+    c = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(c)
+    ref = evecs[:, np.argsort(evals)[::-1][:2]].T
+    for i in range(2):
+        assert abs(abs(ref[i] @ pca["components"][i]) - 1.0) < 1e-6
+    # canonical sign: largest-|.| coordinate positive
+    for comp in pca["components"]:
+        assert comp[np.abs(comp).argmax()] > 0
+
+    pca7 = pca_embeddings(ds.repartition(7), n_components=2)
+    assert np.abs(pca7["components"] - pca["components"]).max() < 1e-8
+
+    proj = (
+        pca_project(ds, pca)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = np.stack(proj["pca"].to_numpy())
+    want = (x - pca["mean"][None, :]) @ pca["components"].T
+    assert np.abs(got - want).max() < 1e-9
+
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_embeddings(ds.limit(1), n_components=2)
+
+
+def test_hash_embed_composes_with_vector_stack():
+    """The feature-hashing embedder: unit-norm deterministic vectors
+    where near-dups are close, unrelated docs are far, and the output
+    column drops straight into the ANN stack."""
+    from raycdc.ops.similarity import ann_topk
+    from raycdc.ops.text import hash_embed
+
+    ds = _docs_with_near_dups()
+    emb = hash_embed(
+        ds.map_batches(
+            lambda t: t.rename_columns(["doc_id", "text"]),
+            batch_format="pyarrow",
+        ),
+        dim=64,
+    )
+    df = emb.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    vecs = {int(i): np.asarray(v) for i, v in zip(df["doc_id"], df["embedding"])}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for v in vecs.values())
+    # planted near-dups (one token of 40 changed) stay close
+    for i in range(10):
+        assert vecs[i] @ vecs[100 + i] > 0.8, i
+    # random 40-token docs are far apart
+    assert vecs[0] @ vecs[1] < 0.5
+    # partitioning-independent (pure per-doc function)
+    df7 = (
+        hash_embed(ds.repartition(7), dim=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.abs(
+        np.stack(df7["embedding"].to_numpy())
+        - np.stack(df["embedding"].to_numpy())
+    ).max() == 0.0
+    # composes with ann_topk: each doc's own vector is its top-1
+    hits = ann_topk(emb, np.stack([vecs[3], vecs[100]]), k=1,
+                    id_col="doc_id")
+    assert list(hits["doc_id"]) == [3, 100]

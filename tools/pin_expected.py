@@ -37,6 +37,8 @@ PINNED = [
     "fingerprint_docs",
     "media_decode",
     "media_frame_sample",
+    "pca_components",
+    "hash_embed_representatives",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
