@@ -164,6 +164,15 @@ def main(argv: list[str] | None = None) -> int:
         "--out", help="write the diff as Parquet here instead of printing counts"
     )
 
+    p_rest = sub.add_parser(
+        "restore",
+        help="make a historical committed snapshot current via a NEW "
+        "commit (state + watermarks revert together; rewind-and-"
+        "reprocess)",
+    )
+    p_rest.add_argument("--lake-dir", required=True)
+    p_rest.add_argument("--version", type=int, required=True)
+
     p_feed = sub.add_parser(
         "feed",
         help="per-commit change feed between two lake versions "
@@ -390,6 +399,21 @@ def main(argv: list[str] | None = None) -> int:
                 else {}
             )
             print(json.dumps({"rows": sum(counts.values()), **counts}))
+        return 0
+
+    if args.cmd == "restore":
+        from raycdc.state.checkpoint import Lake
+
+        m = Lake(args.lake_dir).restore(args.version)
+        print(
+            json.dumps(
+                {
+                    "restored_to": args.version,
+                    "new_version": m["version"],
+                    "run_id": m["last_run_id"],
+                }
+            )
+        )
         return 0
 
     if args.cmd == "feed":

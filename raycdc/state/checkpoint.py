@@ -286,6 +286,54 @@ class Lake:
         self._write_manifest(manifest)
         return manifest
 
+    def restore(self, version: int, run_id: str | None = None) -> dict:
+        """RESTORE a historical committed snapshot as the CURRENT
+        state via a NEW commit (the version counter only ever moves
+        forward, so time travel to the pre-restore state keeps
+        working) — the rewind-and-reprocess lever: parts, deltas,
+        partition count, payload schema AND the checkpoint (per-
+        partition watermarks) all revert together, so the next ingest
+        run replays the log from the restored cursor and converges
+        forward deterministically (the keep-latest apply is
+        idempotent, so re-applying already-seen events is exactly-once
+        by construction).
+
+        Fails loud when ``vacuum`` has already reclaimed any of the
+        target snapshot's files — a restore target must be chosen
+        inside the vacuum retention window.  Serialized under the
+        commit lock like every other commit, so a concurrent follow-
+        loop commit is never silently discarded."""
+        import fcntl
+
+        lock_path = os.path.join(self.root, "_commit.lock")
+        with open(lock_path, "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            manifest = self.manifest()
+            target = self.manifest(version)  # raises if never committed
+            missing = sorted(
+                rel
+                for rel in self.referenced_files(target)
+                if not os.path.exists(os.path.join(self.root, rel))
+            )
+            if missing:
+                raise FileNotFoundError(
+                    f"restore to v{version}: {len(missing)} of its files "
+                    f"were vacuumed (first: {missing[0]}) — pick a "
+                    "version inside the vacuum retention window"
+                )
+            new_version = int(manifest["version"]) + 1
+            manifest["num_partitions"] = target["num_partitions"]
+            manifest["parts"] = target.get("parts", {})
+            manifest["deltas"] = target.get("deltas", {})
+            manifest["payload_columns"] = target.get("payload_columns", [])
+            manifest["checkpoint"] = target.get("checkpoint")
+            manifest["last_run_id"] = run_id or (
+                f"restore-v{version:06d}"
+            )
+            manifest["version"] = new_version
+            self._write_manifest(manifest)
+            return manifest
+
     # -- reads over the whole lake ----------------------------------------
     @staticmethod
     def _validate_key_filter(expr) -> None:

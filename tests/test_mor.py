@@ -1129,3 +1129,59 @@ def test_selective_scan_key_filter_pushdown(tmp_path):
     )
     for c in got3.column_names:
         assert got3[c].to_pylist() == got[c].to_pylist(), c
+
+
+def test_restore_rewinds_state_and_watermarks_then_reconverges(tmp_path):
+    """RESTORE makes a historical snapshot current via a NEW commit:
+    state AND watermarks revert together, the pre-restore state stays
+    time-travelable, and re-running ingest replays the log forward to
+    EXACTLY the pre-restore converged state (exactly-once under
+    rewind-and-reprocess)."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 800, fragment_rows=400, seed=29)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    v1 = int(lake.manifest()["version"])
+    state_v1 = _canon(lake.read_table())
+    wm_v1 = lake.watermarks()
+    _second_window(tmp, cfg.log_dir, n=300, seed=31, start_seq=800)
+    run_ingest(cfg)
+    v2 = int(lake.manifest()["version"])
+    state_v2 = _canon(lake.read_table())
+    assert state_v2.num_rows != state_v1.num_rows or (
+        state_v2 != state_v1
+    )
+
+    m = lake.restore(v1)
+    assert int(m["version"]) == v2 + 1
+    got = _canon(lake.read_table())
+    assert got.num_rows == state_v1.num_rows
+    for c in got.column_names:
+        assert got[c].to_pylist() == state_v1[c].to_pylist(), c
+    assert lake.watermarks() == wm_v1  # the cursor reverted too
+    # pre-restore state still time-travelable
+    old = _canon(lake.read_table(version=v2))
+    assert old["content"].to_pylist() == state_v2["content"].to_pylist()
+
+    # replay forward: the second window re-applies and reconverges
+    run_ingest(cfg)
+    re = _canon(lake.read_table())
+    for c in re.column_names:
+        assert re[c].to_pylist() == state_v2[c].to_pylist(), c
+
+
+def test_restore_fails_loud_after_vacuum(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 600, fragment_rows=300, seed=37)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    v1 = int(lake.manifest()["version"])
+    _second_window(tmp, cfg.log_dir, n=200, seed=41, start_seq=600)
+    run_ingest(cfg)  # cow rewrite supersedes v1 bases
+    vacuum(cfg.lake_dir)  # reclaims data files AND superseded snapshots
+    with pytest.raises(
+        FileNotFoundError, match="vacuum|no snapshot manifest"
+    ):
+        lake.restore(v1)
