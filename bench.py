@@ -719,6 +719,116 @@ def matview_bench() -> None:
     )
 
 
+def index_bench() -> None:
+    """Secondary-index economics at the headline scale: postings
+    retrieval (``index_lookup``, O(probed bucket file)) vs the full
+    corpus scan it replaces, plus create cost and the sparse-commit
+    refresh cost.  Honest framing: the synthetic ``lang`` values are
+    spread uniformly across repos, so ``read_by_value``'s repo-set
+    pushdown prunes nothing HERE — the measured win is the postings
+    plane itself (answering "which keys have value v" without
+    touching the lake), which is the index's job."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    calib, _ = _calibrate_settled()
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.sources.synth import write_changelog
+    from raycdc.state.secondary import (
+        create_secondary_index,
+        index_lookup,
+        refresh_secondary_index,
+    )
+
+    log_dir = _log_dir()
+    _ensure_log(log_dir, N_EVENTS)
+    lake_dir = os.path.join(WORK_ROOT, f"idx_lake_{N_EVENTS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=max(NUM_CPUS * 2, 16),
+        columns=[{"name": "author.name", "type": "string"}],
+    )
+    run_ingest(cfg)
+    idx_dir = os.path.join(WORK_ROOT, "idx_lang")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    created = create_secondary_index(lake_dir, idx_dir, "lang")
+    create_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    postings = index_lookup(idx_dir, ["py"])
+    lookup_sec = time.perf_counter() - t0
+
+    from raycdc.state.checkpoint import Lake
+
+    def scan_keys() -> int:
+        import pandas as pd
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["lang"] == "py"][["repo", "path"]]
+
+        return (
+            Lake(lake_dir)
+            .read_dataset(columns=["repo", "path", "lang"])
+            .map_batches(f, batch_format="pandas")
+            .count()
+        )
+
+    t0 = time.perf_counter()
+    scanned = scan_keys()
+    scan_sec = time.perf_counter() - t0
+    assert scanned == postings.num_rows, (scanned, postings.num_rows)
+
+    # sparse single-key burst, then refresh: touched buckets only
+    import glob
+
+    n_frag = len(glob.glob(os.path.join(log_dir, "fragment-*.parquet")))
+    write_changelog(
+        log_dir, 10_000, fragment_rows=FRAGMENT_ROWS, seed=53, num_keys=1,
+        delete_frac=0.0, malformed_frac=0.0,
+        start_seq=N_EVENTS + 200_000, fragment_index_offset=n_frag,
+        duplicate_boundaries=False,
+    )
+    run_ingest(cfg)
+    t0 = time.perf_counter()
+    ref = refresh_secondary_index(idx_dir)
+    refresh_sec = time.perf_counter() - t0
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "secondary-index postings retrieval vs "
+                f"corpus scan, {N_EVENTS}-event lake",
+                "calib_sec": calib,
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "num_cpus": NUM_CPUS,
+                "create_sec": round(create_sec, 3),
+                "postings_total": created["postings"],
+                "lookup_rows": postings.num_rows,
+                "lookup_sec": round(lookup_sec, 4),
+                "scan_sec": round(scan_sec, 3),
+                "lookup_speedup": round(scan_sec / lookup_sec, 1),
+                "sparse_refresh_sec": round(refresh_sec, 3),
+                "sparse_refresh_buckets": ref.get("buckets"),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -726,5 +836,7 @@ if __name__ == "__main__":
         soak()
     elif "--matview" in sys.argv:
         matview_bench()
+    elif "--index" in sys.argv:
+        index_bench()
     else:
         main()
