@@ -304,3 +304,76 @@ def test_follow_with_matview_on_round(tmp_path):
         "org/a": (1, 9), "org/b": (1, 6), "org/c": (1, 2)
     }
     assert len(seen) == 3  # one delivery per non-noop round
+
+
+def test_matview_over_patch_lake(tmp_path):
+    """Partial-update (op=patch) semantics flow through the diff into
+    view maintenance: a content-only patch changes content_bytes while
+    lang (null in the patch = keep) stays in its group; refresh equals
+    a full recompute of the patched state."""
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    cfg = IngestConfig(
+        log_dir=log, lake_dir=lake, num_partitions=4, patch_ops=True,
+    )
+    _frag(log, 0, [
+        _ev(0, "insert", "org/a", "x.py", "py", "aaaa"),
+        _ev(1, "insert", "org/b", "z.go", "go", "cccccc"),
+    ])
+    run_ingest(cfg)
+    create_matview(lake, view, ["lang"], _AGGS)
+    # content-only patch: lang/commit null = keep previous values
+    _frag(log, 1, [
+        {
+            "seq": 2, "op": "patch", "repo": "org/a", "path": "x.py",
+            "commit": None, "lang": None, "content": "aaaa patched",
+            "payload_json": None,
+        },
+    ])
+    run_ingest(cfg)
+    refresh_matview(view)
+    got = read_matview(view)
+    _views_equal(got, _full_recompute(lake, tmp_path, ["lang"]))
+    by_lang = {
+        r["lang"]: (r["n_docs"], r["content_bytes"])
+        for r in got.to_pylist()
+    }
+    # lang survived the patch (stayed 'py'); bytes reflect the patch
+    assert by_lang == {"py": (1, len("aaaa patched")), "go": (1, 6)}
+
+
+def test_snapshot_diff_across_payload_column_add(tmp_path):
+    """Schema evolution meets the diff: a payload column added in a
+    later window aligns as null on the older snapshot, so projecting
+    the diff to that column yields null→value update rows with a null
+    retraction image — exactly what downstream index/view maintenance
+    needs to start tracking a brand-new column."""
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    _frag(log, 0, [
+        _ev(0, "insert", "org/a", "x.py", "py", "aaaa"),
+        _ev(1, "insert", "org/b", "z.go", "go", "cc"),
+    ])
+    run_ingest(IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4))
+    team_col = [{"name": "team", "type": "string"}]
+    _frag(log, 1, [
+        dict(
+            _ev(2, "update", "org/a", "x.py", "py", "aaaa"),
+            payload_json='{"team":"red"}',
+        ),
+    ])
+    run_ingest(
+        IngestConfig(
+            log_dir=log, lake_dir=lake, num_partitions=4, columns=team_col,
+        )
+    )
+    vs = Lake(lake).versions()
+    d = snapshot_diff(
+        lake, vs[-2], vs[-1], columns=["p_team"], include_old=True
+    ).to_pandas()
+    assert set(zip(d["path"], d["change"])) == {("x.py", "update")}
+    row = d.iloc[0]
+    assert row["p_team"] == "red" and row["p_team_old"] is None
