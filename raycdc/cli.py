@@ -164,6 +164,19 @@ def main(argv: list[str] | None = None) -> int:
         "--out", help="write the diff as Parquet here instead of printing counts"
     )
 
+    p_purge = sub.add_parser(
+        "purge",
+        help="physically erase rows by primary key (GDPR delete: "
+        "filtered base rewrite; run vacuum afterwards to reclaim the "
+        "pre-purge snapshots)",
+    )
+    p_purge.add_argument("--lake-dir", required=True)
+    p_purge.add_argument("--repo", required=True)
+    p_purge.add_argument(
+        "--path-prefix", default=None,
+        help="optionally narrow to paths with this prefix",
+    )
+
     p_rest = sub.add_parser(
         "restore",
         help="make a historical committed snapshot current via a NEW "
@@ -399,6 +412,21 @@ def main(argv: list[str] | None = None) -> int:
                 else {}
             )
             print(json.dumps({"rows": sum(counts.values()), **counts}))
+        return 0
+
+    if args.cmd == "purge":
+        import pyarrow.dataset as pads
+
+        from raycdc.pipelines.maintenance import purge_keys
+
+        expr = pads.field("repo") == args.repo
+        if args.path_prefix is not None:
+            lo = args.path_prefix
+            hi = lo[:-1] + chr(ord(lo[-1]) + 1) if lo else None
+            expr = expr & (pads.field("path") >= lo)
+            if hi:
+                expr = expr & (pads.field("path") < hi)
+        print(json.dumps(purge_keys(args.lake_dir, expr)))
         return 0
 
     if args.cmd == "restore":

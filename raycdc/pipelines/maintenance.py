@@ -750,6 +750,111 @@ def _optimize_sort_once(
     return {"optimized": sorted(staged), "run_id": run_id, "by": by}
 
 
+def purge_keys(
+    lake_dir: str,
+    key_filter,
+    run_id: str | None = None,
+) -> dict:
+    """Right-to-erasure (GDPR-delete analog): PHYSICALLY remove every
+    row whose primary key matches ``key_filter`` by rewriting the
+    partitions that contain matches — compaction with a filter, not a
+    tombstone: merge-on-read deltas fold in first (same resolve kernel
+    as the read path), the matching rows are dropped from the new
+    bases, and one atomic commit swaps them.  After ``vacuum`` the
+    purged bytes are gone from disk; until then, time travel to
+    pre-purge versions still works (call vacuum to complete the
+    erasure).  Watermarks are untouched — erasure is not a stream
+    event, and a LATER change event for a purged key legitimately
+    recreates it.
+
+    ``key_filter`` is a primary-key-only ``pyarrow.dataset``
+    expression (same contract and loud validation as
+    ``read_dataset(key_filter=)``).  Untouched partitions are neither
+    read twice nor rewritten: each partition task resolves once,
+    filters, and reports whether anything matched; only matching
+    partitions enter the commit.  Optimistic concurrency like every
+    rewrite: a concurrent follow-loop delta triggers re-resolve +
+    retry instead of being discarded."""
+    lake = Lake(lake_dir)
+    Lake._validate_key_filter(key_filter)
+    last_err: Exception | None = None
+    for _ in range(_REWRITE_COMMIT_ATTEMPTS):
+        try:
+            return _purge_keys_once(lake, key_filter, run_id)
+        except ConcurrentCommitError as e:
+            last_err = e
+    raise last_err  # type: ignore[misc]
+
+
+def _purge_keys_once(lake: Lake, key_filter, run_id: str | None) -> dict:
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    manifest = lake.manifest()
+    base_version = int(manifest["version"])
+    parts = lake.part_paths()
+    deltas = lake.delta_paths()
+    targets = sorted(set(parts) | set(deltas))
+    if not targets:
+        return {"purged_rows": 0, "partitions": [], "run_id": None}
+    run_id = run_id or f"purge-{base_version + 1:06d}"
+    payload_columns = manifest.get("payload_columns") or []
+    root = lake.root
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        from raycdc.stages.merge import lake_schema, resolve_partition
+
+        schema = lake_schema(payload_columns)
+        out_pid, out_path, out_purged = [], [], []
+        for pid in batch["item"].to_pylist():
+            pid = int(pid)
+            resolved = resolve_partition(
+                parts.get(pid), deltas.get(pid, []), schema
+            )
+            keep = pads.dataset(resolved).scanner(
+                filter=~key_filter
+            ).to_table()
+            purged = resolved.num_rows - keep.num_rows
+            if purged == 0:
+                continue  # untouched partition: no rewrite, no commit
+            d = os.path.join(root, "data", f"part-{pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            staged = os.path.join(d, f"{run_id}.parquet")
+            pq.write_table(
+                keep, staged, compression="zstd", compression_level=1
+            )
+            out_pid.append(pid)
+            out_path.append(staged)
+            out_purged.append(purged)
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.int32()),
+                "path": pa.array(out_path, pa.string()),
+                "purged": pa.array(out_purged, pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.from_items(targets)
+        .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    staged = {int(r["pid"]): r["path"] for r in rows}
+    purged = int(sum(r["purged"] for r in rows))
+    if not staged:
+        return {"purged_rows": 0, "partitions": [], "run_id": None}
+    lake.commit(
+        run_id, staged, {}, payload_columns=None,
+        expected_version=base_version,
+    )
+    return {
+        "purged_rows": purged,
+        "partitions": sorted(staged),
+        "run_id": run_id,
+    }
+
+
 def export_lake(
     lake_dir: str,
     out_dir: str,

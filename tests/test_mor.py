@@ -1185,3 +1185,81 @@ def test_restore_fails_loud_after_vacuum(tmp_path):
         FileNotFoundError, match="vacuum|no snapshot manifest"
     ):
         lake.restore(v1)
+
+
+def test_purge_keys_physically_erases_and_stream_can_recreate(tmp_path):
+    """GDPR-delete: the filtered base rewrite removes every matching
+    row (deltas folded first), leaves non-matching rows byte-identical,
+    keeps time travel until vacuum completes the erasure, rejects
+    value predicates, and — because watermarks are untouched — a LATER
+    change event legitimately recreates a purged key."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    from raycdc.pipelines.maintenance import purge_keys
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1200, fragment_rows=600, seed=43)
+    run_ingest(cfg)
+    _second_window(tmp, cfg.log_dir, n=300, seed=47, start_seq=1200)
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    assert lake.delta_paths()  # purge must fold live deltas
+    before = lake.read_table().to_pandas()
+    v_pre = int(lake.manifest()["version"])
+    target = before["repo"].value_counts().index[0]
+    n_target = int((before["repo"] == target).sum())
+
+    out = purge_keys(cfg.lake_dir, pads.field("repo") == target)
+    assert out["purged_rows"] == n_target > 0
+
+    after = lake.read_table().to_pandas()
+    assert (after["repo"] != target).all()
+    a = _canon(pa.Table.from_pandas(after, preserve_index=False))
+    w = _canon(
+        pa.Table.from_pandas(
+            before[before["repo"] != target], preserve_index=False
+        )
+    )
+    for c in a.column_names:
+        assert a[c].to_pylist() == w[c].to_pylist(), c
+    # purged partitions fold their deltas into the rewritten base
+    m = lake.manifest()
+    for pid in out["partitions"]:
+        assert not m.get("deltas", {}).get(str(pid))
+
+    # time travel still shows the pre-purge rows — until vacuum
+    old = lake.read_table(version=v_pre).to_pandas()
+    assert (old["repo"] == target).sum() == n_target
+    lake.vacuum()
+    with pytest.raises(FileNotFoundError):
+        lake.read_table(version=v_pre)
+
+    with pytest.raises(ValueError, match="primary-key columns"):
+        purge_keys(cfg.lake_dir, pads.field("content") == "x")
+
+    # a later change event recreates the key (erasure is not a stream
+    # event; the cursor never moved)
+    path0 = before[before["repo"] == target]["path"].iloc[0]
+    t = pa.table(
+        {
+            "seq": pa.array([5000], pa.int64()),
+            "ts": pa.array([1_717_200_000_000_000], pa.timestamp("us")),
+            "op": pa.array(["insert"]),
+            "repo": pa.array([target]),
+            "path": pa.array([path0]),
+            "commit": pa.array(["c" * 40]),
+            "lang": pa.array(["py"]),
+            "content": pa.array(["resurrected"]),
+            "payload_json": pa.array(['{"author":{"name":"x"}}']),
+        }
+    )
+    pq_mod.write_table(
+        t, os.path.join(cfg.log_dir, "fragment-5000-0000.parquet")
+    )
+    run_ingest(_cfg(tmp))
+    final = lake.read_table().to_pandas()
+    back = final[(final["repo"] == target)]
+    assert list(back["path"]) == [path0]
+    assert list(back["content"]) == ["resurrected"]
