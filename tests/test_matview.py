@@ -377,3 +377,34 @@ def test_snapshot_diff_across_payload_column_add(tmp_path):
     assert set(zip(d["path"], d["change"])) == {("x.py", "update")}
     row = d.iloc[0]
     assert row["p_team"] == "red" and row["p_team_old"] is None
+
+
+def test_purge_commit_flows_into_view_and_index(tmp_path):
+    """A purge is just another commit: the snapshot diff shows its
+    rows as deletes, so view refresh and index refresh absorb a GDPR
+    erasure with no special casing."""
+    import pyarrow.dataset as pads
+
+    from raycdc.pipelines.maintenance import purge_keys
+    from raycdc.state.secondary import (
+        create_secondary_index,
+        index_lookup,
+        refresh_secondary_index,
+    )
+
+    cfg, log, lake, view = _setup(tmp_path, ["repo"])
+    idx = str(tmp_path / "idx")
+    create_secondary_index(lake, idx, "lang", num_buckets=8)
+
+    out = purge_keys(lake, pads.field("repo") == "org/a")
+    assert out["purged_rows"] == 2
+
+    refresh_matview(view)
+    got = read_matview(view)
+    _views_equal(got, _full_recompute(lake, tmp_path, ["repo"]))
+    assert got["repo"].to_pylist() == ["org/b"]
+
+    refresh_secondary_index(idx)
+    assert index_lookup(idx, ["py"]).num_rows == 0  # both py docs purged
+    post = index_lookup(idx, ["go"]).to_pandas()
+    assert list(post["path"]) == ["z.go"]
