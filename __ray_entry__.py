@@ -1850,6 +1850,22 @@ def _q_semantic_representatives(sf_dir):
     return out
 
 
+def _q_doc_lm_scores(sf_dir):
+    """CCNet-style LM quality signal without an external model: the
+    corpus is its own unigram LM — per-doc mean ln(count(w)/total).
+    Two zero-shuffle passes (driver-folded count table broadcast
+    once); the oracle recomputes the same expression in SQL."""
+    import pandas as pd
+
+    from raycdc.ops.text import unigram_lm_scores
+
+    out = unigram_lm_scores(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    ).to_pandas()
+    out["mean_logprob"] = np.round(out["mean_logprob"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pca_components(sf_dir):
     """Distributed PCA over the embeddings table: one streaming pass
     of (n, Σx, XᵀX) partials, d×d eigh on the driver — no shuffle.
@@ -2312,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pca_components / hash_embed_representatives: NEW, below the
         #  full window, pinned-file oracles + numpy-equivalence /
         #  metric-property tests; ROUND-5 ROTATION: front-load them)
+        "doc_lm_scores": _tuned(_q_doc_lm_scores),
         "pca_components": _tuned(_q_pca_components),
         "hash_embed_representatives": _tuned(_q_hash_embed_representatives),
         "semantic_representatives": _tuned(_q_semantic_representatives),
@@ -2475,6 +2492,22 @@ def oracle_sql() -> dict[str, str]:
                                           list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
                   / len(list_distinct(list_concat(string_split(a.text, ' '),
                                                   string_split(b.text, ' ')))) >= 0.9
+        """,
+        # in-corpus unigram LM score: same LN(cnt/total) expression,
+        # averaged per doc (both sides round to 6 decimals)
+        "doc_lm_scores": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            t AS (SELECT count(*) AS total FROM w)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6)
+                     AS mean_logprob
+            FROM w JOIN c USING (word), t
+            GROUP BY doc_id
         """,
         "doc_token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

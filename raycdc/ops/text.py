@@ -637,3 +637,99 @@ def hash_embed(
         ),
         batch_format="pyarrow",
     )
+
+
+def unigram_lm_scores(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_budget: int = 5_000_000,
+):
+    """In-corpus unigram LM pseudo-perplexity — the CCNet-style
+    language-model quality signal with NO external model: the corpus
+    is its own LM.  Per doc: ``mean_logprob = mean over tokens of
+    ln(count(w) / total_tokens)``; gibberish / rare-token documents
+    score low, template-like documents score high.
+
+    Two passes, zero shuffle: pass 1 folds global word counts
+    (per-batch ``value_counts`` partials, driver fold under a loud
+    ``vocab_budget`` — the count table must broadcast to every worker
+    anyway, so the budget IS the feasibility bound); pass 2 broadcasts
+    ``{word: count}`` once via ``ray.put`` and scores each doc with a
+    C-speed hash lookup + segmented mean.  No OOV by construction.
+
+    Returns a Dataset of ``(id_col, n_words int64, mean_logprob
+    float64)``; empty docs get n_words=0 and null mean_logprob.
+    """
+    import pandas as pd
+
+    import ray
+
+    slim = ds.select_columns([id_col, text_col])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.concatenate(
+            [np.array((t or "").split(), dtype=object) for t in df[text_col]]
+        ) if len(df) else np.array([], dtype=object)
+        if not len(words):
+            return pd.DataFrame({"word": [], "c": []})
+        vc = pd.Series(words).value_counts(sort=False)
+        return pd.DataFrame({"word": vc.index, "c": vc.to_numpy(np.int64)})
+
+    folded: pd.Series | None = None
+    for b in slim.map_batches(
+        count_partial, batch_format="pandas"
+    ).iter_batches(batch_format="pandas", batch_size=65536):
+        if b.empty:
+            continue
+        # one driver batch can carry several upstream blocks' partials,
+        # so the same word may appear more than once: combine first
+        s = b.groupby("word", sort=False)["c"].sum()
+        folded = s if folded is None else folded.add(s, fill_value=0)
+        if folded is not None and len(folded) > vocab_budget:
+            raise ValueError(
+                f"unigram_lm_scores: vocabulary exceeds vocab_budget="
+                f"{vocab_budget} — the count table must broadcast to "
+                "every worker; raise the budget if it genuinely fits, "
+                "or pre-normalize the text (clean_text) to shrink the "
+                "vocabulary"
+            )
+    if folded is None:
+        folded = pd.Series(dtype="int64")
+    total = float(folded.sum())
+    table_ref = ray.put(folded.astype("float64"))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(table_ref)
+        per_doc = [
+            np.array((t or "").split(), dtype=object) for t in df[text_col]
+        ]
+        counts = np.array([len(w) for w in per_doc], dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_words": counts,
+                "mean_logprob": np.full(len(df), np.nan),
+            }
+        )
+        if counts.sum() == 0:
+            return out
+        flat = np.concatenate([w for w in per_doc if len(w)])
+        # ln(c_w / C) per token, mirroring the SQL oracle's
+        # LN(CAST(cnt AS DOUBLE) / total) expression exactly
+        lp = np.log(
+            pd.Series(flat).map(table).to_numpy(np.float64) / total
+        )
+        bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        # reduceat over NON-EMPTY segment starts only: empty docs
+        # contribute no tokens, so consecutive selected starts still
+        # delimit each segment exactly (and no start can equal len(lp))
+        starts = bounds[:-1][counts > 0]
+        sums = np.add.reduceat(lp, starts)
+        out.loc[counts > 0, "mean_logprob"] = (
+            sums / counts[counts > 0]
+        )
+        return out
+
+    return slim.map_batches(score, batch_format="pandas")

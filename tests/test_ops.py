@@ -2449,3 +2449,60 @@ def test_hash_embed_composes_with_vector_stack():
     hits = ann_topk(emb, np.stack([vecs[3], vecs[100]]), k=1,
                     id_col="doc_id")
     assert list(hits["doc_id"]) == [3, 100]
+
+
+def test_unigram_lm_scores_reference_and_signal():
+    """The in-corpus unigram LM scorer matches a serial reference,
+    scores rare-token documents lower than common-token ones, handles
+    empty docs, and trips the vocab budget loudly."""
+    from collections import Counter
+
+    from raycdc.ops.text import unigram_lm_scores
+
+    texts = (
+        ["the cat sat on the mat"] * 5
+        + ["qzx wvu jkl pqr"]          # all-rare gibberish
+        + ["the the the the"]          # all-common
+        + [""]                         # empty
+    )
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = (
+        unigram_lm_scores(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # serial reference
+    all_words = [w for t in texts for w in t.split()]
+    cnt, total = Counter(all_words), len(all_words)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if not ws:
+            assert got.loc[i, "n_words"] == 0
+            assert pd.isna(got.loc[i, "mean_logprob"])
+            continue
+        ref = float(np.mean([np.log(cnt[w] / total) for w in ws]))
+        assert abs(got.loc[i, "mean_logprob"] - ref) < 1e-12, i
+    gib, common = got.loc[5, "mean_logprob"], got.loc[6, "mean_logprob"]
+    assert gib < got.loc[0, "mean_logprob"] < common
+
+    with pytest.raises(ValueError, match="vocab_budget"):
+        unigram_lm_scores(ds, vocab_budget=3)
+    # partitioning-independent (global counts are a set property)
+    got7 = (
+        unigram_lm_scores(ds.repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a = got["mean_logprob"].fillna(0).to_numpy()
+    b = got7["mean_logprob"].fillna(0).to_numpy()
+    assert np.abs(a - b).max() < 1e-12
