@@ -2325,9 +2325,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  ROUND-5 ROTATION: front-load them)
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
-        # (pca_components / hash_embed_representatives: NEW, below the
-        #  full window, pinned-file oracles + numpy-equivalence /
-        #  metric-property tests; ROUND-5 ROTATION: front-load them)
+        # (doc_lm_scores / pca_components / hash_embed_representatives:
+        #  NEW, below the full window — doc_lm_scores carries a real
+        #  SQL oracle, the other two pinned-file oracles +
+        #  numpy-equivalence / metric-property tests; ROUND-5
+        #  ROTATION: front-load them)
         "doc_lm_scores": _tuned(_q_doc_lm_scores),
         "pca_components": _tuned(_q_pca_components),
         "hash_embed_representatives": _tuned(_q_hash_embed_representatives),
