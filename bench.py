@@ -241,6 +241,9 @@ def bench_queries() -> dict[str, float]:
         "matview_repo_stats",
         "cdc_change_feed",
         "cross_corpus_dedup",
+        "cdc_selective_scan",
+        "cdc_indexed_read",
+        "doc_lm_scores",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)
