@@ -1680,6 +1680,49 @@ def _q_curation_pipeline(sf_dir):
     )
 
 
+def _q_curation_pipeline_v2(sf_dir):
+    """The round-4 curation composition: PII redaction (planted
+    per-row PII so the stage does real work) → blocklist scrub →
+    quality gate → in-corpus unigram-LM floor → exact dedup →
+    benchmark decontamination → deterministic 50% sample.  Two passes
+    (the LM count), one shuffle (dedup, AFTER the LM floor thins the
+    stream); the oracle rebuilds the full chain in SQL, so any stage
+    drifting — including the LM filter's ln(cnt/total) expression —
+    hash-mismatches."""
+    import pandas as pd
+
+    import ray.data
+
+    from raycdc.pipelines.curation import curate_corpus_v2
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        df = df.copy()
+        df["text"] = (
+            df["text"]
+            + " contact u" + d.astype(str) + "@ex.com from 10."
+            + (d % 256).astype(str) + ".0." + (d % 100).astype(str)
+            + " call +1-555-" + (d % 10000).astype(str).str.zfill(4)
+        )
+        return df
+
+    return curate_corpus_v2(
+        docs.map_batches(plant, batch_format="pandas"),
+        _bench_docs(sf_dir),
+        blocklist=_SCRUB_TERMS,
+        min_tokens=5,
+        lm_floor=-3.61,
+        ngram=8,
+        fraction=0.5,
+        seed=11,
+    )
+
+
 def _q_dedup_distinct(sf_dir):
     """Exact dedup keeping full rows: one (min doc_id) row per
     distinct text — the materializing twin of dedup_exact's counts."""
@@ -2325,11 +2368,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  ROUND-5 ROTATION: front-load them)
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
-        # (doc_lm_scores / pca_components / hash_embed_representatives:
-        #  NEW, below the full window — doc_lm_scores carries a real
-        #  SQL oracle, the other two pinned-file oracles +
-        #  numpy-equivalence / metric-property tests; ROUND-5
-        #  ROTATION: front-load them)
+        # (doc_lm_scores / curation_pipeline_v2 / pca_components /
+        #  hash_embed_representatives: NEW, below the full window —
+        #  the first two carry real SQL oracles, the other two
+        #  pinned-file oracles + numpy-equivalence / metric-property
+        #  tests; ROUND-5 ROTATION: front-load them)
+        "curation_pipeline_v2": _tuned(_q_curation_pipeline_v2),
         "doc_lm_scores": _tuned(_q_doc_lm_scores),
         "pca_components": _tuned(_q_pca_components),
         "hash_embed_representatives": _tuned(_q_hash_embed_representatives),
@@ -3237,6 +3281,74 @@ def oracle_sql() -> dict[str, str]:
             ),
             bad AS (SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (g))
             SELECT doc_id, text, lang, source, n_chars FROM ded
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+              AND ((doc_id + 11) * 2654435761) % 4294967296
+                  < CAST(0.5 * 4294967296 AS BIGINT)
+        """,
+        # the full v2 curation chain, stage-for-stage: plant PII →
+        # redact chain → blocklist scrub → ≥5-token gate → in-corpus
+        # LM floor (AVG(LN(cnt/total)) ≥ -3.61 over the gated corpus)
+        # → min-id dedup per distinct text → 8-gram decontamination vs
+        # the raw every-17th bench docs → Knuth-hash 50% sample
+        "curation_pipeline_v2": r"""
+            WITH s0 AS (
+              SELECT doc_id, lang,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@ex.com from 10.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                          || CAST(doc_id % 100 AS VARCHAR)
+                          || ' call +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, lang, regexp_replace(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t FROM s0
+            ), s2 AS (
+              SELECT doc_id, lang, regexp_replace(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, lang, regexp_replace(t,
+                       '\+\d{1,2}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, lang, regexp_replace(t,
+                       '\b(?:spark|dup|slow)\b', '<SCRUB>', 'g') AS t
+              FROM s3
+            ), fil AS (
+              SELECT * FROM s4 WHERE len(string_split(t, ' ')) >= 5
+            ),
+            w AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM fil
+            ),
+            c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            tot AS (SELECT count(*) AS total FROM w),
+            lm AS (
+              SELECT doc_id FROM w JOIN c USING (word), tot
+              GROUP BY doc_id
+              HAVING AVG(LN(CAST(cnt AS DOUBLE) / total)) >= -3.61
+            ),
+            ded AS (
+              SELECT doc_id, t, lang FROM (
+                SELECT fil.*, row_number() OVER (
+                  PARTITION BY t ORDER BY doc_id) AS rn
+                FROM fil JOIN lm USING (doc_id)) x WHERE rn = 1
+            ),
+            bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+            btoks AS (SELECT string_split(text, ' ') AS ts FROM bench),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM btoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            dtoks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM ded),
+            dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(ts[i.i:i.i+7], ' ') AS g
+              FROM dtoks, UNNEST(range(1, greatest(len(ts)-7, 1)+1)) AS i(i)
+            ),
+            bad AS (SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (g))
+            SELECT doc_id, t AS text, lang FROM ded
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
               AND ((doc_id + 11) * 2654435761) % 4294967296
                   < CAST(0.5 * 4294967296 AS BIGINT)

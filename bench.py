@@ -244,6 +244,7 @@ def bench_queries() -> dict[str, float]:
         "cdc_selective_scan",
         "cdc_indexed_read",
         "doc_lm_scores",
+        "curation_pipeline_v2",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

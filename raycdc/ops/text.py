@@ -644,6 +644,7 @@ def unigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab_budget: int = 5_000_000,
+    append: bool = False,
 ):
     """In-corpus unigram LM pseudo-perplexity — the CCNet-style
     language-model quality signal with NO external model: the corpus
@@ -660,6 +661,10 @@ def unigram_lm_scores(
 
     Returns a Dataset of ``(id_col, n_words int64, mean_logprob
     float64)``; empty docs get n_words=0 and null mean_logprob.
+    ``append=True`` instead returns the INPUT rows with the two score
+    columns appended (all columns preserved) — the composition mode
+    ``pipelines/curation.py`` uses for its LM floor; the counting pass
+    still runs over the slim (id, text) projection either way.
     """
     import pandas as pd
 
@@ -705,31 +710,30 @@ def unigram_lm_scores(
             np.array((t or "").split(), dtype=object) for t in df[text_col]
         ]
         counts = np.array([len(w) for w in per_doc], dtype=np.int64)
-        out = pd.DataFrame(
-            {
-                id_col: df[id_col].to_numpy(),
-                "n_words": counts,
-                "mean_logprob": np.full(len(df), np.nan),
-            }
-        )
-        if counts.sum() == 0:
-            return out
-        flat = np.concatenate([w for w in per_doc if len(w)])
-        # ln(c_w / C) per token, mirroring the SQL oracle's
-        # LN(CAST(cnt AS DOUBLE) / total) expression exactly
-        lp = np.log(
-            pd.Series(flat).map(table).to_numpy(np.float64) / total
-        )
-        bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
-        np.cumsum(counts, out=bounds[1:])
-        # reduceat over NON-EMPTY segment starts only: empty docs
-        # contribute no tokens, so consecutive selected starts still
-        # delimit each segment exactly (and no start can equal len(lp))
-        starts = bounds[:-1][counts > 0]
-        sums = np.add.reduceat(lp, starts)
-        out.loc[counts > 0, "mean_logprob"] = (
-            sums / counts[counts > 0]
-        )
+        mean_lp = np.full(len(df), np.nan)
+        if counts.sum() > 0:
+            flat = np.concatenate([w for w in per_doc if len(w)])
+            # ln(c_w / C) per token, mirroring the SQL oracle's
+            # LN(CAST(cnt AS DOUBLE) / total) expression exactly
+            lp = np.log(
+                pd.Series(flat).map(table).to_numpy(np.float64) / total
+            )
+            bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+            np.cumsum(counts, out=bounds[1:])
+            # reduceat over NON-EMPTY segment starts only: empty docs
+            # contribute no tokens, so consecutive selected starts
+            # still delimit each segment exactly (and no start can
+            # equal len(lp))
+            starts = bounds[:-1][counts > 0]
+            sums = np.add.reduceat(lp, starts)
+            mean_lp[counts > 0] = sums / counts[counts > 0]
+        if append:
+            out = df.copy()
+        else:
+            out = pd.DataFrame({id_col: df[id_col].to_numpy()})
+        out["n_words"] = counts
+        out["mean_logprob"] = mean_lp
         return out
 
-    return slim.map_batches(score, batch_format="pandas")
+    src = ds if append else slim
+    return src.map_batches(score, batch_format="pandas")

@@ -63,3 +63,89 @@ def curate_corpus(
         deduped, bench, text_col=text_col, id_col=id_col, ngram=ngram
     )
     return deterministic_sample(clean, id_col, fraction, seed=seed)
+
+
+def curate_corpus_v2(
+    docs: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: list[str] | None = None,
+    min_tokens: int = 5,
+    lm_floor: float = -10.0,
+    ngram: int = 8,
+    fraction: float = 0.5,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """The round-4 curation composition — every text-scrubbing and
+    quality signal the engine grew, in the order a production pipeline
+    runs them:
+
+        PII redaction → blocklist scrub → quality gate →
+        in-corpus unigram-LM floor → exact dedup →
+        benchmark decontamination → deterministic sample
+
+    Two passes total: the LM's global counting pass streams over the
+    fused redact→scrub→gate prefix (all zero-shuffle, so re-executing
+    it costs one extra source read — the at-scale alternative to
+    materializing the prefix), then the scoring pass resumes the same
+    stream; the LM floor sits BEFORE the dedup exchange on purpose, so
+    the pipeline's only shuffle runs once, over the already-thinned
+    stream.  Stage semantics pin 1:1 to the ``curation_pipeline_v2``
+    DuckDB oracle (text transforms are Arrow RE2 = DuckDB's regex
+    engine; the LM expression is ln(cnt/total) averaged per doc).
+    """
+    import pandas as pd
+
+    from raycdc.functions.arrowsafe import mask_filter
+    from raycdc.ops.decontaminate import decontaminate
+    from raycdc.ops.dedup import distinct_rows
+    from raycdc.ops.sampling import deterministic_sample
+    from raycdc.ops.text import (
+        redact_pii,
+        scrub_terms,
+        unigram_lm_scores,
+    )
+
+    def rename_to_text(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=[text_col])
+            return df.rename(columns={col: text_col})
+
+        return fn
+
+    cleaned = redact_pii(docs, text_col=text_col).map_batches(
+        rename_to_text("text_redacted"), batch_format="pandas"
+    )
+    cleaned = cleaned.drop_columns(["n_email", "n_ipv4", "n_phone"])
+    if blocklist:
+        cleaned = scrub_terms(
+            cleaned, blocklist, text_col=text_col
+        ).map_batches(rename_to_text("text_scrubbed"), batch_format="pandas")
+        cleaned = cleaned.drop_columns(["n_hits"])
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        n_tok = (
+            pc.count_substring(t[text_col], " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        return mask_filter(t, n_tok >= min_tokens)
+
+    gated = cleaned.map_batches(quality_gate, batch_format="pyarrow")
+
+    scored = unigram_lm_scores(
+        gated, text_col=text_col, id_col=id_col, append=True
+    )
+
+    def lm_gate(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["mean_logprob"].to_numpy(np.float64) >= lm_floor
+        return df[keep].drop(columns=["n_words", "mean_logprob"])
+
+    floored = scored.map_batches(lm_gate, batch_format="pandas")
+    deduped = distinct_rows(floored, text_col=text_col, id_col=id_col)
+    clean = decontaminate(
+        deduped, bench, text_col=text_col, id_col=id_col, ngram=ngram
+    )
+    return deterministic_sample(clean, id_col, fraction, seed=seed)

@@ -2506,3 +2506,56 @@ def test_unigram_lm_scores_reference_and_signal():
     a = got["mean_logprob"].fillna(0).to_numpy()
     b = got7["mean_logprob"].fillna(0).to_numpy()
     assert np.abs(a - b).max() < 1e-12
+
+
+def test_curation_v2_every_stage_bites():
+    """Each v2 stage must have a real effect on a corpus planted to
+    trigger it: PII gets redacted, blocklist terms scrubbed, short
+    docs gated, gibberish LM-floored, duplicates deduped, contaminated
+    docs dropped, and the sampler keeps a strict subset."""
+    from raycdc.pipelines.curation import curate_corpus_v2
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(40):  # normal docs
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+        ids.append(i)
+    texts.append("short doc")                     # gated (<5 tokens)
+    ids.append(100)
+    texts.append(" ".join(f"zzz{i}" for i in range(30)))  # gibberish
+    ids.append(101)
+    texts.append(texts[0])                        # exact duplicate
+    ids.append(102)
+    texts.append(
+        "badword " + " ".join(rng.choice(vocab, size=30))
+        + " mail me at a@b.co now"
+    )                                             # scrub + PII
+    ids.append(103)
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([900], pa.int64()),
+                  "text": pa.array([texts[1]])})  # contaminates doc 1
+    )
+    out = curate_corpus_v2(
+        docs, bench, blocklist=["badword"], min_tokens=5,
+        lm_floor=-5.0, fraction=1.0,
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 100 not in kept            # quality gate
+    assert 101 not in kept            # LM floor (all-rare tokens)
+    assert 102 not in kept and 0 in kept  # dedup keeps min id
+    assert 1 not in kept              # decontaminated
+    assert 103 in kept
+    t103 = out[out["doc_id"] == 103]["text"].iloc[0]
+    assert "<SCRUB>" in t103 and "<EMAIL>" in t103
+    assert "badword" not in t103 and "a@b.co" not in t103
+    # sampling keeps a strict subset at fraction < 1
+    half = curate_corpus_v2(
+        docs, bench, blocklist=["badword"], min_tokens=5,
+        lm_floor=-5.0, fraction=0.5,
+    ).to_pandas()
+    assert set(half["doc_id"]) < kept
