@@ -408,3 +408,70 @@ def test_purge_commit_flows_into_view_and_index(tmp_path):
     assert index_lookup(idx, ["py"]).num_rows == 0  # both py docs purged
     post = index_lookup(idx, ["go"]).to_pandas()
     assert list(post["path"]) == ["z.go"]
+
+
+# -- property: incremental maintenance == serial reference ----------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_KEYS = [("org/a", "x.py"), ("org/a", "y.py"), ("org/b", "z.go"),
+         ("org/b", "w.rs"), ("org/c", "m.md")]
+_LANGS = ["py", "go", "rs"]
+
+
+@st.composite
+def _event_windows(draw):
+    n_windows = draw(st.integers(min_value=1, max_value=3))
+    windows, seq = [], 0
+    for _ in range(n_windows):
+        evs = []
+        for _ in range(draw(st.integers(min_value=1, max_value=6))):
+            k = draw(st.integers(min_value=0, max_value=len(_KEYS) - 1))
+            op = draw(st.sampled_from(["insert", "update", "delete"]))
+            lang = _LANGS[draw(st.integers(0, len(_LANGS) - 1))]
+            content = "w " * draw(st.integers(0, 5)) + "end"
+            repo, path = _KEYS[k]
+            if op == "delete":
+                evs.append(_ev(seq, "delete", repo, path))
+            else:
+                evs.append(_ev(seq, op, repo, path, lang, content))
+            seq += 1
+        windows.append(evs)
+    return windows
+
+
+@given(_event_windows())
+@settings(max_examples=8, deadline=None)
+def test_matview_refresh_equals_serial_reference(tmp_path_factory, windows):
+    """Arbitrary insert/update/delete sequences across 1–3 windows:
+    refresh-after-every-window must equal BOTH a from-scratch
+    recompute and a pure-python keep-latest + aggregate reference."""
+    tmp = tmp_path_factory.mktemp("mvprop")
+    log, lake, view = str(tmp / "log"), str(tmp / "lake"), str(tmp / "view")
+    cfg = IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4)
+    state: dict = {}
+    for i, evs in enumerate(windows):
+        _frag(log, i, evs)
+        run_ingest(cfg)
+        for e in evs:  # serial keep-latest reference
+            key = (e["repo"], e["path"])
+            if e["op"] == "delete":
+                state.pop(key, None)
+            else:
+                state[key] = (e["lang"], e["content"])
+        if i == 0:
+            create_matview(lake, view, ["lang"], _AGGS)
+        else:
+            refresh_matview(view)
+    got = {
+        r["lang"]: (r["n_docs"], r["content_bytes"])
+        for r in read_matview(view).to_pylist()
+    }
+    ref: dict = {}
+    for lang, content in state.values():
+        n, b = ref.get(lang, (0, 0))
+        ref[lang] = (n + 1, b + len(content))
+    assert got == ref
+    _views_equal(
+        read_matview(view), _full_recompute(lake, tmp, ["lang"])
+    )
