@@ -668,6 +668,10 @@ def matview_bench() -> None:
 
     n_frag = len(glob.glob(os.path.join(log_dir, "fragment-*.parquet")))
     burst = 10_000
+    # the burst must land ABOVE the committed watermark (the 5% delta
+    # already advanced it past N_EVENTS) or ingest correctly drops it
+    # as already-replayed
+    burst_start = max(Lake(lake_dir).watermarks().values()) + 1
     write_changelog(
         log_dir,
         burst,
@@ -676,7 +680,7 @@ def matview_bench() -> None:
         num_keys=1,
         delete_frac=0.0,
         malformed_frac=0.0,
-        start_seq=N_EVENTS + burst * 10 + 1,
+        start_seq=burst_start,
         fragment_index_offset=n_frag,
         duplicate_boundaries=False,
     )

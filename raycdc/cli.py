@@ -164,6 +164,18 @@ def main(argv: list[str] | None = None) -> int:
         "--out", help="write the diff as Parquet here instead of printing counts"
     )
 
+    p_tag = sub.add_parser(
+        "tag",
+        help="name a committed version (retention anchor: vacuum keeps "
+        "a tagged snapshot and its files; readers/restore accept the "
+        "name in place of the version)",
+    )
+    p_tag.add_argument("--lake-dir", required=True)
+    p_tag.add_argument("--name", default=None)
+    p_tag.add_argument("--version", type=int, default=None)
+    p_tag.add_argument("--delete", action="store_true")
+    p_tag.add_argument("--list", action="store_true", dest="list_tags")
+
     p_purge = sub.add_parser(
         "purge",
         help="physically erase rows by primary key (GDPR delete: "
@@ -412,6 +424,22 @@ def main(argv: list[str] | None = None) -> int:
                 else {}
             )
             print(json.dumps({"rows": sum(counts.values()), **counts}))
+        return 0
+
+    if args.cmd == "tag":
+        from raycdc.state.checkpoint import Lake
+
+        lake = Lake(args.lake_dir)
+        if args.list_tags:
+            print(json.dumps(lake.tags()))
+        elif args.delete:
+            if not args.name:
+                raise SystemExit("tag --delete requires --name")
+            print(json.dumps(lake.delete_tag(args.name)))
+        else:
+            if not args.name:
+                raise SystemExit("tag requires --name (or --list)")
+            print(json.dumps(lake.tag(args.name, args.version)))
         return 0
 
     if args.cmd == "purge":

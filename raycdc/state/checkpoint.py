@@ -82,10 +82,70 @@ class Lake:
         self._write_manifest(manifest)
         return manifest
 
-    def manifest(self, version: int | None = None) -> dict:
-        """The current committed manifest, or — ``version`` given — a
-        historical snapshot from ``_versions/`` (time travel; readable
-        until a later ``vacuum`` reclaims its data files)."""
+    # -- tags: named versions = retention anchors ---------------------------
+    def tags(self) -> dict[str, int]:
+        """Committed tag name → version map (``_tags.json``)."""
+        path = os.path.join(self.root, "_tags.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Name a committed version (Iceberg-ref analog).  A tagged
+        version is a RETENTION ANCHOR: ``vacuum`` keeps its snapshot
+        manifest and every file it references until the tag is
+        deleted, so time travel / RESTORE to it always works.  Every
+        version-taking API also accepts the tag name in place of the
+        integer."""
+        import fcntl
+
+        if version is None:
+            version = int(self.manifest()["version"])
+        self.manifest(version)  # raises if the snapshot is gone
+        with open(os.path.join(self.root, "_commit.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            tags = self.tags()
+            tags[str(name)] = int(version)
+            self._write_tags(tags)
+        return {"tag": str(name), "version": int(version)}
+
+    def delete_tag(self, name: str) -> dict:
+        import fcntl
+
+        with open(os.path.join(self.root, "_commit.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            tags = self.tags()
+            version = tags.pop(str(name), None)
+            self._write_tags(tags)
+        return {"tag": str(name), "version": version, "deleted": version is not None}
+
+    def _write_tags(self, tags: dict) -> None:
+        path = os.path.join(self.root, "_tags.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _resolve_version(self, version):
+        """int passes through; a str resolves via the tag map."""
+        if version is None or isinstance(version, int):
+            return version
+        tags = self.tags()
+        if str(version) not in tags:
+            raise KeyError(
+                f"unknown lake tag {version!r} (known: {sorted(tags)})"
+            )
+        return tags[str(version)]
+
+    def manifest(self, version: int | str | None = None) -> dict:
+        """The current committed manifest, or — ``version`` given (an
+        integer or a tag name) — a historical snapshot from
+        ``_versions/`` (time travel; readable until a later ``vacuum``
+        reclaims its data files — tagged versions are exempt)."""
+        version = self._resolve_version(version)
         if version is None:
             with open(self.manifest_path) as f:
                 return json.load(f)
@@ -286,7 +346,7 @@ class Lake:
         self._write_manifest(manifest)
         return manifest
 
-    def restore(self, version: int, run_id: str | None = None) -> dict:
+    def restore(self, version: int | str, run_id: str | None = None) -> dict:
         """RESTORE a historical committed snapshot as the CURRENT
         state via a NEW commit (the version counter only ever moves
         forward, so time travel to the pre-restore state keeps
@@ -305,6 +365,7 @@ class Lake:
         loop commit is never silently discarded."""
         import fcntl
 
+        version = self._resolve_version(version)
         lock_path = os.path.join(self.root, "_commit.lock")
         with open(lock_path, "w") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
@@ -518,14 +579,19 @@ class Lake:
         ``_metrics`` or ``_deadletter`` (those are per-run audit
         records).  Safe concurrently with readers of the CURRENT
         manifest only — like Delta Lake's VACUUM, time-travel to
-        pre-vacuum versions is given up.  NOT safe concurrently with
-        an in-flight ingest or compaction: staged-but-uncommitted
-        files are indistinguishable from garbage; run vacuum between
-        runs (the CLI surface does)."""
+        pre-vacuum versions is given up UNLESS the version is tagged
+        (``Lake.tag``): tagged snapshots and every file they reference
+        are retention-anchored until the tag is deleted.  NOT safe
+        concurrently with an in-flight ingest or compaction:
+        staged-but-uncommitted files are indistinguishable from
+        garbage; run vacuum between runs (the CLI surface does)."""
         import shutil
 
         m = self.manifest()
         referenced = self.referenced_files(m)
+        anchored = set(self.tags().values())
+        for v in anchored:
+            referenced |= self.referenced_files(self.manifest(v))
         removed, freed = 0, 0
         for sub in ("data", "_checkpoint"):
             top = os.path.join(self.root, sub)
@@ -541,12 +607,15 @@ class Lake:
         # time travel is given up at vacuum: drop superseded snapshot
         # manifests too, so versions() never advertises a snapshot
         # whose data files are gone (a `tail` loop would otherwise
-        # accumulate one JSON per commit forever)
+        # accumulate one JSON per commit forever) — tagged versions'
+        # snapshots stay (their data files were kept above)
         vdir = os.path.join(self.root, "_versions")
-        keep = f"v{int(m['version']):06d}.json"
+        keep_json = {f"v{int(m['version']):06d}.json"} | {
+            f"v{int(v):06d}.json" for v in anchored
+        }
         if os.path.isdir(vdir):
             for f in os.listdir(vdir):
-                if f.endswith(".json") and f != keep:
+                if f.endswith(".json") and f not in keep_json:
                     freed += os.path.getsize(os.path.join(vdir, f))
                     os.remove(os.path.join(vdir, f))
                     removed += 1

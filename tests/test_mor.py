@@ -1263,3 +1263,49 @@ def test_purge_keys_physically_erases_and_stream_can_recreate(tmp_path):
     back = final[(final["repo"] == target)]
     assert list(back["path"]) == [path0]
     assert list(back["content"]) == ["resurrected"]
+
+
+def test_tags_anchor_retention_and_resolve_everywhere(tmp_path):
+    """A tagged version survives vacuum (snapshot + data files kept),
+    resolves by name in reads / snapshot_diff / restore, and releasing
+    the tag lets the next vacuum reclaim it."""
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 800, fragment_rows=400, seed=53)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    v1 = int(lake.manifest()["version"])
+    state_v1 = _canon(lake.read_table())
+    lake.tag("baseline", v1)
+    assert lake.tags() == {"baseline": v1}
+
+    _second_window(tmp, cfg.log_dir, n=300, seed=59, start_seq=800)
+    run_ingest(cfg)  # cow rewrite supersedes v1 bases
+    lake.vacuum()
+
+    # the tagged snapshot survived vacuum, by name and by number
+    got = _canon(lake.read_table(version="baseline"))
+    for c in got.column_names:
+        assert got[c].to_pylist() == state_v1[c].to_pylist(), c
+    # the diff accepts the tag too
+    d = snapshot_diff(cfg.lake_dir, "baseline",
+                      int(lake.manifest()["version"])).to_pandas()
+    assert len(d) > 0
+    # restore by tag reconverges to the anchored state
+    lake.restore("baseline")
+    got2 = _canon(lake.read_table())
+    for c in got2.column_names:
+        assert got2[c].to_pylist() == state_v1[c].to_pylist(), c
+
+    with pytest.raises(KeyError, match="unknown lake tag"):
+        lake.read_table(version="nope")
+
+    # releasing the tag releases retention: after catching back up to
+    # the full log, vacuum drops v1's snapshot
+    run_ingest(cfg)
+    lake.delete_tag("baseline")
+    lake.vacuum()
+    with pytest.raises(FileNotFoundError):
+        lake.manifest(v1)
