@@ -614,6 +614,65 @@ def _q_cdc_indexed_read(sf_dir):
     )
 
 
+def _q_cdc_zonemap_scan(sf_dir):
+    """Zone-map pruned VALUE-predicate scan — the lane ``key_filter``
+    rejects: the lake is left with live MOR update/delete deltas, and
+    ``value_filter=[('lang','==','de')]`` skips whole partitions whose
+    immutable files' Parquet footer min/max exclude the predicate
+    (sound under keep-latest: a live row is physically present in some
+    file of its partition), then evaluates the predicate EXACTLY on
+    each surviving partition's resolved rows — never below the resolve
+    (the pushdown-through-upsert trap).  Oracle = the final state
+    filtered directly, the same SQL as the indexed read, so the two
+    value-predicate acceleration lanes pin each other."""
+    import hashlib
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_zonemap_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    documents_changelog(sf_dir, staging, fragments=3)
+    os.makedirs(log_dir, exist_ok=True)
+    os.rename(
+        os.path.join(staging, "fragment-00000.parquet"),
+        os.path.join(log_dir, "fragment-00000.parquet"),
+    )
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS, write_mode="cow",
+        )
+    )
+    for name in sorted(os.listdir(staging)):
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS, write_mode="mor",
+        )
+    )
+    lake = Lake(lake_dir)
+    assert lake.delta_paths()  # the resolve + prune path, not plain scan
+    return lake.read_dataset(
+        columns=["repo", "path", "lang", "content"],
+        value_filter=[("lang", "==", "de")],
+    )
+
+
 def _q_matview_repo_stats(sf_dir):
     """Incrementally-maintained materialized aggregate view (docs +
     content bytes per repo): created after the FIRST ingest window,
@@ -2362,12 +2421,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  exactness-vs-full-minhash test; ROUND-5 ROTATION: front-load
         #  it with the r03-latest set.)
         "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
-        # (cdc_selective_scan / cdc_indexed_read: same situation as
-        #  cross_corpus_dedup — NEW this round, window full, local twin
-        #  + the MOR pushdown / secondary-index tests carry them;
+        # (cdc_selective_scan / cdc_indexed_read / cdc_zonemap_scan:
+        #  same situation as cross_corpus_dedup — NEW this round,
+        #  window full, local twin + the MOR pushdown /
+        #  secondary-index / zone-map tests carry them;
         #  ROUND-5 ROTATION: front-load them)
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
+        "cdc_zonemap_scan": _tuned(_q_cdc_zonemap_scan),
         # (doc_lm_scores / curation_pipeline_v2 / pca_components /
         #  hash_embed_representatives: NEW, below the full window —
         #  the first two carry real SQL oracles, the other two
@@ -3209,6 +3270,19 @@ def oracle_sql() -> dict[str, str]:
         # indexed read on the non-key lang column == direct filter of
         # the final state (index staleness would hash-mismatch)
         "cdc_indexed_read": """
+            SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                     AS repo,
+                   'docs/' || doc_id || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents
+            WHERE doc_id % 17 <> 0 AND lang = 'de'
+        """,
+        # zone-map pruned value-predicate scan: the SAME final-state
+        # filter as the indexed read — any prune unsoundness (a
+        # skipped partition that held a live 'de' row) drops rows and
+        # hash-mismatches
+        "cdc_zonemap_scan": """
             SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
                      AS repo,
                    'docs/' || doc_id || '.txt' AS path,

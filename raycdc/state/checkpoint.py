@@ -425,11 +425,36 @@ class Lake:
                 "already picked each key's live row."
             ) from None
 
+    def prune_partitions(self, value_filter, version=None) -> list[int]:
+        """Zone-map prune: the partition ids that MAY hold a live row
+        matching the conjunctive value predicate, proven from the
+        immutable data files' Parquet footer min/max alone (cached in
+        ``_stats_cache.json`` — O(new files) per call in steady
+        state).  See ``raycdc/state/zonemap.py`` for the soundness
+        argument (union-of-file-ranges under keep-latest resolve)."""
+        from raycdc.state.zonemap import (
+            FileStatsCache,
+            prune_partitions,
+            validate_conjuncts,
+        )
+
+        validate_conjuncts(value_filter, self._lake_schema(
+            self.manifest(version)
+        ))
+        cache = FileStatsCache(os.path.join(self.root, "_stats_cache.json"))
+        return prune_partitions(
+            self.part_paths(version),
+            self.delta_paths(version),
+            value_filter,
+            cache,
+        )
+
     def read_dataset(
         self,
         columns=None,
         version: int | None = None,
         key_filter=None,
+        value_filter=None,
     ) -> "ray.data.Dataset":
         """The lake as a Dataset.  With merge-on-read deltas committed,
         each partition is resolved (base + deltas → keep-latest,
@@ -442,22 +467,53 @@ class Lake:
         ``_validate_key_filter``): it pushes into every Parquet read
         below the resolve, so after ``optimize_sort`` (key-sorted
         bases) a selective scan prunes whole row groups via Parquet
-        min/max stats instead of reading the partition."""
+        min/max stats instead of reading the partition.
+
+        ``value_filter`` is a conjunction of ``(column, op, literal)``
+        triples over ANY columns — the lane ``key_filter`` rejects.
+        It never pushes below the merge-on-read resolve (the
+        pushdown-through-upsert trap); instead whole partitions whose
+        footer zone maps exclude the predicate are skipped
+        (``prune_partitions``) and the predicate is applied exactly on
+        each surviving partition's resolved rows.  On a delta-free
+        lake every physical row is live, so it degrades to a plain
+        pushed-down scan filter."""
         import ray.data
 
         if key_filter is not None:
             self._validate_key_filter(key_filter)
+        if value_filter is not None:
+            from raycdc.state.zonemap import validate_conjuncts
+
+            validate_conjuncts(
+                value_filter, self._lake_schema(self.manifest(version))
+            )
         parts = self.part_paths(version)
         deltas = self.delta_paths(version)
+        if value_filter is not None:
+            keep = set(self.prune_partitions(value_filter, version))
+            parts = {p: f for p, f in parts.items() if p in keep}
+            deltas = {p: fs for p, fs in deltas.items() if p in keep}
         if not deltas:
             paths = list(parts.values())
             if not paths:
-                return ray.data.from_arrow(
-                    pa.table({c: [] for c in LAKE_COLUMNS})
+                schema = self._lake_schema(self.manifest(version))
+                empty = pa.table(
+                    [pa.array([], f.type) for f in schema], schema=schema
                 )
+                if columns:
+                    empty = empty.select(columns)
+                return ray.data.from_arrow(empty)
             kwargs = {"columns": columns} if columns else {}
-            if key_filter is not None:
-                kwargs["filter"] = key_filter
+            expr = key_filter
+            if value_filter is not None:
+                from raycdc.state.zonemap import conjuncts_to_expression
+
+                # no deltas -> every row is live -> exact pushdown
+                vexpr = conjuncts_to_expression(value_filter)
+                expr = vexpr if expr is None else (expr & vexpr)
+            if expr is not None:
+                kwargs["filter"] = expr
             return ray.data.read_parquet(paths, **kwargs)
 
         m = self.manifest(version)
@@ -470,6 +526,7 @@ class Lake:
         }
 
         def resolve(batch: pa.Table) -> pa.Table:
+            from raycdc.functions.arrowsafe import mask_filter
             from raycdc.stages.merge import resolve_partition
 
             out = []
@@ -481,6 +538,11 @@ class Lake:
                     schema,
                     filters=key_filter,
                 )
+                if value_filter is not None and t.num_rows:
+                    from raycdc.state.zonemap import conjunct_mask
+
+                    # exact evaluation AFTER the resolve picked winners
+                    t = mask_filter(t, conjunct_mask(t, value_filter))
                 out.append(t.select(columns) if columns else t)
             return pa.concat_tables(out)
 

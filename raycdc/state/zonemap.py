@@ -1,0 +1,338 @@
+"""Zone-map partition pruning for VALUE predicates over a lake.
+
+``Lake.read_dataset(key_filter=)`` rejects predicates on non-key
+columns because pushing them below the merge-on-read resolve is the
+classic pushdown-through-upsert trap (a matching base row can be
+superseded by a non-matching delta and vice versa).  The standard
+lakehouse answer — Delta/Iceberg file-skipping statistics — is still
+available one level up, and that is what this module implements:
+
+* every committed base/delta file already carries per-row-group
+  column ``min``/``max`` in its own Parquet footer, and lake data
+  files are IMMUTABLE (new run-ids, never rewritten in place), so
+  footer ranges can be cached forever per path;
+* a partition can be skipped for a conjunctive value predicate only
+  when **no file of the partition** could contain a matching row —
+  the union-of-file-ranges bound.  That is sound under keep-latest
+  resolve: every live row is physically present in some base/delta
+  file of its partition, so a partition whose files all exclude the
+  predicate cannot contribute a matching live row;
+* surviving partitions are resolved normally and the predicate is
+  applied EXACTLY on the resolved output (null comparisons drop the
+  row, SQL-style) — pruning only ever removes whole partitions the
+  filter would have emptied anyway, never changes semantics.
+
+When nothing correlates values with the hash-partitioned key space
+the prune keeps everything (uniformly spread values: the honest
+caveat shared with the secondary index).  It wins exactly where the
+north rule's skew lives — a monorepo's language / path-prefix /
+size columns cluster in that repo's hash partition, and at 10^5
+partitions a predicate touching three of them reads three.
+
+Predicates are conjunctions of ``(column, op, literal)`` triples
+(ops ``== != < <= > >= in``) rather than opaque expressions, so the
+prune analysis is trivially total — no expression walker that might
+silently mis-prune an operator it does not know.
+
+Reference: the plugin's only "predicate" is the user's JQL string
+forwarded verbatim (JiraInputPlugin.java:63-66 searchIssues); server-
+side evaluation is what a lake engine must rebuild from statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+VALUE_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+
+_UNKNOWN = object()  # column range not provable from footers
+
+
+def validate_conjuncts(conjuncts, schema: pa.Schema) -> None:
+    """Fail loud on malformed triples or unknown columns (the same
+    loud-contract style as ``Lake._validate_key_filter``)."""
+    if not isinstance(conjuncts, (list, tuple)) or not conjuncts:
+        raise ValueError(
+            "value_filter must be a non-empty list of "
+            "(column, op, literal) triples"
+        )
+    for c in conjuncts:
+        if not (isinstance(c, (list, tuple)) and len(c) == 3):
+            raise ValueError(f"value_filter conjunct {c!r} is not a triple")
+        col, op, lit = c
+        if op not in VALUE_OPS:
+            raise ValueError(
+                f"value_filter op {op!r} not in {VALUE_OPS}"
+            )
+        if col not in schema.names:
+            raise ValueError(
+                f"value_filter column {col!r} not in lake schema "
+                f"{schema.names}"
+            )
+        if op == "in" and not isinstance(lit, (list, tuple, set)):
+            raise ValueError(
+                f"value_filter 'in' literal must be a collection, got "
+                f"{lit!r}"
+            )
+
+
+class FileStatsCache:
+    """Persistent per-file footer-range cache (``_stats_cache.json``
+    in the lake root — metadata plane, untouched by ``vacuum``).
+
+    Entries are keyed by path and validated by (size, mtime_ns) like
+    the source-side ``ProbeCache``; lake data files are immutable so
+    in practice an entry is computed once per file ever.  ``save``
+    prunes entries for vacuumed files so the cache stays bounded by
+    the live file count."""
+
+    def __init__(self, path: str):
+        import json as _json
+
+        self.path = path
+        self._json = _json
+        self._dirty = False
+        try:
+            with open(path, encoding="utf-8") as f:
+                self._entries = _json.load(f)
+        except (OSError, ValueError):
+            self._entries = {}
+
+    def _stamp(self, p: str):
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        return [st.st_size, st.st_mtime_ns]
+
+    def get(self, p: str) -> dict | None:
+        e = self._entries.get(p)
+        if e is None or e.get("stamp") != self._stamp(p):
+            return None
+        return e["cols"]
+
+    def put(self, p: str, cols: dict) -> None:
+        stamp = self._stamp(p)
+        if stamp is None:
+            return
+        self._entries[p] = {"stamp": stamp, "cols": cols}
+        self._dirty = True
+
+    def save(self) -> None:
+        if not self._dirty:
+            return
+        import uuid as _uuid
+
+        self._entries = {
+            p: e for p, e in self._entries.items() if os.path.exists(p)
+        }
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            self._json.dump(self._entries, f)
+        os.replace(tmp, self.path)
+        self._dirty = False
+
+
+def _encode_stat(v):
+    """Footer stats → JSON-safe scalar (bytes decode best-effort; an
+    undecodable byte stat degrades to _UNKNOWN upstream via None)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v
+
+
+def file_column_ranges(
+    path: str, columns: list[str], cache: FileStatsCache | None = None
+) -> dict:
+    """``{col: [min, max] | None}`` for one immutable Parquet file,
+    from row-group footer statistics only (no data pages touched).
+    ``None`` means "range unknown" (no stats, undecodable stats, or
+    the column is absent — pre-schema-evolution files).  A column
+    that is entirely null in the file gets the special value
+    ``"allnull"``: such rows can never satisfy a comparison, so for
+    pruning the file provably contributes no match on that column."""
+    want = sorted(set(columns))
+    cached = cache.get(path) if cache is not None else None
+    if cached is not None and all(c in cached for c in want):
+        return {c: cached[c] for c in want}
+
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {}
+    for i in range(md.num_columns):
+        name_to_idx[md.row_group(0).column(i).path_in_schema] = i
+
+    out = {}
+    for col in want:
+        idx = name_to_idx.get(col)
+        if idx is None:
+            out[col] = None  # absent column: unknown (older file)
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            cm = md.row_group(rg).column(idx)
+            st = cm.statistics
+            if st is None:
+                ok = False
+                break
+            if st.null_count is not None and st.null_count == md.row_group(
+                rg
+            ).num_rows:
+                continue  # all-null row group adds nothing to the range
+            if not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _encode_stat(st.min), _encode_stat(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if not ok:
+            out[col] = None
+        elif lo is None:
+            # every row group all-null (or the file is empty): no row
+            # of this file can satisfy a comparison on the column
+            out[col] = "allnull"
+        else:
+            out[col] = [lo, hi]
+
+    if cache is not None:
+        merged = dict(cached or {})
+        merged.update(out)
+        cache.put(path, merged)
+    return out
+
+
+def _range_may_match(rng, op, lit) -> bool:
+    """Can ANY value inside [min, max] satisfy ``op lit``?  ``None``
+    (unknown) always may; ``"allnull"`` never may (null comparisons
+    are SQL-false)."""
+    if rng is None:
+        return True
+    if rng == "allnull":
+        return False
+    lo, hi = rng
+    try:
+        if op == "==":
+            return lo <= lit <= hi
+        if op == "!=":
+            return not (lo == hi == lit)
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+        if op == "in":
+            return any(lo <= v <= hi for v in lit)
+    except TypeError:
+        return True  # cross-type comparison: cannot prove, keep
+    raise AssertionError(op)
+
+
+def file_may_match(ranges: dict, conjuncts) -> bool:
+    """A file may contain a matching row iff EVERY conjunct is
+    satisfiable within that file's ranges."""
+    return all(
+        _range_may_match(ranges.get(col), op, lit)
+        for col, op, lit in conjuncts
+    )
+
+
+def prune_partitions(
+    parts: dict[int, str],
+    deltas: dict[int, list[str]],
+    conjuncts,
+    cache: FileStatsCache | None = None,
+) -> list[int]:
+    """Partitions that MAY contain a matching live row: a pid
+    survives iff at least one of its files may match every conjunct.
+    Driver-side footer work is O(new files) thanks to the cache —
+    flat per scan in steady state, the same cost shape as the
+    source-side ``ProbeCache``."""
+    cols = sorted({c[0] for c in conjuncts})
+    keep = []
+    for pid in sorted(set(parts) | set(deltas)):
+        files = []
+        if pid in parts:
+            files.append(parts[pid])
+        files.extend(deltas.get(pid, []))
+        for f in files:
+            if not os.path.exists(f):
+                continue
+            if file_may_match(file_column_ranges(f, cols, cache), conjuncts):
+                keep.append(pid)
+                break
+    if cache is not None:
+        cache.save()
+    return keep
+
+
+def conjunct_mask(t: pa.Table, conjuncts) -> np.ndarray:
+    """Exact vectorized evaluation of the conjunction on a RESOLVED
+    table — nulls compare to false (SQL WHERE semantics)."""
+    mask = np.ones(t.num_rows, dtype=bool)
+    for col, op, lit in conjuncts:
+        a = t[col]
+        if op == "==":
+            m = pc.equal(a, lit)
+        elif op == "!=":
+            m = pc.not_equal(a, lit)
+        elif op == "<":
+            m = pc.less(a, lit)
+        elif op == "<=":
+            m = pc.less_equal(a, lit)
+        elif op == ">":
+            m = pc.greater(a, lit)
+        elif op == ">=":
+            m = pc.greater_equal(a, lit)
+        elif op == "in":
+            m = pc.is_in(a, value_set=pa.array(list(lit)))
+        else:  # pragma: no cover - validate_conjuncts blocks this
+            raise AssertionError(op)
+        m = pc.fill_null(m, False)
+        mask &= np.asarray(m.combine_chunks().to_numpy(zero_copy_only=False))
+    return mask
+
+
+def conjuncts_to_expression(conjuncts):
+    """The same conjunction as a ``pyarrow.dataset`` expression — used
+    only on the NO-DELTA fast path, where every physical row is live
+    and a plain filter pushdown is exact."""
+    import pyarrow.dataset as pads
+
+    expr = None
+    for col, op, lit in conjuncts:
+        f = pads.field(col)
+        if op == "==":
+            e = f == lit
+        elif op == "!=":
+            e = f != lit
+        elif op == "<":
+            e = f < lit
+        elif op == "<=":
+            e = f <= lit
+        elif op == ">":
+            e = f > lit
+        elif op == ">=":
+            e = f >= lit
+        else:
+            e = f.isin(list(lit))
+        expr = e if expr is None else (expr & e)
+    return expr

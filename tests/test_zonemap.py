@@ -1,0 +1,280 @@
+"""Zone-map partition pruning for value predicates (state/zonemap.py).
+
+``key_filter`` pushes below the merge-on-read resolve; value
+predicates must not (the pushdown-through-upsert trap) — instead
+whole partitions are skipped when their immutable files' Parquet
+footer min/max prove no row can match, and the predicate is applied
+exactly on the resolved survivors.  Every test pins equality against
+filter-AFTER-read, including the trap cases (a base row matching the
+predicate superseded by a non-matching delta), plus the prune
+effectiveness, the footer-stats cache, and schema-evolution /
+all-null range edge cases.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.maintenance import compact
+from raycdc.sources.synth import EVENT_SCHEMA, write_changelog
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD_COLUMNS = [{"name": "author.name", "type": "string"}]
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+        columns=PAYLOAD_COLUMNS,
+    )
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def _canon(t: pa.Table) -> pa.Table:
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+    )
+
+
+def _mor_lake(tmp):
+    """COW window 1 then MOR window 2 (updates + deletes live in
+    delta files) — the resolve path, not the plain scan."""
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 1200, fragment_rows=600, seed=19)
+    run_ingest(cfg)
+    paths = write_changelog(
+        os.path.join(tmp, "log2"), 400, fragment_rows=200, seed=23,
+        start_seq=1200,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p, os.path.join(cfg.log_dir, f"fragment-1200-{i:04d}.parquet")
+        )
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    assert lake.delta_paths(), "harness must leave MOR deltas in place"
+    return cfg, lake
+
+
+def _filter_df(df, conjuncts):
+    for col, op, lit in conjuncts:
+        s = df[col]
+        if op == "==":
+            m = s == lit
+        elif op == "!=":
+            m = s != lit
+        elif op == "<":
+            m = s < lit
+        elif op == "<=":
+            m = s <= lit
+        elif op == ">":
+            m = s > lit
+        elif op == ">=":
+            m = s >= lit
+        else:
+            m = s.isin(list(lit))
+        df = df[m.fillna(False)]
+    return df
+
+
+def _check(lake, conjuncts, version=None):
+    full = lake.read_table(version=version).to_pandas()
+    want = _canon(
+        pa.Table.from_pandas(
+            _filter_df(full, conjuncts), preserve_index=False
+        )
+    )
+    got_df = lake.read_dataset(
+        value_filter=conjuncts, version=version
+    ).to_pandas()
+    if want.num_rows == 0:
+        # Ray Data drops the schema of an all-empty dataset in
+        # to_pandas; row count is the contract here
+        assert len(got_df) == 0
+        return 0
+    got = _canon(
+        pa.Table.from_pandas(got_df, preserve_index=False).select(
+            want.column_names
+        )
+    )
+    assert got.num_rows == want.num_rows
+    for c in want.column_names:
+        assert got[c].to_pylist() == want[c].to_pylist(), c
+    return want.num_rows
+
+
+def test_value_filter_exact_on_mor_lake(tmp_path):
+    """Equality vs filter-after-read on a live-delta lake, including
+    the trap: seq <= 1199 matches many BASE rows whose keys were
+    updated in window 2 (live seq >= 1200) — those keys must NOT
+    appear, even though base file zone maps admit them."""
+    _cfg_, lake = _mor_lake(str(tmp_path))
+
+    # the trap predicate: base rows match, their delta winners do not
+    n1 = _check(lake, [("seq", "<=", 1199)])
+    assert n1 > 0
+    # window-2 winners only
+    n2 = _check(lake, [("seq", ">=", 1200)])
+    assert n2 > 0
+    # string equality + conjunction + in
+    full = lake.read_table().to_pandas()
+    lang = sorted(full["lang"].unique())[0]
+    assert _check(lake, [("lang", "==", lang)]) > 0
+    assert _check(lake, [("lang", "in", [lang, "zz-none"])]) > 0
+    _check(lake, [("lang", "==", lang), ("seq", "<", 900)])
+    _check(lake, [("lang", "!=", lang)])
+    # empty result is fine (and likely fully pruned)
+    assert _check(lake, [("lang", "==", "no-such-lang")]) == 0
+
+    # COW fast path (no deltas): same answers via the pushdown lane
+    compact(_cfg_.lake_dir)
+    lake2 = Lake(_cfg_.lake_dir)
+    assert not lake2.delta_paths()
+    assert _check(lake2, [("seq", "<=", 1199)]) == n1
+    assert _check(lake2, [("lang", "==", lang)]) > 0
+
+
+def _correlated_lake(tmp):
+    """8 repos, each with a UNIQUE lang, 16 partitions: values
+    correlate with the hash-partitioned key space (the monorepo
+    shape), so zone maps can actually prune."""
+    log_dir = os.path.join(tmp, "clog")
+    lake_dir = os.path.join(tmp, "clake")
+    os.makedirs(log_dir, exist_ok=True)
+    rows = {k: [] for k in EVENT_SCHEMA.names}
+    seq = 0
+    for r in range(8):
+        for f in range(6):
+            rows["seq"].append(seq)
+            rows["ts"].append(1_704_067_200_000_000 + seq)
+            rows["op"].append("insert")
+            rows["repo"].append(f"corp/repo{r}")
+            rows["path"].append(f"src/file{f}.txt")
+            rows["commit"].append(f"c{seq:06d}")
+            rows["lang"].append(f"lang{r}")
+            content = f"content of repo{r} file{f}"
+            rows["content"].append(content)
+            rows["content_len"].append(len(content))
+            rows["payload_json"].append('{"author":{"name":"dev"}}')
+            seq += 1
+    pq.write_table(
+        pa.table(rows, schema=EVENT_SCHEMA),
+        os.path.join(log_dir, "fragment-00000.parquet"),
+    )
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS,
+        )
+    )
+    return Lake(lake_dir)
+
+
+def test_value_prune_skips_partitions_and_caches(tmp_path, monkeypatch):
+    lake = _correlated_lake(str(tmp_path))
+    all_pids = sorted(lake.part_paths())
+    keep = lake.prune_partitions([("lang", "==", "lang3")])
+    assert keep, "the matching partition must survive"
+    assert len(keep) < len(all_pids), (
+        "correlated values must prune partitions"
+    )
+    # pruned read still exact
+    _check(lake, [("lang", "==", "lang3")])
+
+    # the footer-stats cache: a second prune reads ZERO footers
+    import raycdc.state.zonemap as zm
+
+    calls = {"n": 0}
+    real = zm.pq.ParquetFile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(zm.pq, "ParquetFile", counting)
+    keep2 = lake.prune_partitions([("lang", "==", "lang3")])
+    assert keep2 == keep
+    assert calls["n"] == 0, "immutable files: ranges cached persistently"
+
+    # a NEW column on the same files reads each footer once more
+    lake.prune_partitions([("seq", ">=", 0)])
+    assert calls["n"] > 0
+    n_after_seq = calls["n"]
+    lake.prune_partitions([("seq", ">=", 10)])
+    assert calls["n"] == n_after_seq
+
+
+def test_value_prune_unknown_and_allnull_ranges(tmp_path):
+    """Schema evolution: files written BEFORE a payload column existed
+    have no range for it (unknown → partition survives, rows filter to
+    nothing exactly); delete tombstones carry all-null content (the
+    'allnull' range: provably no match from that file)."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, write_mode="cow")
+    write_changelog(cfg.log_dir, 600, fragment_rows=300, seed=31)
+    run_ingest(cfg)
+    # window 2 adds a payload column via schema evolution
+    paths = write_changelog(
+        os.path.join(tmp, "log2"), 200, fragment_rows=100, seed=37,
+        start_seq=600,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p, os.path.join(cfg.log_dir, f"fragment-600-{i:04d}.parquet")
+        )
+    run_ingest(
+        _cfg(
+            tmp,
+            write_mode="mor",
+            columns=PAYLOAD_COLUMNS
+            + [{"name": "stats.adds", "type": "long"}],
+        )
+    )
+    lake = Lake(cfg.lake_dir)
+    assert "p_stats.adds" in lake.read_table().column_names
+    # pre-evolution partitions lack the column entirely -> unknown
+    # ranges keep them; their resolved rows are null there -> filtered
+    _check(lake, [("p_stats.adds", ">=", 0)])
+    _check(lake, [("p_stats.adds", "<", 100)])
+
+
+def test_value_filter_validation(tmp_path):
+    lake = _correlated_lake(str(tmp_path))
+    with pytest.raises(ValueError, match="non-empty list"):
+        lake.read_dataset(value_filter=[])
+    with pytest.raises(ValueError, match="not a triple"):
+        lake.read_dataset(value_filter=[("lang", "==")])
+    with pytest.raises(ValueError, match="not in"):
+        lake.read_dataset(value_filter=[("lang", "~", "x")])
+    with pytest.raises(ValueError, match="not in lake schema"):
+        lake.read_dataset(value_filter=[("nope", "==", "x")])
+    with pytest.raises(ValueError, match="collection"):
+        lake.read_dataset(value_filter=[("lang", "in", "x")])
+
+
+def test_value_and_key_filter_compose(tmp_path):
+    """value_filter composes with key_filter: key pushdown below the
+    resolve, value predicate after it, both exact."""
+    import pyarrow.dataset as pads
+
+    _cfg_, lake = _mor_lake(str(tmp_path))
+    full = lake.read_table().to_pandas()
+    repo = sorted(full["repo"].unique())[0]
+    want = _filter_df(
+        full[full["repo"] == repo], [("seq", "<=", 1199)]
+    )
+    got = lake.read_dataset(
+        key_filter=(pads.field("repo") == repo),
+        value_filter=[("seq", "<=", 1199)],
+    ).to_pandas()
+    assert sorted(got["path"]) == sorted(want["path"])
