@@ -673,6 +673,73 @@ def _q_cdc_zonemap_scan(sf_dir):
     )
 
 
+def _q_cdc_multi_table_replay(sf_dir):
+    """Multi-table wire-log routing: ONE multiplexed change log (the
+    documents stream with a `table` column splitting keys by doc-id
+    parity) is read ONCE and routed to two independent lakes in a
+    single composite-shuffle pass (pipelines/multitable.py) — the
+    binlog/Debezium shape the reference would need one full Embulk run
+    per table for.  Returns the even table's converged state; the
+    oracle is the single-table replay SQL restricted to even doc ids,
+    so any routing leak (a key in the wrong or both lakes) changes
+    rows and hash-mismatches."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.multitable import (
+        MultiIngestConfig,
+        TableRoute,
+        run_ingest_multi,
+    )
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_multitbl_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "mlog")
+    documents_changelog(sf_dir, staging, fragments=3)
+    os.makedirs(log_dir, exist_ok=True)
+    for name in sorted(os.listdir(staging)):
+        t = _pq.read_table(os.path.join(staging, name))
+        doc = [
+            int(p.split("/")[1].split(".")[0])
+            for p in t["path"].to_pylist()
+        ]
+        tabs = ["docs_even" if d % 2 == 0 else "docs_odd" for d in doc]
+        t = t.append_column("table", pa.array(tabs, pa.string()))
+        _pq.write_table(t, os.path.join(log_dir, name))
+    res = run_ingest_multi(
+        MultiIngestConfig(
+            log_dir=log_dir,
+            routes={
+                "docs_even": TableRoute(
+                    lake_dir=os.path.join(workdir, "lake_even"),
+                    columns=PAYLOAD_COLUMNS,
+                ),
+                "docs_odd": TableRoute(
+                    lake_dir=os.path.join(workdir, "lake_odd"),
+                    columns=PAYLOAD_COLUMNS,
+                ),
+            },
+            num_partitions=16,
+        )
+    )
+    assert res["docs_odd"].applied > 0  # the other route really ran
+    return Lake(os.path.join(workdir, "lake_even")).read_dataset(
+        columns=["repo", "path", "lang", "content"]
+    )
+
+
 def _q_matview_repo_stats(sf_dir):
     """Incrementally-maintained materialized aggregate view (docs +
     content bytes per repo): created after the FIRST ingest window,
@@ -2421,14 +2488,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  exactness-vs-full-minhash test; ROUND-5 ROTATION: front-load
         #  it with the r03-latest set.)
         "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
-        # (cdc_selective_scan / cdc_indexed_read / cdc_zonemap_scan:
-        #  same situation as cross_corpus_dedup — NEW this round,
-        #  window full, local twin + the MOR pushdown /
-        #  secondary-index / zone-map tests carry them;
+        # (cdc_selective_scan / cdc_indexed_read / cdc_zonemap_scan /
+        #  cdc_multi_table_replay: same situation as
+        #  cross_corpus_dedup — NEW this round, window full, local
+        #  twin + the MOR pushdown / secondary-index / zone-map /
+        #  multi-table equivalence tests carry them;
         #  ROUND-5 ROTATION: front-load them)
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
         "cdc_zonemap_scan": _tuned(_q_cdc_zonemap_scan),
+        "cdc_multi_table_replay": _tuned(_q_cdc_multi_table_replay),
         # (doc_lm_scores / curation_pipeline_v2 / pca_components /
         #  hash_embed_representatives: NEW, below the full window —
         #  the first two carry real SQL oracles, the other two
@@ -3290,6 +3359,16 @@ def oracle_sql() -> dict[str, str]:
                    text || ' v2' AS content
             FROM documents
             WHERE doc_id % 17 <> 0 AND lang = 'de'
+        """,
+        # multi-table routing: the single-table replay SQL restricted
+        # to the even-parity table — a key routed to the wrong (or
+        # both) lakes changes the row set and hash-mismatches
+        "cdc_multi_table_replay": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 2 = 0
         """,
         # selective scan: repo 'org1/repo8' ⇔ doc_id ≡ 1 (mod 5) and
         # ≡ 8 (mod 13); updates win over base rows, deletes stay gone

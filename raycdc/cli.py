@@ -60,6 +60,22 @@ def main(argv: list[str] | None = None) -> int:
                        help="accept op=patch partial updates (null "
                             "fields keep the previous value)")
 
+    p_mrun = sub.add_parser(
+        "multi-run",
+        help="single-pass multi-table ingest over a multiplexed log",
+    )
+    p_mrun.add_argument("--log-dir", required=True)
+    p_mrun.add_argument(
+        "--route", action="append", required=True, metavar="TABLE=LAKE_DIR",
+        help="repeatable: route a table value to its lake dir",
+    )
+    p_mrun.add_argument("--partitions", type=int, default=64)
+    p_mrun.add_argument("--table-column", default="table")
+    p_mrun.add_argument("--columns-json", default=None,
+                        help="payload columns applied to every route")
+    p_mrun.add_argument("--write-mode", choices=("cow", "mor"),
+                        default="cow")
+
     p_tail = sub.add_parser(
         "tail", help="continuous ingest loop (binlog tailer)"
     )
@@ -721,6 +737,47 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
             return 0
 
+        if args.cmd == "multi-run":
+            from raycdc.pipelines.multitable import (
+                MultiIngestConfig,
+                TableRoute,
+                run_ingest_multi,
+            )
+
+            cols = json.loads(args.columns_json) if args.columns_json else None
+            routes = {}
+            for spec in args.route:
+                if "=" not in spec:
+                    ap.error(f"--route {spec!r}: expected TABLE=LAKE_DIR")
+                name, lake_dir = spec.split("=", 1)
+                routes[name] = TableRoute(
+                    lake_dir=lake_dir, columns=cols,
+                    write_mode=args.write_mode,
+                )
+            res = run_ingest_multi(
+                MultiIngestConfig(
+                    log_dir=args.log_dir,
+                    routes=routes,
+                    num_partitions=args.partitions,
+                    table_column=args.table_column,
+                )
+            )
+            print(
+                json.dumps(
+                    {
+                        t: {
+                            "run_id": r.run_id,
+                            "no_op": r.no_op,
+                            "events_read": r.events_read,
+                            "applied": r.applied,
+                            "dead_lettered": r.dead_lettered,
+                            "watermark": r.watermark,
+                        }
+                        for t, r in res.items()
+                    }
+                )
+            )
+            return 0
         if args.cmd == "run":
             from raycdc.config import IngestConfig
             from raycdc.pipelines.cdc import run_ingest

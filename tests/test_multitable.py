@@ -1,0 +1,253 @@
+"""Multi-table wire-log routing (pipelines/multitable.py).
+
+The pin throughout: a single-pass multi-table run must leave each
+lake BYTE-EQUAL (canonical sort) to an ordinary single-table
+``run_ingest`` over the same log pre-filtered to that table — the
+router adds one read + one composite shuffle, never new semantics.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from raycdc.config import ConfigError, IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.multitable import (
+    MultiIngestConfig,
+    TableRoute,
+    run_ingest_multi,
+)
+from raycdc.sources.synth import write_changelog
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD_A = [{"name": "author.name", "type": "string"}]
+PAYLOAD_B = [{"name": "stats.adds", "type": "long"}]
+
+
+def _route_table(src_dir: str, dst_dir: str, stray_every: int = 0):
+    """Assign each event a table by stable key hash parity — a key
+    lives in exactly one table, like a binlog row belongs to one
+    table.  ``stray_every`` > 0 relabels every Nth row to a table no
+    route declares (the unrouted dead-letter lane)."""
+    import hashlib
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in sorted(os.listdir(src_dir)):
+        t = pq.read_table(os.path.join(src_dir, name))
+        repos = t["repo"].to_pylist()
+        paths = t["path"].to_pylist()
+        tabs = []
+        for i, (r, p) in enumerate(zip(repos, paths)):
+            h = hashlib.blake2b(
+                f"{r}|{p}".encode(), digest_size=4
+            ).digest()[0]
+            tab = "tbl_a" if h % 2 == 0 else "tbl_b"
+            if stray_every and i % stray_every == 0:
+                tab = "ghost"
+            tabs.append(tab)
+        t = t.append_column("table", pa.array(tabs, pa.string()))
+        pq.write_table(t, os.path.join(dst_dir, name))
+
+
+def _split_log(multi_dir: str, out_dir: str, table: str):
+    """The per-table reference log: the multiplexed log filtered to
+    one table, table column dropped."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in sorted(os.listdir(multi_dir)):
+        t = pq.read_table(os.path.join(multi_dir, name))
+        m = pc.equal(t["table"], table)
+        sub = t.filter(m).drop_columns(["table"])
+        pq.write_table(sub, os.path.join(out_dir, name))
+
+
+def _state(lake_dir: str) -> pa.Table:
+    t = Lake(lake_dir).read_table()
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+    )
+
+
+def _assert_tables_equal(got: pa.Table, want: pa.Table):
+    assert got.num_rows == want.num_rows
+    assert set(got.column_names) == set(want.column_names)
+    for c in want.column_names:
+        assert got[c].to_pylist() == want[c].to_pylist(), c
+
+
+def _mcfg(tmp, **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "mlog"),
+        routes={
+            "tbl_a": TableRoute(
+                lake_dir=os.path.join(tmp, "lake_a"), columns=PAYLOAD_A
+            ),
+            "tbl_b": TableRoute(
+                lake_dir=os.path.join(tmp, "lake_b"), columns=PAYLOAD_B
+            ),
+        },
+        num_partitions=8,
+    )
+    base.update(kw)
+    return MultiIngestConfig(**base)
+
+
+def test_multi_ingest_matches_per_table_ingest(tmp_path):
+    tmp = str(tmp_path)
+    write_changelog(os.path.join(tmp, "raw"), 1500, fragment_rows=500,
+                    seed=41)
+    _route_table(os.path.join(tmp, "raw"), os.path.join(tmp, "mlog"))
+    cfg = _mcfg(tmp)
+    res = run_ingest_multi(cfg)
+    assert set(res) == {"tbl_a", "tbl_b"}
+    assert res["tbl_a"].applied > 0 and res["tbl_b"].applied > 0
+
+    # reference: ordinary single-table ingest over the filtered log
+    for t, payload in (("tbl_a", PAYLOAD_A), ("tbl_b", PAYLOAD_B)):
+        _split_log(
+            os.path.join(tmp, "mlog"), os.path.join(tmp, f"log_{t}"), t
+        )
+        run_ingest(
+            IngestConfig(
+                log_dir=os.path.join(tmp, f"log_{t}"),
+                lake_dir=os.path.join(tmp, f"ref_{t}"),
+                num_partitions=8,
+                columns=payload,
+            )
+        )
+        _assert_tables_equal(
+            _state(cfg.routes[t].lake_dir),
+            _state(os.path.join(tmp, f"ref_{t}")),
+        )
+
+    # both lakes advanced to the same global replay target
+    wa = Lake(cfg.routes["tbl_a"].lake_dir).watermarks()
+    wb = Lake(cfg.routes["tbl_b"].lake_dir).watermarks()
+    assert set(wa.values()) == set(wb.values()) == {res["tbl_a"].watermark}
+
+
+def test_multi_ingest_incremental_idempotent_and_mor(tmp_path):
+    """Window 2 lands as MOR deltas for table B while table A stays
+    COW; a rerun is a no-op; state still equals per-table reference."""
+    tmp = str(tmp_path)
+    write_changelog(os.path.join(tmp, "raw"), 900, fragment_rows=450,
+                    seed=43)
+    _route_table(os.path.join(tmp, "raw"), os.path.join(tmp, "mlog"))
+    cfg = _mcfg(tmp)
+    run_ingest_multi(cfg)
+
+    # window 2
+    paths = write_changelog(
+        os.path.join(tmp, "raw2"), 300, fragment_rows=150, seed=47,
+        start_seq=900,
+    )
+    _route_table(os.path.join(tmp, "raw2"), os.path.join(tmp, "mlog2"))
+    for i, name in enumerate(sorted(os.listdir(os.path.join(tmp, "mlog2")))):
+        os.rename(
+            os.path.join(tmp, "mlog2", name),
+            os.path.join(tmp, "mlog", f"fragment-900-{i:04d}.parquet"),
+        )
+    cfg2 = _mcfg(tmp)
+    cfg2.routes["tbl_b"].write_mode = "mor"
+    res2 = run_ingest_multi(cfg2)
+    assert res2["tbl_b"].write_mode == "mor"
+    assert Lake(cfg.routes["tbl_b"].lake_dir).delta_paths()
+
+    # idempotent: nothing new -> no-op for every table
+    res3 = run_ingest_multi(cfg2)
+    assert all(r.no_op for r in res3.values())
+
+    for t, payload in (("tbl_a", PAYLOAD_A), ("tbl_b", PAYLOAD_B)):
+        _split_log(
+            os.path.join(tmp, "mlog"), os.path.join(tmp, f"log_{t}"), t
+        )
+        run_ingest(
+            IngestConfig(
+                log_dir=os.path.join(tmp, f"log_{t}"),
+                lake_dir=os.path.join(tmp, f"ref_{t}"),
+                num_partitions=8,
+                columns=payload,
+            )
+        )
+        _assert_tables_equal(
+            _state(cfg.routes[t].lake_dir),
+            _state(os.path.join(tmp, f"ref_{t}")),
+        )
+
+
+def test_multi_ingest_dead_letters_unrouted_tables(tmp_path):
+    """Events with an undeclared table value are never dropped: they
+    dead-letter (reason 'unrouted table') into the first route's lake
+    and are excluded from every table's state."""
+    tmp = str(tmp_path)
+    write_changelog(os.path.join(tmp, "raw"), 600, fragment_rows=300,
+                    seed=53)
+    _route_table(
+        os.path.join(tmp, "raw"), os.path.join(tmp, "mlog"), stray_every=10
+    )
+    cfg = _mcfg(tmp)
+    res = run_ingest_multi(cfg)
+    total_dl = sum(r.dead_lettered for r in res.values())
+    assert total_dl > 0
+    import glob
+
+    dl_files = glob.glob(
+        os.path.join(cfg.routes["tbl_a"].lake_dir, "_deadletter", "**", "*"),
+        recursive=True,
+    )
+    dl_files = [p for p in dl_files if p.endswith(".parquet")]
+    assert dl_files
+    dl = pa.concat_tables([pq.read_table(p) for p in dl_files])
+    reasons = set(dl["reason"].to_pylist())
+    assert any(r.startswith("unrouted table") for r in reasons), reasons
+    # unrouted ghost rows never land in either table's state
+    for t in ("tbl_a", "tbl_b"):
+        _split_log(
+            os.path.join(tmp, "mlog"), os.path.join(tmp, f"log_{t}"), t
+        )
+        run_ingest(
+            IngestConfig(
+                log_dir=os.path.join(tmp, f"log_{t}"),
+                lake_dir=os.path.join(tmp, f"ref_{t}"),
+                num_partitions=8,
+                columns=cfg.routes[t].columns,
+            )
+        )
+        _assert_tables_equal(
+            _state(cfg.routes[t].lake_dir),
+            _state(os.path.join(tmp, f"ref_{t}")),
+        )
+
+
+def test_multi_ingest_validation(tmp_path):
+    tmp = str(tmp_path)
+    os.makedirs(os.path.join(tmp, "mlog"), exist_ok=True)
+    with pytest.raises(ConfigError, match="at least one table"):
+        run_ingest_multi(
+            MultiIngestConfig(log_dir=os.path.join(tmp, "mlog"), routes={})
+        )
+    with pytest.raises(ConfigError, match="own lake_dir"):
+        run_ingest_multi(
+            MultiIngestConfig(
+                log_dir=os.path.join(tmp, "mlog"),
+                routes={
+                    "a": TableRoute(lake_dir=os.path.join(tmp, "l")),
+                    "b": TableRoute(lake_dir=os.path.join(tmp, "l")),
+                },
+            )
+        )
+    with pytest.raises(ConfigError, match="cow or mor"):
+        run_ingest_multi(
+            MultiIngestConfig(
+                log_dir=os.path.join(tmp, "mlog"),
+                routes={
+                    "a": TableRoute(
+                        lake_dir=os.path.join(tmp, "l"), write_mode="auto"
+                    )
+                },
+            )
+        )
