@@ -1940,6 +1940,33 @@ def _q_ann_ivf(sf_dir):
     return out[["vec_id", "cos"]].reset_index(drop=True)
 
 
+def _q_ann_pq(sf_dir):
+    """Product-quantization ANN — the compressed-corpus scale path:
+    train per-subspace codebooks on a sample, encode every embedding
+    to m=16 bytes in one streaming pass, answer the query via ADC
+    (one small LUT broadcast, m gathers + a sum per corpus row, local
+    top-k, driver merges #batches × k rows).  Deterministic (seeded
+    sample-canonicalized training, argmin-ties-to-lowest); recall vs
+    the exact baseline is pinned by tests/test_pq.py."""
+    from raycdc.ops.pq import pq_encode, pq_topk, pq_train
+
+    q = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(pads.field("vec_id") == 0)["embedding"]
+        .to_pylist()[0]
+    )
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(q)
+    m = 16 if dim % 16 == 0 else 8
+    model = pq_train(ds, m=m, nbits=8)
+    codes = pq_encode(ds, model)
+    out = pq_topk(codes, np.array([q]), model, k=10)
+    out["cos"] = np.round(out["cos"], 6)
+    return out[["vec_id", "cos"]].reset_index(drop=True)
+
+
 def _q_hll_by_event_type(sf_dir):
     """Grouped HyperLogLog: distinct-user estimate PER event type —
     the grouped-sketch pattern (one register array per (batch, group)
@@ -2525,6 +2552,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": _tuned(_q_stratified_docs),
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
+        # (ann_pq: NEW this round, below the full window — pinned-file
+        #  oracle + the recall/determinism tests in tests/test_pq.py;
+        #  ROUND-5 ROTATION: front-load it)
+        "ann_pq": _tuned(_q_ann_pq),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "hll_user_count": _tuned(_q_hll_user_count),
         "hll_by_event_type": _tuned(_q_hll_by_event_type),
@@ -3638,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
         # signatures); pinned-regression oracle instead (see _pin)
         "dedup_simhash": _pin("dedup_simhash"),
         "ann_ivf": _pin("ann_ivf"),
+        "ann_pq": _pin("ann_pq"),
         "kmeans_embeddings": _pin("kmeans_embeddings"),
         "semantic_representatives": _pin("semantic_representatives"),
         "hll_user_count": _pin("hll_user_count"),

@@ -1,0 +1,115 @@
+"""Product quantization (ops/pq.py): encode determinism, ADC recall
+vs the exact brute-force baseline, quantization-error monotonicity,
+and validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raycdc.ops.pq import (
+    pq_encode,
+    pq_quantization_error,
+    pq_topk,
+    pq_train,
+)
+from raycdc.ops.similarity import ann_topk
+
+
+def _clustered(n=600, d=32, n_clusters=12, seed=5):
+    """Synthetic clustered embeddings: the regime ANN is for."""
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(0, 1.0, (n_clusters, d))
+    assign = rng.integers(0, n_clusters, n)
+    x = cents[assign] + rng.normal(0, 0.15, (n, d))
+    return x
+
+
+def _ds(x):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+                "embedding": pa.array(list(x)),
+            }
+        )
+    ).repartition(6)
+
+
+def test_pq_encode_deterministic_and_slim():
+    x = _clustered()
+    ds = _ds(x)
+    model = pq_train(ds, m=8, nbits=6, sample_n=512)
+    assert model["codebooks"].shape == (8, 64, 4)
+
+    codes = pq_encode(ds, model).to_pandas().sort_values("vec_id")
+    assert len(codes) == len(x)
+    mat = np.stack(codes["pq_code"].to_numpy())
+    assert mat.shape == (len(x), 8)
+    assert mat.dtype == np.uint8 and mat.max() < 64
+
+    # pure function of (vectors, model): partitioning never changes a
+    # vector's code
+    codes2 = (
+        pq_encode(_ds(x).repartition(13), model)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert np.array_equal(mat, np.stack(codes2["pq_code"].to_numpy()))
+
+    # retrain on the same data -> same books (seeded, sample-set
+    # canonicalized)
+    model2 = pq_train(_ds(x).repartition(3), m=8, nbits=6, sample_n=512)
+    assert np.allclose(model["codebooks"], model2["codebooks"])
+
+
+def test_pq_topk_recall_vs_bruteforce():
+    x = _clustered()
+    ds = _ds(x)
+    model = pq_train(ds, m=16, nbits=8, sample_n=600)
+    codes = pq_encode(ds, model)
+
+    queries = x[[3, 77, 191]]
+    exact = ann_topk(ds, queries, k=10)
+    approx = pq_topk(codes, queries, model, k=10)
+
+    recalls = []
+    for qi in range(3):
+        want = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & got) / 10.0)
+    assert np.mean(recalls) >= 0.75, recalls
+    # the query point itself is its own nearest neighbor even after
+    # quantization on clustered data
+    for qi, vid in zip(range(3), [3, 77, 191]):
+        top = approx[approx["query_id"] == qi].iloc[0]
+        assert top["vec_id"] == vid
+    # scores are valid approximate cosines
+    assert (approx["cos"] <= 1.0 + 1e-9).all()
+
+
+def test_pq_quantization_error_monotone_in_bits():
+    x = _clustered(n=400)
+    ds = _ds(x)
+    errs = []
+    for nbits in (2, 4, 6):
+        model = pq_train(ds, m=8, nbits=nbits, sample_n=400)
+        errs.append(pq_quantization_error(model, x))
+    assert errs[0] > errs[1] > errs[2], errs
+    assert errs[2] < 0.2  # clustered data quantizes well
+
+
+def test_pq_validation():
+    x = _clustered(d=30)  # 30 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(_ds(x), m=8, sample_n=100)
+    with pytest.raises(ValueError, match="nbits"):
+        pq_train(_ds(_clustered()), m=8, nbits=9, sample_n=100)
+    x32 = _clustered()
+    model = pq_train(_ds(x32), m=8, nbits=4, sample_n=200)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(pq_encode(_ds(x32), model), np.ones((1, 16)), model)
+    # raised inside the Ray task -> surfaces wrapped as RayTaskError
+    with pytest.raises(Exception, match="trained dim"):
+        pq_encode(_ds(_clustered(d=16)), model).to_pandas()

@@ -29,6 +29,7 @@ sys.path.insert(0, REPO)
 PINNED = [
     "dedup_simhash",
     "ann_ivf",
+    "ann_pq",
     "kmeans_embeddings",
     "semantic_representatives",
     "hll_user_count",
