@@ -245,6 +245,9 @@ def bench_queries() -> dict[str, float]:
         "cdc_indexed_read",
         "doc_lm_scores",
         "curation_pipeline_v2",
+        "cdc_zonemap_scan",
+        "cdc_multi_table_replay",
+        "ann_pq",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--patch-ops", action="store_true",
                        help="accept op=patch partial updates (null "
                             "fields keep the previous value)")
+    p_run.add_argument("--branch", default=None,
+                       help="ingest onto this lake branch instead of "
+                            "main (create with `branch --create`)")
 
     p_mrun = sub.add_parser(
         "multi-run",
@@ -191,6 +194,21 @@ def main(argv: list[str] | None = None) -> int:
     p_tag.add_argument("--version", type=int, default=None)
     p_tag.add_argument("--delete", action="store_true")
     p_tag.add_argument("--list", action="store_true", dest="list_tags")
+
+    p_br = sub.add_parser(
+        "branch",
+        help="fork / list / merge / delete a writable line of history "
+        "(O(1) metadata; ingest onto it with run --branch; merge is "
+        "fast-forward only)",
+    )
+    p_br.add_argument("--lake-dir", required=True)
+    p_br.add_argument("--create", default=None, metavar="NAME")
+    p_br.add_argument("--at", default=None,
+                      help="fork point: version int or tag name "
+                           "(default: current main head)")
+    p_br.add_argument("--merge", default=None, metavar="NAME")
+    p_br.add_argument("--delete", default=None, metavar="NAME")
+    p_br.add_argument("--list", action="store_true", dest="list_branches")
 
     p_purge = sub.add_parser(
         "purge",
@@ -456,6 +474,27 @@ def main(argv: list[str] | None = None) -> int:
             if not args.name:
                 raise SystemExit("tag requires --name (or --list)")
             print(json.dumps(lake.tag(args.name, args.version)))
+        return 0
+
+    if args.cmd == "branch":
+        from raycdc.state.checkpoint import Lake
+
+        lake = Lake(args.lake_dir)
+        if args.list_branches:
+            print(json.dumps(lake.branches()))
+        elif args.create:
+            at = args.at
+            if at is not None and at.isdigit():
+                at = int(at)
+            print(json.dumps(lake.create_branch(args.create, at=at)))
+        elif args.merge:
+            print(json.dumps(lake.merge_branch(args.merge)))
+        elif args.delete:
+            print(json.dumps(lake.delete_branch(args.delete)))
+        else:
+            raise SystemExit(
+                "branch requires one of --create/--merge/--delete/--list"
+            )
         return 0
 
     if args.cmd == "purge":
@@ -791,6 +830,7 @@ def main(argv: list[str] | None = None) -> int:
                 dynamic_schema=args.dynamic_schema,
                 write_mode=args.write_mode,
                 patch_ops=args.patch_ops,
+                branch=args.branch,
             )
             res = run_ingest(cfg)
             print(

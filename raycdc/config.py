@@ -167,6 +167,11 @@ class IngestConfig:
     # this many delta files are folded back into their base (bounding
     # read amplification); 0 disables
     mor_compact_deltas: int = 8
+    # ingest onto a named lake branch (state/checkpoint.py
+    # create_branch) instead of main — dev/test isolation and
+    # blue-green replays; merge back with Lake.merge_branch
+    # (fast-forward).  The branch must already exist.
+    branch: str | None = None
 
 
 def validate_config(cfg: IngestConfig) -> IngestConfig:

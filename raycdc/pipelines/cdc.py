@@ -366,10 +366,13 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     produces the same committed state.
     """
     validate_config(cfg)
-    lake = Lake(cfg.lake_dir)
+    lake = Lake(cfg.lake_dir, branch=cfg.branch)
     manifest = lake.init(cfg.num_partitions, payload_columns=cfg.columns)
     num_partitions = int(manifest["num_partitions"])
-    run_id = run_id or f"run-{int(manifest['version']) + 1:06d}"
+    # branch runs namespace their run_id (staged files / metrics share
+    # the lake's file tree across branches)
+    _b = f"b-{cfg.branch}-" if cfg.branch else ""
+    run_id = run_id or f"run-{_b}{int(manifest['version']) + 1:06d}"
 
     payload_columns = cfg.columns or manifest.get("payload_columns") or []
     if cfg.dynamic_schema:
@@ -514,7 +517,9 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
         if deep:
             from raycdc.pipelines.maintenance import compact
 
-            compacted = compact(cfg.lake_dir, pids=deep)["compacted"]
+            compacted = compact(
+                cfg.lake_dir, pids=deep, branch=cfg.branch
+            )["compacted"]
 
     return RunResult(
         run_id=run_id,

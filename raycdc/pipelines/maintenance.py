@@ -38,6 +38,7 @@ def compact(
     pids: list[int] | None = None,
     min_deltas: int = 1,
     run_id: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Fold merge-on-read deltas into partition base files.
 
@@ -50,7 +51,7 @@ def compact(
     """
     import ray.data
 
-    lake = Lake(lake_dir)
+    lake = Lake(lake_dir, branch=branch)
     last_err: Exception | None = None
     for _ in range(_REWRITE_COMMIT_ATTEMPTS):
         try:

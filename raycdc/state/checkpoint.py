@@ -52,11 +52,24 @@ class ConcurrentCommitError(RuntimeError):
     partition state was resolved from (optimistic-concurrency loss)."""
 
 
-class Lake:
-    """Handle to a lake table rooted at ``lake_dir``."""
+class MergeConflictError(RuntimeError):
+    """A branch merge found main moved past the branch point — only
+    fast-forward merges are supported (recreate the branch from the
+    new main head and replay onto it)."""
 
-    def __init__(self, lake_dir: str):
+
+class Lake:
+    """Handle to a lake table rooted at ``lake_dir``.
+
+    ``branch`` selects a named line of history (``create_branch``):
+    the handle's manifest/commit/read/watermark surface then operates
+    on that branch's head snapshot instead of ``_manifest.json``
+    (main).  Branches share the immutable data-file namespace —
+    branching is O(1) metadata, exactly like tags, but WRITABLE."""
+
+    def __init__(self, lake_dir: str, branch: str | None = None):
         self.root = lake_dir
+        self.branch = branch
         self.manifest_path = os.path.join(lake_dir, "_manifest.json")
 
     # -- init / manifest ---------------------------------------------------
@@ -65,6 +78,10 @@ class Lake:
         os.makedirs(os.path.join(self.root, "_checkpoint"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "_deadletter"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "_metrics"), exist_ok=True)
+        if self.branch is not None:
+            # a branch is created from committed state (create_branch),
+            # never initialized fresh — init is a no-op read
+            return self.manifest()
         if os.path.exists(self.manifest_path):
             return self.manifest()
         manifest = {
@@ -140,13 +157,168 @@ class Lake:
             )
         return tags[str(version)]
 
+    # -- branches: named WRITABLE lines of history --------------------------
+    def branches(self) -> dict[str, int]:
+        """Branch name → head version (``_branches.json``)."""
+        path = os.path.join(self.root, "_branches.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_branches(self, branches: dict) -> None:
+        path = os.path.join(self.root, "_branches.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(branches, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _branch_head(self) -> int:
+        b = self.branches()
+        if self.branch not in b:
+            raise KeyError(
+                f"unknown lake branch {self.branch!r} "
+                f"(known: {sorted(b)}) — create_branch first"
+            )
+        return b[self.branch]
+
+    def create_branch(self, name: str, at: int | str | None = None) -> dict:
+        """Fork a WRITABLE line of history at a committed version
+        (default: the current main head) — the lakeFS/Nessie pattern:
+        O(1) metadata, zero data copied (snapshots reference the same
+        immutable files).  Ingest onto it via ``Lake(dir, branch=)``
+        / ``IngestConfig.branch``; bring it back with
+        ``merge_branch`` (fast-forward only).  Branch heads are
+        vacuum retention anchors exactly like tags."""
+        import fcntl
+
+        at = self._resolve_version(at)
+        with open(os.path.join(self.root, "_commit.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if at is None:
+                with open(self.manifest_path) as f:
+                    at = int(json.load(f)["version"])
+            self.manifest(at)  # raises if the snapshot is gone
+            branches = self.branches()
+            if str(name) in branches:
+                raise ValueError(
+                    f"branch {name!r} already exists (head "
+                    f"v{branches[str(name)]}) — delete_branch first"
+                )
+            branches[str(name)] = int(at)
+            self._write_branches(branches)
+        return {"branch": str(name), "head": int(at)}
+
+    def delete_branch(self, name: str) -> dict:
+        import fcntl
+
+        with open(os.path.join(self.root, "_commit.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            branches = self.branches()
+            head = branches.pop(str(name), None)
+            self._write_branches(branches)
+        return {
+            "branch": str(name), "head": head, "deleted": head is not None
+        }
+
+    def _is_ancestor(self, ancestor: int, descendant: int) -> bool:
+        """Walk the ``parent`` chain from ``descendant`` down.  Fails
+        closed: a broken chain (pre-branch manifests without parent
+        pointers, or a vacuumed intermediate snapshot) is NOT an
+        ancestry proof."""
+        v = int(descendant)
+        ancestor = int(ancestor)
+        while v >= ancestor:
+            if v == ancestor:
+                return True
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                return False
+            parent = m.get("parent")
+            if parent is None or int(parent) >= v:
+                return False
+            v = int(parent)
+        return False
+
+    def merge_branch(self, name: str, run_id: str | None = None) -> dict:
+        """Fast-forward main to a branch head: allowed iff main's
+        current version is an ancestor of the branch head (main did
+        not move since the fork — otherwise ``MergeConflictError``;
+        recreate the branch from the new main and replay).  The merge
+        is a NEW main commit whose content is the branch head's
+        snapshot — parts, deltas, schema AND watermarks move together,
+        so post-merge ingest on main continues from the branch's
+        cursor exactly-once."""
+        import fcntl
+
+        with open(os.path.join(self.root, "_commit.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            branches = self.branches()
+            if str(name) not in branches:
+                raise KeyError(
+                    f"unknown lake branch {name!r} (known: "
+                    f"{sorted(branches)})"
+                )
+            head = branches[str(name)]
+            with open(self.manifest_path) as f:
+                main_v = int(json.load(f)["version"])
+            if head == main_v:
+                return {"branch": str(name), "version": main_v,
+                        "fast_forward": False}
+            if not self._is_ancestor(main_v, head):
+                raise MergeConflictError(
+                    f"cannot fast-forward main v{main_v} to branch "
+                    f"{name!r} head v{head}: main moved since the "
+                    "fork (or the parent chain was vacuumed).  "
+                    "Recreate the branch from the current main head "
+                    "and replay onto it."
+                )
+            target = self.manifest(head)
+            missing = sorted(
+                rel
+                for rel in self.referenced_files(target)
+                if not os.path.exists(os.path.join(self.root, rel))
+            )
+            if missing:
+                raise FileNotFoundError(
+                    f"merge of branch {name!r}: {len(missing)} head "
+                    f"files were vacuumed (first: {missing[0]})"
+                )
+            new_version = self._next_version()
+            target["parent"] = int(head)
+            target["version"] = new_version
+            target["last_run_id"] = run_id or f"merge-{name}-v{head:06d}"
+            main = Lake(self.root)  # write through the MAIN pointer
+            main._write_manifest(target)
+            return {"branch": str(name), "version": new_version,
+                    "fast_forward": True, "merged_head": int(head)}
+
+    def _next_version(self) -> int:
+        """Globally unique next version: branches share the
+        ``_versions/`` snapshot namespace, so the counter is the max
+        over main and every committed snapshot, not head+1."""
+        cur = -1
+        try:
+            with open(self.manifest_path) as f:
+                cur = int(json.load(f)["version"])
+        except (OSError, ValueError):
+            pass
+        vs = self.versions()
+        return max([cur] + vs + [-1]) + 1
+
     def manifest(self, version: int | str | None = None) -> dict:
-        """The current committed manifest, or — ``version`` given (an
-        integer or a tag name) — a historical snapshot from
-        ``_versions/`` (time travel; readable until a later ``vacuum``
-        reclaims its data files — tagged versions are exempt)."""
+        """The current committed manifest (of this handle's branch),
+        or — ``version`` given (an integer or a tag name) — a
+        historical snapshot from ``_versions/`` (time travel; readable
+        until a later ``vacuum`` reclaims its data files — tagged
+        versions and branch heads are exempt)."""
         version = self._resolve_version(version)
         if version is None:
+            if self.branch is not None:
+                return self.manifest(self._branch_head())
             with open(self.manifest_path) as f:
                 return json.load(f)
         path = os.path.join(self.root, "_versions", f"v{version:06d}.json")
@@ -169,17 +341,12 @@ class Lake:
         )
 
     def _write_manifest(self, manifest: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.manifest_path)
-        # snapshot for time travel (written AFTER the commit point —
-        # a crash between the two at worst loses the snapshot copy,
-        # never the commit).  Atomic tmp+rename: a torn snapshot would
-        # otherwise poison manifest(version=N) forever, since no later
-        # commit ever rewrites version N.
+        # version snapshot FIRST (atomic tmp+rename — a torn snapshot
+        # would poison manifest(version=N) forever): a branch pointer
+        # references the snapshot, so it must exist before the commit
+        # point; on main, a crash between snapshot and pointer at
+        # worst leaves one orphan snapshot (never a torn commit — the
+        # global _next_version counter simply skips that number).
         vdir = os.path.join(self.root, "_versions")
         os.makedirs(vdir, exist_ok=True)
         vpath = os.path.join(vdir, f"v{int(manifest['version']):06d}.json")
@@ -187,6 +354,18 @@ class Lake:
         with open(vtmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(vtmp, vpath)
+        if self.branch is not None:
+            # the commit point for a branch is its pointer update
+            branches = self.branches()
+            branches[self.branch] = int(manifest["version"])
+            self._write_branches(branches)
+            return
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.manifest_path)
 
     # -- watermarks --------------------------------------------------------
     def watermarks(self) -> dict[int, int]:
@@ -340,7 +519,12 @@ class Lake:
                 lst.append(rel)
         manifest["checkpoint"] = ckpt_rel
         manifest["last_run_id"] = run_id
-        manifest["version"] += 1
+        # parent pointer = the version this commit built on (the
+        # ancestry chain fast-forward merges walk); the new version
+        # comes from the GLOBAL counter so branch and main snapshots
+        # never collide in _versions/
+        manifest["parent"] = int(manifest["version"])
+        manifest["version"] = self._next_version()
         if payload_columns is not None:
             manifest["payload_columns"] = payload_columns
         self._write_manifest(manifest)
@@ -382,7 +566,8 @@ class Lake:
                     f"were vacuumed (first: {missing[0]}) — pick a "
                     "version inside the vacuum retention window"
                 )
-            new_version = int(manifest["version"]) + 1
+            new_version = self._next_version()
+            manifest["parent"] = int(manifest["version"])
             manifest["num_partitions"] = target["num_partitions"]
             manifest["parts"] = target.get("parts", {})
             manifest["deltas"] = target.get("deltas", {})
@@ -649,9 +834,13 @@ class Lake:
         garbage; run vacuum between runs (the CLI surface does)."""
         import shutil
 
-        m = self.manifest()
+        # always rooted at MAIN (even when invoked via a branch
+        # handle): main's current state is never reclaimable
+        m = Lake(self.root).manifest()
         referenced = self.referenced_files(m)
-        anchored = set(self.tags().values())
+        # tags AND branch heads are retention anchors: a branch must
+        # stay readable/writable until deleted
+        anchored = set(self.tags().values()) | set(self.branches().values())
         for v in anchored:
             referenced |= self.referenced_files(self.manifest(v))
         removed, freed = 0, 0

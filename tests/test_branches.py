@@ -1,0 +1,194 @@
+"""Lake branches (state/checkpoint.py create_branch / merge_branch).
+
+A branch is a named WRITABLE line of history sharing the immutable
+data-file namespace (O(1) fork, zero copy).  Pins: ingest isolation
+(branch commits never move main), fast-forward merge brings state AND
+watermarks over together, post-merge ingest continues exactly-once,
+diverged merges fail loud, vacuum anchors branch heads, and the
+global version counter keeps branch/main snapshots collision-free.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.sources.synth import expected_final_state, write_changelog
+from raycdc.state.checkpoint import Lake, MergeConflictError
+
+PAYLOAD = [{"name": "author.name", "type": "string"}]
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+        columns=PAYLOAD,
+    )
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def _canon(t: pa.Table) -> pa.Table:
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+    )
+
+
+def _eq(a: pa.Table, b: pa.Table):
+    a, b = _canon(a), _canon(b)
+    assert a.num_rows == b.num_rows
+    for c in ("repo", "path", "content", "seq"):
+        assert a[c].to_pylist() == b[c].to_pylist(), c
+
+
+def _window2(tmp, n=400, seed=29, start=1000):
+    paths = write_changelog(
+        os.path.join(tmp, "log2"), n, fragment_rows=200, seed=seed,
+        start_seq=start,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p,
+            os.path.join(tmp, "log", f"fragment-{start}-{i:04d}.parquet"),
+        )
+
+
+def test_branch_ingest_isolated_then_fast_forward_merge(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 1000, fragment_rows=500, seed=27)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    main_v1 = int(lake.manifest()["version"])
+    main_state_v1 = lake.read_table()
+
+    lake.create_branch("dev")
+    _window2(tmp)
+    run_ingest(_cfg(tmp, branch="dev", write_mode="mor"))
+
+    # isolation: main did not move; branch converged on the full log
+    assert int(Lake(cfg.lake_dir).manifest()["version"]) == main_v1
+    _eq(Lake(cfg.lake_dir).read_table(), main_state_v1)
+    dev = Lake(cfg.lake_dir, branch="dev")
+    _eq(dev.read_table(), expected_final_state(cfg.log_dir))
+    # branch watermarks advanced, main's did not
+    assert max(dev.watermarks().values()) > max(
+        Lake(cfg.lake_dir).watermarks().values()
+    )
+
+    # fast-forward merge: state AND watermarks move together
+    rep = lake.merge_branch("dev")
+    assert rep["fast_forward"]
+    merged = Lake(cfg.lake_dir)
+    _eq(merged.read_table(), expected_final_state(cfg.log_dir))
+    assert merged.watermarks() == dev.watermarks()
+
+    # post-merge ingest on main continues exactly-once from the
+    # branch's cursor: replaying the same log is a no-op
+    res = run_ingest(cfg)
+    assert res.no_op
+
+    # ...and a THIRD window applies normally on main
+    paths = write_changelog(
+        os.path.join(tmp, "log3"), 200, fragment_rows=100, seed=31,
+        start_seq=1400,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p, os.path.join(tmp, "log", f"fragment-1400-{i:04d}.parquet")
+        )
+    res3 = run_ingest(cfg)
+    assert res3.applied > 0
+    _eq(Lake(cfg.lake_dir).read_table(), expected_final_state(cfg.log_dir))
+
+
+def test_branch_merge_conflict_when_main_moved(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 600, fragment_rows=300, seed=33)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    lake.create_branch("dev")
+
+    # both lines advance
+    _window2(tmp, n=200, seed=37, start=600)
+    run_ingest(_cfg(tmp, branch="dev"))
+    paths = write_changelog(
+        os.path.join(tmp, "logm"), 100, fragment_rows=50, seed=39,
+        start_seq=800,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p, os.path.join(tmp, "log", f"fragment-800-{i:04d}.parquet")
+        )
+    run_ingest(cfg)  # main moves past the fork
+    main_before = Lake(cfg.lake_dir).read_table()
+
+    with pytest.raises(MergeConflictError, match="main moved"):
+        lake.merge_branch("dev")
+    _eq(Lake(cfg.lake_dir).read_table(), main_before)  # main untouched
+
+    # versions never collide across lines (global counter)
+    vs = Lake(cfg.lake_dir).versions()
+    assert len(vs) == len(set(vs))
+
+
+def test_branch_vacuum_anchors_heads_until_deleted(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 600, fragment_rows=300, seed=41)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    lake.create_branch("keepme")
+    branch_state = Lake(cfg.lake_dir, branch="keepme").read_table()
+
+    # main rewrites everything (cow window 2), then vacuums
+    _window2(tmp, n=300, seed=43, start=600)
+    run_ingest(_cfg(tmp, write_mode="cow"))
+    Lake(cfg.lake_dir).vacuum()
+
+    # the branch head survived vacuum: still readable, byte-equal
+    _eq(Lake(cfg.lake_dir, branch="keepme").read_table(), branch_state)
+
+    # delete the branch -> next vacuum reclaims its snapshot + files
+    head = lake.branches()["keepme"]
+    lake.delete_branch("keepme")
+    rep = Lake(cfg.lake_dir).vacuum()
+    assert rep["files_removed"] > 0
+    with pytest.raises(KeyError, match="unknown lake branch"):
+        Lake(cfg.lake_dir, branch="keepme").read_table()
+    with pytest.raises(FileNotFoundError):
+        Lake(cfg.lake_dir).manifest(head)  # snapshot reclaimed
+
+
+def test_branch_validation_and_metadata(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 300, fragment_rows=150, seed=47)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+
+    with pytest.raises(KeyError, match="unknown lake branch"):
+        Lake(cfg.lake_dir, branch="nope").manifest()
+    with pytest.raises(KeyError, match="unknown lake branch"):
+        lake.merge_branch("nope")
+    lake.create_branch("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        lake.create_branch("dev")
+    assert lake.branches() == {"dev": int(lake.manifest()["version"])}
+    # merging an un-moved branch is a no-op, not an error
+    rep = lake.merge_branch("dev")
+    assert rep["fast_forward"] is False
+    assert lake.delete_branch("dev")["deleted"]
+    assert lake.delete_branch("dev")["deleted"] is False
+    # branch from a tag name resolves like every version-taking API
+    lake.tag("stable")
+    lake.create_branch("from-tag", at="stable")
+    assert lake.branches()["from-tag"] == lake.tags()["stable"]
