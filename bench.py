@@ -840,6 +840,253 @@ def index_bench() -> None:
     )
 
 
+def multitable_bench() -> None:
+    """Read-amplification A/B for the multi-table router: ONE
+    multiplexed log carrying T tables, converged (a) by a single
+    ``run_ingest_multi`` pass vs (b) by T ordinary ``run_ingest``
+    runs, each reading the shared log with a ``table == t`` predicate
+    (the naive per-table approach — T full log reads).  Final states
+    are asserted byte-equal; the wall ratio is the point and should
+    approach T at log-read-bound scale."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.multitable import (
+        MultiIngestConfig, TableRoute, run_ingest_multi,
+    )
+    from raycdc.sources.synth import write_changelog
+    from raycdc.state.checkpoint import Lake
+
+    n_events = int(os.environ.get("GRAFT_BENCH_EVENTS", "1000000"))
+    n_tables = 4
+    root = os.path.join(WORK_ROOT, f"mtbench_{n_events}")
+    shutil.rmtree(root, ignore_errors=True)
+    raw = os.path.join(root, "raw")
+    mlog = os.path.join(root, "mlog")
+    write_changelog(raw, n_events, fragment_rows=250_000, seed=11)
+    os.makedirs(mlog, exist_ok=True)
+    for name in sorted(os.listdir(raw)):
+        t = pq2.read_table(os.path.join(raw, name))
+        h = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(f"{r}|{p}".encode(), digest_size=1).digest()
+                for r, p in zip(
+                    t["repo"].to_pylist(), t["path"].to_pylist()
+                )
+            ),
+            dtype=np.uint8,
+        )
+        tabs = pa.array([f"t{int(v) % n_tables}" for v in h])
+        pq2.write_table(
+            t.append_column("table", tabs), os.path.join(mlog, name)
+        )
+    calib = _calibrate()
+    cols = [{"name": "author.name", "type": "string"}]
+
+    t0 = time.perf_counter()
+    run_ingest_multi(
+        MultiIngestConfig(
+            log_dir=mlog,
+            routes={
+                f"t{i}": TableRoute(
+                    lake_dir=os.path.join(root, f"multi_t{i}"), columns=cols
+                )
+                for i in range(n_tables)
+            },
+            num_partitions=64,
+        )
+    )
+    multi_sec = time.perf_counter() - t0
+
+    import pyarrow.dataset as pads
+
+    t0 = time.perf_counter()
+    for i in range(n_tables):
+        run_ingest(
+            IngestConfig(
+                log_dir=mlog,
+                lake_dir=os.path.join(root, f"single_t{i}"),
+                num_partitions=64,
+                columns=cols,
+                predicate=(pads.field("table") == f"t{i}"),
+            )
+        )
+    per_table_sec = time.perf_counter() - t0
+
+    rows = 0
+    for i in range(n_tables):
+        a = Lake(os.path.join(root, f"multi_t{i}")).read_table()
+        b = Lake(os.path.join(root, f"single_t{i}")).read_table()
+        assert a.num_rows == b.num_rows, (i, a.num_rows, b.num_rows)
+        rows += a.num_rows
+    print(
+        json.dumps(
+            {
+                "metric": "multi-table router vs per-table ingest "
+                "(same multiplexed log, states byte-equal)",
+                "events": n_events,
+                "tables": n_tables,
+                "num_cpus": NUM_CPUS,
+                "calib_sec": round(calib, 3),
+                "multi_pass_sec": round(multi_sec, 3),
+                "per_table_sec": round(per_table_sec, 3),
+                "speedup": round(per_table_sec / multi_sec, 2),
+                "state_rows": rows,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def zonemap_bench() -> None:
+    """Value-scan acceleration A/B.  Hash partitioning deliberately
+    decorrelates keys from partitions, so on this fixture (64 langs
+    spread over every partition) partition-level zone maps keep all
+    64 partitions — reported honestly.  The lever that DOES bite on a
+    hash-partitioned lake is clustering: ``optimize_sort(by=["lang"],
+    row_group_rows=...)`` sorts each base by the value column with
+    small row groups, and the delta-free ``value_filter`` pushdown
+    then skips non-matching row groups via Parquet min/max.  Reports
+    unclustered vs clustered scan time for the same predicate."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.sources.synth import EVENT_SCHEMA
+    from raycdc.state.checkpoint import Lake
+    from raycdc.state.zonemap import conjunct_mask
+
+    n_events = int(os.environ.get("GRAFT_BENCH_EVENTS", "1000000"))
+    n_langs = 64
+    root = os.path.join(WORK_ROOT, f"zmbench_{n_events}")
+    shutil.rmtree(root, ignore_errors=True)
+    log = os.path.join(root, "log")
+    os.makedirs(log, exist_ok=True)
+    # 64 repos, one lang each; content = random blob slices so the
+    # Parquet pages are incompressible and decode cost is real
+    chunk = 250_000
+    rng = np.random.default_rng(9)
+    pool = "".join(
+        chr(c) for c in rng.integers(33, 127, size=1 << 20)
+    )
+    seq0 = 0
+    fi = 0
+    while seq0 < n_events:
+        n = min(chunk, n_events - seq0)
+        seq = np.arange(seq0, seq0 + n)
+        r = seq % n_langs
+        offs = rng.integers(0, (1 << 20) - 1600, size=n)
+        t = pa.table(
+            {
+                "seq": pa.array(seq, pa.int64()),
+                "ts": pa.array(seq * 1000 + 1_700_000_000_000_000,
+                               pa.timestamp("us")),
+                "op": pa.array(["insert"] * n),
+                "repo": pa.array([f"corp/repo{v}" for v in r]),
+                "path": pa.array([f"src/f{v}.txt" for v in seq]),
+                "commit": pa.array([f"c{v:09d}" for v in seq]),
+                "lang": pa.array([f"lang{v:02d}" for v in r]),
+                "content": pa.array(
+                    [pool[o : o + 1500] for o in offs]
+                ),
+                "content_len": pa.array([1500] * n, pa.int32()),
+                "payload_json": pa.array(['{"author":{"name":"d"}}'] * n),
+            },
+            schema=EVENT_SCHEMA,
+        )
+        pq2.write_table(t, os.path.join(log, f"fragment-{fi:05d}.parquet"))
+        seq0 += n
+        fi += 1
+    run_ingest(
+        IngestConfig(
+            log_dir=log, lake_dir=os.path.join(root, "lake"),
+            num_partitions=64,
+            columns=[{"name": "author.name", "type": "string"}],
+        )
+    )
+    from raycdc.pipelines.maintenance import optimize_sort
+
+    lake = Lake(os.path.join(root, "lake"))
+    calib = _calibrate()
+    pred = [("lang", "==", "lang07")]
+    kept = lake.prune_partitions(pred)
+
+    def timed(fn):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    def full_scan():
+        # the no-pushdown baseline: every row read and decoded, exact
+        # filter applied batch-side
+        lake.read_dataset().map_batches(
+            lambda t: t.filter(pa.array(conjunct_mask(t, pred))),
+            batch_format="pyarrow",
+        ).count()
+
+    full_sec = timed(full_scan)
+    unclustered_sec = timed(
+        lambda: lake.read_dataset(value_filter=pred).count()
+    )
+    t0 = time.perf_counter()
+    optimize_sort(
+        os.path.join(root, "lake"), by=["lang"], row_group_rows=512
+    )
+    cluster_sec = time.perf_counter() - t0
+    clustered_sec = timed(
+        lambda: lake.read_dataset(value_filter=pred).count()
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "value scan: full read+filter vs pushdown vs "
+                "lang-clustered row-group pruning (64 partitions)",
+                "events": n_events,
+                "num_cpus": NUM_CPUS,
+                "calib_sec": round(calib, 3),
+                "partitions_total": 64,
+                "partitions_kept_by_zonemap": len(kept),
+                "full_scan_sec": round(full_sec, 3),
+                "pushdown_unclustered_sec": round(unclustered_sec, 3),
+                "cluster_rewrite_sec": round(cluster_sec, 3),
+                "pushdown_clustered_sec": round(clustered_sec, 3),
+                "speedup_vs_full": round(full_sec / clustered_sec, 2),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -849,5 +1096,9 @@ if __name__ == "__main__":
         matview_bench()
     elif "--index" in sys.argv:
         index_bench()
+    elif "--multitable" in sys.argv:
+        multitable_bench()
+    elif "--zonemap" in sys.argv:
+        zonemap_bench()
     else:
         main()

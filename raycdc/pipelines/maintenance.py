@@ -668,6 +668,7 @@ def optimize_sort(
     lake_dir: str,
     by: list[str] | None = None,
     run_id: str | None = None,
+    row_group_rows: int | None = None,
 ) -> dict:
     """Layout optimization (the OPTIMIZE ... ZORDER analog, single
     lexicographic key): rewrite every partition base sorted by
@@ -684,14 +685,17 @@ def optimize_sort(
     last_err: Exception | None = None
     for _ in range(_REWRITE_COMMIT_ATTEMPTS):
         try:
-            return _optimize_sort_once(lake, by, run_id)
+            return _optimize_sort_once(lake, by, run_id, row_group_rows)
         except ConcurrentCommitError as e:
             last_err = e  # manifest moved: re-resolve from the new version
     raise last_err  # type: ignore[misc]
 
 
 def _optimize_sort_once(
-    lake: Lake, by: list[str] | None, run_id: str | None
+    lake: Lake,
+    by: list[str] | None,
+    run_id: str | None,
+    row_group_rows: int | None = None,
 ) -> dict:
     import ray.data
 
@@ -726,8 +730,14 @@ def _optimize_sort_once(
             d = os.path.join(root, "data", f"part-{pid:05d}")
             os.makedirs(d, exist_ok=True)
             staged = os.path.join(d, f"{run_id}.parquet")
+            wkw = (
+                {"row_group_size": int(row_group_rows)}
+                if row_group_rows
+                else {}
+            )
             pq.write_table(
-                resolved, staged, compression="zstd", compression_level=1
+                resolved, staged, compression="zstd",
+                compression_level=1, **wkw
             )
             out_pid.append(pid)
             out_path.append(staged)
