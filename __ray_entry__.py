@@ -673,6 +673,65 @@ def _q_cdc_zonemap_scan(sf_dir):
     )
 
 
+def _q_cdc_branch_replay(sf_dir):
+    """Blue-green replay through a WRITABLE branch: window 1 commits
+    on main, windows 2-3 (updates + deletes) ingest onto a forked
+    branch while main stays pinned at window 1, then a fast-forward
+    merge promotes the branch — state AND watermarks together.  The
+    oracle is the ordinary full-replay SQL, so any isolation leak,
+    merge drift, or watermark mismatch (a post-merge re-ingest would
+    re-apply instead of no-op) changes values and hash-mismatches.
+    The post-merge no-op is asserted in-query."""
+    import hashlib
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_branch_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    documents_changelog(sf_dir, staging, fragments=3)
+    os.makedirs(log_dir, exist_ok=True)
+    os.rename(
+        os.path.join(staging, "fragment-00000.parquet"),
+        os.path.join(log_dir, "fragment-00000.parquet"),
+    )
+    cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+        columns=PAYLOAD_COLUMNS, write_mode="cow",
+    )
+    run_ingest(cfg)
+    lake = Lake(lake_dir)
+    main_v = int(lake.manifest()["version"])
+    lake.create_branch("green")
+    for name in sorted(os.listdir(staging)):
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(
+        IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
+            columns=PAYLOAD_COLUMNS, write_mode="mor", branch="green",
+        )
+    )
+    assert int(Lake(lake_dir).manifest()["version"]) == main_v  # isolated
+    lake.merge_branch("green")
+    assert run_ingest(cfg).no_op  # cursors merged: replay is exactly-once
+    return Lake(lake_dir).read_dataset(
+        columns=["repo", "path", "lang", "content"]
+    )
+
+
 def _q_cdc_multi_table_replay(sf_dir):
     """Multi-table wire-log routing: ONE multiplexed change log (the
     documents stream with a `table` column splitting keys by doc-id
@@ -2525,6 +2584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
         "cdc_zonemap_scan": _tuned(_q_cdc_zonemap_scan),
         "cdc_multi_table_replay": _tuned(_q_cdc_multi_table_replay),
+        "cdc_branch_replay": _tuned(_q_cdc_branch_replay),
         # (doc_lm_scores / curation_pipeline_v2 / pca_components /
         #  hash_embed_representatives: NEW, below the full window —
         #  the first two carry real SQL oracles, the other two
@@ -3390,6 +3450,16 @@ def oracle_sql() -> dict[str, str]:
                    text || ' v2' AS content
             FROM documents
             WHERE doc_id % 17 <> 0 AND lang = 'de'
+        """,
+        # blue-green branch replay converges to the SAME final state
+        # as a straight replay (isolation + merge + cursor handoff
+        # are invisible to observable state, or the hash mismatches)
+        "cdc_branch_replay": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0
         """,
         # multi-table routing: the single-table replay SQL restricted
         # to the even-parity table — a key routed to the wrong (or
