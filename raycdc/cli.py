@@ -79,6 +79,23 @@ def main(argv: list[str] | None = None) -> int:
     p_mrun.add_argument("--write-mode", choices=("cow", "mor"),
                         default="cow")
 
+    p_mtail = sub.add_parser(
+        "multi-tail",
+        help="continuous multi-table tail over a multiplexed log",
+    )
+    p_mtail.add_argument("--log-dir", required=True)
+    p_mtail.add_argument(
+        "--route", action="append", required=True, metavar="TABLE=LAKE_DIR"
+    )
+    p_mtail.add_argument("--partitions", type=int, default=64)
+    p_mtail.add_argument("--table-column", default="table")
+    p_mtail.add_argument("--columns-json", default=None)
+    p_mtail.add_argument("--write-mode", choices=("cow", "mor"),
+                         default="mor")
+    p_mtail.add_argument("--poll-interval", type=float, default=5.0)
+    p_mtail.add_argument("--max-rounds", type=int, default=None)
+    p_mtail.add_argument("--stop-after-idle", type=int, default=None)
+
     p_tail = sub.add_parser(
         "tail", help="continuous ingest loop (binlog tailer)"
     )
@@ -776,10 +793,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
             return 0
 
-        if args.cmd == "multi-run":
+        if args.cmd in ("multi-run", "multi-tail"):
             from raycdc.pipelines.multitable import (
                 MultiIngestConfig,
                 TableRoute,
+                run_follow_multi,
                 run_ingest_multi,
             )
 
@@ -793,29 +811,39 @@ def main(argv: list[str] | None = None) -> int:
                     lake_dir=lake_dir, columns=cols,
                     write_mode=args.write_mode,
                 )
-            res = run_ingest_multi(
-                MultiIngestConfig(
-                    log_dir=args.log_dir,
-                    routes=routes,
-                    num_partitions=args.partitions,
-                    table_column=args.table_column,
-                )
+            mcfg = MultiIngestConfig(
+                log_dir=args.log_dir,
+                routes=routes,
+                num_partitions=args.partitions,
+                table_column=args.table_column,
             )
-            print(
-                json.dumps(
-                    {
-                        t: {
-                            "run_id": r.run_id,
-                            "no_op": r.no_op,
-                            "events_read": r.events_read,
-                            "applied": r.applied,
-                            "dead_lettered": r.dead_lettered,
-                            "watermark": r.watermark,
-                        }
-                        for t, r in res.items()
+
+            def summarize(res):
+                return {
+                    t: {
+                        "run_id": r.run_id,
+                        "no_op": r.no_op,
+                        "events_read": r.events_read,
+                        "applied": r.applied,
+                        "dead_lettered": r.dead_lettered,
+                        "watermark": r.watermark,
                     }
+                    for t, r in res.items()
+                }
+
+            if args.cmd == "multi-tail":
+                rounds = run_follow_multi(
+                    mcfg,
+                    poll_interval_s=args.poll_interval,
+                    max_rounds=args.max_rounds,
+                    stop_after_idle_rounds=args.stop_after_idle,
+                    on_round=lambda res: print(
+                        json.dumps(summarize(res)), flush=True
+                    ),
                 )
-            )
+                print(json.dumps({"rounds": len(rounds)}))
+            else:
+                print(json.dumps(summarize(run_ingest_multi(mcfg))))
             return 0
         if args.cmd == "run":
             from raycdc.config import IngestConfig

@@ -246,6 +246,50 @@ class MultiMerger:
         )
 
 
+def run_follow_multi(
+    cfg: MultiIngestConfig,
+    poll_interval_s: float = 5.0,
+    max_rounds: int | None = None,
+    stop_after_idle_rounds: int | None = None,
+    on_round=None,
+    _sleep=None,
+) -> list[dict[str, RunResult]]:
+    """Continuous tail over a MULTIPLEXED log: each round is one
+    ``run_ingest_multi`` pass (one read serves every table), sleeping
+    when the log had nothing new.  A round is idle iff every table
+    no-opped.  Same loop contract as the single-table
+    ``cdc.run_follow`` (bounded retention, ``on_round`` hook,
+    crash-safe at each round's per-table atomic commits — a crash
+    between two table commits replays the window and the lagging
+    tables converge idempotently)."""
+    import time as _time
+
+    sleep = _sleep or _time.sleep
+    results: list[dict[str, RunResult]] = []
+    rounds = 0
+    idle = 0
+    while True:
+        res = run_ingest_multi(cfg)
+        rounds += 1
+        results.append(res)
+        if max_rounds is None and len(results) > 100:
+            del results[0]
+        if on_round is not None:
+            on_round(res)
+        round_idle = all(r.no_op for r in res.values())
+        idle = idle + 1 if round_idle else 0
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        if (
+            stop_after_idle_rounds is not None
+            and idle >= stop_after_idle_rounds
+        ):
+            break
+        if round_idle:
+            sleep(poll_interval_s)
+    return results
+
+
 def run_ingest_multi(
     cfg: MultiIngestConfig, run_id: str | None = None
 ) -> dict[str, RunResult]:

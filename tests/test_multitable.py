@@ -251,3 +251,65 @@ def test_multi_ingest_validation(tmp_path):
                 },
             )
         )
+
+
+def test_multi_follow_tails_arriving_windows(tmp_path):
+    """The multiplexed tail loop: windows arrive while the loop runs,
+    each round is ONE routed pass, idles only when EVERY table
+    no-ops, and both lakes converge byte-equal to per-table ingest
+    over the filtered log."""
+    from raycdc.pipelines.multitable import run_follow_multi
+
+    tmp = str(tmp_path)
+    write_changelog(os.path.join(tmp, "raw0"), 600, fragment_rows=300,
+                    seed=59)
+    _route_table(os.path.join(tmp, "raw0"), os.path.join(tmp, "mlog"))
+    cfg = _mcfg(tmp)
+
+    arrivals = iter([(200, 61, 600), (150, 67, 800), None, None])
+    sleeps = []
+
+    def on_round(res):
+        nxt = next(arrivals, None)
+        if nxt:
+            n, seed, start = nxt
+            raw = os.path.join(tmp, f"raw{start}")
+            write_changelog(raw, n, fragment_rows=100, seed=seed,
+                            start_seq=start)
+            routed = os.path.join(tmp, f"routed{start}")
+            _route_table(raw, routed)
+            for i, name in enumerate(sorted(os.listdir(routed))):
+                os.rename(
+                    os.path.join(routed, name),
+                    os.path.join(
+                        tmp, "mlog", f"fragment-{start}-{i:04d}.parquet"
+                    ),
+                )
+
+    results = run_follow_multi(
+        cfg,
+        poll_interval_s=3.5,
+        stop_after_idle_rounds=2,
+        on_round=on_round,
+        _sleep=sleeps.append,
+    )
+    flags = [all(r.no_op for r in res.values()) for res in results]
+    assert flags == [False, False, False, True, True]
+    assert sleeps == [3.5]
+
+    for t, payload in (("tbl_a", PAYLOAD_A), ("tbl_b", PAYLOAD_B)):
+        _split_log(
+            os.path.join(tmp, "mlog"), os.path.join(tmp, f"log_{t}"), t
+        )
+        run_ingest(
+            IngestConfig(
+                log_dir=os.path.join(tmp, f"log_{t}"),
+                lake_dir=os.path.join(tmp, f"ref_{t}"),
+                num_partitions=8,
+                columns=payload,
+            )
+        )
+        _assert_tables_equal(
+            _state(cfg.routes[t].lake_dir),
+            _state(os.path.join(tmp, f"ref_{t}")),
+        )
