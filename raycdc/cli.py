@@ -832,16 +832,23 @@ def main(argv: list[str] | None = None) -> int:
                 }
 
             if args.cmd == "multi-tail":
-                rounds = run_follow_multi(
+                # count via the hook — run_follow_multi bounds its
+                # returned list to the last 100 rounds, so len() of
+                # the return value under-reports long tails
+                n_rounds = [0]
+
+                def report(res):
+                    n_rounds[0] += 1
+                    print(json.dumps(summarize(res)), flush=True)
+
+                run_follow_multi(
                     mcfg,
                     poll_interval_s=args.poll_interval,
                     max_rounds=args.max_rounds,
                     stop_after_idle_rounds=args.stop_after_idle,
-                    on_round=lambda res: print(
-                        json.dumps(summarize(res)), flush=True
-                    ),
+                    on_round=report,
                 )
-                print(json.dumps({"rounds": len(rounds)}))
+                print(json.dumps({"rounds": n_rounds[0]}))
             else:
                 print(json.dumps(summarize(run_ingest_multi(mcfg))))
             return 0

@@ -1,0 +1,76 @@
+"""Shared persistent per-path footer-probe cache.
+
+Both metadata planes that read Parquet footers on the driver — the
+source-side fragment probes (``sources/changelog.ProbeCache``) and
+the lake-side zone-map ranges (``state/zonemap.FileStatsCache``) —
+need the same thing: a JSON file mapping path → payload, where an
+entry is valid only while the file's ``(size, mtime_ns)`` stamp
+matches, saved atomically, pruned to live files so the cache stays
+bounded by the live file count.  One implementation here keeps the
+two planes consistent (payload JSON-safety, stamp semantics, crash
+behavior: a torn or missing cache only ever costs re-probing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class StampedJsonCache:
+    """Per-path payload cache validated by ``(size, mtime_ns)``.
+
+    Subclasses set ``payload_key`` (the JSON field name the payload
+    is stored under — kept distinct per plane so a cache file is
+    self-describing).  Payloads must be JSON-serializable; callers
+    normalize (see ``zonemap._encode_stat``)."""
+
+    payload_key = "payload"
+
+    def __init__(self, path: str):
+        self.path = path
+        self._dirty = False
+        try:
+            with open(path, encoding="utf-8") as f:
+                self._entries = json.load(f)
+        except (OSError, ValueError):
+            self._entries = {}
+
+    def _stamp(self, p: str):
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        return [st.st_size, st.st_mtime_ns]
+
+    def get(self, p: str):
+        e = self._entries.get(p)
+        if e is None or e.get("stamp") != self._stamp(p):
+            return None
+        return e.get(self.payload_key)
+
+    def put(self, p: str, payload) -> None:
+        stamp = self._stamp(p)
+        if stamp is None:
+            return
+        self._entries[p] = {"stamp": stamp, self.payload_key: payload}
+        self._dirty = True
+
+    def save(self) -> None:
+        if not self._dirty:
+            return
+        import uuid
+
+        # prune entries whose file is gone (vacuumed / archived) so
+        # the cache is bounded by the LIVE file count, not the
+        # lifetime total — one stat per entry, the same order of work
+        # the per-get stamp validation pays
+        self._entries = {
+            p: e for p, e in self._entries.items() if os.path.exists(p)
+        }
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self._entries, f)
+        os.replace(tmp, self.path)
+        self._dirty = False

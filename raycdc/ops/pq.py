@@ -224,8 +224,14 @@ def pq_topk(
             # m gathers + sum: the ADC inner loop, fully vectorized
             d2 = lt[qi][cols, codes].sum(axis=1)  # (n,)
             cos = 1.0 - d2 / 2.0
-            idx = np.argpartition(-cos, nk - 1)[:nk]
-            idx = idx[np.lexsort((ids[idx], -cos[idx]))]
+            # local selection by the TOTAL order (cos desc, id asc):
+            # PQ makes exact score ties common (identical codes ==
+            # identical ADC score), and an argpartition cut by score
+            # alone would forward an arbitrary tie member — making
+            # the global result depend on batch boundaries.  Each
+            # batch forwarding its top-k by the same total order the
+            # driver merges with keeps the result batch-invariant.
+            idx = np.lexsort((ids, -cos))[:nk]
             out_q.extend([qi] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_cos.extend(cos[idx].tolist())

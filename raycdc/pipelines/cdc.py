@@ -369,10 +369,19 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     lake = Lake(cfg.lake_dir, branch=cfg.branch)
     manifest = lake.init(cfg.num_partitions, payload_columns=cfg.columns)
     num_partitions = int(manifest["num_partitions"])
-    # branch runs namespace their run_id (staged files / metrics share
-    # the lake's file tree across branches)
-    _b = f"b-{cfg.branch}-" if cfg.branch else ""
-    run_id = run_id or f"run-{_b}{int(manifest['version']) + 1:06d}"
+    # branch runs namespace their run_id by the GLOBAL version
+    # counter, not the branch head: a branch recreated at an old fork
+    # point would otherwise regenerate an old run_id and its staged
+    # write could overwrite a committed data file another manifest
+    # still references.  The counter never repeats, and a crashed run
+    # recomputes the same value (deterministic rerun-overwrites-own-
+    # staging, like the main lane).
+    if cfg.branch:
+        run_id = run_id or (
+            f"run-b-{cfg.branch}-{lake._next_version():06d}"
+        )
+    else:
+        run_id = run_id or f"run-{int(manifest['version']) + 1:06d}"
 
     payload_columns = cfg.columns or manifest.get("payload_columns") or []
     if cfg.dynamic_schema:

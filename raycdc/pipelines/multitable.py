@@ -342,7 +342,10 @@ def run_ingest_multi(
         ),
     )
     target = source.max_seq_probe()
-    if all(covered.values()) and target <= min_wm:
+    # no-op when nothing in the log is past the LAGGING cursor — this
+    # includes the tail-before-producer shape (empty log, fresh lakes:
+    # target == -1 <= min_wm == -1), mirroring run_ingest's early-out
+    if target <= min_wm:
         return {
             t: RunResult(
                 run_id,

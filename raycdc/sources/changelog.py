@@ -20,6 +20,8 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data
 
+from raycdc.functions.stampcache import StampedJsonCache
+
 
 def fragment_paths(log_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(log_dir, "*.parquet")))
@@ -52,66 +54,17 @@ def _fragment_meta(p: str, cache: "ProbeCache | None") -> dict:
     return meta
 
 
-class ProbeCache:
+class ProbeCache(StampedJsonCache):
     """Persistent footer-probe cache (one JSON per lake, advisory).
 
     Keyed by fragment path; an entry is valid only while the file's
     (size, mtime_ns) match, so an appended/rewritten fragment
-    re-probes.  Saved atomically (tmp + rename); a torn or missing
-    cache only costs re-probing.  The reference has no analog — it
-    re-fetches ``total`` every run (JiraClient.java:86-89); this is
-    what makes a 10^5-fragment tail's per-window driver cost flat."""
+    re-probes (shared semantics: ``functions/stampcache``).  The
+    reference has no analog — it re-fetches ``total`` every run
+    (JiraClient.java:86-89); this is what makes a 10^5-fragment
+    tail's per-window driver cost flat."""
 
-    def __init__(self, path: str):
-        import json as _json
-
-        self.path = path
-        self._json = _json
-        self._dirty = False
-        try:
-            with open(path, encoding="utf-8") as f:
-                self._entries = _json.load(f)
-        except (OSError, ValueError):
-            self._entries = {}
-
-    def _stamp(self, p: str) -> list | None:
-        try:
-            st = os.stat(p)
-        except OSError:
-            return None
-        return [st.st_size, st.st_mtime_ns]
-
-    def get(self, p: str) -> dict | None:
-        e = self._entries.get(p)
-        if e is None or e.get("stamp") != self._stamp(p):
-            return None
-        return e["meta"]
-
-    def put(self, p: str, meta: dict) -> None:
-        stamp = self._stamp(p)
-        if stamp is None:
-            return
-        self._entries[p] = {"stamp": stamp, "meta": meta}
-        self._dirty = True
-
-    def save(self) -> None:
-        if not self._dirty:
-            return
-        import uuid as _uuid
-
-        # prune entries whose fragment is gone (archived/vacuumed log
-        # retention) so the cache is bounded by the LIVE fragment
-        # count, not the log's lifetime total — one stat per entry,
-        # the same order of work the per-get stamp validation pays
-        self._entries = {
-            p: e for p, e in self._entries.items() if os.path.exists(p)
-        }
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            self._json.dump(self._entries, f)
-        os.replace(tmp, self.path)
-        self._dirty = False
+    payload_key = "meta"
 
 
 def count_probe(log_dir: str, cache: ProbeCache | None = None) -> int:

@@ -235,7 +235,8 @@ class Lake:
                 return True
             try:
                 m = self.manifest(v)
-            except FileNotFoundError:
+            except (FileNotFoundError, ValueError):
+                # missing OR torn snapshot: fail closed, no ff proof
                 return False
             parent = m.get("parent")
             if parent is None or int(parent) >= v:
@@ -353,6 +354,12 @@ class Lake:
         vtmp = vpath + ".tmp"
         with open(vtmp, "w") as f:
             json.dump(manifest, f, indent=1)
+            # snapshots are load-bearing (branch pointers reference
+            # them; the ancestry walk reads them): fsync BEFORE the
+            # fsynced pointer/manifest update so a power loss can
+            # never leave a durable pointer at a torn snapshot
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(vtmp, vpath)
         if self.branch is not None:
             # the commit point for a branch is its pointer update
@@ -667,22 +674,36 @@ class Lake:
 
         if key_filter is not None:
             self._validate_key_filter(key_filter)
+        m = self.manifest(version)
+        parts = {
+            int(pid): os.path.join(self.root, rel)
+            for pid, rel in m.get("parts", {}).items()
+        }
+        deltas = {
+            int(pid): [os.path.join(self.root, r) for r in rels]
+            for pid, rels in m.get("deltas", {}).items()
+            if rels
+        }
         if value_filter is not None:
-            from raycdc.state.zonemap import validate_conjuncts
-
-            validate_conjuncts(
-                value_filter, self._lake_schema(self.manifest(version))
+            from raycdc.state.zonemap import (
+                FileStatsCache,
+                prune_partitions,
+                validate_conjuncts,
             )
-        parts = self.part_paths(version)
-        deltas = self.delta_paths(version)
-        if value_filter is not None:
-            keep = set(self.prune_partitions(value_filter, version))
+
+            validate_conjuncts(value_filter, self._lake_schema(m))
+            cache = FileStatsCache(
+                os.path.join(self.root, "_stats_cache.json")
+            )
+            keep = set(
+                prune_partitions(parts, deltas, value_filter, cache)
+            )
             parts = {p: f for p, f in parts.items() if p in keep}
             deltas = {p: fs for p, fs in deltas.items() if p in keep}
         if not deltas:
             paths = list(parts.values())
             if not paths:
-                schema = self._lake_schema(self.manifest(version))
+                schema = self._lake_schema(m)
                 empty = pa.table(
                     [pa.array([], f.type) for f in schema], schema=schema
                 )
@@ -701,7 +722,6 @@ class Lake:
                 kwargs["filter"] = expr
             return ray.data.read_parquet(paths, **kwargs)
 
-        m = self.manifest(version)
         schema = self._lake_schema(m)
         pids = sorted(set(parts) | set(deltas))
         root = self.root

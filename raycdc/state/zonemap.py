@@ -48,6 +48,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from raycdc.functions.stampcache import StampedJsonCache
+
 VALUE_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
 
 _UNKNOWN = object()  # column range not provable from footers
@@ -81,67 +83,25 @@ def validate_conjuncts(conjuncts, schema: pa.Schema) -> None:
             )
 
 
-class FileStatsCache:
+class FileStatsCache(StampedJsonCache):
     """Persistent per-file footer-range cache (``_stats_cache.json``
     in the lake root — metadata plane, untouched by ``vacuum``).
+    Lake data files are immutable, so in practice an entry is
+    computed once per file ever; the shared stamped-cache semantics
+    (validation, atomic save, dead-entry pruning) live in
+    ``functions/stampcache.StampedJsonCache``."""
 
-    Entries are keyed by path and validated by (size, mtime_ns) like
-    the source-side ``ProbeCache``; lake data files are immutable so
-    in practice an entry is computed once per file ever.  ``save``
-    prunes entries for vacuumed files so the cache stays bounded by
-    the live file count."""
-
-    def __init__(self, path: str):
-        import json as _json
-
-        self.path = path
-        self._json = _json
-        self._dirty = False
-        try:
-            with open(path, encoding="utf-8") as f:
-                self._entries = _json.load(f)
-        except (OSError, ValueError):
-            self._entries = {}
-
-    def _stamp(self, p: str):
-        try:
-            st = os.stat(p)
-        except OSError:
-            return None
-        return [st.st_size, st.st_mtime_ns]
-
-    def get(self, p: str) -> dict | None:
-        e = self._entries.get(p)
-        if e is None or e.get("stamp") != self._stamp(p):
-            return None
-        return e["cols"]
-
-    def put(self, p: str, cols: dict) -> None:
-        stamp = self._stamp(p)
-        if stamp is None:
-            return
-        self._entries[p] = {"stamp": stamp, "cols": cols}
-        self._dirty = True
-
-    def save(self) -> None:
-        if not self._dirty:
-            return
-        import uuid as _uuid
-
-        self._entries = {
-            p: e for p, e in self._entries.items() if os.path.exists(p)
-        }
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            self._json.dump(self._entries, f)
-        os.replace(tmp, self.path)
-        self._dirty = False
+    payload_key = "cols"
 
 
 def _encode_stat(v):
-    """Footer stats → JSON-safe scalar (bytes decode best-effort; an
-    undecodable byte stat degrades to _UNKNOWN upstream via None)."""
+    """Footer stats → JSON-safe scalar, or None for anything the
+    cache cannot round-trip (bytes that aren't UTF-8, datetime /
+    Decimal objects from timestamp / decimal columns, ...).  None
+    degrades the file's range to UNKNOWN — the partition is kept and
+    the exact post-resolve filter still applies, so unsupported stat
+    types cost pruning opportunity, never correctness (and never a
+    json.dump crash at cache save)."""
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
@@ -151,7 +111,9 @@ def _encode_stat(v):
         return int(v)
     if isinstance(v, (np.floating,)):
         return float(v)
-    return v
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
 
 
 def file_column_ranges(
@@ -275,7 +237,13 @@ def prune_partitions(
         files.extend(deltas.get(pid, []))
         for f in files:
             if not os.path.exists(f):
-                continue
+                # a referenced file that is GONE (vacuumed time-travel
+                # snapshot, concurrent vacuum) must not silently drop
+                # the partition's rows — keep the partition so the
+                # downstream read raises the same loud
+                # FileNotFoundError the unfiltered path would
+                keep.append(pid)
+                break
             if file_may_match(file_column_ranges(f, cols, cache), conjuncts):
                 keep.append(pid)
                 break

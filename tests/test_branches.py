@@ -192,3 +192,39 @@ def test_branch_validation_and_metadata(tmp_path):
     lake.tag("stable")
     lake.create_branch("from-tag", at="stable")
     assert lake.branches()["from-tag"] == lake.tags()["stable"]
+
+def test_branch_recreate_never_reuses_run_ids(tmp_path):
+    """A branch deleted and recreated at the SAME fork point must not
+    regenerate an earlier run_id: staged files are named by run_id,
+    and a repeat would overwrite a committed data file that main's
+    manifest still references (silent corruption)."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 400, fragment_rows=200, seed=71)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    fork = int(lake.manifest()["version"])
+
+    lake.create_branch("green", at=fork)
+    _window2(tmp, n=150, seed=73, start=400)
+    r1 = run_ingest(_cfg(tmp, branch="green"))
+    lake.merge_branch("green")
+    merged_state = Lake(cfg.lake_dir).read_table()
+    lake.delete_branch("green")
+
+    # recreate at the SAME fork, ingest a DIFFERENT window
+    lake.create_branch("green", at=fork)
+    paths = write_changelog(
+        os.path.join(tmp, "log3"), 100, fragment_rows=50, seed=79,
+        start_seq=600,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p, os.path.join(tmp, "log", f"fragment-600-{i:04d}.parquet")
+        )
+    r2 = run_ingest(_cfg(tmp, branch="green"))
+    assert r2.run_id != r1.run_id, "recreated branch reused a run_id"
+
+    # main's committed state (which references r1's staged files) is
+    # untouched by the recreated branch's staging
+    _eq(Lake(cfg.lake_dir).read_table(), merged_state)

@@ -313,3 +313,13 @@ def test_multi_follow_tails_arriving_windows(tmp_path):
             _state(cfg.routes[t].lake_dir),
             _state(os.path.join(tmp, f"ref_{t}")),
         )
+
+
+def test_multi_ingest_empty_log_noops_like_single_table(tmp_path):
+    """The tail-before-producer shape: an existing-but-empty log dir
+    with fresh lakes must no-op (run_ingest's early-out), not crash
+    on a zero-fragment read."""
+    tmp = str(tmp_path)
+    os.makedirs(os.path.join(tmp, "mlog"), exist_ok=True)
+    res = run_ingest_multi(_mcfg(tmp))
+    assert all(r.no_op for r in res.values())
