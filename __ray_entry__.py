@@ -2026,6 +2026,31 @@ def _q_ann_pq(sf_dir):
     return out[["vec_id", "cos"]].reset_index(drop=True)
 
 
+def _q_ann_ivfpq(sf_dir):
+    """IVF-PQ — the canonical billion-scale ANN composition: a coarse
+    quantizer routes each vector to an inverted list and PQ encodes
+    the RESIDUAL; a query probes only its nprobe nearest lists and
+    scores codes by ADC, so scan work per batch is proportional to
+    the probed fraction.  Deterministic (seeded sample-canonicalized
+    training); recall vs brute force pinned by tests/test_pq.py."""
+    from raycdc.ops.pq import ivfpq_build, ivfpq_topk
+
+    q = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(pads.field("vec_id") == 0)["embedding"]
+        .to_pylist()[0]
+    )
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(q)
+    m = 16 if dim % 16 == 0 else 8
+    index, codes = ivfpq_build(ds, n_lists=16, m=m, nbits=8)
+    out = ivfpq_topk(codes, np.array([q]), index, k=10, nprobe=4)
+    out["cos"] = np.round(out["cos"], 6)
+    return out[["vec_id", "cos"]].reset_index(drop=True)
+
+
 def _q_hll_by_event_type(sf_dir):
     """Grouped HyperLogLog: distinct-user estimate PER event type —
     the grouped-sketch pattern (one register array per (batch, group)
@@ -2612,10 +2637,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": _tuned(_q_stratified_docs),
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
-        # (ann_pq: NEW this round, below the full window — pinned-file
-        #  oracle + the recall/determinism tests in tests/test_pq.py;
-        #  ROUND-5 ROTATION: front-load it)
+        # (ann_pq / ann_ivfpq: NEW this round, below the full window —
+        #  pinned-file oracles + the recall/determinism tests in
+        #  tests/test_pq.py; ROUND-5 ROTATION: front-load them)
         "ann_pq": _tuned(_q_ann_pq),
+        "ann_ivfpq": _tuned(_q_ann_ivfpq),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "hll_user_count": _tuned(_q_hll_user_count),
         "hll_by_event_type": _tuned(_q_hll_by_event_type),
@@ -3740,6 +3766,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _pin("dedup_simhash"),
         "ann_ivf": _pin("ann_ivf"),
         "ann_pq": _pin("ann_pq"),
+        "ann_ivfpq": _pin("ann_ivfpq"),
         "kmeans_embeddings": _pin("kmeans_embeddings"),
         "semantic_representatives": _pin("semantic_representatives"),
         "hll_user_count": _pin("hll_user_count"),

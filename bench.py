@@ -247,7 +247,9 @@ def bench_queries() -> dict[str, float]:
         "curation_pipeline_v2",
         "cdc_zonemap_scan",
         "cdc_multi_table_replay",
+        "cdc_branch_replay",
         "ann_pq",
+        "ann_ivfpq",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

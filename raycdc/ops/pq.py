@@ -264,3 +264,196 @@ def pq_quantization_error(model: dict, vectors: np.ndarray) -> float:
         [books[j][codes[:, j]] for j in range(m)], axis=1
     )
     return float(((x - rec) ** 2).sum(axis=1).mean())
+
+
+# -- IVF-PQ: coarse quantizer + residual PQ codes ------------------------
+
+
+def ivfpq_build(
+    ds: "ray.data.Dataset",
+    n_lists: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    iters: int = 15,
+    seed: int = 42,
+) -> tuple[dict, "ray.data.Dataset"]:
+    """The canonical billion-scale ANN index (Jégou et al. 2011 §V):
+    a coarse quantizer assigns each vector to one of ``n_lists``
+    inverted lists, and PQ encodes the RESIDUAL (vector − centroid) —
+    residuals concentrate near zero, so the same code budget
+    quantizes them much more finely than raw vectors.
+
+    Training is driver-side on a deterministic sample (coarse Lloyd,
+    then per-subspace Lloyd over the sample's residuals); the corpus
+    pass is ONE streaming ``map_batches`` (assign + residual + encode,
+    codebooks broadcast once) emitting slim ``(id, list_id, m-byte
+    code)`` rows.  Returns ``(index, codes_ds)``."""
+    if not (1 <= nbits <= 8):
+        raise ValueError("nbits must be in [1, 8] (codes are uint8)")
+    sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
+    x = _unit(
+        np.stack(
+            [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]
+        )
+    )
+    x = x[np.lexsort(x.T[::-1])]
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(
+            f"embedding dim {d} is not divisible by m={m} subspaces"
+        )
+    coarse = _lloyd(x, n_lists, iters, seed - 1)
+    assign = np.argmin(
+        (x * x).sum(1, keepdims=True)
+        - 2.0 * (x @ coarse.T)
+        + (coarse * coarse).sum(1),
+        axis=1,
+    )
+    resid = x - coarse[assign]
+    dsub = d // m
+    ks = 2 ** nbits
+    books = np.stack(
+        [
+            _lloyd(resid[:, j * dsub : (j + 1) * dsub], ks, iters, seed + j)
+            for j in range(m)
+        ]
+    )
+    index = {
+        "coarse": coarse,
+        "codebooks": books,
+        "m": m,
+        "nbits": nbits,
+        "dim": d,
+        "n_lists": int(coarse.shape[0]),
+    }
+
+    cref = ray.put(np.ascontiguousarray(coarse))
+    bref = ray.put(np.ascontiguousarray(books))
+
+    def encode(t: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        bb = ray.get(bref)
+        mat = _unit(_vec_matrix(t[vec_col]))
+        if mat.shape[1] != d:
+            raise ValueError(
+                f"embedding dim {mat.shape[1]} != trained dim {d}"
+            )
+        a = np.argmin(
+            (mat * mat).sum(1, keepdims=True)
+            - 2.0 * (mat @ cc.T)
+            + (cc * cc).sum(1),
+            axis=1,
+        )
+        codes = _encode_block(mat - cc[a], bb)
+        flat = pa.array(codes.reshape(-1), pa.uint8())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "list_id": pa.array(a.astype(np.int32), pa.int32()),
+                "pq_code": pa.FixedSizeListArray.from_arrays(
+                    flat, codes.shape[1]
+                ),
+            }
+        )
+
+    codes_ds = ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+    return index, codes_ds
+
+
+def ivfpq_topk(
+    codes_ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    index: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """ADC search over the inverted-list codes: each query probes its
+    ``nprobe`` nearest lists only; per (query, probed list) one
+    (m × ks) LUT of residual-space distances with the list's
+    query-to-centroid offset folded in; a batch masks its rows to the
+    probed lists, gathers+sums, and emits its local top-k by the
+    total (score, id) order — the driver merges #batches × k × nq
+    rows.  Scan work per batch is proportional to the probed
+    fraction, the IVF property that matters when lists ≫ probes."""
+    coarse = index["coarse"]
+    books = index["codebooks"]
+    m, ks, dsub = books.shape
+    qm = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    if qm.shape[1] != m * dsub:
+        raise ValueError(
+            f"query dim {qm.shape[1]} != trained dim {m * dsub}"
+        )
+    nq = qm.shape[0]
+    nprobe = min(nprobe, coarse.shape[0])
+    # nearest lists per query (L2 on the unit sphere == cosine order)
+    qc = (
+        (qm * qm).sum(1, keepdims=True)
+        - 2.0 * (qm @ coarse.T)
+        + (coarse * coarse).sum(1)
+    )  # (nq, n_lists)
+    probed = np.argsort(qc, axis=1, kind="stable")[:, :nprobe]  # (nq,np)
+    # LUT[qi, pi, j, c] = || (q - c_list) residual vs codebook ||² part:
+    # ||q - c - b||² = ||q - c||²? No — build per-(query,list) tables
+    # over the residual codebooks directly: r_q = q - centroid, then
+    # dist = Σ_j ||r_q[j] - book[j][code]||²
+    lut = np.empty((nq, nprobe, m, ks), dtype=np.float64)
+    for qi in range(nq):
+        for pi in range(nprobe):
+            rq = qm[qi] - coarse[probed[qi, pi]]
+            for j in range(m):
+                qs = rq[j * dsub : (j + 1) * dsub]
+                cb = books[j]
+                lut[qi, pi, j, :] = (
+                    (qs * qs).sum()
+                    - 2.0 * (cb @ qs)
+                    + (cb * cb).sum(1)
+                )
+    n_lists = int(coarse.shape[0])
+    pref = ray.put((probed.astype(np.int32), lut, n_lists))
+
+    def score(t: pa.Table) -> pa.Table:
+        pr, lt, nl = ray.get(pref)
+        codes = _code_matrix(t["pq_code"])
+        lists = t["list_id"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_cos = [], [], []
+        cols = np.arange(codes.shape[1])
+        for qi in range(lt.shape[0]):
+            # inverse map list_id -> probe slot (-1 = not probed)
+            inv = np.full(nl, -1, np.int64)
+            inv[pr[qi]] = np.arange(len(pr[qi]))
+            slot_all = inv[lists]
+            sel = np.flatnonzero(slot_all >= 0)
+            if not len(sel):
+                continue
+            slot = slot_all[sel]
+            d2 = lt[qi][slot[:, None], cols, codes[sel]].sum(axis=1)
+            cos = 1.0 - d2 / 2.0
+            nk = min(k, len(sel))
+            idx = np.lexsort((ids[sel], -cos))[:nk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[sel][idx].tolist())
+            out_cos.extend(cos[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+    partials = codes_ds.map_batches(score, batch_format="pyarrow")
+    all_p = partials.to_pandas()
+    out = []
+    for _qi, g in all_p.groupby("query_id"):
+        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=["query_id", id_col, "cos"])
+    return pd.concat(out, ignore_index=True)

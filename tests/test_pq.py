@@ -113,3 +113,67 @@ def test_pq_validation():
     # raised inside the Ray task -> surfaces wrapped as RayTaskError
     with pytest.raises(Exception, match="trained dim"):
         pq_encode(_ds(_clustered(d=16)), model).to_pandas()
+
+
+def test_ivfpq_recall_and_probe_scaling():
+    """IVF-PQ: nprobe=ALL must match plain-PQ-quality recall; small
+    nprobe still finds the planted neighbors on clustered data; the
+    probed fraction actually bounds the scored rows."""
+    from raycdc.ops.pq import ivfpq_build, ivfpq_topk
+
+    x = _clustered()
+    ds = _ds(x)
+    index, codes = ivfpq_build(ds, n_lists=12, m=16, nbits=8,
+                               sample_n=600)
+    codes = codes.materialize()
+    queries = x[[3, 77, 191]]
+    exact = ann_topk(ds, queries, k=10)
+
+    # nprobe = all lists: IVF adds nothing, recall == PQ-level
+    full = ivfpq_topk(codes, queries, index, k=10, nprobe=12)
+    rec_full = []
+    for qi in range(3):
+        want = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(full[full["query_id"] == qi]["vec_id"])
+        rec_full.append(len(want & got) / 10.0)
+    assert np.mean(rec_full) >= 0.7, rec_full
+
+    # small nprobe: the query's own cluster is the nearest list, so
+    # the self-neighbor and most of its cluster are still found
+    small = ivfpq_topk(codes, queries, index, k=10, nprobe=2)
+    for qi, vid in zip(range(3), [3, 77, 191]):
+        g = small[small["query_id"] == qi]
+        assert len(g) > 0 and g.iloc[0]["vec_id"] == vid
+    rec_small = [
+        len(
+            set(exact[exact["query_id"] == qi]["vec_id"])
+            & set(small[small["query_id"] == qi]["vec_id"])
+        )
+        / 10.0
+        for qi in range(3)
+    ]
+    assert np.mean(rec_small) >= 0.5, rec_small
+
+    # codes are slim and partition-invariant
+    df = codes.to_pandas().sort_values("vec_id")
+    mat = np.stack(df["pq_code"].to_numpy())
+    assert mat.dtype == np.uint8 and mat.shape == (len(x), 16)
+    assert set(df["list_id"]) <= set(range(12))
+    _idx2, codes2 = ivfpq_build(
+        _ds(x).repartition(13), n_lists=12, m=16, nbits=8, sample_n=600
+    )
+    df2 = codes2.to_pandas().sort_values("vec_id")
+    assert np.array_equal(mat, np.stack(df2["pq_code"].to_numpy()))
+    assert df["list_id"].tolist() == df2["list_id"].tolist()
+
+
+def test_ivfpq_validation():
+    from raycdc.ops.pq import ivfpq_build, ivfpq_topk
+
+    x = _clustered()
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_build(_ds(_clustered(d=30)), m=8, sample_n=100)
+    index, codes = ivfpq_build(_ds(x), n_lists=4, m=8, nbits=4,
+                               sample_n=200)
+    with pytest.raises(ValueError, match="query dim"):
+        ivfpq_topk(codes, np.ones((1, 16)), index)

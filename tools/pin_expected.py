@@ -30,6 +30,7 @@ PINNED = [
     "dedup_simhash",
     "ann_ivf",
     "ann_pq",
+    "ann_ivfpq",
     "kmeans_embeddings",
     "semantic_representatives",
     "hll_user_count",
