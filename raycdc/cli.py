@@ -212,6 +212,24 @@ def main(argv: list[str] | None = None) -> int:
     p_tag.add_argument("--delete", action="store_true")
     p_tag.add_argument("--list", action="store_true", dest="list_tags")
 
+    p_arch = sub.add_parser(
+        "archive",
+        help="retire log fragments every consumer has fully applied "
+        "(binlog PURGE analog; records a loud-failure floor)",
+    )
+    p_arch.add_argument("--log-dir", required=True)
+    p_arch.add_argument(
+        "--consumer", action="append", required=True, metavar="LAKE_DIR",
+        help="repeatable: every lake that reads this log (branch "
+             "heads are included automatically)",
+    )
+    p_arch.add_argument("--dest", default=None,
+                        help="archive dir (default <log-dir>/_archive)")
+    p_arch.add_argument("--delete", action="store_true",
+                        help="remove instead of moving")
+    p_arch.add_argument("--source-kind", default="parquet-changelog",
+                        choices=("parquet-changelog", "jsonl-changelog"))
+
     p_br = sub.add_parser(
         "branch",
         help="fork / list / merge / delete a writable line of history "
@@ -491,6 +509,22 @@ def main(argv: list[str] | None = None) -> int:
             if not args.name:
                 raise SystemExit("tag requires --name (or --list)")
             print(json.dumps(lake.tag(args.name, args.version)))
+        return 0
+
+    if args.cmd == "archive":
+        from raycdc.pipelines.maintenance import archive_log
+
+        print(
+            json.dumps(
+                archive_log(
+                    args.log_dir,
+                    args.consumer,
+                    dest_dir=args.dest,
+                    delete=args.delete,
+                    source_kind=args.source_kind,
+                )
+            )
+        )
         return 0
 
     if args.cmd == "branch":

@@ -359,6 +359,27 @@ def _late_materialized_apply(
     return pa.Table.from_pylist(metrics_rows, schema=METRICS_SCHEMA)
 
 
+def _check_log_floor(log_dir: str, min_wm: int) -> None:
+    """Fail loud when this consumer's cursor sits at or below the
+    log's archival floor (``maintenance.archive_log``): fragments it
+    would need are gone, and replaying the remainder would SILENTLY
+    converge to an incomplete state (the binlog-purged-past-the-
+    replica error, surfaced instead of swallowed).  A fresh lake
+    (min_wm == -1) against an archived log trips this too — first
+    loads need the full history."""
+    from raycdc.sources.changelog import read_log_floor
+
+    floor = read_log_floor(log_dir)
+    if floor > min_wm:
+        raise RuntimeError(
+            f"{log_dir}: log archived through seq {floor} but this "
+            f"consumer's cursor is {min_wm} — events it still needs "
+            "were retired by archive_log.  Restore the fragments "
+            "from the archive dir (or point log_dir at a copy that "
+            "includes them) before ingesting."
+        )
+
+
 def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
     """One incremental ingest run: replay the window
     ``(watermark, max_seq]`` and converge the lake.  Idempotent —
@@ -409,6 +430,9 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
         retry=cfg.retry,
         probe_cache=os.path.join(cfg.lake_dir, "_probe_cache.json"),
     )
+    # floor check BEFORE the no-op early-out: an archived-empty log
+    # must fail a fresh/rewound consumer loud, not silently no-op
+    _check_log_floor(cfg.log_dir, min_wm)
     target = source.max_seq_probe()
     if target <= min_wm:
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
@@ -579,6 +603,10 @@ def replay_dead_letters(
     payload_columns = cfg.columns or manifest.get("payload_columns") or []
     dl_dir = os.path.join(cfg.lake_dir, "_deadletter", source_run_id)
     run_id = f"dlreplay-{int(manifest['version']) + 1:06d}"
+    # the replay re-gathers each dead-lettered key's FULL event
+    # history; an archived log cannot provide it — fail loud rather
+    # than resurrect keys from partial history
+    _check_log_floor(cfg.log_dir, -1)
     files = sorted(_glob.glob(os.path.join(dl_dir, "part-*.parquet")))
     if not files:
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},

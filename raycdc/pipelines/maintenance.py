@@ -1063,3 +1063,107 @@ def export_lake(
         "exported": sorted(rep.loc[~rep["skipped"], "pid"].tolist()),
         "skipped": sorted(rep.loc[rep["skipped"], "pid"].tolist()),
     }
+
+
+def consumed_floor(lake_dirs: list[str]) -> int:
+    """The highest seq EVERY consumer has durably applied: the min
+    over each lake's (main AND every branch head's) per-partition
+    watermarks; a lake without full partition coverage (fresh, or
+    mid-first-load) pins the floor at -1 — nothing is archivable
+    while any consumer still needs the full log."""
+    floor = None
+    for lake_dir in lake_dirs:
+        lake = Lake(lake_dir)
+        heads = [None] + sorted(lake.branches())
+        for br in heads:
+            h = Lake(lake_dir, branch=br) if br else lake
+            try:
+                m = h.manifest()
+            except FileNotFoundError:
+                return -1  # uninitialized consumer: keep everything
+            wm = h.watermarks()
+            if len(wm) != int(m["num_partitions"]) or not wm:
+                return -1
+            low = min(wm.values())
+            floor = low if floor is None else min(floor, low)
+    return -1 if floor is None else int(floor)
+
+
+def archive_log(
+    log_dir: str,
+    lake_dirs: list[str],
+    dest_dir: str | None = None,
+    delete: bool = False,
+    source_kind: str = "parquet-changelog",
+) -> dict:
+    """Wire-log retention (binlog PURGE analog, made safe): move —
+    or with ``delete=True`` remove — every fragment whose max seq is
+    at or below what EVERY consumer (each lake's main line and every
+    branch head) has durably applied.  Such fragments can never be
+    read again by normal ingest: replay windows are ``(watermark,
+    target]`` and keep-latest apply would no-op their events anyway.
+
+    Safety invariant: the highest archived seq is recorded as the
+    log FLOOR (``_log_floor.json``); ``run_ingest`` /
+    ``run_ingest_multi`` / ``replay_dead_letters`` fail LOUD when a
+    cursor sits at or below the floor (a fresh lake, a RESTORE past
+    it, a recreated branch) instead of silently replaying an
+    incomplete log — restore the archived fragments first.  A
+    fragment whose max seq is unknowable (torn JSONL tail) is never
+    archived.
+
+    Driver-side metadata work only (footer / tail probes through the
+    shared ProbeCache — O(new fragments) steady-state); fragment
+    moves are renames when ``dest_dir`` is on the same filesystem.
+    """
+    import shutil
+
+    if source_kind == "parquet-changelog":
+        from raycdc.sources.changelog import (
+            ProbeCache,
+            _fragment_meta,
+            fragment_paths,
+        )
+
+        paths = fragment_paths(log_dir)
+        meta = _fragment_meta
+    elif source_kind == "jsonl-changelog":
+        from raycdc.sources.changelog import ProbeCache
+        from raycdc.sources.jsonl import _jsonl_meta, jsonl_fragment_paths
+
+        paths = jsonl_fragment_paths(log_dir)
+        meta = _jsonl_meta
+    else:
+        raise ValueError(
+            f"archive_log supports parquet-changelog / jsonl-changelog, "
+            f"got {source_kind!r}"
+        )
+    from raycdc.sources.changelog import write_log_floor
+
+    floor = consumed_floor(lake_dirs)
+    cache = ProbeCache(os.path.join(log_dir, "_archive_probe_cache.json"))
+    dest = dest_dir or os.path.join(log_dir, "_archive")
+    archived, kept, top = [], 0, -1
+    for p in paths:
+        info = meta(p, cache)
+        ms = info.get("max_seq")
+        if ms is None or int(ms) > floor:
+            kept += 1
+            continue
+        if delete:
+            os.remove(p)
+        else:
+            os.makedirs(dest, exist_ok=True)
+            shutil.move(p, os.path.join(dest, os.path.basename(p)))
+        archived.append(os.path.basename(p))
+        top = max(top, int(ms))
+    cache.save()
+    if archived:
+        write_log_floor(log_dir, top)
+    return {
+        "archived": archived,
+        "kept": kept,
+        "floor_seq": max(top, -1),
+        "consumed_floor": floor,
+        "dest": None if delete else dest,
+    }

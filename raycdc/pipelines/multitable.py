@@ -341,6 +341,9 @@ def run_ingest_multi(
             cfg.routes[tables[0]].lake_dir, "_probe_cache.json"
         ),
     )
+    from raycdc.pipelines.cdc import _check_log_floor
+
+    _check_log_floor(cfg.log_dir, min_wm)
     target = source.max_seq_probe()
     # no-op when nothing in the log is past the LAGGING cursor — this
     # includes the tail-before-producer shape (empty log, fresh lakes:

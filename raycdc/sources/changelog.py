@@ -27,6 +27,38 @@ def fragment_paths(log_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(log_dir, "*.parquet")))
 
 
+def read_log_floor(log_dir: str) -> int:
+    """Highest seq retired from the log by ``maintenance.archive_log``
+    (-1 = nothing archived).  Any consumer whose cursor is at or
+    below the floor would silently miss events if it replayed, so
+    ingest fails loud against it (the binlog-purged-past-the-replica
+    error, made explicit)."""
+    path = os.path.join(log_dir, "_log_floor.json")
+    if not os.path.exists(path):
+        return -1
+    import json as _json
+
+    try:
+        with open(path, encoding="utf-8") as f:
+            return int(_json.load(f)["floor_seq"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def write_log_floor(log_dir: str, floor_seq: int) -> None:
+    """Record the retirement floor (monotone; atomic tmp+rename)."""
+    import json as _json
+
+    floor_seq = max(int(floor_seq), read_log_floor(log_dir))
+    path = os.path.join(log_dir, "_log_floor.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        _json.dump({"floor_seq": floor_seq}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def _fragment_meta(p: str, cache: "ProbeCache | None") -> dict:
     """Per-fragment footer facts ``{rows, bytes, max_seq}`` — via the
     probe cache when one is attached (a steady-state tail over 10^10

@@ -1,0 +1,167 @@
+"""Wire-log retention (maintenance.archive_log + the log floor).
+
+The binlog PURGE analog made safe: only fragments EVERY consumer
+(each lake's main line and every branch head) has fully applied are
+retired, the highest retired seq becomes a loud-failure floor for
+any cursor that would need the purged history, and unknowable-seq
+fragments (torn JSONL tails) are never archived.
+"""
+
+import os
+
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.maintenance import archive_log, consumed_floor
+from raycdc.sources.synth import write_changelog
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD = [{"name": "author.name", "type": "string"}]
+
+
+def _cfg(tmp, lake="lake", **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, lake),
+        num_partitions=8,
+        columns=PAYLOAD,
+    )
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def _more(tmp, n, seed, start):
+    paths = write_changelog(
+        os.path.join(tmp, f"log{start}"), n, fragment_rows=max(n // 2, 1),
+        seed=seed, start_seq=start,
+    )
+    for i, p in enumerate(paths):
+        os.rename(
+            p, os.path.join(tmp, "log", f"fragment-{start}-{i:04d}.parquet")
+        )
+
+
+def test_archive_moves_consumed_fragments_and_floors(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 600, fragment_rows=200, seed=83)
+    run_ingest(cfg)
+    state_before = Lake(cfg.lake_dir).read_table()
+
+    rep = archive_log(cfg.log_dir, [cfg.lake_dir])
+    assert rep["archived"], "fully consumed fragments must retire"
+    assert rep["floor_seq"] <= rep["consumed_floor"]
+    # fragments live in the archive dir, original names intact
+    assert sorted(os.listdir(rep["dest"])) == sorted(rep["archived"])
+
+    # the converged lake is untouched and a NEW window still ingests
+    assert Lake(cfg.lake_dir).read_table().equals(state_before)
+    _more(tmp, 200, 89, 600)
+    res = run_ingest(cfg)
+    assert res.applied > 0
+    # rerun after full consumption: idempotent no-op
+    assert run_ingest(cfg).no_op
+
+    # second archive retires the new window too
+    rep2 = archive_log(cfg.lake_dir and cfg.log_dir, [cfg.lake_dir])
+    assert rep2["archived"]
+    assert rep2["floor_seq"] > rep["floor_seq"]
+
+
+def test_archive_respects_lagging_consumer_and_branch(tmp_path):
+    """The floor is the MIN over all consumers — a lagging second
+    lake, or a lagging branch head of the same lake, pins it."""
+    tmp = str(tmp_path)
+    cfg_a = _cfg(tmp, lake="lake_a")
+    write_changelog(cfg_a.log_dir, 400, fragment_rows=200, seed=91)
+    run_ingest(cfg_a)
+    # consumer B exists but has not ingested: nothing is archivable
+    cfg_b = _cfg(tmp, lake="lake_b")
+    Lake(cfg_b.lake_dir).init(8, PAYLOAD)
+    assert consumed_floor([cfg_a.lake_dir, cfg_b.lake_dir]) == -1
+    rep = archive_log(cfg_a.log_dir, [cfg_a.lake_dir, cfg_b.lake_dir])
+    assert rep["archived"] == []
+
+    # B catches up -> archivable
+    run_ingest(cfg_b)
+    rep2 = archive_log(cfg_a.log_dir, [cfg_a.lake_dir, cfg_b.lake_dir])
+    assert rep2["archived"]
+
+    # a branch forked BEFORE new ingest pins the floor at its head
+    lake_a = Lake(cfg_a.lake_dir)
+    lake_a.create_branch("lagging")
+    _more(tmp, 200, 97, 400)
+    run_ingest(cfg_a)
+    run_ingest(cfg_b)
+    floor_with_branch = consumed_floor([cfg_a.lake_dir, cfg_b.lake_dir])
+    assert floor_with_branch == 399  # the branch head's cursor
+    lake_a.delete_branch("lagging")
+    assert consumed_floor([cfg_a.lake_dir, cfg_b.lake_dir]) == 599
+
+
+def test_floor_fails_fresh_and_restored_consumers_loud(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 400, fragment_rows=200, seed=101)
+    run_ingest(cfg)
+    v1 = int(Lake(cfg.lake_dir).manifest()["version"])
+    _more(tmp, 200, 103, 400)
+    run_ingest(cfg)
+    archive_log(cfg.log_dir, [cfg.lake_dir], delete=True)
+
+    # a FRESH lake needs the full history: loud failure
+    with pytest.raises(RuntimeError, match="archived through seq"):
+        run_ingest(_cfg(tmp, lake="fresh"))
+
+    # a RESTORE below the floor: loud failure on the next ingest
+    Lake(cfg.lake_dir).restore(v1)
+    _more(tmp, 50, 107, 600)
+    with pytest.raises(RuntimeError, match="archived through seq"):
+        run_ingest(cfg)
+
+
+def test_archive_jsonl_and_torn_tail_never_retires(tmp_path):
+    """JSONL transport: consumed fragments retire via tail-seq
+    probes; a fragment whose tail is torn (max seq unknowable) is
+    never archived."""
+    import gzip
+    import json as _json
+
+    tmp = str(tmp_path)
+    log = os.path.join(tmp, "jlog")
+    os.makedirs(log, exist_ok=True)
+
+    def line(seq):
+        return _json.dumps(
+            {
+                "seq": seq, "ts": "2024-01-01T00:00:00",
+                "op": "insert", "repo": "r/a", "path": f"f{seq}.txt",
+                "commit": f"c{seq}", "lang": "py",
+                "content": f"body {seq}",
+                "payload_json": '{"author":{"name":"d"}}',
+            }
+        )
+
+    with open(os.path.join(log, "w0.jsonl"), "w") as f:
+        f.write("\n".join(line(s) for s in range(0, 40)) + "\n")
+    with gzip.open(os.path.join(log, "w1.jsonl.gz"), "wt") as f:
+        f.write("\n".join(line(s) for s in range(40, 80)) + "\n")
+    # torn fragment: unparsable tail -> max_seq unknowable
+    with open(os.path.join(log, "w2.jsonl"), "w") as f:
+        f.write('{"seq": oops-torn')
+
+    cfg = IngestConfig(
+        log_dir=log, lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=4, columns=PAYLOAD,
+        source_kind="jsonl-changelog",
+    )
+    run_ingest(cfg)
+    rep = archive_log(log, [cfg.lake_dir], source_kind="jsonl-changelog")
+    assert sorted(rep["archived"]) == ["w0.jsonl", "w1.jsonl.gz"]
+    assert os.path.exists(os.path.join(log, "w2.jsonl"))  # never retired
+
+
+def test_archive_validation(tmp_path):
+    with pytest.raises(ValueError, match="supports"):
+        archive_log(str(tmp_path), [], source_kind="csv")
