@@ -2600,11 +2600,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  it with the r03-latest set.)
         "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
         # (cdc_selective_scan / cdc_indexed_read / cdc_zonemap_scan /
-        #  cdc_multi_table_replay: same situation as
-        #  cross_corpus_dedup — NEW this round, window full, local
+        #  cdc_multi_table_replay / cdc_branch_replay: same situation
+        #  as cross_corpus_dedup — NEW this round, window full, local
         #  twin + the MOR pushdown / secondary-index / zone-map /
-        #  multi-table equivalence tests carry them;
-        #  ROUND-5 ROTATION: front-load them)
+        #  multi-table equivalence / branch lifecycle tests carry
+        #  them; ROUND-5 ROTATION: front-load them)
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
         "cdc_zonemap_scan": _tuned(_q_cdc_zonemap_scan),
