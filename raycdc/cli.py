@@ -464,6 +464,8 @@ def main(argv: list[str] | None = None) -> int:
                     "watermarks_max": max(lake.watermarks().values())
                     if lake.watermarks()
                     else None,
+                    "tags": lake.tags(),
+                    "branches": lake.branches(),
                 }
             )
         )

@@ -87,6 +87,23 @@ def _validate(cfg: MultiIngestConfig) -> None:
             raise ConfigError(
                 f"route {name!r}: write_mode should be cow or mor"
             )
+    # two tables may declare the same payload column name ONLY at the
+    # same type: the per-batch outputs ride one union-schema exchange,
+    # and a type clash would silently cast one table's values through
+    # the other's type (align_to_schema casts with safe=False)
+    seen: dict[str, tuple[str, str]] = {}
+    for name, r in cfg.routes.items():
+        for c in r.columns or []:
+            prev = seen.get(c["name"])
+            if prev is not None and prev[1] != c["type"]:
+                raise ConfigError(
+                    f"payload column {c['name']!r} declared as "
+                    f"{prev[1]!r} by route {prev[0]!r} but "
+                    f"{c['type']!r} by route {name!r} — same-named "
+                    "columns must agree on type across routes (they "
+                    "share one exchange schema)"
+                )
+            seen.setdefault(c["name"], (name, c["type"]))
     get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).validate()
 
 

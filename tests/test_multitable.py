@@ -323,3 +323,27 @@ def test_multi_ingest_empty_log_noops_like_single_table(tmp_path):
     os.makedirs(os.path.join(tmp, "mlog"), exist_ok=True)
     res = run_ingest_multi(_mcfg(tmp))
     assert all(r.no_op for r in res.values())
+
+
+def test_multi_ingest_rejects_cross_route_type_clash(tmp_path):
+    """Same payload column name at different types across routes
+    would silently cast through the shared exchange schema — loud
+    ConfigError instead."""
+    tmp = str(tmp_path)
+    os.makedirs(os.path.join(tmp, "mlog"), exist_ok=True)
+    with pytest.raises(ConfigError, match="must agree on type"):
+        run_ingest_multi(
+            MultiIngestConfig(
+                log_dir=os.path.join(tmp, "mlog"),
+                routes={
+                    "a": TableRoute(
+                        lake_dir=os.path.join(tmp, "la"),
+                        columns=[{"name": "stats.adds", "type": "long"}],
+                    ),
+                    "b": TableRoute(
+                        lake_dir=os.path.join(tmp, "lb"),
+                        columns=[{"name": "stats.adds", "type": "string"}],
+                    ),
+                },
+            )
+        )
