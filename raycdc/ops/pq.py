@@ -72,6 +72,40 @@ def _lloyd(x: np.ndarray, ks: int, iters: int, seed: int,
     return cent
 
 
+
+def _canonical_sample(
+    ds: "ray.data.Dataset", vec_col: str, sample_n: int, m: int
+) -> np.ndarray:
+    """Deterministic unit-normalized training sample: lexsorted so the
+    result is a pure function of the sample SET, not of block arrival
+    order (the kmeans canonicalization rule), with the subspace
+    divisibility check every trainer needs."""
+    sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
+    x = _unit(
+        np.stack(
+            [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]
+        )
+    )
+    x = x[np.lexsort(x.T[::-1])]
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(
+            f"embedding dim {d} is not divisible by m={m} subspaces"
+        )
+    return x
+
+
+def _assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment via the squared-L2 expansion trick
+    (argmin ties to the lowest index — the determinism contract)."""
+    return np.argmin(
+        (mat * mat).sum(1, keepdims=True)
+        - 2.0 * (mat @ cent.T)
+        + (cent * cent).sum(1),
+        axis=1,
+    )
+
+
 def pq_train(
     ds: "ray.data.Dataset",
     m: int = 8,
@@ -89,18 +123,8 @@ def pq_train(
     of block arrival order."""
     if not (1 <= nbits <= 8):
         raise ValueError("nbits must be in [1, 8] (codes are uint8)")
-    sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
-    x = _unit(
-        np.stack(
-            [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]
-        )
-    )
-    x = x[np.lexsort(x.T[::-1])]
+    x = _canonical_sample(ds, vec_col, sample_n, m)
     d = x.shape[1]
-    if d % m != 0:
-        raise ValueError(
-            f"embedding dim {d} is not divisible by m={m} subspaces"
-        )
     dsub = d // m
     ks = 2 ** nbits
     books = np.stack(
@@ -293,26 +317,10 @@ def ivfpq_build(
     code)`` rows.  Returns ``(index, codes_ds)``."""
     if not (1 <= nbits <= 8):
         raise ValueError("nbits must be in [1, 8] (codes are uint8)")
-    sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
-    x = _unit(
-        np.stack(
-            [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]
-        )
-    )
-    x = x[np.lexsort(x.T[::-1])]
+    x = _canonical_sample(ds, vec_col, sample_n, m)
     d = x.shape[1]
-    if d % m != 0:
-        raise ValueError(
-            f"embedding dim {d} is not divisible by m={m} subspaces"
-        )
     coarse = _lloyd(x, n_lists, iters, seed - 1)
-    assign = np.argmin(
-        (x * x).sum(1, keepdims=True)
-        - 2.0 * (x @ coarse.T)
-        + (coarse * coarse).sum(1),
-        axis=1,
-    )
-    resid = x - coarse[assign]
+    resid = x - coarse[_assign(x, coarse)]
     dsub = d // m
     ks = 2 ** nbits
     books = np.stack(
@@ -341,12 +349,7 @@ def ivfpq_build(
             raise ValueError(
                 f"embedding dim {mat.shape[1]} != trained dim {d}"
             )
-        a = np.argmin(
-            (mat * mat).sum(1, keepdims=True)
-            - 2.0 * (mat @ cc.T)
-            + (cc * cc).sum(1),
-            axis=1,
-        )
+        a = _assign(mat, cc)
         codes = _encode_block(mat - cc[a], bb)
         flat = pa.array(codes.reshape(-1), pa.uint8())
         return pa.table(

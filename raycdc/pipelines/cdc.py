@@ -603,15 +603,16 @@ def replay_dead_letters(
     payload_columns = cfg.columns or manifest.get("payload_columns") or []
     dl_dir = os.path.join(cfg.lake_dir, "_deadletter", source_run_id)
     run_id = f"dlreplay-{int(manifest['version']) + 1:06d}"
-    # the replay re-gathers each dead-lettered key's FULL event
-    # history; an archived log cannot provide it — fail loud rather
-    # than resurrect keys from partial history
-    _check_log_floor(cfg.log_dir, -1)
     files = sorted(_glob.glob(os.path.join(dl_dir, "part-*.parquet")))
     if not files:
         return RunResult(run_id, pa.table({f.name: [] for f in METRICS_SCHEMA},
                                           schema=METRICS_SCHEMA),
                          0, 0, 0, -1, no_op=True, write_mode="noop")
+    # the replay re-gathers each dead-lettered key's FULL event
+    # history; an archived log cannot provide it — fail loud rather
+    # than resurrect keys from partial history (AFTER the empty
+    # early-out: a replay with nothing to do needs no history)
+    _check_log_floor(cfg.log_dir, -1)
 
     dl_keys: list[np.ndarray] = []
     for f in files:

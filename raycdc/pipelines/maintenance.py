@@ -1143,11 +1143,45 @@ def archive_log(
     floor = consumed_floor(lake_dirs)
     cache = ProbeCache(os.path.join(log_dir, "_archive_probe_cache.json"))
     dest = dest_dir or os.path.join(log_dir, "_archive")
-    archived, kept, top = [], 0, -1
+
+    # phase 1 — decide.  A fragment retires only when its max seq is
+    # PROVABLY at or below the floor: None (torn JSONL tail) and the
+    # Parquet no-stats sentinel (-1 from footers without seq min/max,
+    # which the read path would still serve) are both unknowable →
+    # never retired.  The newest fragment is always kept: producers
+    # append to it (the JSONL torn-tail contract), and a probe taken
+    # before the move cannot bound what arrives after.
+    stamps = {}
+    retire = []
+    top = -1
+    kept = 0
+    newest = paths[-1] if paths else None
     for p in paths:
         info = meta(p, cache)
         ms = info.get("max_seq")
-        if ms is None or int(ms) > floor:
+        if ms is None or int(ms) < 0 or int(ms) > floor or p == newest:
+            kept += 1
+            continue
+        st = os.stat(p)
+        stamps[p] = (st.st_size, st.st_mtime_ns)
+        retire.append((p, int(ms)))
+        top = max(top, int(ms))
+    cache.save()
+
+    # phase 2 — record the floor BEFORE removing anything: a crash
+    # mid-retirement then leaves fragments whose events are all at or
+    # below a floor that already fails rewound consumers loud, never
+    # the reverse (missing fragments with a floor that still says -1)
+    if retire:
+        write_log_floor(log_dir, top)
+
+    archived = []
+    for p, _ms in retire:
+        st = os.stat(p)
+        if (st.st_size, st.st_mtime_ns) != stamps[p]:
+            # appended/rewritten between probe and move: keep it this
+            # round (the floor stays valid — it bounds CONSUMED seqs,
+            # and new bytes are above every consumer's cursor)
             kept += 1
             continue
         if delete:
@@ -1156,10 +1190,6 @@ def archive_log(
             os.makedirs(dest, exist_ok=True)
             shutil.move(p, os.path.join(dest, os.path.basename(p)))
         archived.append(os.path.basename(p))
-        top = max(top, int(ms))
-    cache.save()
-    if archived:
-        write_log_floor(log_dir, top)
     return {
         "archived": archived,
         "kept": kept,

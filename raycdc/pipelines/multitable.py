@@ -94,16 +94,22 @@ def _validate(cfg: MultiIngestConfig) -> None:
     seen: dict[str, tuple[str, str]] = {}
     for name, r in cfg.routes.items():
         for c in r.columns or []:
-            prev = seen.get(c["name"])
-            if prev is not None and prev[1] != c["type"]:
+            cname, ctype = c.get("name"), c.get("type")
+            if not cname or not ctype:
                 raise ConfigError(
-                    f"payload column {c['name']!r} declared as "
+                    f"route {name!r}: column {c!r} needs 'name' and "
+                    "'type'"
+                )
+            prev = seen.get(cname)
+            if prev is not None and prev[1] != ctype:
+                raise ConfigError(
+                    f"payload column {cname!r} declared as "
                     f"{prev[1]!r} by route {prev[0]!r} but "
-                    f"{c['type']!r} by route {name!r} — same-named "
+                    f"{ctype!r} by route {name!r} — same-named "
                     "columns must agree on type across routes (they "
                     "share one exchange schema)"
                 )
-            seen.setdefault(c["name"], (name, c["type"]))
+            seen.setdefault(cname, (name, ctype))
     get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).validate()
 
 

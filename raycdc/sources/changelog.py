@@ -46,17 +46,24 @@ def read_log_floor(log_dir: str) -> int:
 
 
 def write_log_floor(log_dir: str, floor_seq: int) -> None:
-    """Record the retirement floor (monotone; atomic tmp+rename)."""
+    """Record the retirement floor — monotone under concurrency: the
+    read-max-write runs under an exclusive flock (two overlapping
+    archive runs must not let the later writer regress the floor
+    below what the other already purged), then an atomic tmp+rename
+    with fsync."""
+    import fcntl
     import json as _json
 
-    floor_seq = max(int(floor_seq), read_log_floor(log_dir))
     path = os.path.join(log_dir, "_log_floor.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        _json.dump({"floor_seq": floor_seq}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    with open(os.path.join(log_dir, "_log_floor.lock"), "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        floor_seq = max(int(floor_seq), read_log_floor(log_dir))
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump({"floor_seq": floor_seq}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
 
 def _fragment_meta(p: str, cache: "ProbeCache | None") -> dict:

@@ -64,7 +64,7 @@ def test_archive_moves_consumed_fragments_and_floors(tmp_path):
     assert run_ingest(cfg).no_op
 
     # second archive retires the new window too
-    rep2 = archive_log(cfg.lake_dir and cfg.log_dir, [cfg.lake_dir])
+    rep2 = archive_log(cfg.log_dir, [cfg.lake_dir])
     assert rep2["archived"]
     assert rep2["floor_seq"] > rep["floor_seq"]
 
@@ -165,3 +165,36 @@ def test_archive_jsonl_and_torn_tail_never_retires(tmp_path):
 def test_archive_validation(tmp_path):
     with pytest.raises(ValueError, match="supports"):
         archive_log(str(tmp_path), [], source_kind="csv")
+
+def test_archive_keeps_newest_fragment_and_no_stats_sentinel(tmp_path):
+    """The newest fragment never retires (producers append to it —
+    a probe cannot bound later writes), and a Parquet fragment whose
+    footers carry no usable seq stats (max_seq sentinel -1) is
+    unknowable, never archived."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 400, fragment_rows=200, seed=113)
+    run_ingest(cfg)
+
+    frags = sorted(os.listdir(cfg.log_dir))
+    frags = [f for f in frags if f.endswith(".parquet")]
+    newest = frags[-1]
+    rep = archive_log(cfg.log_dir, [cfg.lake_dir])
+    assert newest not in rep["archived"]
+    assert os.path.exists(os.path.join(cfg.log_dir, newest))
+
+    # stats-free fragment: write with statistics disabled; its seqs
+    # are consumed (below the watermark) but unprovable -> kept
+    t = pa.table(
+        {
+            "seq": pa.array([0, 1], pa.int64()),
+        }
+    )
+    nostats = os.path.join(cfg.log_dir, "fragment-00000-nostats.parquet")
+    pq_mod.write_table(t, nostats, write_statistics=False)
+    rep2 = archive_log(cfg.log_dir, [cfg.lake_dir])
+    assert "fragment-00000-nostats.parquet" not in rep2["archived"]
+    assert os.path.exists(nostats)
