@@ -347,3 +347,62 @@ def test_multi_ingest_rejects_cross_route_type_clash(tmp_path):
                 },
             )
         )
+
+
+def test_multi_ingest_crash_between_table_commits_reconverges(tmp_path, monkeypatch):
+    """Exactly-once across per-table commits: a crash AFTER table A
+    commits but BEFORE table B does leaves A ahead of B; the rerun
+    replays the window — A's merger drops already-applied events at
+    its watermark, B converges — and both lakes end byte-equal to
+    the per-table reference."""
+    from raycdc.state import checkpoint as ckpt_mod
+
+    tmp = str(tmp_path)
+    write_changelog(os.path.join(tmp, "raw"), 800, fragment_rows=400,
+                    seed=127)
+    _route_table(os.path.join(tmp, "raw"), os.path.join(tmp, "mlog"))
+    cfg = _mcfg(tmp)
+
+    real_commit = ckpt_mod.Lake.commit
+    calls = {"n": 0}
+
+    def crashing_commit(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # table A committed; crash before B
+            raise RuntimeError("injected crash between table commits")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(ckpt_mod.Lake, "commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_ingest_multi(cfg)
+    monkeypatch.setattr(ckpt_mod.Lake, "commit", real_commit)
+
+    # exactly one table committed; the other has no watermarks yet
+    wms = {
+        t: Lake(cfg.routes[t].lake_dir).watermarks()
+        for t in cfg.routes
+    }
+    committed = [t for t, w in wms.items() if w]
+    assert len(committed) == 1, wms
+
+    # rerun replays the window; both tables converge
+    res = run_ingest_multi(cfg)
+    assert not any(r.no_op for r in res.values())
+    for t, payload in (("tbl_a", PAYLOAD_A), ("tbl_b", PAYLOAD_B)):
+        _split_log(
+            os.path.join(tmp, "mlog"), os.path.join(tmp, f"log_{t}"), t
+        )
+        run_ingest(
+            IngestConfig(
+                log_dir=os.path.join(tmp, f"log_{t}"),
+                lake_dir=os.path.join(tmp, f"ref_{t}"),
+                num_partitions=8,
+                columns=payload,
+            )
+        )
+        _assert_tables_equal(
+            _state(cfg.routes[t].lake_dir),
+            _state(os.path.join(tmp, f"ref_{t}")),
+        )
+    # and a further rerun is a clean no-op for both
+    assert all(r.no_op for r in run_ingest_multi(cfg).values())
