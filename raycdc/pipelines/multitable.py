@@ -142,19 +142,30 @@ class MultiParse:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from raycdc.functions.arrowsafe import mask_filter
         from raycdc.stages.merge import align_to_schema
 
         tcol = batch[self.table_column]
         wire = batch.drop_columns([self.table_column])
+        # ONE categorical pass over the batch (index_in), then a mask
+        # per PRESENT table — not T full scans: at T tables the old
+        # per-table equality cost T×n comparisons per batch
+        codes = pc.index_in(
+            tcol, value_set=pa.array(self.tables, pa.string())
+        )
+        codes_np = np.asarray(
+            pc.fill_null(codes, -1)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        present = np.unique(codes_np[codes_np >= 0])
         outs = []
-        routed = None
-        for i, name in enumerate(self.tables):
-            m = pc.fill_null(pc.equal(tcol, name), False)
-            m_np = m.combine_chunks().to_numpy(zero_copy_only=False)
-            routed = m_np if routed is None else (routed | m_np)
-            if not m_np.any():
-                continue
+        routed = codes_np >= 0 if len(codes_np) else None
+        for i in present:
+            i = int(i)
+            m_np = codes_np == i
             out = self.stages[i](mask_filter(wire, m_np))
             if out.num_rows == 0:
                 continue

@@ -537,3 +537,64 @@ def test_redact_pii_matches_python_re_reference(texts):
             assert got[f"n_{name}"][i] == len(rx.findall(t)), (name, t)
             t = rx.sub(repl, t)
         assert got["text_redacted"][i] == t, texts[i]
+
+
+@st.composite
+def _zonemap_files(draw):
+    """A handful of 'files' (value lists incl. nulls) + a conjunct."""
+    n_files = draw(st.integers(min_value=1, max_value=4))
+    files = [
+        draw(
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=-20, max_value=20), st.none()
+                ),
+                min_size=0,
+                max_size=12,
+            )
+        )
+        for _ in range(n_files)
+    ]
+    op = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "in"]))
+    if op == "in":
+        lit = draw(
+            st.lists(
+                st.integers(min_value=-20, max_value=20),
+                min_size=0,
+                max_size=4,
+            )
+        )
+    else:
+        lit = draw(st.integers(min_value=-20, max_value=20))
+    return files, op, lit
+
+
+@given(_zonemap_files())
+@settings(**_SETTINGS)
+def test_zonemap_prune_is_sound_property(case):
+    """Zone-map soundness, adversarially: for ANY file contents and
+    ANY conjunct, a file whose footer range says 'cannot match' must
+    truly contain no matching row (SQL null-is-false semantics) —
+    pruning may only ever remove provably-empty work."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from raycdc.state.zonemap import (
+        conjunct_mask,
+        file_column_ranges,
+        file_may_match,
+    )
+
+    files, op, lit = case
+    conj = [("v", op, lit)]
+    with tempfile.TemporaryDirectory() as d:
+        for i, vals in enumerate(files):
+            t = pa.table({"v": pa.array(vals, pa.int64())})
+            p = os.path.join(d, f"f{i}.parquet")
+            _pq.write_table(t, p)
+            ranges = file_column_ranges(p, ["v"])
+            may = file_may_match(ranges, conj)
+            truly = bool(conjunct_mask(t, conj).any()) if len(vals) else False
+            # soundness: pruned (may == False) implies no real match
+            assert may or not truly, (vals, op, lit, ranges)
