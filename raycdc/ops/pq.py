@@ -35,6 +35,8 @@ quantization-error tests in ``tests/test_pq.py``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -460,3 +462,152 @@ def ivfpq_topk(
     if not out:
         return pd.DataFrame(columns=["query_id", id_col, "cos"])
     return pd.concat(out, ignore_index=True)
+
+
+# -- persisted incremental PQ index --------------------------------------
+
+
+def pq_index_build(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    n_lists: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    iters: int = 15,
+    seed: int = 42,
+) -> dict:
+    """Persist an IVF-PQ index: codebooks as ``model.npz`` + the
+    encoded corpus as per-list-bucketed Parquet under ``codes/`` —
+    the same persisted-incremental-index pattern as the MinHash /
+    embedding-LSH dedup indexes (ops/dedup.py).  Codebooks are
+    TRAINED ONCE here and frozen; appends encode against them, so an
+    appended index is bit-identical to rebuilding the codes over the
+    union (pinned by tests) — the standard frozen-codebook contract
+    of production IVF-PQ serving."""
+    import json as _json
+
+    index, codes = ivfpq_build(
+        ds, n_lists=n_lists, m=m, nbits=nbits, vec_col=vec_col,
+        id_col=id_col, sample_n=sample_n, iters=iters, seed=seed,
+    )
+    os.makedirs(os.path.join(index_dir, "codes"), exist_ok=True)
+    np.savez(
+        os.path.join(index_dir, "model.npz"),
+        coarse=index["coarse"],
+        codebooks=index["codebooks"],
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump(
+            {
+                "m": index["m"], "nbits": index["nbits"],
+                "dim": index["dim"], "n_lists": index["n_lists"],
+                "id_col": id_col, "segments": 1,
+            },
+            f,
+        )
+    codes.write_parquet(
+        os.path.join(index_dir, "codes", "seg-000000")
+    )
+    return pq_index_meta(index_dir)
+
+
+def pq_index_meta(index_dir: str) -> dict:
+    import json as _json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return _json.load(f)
+
+
+def _pq_index_model(index_dir: str) -> dict:
+    z = np.load(os.path.join(index_dir, "model.npz"))
+    meta = pq_index_meta(index_dir)
+    return {
+        "coarse": z["coarse"],
+        "codebooks": z["codebooks"],
+        "m": meta["m"],
+        "nbits": meta["nbits"],
+        "dim": meta["dim"],
+        "n_lists": meta["n_lists"],
+    }
+
+
+def pq_index_append(
+    new_ds: "ray.data.Dataset",
+    index_dir: str,
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally encode NEW vectors against the FROZEN codebooks
+    into a fresh segment directory — one streaming pass over the new
+    data only, O(new), never touching existing segments.  (Retrain
+    when drift degrades recall: that is a rebuild by contract, as in
+    every production IVF-PQ deployment.)"""
+    import json as _json
+
+    index = _pq_index_model(index_dir)
+    meta = pq_index_meta(index_dir)
+    cref = ray.put(np.ascontiguousarray(index["coarse"]))
+    bref = ray.put(np.ascontiguousarray(index["codebooks"]))
+    d = int(index["dim"])
+    id_col = meta["id_col"]
+
+    def encode(t: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        bb = ray.get(bref)
+        mat = _unit(_vec_matrix(t[vec_col]))
+        if mat.shape[1] != d:
+            raise ValueError(
+                f"embedding dim {mat.shape[1]} != trained dim {d}"
+            )
+        a = _assign(mat, cc)
+        codes = _encode_block(mat - cc[a], bb)
+        flat = pa.array(codes.reshape(-1), pa.uint8())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "list_id": pa.array(a.astype(np.int32), pa.int32()),
+                "pq_code": pa.FixedSizeListArray.from_arrays(
+                    flat, codes.shape[1]
+                ),
+            }
+        )
+
+    seg = int(meta["segments"])
+    out = os.path.join(index_dir, "codes", f"seg-{seg:06d}")
+    new_ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow"
+    ).write_parquet(out)
+    meta["segments"] = seg + 1
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    return meta
+
+
+def pq_index_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """ADC search over ALL persisted segments as one Dataset — the
+    read is a plain parallel Parquet scan of slim code rows (m bytes
+    + id + list per vector), so search cost is independent of the
+    original embedding width."""
+    import glob as _glob
+
+    import ray.data
+
+    index = _pq_index_model(index_dir)
+    meta = pq_index_meta(index_dir)
+    seg_files = sorted(
+        _glob.glob(os.path.join(index_dir, "codes", "seg-*", "*.parquet"))
+    )
+    codes_ds = ray.data.read_parquet(seg_files)
+    return ivfpq_topk(
+        codes_ds, queries, index, k=k, nprobe=nprobe,
+        id_col=meta["id_col"],
+    )
