@@ -1089,6 +1089,104 @@ def zonemap_bench() -> None:
     ray.shutdown()
 
 
+def pq_bench() -> None:
+    """ANN-family scale probe: encode throughput and ADC search
+    latency over a persisted IVF-PQ index at the configured corpus
+    size.  The claims under test: encode is one streaming pass
+    (linear in corpus), search touches only the probed fraction of
+    slim code rows (sub-linear wall at fixed nprobe), and the code
+    segment is ~d×4/m smaller than the raw embedding column."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    import ray.data
+
+    from raycdc.ops.pq import pq_index_build, pq_index_topk
+
+    n = int(os.environ.get("GRAFT_BENCH_VECTORS", "400000"))
+    d = 64
+    root = os.path.join(WORK_ROOT, f"pqbench_{n}")
+    shutil.rmtree(root, ignore_errors=True)
+    rng = np.random.default_rng(3)
+    cents = rng.normal(0, 1, (64, d))
+    calib = _calibrate()
+
+    def gen(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        r = np.random.default_rng(int(ids[0]) + 7)
+        a = r.integers(0, 64, len(ids))
+        x = cents[a] + r.normal(0, 0.15, (len(ids), d))
+        return pd.DataFrame(
+            {"vec_id": ids, "embedding": list(x.astype(np.float64))}
+        )
+
+    ds = (
+        ray.data.range(n)
+        .repartition(64)
+        .map_batches(gen, batch_format="pandas")
+        .materialize()
+    )
+    t0 = time.perf_counter()
+    pq_index_build(ds, os.path.join(root, "idx"), n_lists=64, m=16,
+                   nbits=8)
+    build_sec = time.perf_counter() - t0
+
+    queries = np.stack(
+        ds.limit(8).to_pandas()["embedding"].to_numpy()
+    )
+    lat = {}
+    for nprobe in (4, 16, 64):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = pq_index_topk(
+                os.path.join(root, "idx"), queries, k=10, nprobe=nprobe
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        lat[f"nprobe_{nprobe}"] = round(best, 3)
+        assert len(out) == 80
+    import glob as _glob
+
+    code_bytes = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(
+            os.path.join(root, "idx", "codes", "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "IVF-PQ persisted index: encode + ADC search",
+                "vectors": n,
+                "dim": d,
+                "num_cpus": NUM_CPUS,
+                "calib_sec": round(calib, 3),
+                "build_encode_sec": round(build_sec, 3),
+                "encode_vectors_per_sec": int(n / build_sec),
+                "search_sec_8q": lat,
+                "code_bytes": code_bytes,
+                "raw_embedding_bytes": n * d * 8,
+                "compression": round(n * d * 8 / code_bytes, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -1102,5 +1200,7 @@ if __name__ == "__main__":
         multitable_bench()
     elif "--zonemap" in sys.argv:
         zonemap_bench()
+    elif "--pq" in sys.argv:
+        pq_bench()
     else:
         main()

@@ -21,9 +21,18 @@ import ray.data
 
 
 def _vec_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from an embedding column — either a
+    plain list<float> Arrow array (Parquet-origin blocks) or Ray's
+    tensor extension array (pandas-origin blocks, which have no
+    ``flatten``)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = np.asarray(col.flatten(), dtype=np.float64)
+    try:
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+    except AttributeError:
+        return np.asarray(
+            col.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(col), -1)
     return flat.reshape(len(col), -1)
 
 
