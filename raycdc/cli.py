@@ -137,6 +137,17 @@ def main(argv: list[str] | None = None) -> int:
     p_opt.add_argument(
         "--by", nargs="+", default=None, help="sort columns (default PK)"
     )
+    p_opt.add_argument(
+        "--row-group-rows", type=int, default=None,
+        help="row-group size for the rewritten bases (small groups "
+             "power value-predicate row-group pruning)",
+    )
+    p_opt.add_argument(
+        "--zorder", action="store_true",
+        help="Morton-interleave the --by columns (>= 2) instead of a "
+             "lexicographic sort, so predicates on ANY of them prune "
+             "row groups",
+    )
 
     p_vac = sub.add_parser(
         "vacuum", help="delete data/checkpoint files unreferenced by the manifest"
@@ -411,9 +422,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "optimize":
-        from raycdc.pipelines.maintenance import optimize_sort
+        from raycdc.pipelines.maintenance import (
+            optimize_sort,
+            optimize_zorder,
+        )
 
-        res = optimize_sort(args.lake_dir, by=args.by)
+        if args.zorder:
+            res = optimize_zorder(
+                args.lake_dir, by=args.by or [],
+                row_group_rows=args.row_group_rows or 2048,
+            )
+        else:
+            res = optimize_sort(
+                args.lake_dir, by=args.by,
+                row_group_rows=args.row_group_rows,
+            )
         print(json.dumps(res))
         return 0
 

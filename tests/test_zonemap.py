@@ -329,3 +329,81 @@ def test_value_prune_keeps_partition_with_missing_file(tmp_path):
     os.remove(victim_path)
     keep = lake.prune_partitions([("lang", "==", "lang3")])
     assert victim_pid in keep
+
+
+def test_zorder_preserves_state_and_narrows_both_columns(tmp_path):
+    """optimize_zorder is layout-only (state byte-equal), and the
+    Morton-rank interleave narrows row-group value spans for BOTH
+    clustered columns — unlike a lexicographic sort, which narrows
+    the leading column and leaves the second spanning its full range
+    in most groups."""
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    from raycdc.pipelines.maintenance import optimize_sort, optimize_zorder
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp, num_partitions=2)
+    write_changelog(cfg.log_dir, 4000, fragment_rows=2000, seed=131)
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    before = _canon(lake.read_table())
+
+    def rg_span_fraction(col):
+        """Mean fraction of the column's global [min, max] range each
+        row group's own [min, max] covers (numeric) — small = good
+        clustering for that column."""
+        fracs = []
+        for p in lake.part_paths().values():
+            md = pq_mod.ParquetFile(p).metadata
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            lo, hi = min(mins), max(maxs)
+            if hi == lo:
+                continue
+            for mn, mx in zip(mins, maxs):
+                fracs.append((mx - mn) / (hi - lo))
+        return float(np.mean(fracs))
+
+    # baseline: lexicographic sort on seq — 'ts' tracks seq so both
+    # narrow; sort on LANG instead: seq spans wide in every group
+    optimize_sort(cfg.lake_dir, by=["lang"], row_group_rows=256)
+    assert _canon(Lake(cfg.lake_dir).read_table()).equals(before)
+    seq_span_lex = rg_span_fraction("seq")
+
+    rep = optimize_zorder(
+        cfg.lake_dir, by=["lang", "seq"], row_group_rows=256
+    )
+    assert rep["optimized"]
+    after = _canon(Lake(cfg.lake_dir).read_table())
+    assert after.equals(before), "zorder must be layout-only"
+
+    seq_span_z = rg_span_fraction("seq")
+    # the z-curve narrows seq per row group where lang-lexsort cannot
+    assert seq_span_z < seq_span_lex * 0.8, (seq_span_z, seq_span_lex)
+
+    # exactness through the value_filter lane on the z-ordered lake
+    _check(lake, [("seq", "<", 1000)])
+    full = lake.read_table().to_pandas()
+    lang = sorted(full["lang"].unique())[0]
+    _check(lake, [("lang", "==", lang), ("seq", ">=", 500)])
+
+
+def test_zorder_validation(tmp_path):
+    from raycdc.pipelines.maintenance import optimize_zorder
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    write_changelog(cfg.log_dir, 200, fragment_rows=100, seed=137)
+    run_ingest(cfg)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        optimize_zorder(cfg.lake_dir, by=["seq"])
+    with pytest.raises(Exception, match="not in lake schema"):
+        optimize_zorder(cfg.lake_dir, by=["seq", "nope"])
