@@ -65,6 +65,10 @@ WIRE_SCHEMA = pa.schema(
         ("content", pa.string()),
         ("content_len", pa.int32()),
         ("payload_json", pa.string()),
+        # optional multiplexed-log discriminator (multi-table routing,
+        # pipelines/multitable.py); absent in single-table logs ->
+        # nulls, projected away unless requested
+        ("table", pa.string()),
     ]
 )
 
@@ -302,7 +306,7 @@ def window_stats(
 
 _STRING_FIELDS = (
     "ts", "op", "repo", "path", "commit", "lang", "content",
-    "payload_json",
+    "payload_json", "table",
 )
 
 

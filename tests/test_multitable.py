@@ -406,3 +406,70 @@ def test_multi_ingest_crash_between_table_commits_reconverges(tmp_path, monkeypa
         )
     # and a further rerun is a clean no-op for both
     assert all(r.no_op for r in run_ingest_multi(cfg).values())
+
+
+def test_multi_ingest_over_jsonl_transport(tmp_path):
+    """Transport independence: the same multiplexed stream shipped as
+    NDJSON (with a `table` key per record — the optional wire field)
+    routes through run_ingest_multi and each lake equals the
+    per-table JSONL ingest over the filtered log."""
+    import json as _json
+
+    tmp = str(tmp_path)
+    log = os.path.join(tmp, "jmlog")
+    os.makedirs(log, exist_ok=True)
+
+    def line(seq, tab):
+        return _json.dumps(
+            {
+                "seq": seq, "ts": "2024-01-01T00:00:00",
+                "op": "insert", "repo": f"r/{seq % 7}",
+                "path": f"f{seq % 23}.txt",
+                "commit": f"c{seq}", "lang": "py",
+                "content": f"body {seq}",
+                "payload_json": '{"author":{"name":"d"}}',
+                "table": tab,
+            }
+        )
+
+    rows = [line(s, "ta" if (s % 23) % 2 == 0 else "tb")
+            for s in range(0, 120)]
+    with open(os.path.join(log, "w0.jsonl"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    cfg = MultiIngestConfig(
+        log_dir=log,
+        routes={
+            "ta": TableRoute(lake_dir=os.path.join(tmp, "la"),
+                             columns=PAYLOAD_A),
+            "tb": TableRoute(lake_dir=os.path.join(tmp, "lb"),
+                             columns=PAYLOAD_A),
+        },
+        num_partitions=4,
+        source_kind="jsonl-changelog",
+    )
+    res = run_ingest_multi(cfg)
+    assert res["ta"].applied > 0 and res["tb"].applied > 0
+
+    # per-table reference over the filtered NDJSON
+    for tab in ("ta", "tb"):
+        ref_log = os.path.join(tmp, f"log_{tab}")
+        os.makedirs(ref_log, exist_ok=True)
+        keep = [
+            r for r in rows if _json.loads(r)["table"] == tab
+        ]
+        with open(os.path.join(ref_log, "w0.jsonl"), "w") as f:
+            f.write("\n".join(keep) + "\n")
+        run_ingest(
+            IngestConfig(
+                log_dir=ref_log,
+                lake_dir=os.path.join(tmp, f"ref_{tab}"),
+                num_partitions=4,
+                columns=PAYLOAD_A,
+                source_kind="jsonl-changelog",
+            )
+        )
+        _assert_tables_equal(
+            _state(cfg.routes[tab].lake_dir),
+            _state(os.path.join(tmp, f"ref_{tab}")),
+        )
