@@ -340,33 +340,7 @@ def ivfpq_build(
         "n_lists": int(coarse.shape[0]),
     }
 
-    cref = ray.put(np.ascontiguousarray(coarse))
-    bref = ray.put(np.ascontiguousarray(books))
-
-    def encode(t: pa.Table) -> pa.Table:
-        cc = ray.get(cref)
-        bb = ray.get(bref)
-        mat = _unit(_vec_matrix(t[vec_col]))
-        if mat.shape[1] != d:
-            raise ValueError(
-                f"embedding dim {mat.shape[1]} != trained dim {d}"
-            )
-        a = _assign(mat, cc)
-        codes = _encode_block(mat - cc[a], bb)
-        flat = pa.array(codes.reshape(-1), pa.uint8())
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "list_id": pa.array(a.astype(np.int32), pa.int32()),
-                "pq_code": pa.FixedSizeListArray.from_arrays(
-                    flat, codes.shape[1]
-                ),
-            }
-        )
-
-    codes_ds = ds.select_columns([id_col, vec_col]).map_batches(
-        encode, batch_format="pyarrow"
-    )
+    codes_ds = ivfpq_encode(ds, index, vec_col=vec_col, id_col=id_col)
     return index, codes_ds
 
 
@@ -464,7 +438,57 @@ def ivfpq_topk(
     return pd.concat(out, ignore_index=True)
 
 
+
 # -- persisted incremental PQ index --------------------------------------
+
+
+def _ivfpq_encode_fn(cref, bref, dim: int, vec_col: str, id_col: str):
+    """The ONE assign+residual+encode batch fn both the in-memory
+    build and the persisted append use — shared so the frozen-codebook
+    bit-equality contract (append == rebuild) cannot silently diverge
+    between the two paths."""
+
+    def encode(t: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        bb = ray.get(bref)
+        mat = _unit(_vec_matrix(t[vec_col]))
+        if mat.shape[1] != dim:
+            raise ValueError(
+                f"embedding dim {mat.shape[1]} != trained dim {dim}"
+            )
+        a = _assign(mat, cc)
+        codes = _encode_block(mat - cc[a], bb)
+        flat = pa.array(codes.reshape(-1), pa.uint8())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "list_id": pa.array(a.astype(np.int32), pa.int32()),
+                "pq_code": pa.FixedSizeListArray.from_arrays(
+                    flat, codes.shape[1]
+                ),
+            }
+        )
+
+    return encode
+
+
+def ivfpq_encode(
+    ds: "ray.data.Dataset",
+    index: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Encode vectors against an EXISTING (frozen) IVF-PQ model — the
+    primitive behind ``pq_index_append`` and the reference arm of the
+    append-equals-rebuild test."""
+    cref = ray.put(np.ascontiguousarray(index["coarse"]))
+    bref = ray.put(np.ascontiguousarray(index["codebooks"]))
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _ivfpq_encode_fn(
+            cref, bref, int(index["dim"]), vec_col, id_col
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def pq_index_build(
@@ -480,26 +504,44 @@ def pq_index_build(
     seed: int = 42,
 ) -> dict:
     """Persist an IVF-PQ index: codebooks as ``model.npz`` + the
-    encoded corpus as per-list-bucketed Parquet under ``codes/`` —
-    the same persisted-incremental-index pattern as the MinHash /
+    encoded corpus as per-segment Parquet under ``codes/`` — the
+    same persisted-incremental-index pattern as the MinHash /
     embedding-LSH dedup indexes (ops/dedup.py).  Codebooks are
     TRAINED ONCE here and frozen; appends encode against them, so an
-    appended index is bit-identical to rebuilding the codes over the
-    union (pinned by tests) — the standard frozen-codebook contract
-    of production IVF-PQ serving."""
-    import json as _json
+    appended index is bit-identical to one-shot encoding the union
+    through the same model (pinned by tests) — the standard
+    frozen-codebook contract of production IVF-PQ serving.
 
-    index, codes = ivfpq_build(
+    Building into an EXISTING ``index_dir`` is the retrain-on-drift
+    rebuild: all previous segments, model and meta are cleared first
+    (old codes are meaningless under new codebooks)."""
+    import json as _json
+    import shutil as _shutil
+
+    index, _codes = ivfpq_build(
         ds, n_lists=n_lists, m=m, nbits=nbits, vec_col=vec_col,
         id_col=id_col, sample_n=sample_n, iters=iters, seed=seed,
     )
+    # rebuild semantics: stale segments encoded under OLD codebooks
+    # must never be scanned against the new model
+    _shutil.rmtree(os.path.join(index_dir, "codes"), ignore_errors=True)
+    for f in ("model.npz", "meta.json"):
+        try:
+            os.remove(os.path.join(index_dir, f))
+        except OSError:
+            pass
     os.makedirs(os.path.join(index_dir, "codes"), exist_ok=True)
     np.savez(
         os.path.join(index_dir, "model.npz"),
         coarse=index["coarse"],
         codebooks=index["codebooks"],
     )
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    ivfpq_encode(ds, index, vec_col=vec_col, id_col=id_col).write_parquet(
+        os.path.join(index_dir, "codes", "seg-000000")
+    )
+    # meta LAST: readers treat it as the commit point (pq_index_topk
+    # reads only meta-listed segments, so a torn build is invisible)
+    with open(os.path.join(index_dir, "meta.json.tmp"), "w") as f:
         _json.dump(
             {
                 "m": index["m"], "nbits": index["nbits"],
@@ -508,8 +550,9 @@ def pq_index_build(
             },
             f,
         )
-    codes.write_parquet(
-        os.path.join(index_dir, "codes", "seg-000000")
+    os.replace(
+        os.path.join(index_dir, "meta.json.tmp"),
+        os.path.join(index_dir, "meta.json"),
     )
     return pq_index_meta(index_dir)
 
@@ -521,9 +564,9 @@ def pq_index_meta(index_dir: str) -> dict:
         return _json.load(f)
 
 
-def _pq_index_model(index_dir: str) -> dict:
+def _pq_index_model(index_dir: str, meta: dict | None = None) -> dict:
     z = np.load(os.path.join(index_dir, "model.npz"))
-    meta = pq_index_meta(index_dir)
+    meta = meta or pq_index_meta(index_dir)
     return {
         "coarse": z["coarse"],
         "codebooks": z["codebooks"],
@@ -540,51 +583,48 @@ def pq_index_append(
     vec_col: str = "embedding",
 ) -> dict:
     """Incrementally encode NEW vectors against the FROZEN codebooks
-    into a fresh segment directory — one streaming pass over the new
-    data only, O(new), never touching existing segments.  (Retrain
-    when drift degrades recall: that is a rebuild by contract, as in
-    every production IVF-PQ deployment.)"""
+    into a fresh segment — one streaming pass over the new data only,
+    O(new), never touching existing segments.  (Retrain when drift
+    degrades recall: that is a ``pq_index_build`` rebuild by
+    contract, as in every production IVF-PQ deployment.)
+
+    Crash/concurrency contract, mirroring the lake commit protocol:
+    appends serialize on an exclusive flock; the segment is written
+    to a scratch dir and atomically RENAMED into place; the meta
+    bump (the readers' commit point — ``pq_index_topk`` scans only
+    meta-listed segments) happens last.  A crash leaves at worst an
+    orphan scratch dir or an unlisted complete segment, both
+    invisible to readers; the rerun reclaims them."""
+    import fcntl
     import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
 
-    index = _pq_index_model(index_dir)
-    meta = pq_index_meta(index_dir)
-    cref = ray.put(np.ascontiguousarray(index["coarse"]))
-    bref = ray.put(np.ascontiguousarray(index["codebooks"]))
-    d = int(index["dim"])
-    id_col = meta["id_col"]
-
-    def encode(t: pa.Table) -> pa.Table:
-        cc = ray.get(cref)
-        bb = ray.get(bref)
-        mat = _unit(_vec_matrix(t[vec_col]))
-        if mat.shape[1] != d:
-            raise ValueError(
-                f"embedding dim {mat.shape[1]} != trained dim {d}"
-            )
-        a = _assign(mat, cc)
-        codes = _encode_block(mat - cc[a], bb)
-        flat = pa.array(codes.reshape(-1), pa.uint8())
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "list_id": pa.array(a.astype(np.int32), pa.int32()),
-                "pq_code": pa.FixedSizeListArray.from_arrays(
-                    flat, codes.shape[1]
-                ),
-            }
+    with open(os.path.join(index_dir, "_append.lock"), "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        meta = pq_index_meta(index_dir)
+        index = _pq_index_model(index_dir, meta)
+        seg = int(meta["segments"])
+        seg_dir = os.path.join(index_dir, "codes", f"seg-{seg:06d}")
+        tmp_dir = os.path.join(
+            index_dir, "codes", f".tmp-{_uuid.uuid4().hex}"
         )
-
-    seg = int(meta["segments"])
-    out = os.path.join(index_dir, "codes", f"seg-{seg:06d}")
-    new_ds.select_columns([id_col, vec_col]).map_batches(
-        encode, batch_format="pyarrow"
-    ).write_parquet(out)
-    meta["segments"] = seg + 1
-    tmp = os.path.join(index_dir, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, "meta.json"))
-    return meta
+        ivfpq_encode(
+            new_ds, index, vec_col=vec_col, id_col=meta["id_col"]
+        ).write_parquet(tmp_dir)
+        # a crashed prior attempt may have renamed this segment but
+        # died before the meta bump — it is unlisted, hence invisible
+        # to readers, and safe to replace
+        _shutil.rmtree(seg_dir, ignore_errors=True)
+        os.rename(tmp_dir, seg_dir)
+        meta["segments"] = seg + 1
+        tmp = os.path.join(index_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(index_dir, "meta.json"))
+        return meta
 
 
 def pq_index_topk(
@@ -593,19 +633,28 @@ def pq_index_topk(
     k: int = 10,
     nprobe: int = 4,
 ) -> pd.DataFrame:
-    """ADC search over ALL persisted segments as one Dataset — the
-    read is a plain parallel Parquet scan of slim code rows (m bytes
-    + id + list per vector), so search cost is independent of the
-    original embedding width."""
+    """ADC search over the COMMITTED segments (meta-listed only —
+    scratch dirs and unlisted crashed segments are never scanned) as
+    one Dataset: a plain parallel Parquet scan of slim code rows
+    (m bytes + id + list per vector), so search cost is independent
+    of the original embedding width."""
     import glob as _glob
 
     import ray.data
 
-    index = _pq_index_model(index_dir)
     meta = pq_index_meta(index_dir)
-    seg_files = sorted(
-        _glob.glob(os.path.join(index_dir, "codes", "seg-*", "*.parquet"))
-    )
+    index = _pq_index_model(index_dir, meta)
+    seg_files = []
+    for seg in range(int(meta["segments"])):
+        seg_files.extend(
+            sorted(
+                _glob.glob(
+                    os.path.join(
+                        index_dir, "codes", f"seg-{seg:06d}", "*.parquet"
+                    )
+                )
+            )
+        )
     codes_ds = ray.data.read_parquet(seg_files)
     return ivfpq_topk(
         codes_ds, queries, index, k=k, nprobe=nprobe,

@@ -1227,6 +1227,13 @@ def optimize_zorder(
             "optimize_zorder needs >= 2 columns (use optimize_sort "
             "for one)"
         )
+    if bits * len(by) > 64:
+        raise ValueError(
+            f"bits ({bits}) x columns ({len(by)}) = {bits * len(by)} "
+            "exceeds the 64-bit Morton code — lower bits (e.g. "
+            f"bits={64 // len(by)}) or cluster fewer columns "
+            "(uint64 shifts past 63 silently corrupt the curve)"
+        )
     lake = Lake(lake_dir)
     last_err: Exception | None = None
     for _ in range(_REWRITE_COMMIT_ATTEMPTS):

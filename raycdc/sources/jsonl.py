@@ -65,12 +65,16 @@ WIRE_SCHEMA = pa.schema(
         ("content", pa.string()),
         ("content_len", pa.int32()),
         ("payload_json", pa.string()),
-        # optional multiplexed-log discriminator (multi-table routing,
-        # pipelines/multitable.py); absent in single-table logs ->
-        # nulls, projected away unless requested
-        ("table", pa.string()),
     ]
 )
+
+# the multiplexed-log variant (multi-table routing,
+# pipelines/multitable.py): the `table` discriminator joins the
+# explicit parse schema ONLY when the read requests it, so
+# single-table logs whose records happen to carry a non-string
+# "table" key keep parsing under unexpected_field_behavior="ignore"
+# instead of dropping whole files to the salvage lane
+WIRE_SCHEMA_MULTI = WIRE_SCHEMA.append(pa.field("table", pa.string()))
 
 _TAIL_WINDOW = 1 << 18  # 256 KiB: bounds the last-line probe
 
@@ -306,11 +310,11 @@ def window_stats(
 
 _STRING_FIELDS = (
     "ts", "op", "repo", "path", "commit", "lang", "content",
-    "payload_json", "table",
+    "payload_json",
 )
 
 
-def _validated(rec) -> dict:
+def _validated(rec, want_table: bool = False) -> dict:
     """Envelope type check for the salvage lane: returns a dict whose
     values are guaranteed to build cleanly against WIRE_SCHEMA, or
     raises ValueError/TypeError so the caller dead-letters the line.
@@ -333,10 +337,15 @@ def _validated(rec) -> dict:
             raise TypeError("content_len: expected integer")
         cl = int(cl)
     out["content_len"] = cl
+    if want_table:
+        tb = rec.get("table")
+        # a mistyped discriminator only matters when routing: demote
+        # it to None (unroutable -> the router dead-letters it)
+        out["table"] = tb if isinstance(tb, str) else None
     return out
 
 
-def _salvage(data: bytes) -> pa.Table:
+def _salvage(data: bytes, want_table: bool = False) -> pa.Table:
     """Line-by-line fallback for a file pyarrow.json rejects: valid
     lines parse normally; torn lines become null-PK rows carrying the
     raw line in payload_json (dead-letter lane downstream).
@@ -353,7 +362,8 @@ def _salvage(data: bytes) -> pa.Table:
     ArrowInvalid and kill the whole read task.  ``_validated``
     enforces every field's wire type and any mismatch demotes the
     record to the same null-PK dead-letter shape."""
-    cols: dict[str, list] = {f.name: [] for f in WIRE_SCHEMA}
+    schema = WIRE_SCHEMA_MULTI if want_table else WIRE_SCHEMA
+    cols: dict[str, list] = {f.name: [] for f in schema}
     torn_idx: list[int] = []
     last_seq: int | None = None
     for raw in data.splitlines():
@@ -361,7 +371,7 @@ def _salvage(data: bytes) -> pa.Table:
         if not raw:
             continue
         try:
-            rec = _validated(json.loads(raw))
+            rec = _validated(json.loads(raw), want_table)
             if rec["seq"] is not None:
                 last_seq = rec["seq"]
         except (ValueError, TypeError, KeyError):
@@ -380,23 +390,24 @@ def _salvage(data: bytes) -> pa.Table:
         cols["seq"][i] = first_seq
     cols["seq"] = [int(0 if s is None else s) for s in cols["seq"]]
     return pa.table(
-        {f.name: pa.array(cols[f.name], f.type) for f in WIRE_SCHEMA}
+        {f.name: pa.array(cols[f.name], f.type) for f in schema}
     )
 
 
-def _parse_file(data: bytes) -> pa.Table:
+def _parse_file(data: bytes, want_table: bool = False) -> pa.Table:
+    schema = WIRE_SCHEMA_MULTI if want_table else WIRE_SCHEMA
     if not data.strip():
-        return WIRE_SCHEMA.empty_table()
+        return schema.empty_table()
     try:
         return pj.read_json(
             io.BytesIO(data),
             parse_options=pj.ParseOptions(
-                explicit_schema=WIRE_SCHEMA,
+                explicit_schema=schema,
                 unexpected_field_behavior="ignore",
             ),
         )
     except pa.ArrowInvalid:
-        return _salvage(data)
+        return _salvage(data, want_table)
 
 
 class _JsonlToEvents:
@@ -417,8 +428,9 @@ class _JsonlToEvents:
             if "path" in batch.schema.names
             else [""] * batch.num_rows
         )
+        want_table = bool(self.columns and "table" in self.columns)
         tabs = [
-            _parse_file(_decompress(b.as_py(), p))
+            _parse_file(_decompress(b.as_py(), p), want_table)
             for b, p in zip(batch["bytes"], paths)
         ]
         t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]

@@ -401,3 +401,47 @@ def test_follow_tails_gzipped_jsonl_windows(tmp_path):
     assert _canon(Lake(cfg.lake_dir).read_table()).equals(
         _canon(Lake(twin.lake_dir).read_table())
     )
+
+
+def test_single_table_logs_tolerate_nonstring_table_field(tmp_path):
+    """A single-table NDJSON log whose records carry a non-string
+    'table' key (some producer's unrelated field) must parse cleanly
+    — the discriminator joins the explicit schema only when a read
+    requests it, so here it falls under unexpected_field_behavior=
+    'ignore' and nothing dead-letters."""
+    import json as _json
+
+    import ray  # noqa: F401
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.state.checkpoint import Lake
+
+    log = os.path.join(str(tmp_path), "log")
+    os.makedirs(log, exist_ok=True)
+    rows = [
+        _json.dumps(
+            {
+                "seq": s, "ts": "2024-01-01T00:00:00", "op": "insert",
+                "repo": "r/a", "path": f"f{s}.txt", "commit": f"c{s}",
+                "lang": "py", "content": f"body {s}",
+                "payload_json": '{"author":{"name":"d"}}',
+                "table": s,  # NON-STRING: ignored, not dead-lettered
+            }
+        )
+        for s in range(20)
+    ]
+    with open(os.path.join(log, "w0.jsonl"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    res = run_ingest(
+        IngestConfig(
+            log_dir=log, lake_dir=os.path.join(str(tmp_path), "lake"),
+            num_partitions=2,
+            columns=[{"name": "author.name", "type": "string"}],
+            source_kind="jsonl-changelog",
+        )
+    )
+    assert res.dead_lettered == 0
+    assert Lake(
+        os.path.join(str(tmp_path), "lake")
+    ).read_table().num_rows == 20

@@ -250,33 +250,61 @@ def test_pq_index_persist_append_equals_rebuild(tmp_path):
     g1 = got[got["query_id"] == 1]
     assert g1.iloc[0]["vec_id"] == 420
 
-    # append == rebuild: codes for the union through one encode equal
-    # the two-segment union (frozen codebooks ⇒ same mapping)
-    one = (
+    # append == rebuild, NON-vacuously: the two-segment persisted
+    # codes must be bit-identical to ONE-SHOT encoding the union
+    # through the same frozen model (a completely different execution
+    # path from build(a)+append(b))
+    from raycdc.ops.pq import ivfpq_encode
+
+    persisted = (
         ray.data.read_parquet(segs).to_pandas().sort_values("vec_id")
     )
-    from raycdc.ops.pq import pq_encode  # noqa: F401 (API surface)
-
-    full_index_dir = str(tmp_path / "pqidx_full")
-    # rebuild with the SAME training corpus (a) so codebooks match,
-    # then append nothing; encode the union as one segment
-    pq_index_build(ds_of(a, 0), full_index_dir, n_lists=8, m=16,
-                   nbits=6, sample_n=350)
-    pq_index_append(ds_of(b, 350), full_index_dir)
-    two = (
-        ray.data.read_parquet(
-            sorted(
-                _glob.glob(
-                    os.path.join(
-                        full_index_dir, "codes", "seg-*", "*.parquet"
-                    )
-                )
-            )
-        )
+    oneshot = (
+        ivfpq_encode(ds_of(x, 0), model)
         .to_pandas()
         .sort_values("vec_id")
     )
-    assert one["list_id"].tolist() == two["list_id"].tolist()
-    assert [c.tolist() for c in one["pq_code"]] == [
-        c.tolist() for c in two["pq_code"]
+    assert persisted["list_id"].tolist() == oneshot["list_id"].tolist()
+    assert [c.tolist() for c in persisted["pq_code"]] == [
+        c.tolist() for c in oneshot["pq_code"]
     ]
+
+
+def test_pq_index_rebuild_clears_stale_segments(tmp_path):
+    """Retrain-on-drift: pq_index_build into an existing index dir
+    clears every old segment — codes encoded under the old codebooks
+    must never be scanned against the new model."""
+    import numpy as np
+
+    from raycdc.ops.pq import pq_index_append, pq_index_build, pq_index_topk
+
+    x = _clustered(n=300)
+
+    def ds_of(arr, i0):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.arange(i0, i0 + len(arr)), "int64"
+                    ),
+                    "embedding": pa.array(list(arr)),
+                }
+            )
+        ).repartition(3)
+
+    d = str(tmp_path / "idx")
+    pq_index_build(ds_of(x[:200], 0), d, n_lists=6, m=8, nbits=6,
+                   sample_n=200)
+    pq_index_append(ds_of(x[200:], 200), d)
+
+    # rebuild over a DIFFERENT corpus subset: old ids must vanish
+    pq_index_build(ds_of(x[:150], 1000), d, n_lists=6, m=8, nbits=6,
+                   sample_n=150, seed=7)
+    out = pq_index_topk(d, x[[10]], k=10, nprobe=6)
+    assert set(out["vec_id"]) <= set(range(1000, 1150)), (
+        "stale pre-rebuild codes leaked into search"
+    )

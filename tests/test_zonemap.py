@@ -407,3 +407,12 @@ def test_zorder_validation(tmp_path):
         optimize_zorder(cfg.lake_dir, by=["seq"])
     with pytest.raises(Exception, match="not in lake schema"):
         optimize_zorder(cfg.lake_dir, by=["seq", "nope"])
+
+
+def test_zorder_rejects_bit_overflow(tmp_path):
+    from raycdc.pipelines.maintenance import optimize_zorder
+
+    with pytest.raises(ValueError, match="64-bit Morton"):
+        optimize_zorder(
+            str(tmp_path), by=["a", "b", "c", "d", "e"], bits=16
+        )
