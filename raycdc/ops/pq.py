@@ -204,13 +204,22 @@ def pq_topk(
     model: dict,
     k: int = 10,
     id_col: str = "vec_id",
+    allowed_ids: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """ADC top-k over the encoded corpus: per query one (m, ks) LUT of
     subspace squared distances (broadcast once); per batch the
     approximate distance is m gathers + a sum, then a local top-k —
     the driver merges #batches × k × nq rows, never the corpus.
     Returns (query_id, id_col, cos) ranked by (cos desc, id asc);
-    ``cos`` is the ADC-approximate cosine (unit sphere: 1 - d²/2)."""
+    ``cos`` is the ADC-approximate cosine (unit sphere: 1 - d²/2).
+
+    ``allowed_ids`` is the FILTERED-search lane (metadata-restricted
+    retrieval): a candidate id set — from a metadata predicate, a
+    dedup survivor list, a tenant scope — broadcast once as a sorted
+    array; each batch masks to members before scoring (searchsorted
+    membership, the broadcast-side-filter pattern the engine uses
+    everywhere).  Exactness is unchanged: the result equals searching
+    only the allowed subset."""
     books = model["codebooks"]  # (m, ks, dsub)
     m, ks, dsub = books.shape
     qm = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
@@ -218,6 +227,12 @@ def pq_topk(
         raise ValueError(
             f"query dim {qm.shape[1]} != trained dim {m * dsub}"
         )
+    allow = (
+        None
+        if allowed_ids is None
+        else np.unique(np.asarray(allowed_ids, dtype=np.int64))
+    )
+    aref = ray.put(allow)
     # LUT[qi, j, c] = ||q_sub - centroid||² for query qi, subspace j
     nq = qm.shape[0]
     lut = np.empty((nq, m, ks), dtype=np.float64)
@@ -235,6 +250,15 @@ def pq_topk(
         lt = ray.get(lref)
         codes = _code_matrix(t["pq_code"])  # (n, m)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        al = ray.get(aref)
+        if al is not None and len(ids):
+            pos = np.searchsorted(al, ids)
+            pos = np.minimum(pos, len(al) - 1) if len(al) else pos
+            member = (
+                (al[pos] == ids) if len(al) else np.zeros(len(ids), bool)
+            )
+            ids = ids[member]
+            codes = codes[member]
         out_q, out_id, out_cos = [], [], []
         nk = min(k, len(ids))
         if nk == 0:
@@ -271,6 +295,10 @@ def pq_topk(
 
     partials = codes_ds.map_batches(score, batch_format="pyarrow")
     all_p = partials.to_pandas()
+    if all_p.empty or "query_id" not in all_p.columns:
+        # every batch filtered empty (Ray drops the schema of an
+        # all-empty dataset in to_pandas)
+        return pd.DataFrame(columns=["query_id", id_col, "cos"])
     out = []
     for _qi, g in all_p.groupby("query_id"):
         g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)

@@ -48,23 +48,51 @@ def ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k per query: returns (query_id, vec_id, cos)
-    rows, k per query, ranked by (cos desc, vec_id asc)."""
+    rows, k per query, ranked by (cos desc, vec_id asc).
+
+    ``allowed_ids`` restricts the search to a candidate id set
+    (filtered retrieval) — broadcast once, searchsorted membership
+    per batch; the result equals searching only that subset."""
     qm = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    qref = ray.put(qm)
+    allow = (
+        None
+        if allowed_ids is None
+        else np.unique(np.asarray(allowed_ids, dtype=np.int64))
+    )
+    qref = ray.put((qm, allow))
 
     # plain tasks, not an actor pool: scoring is stateless and the
     # broadcast read (`ray.get` of a shared numpy block) is zero-copy,
     # so per-task "setup" is nanoseconds while an actor pool pays
     # ~seconds of spin-up on small inputs
     def score(t: pa.Table) -> pa.Table:
-            q = ray.get(qref)
+            q, al = ray.get(qref)
             mat = _unit(_vec_matrix(t[vec_col]))
             ids = t[id_col].to_numpy(zero_copy_only=False)
+            if al is not None and len(ids):
+                if len(al):
+                    pos = np.minimum(
+                        np.searchsorted(al, ids), len(al) - 1
+                    )
+                    member = al[pos] == ids
+                else:
+                    member = np.zeros(len(ids), bool)
+                ids = ids[member]
+                mat = mat[member]
             cos = mat @ q.T  # (n, nq)
             out_q, out_id, out_cos = [], [], []
             nk = min(k, len(ids))
+            if nk == 0:  # batch filtered empty
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
             for qi in range(cos.shape[1]):
                 scores = cos[:, qi]
                 # local top-k: partial select then exact ordering
@@ -85,6 +113,8 @@ def ann_topk(
         score, batch_format="pyarrow"
     )
     all_p = partials.to_pandas()
+    if all_p.empty or "query_id" not in all_p.columns:
+        return pd.DataFrame(columns=["query_id", id_col, "cos"])
     out = []
     for qi, g in all_p.groupby("query_id"):
         g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)

@@ -308,3 +308,52 @@ def test_pq_index_rebuild_clears_stale_segments(tmp_path):
     assert set(out["vec_id"]) <= set(range(1000, 1150)), (
         "stale pre-rebuild codes leaked into search"
     )
+
+
+def test_filtered_search_allowed_ids():
+    """Filtered retrieval (metadata-restricted ANN): searching with
+    allowed_ids equals searching ONLY that subset — for the exact
+    baseline by construction, and for PQ with identical ADC scores;
+    disallowed ids never appear; empty allow-set returns nothing."""
+    from raycdc.ops.pq import pq_encode, pq_topk, pq_train
+
+    x = _clustered()
+    ds = _ds(x)
+    allowed = np.arange(0, len(x), 3)  # every 3rd vector
+    queries = x[[3, 77]]
+
+    exact_f = ann_topk(ds, queries, k=10, allowed_ids=allowed)
+    assert set(exact_f["vec_id"]) <= set(allowed.tolist())
+    # equals brute force over the subset dataset
+    sub = _ds(x[allowed])
+    # re-id the subset so ids match the original space
+    import pyarrow as pa
+
+    import ray.data
+
+    sub = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(allowed, "int64"),
+                "embedding": pa.array(list(x[allowed])),
+            }
+        )
+    ).repartition(5)
+    want = ann_topk(sub, queries, k=10)
+    assert exact_f["vec_id"].tolist() == want["vec_id"].tolist()
+
+    model = pq_train(ds, m=16, nbits=8, sample_n=600)
+    codes = pq_encode(ds, model).materialize()
+    pq_f = pq_topk(codes, queries, model, k=10, allowed_ids=allowed)
+    assert set(pq_f["vec_id"]) <= set(allowed.tolist())
+    pq_sub = pq_topk(
+        pq_encode(sub, model), queries, model, k=10
+    )
+    assert pq_f["vec_id"].tolist() == pq_sub["vec_id"].tolist()
+    assert np.allclose(pq_f["cos"], pq_sub["cos"])
+
+    # empty allow-set: nothing comes back, nothing crashes
+    assert len(pq_topk(codes, queries, model, k=5,
+                       allowed_ids=np.array([], dtype=np.int64))) == 0
+    assert len(ann_topk(ds, queries, k=5,
+                        allowed_ids=np.array([], dtype=np.int64))) == 0
