@@ -1999,6 +1999,19 @@ def _q_ann_ivf(sf_dir):
     return out[["vec_id", "cos"]].reset_index(drop=True)
 
 
+def _q_bm25_search(sf_dir):
+    """BM25 ranked retrieval over the corpus (Robertson/Lucene +1 idf,
+    whitespace tokens): two zero-shuffle streaming passes — query-term
+    df/avgdl partials, then broadcast-stats scoring with per-batch
+    local top-k.  Full SQL oracle (DuckDB reproduces the ln/division
+    in float64; both sides ROUND to 6dp)."""
+    from raycdc.ops.text import bm25_topk
+
+    ds = _docs_light(sf_dir)
+    out = bm25_topk(ds, "fast scan table", k=10)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
 def _q_ann_pq(sf_dir):
     """Product-quantization ANN — the compressed-corpus scale path:
     train per-subspace codebooks on a sample, encode every embedding
@@ -2642,6 +2655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  tests/test_pq.py; ROUND-5 ROTATION: front-load them)
         "ann_pq": _tuned(_q_ann_pq),
         "ann_ivfpq": _tuned(_q_ann_ivfpq),
+        # (bm25_search: NEW this round, below the full window — full
+        #  SQL oracle + serial-reference parity test;
+        #  ROUND-5 ROTATION: front-load it)
+        "bm25_search": _tuned(_q_bm25_search),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "hll_user_count": _tuned(_q_hll_user_count),
         "hll_by_event_type": _tuned(_q_hll_by_event_type),
@@ -3766,6 +3783,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _pin("dedup_simhash"),
         "ann_ivf": _pin("ann_ivf"),
         "ann_pq": _pin("ann_pq"),
+        # BM25, stage for stage: query-term df + avgdl, Robertson +1
+        # idf, tf saturation with length normalization, top-10 by
+        # (score desc, doc_id asc), ROUND 6dp both sides
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks
+            ),
+            q(term) AS (VALUES ('fast'), ('scan'), ('table')),
+            dfs AS (
+              SELECT term, count(*) AS df
+              FROM toks, q WHERE list_contains(ts, term) GROUP BY term
+            ),
+            tf AS (
+              SELECT doc_id, term,
+                     len(list_filter(ts, x -> x = term)) AS tf,
+                     len(ts) AS dl
+              FROM toks, q
+            ),
+            sc AS (
+              SELECT t.doc_id,
+                     SUM(
+                       CASE WHEN t.tf > 0 THEN
+                         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * t.tf * (1.2 + 1.0)
+                         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+                       ELSE 0.0 END
+                     ) AS score
+              FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, ROUND(score, 6) AS score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
         "ann_ivfpq": _pin("ann_ivfpq"),
         "kmeans_embeddings": _pin("kmeans_embeddings"),
         "semantic_representatives": _pin("semantic_representatives"),

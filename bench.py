@@ -250,6 +250,7 @@ def bench_queries() -> dict[str, float]:
         "cdc_branch_replay",
         "ann_pq",
         "ann_ivfpq",
+        "bm25_search",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

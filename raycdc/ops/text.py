@@ -737,3 +737,109 @@ def unigram_lm_scores(
 
     src = ds if append else slim
     return src.map_batches(score, batch_format="pandas")
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "pd.DataFrame":
+    """BM25 ranked retrieval (Robertson/Lucene ``+1`` idf variant) —
+    the retrieval primitive curation workflows need (find the corpus
+    docs most relevant to a benchmark item, a seed prompt, a topic
+    probe).  Whitespace tokens to match the engine's token family.
+
+    Two streaming passes, zero shuffle:
+
+    1. corpus stats — per-batch partials of (query-term df, doc-length
+       sum, doc count); only |query| × #batches tiny rows reach the
+       driver (never the vocabulary, unlike ``top_terms_per_doc`` —
+       BM25 needs df for the QUERY terms only);
+    2. scoring — query terms + df + avgdl broadcast once; each batch
+       computes per-doc tf over the query terms vectorized and emits
+       its local top-k by (score desc, id asc); the driver merges
+       #batches × k rows.
+
+    Scores are ``ROUND(..., 6)``-stable against the DuckDB oracle
+    (ln/division in float64 both sides)."""
+    import pandas as pd
+
+    terms = [t for t in query.split(" ") if t]
+    uniq_terms = sorted(set(terms))
+    if not uniq_terms:
+        return pd.DataFrame(columns=[id_col, "score"])
+    tref = ray.put(uniq_terms)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(tref)
+        words = df[text_col].fillna("").str.split(" ")
+        dl = words.str.len().to_numpy(dtype=np.int64)
+        rows = {"term": [], "df": []}
+        sets = words.map(set)
+        for t in qs:
+            rows["term"].append(t)
+            rows["df"].append(int(sum(t in s for s in sets)))
+        out = pd.DataFrame(rows)
+        out["dl_sum"] = int(dl.sum())
+        out["n_docs"] = len(df)
+        return out
+
+    parts = ds.map_batches(
+        stats_partial, batch_format="pandas"
+    ).to_pandas()
+    # every batch stamps its (dl_sum, n_docs) once per term, so the
+    # totals are the per-term sums of any one term's rows
+    first = parts[parts["term"] == uniq_terms[0]]
+    n_docs = int(first["n_docs"].sum())
+    avgdl = float(first["dl_sum"].sum()) / n_docs if n_docs else 1.0
+    dfs = parts.groupby("term", as_index=False)["df"].sum()
+    df_map = dict(zip(dfs["term"], dfs["df"].astype(int)))
+    idf = {
+        t: float(
+            np.log(
+                (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5) + 1.0
+            )
+        )
+        for t in uniq_terms
+    }
+    bref = ray.put((uniq_terms, idf, avgdl, float(k1), float(b)))
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        qs, idf_m, avg, kk1, bb = ray.get(bref)
+        words = df[text_col].fillna("").str.split(" ")
+        dl = words.str.len().to_numpy(dtype=np.float64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        score = np.zeros(len(df), dtype=np.float64)
+        for t in qs:
+            tf = words.map(lambda ws, _t=t: ws.count(_t)).to_numpy(
+                dtype=np.float64
+            )
+            denom = tf + kk1 * (1.0 - bb + bb * dl / avg)
+            with np.errstate(invalid="ignore"):
+                contrib = np.where(
+                    tf > 0, idf_m[t] * tf * (kk1 + 1.0) / denom, 0.0
+                )
+            score += contrib
+        nk = min(k, len(ids))
+        if nk == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        idx = np.lexsort((ids, -score))[:nk]
+        return pd.DataFrame({id_col: ids[idx], "score": score[idx]})
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        score_batch, batch_format="pandas"
+    ).to_pandas()
+    out = partials.sort_values(
+        ["score", id_col], ascending=[False, True]
+    ).head(k)
+    out["score"] = np.round(out["score"], 6)
+    return out.reset_index(drop=True)

@@ -2559,3 +2559,66 @@ def test_curation_v2_every_stage_bites():
         lm_floor=-5.0, fraction=0.5,
     ).to_pandas()
     assert set(half["doc_id"]) < kept
+
+
+def test_bm25_topk_matches_serial_reference():
+    """BM25 vs a serial reference under the engine's whitespace-token
+    convention (''.split(' ') == [''], matching the DuckDB
+    string_split oracle family); ties break by ascending doc_id;
+    rounding pinned to 6dp."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from raycdc.ops.text import bm25_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "fast scan table", "slow scan scan table row",
+                "fast fast fast", "table", "", "scan fast table scan",
+                "row value", "fast table scan",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = bm25_topk(ds, "fast scan", k=5)
+
+    toks = [t.split(" ") for t in docs["text"]]
+    N = len(docs)
+    dls = [len(t) for t in toks]
+    avg = sum(dls) / N
+    k1, b = 1.2, 0.75
+    rows = []
+    for i, t in enumerate(toks):
+        s = 0.0
+        for q in sorted({"fast", "scan"}):
+            dfq = sum(1 for tt in toks if q in tt)
+            tf = t.count(q)
+            if tf > 0:
+                idf = np.log((N - dfq + 0.5) / (dfq + 0.5) + 1.0)
+                s += (
+                    idf * tf * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * dls[i] / avg))
+                )
+        rows.append((i, s))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    want = rows[:5]
+    assert got["doc_id"].tolist() == [i for i, _ in want]
+    assert np.allclose(
+        got["score"], [round(s, 6) for _, s in want], atol=1e-6
+    )
+
+    # partitioning never changes the result
+    got13 = bm25_topk(ray.data.from_pandas(docs).repartition(7),
+                      "fast scan", k=5)
+    assert got13["doc_id"].tolist() == got["doc_id"].tolist()
+    assert np.allclose(got13["score"], got["score"])
+
+    # absent query terms contribute nothing; all-absent -> all-zero
+    z = bm25_topk(ds, "zzz qqq", k=3)
+    assert (z["score"] == 0.0).all()
+    # empty query -> empty result
+    assert len(bm25_topk(ds, "", k=3)) == 0
