@@ -3816,8 +3816,14 @@ def oracle_sql() -> dict[str, str]:
               FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s
               GROUP BY t.doc_id
             )
-            SELECT doc_id, ROUND(score, 6) AS score FROM sc
-            ORDER BY score DESC, doc_id LIMIT 10
+            SELECT doc_id, ROUND(score, 6) AS score FROM (
+              -- order + cut on the UNROUNDED score (the engine
+              -- selects unrounded, then rounds): ORDER BY in the
+              -- outer scope would bind to the rounded alias and a
+              -- near-tie at rank 10 could select a different row set
+              SELECT doc_id, score FROM sc
+              ORDER BY score DESC, doc_id LIMIT 10
+            )
         """,
         "ann_ivfpq": _pin("ann_ivfpq"),
         "kmeans_embeddings": _pin("kmeans_embeddings"),

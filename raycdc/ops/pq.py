@@ -232,7 +232,6 @@ def pq_topk(
         if allowed_ids is None
         else np.unique(np.asarray(allowed_ids, dtype=np.int64))
     )
-    aref = ray.put(allow)
     # LUT[qi, j, c] = ||q_sub - centroid||² for query qi, subspace j
     nq = qm.shape[0]
     lut = np.empty((nq, m, ks), dtype=np.float64)
@@ -244,19 +243,16 @@ def pq_topk(
             - 2.0 * (qs @ cb.T)
             + (cb * cb).sum(1)
         )
-    lref = ray.put(lut)
+    lref = ray.put((lut, allow))
 
     def score(t: pa.Table) -> pa.Table:
-        lt = ray.get(lref)
+        from raycdc.ops.similarity import _sorted_member_mask
+
+        lt, al = ray.get(lref)
         codes = _code_matrix(t["pq_code"])  # (n, m)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        al = ray.get(aref)
         if al is not None and len(ids):
-            pos = np.searchsorted(al, ids)
-            pos = np.minimum(pos, len(al) - 1) if len(al) else pos
-            member = (
-                (al[pos] == ids) if len(al) else np.zeros(len(ids), bool)
-            )
+            member = _sorted_member_mask(al, ids)
             ids = ids[member]
             codes = codes[member]
         out_q, out_id, out_cos = [], [], []

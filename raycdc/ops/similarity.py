@@ -42,6 +42,15 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _sorted_member_mask(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in a SORTED unique array — the broadcast
+    allow-set primitive shared by the filtered-ANN lanes."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_arr, vals), len(sorted_arr) - 1)
+    return sorted_arr[pos] == vals
+
+
 def ann_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -73,13 +82,7 @@ def ann_topk(
             mat = _unit(_vec_matrix(t[vec_col]))
             ids = t[id_col].to_numpy(zero_copy_only=False)
             if al is not None and len(ids):
-                if len(al):
-                    pos = np.minimum(
-                        np.searchsorted(al, ids), len(al) - 1
-                    )
-                    member = al[pos] == ids
-                else:
-                    member = np.zeros(len(ids), bool)
+                member = _sorted_member_mask(al, ids)
                 ids = ids[member]
                 mat = mat[member]
             cos = mat @ q.T  # (n, nq)

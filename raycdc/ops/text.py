@@ -753,16 +753,18 @@ def bm25_topk(
     docs most relevant to a benchmark item, a seed prompt, a topic
     probe).  Whitespace tokens to match the engine's token family.
 
-    Two streaming passes, zero shuffle:
+    Two streaming passes, zero shuffle, both on the repo's
+    flattened-factorize kernel (``_doc_word_counts``):
 
-    1. corpus stats — per-batch partials of (query-term df, doc-length
-       sum, doc count); only |query| × #batches tiny rows reach the
-       driver (never the vocabulary, unlike ``top_terms_per_doc`` —
-       BM25 needs df for the QUERY terms only);
+    1. corpus stats — per-batch partials of (query-term df,
+       doc-length sum, doc count); only |query| × #batches tiny rows
+       reach the driver (never the vocabulary, unlike
+       ``top_terms_per_doc`` — BM25 needs df for the QUERY terms
+       only);
     2. scoring — query terms + df + avgdl broadcast once; each batch
-       computes per-doc tf over the query terms vectorized and emits
-       its local top-k by (score desc, id asc); the driver merges
-       #batches × k rows.
+       computes per-(doc, query-term) tf from the same factorized
+       pass and emits its local top-k by (score desc, id asc); the
+       driver merges #batches × k rows.
 
     Scores are ``ROUND(..., 6)``-stable against the DuckDB oracle
     (ln/division in float64 both sides)."""
@@ -776,28 +778,50 @@ def bm25_topk(
 
     def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
         qs = ray.get(tref)
-        words = df[text_col].fillna("").str.split(" ")
-        dl = words.str.len().to_numpy(dtype=np.int64)
-        rows = {"term": [], "df": []}
-        sets = words.map(set)
-        for t in qs:
-            rows["term"].append(t)
-            rows["df"].append(int(sum(t in s for s in sets)))
-        out = pd.DataFrame(rows)
-        out["dl_sum"] = int(dl.sum())
+        urow, uword, _tf, counts = _doc_word_counts(df, text_col)
+        hit = pd.Series(uword).isin(qs).to_numpy() if len(uword) else (
+            np.zeros(0, bool)
+        )
+        sub = pd.DataFrame({"term": uword[hit]})
+        out = (
+            sub.groupby("term", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+            if len(sub)
+            else pd.DataFrame(
+                {"term": pd.Series(dtype=object),
+                 "df": pd.Series(dtype="int64")}
+            )
+        )
+        # one stats row per batch even when no term matches, so the
+        # driver always sees (dl_sum, n_docs) totals
+        out = pd.concat(
+            [out, pd.DataFrame({"term": ["\x00stats"], "df": [0]})],
+            ignore_index=True,
+        )
+        out["dl_sum"] = int(counts.sum())
         out["n_docs"] = len(df)
         return out
 
-    parts = ds.map_batches(
-        stats_partial, batch_format="pandas"
-    ).to_pandas()
-    # every batch stamps its (dl_sum, n_docs) once per term, so the
-    # totals are the per-term sums of any one term's rows
-    first = parts[parts["term"] == uniq_terms[0]]
-    n_docs = int(first["n_docs"].sum())
-    avgdl = float(first["dl_sum"].sum()) / n_docs if n_docs else 1.0
-    dfs = parts.groupby("term", as_index=False)["df"].sum()
-    df_map = dict(zip(dfs["term"], dfs["df"].astype(int)))
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty or "term" not in parts.columns:
+        return pd.DataFrame(columns=[id_col, "score"])
+    srows = parts[parts["term"] == "\x00stats"]
+    n_docs = int(srows["n_docs"].sum())
+    if n_docs == 0:
+        return pd.DataFrame(columns=[id_col, "score"])
+    avgdl = float(srows["dl_sum"].sum()) / n_docs
+    dfs = (
+        parts[parts["term"] != "\x00stats"]
+        .groupby("term", as_index=False)["df"]
+        .sum()
+    )
+    df_map = {t: 0 for t in uniq_terms}
+    df_map.update(dict(zip(dfs["term"], dfs["df"].astype(int))))
     idf = {
         t: float(
             np.log(
@@ -810,20 +834,22 @@ def bm25_topk(
 
     def score_batch(df: pd.DataFrame) -> pd.DataFrame:
         qs, idf_m, avg, kk1, bb = ray.get(bref)
-        words = df[text_col].fillna("").str.split(" ")
-        dl = words.str.len().to_numpy(dtype=np.float64)
+        urow, uword, tf, counts = _doc_word_counts(df, text_col)
         ids = df[id_col].to_numpy(dtype=np.int64)
+        dl = counts.astype(np.float64)
         score = np.zeros(len(df), dtype=np.float64)
-        for t in qs:
-            tf = words.map(lambda ws, _t=t: ws.count(_t)).to_numpy(
-                dtype=np.float64
+        if len(uword):
+            hit = pd.Series(uword).isin(qs).to_numpy()
+            h_row = urow[hit]
+            h_word = uword[hit]
+            h_tf = tf[hit].astype(np.float64)
+            h_idf = np.array(
+                [idf_m[w] for w in h_word], dtype=np.float64
             )
-            denom = tf + kk1 * (1.0 - bb + bb * dl / avg)
-            with np.errstate(invalid="ignore"):
-                contrib = np.where(
-                    tf > 0, idf_m[t] * tf * (kk1 + 1.0) / denom, 0.0
-                )
-            score += contrib
+            denom = h_tf + kk1 * (1.0 - bb + bb * dl[h_row] / avg)
+            np.add.at(
+                score, h_row, h_idf * h_tf * (kk1 + 1.0) / denom
+            )
         nk = min(k, len(ids))
         if nk == 0:
             return pd.DataFrame(
@@ -838,6 +864,8 @@ def bm25_topk(
     partials = ds.select_columns([id_col, text_col]).map_batches(
         score_batch, batch_format="pandas"
     ).to_pandas()
+    if partials.empty or "score" not in partials.columns:
+        return pd.DataFrame(columns=[id_col, "score"])
     out = partials.sort_values(
         ["score", id_col], ascending=[False, True]
     ).head(k)

@@ -2622,3 +2622,18 @@ def test_bm25_topk_matches_serial_reference():
     assert (z["score"] == 0.0).all()
     # empty query -> empty result
     assert len(bm25_topk(ds, "", k=3)) == 0
+
+
+def test_bm25_empty_corpus_returns_empty():
+    import pandas as pd
+
+    import ray.data
+
+    from raycdc.ops.text import bm25_topk
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      "text": pd.Series(dtype=object)})
+    )
+    out = bm25_topk(empty, "fast scan", k=5)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "score"]

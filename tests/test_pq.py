@@ -324,9 +324,8 @@ def test_filtered_search_allowed_ids():
 
     exact_f = ann_topk(ds, queries, k=10, allowed_ids=allowed)
     assert set(exact_f["vec_id"]) <= set(allowed.tolist())
-    # equals brute force over the subset dataset
-    sub = _ds(x[allowed])
-    # re-id the subset so ids match the original space
+    # equals brute force over the subset dataset, re-id'd so ids
+    # match the original space
     import pyarrow as pa
 
     import ray.data
