@@ -782,23 +782,25 @@ def bm25_topk(
         hit = pd.Series(uword).isin(qs).to_numpy() if len(uword) else (
             np.zeros(0, bool)
         )
-        sub = pd.DataFrame({"term": uword[hit]})
-        out = (
-            sub.groupby("term", as_index=False)
+        present = (
+            pd.DataFrame({"term": uword[hit]})
+            .groupby("term", as_index=False)
             .size()
             .rename(columns={"size": "df"})
-            if len(sub)
+            if hit.any()
             else pd.DataFrame(
                 {"term": pd.Series(dtype=object),
                  "df": pd.Series(dtype="int64")}
             )
         )
-        # one stats row per batch even when no term matches, so the
-        # driver always sees (dl_sum, n_docs) totals
-        out = pd.concat(
-            [out, pd.DataFrame({"term": ["\x00stats"], "df": [0]})],
-            ignore_index=True,
+        # exactly one row PER QUERY TERM per batch (df 0 when absent):
+        # the driver's per-term sums then see every batch's
+        # (dl_sum, n_docs) once — no sentinel term that a pathological
+        # document/query token could collide with
+        out = pd.DataFrame({"term": qs}).merge(
+            present, on="term", how="left"
         )
+        out["df"] = out["df"].fillna(0).astype("int64")
         out["dl_sum"] = int(counts.sum())
         out["n_docs"] = len(df)
         return out
@@ -810,16 +812,12 @@ def bm25_topk(
     )
     if parts.empty or "term" not in parts.columns:
         return pd.DataFrame(columns=[id_col, "score"])
-    srows = parts[parts["term"] == "\x00stats"]
-    n_docs = int(srows["n_docs"].sum())
+    first = parts[parts["term"] == uniq_terms[0]]
+    n_docs = int(first["n_docs"].sum())
     if n_docs == 0:
         return pd.DataFrame(columns=[id_col, "score"])
-    avgdl = float(srows["dl_sum"].sum()) / n_docs
-    dfs = (
-        parts[parts["term"] != "\x00stats"]
-        .groupby("term", as_index=False)["df"]
-        .sum()
-    )
+    avgdl = float(first["dl_sum"].sum()) / n_docs
+    dfs = parts.groupby("term", as_index=False)["df"].sum()
     df_map = {t: 0 for t in uniq_terms}
     df_map.update(dict(zip(dfs["term"], dfs["df"].astype(int))))
     idf = {
