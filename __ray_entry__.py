@@ -114,6 +114,19 @@ def _q_cdc_jsonl_gz_replay(sf_dir):
     return ds.select_columns(["repo", "path", "lang", "content"])
 
 
+def _q_cdc_bootstrap_replay(sf_dir):
+    """Initial-load handoff end-to-end: a consistent source-table
+    snapshot taken mid-log seeds the lake (bootstrap_snapshot), the
+    pre-cutover wire fragments are RETIRED so replay-from-zero is
+    impossible by construction, and catch-up ingest converges the
+    rest — the final state must equal the straight full-replay
+    oracle (Debezium snapshot→streaming cutover)."""
+    from raycdc.pipelines.flagship import flagship_state_bootstrap
+
+    ds = flagship_state_bootstrap(sf_dir)
+    return ds.select_columns(["repo", "path", "lang", "content"])
+
+
 def _q_cdc_mor_replay(sf_dir):
     """Merge-on-read lifecycle end-to-end: base load (cow) → delta
     apply with tombstones (mor) → compaction → vacuum; converges to
@@ -2655,10 +2668,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  tests/test_pq.py; ROUND-5 ROTATION: front-load them)
         "ann_pq": _tuned(_q_ann_pq),
         "ann_ivfpq": _tuned(_q_ann_ivfpq),
-        # (bm25_search: NEW this round, below the full window — full
-        #  SQL oracle + serial-reference parity test;
-        #  ROUND-5 ROTATION: front-load it)
+        # (bm25_search / cdc_bootstrap_replay: NEW this round, below
+        #  the full window — full SQL oracles + serial-reference /
+        #  byte-equality tests; ROUND-5 ROTATION: front-load them)
         "bm25_search": _tuned(_q_bm25_search),
+        "cdc_bootstrap_replay": _tuned(_q_cdc_bootstrap_replay),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "hll_user_count": _tuned(_q_hll_user_count),
         "hll_by_event_type": _tuned(_q_hll_by_event_type),
@@ -2702,6 +2716,15 @@ def _pin(name: str) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_documents": """
+            SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents WHERE doc_id % 17 <> 0
+        """,
+        # snapshot bootstrap + catch-up converges to the SAME state as
+        # a straight full replay — identical oracle by design
+        "cdc_bootstrap_replay": """
             SELECT 'org' || CAST(doc_id % 5 AS VARCHAR) || '/repo' || CAST(doc_id % 13 AS VARCHAR) AS repo,
                    'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    lang,

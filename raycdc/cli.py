@@ -63,6 +63,26 @@ def main(argv: list[str] | None = None) -> int:
                        help="ingest onto this lake branch instead of "
                             "main (create with `branch --create`)")
 
+    p_boot = sub.add_parser(
+        "bootstrap",
+        help="seed an EMPTY lake from a consistent full-table snapshot "
+             "taken at --seq; the next `run` catches up over (seq, max] "
+             "(the initial-load → streaming cutover, and the remedy for "
+             "a log whose early fragments `archive` retired)",
+    )
+    p_boot.add_argument("--snapshot-dir", required=True,
+                        help="Parquet dir: repo/path/commit/lang/content/"
+                             "payload_json (+ optional per-row seq)")
+    p_boot.add_argument("--lake-dir", required=True)
+    p_boot.add_argument("--log-dir", required=True,
+                        help="the wire log this lake will catch up from")
+    p_boot.add_argument("--seq", type=int, required=True,
+                        help="the snapshot's consistent cutover cursor")
+    p_boot.add_argument("--partitions", type=int, default=64)
+    p_boot.add_argument("--columns-json", default=None,
+                        help='payload columns, e.g. '
+                             '\'[{"name":"a.b","type":"long"}]\'')
+
     p_mrun = sub.add_parser(
         "multi-run",
         help="single-pass multi-table ingest over a multiplexed log",
@@ -911,6 +931,31 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print(json.dumps(summarize(run_ingest_multi(mcfg))))
             return 0
+        if args.cmd == "bootstrap":
+            from raycdc.config import IngestConfig
+            from raycdc.pipelines.cdc import bootstrap_snapshot
+
+            cols = json.loads(args.columns_json) if args.columns_json else None
+            cfg = IngestConfig(
+                log_dir=args.log_dir,
+                lake_dir=args.lake_dir,
+                num_partitions=args.partitions,
+                columns=cols,
+            )
+            res = bootstrap_snapshot(cfg, args.snapshot_dir, args.seq)
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "applied": res.applied,
+                        "dead_lettered": res.dead_lettered,
+                        "watermark": res.watermark,
+                        "write_mode": res.write_mode,
+                    }
+                )
+            )
+            return 0
+
         if args.cmd == "run":
             from raycdc.config import IngestConfig
             from raycdc.pipelines.cdc import run_ingest

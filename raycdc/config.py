@@ -174,9 +174,13 @@ class IngestConfig:
     branch: str | None = None
 
 
-def validate_config(cfg: IngestConfig) -> IngestConfig:
+def validate_config(
+    cfg: IngestConfig, require_source: bool = True
+) -> IngestConfig:
     """Fail-fast validation with reference-style messages
-    (JiraUtil.java:58-96)."""
+    (JiraUtil.java:58-96).  ``require_source=False`` skips the live
+    source pre-check for levers that never read the wire log
+    (``bootstrap_snapshot`` runs before any log exists)."""
     if not cfg.log_dir:
         raise ConfigError("Change-log directory could not be empty")
     if not cfg.lake_dir:
@@ -205,7 +209,8 @@ def validate_config(cfg: IngestConfig) -> IngestConfig:
     # the reference's live endpoint pre-check (JiraUtil.java:72-84),
     # not an empty-glob no-op.  Lazy import: registry depends on
     # ConfigError.
-    from raycdc.sources.registry import get_source
+    if require_source:
+        from raycdc.sources.registry import get_source
 
-    get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).validate()
+        get_source(cfg.source_kind, cfg.log_dir, retry=cfg.retry).validate()
     return cfg

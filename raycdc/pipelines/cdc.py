@@ -376,7 +376,9 @@ def _check_log_floor(log_dir: str, min_wm: int) -> None:
             f"consumer's cursor is {min_wm} — events it still needs "
             "were retired by archive_log.  Restore the fragments "
             "from the archive dir (or point log_dir at a copy that "
-            "includes them) before ingesting."
+            "includes them) before ingesting; a FRESH consumer should "
+            "instead seed from a table snapshot at or past the floor "
+            "(bootstrap_snapshot) and catch up from there."
         )
 
 
@@ -563,6 +565,184 @@ def run_ingest(cfg: IngestConfig, run_id: str | None = None) -> RunResult:
         watermark=target,
         write_mode=write_mode,
         compacted=compacted,
+    )
+
+
+SNAPSHOT_COLUMNS = ["repo", "path", "commit", "lang", "content", "payload_json"]
+
+
+def bootstrap_snapshot(
+    cfg: IngestConfig,
+    snapshot_dir: str,
+    snapshot_seq: int,
+    run_id: str | None = None,
+) -> RunResult:
+    """Initial-load handoff (the Debezium snapshot→streaming cutover;
+    the binlog analog of the reference's first full paginated pull,
+    JiraInputPlugin.java:154-163): seed an EMPTY lake from a
+    consistent full-table snapshot taken at cursor ``snapshot_seq``,
+    setting every partition's watermark to that cursor so the next
+    ``run_ingest`` replays exactly the catch-up window
+    ``(snapshot_seq, max]``.  bootstrap + catch-up converges
+    byte-identically to a full replay from seq 0 — and is the
+    supported path onto a log whose early fragments
+    ``maintenance.archive_log`` already retired (the floor check's
+    remediation).
+
+    Snapshot contract: Parquet under ``snapshot_dir`` with columns a
+    subset of ``repo, path, commit, lang, content, payload_json``
+    (missing non-PK columns read as null; unknown columns fail loud —
+    payload fields belong inside ``payload_json`` per the lake's
+    ``columns=`` config) plus an OPTIONAL per-row ``seq`` (the
+    source's own last-modified cursor; must be <= ``snapshot_seq``,
+    nulls stamped to it).  Without per-row seq every row is stamped
+    ``snapshot_seq``, which is still exactly-once correct — catch-up
+    events all carry ``seq > snapshot_seq`` and win keep-latest — but
+    the stored ``seq`` column then reads as the cutover cursor rather
+    than each row's true last-modified position.
+
+    Rows flow through the ordinary ``ParseStage`` as op="insert"
+    events (Debezium's op="r"), so null PKs and torn payload_json
+    dead-letter exactly like wire events instead of poisoning the
+    lake.  Refuses a lake with ANY committed state — bootstrap is an
+    initialization lever, not a merge.  Crash-safe like
+    ``run_ingest``: staged files → atomic commit, deterministic
+    run_id, rerun overwrites its own staging.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    validate_config(cfg, require_source=False)
+    if cfg.branch:
+        raise ValueError(
+            "bootstrap_snapshot initializes a lake's MAIN line; branches "
+            "fork existing history (Lake.create_branch)"
+        )
+    snapshot_seq = int(snapshot_seq)
+    if snapshot_seq < 0:
+        raise ValueError("snapshot_seq must be >= 0")
+    lake = Lake(cfg.lake_dir)
+    manifest = lake.init(cfg.num_partitions, payload_columns=cfg.columns)
+    if manifest.get("parts") or manifest.get("deltas") or lake.watermarks():
+        raise ValueError(
+            f"{cfg.lake_dir}: lake has committed state "
+            f"(v{manifest['version']}) — bootstrap_snapshot seeds EMPTY "
+            "lakes only; use run_ingest for incremental windows or "
+            "restore() to rewind"
+        )
+    num_partitions = int(manifest["num_partitions"])
+    run_id = run_id or f"bootstrap-{int(manifest['version']) + 1:06d}"
+    payload_columns = cfg.columns or []
+
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    snap = ray.data.read_parquet(snapshot_dir)
+    names = set(snap.schema().names)
+    unknown = names - set(SNAPSHOT_COLUMNS) - {"seq"}
+    if unknown:
+        raise ValueError(
+            f"snapshot has unknown columns {sorted(unknown)} — expected a "
+            f"subset of {SNAPSHOT_COLUMNS + ['seq']}; payload fields "
+            "belong INSIDE payload_json (the lake's columns= config "
+            "extracts them)"
+        )
+    if not {"repo", "path"} <= names:
+        raise ValueError("snapshot must carry the primary key (repo, path)")
+    if "seq" in names:
+        # stale-cursor guard on the DRIVER, from footer statistics
+        # alone (no data read): a snapshot claiming rows newer than
+        # its own cutover cursor would let catch-up skip events
+        import pyarrow.dataset as pads
+
+        mx = None
+        for frag in pads.dataset(snapshot_dir, format="parquet").get_fragments():
+            md = frag.metadata
+            idx = frag.physical_schema.get_field_index("seq")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max and st.max is not None:
+                    mx = st.max if mx is None else max(mx, st.max)
+        if mx is not None and int(mx) > snapshot_seq:
+            raise ValueError(
+                f"snapshot row seq {int(mx)} > snapshot_seq "
+                f"{snapshot_seq} — the snapshot claims rows newer than "
+                "its own cutover cursor; fix the cursor or drop the "
+                "per-row seq column"
+            )
+
+    def lift(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if "seq" in t.column_names:
+            seq = pc.fill_null(
+                t["seq"].combine_chunks().cast(pa.int64()), snapshot_seq
+            )
+            mx = pc.max(seq).as_py() if n else None
+            if mx is not None and mx > snapshot_seq:
+                raise ValueError(
+                    f"snapshot row seq {mx} > snapshot_seq {snapshot_seq} "
+                    "— the snapshot claims rows newer than its own "
+                    "cutover cursor; fix the cursor or drop the per-row "
+                    "seq column"
+                )
+        else:
+            seq = pa.array(np.full(n, snapshot_seq, np.int64))
+        cols: dict = {
+            "seq": seq,
+            "ts": pa.nulls(n, pa.timestamp("us")),
+            "op": pa.array(["insert"] * n, pa.string()),
+        }
+        for c in SNAPSHOT_COLUMNS:
+            cols[c] = (
+                t[c] if c in t.column_names else pa.nulls(n, pa.string())
+            )
+        return pa.table(cols)
+
+    parse = ParseStage(
+        num_partitions=num_partitions,
+        payload_columns=payload_columns,
+        strict=cfg.strict,
+    )
+    parsed = snap.map_batches(lift, batch_format="pyarrow").map_batches(
+        parse, batch_format="pyarrow"
+    )
+    merger = PartitionMerger(
+        run_id=run_id,
+        lake_root=cfg.lake_dir,
+        watermarks={},
+        base_paths={},
+        payload_columns=payload_columns,
+        mode="cow",
+    )
+    metrics_ds = parsed.groupby("part_id").map_groups(
+        merger, batch_format="pyarrow"
+    )
+    metrics = pa.Table.from_pylist(
+        metrics_ds.take_all(), schema=METRICS_SCHEMA
+    )
+    staged = {
+        int(pid): path
+        for pid, path in zip(
+            metrics["partition_id"].to_pylist(),
+            metrics["staged_path"].to_pylist(),
+        )
+        if path is not None
+    }
+    new_wm = {pid: snapshot_seq for pid in range(num_partitions)}
+    os.makedirs(os.path.join(cfg.lake_dir, "_metrics"), exist_ok=True)
+    pq.write_table(
+        metrics, os.path.join(cfg.lake_dir, "_metrics", f"{run_id}.parquet")
+    )
+    lake.commit(run_id, staged, new_wm, payload_columns=payload_columns)
+    return RunResult(
+        run_id=run_id,
+        metrics=metrics,
+        events_read=int(pc.sum(metrics["events_read"]).as_py() or 0),
+        applied=int(pc.sum(metrics["applied"]).as_py() or 0),
+        dead_lettered=int(pc.sum(metrics["dead_lettered"]).as_py() or 0),
+        watermark=snapshot_seq,
+        write_mode="bootstrap",
     )
 
 

@@ -262,3 +262,49 @@ def flagship_state_mor(
     compact(lake_dir)
     vacuum(lake_dir)
     return Lake(lake_dir).read_dataset()
+
+
+def flagship_state_bootstrap(
+    sf_dir: str, workdir: str | None = None, num_partitions: int = 16
+):
+    """The same converged state as ``flagship_state``, reached through
+    the initial-load handoff (``bootstrap_snapshot``): a consistent
+    source-table snapshot taken mid-log (halfway through the j=1
+    update wave) seeds the lake, the wire log's early fragments are
+    RETIRED (``archive_log`` floor — replay from seq 0 is impossible
+    by construction), and catch-up ingest converges the remainder —
+    so the driver's oracle verifies snapshot seeding + watermark
+    cutover + catch-up exactly-onceness end-to-end."""
+    from raycdc.pipelines.cdc import bootstrap_snapshot
+    from raycdc.sources.synth import snapshot_at
+
+    workdir = workdir or os.path.join(
+        "/tmp",
+        "raycdc_flagship_boot_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    snap_dir = os.path.join(workdir, "snapshot")
+    # fragments=6 → two fragments per wave; the cutover falls at the
+    # end of fragment 2 (halfway through the j=1 updates)
+    n_events = documents_changelog(sf_dir, log_dir, fragments=6)
+    per = max(1, n_events // 6)
+    cutover = 3 * per - 1  # last seq of fragment-00002
+    os.makedirs(snap_dir, exist_ok=True)
+    pq.write_table(
+        snapshot_at(log_dir, cutover),
+        os.path.join(snap_dir, "snapshot.parquet"),
+    )
+    # retire the pre-cutover fragments: a fresh consumer CANNOT replay
+    # from seq 0, only the bootstrap path can seed it
+    for i in range(3):
+        os.remove(os.path.join(log_dir, f"fragment-{i:05d}.parquet"))
+    cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=lake_dir,
+        num_partitions=num_partitions, columns=PAYLOAD_COLUMNS,
+    )
+    bootstrap_snapshot(cfg, snap_dir, cutover)
+    run_ingest(cfg)
+    return Lake(lake_dir).read_dataset()

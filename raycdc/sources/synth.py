@@ -256,6 +256,45 @@ def write_changelog(
     return paths
 
 
+def snapshot_at(log_dir: str, snapshot_seq: int) -> "pa.Table":
+    """Test/verification helper: the consistent SOURCE-TABLE snapshot
+    at cursor ``snapshot_seq`` — latest valid event per (repo, path)
+    with ``seq <= snapshot_seq``, deletes dropped — shaped for
+    ``pipelines.cdc.bootstrap_snapshot`` (PK + field columns +
+    ``payload_json`` + the winner's per-row ``seq``).  Full-replace
+    logs only; a log carrying op="patch" has no per-row payload_json
+    the snapshot could faithfully reproduce, so it fails loud.
+    Pure pandas; small scale only.
+    """
+    ds = pq.ParquetDataset(log_dir)
+    df = ds.read().to_pandas()
+    if (df["op"] == "patch").any():
+        raise ValueError(
+            "snapshot_at supports full-replace logs only — an op=patch "
+            "log's source snapshot cannot be synthesized from the wire "
+            "payloads (merged state has no single payload_json)"
+        )
+    ok = df["repo"].notna() & df["path"].notna()
+
+    def _valid(s):
+        if s is None:
+            return False
+        try:
+            json.loads(s)
+            return True
+        except (ValueError, TypeError):
+            return False
+
+    ok &= df["payload_json"].map(_valid)
+    df = df[ok & (df["seq"] <= int(snapshot_seq))]
+    df = df.sort_values("seq").drop_duplicates(["repo", "path"], keep="last")
+    df = df[df["op"] != "delete"]
+    out = df[
+        ["repo", "path", "commit", "lang", "content", "payload_json", "seq"]
+    ].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def expected_final_state(log_dir: str) -> "pa.Table":
     """Small-scale oracle: the converged table state after full replay
     — latest event per (repo, path) by seq, deletes removed, malformed
