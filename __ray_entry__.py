@@ -869,6 +869,13 @@ def _q_matview_repo_stats(sf_dir):
                 {
                     "n_docs": ("count", None),
                     "content_bytes": ("sum_len", "content"),
+                    # non-retractable aggs ride the same maintenance:
+                    # the update waves retract each group's min/max
+                    # path and re-pin it (no recompute); the delete
+                    # wave disturbs extrema for real (targeted
+                    # per-group re-aggregation)
+                    "first_path": ("min", "path"),
+                    "last_path": ("max", "path"),
                 },
             )
     refresh_matview(view_dir)
@@ -3287,7 +3294,9 @@ def oracle_sql() -> dict[str, str]:
                      AS repo,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(LENGTH(text || ' v2')) AS BIGINT)
-                     AS content_bytes
+                     AS content_bytes,
+                   MIN('docs/' || doc_id || '.txt') AS first_path,
+                   MAX('docs/' || doc_id || '.txt') AS last_path
             FROM documents WHERE doc_id % 17 <> 0
             GROUP BY 1
         """,

@@ -324,7 +324,7 @@ def main(argv: list[str] | None = None) -> int:
         "--agg",
         action="append",
         required=True,
-        help="NAME=KIND[:COL] (kinds: count, sum, sum_len); repeatable",
+        help="NAME=KIND[:COL] (kinds: count, sum, sum_len, min, max); repeatable",
     )
 
     p_vr = sub.add_parser(

@@ -14,11 +14,23 @@ key, the old and new row images; each change row becomes up to two
 weighted contribution rows — retract the old image (weight −1 for
 delete/update), add the new image (weight +1 for insert/update).  The
 per-group aggregate delta is then an ordinary sum of contributions,
-associative and exact because every supported aggregate is an int64
+associative and exact because every retractable aggregate is an int64
 sum (COUNT ≡ sum of ±1, SUM(int col), SUM(LENGTH(str col))).  Groups
 whose maintained row count reaches zero are dropped — bit-identical
 to a full recompute at the new version, which is exactly what the
 tests pin.
+
+MIN/MAX are NOT retractable (deleting the standing minimum says
+nothing about the runner-up), so they refresh on the standard IVM
+split: the add side folds monotonically for free (new_min =
+min(cur_min, add_min)), and a group re-aggregates from the lake ONLY
+when a retraction actually hits its standing extremum AND no
+surviving add re-pins it (``_r == cur`` and not ``add ≤ cur``).  The
+recompute is one broadcast-filtered zero-shuffle streaming pass over
+the new snapshot restricted to the disturbed groups — the common
+steady-state refresh (extrema undisturbed) never pays it, and
+``refresh_matview`` reports ``recomputed_groups`` so the cost is
+observable.
 
 Scale shape: the diff is zero-shuffle and partition-pruned (see
 ``snapshot_diff``); contributions fold per batch (combiner) and the
@@ -67,7 +79,8 @@ from raycdc.state.checkpoint import Lake
 _KEY_COLS = ("repo", "path")
 _NROWS = "_nrows"
 
-AGG_KINDS = ("count", "sum", "sum_len")
+AGG_KINDS = ("count", "sum", "sum_len", "min", "max")
+_SUM_KINDS = ("count", "sum", "sum_len")  # retractable (Z-set) aggs
 
 
 class ViewGroupBudgetExceeded(ValueError):
@@ -105,6 +118,17 @@ def _validate_aggs(aggs: dict, schema: pa.Schema) -> None:
                 f"matview agg {name!r}: sum_len over non-string column "
                 f"{col!r} ({typ})"
             )
+        if kind in ("min", "max") and not (
+            pa.types.is_integer(typ)
+            or pa.types.is_floating(typ)
+            or pa.types.is_string(typ)
+        ):
+            raise ValueError(
+                f"matview agg {name!r}: {kind} over unsupported column "
+                f"type {col!r} ({typ}) — integer, floating, and string "
+                "columns order exactly; store timestamps as epoch "
+                "micros (long) in the ingest payload"
+            )
 
 
 def _value_cols(group_by: list[str], aggs: dict) -> list[str]:
@@ -119,6 +143,85 @@ def _value_cols(group_by: list[str], aggs: dict) -> list[str]:
     return cols
 
 
+def _split_aggs(aggs: dict) -> tuple[dict, dict]:
+    """(retractable sum-family aggs, min/max aggs)."""
+    sums = {k: v for k, v in aggs.items() if v[0] in _SUM_KINDS}
+    mm = {k: v for k, v in aggs.items() if v[0] in ("min", "max")}
+    return sums, mm
+
+
+def _agg_spec(sum_aggs: dict, mm_aggs: dict, extra: dict | None = None):
+    """Per-column reduce functions for groupby/fold — associative on
+    partials (sum-of-sums, min-of-mins)."""
+    spec: dict[str, str] = {_NROWS: "sum"}
+    spec.update({k: "sum" for k in sum_aggs})
+    spec.update({k: kind for k, (kind, _c) in mm_aggs.items()})
+    if extra:
+        spec.update(extra)
+    return spec
+
+
+def _mm_cast(mm_aggs: dict, schema: pa.Schema) -> dict[str, str | None]:
+    """Null-safe output dtype per min/max column, so a refresh and a
+    recompute produce bit-identical view files."""
+    out: dict[str, str | None] = {}
+    for name, (_kind, col) in mm_aggs.items():
+        typ = schema.field(col).type
+        if pa.types.is_integer(typ):
+            out[name] = "Int64"
+        elif pa.types.is_floating(typ):
+            out[name] = "float64"
+        else:
+            out[name] = None  # strings stay object
+    return out
+
+
+def _pairwise(a: pd.Series, b: pd.Series, op) -> pd.Series:
+    """Elementwise ``op(a, b)``, False where either side is null
+    (object-dtype strings can't compare against NaN directly)."""
+    out = pd.Series(False, index=a.index)
+    both = a.notna().to_numpy() & b.notna().to_numpy()
+    if both.any():
+        out.iloc[both] = op(
+            a.iloc[both].to_numpy(), b.iloc[both].to_numpy()
+        )
+    return out
+
+
+def _mm_combine(a: pd.Series, b: pd.Series, kind: str) -> pd.Series:
+    """Null-skipping elementwise min/max of two columns."""
+    import operator
+
+    op = operator.lt if kind == "min" else operator.gt
+    take_b = (a.isna() & b.notna()) | _pairwise(b, a, op)
+    return a.where(~take_b.to_numpy(), b)
+
+
+def _grouped_agg(
+    df: pd.DataFrame, group_by: list[str], spec: dict[str, str]
+) -> pd.DataFrame:
+    """groupby-aggregate where min/max columns may hold missing
+    markers (an object column mixing str and float NaN breaks pandas'
+    groupby.min): sums reduce in one pass; each min/max column
+    reduces over its non-null rows and left-merges back — a group
+    with no values keeps null, SQL MIN/MAX semantics."""
+    sums = [c for c, f in spec.items() if f == "sum"]
+    mms = {c: f for c, f in spec.items() if f in ("min", "max")}
+
+    def gb(d):
+        return d.groupby(group_by, as_index=False, sort=False, dropna=False)
+
+    if sums:
+        out = gb(df)[sums].sum()
+    else:
+        out = df[group_by].drop_duplicates().reset_index(drop=True)
+    for c, f in mms.items():
+        sub = df[[*group_by, c]].dropna(subset=[c])
+        part = gb(sub)[[c]].agg(f) if len(sub) else sub.iloc[0:0]
+        out = out.merge(part, on=group_by, how="left", sort=False)
+    return out
+
+
 def _contrib(
     df: pd.DataFrame,
     group_by: list[str],
@@ -126,9 +229,10 @@ def _contrib(
     sign: int,
     rename: dict[str, str],
 ) -> pd.DataFrame:
-    """One image's weighted contribution rows.  ``rename`` maps a
-    logical lake column to its column name in ``df`` (``{c}_old`` for
-    the retraction image; key columns always map to themselves)."""
+    """One image's weighted contribution rows (sum-family aggs only —
+    pass the ``_split_aggs`` sum side).  ``rename`` maps a logical
+    lake column to its column name in ``df`` (``{c}_old`` for the
+    retraction image; key columns always map to themselves)."""
     out: dict[str, object] = {}
     for g in group_by:
         out[g] = df[rename.get(g, g)]
@@ -156,18 +260,18 @@ def _contrib(
 def _fold(
     ds,
     group_by: list[str],
-    agg_cols: list[str],
+    spec: dict[str, str],
     max_groups: int,
 ) -> pd.DataFrame:
     """Stream per-batch partials to the driver and fold incrementally
     (``partial_agg(driver_fold=True)``'s shape, but with SQL GROUP BY
     null semantics: a null group key is a real group, ``dropna=False``).
-    Fails loud past ``max_groups`` — the small-summary contract."""
+    ``spec`` maps each agg column to its reduce fn (sum/min/max — all
+    associative on partials).  Fails loud past ``max_groups`` — the
+    small-summary contract."""
 
     def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(group_by, as_index=False, sort=False, dropna=False)[
-            agg_cols
-        ].sum()
+        return _grouped_agg(df, group_by, spec)
 
     folded: pd.DataFrame | None = None
     for batch in ds.iter_batches(batch_format="pandas", batch_size=65536):
@@ -186,7 +290,7 @@ def _fold(
                 "by group (hash_partition_reduce) instead of a view"
             )
     if folded is None:
-        return pd.DataFrame(columns=[*group_by, *agg_cols])
+        return pd.DataFrame(columns=[*group_by, *spec])
     return reduce_fn(folded)
 
 
@@ -195,15 +299,21 @@ def _write_view(
     state: dict,
     view: pd.DataFrame,
     group_by: list[str],
-    agg_cols: list[str],
+    int_cols: list[str],
+    mm_cast: dict[str, str | None] | None = None,
 ) -> dict:
     """Commit one view version: deterministic parquet, atomic state
-    swap, then GC of superseded view files."""
-    view = view.sort_values(group_by, na_position="last").reset_index(
-        drop=True
-    )
-    for c in agg_cols:
+    swap, then GC of superseded view files.  ``int_cols`` (the
+    sum-family aggs + ``_nrows``) cast to int64; ``mm_cast`` maps each
+    min/max column to its null-safe output dtype."""
+    view = view[
+        [*group_by, *int_cols, *(mm_cast or {})]
+    ].sort_values(group_by, na_position="last").reset_index(drop=True)
+    for c in int_cols:
         view[c] = view[c].astype(np.int64)
+    for c, dt in (mm_cast or {}).items():
+        if dt is not None:
+            view[c] = view[c].astype(dt)
     fname = f"view-v{int(state['lake_version']):06d}.parquet"
     os.makedirs(view_dir, exist_ok=True)
     pq.write_table(
@@ -244,23 +354,30 @@ def create_matview(
     _validate_aggs(aggs, schema)
     for g in group_by:
         schema.field(g)  # raises KeyError on an unknown group column
-    agg_cols = [_NROWS, *aggs]
-    proj = [g for g in group_by if g in _KEY_COLS] + _value_cols(
-        group_by, aggs
+    sum_aggs, mm_aggs = _split_aggs(aggs)
+    spec = _agg_spec(sum_aggs, mm_aggs)
+    # full read projection: group columns + every agg source column
+    # (key or not — unlike the diff projection, the lake read carries
+    # nothing implicitly)
+    proj = list(
+        dict.fromkeys(
+            [
+                *group_by,
+                *[c for kind, c in aggs.values() if kind != "count"],
+            ]
+        )
     )
-    if not proj:  # count-only view grouped by nothing real can't happen
-        proj = [group_by[0]]
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        c = _contrib(df, group_by, aggs, +1, {})
-        return c.groupby(group_by, as_index=False, sort=False, dropna=False)[
-            agg_cols
-        ].sum()
+        c = _contrib(df, group_by, sum_aggs, +1, {})
+        for name, (_k, col) in mm_aggs.items():
+            c[name] = df[col].to_numpy()
+        return _grouped_agg(c, group_by, spec)
 
     ds = lake.read_dataset(columns=proj).map_batches(
         combine, batch_format="pandas"
     )
-    view = _fold(ds, group_by, agg_cols, max_groups)
+    view = _fold(ds, group_by, spec, max_groups)
     state = {
         "lake_dir": os.path.abspath(lake_dir),
         "lake_version": int(manifest["version"]),
@@ -268,7 +385,10 @@ def create_matview(
         "aggs": {k: list(v) for k, v in aggs.items()},
         "max_groups": max_groups,
     }
-    state = _write_view(view_dir, state, view, group_by, agg_cols)
+    state = _write_view(
+        view_dir, state, view, group_by,
+        [_NROWS, *sum_aggs], _mm_cast(mm_aggs, schema),
+    )
     return {
         "lake_version": state["lake_version"],
         "groups": len(view),
@@ -291,7 +411,7 @@ def refresh_matview(view_dir: str) -> dict:
         return {"lake_version": v_old, "changed_rows": 0, "refreshed": False}
     group_by = list(state["group_by"])
     aggs = {k: (kind, col) for k, (kind, col) in state["aggs"].items()}
-    agg_cols = [_NROWS, *aggs]
+    sum_aggs, mm_aggs = _split_aggs(aggs)
     max_groups = int(state.get("max_groups", 2_000_000))
 
     from raycdc.pipelines.maintenance import snapshot_diff
@@ -302,21 +422,29 @@ def refresh_matview(view_dir: str) -> dict:
         include_old=True,
     )
     old_names = {c: f"{c}_old" for c in vcols}
-    changed = 0
+    r_of = {name: f"_r_{name}" for name in mm_aggs}
+    r_spec = {
+        r_of[name]: kind for name, (kind, _c) in mm_aggs.items()
+    }
+    spec_delta = _agg_spec(
+        sum_aggs, mm_aggs, extra={**r_spec, "_diff_rows": "sum"}
+    )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        add = _contrib(
-            df[df["change"].isin(("insert", "update"))],
-            group_by, aggs, +1, {},
+        adds_df = df[df["change"].isin(("insert", "update"))]
+        rets_df = df[df["change"].isin(("update", "delete"))]
+        add = _contrib(adds_df, group_by, sum_aggs, +1, {})
+        ret = _contrib(rets_df, group_by, sum_aggs, -1, old_names)
+        for name, (_k, col) in mm_aggs.items():
+            add[name] = adds_df[col].to_numpy()
+            add[r_of[name]] = np.nan
+            ret[name] = np.nan
+            ret[r_of[name]] = rets_df[old_names.get(col, col)].to_numpy()
+        c = pd.concat([add, ret], ignore_index=True)
+        return _grouped_agg(
+            c, group_by,
+            {k: v for k, v in spec_delta.items() if k != "_diff_rows"},
         )
-        retract = _contrib(
-            df[df["change"].isin(("update", "delete"))],
-            group_by, aggs, -1, old_names,
-        )
-        c = pd.concat([add, retract], ignore_index=True)
-        return c.groupby(group_by, as_index=False, sort=False, dropna=False)[
-            agg_cols
-        ].sum()
 
     # fold the per-batch delta partials; count diff rows from the
     # partials' _nrows is wrong (updates net 0), so track separately
@@ -331,7 +459,7 @@ def refresh_matview(view_dir: str) -> dict:
     delta = _fold(
         diff.map_batches(combine_counted, batch_format="pandas"),
         group_by,
-        agg_cols + ["_diff_rows"],
+        spec_delta,
         max_groups,
     )
     changed = int(delta["_diff_rows"].sum()) if len(delta) else 0
@@ -339,18 +467,104 @@ def refresh_matview(view_dir: str) -> dict:
     current = pq.read_table(
         os.path.join(view_dir, state["file"])
     ).to_pandas()
-    merged = pd.concat([current, delta], ignore_index=True)
-    merged = merged.groupby(
-        group_by, as_index=False, sort=False, dropna=False
-    )[agg_cols].sum()
-    merged = merged[merged[_NROWS] > 0]
+
+    sum_cols = [_NROWS, *sum_aggs]
+    if not mm_aggs:
+        merged = pd.concat([current, delta], ignore_index=True)
+        merged = merged.groupby(
+            group_by, as_index=False, sort=False, dropna=False
+        )[sum_cols].sum()
+        merged = merged[merged[_NROWS] > 0]
+        recomputed = 0
+    else:
+        import operator
+
+        m = current.merge(
+            delta, on=group_by, how="outer", suffixes=("_cur", "_dlt"),
+            sort=False,
+        )
+        for s in sum_cols:
+            m[s] = (
+                m[f"{s}_cur"].fillna(0).astype(np.int64)
+                + m[f"{s}_dlt"].fillna(0).astype(np.int64)
+            )
+        need = pd.Series(False, index=m.index)
+        for name, (kind, _col) in mm_aggs.items():
+            cur = m[f"{name}_cur"]
+            add = m[f"{name}_dlt"]
+            r = m[r_of[name]]
+            m[name] = _mm_combine(cur, add, kind)
+            # a retraction disturbs the extremum only when it hits the
+            # standing value AND no surviving add re-pins it
+            repin = operator.le if kind == "min" else operator.ge
+            need |= _pairwise(r, cur, operator.eq) & ~_pairwise(
+                add, cur, repin
+            )
+        merged = m[m[_NROWS] > 0]
+        need = need.loc[merged.index]
+        merged = merged[[*group_by, *sum_cols, *mm_aggs]]
+        rset = merged.loc[need.to_numpy(), group_by].reset_index(drop=True)
+        recomputed = len(rset)
+        if recomputed:
+            import ray
+
+            lake = Lake(state["lake_dir"])
+            mm_src = []
+            for _name, (_k, col) in mm_aggs.items():
+                if col not in mm_src:
+                    mm_src.append(col)
+            proj = [
+                *dict.fromkeys([*group_by, *mm_src])
+            ]
+            bref = ray.put(rset)
+            mm_only_spec = {
+                name: kind for name, (kind, _c) in mm_aggs.items()
+            }
+
+            def rec_batch(df: pd.DataFrame) -> pd.DataFrame:
+                sub = df.merge(ray.get(bref), on=group_by, how="inner")
+                if sub.empty:
+                    return pd.DataFrame(
+                        columns=[*group_by, *mm_only_spec]
+                    )
+                out = sub[group_by].copy()
+                for name, (_k, col) in mm_aggs.items():
+                    out[name] = sub[col].to_numpy()
+                return _grouped_agg(out, group_by, mm_only_spec)
+
+            rec = _fold(
+                lake.read_dataset(columns=proj, version=v_new).map_batches(
+                    rec_batch, batch_format="pandas"
+                ),
+                group_by,
+                mm_only_spec,
+                max_groups,
+            )
+            merged = merged.merge(
+                rec, on=group_by, how="left", suffixes=("", "_rec"),
+                sort=False,
+            )
+            hit = need.to_numpy()
+            for name in mm_aggs:
+                vals = merged[name].to_numpy(object)
+                vals[hit] = merged[f"{name}_rec"].to_numpy(object)[hit]
+                merged[name] = vals
+            merged = merged[[*group_by, *sum_cols, *mm_aggs]]
+
+    mm_cast = {}
+    if mm_aggs:
+        lk = Lake(state["lake_dir"])
+        mm_cast = _mm_cast(mm_aggs, lk._lake_schema(lk.manifest()))
     state = dict(state, lake_version=v_new)
-    state = _write_view(view_dir, state, merged, group_by, agg_cols)
+    state = _write_view(
+        view_dir, state, merged, group_by, sum_cols, mm_cast
+    )
     return {
         "lake_version": v_new,
         "from_version": v_old,
         "changed_rows": changed,
         "groups": len(merged),
+        "recomputed_groups": recomputed if mm_aggs else 0,
         "refreshed": True,
     }
 

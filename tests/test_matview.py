@@ -67,6 +67,11 @@ def _ev(seq, op, repo, path, lang=None, content=None):
 _AGGS = {
     "n_docs": ("count", None),
     "content_bytes": ("sum_len", "content"),
+    # non-retractable aggs ride every scenario below (patch lakes,
+    # purges, follow-mode, the hypothesis windows); the oracle is
+    # always recompute-equality
+    "first_commit": ("min", "commit"),
+    "max_seq": ("max", "seq"),
 }
 
 
@@ -126,6 +131,95 @@ def test_refresh_matches_full_recompute_across_commits(tmp_path):
     }
     # py: x.py only (y.py deleted), 8 bytes; go: w.go; rs: migrated z.go
     assert by_lang == {"py": (1, 8), "go": (1, 3), "rs": (1, 6)}
+
+
+def test_minmax_recompute_fires_only_when_extremum_disturbed(tmp_path):
+    """The IVM split for non-retractable aggs: add-side folds for
+    free; a lake re-aggregation happens ONLY for groups whose standing
+    extremum is retracted without an add re-pinning it."""
+    cfg, log, lake, view = _setup(tmp_path, ["lang"])
+
+    # window 2: y.py updates in place — its commit c1 was NOT the py
+    # group's min (c0 < c1), so no mm recompute is needed for min; the
+    # retracted seq 1 WAS not the max either → recompute only if an
+    # extremum is hit.  c1 -> c3: min stays c0.  But seq: update
+    # retracts seq 1 (not the max 2?  py group's max seq is 1) — the
+    # py max_seq IS 1, and the add (seq 3) re-pins it (3 >= 1), so
+    # still no recompute.
+    _frag(log, 1, [_ev(3, "update", "org/a", "y.py", "py", "bbbb")])
+    run_ingest(cfg)
+    out = refresh_matview(view)
+    assert out["refreshed"] and out["recomputed_groups"] == 0
+    _views_equal(read_matview(view), _full_recompute(lake, tmp_path, ["lang"]))
+
+    # window 3: delete x.py — it holds the py group's min commit (c0)
+    # and nothing re-pins it → exactly one group re-aggregates
+    _frag(log, 2, [_ev(4, "delete", "org/a", "x.py")])
+    run_ingest(cfg)
+    out = refresh_matview(view)
+    assert out["recomputed_groups"] == 1
+    got = read_matview(view)
+    _views_equal(got, _full_recompute(lake, tmp_path, ["lang"]))
+    by_lang = {r["lang"]: r["first_commit"] for r in got.to_pylist()}
+    assert by_lang == {"py": "c3", "go": "c2"}
+
+    # window 4: delete the standing min (y.py, c3) while the same
+    # window inserts a SMALLER commit into py → the add re-pins the
+    # extremum, no recompute
+    _frag(log, 3, [
+        _ev(5, "delete", "org/a", "y.py"),
+        _ev(6, "insert", "org/a", "a.py", "py", "ee"),
+    ])
+    run_ingest(cfg)
+    # c6 > c3 lexicographically?  "c6" > "c3" — so NOT a re-pin for
+    # min; this window must recompute py again
+    out = refresh_matview(view)
+    assert out["recomputed_groups"] == 1
+    _views_equal(read_matview(view), _full_recompute(lake, tmp_path, ["lang"]))
+
+
+def test_minmax_all_null_group_and_group_vanish(tmp_path):
+    """A group whose min/max source values are all null stores null;
+    a group losing its last member disappears entirely."""
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    cfg = IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4)
+    evs = [
+        _ev(0, "insert", "org/a", "x.py", "py", "aa"),
+        _ev(1, "insert", "org/b", "z.go", "go", "bb"),
+    ]
+    evs[1]["commit"] = None  # go group: all-null commit
+    _frag(log, 0, evs)
+    run_ingest(cfg)
+    create_matview(lake, view, ["lang"], _AGGS)
+    got = {r["lang"]: r["first_commit"] for r in read_matview(view).to_pylist()}
+    assert got == {"py": "c0", "go": None}
+    # delete the py doc: group vanishes (even though its min was live)
+    _frag(log, 1, [_ev(2, "delete", "org/a", "x.py")])
+    run_ingest(cfg)
+    refresh_matview(view)
+    got = read_matview(view)
+    assert got.num_rows == 1 and got["lang"].to_pylist() == ["go"]
+    _views_equal(got, _full_recompute(lake, tmp_path, ["lang"]))
+
+
+def test_minmax_rejects_timestamp_column(tmp_path):
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    cfg = IngestConfig(
+        log_dir=log, lake_dir=lake, num_partitions=2,
+        columns=[{"name": "t", "type": "timestamp"}],
+    )
+    ev = _ev(0, "insert", "org/a", "x.py", "py", "aa")
+    ev["payload_json"] = '{"t": null}'
+    _frag(log, 0, [ev])
+    run_ingest(cfg)
+    with pytest.raises(ValueError, match="epoch micros"):
+        create_matview(
+            lake, str(tmp_path / "v"), ["lang"],
+            {"first_t": ("min", "p_t")},
+        )
 
 
 def test_group_disappears_when_last_member_deleted(tmp_path):
