@@ -304,10 +304,23 @@ def main(argv: list[str] | None = None) -> int:
         "(table_changes with _commit_version/_commit_run_id tags)",
     )
     p_feed.add_argument("--lake-dir", required=True)
-    p_feed.add_argument("--from", dest="v_from", type=int, required=True)
+    p_feed.add_argument("--from", dest="v_from", type=int, default=None,
+                        help="start version (required without --consumer; "
+                             "with --consumer: first-subscribe point)")
     p_feed.add_argument("--to", dest="v_to", type=int, default=None)
     p_feed.add_argument(
         "--out", help="write the feed as Parquet here instead of printing counts"
+    )
+    p_feed.add_argument(
+        "--consumer", default=None,
+        help="durable consumer-group mode: deliver every commit past "
+             "this consumer's cursor into --out and advance the cursor "
+             "(exactly-once; the cursor is a vacuum retention anchor)",
+    )
+    p_feed.add_argument(
+        "--unsubscribe", action="store_true",
+        help="with --consumer: drop the cursor and release its "
+             "retention anchor instead of consuming",
     )
 
     p_vc = sub.add_parser(
@@ -626,6 +639,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "feed":
         from raycdc.pipelines.maintenance import change_feed
 
+        if args.consumer and args.unsubscribe:
+            from raycdc.pipelines.maintenance import unsubscribe_consumer
+
+            print(json.dumps(unsubscribe_consumer(args.lake_dir, args.consumer)))
+            return 0
+        if args.consumer:
+            from raycdc.pipelines.maintenance import consume_feed
+
+            if not args.out:
+                print("feed --consumer requires --out", file=sys.stderr)
+                return 2
+            print(
+                json.dumps(
+                    consume_feed(
+                        args.lake_dir, args.consumer, args.out,
+                        from_version=args.v_from,
+                    )
+                )
+            )
+            return 0
+        if args.v_from is None:
+            print("feed requires --from (or --consumer)", file=sys.stderr)
+            return 2
         ds = change_feed(args.lake_dir, args.v_from, args.v_to)
         if args.out:
             ds.write_parquet(args.out)

@@ -17,6 +17,7 @@ a lake-table engine that only exists because our sink is durable.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyarrow as pa
@@ -662,6 +663,118 @@ def change_feed(
     for f in feeds[1:]:
         out = out.union(f)
     return out
+
+
+_CONSUMER_NAME = None  # compiled lazily (module import stays light)
+
+
+def _consumer_path(lake_dir: str, consumer: str) -> str:
+    import re
+
+    global _CONSUMER_NAME
+    if _CONSUMER_NAME is None:
+        _CONSUMER_NAME = re.compile(r"[A-Za-z0-9._-]{1,64}")
+    if not _CONSUMER_NAME.fullmatch(consumer):
+        raise ValueError(
+            f"consumer name {consumer!r} must match [A-Za-z0-9._-]{{1,64}}"
+        )
+    return os.path.join(lake_dir, "_consumers", f"{consumer}.json")
+
+
+def consume_feed(
+    lake_dir: str,
+    consumer: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    include_old: bool = False,
+    from_version: int | None = None,
+) -> dict:
+    """Durable consumer-group cursor over the change feed (the Kafka
+    consumer-offset / Delta ``startingVersion``-checkpoint analog):
+    each call delivers every commit past this consumer's cursor as one
+    Parquet delivery under ``out_dir`` and advances the cursor — so a
+    cron'd `feed --consumer etl` ships each commit downstream exactly
+    once.
+
+    First call registers the consumer: cursor = ``from_version`` if
+    given, else the EARLIEST replayable version (full history).  A
+    registered cursor is a retention anchor — ``vacuum`` keeps every
+    snapshot from the laggiest cursor forward (the lake-side analog of
+    ``archive_log``'s multi-consumer floor); ``unsubscribe_consumer``
+    releases it.
+
+    Exactly-once protocol: the delivery directory
+    ``delivery-v{lo}-v{hi}`` is deterministic for a version range and
+    is REBUILT from scratch (rmtree + write) before the cursor swaps
+    atomically — a crash between write and swap just rewrites the same
+    delivery; a rerun after the swap is a no-op.  Consumers must treat
+    the delivery dir as complete only once the NEXT call reports it
+    (or read the returned manifest), mirroring staged-then-commit
+    everywhere else in the engine.
+    """
+    import shutil
+
+    path = _consumer_path(lake_dir, consumer)
+    lake = Lake(lake_dir)
+    head = int(lake.manifest()["version"])
+    if os.path.exists(path):
+        with open(path) as f:
+            cursor = int(json.load(f)["version"])
+    else:
+        avail = lake.versions()
+        if from_version is not None:
+            cursor = int(from_version)
+        elif avail:
+            cursor = int(avail[0])
+        else:
+            cursor = head
+    def _commit_cursor(version: int, rows: int) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "delivered_rows": rows}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # commit point
+
+    if cursor >= head:
+        # registration is a statement of intent: anchor retention even
+        # when there is nothing to deliver yet
+        if not os.path.exists(path):
+            _commit_cursor(cursor, 0)
+        return {
+            "consumer": consumer, "version": cursor, "rows": 0,
+            "up_to_date": True,
+        }
+    feed = change_feed(
+        lake_dir, cursor, head, columns=columns, include_old=include_old
+    )
+    delivery = os.path.join(
+        out_dir, f"delivery-v{cursor:06d}-v{head:06d}"
+    )
+    shutil.rmtree(delivery, ignore_errors=True)
+    os.makedirs(delivery, exist_ok=True)
+    feed.write_parquet(delivery)
+    rows = sum(
+        pq.read_metadata(os.path.join(delivery, f)).num_rows
+        for f in os.listdir(delivery)
+        if f.endswith(".parquet")
+    )
+    _commit_cursor(head, rows)
+    return {
+        "consumer": consumer, "from_version": cursor, "version": head,
+        "rows": rows, "delivery": delivery, "up_to_date": False,
+    }
+
+
+def unsubscribe_consumer(lake_dir: str, consumer: str) -> dict:
+    """Release a feed consumer's retention anchor (its cursor file);
+    the next ``vacuum`` may reclaim history it was holding."""
+    path = _consumer_path(lake_dir, consumer)
+    existed = os.path.exists(path)
+    if existed:
+        os.remove(path)
+    return {"consumer": consumer, "removed": existed}
 
 
 def optimize_sort(

@@ -99,6 +99,20 @@ class Lake:
         self._write_manifest(manifest)
         return manifest
 
+    # -- feed consumers: durable cursors = retention anchors -----------------
+    def consumers(self) -> dict[str, int]:
+        """Registered change-feed consumers → last-delivered version
+        (``maintenance.consume_feed`` owns the lifecycle; vacuum reads
+        this to anchor the versions a lagging consumer still needs)."""
+        d = os.path.join(self.root, "_consumers")
+        out: dict[str, int] = {}
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".json"):
+                    with open(os.path.join(d, f)) as fh:
+                        out[f[:-5]] = int(json.load(fh)["version"])
+        return out
+
     # -- tags: named versions = retention anchors ---------------------------
     def tags(self) -> dict[str, int]:
         """Committed tag name → version map (``_tags.json``)."""
@@ -861,6 +875,15 @@ class Lake:
         # tags AND branch heads are retention anchors: a branch must
         # stay readable/writable until deleted
         anchored = set(self.tags().values()) | set(self.branches().values())
+        # feed-consumer cursors anchor EVERY version from the laggiest
+        # cursor forward: the per-commit feed diffs consecutive
+        # version pairs, so a consumer at V needs snapshots [V, head]
+        # intact — the lake-side analog of archive_log's
+        # multi-consumer wire-log floor (unsubscribe to release)
+        cursors = self.consumers().values()
+        if cursors:
+            lag = min(cursors)
+            anchored |= {v for v in self.versions() if v >= lag}
         for v in anchored:
             referenced |= self.referenced_files(self.manifest(v))
         removed, freed = 0, 0

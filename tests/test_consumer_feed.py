@@ -1,0 +1,183 @@
+"""Durable change-feed consumer cursors (maintenance.consume_feed):
+exactly-once delivery per commit, crash-idempotent cursor protocol,
+and vacuum anchoring of the history a lagging consumer still needs."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.maintenance import (
+    change_feed,
+    consume_feed,
+    unsubscribe_consumer,
+)
+from raycdc.sources.synth import write_changelog
+from raycdc.state.checkpoint import Lake
+
+PAYLOAD_COLUMNS = [{"name": "stats.adds", "type": "long"}]
+
+
+def _lake_with_windows(tmp, n_windows=3, per=400):
+    cfg = IngestConfig(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=4,
+        columns=PAYLOAD_COLUMNS,
+    )
+    for w in range(n_windows):
+        write_changelog(
+            cfg.log_dir, per, fragment_rows=per, seed=131,
+            start_seq=w * per, fragment_index_offset=w,
+        )
+        run_ingest(cfg)
+    return cfg
+
+
+def _delivered(out_dir) -> pd.DataFrame:
+    frames = []
+    for d in sorted(os.listdir(out_dir)):
+        dd = os.path.join(out_dir, d)
+        for f in sorted(os.listdir(dd)):
+            if f.endswith(".parquet"):
+                frames.append(pq.read_table(os.path.join(dd, f)).to_pandas())
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(
+        ["_commit_version", "repo", "path"]
+    ).reset_index(drop=True)
+
+
+def test_consume_feed_delivers_each_commit_exactly_once(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _lake_with_windows(tmp, n_windows=3)
+    out = os.path.join(tmp, "downstream")
+
+    r1 = consume_feed(cfg.lake_dir, "etl", out)
+    assert not r1["up_to_date"] and r1["rows"] > 0
+    # already current → no-op, cursor unmoved
+    r2 = consume_feed(cfg.lake_dir, "etl", out)
+    assert r2["up_to_date"] and r2["rows"] == 0
+
+    # two more windows land as two commits; ONE consume ships both
+    write_changelog(
+        cfg.log_dir, 400, fragment_rows=400, seed=131,
+        start_seq=1200, fragment_index_offset=3,
+    )
+    run_ingest(cfg)
+    write_changelog(
+        cfg.log_dir, 400, fragment_rows=400, seed=131,
+        start_seq=1600, fragment_index_offset=4,
+    )
+    run_ingest(cfg)
+    r3 = consume_feed(cfg.lake_dir, "etl", out)
+    assert r3["from_version"] == r1["version"]
+
+    # the union of deliveries equals the full feed from the start
+    versions = Lake(cfg.lake_dir).versions()
+    full = _canon(
+        change_feed(cfg.lake_dir, versions[0]).to_pandas()
+    )
+    got = _canon(_delivered(out))
+    assert len(got) == len(full)
+    pd.testing.assert_frame_equal(
+        got[full.columns.tolist()], full, check_dtype=False
+    )
+
+
+def test_consume_feed_crash_before_cursor_swap_is_idempotent(
+    tmp_path, monkeypatch
+):
+    tmp = str(tmp_path)
+    cfg = _lake_with_windows(tmp, n_windows=2)
+    out = os.path.join(tmp, "downstream")
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crash_replace(src, dst):
+        if dst.endswith("etl.json"):
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before cursor swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        consume_feed(cfg.lake_dir, "etl", out)
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert calls["n"] == 1
+    assert Lake(cfg.lake_dir).consumers() == {}  # nothing committed
+
+    # rerun rebuilds the SAME delivery (no duplicates), then commits
+    r = consume_feed(cfg.lake_dir, "etl", out)
+    assert not r["up_to_date"]
+    got = _delivered(out)
+    versions = Lake(cfg.lake_dir).versions()
+    full = change_feed(cfg.lake_dir, versions[0]).to_pandas()
+    assert len(got) == len(full)
+    assert Lake(cfg.lake_dir).consumers() == {"etl": r["version"]}
+
+
+def test_vacuum_keeps_history_for_lagging_consumer(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _lake_with_windows(tmp, n_windows=1)
+    out = os.path.join(tmp, "downstream")
+    # first consume ships window 1's history and parks the cursor at
+    # the current head; the consumer then lags two windows behind
+    first = consume_feed(cfg.lake_dir, "lag", out)
+    assert not first["up_to_date"] and first["rows"] > 0
+
+    for w in (1, 2):
+        write_changelog(
+            cfg.log_dir, 400, fragment_rows=400, seed=131,
+            start_seq=(w) * 400, fragment_index_offset=w,
+        )
+        run_ingest(cfg)
+    Lake(cfg.lake_dir).vacuum()
+    # the intermediate snapshot a per-commit feed needs must survive
+    r = consume_feed(cfg.lake_dir, "lag", out)
+    assert not r["up_to_date"] and r["rows"] > 0
+    got = _delivered(out)  # union of BOTH deliveries = every commit
+    assert sorted(got["_commit_version"].unique()) == sorted(
+        v for v in Lake(cfg.lake_dir).versions() if v > 0
+    )
+
+    # caught-up + unsubscribed → vacuum reclaims old snapshots
+    unsubscribe_consumer(cfg.lake_dir, "lag")
+    Lake(cfg.lake_dir).vacuum()
+    head = int(Lake(cfg.lake_dir).manifest()["version"])
+    assert Lake(cfg.lake_dir).versions() == [head]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        change_feed(cfg.lake_dir, first["version"]).to_pandas()
+
+
+def test_consumer_name_validation_and_explicit_start(tmp_path):
+    tmp = str(tmp_path)
+    cfg = _lake_with_windows(tmp, n_windows=2)
+    out = os.path.join(tmp, "downstream")
+    with pytest.raises(ValueError, match="consumer name"):
+        consume_feed(cfg.lake_dir, "../evil", out)
+    versions = Lake(cfg.lake_dir).versions()
+    # subscribe-at-head registers (retention intent) without delivering
+    r = consume_feed(
+        cfg.lake_dir, "athead", out, from_version=versions[-1]
+    )
+    assert r["up_to_date"]
+    assert Lake(cfg.lake_dir).consumers() == {"athead": versions[-1]}
+    # explicit from_version subscribes mid-history and delivers
+    r2 = consume_feed(
+        cfg.lake_dir, "mid", out, from_version=versions[0]
+    )
+    assert r2["rows"] > 0
+    assert Lake(cfg.lake_dir).consumers() == {
+        "athead": versions[-1], "mid": r2["version"]
+    }
