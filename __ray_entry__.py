@@ -934,6 +934,74 @@ def _q_cdc_change_feed(sf_dir):
     return df[["repo", "path", "change", "content", "commit_idx"]]
 
 
+def _q_cdc_consumer_feed(sf_dir):
+    """Durable consumer-group cursor over the change feed
+    (maintenance.consume_feed): the same three-window lake as
+    cdc_change_feed, but delivered across TWO separate consume calls
+    — call 1 ships commit 2 and parks the cursor, commit 3 lands,
+    call 2 ships exactly the remainder.  The union of the delivery
+    dirs must equal the one-shot feed (the cdc_change_feed oracle),
+    proving the cursor advances exactly-once."""
+    import hashlib
+    import shutil
+
+    import pandas as pd
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.maintenance import consume_feed
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_consfeed_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "log")
+    lake_dir = os.path.join(workdir, "lake")
+    out_dir = os.path.join(workdir, "downstream")
+    documents_changelog(sf_dir, staging, fragments=6)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=16,
+        columns=PAYLOAD_COLUMNS,
+    )
+    frags = sorted(os.listdir(staging))
+    for name in frags[:1]:
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(cfg)
+    base_v = int(Lake(lake_dir).manifest()["version"])
+    for name in frags[1:4]:
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(cfg)
+    consume_feed(lake_dir, "q", out_dir, from_version=base_v)
+    for name in frags[4:]:
+        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
+    run_ingest(cfg)
+    consume_feed(lake_dir, "q", out_dir)
+    frames = []
+    for d in sorted(os.listdir(out_dir)):
+        dd = os.path.join(out_dir, d)
+        frames.extend(
+            pq.read_table(os.path.join(dd, f)).to_pandas()
+            for f in sorted(os.listdir(dd))
+            if f.endswith(".parquet")
+        )
+    df = pd.concat(frames, ignore_index=True)
+    df["commit_idx"] = (
+        df["_commit_version"].rank(method="dense").astype("int64")
+    )
+    return df[["repo", "path", "change", "content", "commit_idx"]]
+
+
 def _q_cross_corpus_dedup(sf_dir):
     """Near-dup decontamination across corpora: find near-copies of a
     (small, broadcast) query corpus inside the documents table with
@@ -2675,11 +2743,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  tests/test_pq.py; ROUND-5 ROTATION: front-load them)
         "ann_pq": _tuned(_q_ann_pq),
         "ann_ivfpq": _tuned(_q_ann_ivfpq),
-        # (bm25_search / cdc_bootstrap_replay: NEW this round, below
-        #  the full window — full SQL oracles + serial-reference /
-        #  byte-equality tests; ROUND-5 ROTATION: front-load them)
+        # (bm25_search / cdc_bootstrap_replay / cdc_consumer_feed:
+        #  NEW this round, below the full window — full SQL oracles +
+        #  serial-reference / byte-equality / crash-resume tests;
+        #  ROUND-5 ROTATION: front-load them)
         "bm25_search": _tuned(_q_bm25_search),
         "cdc_bootstrap_replay": _tuned(_q_cdc_bootstrap_replay),
+        "cdc_consumer_feed": _tuned(_q_cdc_consumer_feed),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "hll_user_count": _tuned(_q_hll_user_count),
         "hll_by_event_type": _tuned(_q_hll_by_event_type),
@@ -3304,6 +3374,33 @@ def oracle_sql() -> dict[str, str]:
         # half inserts at their post-update ' v1' state) + first-half
         # updates; commit 2 = the ' v2' update wave + deletes
         "cdc_change_feed": """
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            c1 AS (
+              SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo,
+                     'docs/' || doc_id || '.txt' AS path,
+                     CASE WHEN doc_id < n.c // 2 THEN 'update'
+                          ELSE 'insert' END AS change,
+                     text || ' v1' AS content,
+                     CAST(1 AS BIGINT) AS commit_idx
+              FROM documents, n
+            ),
+            c2 AS (
+              SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo,
+                     'docs/' || doc_id || '.txt' AS path,
+                     CASE WHEN doc_id % 17 = 0 THEN 'delete'
+                          ELSE 'update' END AS change,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL
+                          ELSE text || ' v2' END AS content,
+                     CAST(2 AS BIGINT) AS commit_idx
+              FROM documents
+            )
+            SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        """,
+        # two cursor-advancing consume calls union to the SAME feed —
+        # identical oracle to cdc_change_feed by design
+        "cdc_consumer_feed": """
             WITH n AS (SELECT count(*) AS c FROM documents),
             c1 AS (
               SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)

@@ -251,6 +251,7 @@ def bench_queries() -> dict[str, float]:
         "ann_pq",
         "ann_ivfpq",
         "bm25_search",
+        "cdc_bootstrap_replay",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)
