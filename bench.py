@@ -649,11 +649,24 @@ def matview_bench() -> None:
     create_matview(lake_dir, view_dir, ["repo"], aggs)
     create_sec = time.perf_counter() - t0
 
+    # a second view with NON-RETRACTABLE aggs (min/max): its refresh
+    # pays a targeted recompute pass only for extremum-disturbed
+    # groups — recomputed_groups in the output makes that observable
+    mm_aggs = dict(
+        aggs, first_commit=("min", "commit"), max_seq=("max", "seq")
+    )
+    view_mm = os.path.join(WORK_ROOT, "mv_view_mm")
+    shutil.rmtree(view_mm, ignore_errors=True)
+    create_matview(lake_dir, view_mm, ["repo"], mm_aggs)
+
     inc = bench_incremental(lake_dir)  # lands the 5% delta commit
 
     t0 = time.perf_counter()
     out = refresh_matview(view_dir)
     refresh_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_mm = refresh_matview(view_mm)
+    refresh_mm_sec = time.perf_counter() - t0
 
     scratch = os.path.join(WORK_ROOT, "mv_view_full")
     shutil.rmtree(scratch, ignore_errors=True)
@@ -695,6 +708,9 @@ def matview_bench() -> None:
     t0 = time.perf_counter()
     out2 = refresh_matview(view_dir)
     sparse_refresh_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out2_mm = refresh_matview(view_mm)
+    sparse_refresh_mm_sec = time.perf_counter() - t0
     shutil.rmtree(scratch, ignore_errors=True)
     t0 = time.perf_counter()
     create_matview(lake_dir, scratch, ["repo"], aggs)
@@ -718,6 +734,13 @@ def matview_bench() -> None:
                 "dense_refresh_sec": round(refresh_sec, 3),
                 "dense_recompute_sec": round(recompute_sec, 3),
                 "dense_changed_rows": out["changed_rows"],
+                # min/max view over the same delta: the extra cost is
+                # the targeted extremum-recompute pass, scoped to the
+                # disturbed groups
+                "dense_refresh_minmax_sec": round(refresh_mm_sec, 3),
+                "dense_minmax_recomputed_groups": out_mm[
+                    "recomputed_groups"
+                ],
                 "feed_rows": feed_rows,
                 "feed_sec": round(feed_sec, 3),
                 # sparse delta (single-key burst): manifest pruning
@@ -729,6 +752,119 @@ def matview_bench() -> None:
                     sparse_recompute_sec / sparse_refresh_sec, 2
                 ),
                 "sparse_changed_rows": out2["changed_rows"],
+                "sparse_refresh_minmax_sec": round(
+                    sparse_refresh_mm_sec, 3
+                ),
+                "sparse_minmax_recomputed_groups": out2_mm[
+                    "recomputed_groups"
+                ],
+            }
+        )
+    )
+
+
+def bootstrap_bench() -> None:
+    """Initial-load-handoff economics at the headline scale: full
+    replay from seq 0 vs snapshot bootstrap at the 60% cutover +
+    catch-up over the remainder.  The snapshot carries ONE live row
+    per key (no superseded updates, no deletes, no dead letters), so
+    bootstrap + catch-up moves strictly fewer rows through
+    parse/shuffle/merge than the replay it replaces — the gap grows
+    with the log's update factor (real CDC logs: 10-1000× updates per
+    key)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    calib, _ = _calibrate_settled()
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import bootstrap_snapshot, run_ingest
+    from raycdc.sources.synth import snapshot_at
+    from raycdc.state.checkpoint import Lake
+
+    log_dir = _log_dir()
+    _ensure_log(log_dir, N_EVENTS)
+    cutover = int(N_EVENTS * 0.6)
+
+    snap_dir = os.path.join(WORK_ROOT, f"boot_snap_{N_EVENTS}_{cutover}")
+    if not os.path.exists(os.path.join(snap_dir, "snapshot.parquet")):
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        os.makedirs(snap_dir, exist_ok=True)
+        t0 = time.perf_counter()
+        snap = snapshot_at(log_dir, cutover)
+        pq.write_table(snap, os.path.join(snap_dir, "snapshot.parquet"))
+        snap_build_sec = time.perf_counter() - t0
+    else:
+        snap_build_sec = 0.0
+    snap_rows = pq.read_metadata(
+        os.path.join(snap_dir, "snapshot.parquet")
+    ).num_rows
+
+    cols = [
+        {"name": "author.name", "type": "string"},
+        {"name": "stats.adds", "type": "long"},
+        {"name": "review.state", "type": "string"},
+    ]
+
+    def _cfg(name):
+        lake_dir = os.path.join(WORK_ROOT, f"boot_{name}_{NUM_CPUS}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        return IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir,
+            num_partitions=max(NUM_CPUS * 2, 16), columns=cols,
+        )
+
+    cfg_f = _cfg("full")
+    t0 = time.perf_counter()
+    run_ingest(cfg_f)
+    full_sec = time.perf_counter() - t0
+
+    cfg_b = _cfg("snap")
+    t0 = time.perf_counter()
+    bootstrap_snapshot(cfg_b, snap_dir, cutover)
+    boot_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = run_ingest(cfg_b)
+    catch_sec = time.perf_counter() - t0
+
+    # cheap equivalence probe (byte-equality is pinned in tests):
+    # identical row counts and identical per-row seq sums
+    tf = Lake(cfg_f.lake_dir).read_table(columns=["seq"])
+    tb = Lake(cfg_b.lake_dir).read_table(columns=["seq"])
+    assert tf.num_rows == tb.num_rows
+    assert pc.sum(tf["seq"]).as_py() == pc.sum(tb["seq"]).as_py()
+
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "snapshot bootstrap + catch-up vs full "
+                f"replay, {N_EVENTS} events, cutover at 60%",
+                "calib_sec": calib,
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "num_cpus": NUM_CPUS,
+                "snapshot_rows": snap_rows,
+                "snapshot_build_sec": round(snap_build_sec, 3),
+                "full_replay_sec": round(full_sec, 3),
+                "bootstrap_sec": round(boot_sec, 3),
+                "catchup_sec": round(catch_sec, 3),
+                "catchup_events": res.events_read,
+                "handoff_total_sec": round(boot_sec + catch_sec, 3),
+                "speedup_vs_full": round(
+                    full_sec / (boot_sec + catch_sec), 2
+                ),
             }
         )
     )
@@ -1204,5 +1340,7 @@ if __name__ == "__main__":
         zonemap_bench()
     elif "--pq" in sys.argv:
         pq_bench()
+    elif "--bootstrap" in sys.argv:
+        bootstrap_bench()
     else:
         main()
