@@ -1002,6 +1002,156 @@ def _q_cdc_consumer_feed(sf_dir):
     return df[["repo", "path", "change", "content", "commit_idx"]]
 
 
+def _q_joinview_enriched(sf_dir):
+    """Incrementally-maintained JOIN view (pipelines/joinview.py):
+    documents fact lake ⋈ per-repo dimension lake, maintained through
+    interleaved commits on BOTH sides — fact insert/update/delete
+    waves, a dimension-wide attr update, and a dimension delete wave
+    (every 'org4/*' repo retracts its rows, inner join).  The oracle
+    is the full join over both FINAL states, so any drift between the
+    delta-join maintenance and recompute-from-scratch hash-mismatches."""
+    import hashlib
+    import json as _json
+    import shutil
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.joinview import (
+        create_joinview,
+        read_joinview,
+        refresh_joinview,
+    )
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_joinview_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    llog = os.path.join(workdir, "llog")
+    rlog = os.path.join(workdir, "rlog")
+    view_dir = os.path.join(workdir, "view")
+    documents_changelog(sf_dir, staging, fragments=6)
+    os.makedirs(llog, exist_ok=True)
+    os.makedirs(rlog, exist_ok=True)
+
+    # deterministic per-repo dimension stream: insert wave (tier 0),
+    # an attr-update wave (tier = LENGTH(repo) % 3 — SQL-expressible),
+    # then a delete wave retracting every org4-owned dimension row
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    repos = sorted(
+        {f"org{d % 5}/repo{d % 13}" for d in doc_ids}
+    )
+
+    def _dim_frag(idx: int, rows: list[tuple]):
+        t = pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + r[0] for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "repo": pa.array([r[2] for r in rows], pa.string()),
+                "path": pa.array(["_dim"] * len(rows), pa.string()),
+                "commit": pa.array(
+                    [f"d{r[0]}" for r in rows], pa.string()
+                ),
+                "lang": pa.array([None] * len(rows), pa.string()),
+                "content": pa.array(
+                    [None if r[1] == "delete" else "" for r in rows],
+                    pa.string(),
+                ),
+                "content_len": pa.array(
+                    [None if r[1] == "delete" else 0 for r in rows],
+                    pa.int32(),
+                ),
+                "payload_json": pa.array(
+                    [r[3] for r in rows], pa.string()
+                ),
+            }
+        )
+        pq.write_table(t, os.path.join(rlog, f"fragment-{idx:05d}.parquet"))
+
+    def _payload(repo: str, tier: int) -> str:
+        return _json.dumps({"owner": repo.split("/")[0], "tier": tier})
+
+    n = len(repos)
+    _dim_frag(0, [
+        (i + 1, "insert", r, _payload(r, 0)) for i, r in enumerate(repos)
+    ])
+    _dim_frag(1, [
+        (n + i + 1, "update", r, _payload(r, len(r) % 3))
+        for i, r in enumerate(repos)
+    ])
+    _dim_frag(2, [
+        (2 * n + i + 1, "delete", r, "{}")
+        for i, r in enumerate(repos)
+        if r.startswith("org4/")
+    ])
+
+    lcfg = IngestConfig(
+        log_dir=llog,
+        lake_dir=os.path.join(workdir, "llake"),
+        num_partitions=16,
+        columns=PAYLOAD_COLUMNS,
+    )
+    rcfg = IngestConfig(
+        log_dir=rlog,
+        lake_dir=os.path.join(workdir, "rlake"),
+        num_partitions=4,
+        columns=[
+            {"name": "owner", "type": "string"},
+            {"name": "tier", "type": "long"},
+        ],
+    )
+    frags = sorted(os.listdir(staging))
+    rfrags = sorted(os.listdir(rlog))
+    # window 1: first fact wave + dimension inserts → create the view
+    for name in frags[:1]:
+        os.rename(os.path.join(staging, name), os.path.join(llog, name))
+    hold = os.path.join(workdir, "rhold")
+    os.makedirs(hold, exist_ok=True)
+    for name in rfrags[1:]:
+        os.rename(os.path.join(rlog, name), os.path.join(hold, name))
+    run_ingest(lcfg)
+    run_ingest(rcfg)
+    create_joinview(
+        lcfg.lake_dir, rcfg.lake_dir, view_dir,
+        on="repo", attrs=["p_owner", "p_tier"],
+    )
+    # window 2: fact updates/remaining inserts + the dim tier wave
+    for name in frags[1:4]:
+        os.rename(os.path.join(staging, name), os.path.join(llog, name))
+    os.rename(
+        os.path.join(hold, rfrags[1]), os.path.join(rlog, rfrags[1])
+    )
+    run_ingest(lcfg)
+    run_ingest(rcfg)
+    refresh_joinview(view_dir)
+    # window 3: fact v2 updates + deletes, dim org4 delete wave
+    for name in frags[4:]:
+        os.rename(os.path.join(staging, name), os.path.join(llog, name))
+    os.rename(
+        os.path.join(hold, rfrags[2]), os.path.join(rlog, rfrags[2])
+    )
+    run_ingest(lcfg)
+    run_ingest(rcfg)
+    refresh_joinview(view_dir)
+
+    out = read_joinview(
+        view_dir, columns=["repo", "path", "content", "p_owner", "p_tier"]
+    ).to_pandas()
+    return out.rename(columns={"p_owner": "owner", "p_tier": "tier"})
+
+
 def _q_cross_corpus_dedup(sf_dir):
     """Near-dup decontamination across corpora: find near-copies of a
     (small, broadcast) query corpus inside the documents table with
@@ -2769,6 +2919,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _tuned(_q_dedup_survivors),
         "curation_pipeline": _tuned(_q_curation_pipeline),
         "scrub_blocklist": _tuned(_q_scrub_blocklist),
+        # (joinview_enriched: NEW this session, window full — carried
+        #  by the local oracle twin + tests/test_joinview.py's
+        #  refresh==recompute pins; ROUND-5 ROTATION: front-load it)
+        "joinview_enriched": _tuned(_q_joinview_enriched),
     }
 
 
@@ -3356,6 +3510,30 @@ def oracle_sql() -> dict[str, str]:
               ON v1.repo = v2.repo AND v1.path = v2.path
             WHERE v1.path IS NULL OR v2.path IS NULL
                OR v1.content <> v2.content
+        """,
+        # join view = full join over both FINAL states: any drift
+        # between delta-join maintenance and a recompute mismatches
+        "joinview_enriched": """
+            WITH final AS (
+              SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo,
+                     'docs/' || doc_id || '.txt' AS path,
+                     text || ' v2' AS content
+              FROM documents WHERE doc_id % 17 <> 0
+            ),
+            dim AS (
+              SELECT DISTINCT
+                     'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                       AS repo
+              FROM documents
+            ),
+            attrs AS (
+              SELECT repo, split_part(repo, '/', 1) AS owner,
+                     CAST(LENGTH(repo) % 3 AS BIGINT) AS tier
+              FROM dim WHERE repo NOT LIKE 'org4/%'
+            )
+            SELECT f.repo, f.path, f.content, a.owner, a.tier
+            FROM final f JOIN attrs a ON f.repo = a.repo
         """,
         # materialized view = full aggregate over the final state: any
         # drift between incremental maintenance and recompute mismatches

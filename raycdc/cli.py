@@ -347,6 +347,38 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vr.add_argument("--view-dir", required=True)
 
+    p_jvc = sub.add_parser(
+        "joinview-create",
+        help="materialize fact ⋈ dimension as a derived lake at both "
+        "lakes' current versions",
+    )
+    p_jvc.add_argument("--left-dir", required=True, help="fact lake")
+    p_jvc.add_argument("--right-dir", required=True, help="dimension lake")
+    p_jvc.add_argument("--view-dir", required=True)
+    p_jvc.add_argument("--on", default="repo", help="left join column")
+    p_jvc.add_argument(
+        "--right-on", default=None,
+        help="dimension column carrying the join values (default: --on)",
+    )
+    p_jvc.add_argument(
+        "--attrs", default=None,
+        help="comma-separated right columns to carry "
+        "(default: the dimension's payload columns)",
+    )
+    p_jvc.add_argument(
+        "--left-cols", default=None,
+        help="comma-separated fact columns to carry "
+        "(default: commit,lang,content)",
+    )
+    p_jvc.add_argument("--how", choices=("inner", "left"), default="inner")
+
+    p_jvr = sub.add_parser(
+        "joinview-refresh",
+        help="fold both upstream lakes' committed diffs into a join "
+        "view (O(delta), never a corpus re-join)",
+    )
+    p_jvr.add_argument("--view-dir", required=True)
+
     p_ic = sub.add_parser(
         "index-create",
         help="build a secondary index (non-key column -> keys) at the "
@@ -706,6 +738,28 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.matview import refresh_matview
 
         print(json.dumps(refresh_matview(args.view_dir)))
+        return 0
+
+    if args.cmd == "joinview-create":
+        from raycdc.pipelines.joinview import create_joinview
+
+        out = create_joinview(
+            args.left_dir,
+            args.right_dir,
+            args.view_dir,
+            on=args.on,
+            right_on=args.right_on,
+            attrs=args.attrs.split(",") if args.attrs else None,
+            left_cols=args.left_cols.split(",") if args.left_cols else None,
+            how=args.how,
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "joinview-refresh":
+        from raycdc.pipelines.joinview import refresh_joinview
+
+        print(json.dumps(refresh_joinview(args.view_dir)))
         return 0
 
     if args.cmd == "index-create":

@@ -1,0 +1,633 @@
+"""Incrementally-maintained materialized JOIN views: a fact lake
+enriched by a dimension lake, kept current from both lakes' committed
+diffs instead of re-joining the corpus.
+
+The missing half of the derived-state plane: ``matview.py`` maintains
+grouped AGGREGATES (small summaries); a join view is LEFT-CARDINALITY
+derived state (one output row per surviving fact row), so it is
+materialized as a real :class:`~raycdc.state.checkpoint.Lake` — every
+existing surface (change feed, time travel, matviews, secondary
+indexes, export, vacuum) composes on top of it for free, which is how
+derived tables chain in a streaming system (Kafka Streams KTable-KTable
+join / Materialize delta-join; the reference's consumers re-fetch and
+re-join the full JIRA corpus per sync,
+src/main/java/org/embulk/input/jira/JiraInputPlugin.java run()).
+
+Maintenance algebra (final-state semantics — the view converges to
+``L@lv1 ⋈ R@rv1`` exactly):
+
+- **Left side** (``ΔL ⋈ R_new``): ``snapshot_diff(left)`` streams the
+  changed fact rows; each joins against the new dimension image —
+  insert/update upserts the enriched row, delete deletes the view key,
+  an inner-join miss deletes (``how="left"``: null attrs instead).
+- **Right side** (``L ⋈ ΔR``): changed dimension rows yield the set of
+  affected join-key values (old AND new images, so a dimension row
+  whose join key itself moved retracts from its old key's rows); every
+  CURRENT fact row carrying one of those values is re-read via the
+  pruned selective-scan lanes (``key_filter`` when the join column is a
+  primary-key column, zone-map ``value_filter`` otherwise) and
+  re-emitted against the new dimension.
+- Overlap keys (changed on both sides) produce byte-identical rows on
+  both paths — both join the lv1 fact image to the rv1 dimension — so
+  first-wins dedup per view key is exact.
+
+Scale shape: the refresh moves only delta-sized row sets — ``ΔL`` is
+zero-shuffle partition-local, the right-side fan-out reads only
+partitions the pruning lanes keep, and the single exchange
+(delta rows → view partitions) is bounded by ``|ΔL| + |ΔR| × fanout``.
+The dimension never rides a shuffle: the refresh broadcasts ONLY the
+attr rows for join keys the delta actually touches (``ray.put`` once,
+read per task).  The create-time full build broadcasts the whole slim
+dimension under a loud ``max_dim_rows`` tripwire — a dimension past
+that budget needs a hash-join bootstrap (``ops/relational.hash_join``)
+followed by incremental maintenance, which the error message says.
+
+Crash-safety and idempotence follow the lake protocol: touched view
+partitions are staged under a deterministic run id, one atomic commit
+swaps them, and the consumed upstream versions move ONLY after the
+commit (``_joinview.json`` swap via ``os.replace``) — a crash between
+the two re-runs the same deterministic refresh on top of the committed
+view, which converges (same upserts, same deletes).  The view registers
+as a feed CONSUMER on both upstream lakes (``_consumers/`` cursor =
+retention anchor), so upstream ``vacuum`` can never reclaim the
+snapshots its next refresh will diff against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycdc.state.checkpoint import ConcurrentCommitError, Lake
+
+_STATE = "_joinview.json"
+_FIXED_COLS = ("repo", "path", "commit", "lang", "content", "seq")
+_KEY_COLS = ("repo", "path")
+_ATTEMPTS = 5
+
+# reverse of coerce.ARROW_TYPES, for typing view payload columns from
+# the right lake's schema
+_TYPE_NAMES = {
+    pa.bool_(): "boolean",
+    pa.int64(): "long",
+    pa.float64(): "double",
+    pa.string(): "string",
+    pa.timestamp("us", tz="UTC"): "timestamp",
+}
+
+
+class DimBudgetExceeded(ValueError):
+    """The dimension rows to broadcast exceeded ``max_dim_rows``."""
+
+
+class DimKeyNotUnique(ValueError):
+    """The dimension carries >1 row for one join-key value."""
+
+
+def _state_path(view_dir: str) -> str:
+    return os.path.join(view_dir, _STATE)
+
+
+def _load_state(view_dir: str) -> dict:
+    with open(_state_path(view_dir)) as f:
+        return json.load(f)
+
+
+def _save_state(view_dir: str, state: dict) -> None:
+    tmp = _state_path(view_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, _state_path(view_dir))
+
+
+def _consumer_name(view_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(
+        os.path.abspath(view_dir).encode(), digest_size=6
+    ).hexdigest()
+    return f"joinview-{h}"
+
+
+def _advance_consumer(lake_dir: str, consumer: str, version: int) -> None:
+    """Register/advance the view's retention anchor on an upstream lake
+    (same cursor file ``maintenance.consume_feed`` owns for feed
+    consumers — vacuum keeps every snapshot from the cursor forward)."""
+    d = os.path.join(lake_dir, "_consumers")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{consumer}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": int(version), "kind": "joinview"}, f)
+    os.replace(tmp, path)
+
+
+def _check_budget(n: int, budget: int, what: str) -> None:
+    if n > budget:
+        raise DimBudgetExceeded(
+            f"{what}: {n} rows exceed max_dim_rows={budget}.  A "
+            "dimension past the broadcast budget needs a hash-join "
+            "bootstrap (ops/relational.hash_join over the two lakes' "
+            "read_dataset outputs) followed by incremental refreshes, "
+            "or raise max_dim_rows if the driver/worker heap allows."
+        )
+
+
+def _attr_view_name(col: str) -> str:
+    """View payload name for a right column (strip the lake's ``p_``
+    storage prefix so ``p_owner`` surfaces as view column ``p_owner``,
+    not ``p_p_owner``)."""
+    return col[2:] if col.startswith("p_") else col
+
+
+def _gather_dim(
+    right: Lake,
+    version: int,
+    on_right: str,
+    attr_cols: list[str],
+    needed: list | None,
+    max_dim_rows: int,
+) -> pd.DataFrame:
+    """The slim dimension lookup (join key + attrs) as a pandas frame,
+    restricted to ``needed`` join-key values when given (the refresh
+    path) — selective read through the pruned lanes, never a full
+    fact-side shuffle.  Validates the dimension contract (unique join
+    key) over exactly the gathered rows."""
+    import pyarrow.dataset as pads
+
+    cols = [on_right] + [c for c in attr_cols if c != on_right]
+    if needed is not None and len(needed) == 0:
+        return pd.DataFrame(columns=cols).set_index(on_right)
+    kwargs: dict = {"columns": cols, "version": version}
+    if needed is not None:
+        vals = sorted(needed)
+        if on_right in _KEY_COLS:
+            kwargs["key_filter"] = pads.field(on_right).isin(vals)
+        else:
+            kwargs["value_filter"] = [(on_right, "in", vals)]
+    df = right.read_dataset(**kwargs).to_pandas()
+    if df.empty:
+        # an empty Dataset loses its column set through to_pandas()
+        df = pd.DataFrame(columns=cols)
+    _check_budget(len(df), max_dim_rows, "dimension broadcast")
+    if df[on_right].isna().any():
+        df = df[df[on_right].notna()]
+    dup = df[on_right].duplicated()
+    if dup.any():
+        k = df[on_right][dup].iloc[0]
+        raise DimKeyNotUnique(
+            f"dimension lake {right.root!r} has multiple rows for join "
+            f"key {on_right}={k!r} — a join view requires the right "
+            "side to be unique per join-key value (the dimension "
+            "contract); dedup it (ops/dedup, or keep-latest ingest) "
+            "before creating the view"
+        )
+    return df.set_index(on_right)
+
+
+def _enrich(
+    df: pd.DataFrame,
+    dim: pd.DataFrame,
+    on: str,
+    left_cols: list[str],
+    attr_map: dict[str, str],
+    how: str,
+    schema: pa.Schema,
+    num_partitions: int,
+) -> pa.Table:
+    """Fact rows → view-schema Arrow rows + ``_jv_op`` (upsert/delete)
+    + ``_pid`` (view partition).
+
+    ``df`` carries repo/path, a ``change`` column (insert/update/
+    delete) and the projected left columns; rows are joined against
+    the broadcast ``dim`` (indexed by join key).  Inner-join misses
+    and left deletes become delete markers (key only).  The output is
+    cast to the EXACT view schema per batch so every block of the
+    delta exchange carries one identical Arrow schema — pandas dtype
+    drift (int attrs sometimes float64-with-NaN, sometimes int64)
+    would otherwise break the union/groupby boundary."""
+    from raycdc.functions.hashing import partition_ids
+
+    out = pd.DataFrame({
+        "repo": df["repo"].astype(object),
+        "path": df["path"].astype(object),
+    })
+    for c in _FIXED_COLS[2:]:
+        out[c] = df[c] if c in left_cols and c in df.columns else None
+    out["seq"] = np.int64(0)  # derived snapshot: key identity, not seq
+    # vectorized attr lookup: reindex the dim by the batch's join keys
+    keys = df[on]
+    hit = keys.isin(dim.index) & keys.notna()
+    looked = dim.reindex(keys.where(hit))
+    for src_col, view_col in attr_map.items():
+        out[f"p_{view_col}"] = looked[src_col].to_numpy()
+    is_del = (df["change"] == "delete").to_numpy()
+    if how == "inner":
+        is_del = is_del | ~hit.to_numpy()
+    # delete markers carry the key only
+    val_cols = [c for c in out.columns if c not in ("repo", "path")]
+    if is_del.any():
+        out.loc[is_del, val_cols] = None
+        out.loc[is_del, "seq"] = 0
+    arrays = [
+        pa.Array.from_pandas(out[f.name], type=f.type) for f in schema
+    ]
+    names = list(schema.names)
+    arrays.append(pa.array(np.where(is_del, "delete", "upsert"), pa.string()))
+    names.append("_jv_op")
+    arrays.append(
+        pa.array(
+            partition_ids(
+                out["repo"].to_numpy(), out["path"].to_numpy(),
+                num_partitions,
+            ),
+            pa.int32(),
+        )
+    )
+    names.append("_pid")
+    return pa.table(dict(zip(names, arrays)))
+
+
+class _PartitionApply:
+    """Per-view-partition reducer: current base rows minus deletes,
+    upserts replacing matching keys, key-sorted deterministic rewrite
+    staged under the run id (one actor-pool-free task per partition —
+    state is tiny, so a plain function object shipped per task)."""
+
+    def __init__(
+        self,
+        view_root: str,
+        parts_rel: dict[int, str],
+        schema: pa.Schema,
+        run_id: str,
+    ):
+        self.view_root = view_root
+        self.parts_rel = parts_rel
+        self.schema = schema
+        self.run_id = run_id
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        pid = int(df["_pid"].iloc[0])
+        # exact-duplicate rows from the two delta paths: first wins
+        df = df.drop_duplicates(subset=["repo", "path"], keep="first")
+        dels = df[df["_jv_op"] == "delete"]
+        ups = df[df["_jv_op"] == "upsert"].drop(columns=["_jv_op", "_pid"])
+        base_rel = self.parts_rel.get(pid)
+        if base_rel is not None:
+            cur = pq.read_table(
+                os.path.join(self.view_root, base_rel)
+            ).to_pandas()
+        else:
+            cur = pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in self.schema}
+            )
+        touched = set(zip(df["repo"], df["path"]))
+        keep = cur[
+            ~pd.MultiIndex.from_arrays([cur["repo"], cur["path"]]).isin(
+                touched
+            )
+        ] if len(cur) else cur
+        new = pd.concat([keep, ups], ignore_index=True)
+        new = new.sort_values(["repo", "path"], kind="mergesort")
+        arrays = []
+        for f in self.schema:
+            col = new[f.name] if f.name in new.columns else pd.Series(
+                [None] * len(new)
+            )
+            arrays.append(pa.Array.from_pandas(col, type=f.type))
+        t = pa.table(dict(zip(self.schema.names, arrays)), schema=self.schema)
+        d = os.path.join(self.view_root, "data", f"part-{pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        staged = os.path.join(d, f"{self.run_id}.parquet")
+        pq.write_table(t, staged, compression="zstd", compression_level=1)
+        return pd.DataFrame(
+            {
+                "pid": [pid],
+                "path": [staged],
+                "upserts": [int(len(ups))],
+                "deletes": [int(len(dels))],
+            }
+        )
+
+
+def _apply_delta_rows(
+    view: Lake,
+    delta_ds,
+    run_id: str,
+) -> dict:
+    """Exchange the delta rows to their view partitions, rewrite each
+    touched partition, commit once.  The exchange is delta-sized —
+    the only shuffle in a refresh.  Optimistic concurrency: the
+    partitions are resolved from the manifest read here, and the
+    commit carries that version as ``expected_version`` — a
+    concurrent commit raises for the caller's retry loop."""
+    manifest = view.manifest()
+    expected_version = int(manifest["version"])
+    schema = view._lake_schema(manifest)
+    parts_rel = {
+        int(pid): rel for pid, rel in manifest.get("parts", {}).items()
+    }
+    apply_fn = _PartitionApply(view.root, parts_rel, schema, run_id)
+
+    def apply_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return apply_fn(df)
+
+    rows = (
+        delta_ds.groupby("_pid")
+        .map_groups(apply_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(rows):
+        return {"upserts": 0, "deletes": 0, "partitions": []}
+    staged = {
+        int(r.pid): r.path for r in rows.itertuples(index=False)
+    }
+    view.commit(run_id, staged, {}, expected_version=expected_version)
+    return {
+        "upserts": int(rows["upserts"].sum()),
+        "deletes": int(rows["deletes"].sum()),
+        "partitions": sorted(staged),
+    }
+
+
+def _resolve_attr_types(right: Lake, attr_cols: list[str]) -> list[dict]:
+    m = right.manifest()
+    schema = right._lake_schema(m)
+    payload_columns = []
+    for c in attr_cols:
+        if c not in schema.names:
+            raise ValueError(
+                f"attr column {c!r} not in right lake schema "
+                f"{schema.names}"
+            )
+        t = schema.field(c).type
+        name = _TYPE_NAMES.get(t)
+        if name is None and pa.types.is_timestamp(t):
+            name = "timestamp"
+        if name is None and pa.types.is_integer(t):
+            name = "long"
+        if name is None:
+            raise ValueError(
+                f"attr column {c!r} has unsupported type {t} (supported: "
+                f"{sorted(v for v in _TYPE_NAMES.values())})"
+            )
+        payload_columns.append(
+            {"name": _attr_view_name(c), "type": name}
+        )
+    return payload_columns
+
+
+def create_joinview(
+    left_dir: str,
+    right_dir: str,
+    view_dir: str,
+    on: str = "repo",
+    attrs: list[str] | None = None,
+    left_cols: list[str] | None = None,
+    how: str = "inner",
+    right_on: str | None = None,
+    num_partitions: int | None = None,
+    max_dim_rows: int = 2_000_000,
+) -> dict:
+    """Materialize ``left ⋈ right`` at the lakes' current versions and
+    record the consumed versions for incremental refresh.
+
+    ``on`` is the LEFT join column (a key column like ``repo`` or any
+    value column like ``lang``); ``right_on`` names the dimension
+    lake's column carrying the same values (default: same name).  The
+    right side must be unique per join-key value (validated, loud).
+    ``attrs`` lists right columns to carry (default: the right lake's
+    payload columns); each lands in the view as payload column
+    ``p_{name}``.  ``left_cols`` ⊆ {commit, lang, content} selects the
+    fact columns to carry (default: all three)."""
+    import ray.data
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r} not in ('inner', 'left')")
+    left, right = Lake(left_dir), Lake(right_dir)
+    lm = left.manifest()
+    lv, rv = int(lm["version"]), int(right.manifest()["version"])
+    lschema = left._lake_schema(lm)
+    if on not in lschema.names:
+        raise ValueError(f"on={on!r} not in left lake schema {lschema.names}")
+    right_on = right_on or on
+    left_cols = list(left_cols or ("commit", "lang", "content"))
+    bad = [c for c in left_cols if c not in _FIXED_COLS[2:5]]
+    if bad:
+        raise ValueError(
+            f"left_cols {bad} unsupported — choose from "
+            "('commit', 'lang', 'content')"
+        )
+    if attrs is None:
+        attrs = [
+            f"p_{c['name']}"
+            for c in right.manifest().get("payload_columns") or []
+        ]
+    if not attrs:
+        raise ValueError(
+            "attrs is empty — the right lake has no payload columns and "
+            "no attrs were named; an attribute-less join view carries "
+            "nothing (name right columns like ['lang'] explicitly)"
+        )
+    payload_columns = _resolve_attr_types(right, attrs)
+    clash = {c["name"] for c in payload_columns} & set(_FIXED_COLS)
+    if clash:
+        raise ValueError(f"attr names {sorted(clash)} clash with lake columns")
+    attr_map = {c: _attr_view_name(c) for c in attrs}
+
+    dim = _gather_dim(right, rv, right_on, attrs, None, max_dim_rows)
+    P = num_partitions or int(lm["num_partitions"])
+    os.makedirs(view_dir, exist_ok=True)
+    view = Lake(view_dir)
+    view.init(P, payload_columns=payload_columns)
+    schema = view._lake_schema(view.manifest())
+
+    proj = sorted(set(_KEY_COLS) | set(left_cols) | {on})
+    run_id = f"jvcreate-{lv:06d}-{rv:06d}"
+
+    import ray
+
+    dim_ref = ray.put(dim)
+
+    def to_delta(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from raycdc.functions.arrowsafe import mask_filter
+
+        df = t.to_pandas()
+        df = df.assign(change="insert")
+        out = _enrich(
+            df, ray.get(dim_ref), on, left_cols, attr_map, how, schema, P
+        )
+        # a full build has no pre-existing rows to delete: inner-join
+        # misses are simply dropped instead of shipped as markers
+        keep = pc.equal(out["_jv_op"], "upsert").to_numpy(
+            zero_copy_only=False
+        )
+        return mask_filter(out, keep)
+
+    delta = left.read_dataset(columns=proj, version=lv).map_batches(
+        to_delta, batch_format="pyarrow"
+    )
+    res = _apply_delta_rows(view, delta, run_id)
+    state = {
+        "left_dir": os.path.abspath(left_dir),
+        "right_dir": os.path.abspath(right_dir),
+        "on": on,
+        "right_on": right_on,
+        "attrs": attrs,
+        "left_cols": left_cols,
+        "how": how,
+        "max_dim_rows": max_dim_rows,
+        "left_version": lv,
+        "right_version": rv,
+    }
+    _save_state(view_dir, state)
+    consumer = _consumer_name(view_dir)
+    _advance_consumer(left_dir, consumer, lv)
+    _advance_consumer(right_dir, consumer, rv)
+    return {"rows": res["upserts"], "left_version": lv, "right_version": rv}
+
+
+def refresh_joinview(view_dir: str) -> dict:
+    """Fold both upstreams' committed diffs into the view — cost
+    O(|ΔL| + |ΔR| × fan-out + touched view partitions), never a
+    re-join of the corpus.  Crash-safe and idempotent: rerunning after
+    a crash (or a no-op rerun) converges to the same view state."""
+    import pyarrow.dataset as pads
+
+    import ray
+    import ray.data
+
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    state = _load_state(view_dir)
+    left, right = Lake(state["left_dir"]), Lake(state["right_dir"])
+    view = Lake(view_dir)
+    on, right_on = state["on"], state["right_on"]
+    attrs, left_cols = state["attrs"], state["left_cols"]
+    how, budget = state["how"], int(state["max_dim_rows"])
+    attr_map = {c: _attr_view_name(c) for c in attrs}
+    lv0, rv0 = int(state["left_version"]), int(state["right_version"])
+    lv1 = int(left.manifest()["version"])
+    rv1 = int(right.manifest()["version"])
+    if (lv0, rv0) == (lv1, rv1):
+        return {
+            "upserts": 0, "deletes": 0, "partitions": [],
+            "left_version": lv1, "right_version": rv1,
+        }
+    vm = view.manifest()
+    P = int(vm["num_partitions"])
+    schema = view._lake_schema(vm)
+
+    # -- right side: affected join-key values (old AND new images) ---
+    affected: set = set()
+    if rv1 != rv0:
+        cols = [c for c in attrs if c != right_on]
+        if right_on not in _KEY_COLS:
+            cols = [right_on] + cols
+        dr = snapshot_diff(
+            state["right_dir"], rv0, rv1, columns=cols, include_old=True
+        ).to_pandas()
+        _check_budget(len(dr), budget, "dimension diff")
+        affected |= set(dr[right_on].dropna())
+        old_col = f"{right_on}_old"
+        if old_col in dr.columns:
+            affected |= set(dr[old_col].dropna())
+
+    # -- left side: the fact diff (zero-shuffle, partition-pruned) ---
+    need_cols = sorted(
+        (set(left_cols) | {on}) - set(_KEY_COLS)
+    )
+    dl = None
+    dl_keys: set = set()
+    if lv1 != lv0:
+        dl = snapshot_diff(
+            state["left_dir"], lv0, lv1,
+            columns=need_cols or ["content"], include_old=False,
+        )
+        key_batches = dl.map_batches(
+            lambda t: pa.table({on: t[on].combine_chunks().unique()})
+            if t.num_rows else pa.table({on: pa.array([], t[on].type)}),
+            batch_format="pyarrow",
+        ).take_all()
+        dl_keys = {r[on] for r in key_batches if r[on] is not None}
+        _check_budget(len(dl_keys), budget, "left-delta join keys")
+
+    needed = sorted(dl_keys | affected)
+    dim = _gather_dim(right, rv1, right_on, attrs, needed, budget)
+    dim_ref = ray.put(dim)
+
+    def enrich_batch(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _enrich(
+            df, ray.get(dim_ref), on, left_cols, attr_map, how, schema, P
+        )
+
+    streams = []
+    if dl is not None:
+        streams.append(dl.map_batches(enrich_batch, batch_format="pyarrow"))
+    if affected:
+        # every CURRENT fact row carrying an affected join-key value,
+        # via the pruned read lane for the join column's class
+        kwargs: dict = {
+            "columns": sorted(set(_KEY_COLS) | set(left_cols) | {on}),
+            "version": lv1,
+        }
+        vals = sorted(affected)
+        if on in _KEY_COLS:
+            kwargs["key_filter"] = pads.field(on).isin(vals)
+        else:
+            kwargs["value_filter"] = [(on, "in", vals)]
+        fan = left.read_dataset(**kwargs).map_batches(
+            lambda t: t.append_column(
+                "change", pa.array(["update"] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        ).map_batches(enrich_batch, batch_format="pyarrow")
+        streams.append(fan)
+        if how == "inner":
+            # a dimension delete must also retract rows whose fact side
+            # did not change: the fan-out above covers live fact rows,
+            # and any view row whose join key vanished from the
+            # dimension entirely is caught there too (the fact row
+            # still exists, joins to a miss, and emits a delete marker)
+            pass
+    if not streams:
+        delta = None
+    elif len(streams) == 1:
+        delta = streams[0]
+    else:
+        delta = streams[0].union(streams[1])
+
+    res = {"upserts": 0, "deletes": 0, "partitions": []}
+    if delta is not None:
+        run_id = f"jvrefresh-{lv1:06d}-{rv1:06d}"
+        last: Exception | None = None
+        for _ in range(_ATTEMPTS):
+            try:
+                res = _apply_delta_rows(view, delta, run_id)
+                last = None
+                break
+            except ConcurrentCommitError as e:
+                last = e
+        if last is not None:
+            raise last
+    state["left_version"], state["right_version"] = lv1, rv1
+    _save_state(view_dir, state)
+    consumer = _consumer_name(view_dir)
+    _advance_consumer(state["left_dir"], consumer, lv1)
+    _advance_consumer(state["right_dir"], consumer, rv1)
+    res.update({"left_version": lv1, "right_version": rv1})
+    return res
+
+
+def read_joinview(view_dir: str, columns=None) -> pa.Table:
+    """The view's live rows (it is a lake — ``Lake(view_dir)`` offers
+    the full surface; this is the small-result convenience)."""
+    return Lake(view_dir).read_table(columns=columns)

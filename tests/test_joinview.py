@@ -1,0 +1,374 @@
+"""Incremental JOIN-view maintenance vs full recompute.
+
+The invariant: after any sequence of commits on EITHER side,
+``refresh_joinview`` (which folds only the two snapshot diffs)
+produces a view bit-identical to ``create_joinview`` run from scratch
+at the same pair of lake versions — fact inserts/updates/deletes,
+dimension attr updates, dimension deletes (inner: rows retract;
+left: attrs null), and join-key migration on the fact side included.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.joinview import (
+    DimBudgetExceeded,
+    DimKeyNotUnique,
+    _consumer_name,
+    _load_state,
+    _save_state,
+    create_joinview,
+    read_joinview,
+    refresh_joinview,
+)
+from raycdc.state.checkpoint import Lake
+
+LOG_COLS = (
+    "seq", "ts", "op", "repo", "path", "commit", "lang", "content",
+    "payload_json",
+)
+
+DIM_COLS = [
+    {"name": "owner", "type": "string"},
+    {"name": "tier", "type": "long"},
+]
+
+
+def _frag(log_dir: str, idx: int, events: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    cols = {c: [] for c in LOG_COLS}
+    for e in events:
+        for c in LOG_COLS:
+            cols[c].append(e.get(c))
+    t = pa.table(
+        {
+            "seq": pa.array(cols["seq"], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + (s or 0) for s in cols["seq"]],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(cols["op"], pa.string()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "commit": pa.array(cols["commit"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "content": pa.array(cols["content"], pa.string()),
+            "payload_json": pa.array(cols["payload_json"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(log_dir, f"fragment-{idx:05d}.parquet"))
+
+
+def _ev(seq, op, repo, path, lang=None, content=None, payload="{}"):
+    return {
+        "seq": seq, "op": op, "repo": repo, "path": path,
+        "commit": f"c{seq}", "lang": lang, "content": content,
+        "payload_json": payload,
+    }
+
+
+def _dim_ev(seq, op, repo, owner=None, tier=None):
+    import json
+
+    payload = json.dumps({"owner": owner, "tier": tier})
+    return {
+        "seq": seq, "op": op, "repo": repo, "path": "_dim",
+        "commit": f"d{seq}", "lang": None,
+        "content": None if op == "delete" else "",
+        "payload_json": payload,
+    }
+
+
+@pytest.fixture()
+def lakes(tmp_path):
+    """(left cfg, right cfg) with empty logs, 4 partitions each."""
+    left = IngestConfig(
+        log_dir=str(tmp_path / "llog"), lake_dir=str(tmp_path / "llake"),
+        num_partitions=4,
+    )
+    right = IngestConfig(
+        log_dir=str(tmp_path / "rlog"), lake_dir=str(tmp_path / "rlake"),
+        num_partitions=2, columns=DIM_COLS,
+    )
+    return left, right
+
+
+def _views_equal(a: pa.Table, b: pa.Table):
+    assert a.column_names == b.column_names
+    da = a.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    db = b.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(da, db)
+
+
+def _recompute(left_cfg, right_cfg, tmp_path, name, **kw) -> pa.Table:
+    scratch = str(tmp_path / name)
+    create_joinview(left_cfg.lake_dir, right_cfg.lake_dir, scratch, **kw)
+    return read_joinview(scratch)
+
+
+def test_refresh_matches_recompute_through_waves(lakes, tmp_path):
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+
+    # window 1: facts across three repos; dims for r1, r2 only
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r1", "b.py", "py", "beta"),
+        _ev(3, "insert", "r2", "c.go", "go", "gamma"),
+        _ev(4, "insert", "r3", "d.rs", "rs", "delta"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+
+    got = read_joinview(view_dir).to_pandas()
+    # inner join drops the dimension-less r3 row
+    assert sorted(zip(got["repo"], got["path"])) == [
+        ("r1", "a.py"), ("r1", "b.py"), ("r2", "c.go"),
+    ]
+    assert dict(zip(got["repo"], got["p_owner"])) == {
+        "r1": "alice", "r2": "bob",
+    }
+
+    # window 2: fact update + insert under r3; dim gains r3, r2 re-tiers
+    _frag(left.log_dir, 1, [
+        _ev(5, "update", "r1", "a.py", "py", "alpha v2"),
+        _ev(6, "insert", "r3", "e.rs", "rs", "epsilon"),
+    ])
+    _frag(right.log_dir, 1, [
+        _dim_ev(3, "insert", "r3", "carol", 3),
+        _dim_ev(4, "update", "r2", "bob", 9),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    res = refresh_joinview(view_dir)
+    assert res["upserts"] > 0
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re2"),
+    )
+    got = read_joinview(view_dir).to_pandas()
+    # the dim-side tier bump reached a fact row the fact diff never saw
+    assert got[got["repo"] == "r2"]["p_tier"].iloc[0] == 9
+    # r3 rows appeared: BOTH of them, including d.rs whose fact row
+    # predates the dimension row (the right-side fan-out found it)
+    assert sorted(got[got["repo"] == "r3"]["path"]) == ["d.rs", "e.rs"]
+
+    # window 3: fact delete + dim delete (r1 retracts entirely, inner)
+    _frag(left.log_dir, 2, [
+        _ev(7, "delete", "r2", "c.go"),
+    ])
+    _frag(right.log_dir, 2, [
+        _dim_ev(5, "delete", "r1"),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    refresh_joinview(view_dir)
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re3"),
+    )
+    got = read_joinview(view_dir).to_pandas()
+    assert sorted(zip(got["repo"], got["path"])) == [
+        ("r3", "d.rs"), ("r3", "e.rs"),
+    ]
+
+
+def test_left_join_keeps_unmatched_with_null_attrs(lakes, tmp_path):
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r9", "z.py", "py", "zeta"),
+    ])
+    _frag(right.log_dir, 0, [_dim_ev(1, "insert", "r1", "alice", 1)])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir, how="left")
+    got = read_joinview(view_dir).to_pandas().set_index("repo")
+    assert len(got) == 2
+    assert got.loc["r9", "p_owner"] is None or pd.isna(
+        got.loc["r9", "p_owner"]
+    )
+
+    # a dim delete nulls the attrs instead of retracting the rows
+    _frag(right.log_dir, 1, [_dim_ev(2, "delete", "r1")])
+    run_ingest(right)
+    refresh_joinview(view_dir)
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re", how="left"),
+    )
+    got = read_joinview(view_dir).to_pandas()
+    assert len(got) == 2
+    assert got["p_owner"].isna().all()
+
+
+def test_join_on_value_column(lakes, tmp_path):
+    """on='lang' with the dimension keyed by lang in its repo column —
+    the zone-map value_filter fan-out lane, plus fact-side join-key
+    migration (a file changing language)."""
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "py", "python-team", 1),
+        _dim_ev(2, "insert", "go", "go-team", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(
+        left.lake_dir, right.lake_dir, view_dir, on="lang", right_on="repo"
+    )
+    got = read_joinview(view_dir).to_pandas()
+    assert dict(zip(got["path"], got["p_owner"])) == {
+        "a.py": "python-team", "b.go": "go-team",
+    }
+
+    # the file migrates to go: its view row must re-join to the go dim
+    _frag(left.log_dir, 1, [_ev(3, "update", "r1", "a.py", "go", "alpha2")])
+    run_ingest(left)
+    refresh_joinview(view_dir)
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(
+            left, right, tmp_path, "re", on="lang", right_on="repo"
+        ),
+    )
+    got = read_joinview(view_dir).to_pandas()
+    assert dict(zip(got["path"], got["p_owner"])) == {
+        "a.py": "go-team", "b.go": "go-team",
+    }
+
+
+def test_dim_key_unique_violation_fails_loud(lakes, tmp_path):
+    left, right = lakes
+    _frag(left.log_dir, 0, [_ev(1, "insert", "r1", "a.py", "py", "x")])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        {**_dim_ev(2, "insert", "r1", "mallory", 2), "path": "_dim2"},
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    with pytest.raises(DimKeyNotUnique, match="multiple rows"):
+        create_joinview(
+            left.lake_dir, right.lake_dir, str(tmp_path / "view")
+        )
+
+
+def test_dim_budget_tripwire(lakes, tmp_path):
+    left, right = lakes
+    _frag(left.log_dir, 0, [_ev(1, "insert", "r1", "a.py", "py", "x")])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    with pytest.raises(DimBudgetExceeded, match="hash-join bootstrap"):
+        create_joinview(
+            left.lake_dir, right.lake_dir, str(tmp_path / "view"),
+            max_dim_rows=1,
+        )
+
+
+def test_rerun_idempotent_and_crash_safe(lakes, tmp_path):
+    """A crash between the view commit and the state swap re-runs the
+    same refresh on top of the committed view — it must converge to
+    the identical table (and a clean rerun is a no-op)."""
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [_ev(1, "insert", "r1", "a.py", "py", "v1")])
+    _frag(right.log_dir, 0, [_dim_ev(1, "insert", "r1", "alice", 1)])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    state0 = _load_state(view_dir)
+
+    _frag(left.log_dir, 1, [_ev(2, "update", "r1", "a.py", "py", "v2")])
+    run_ingest(left)
+    refresh_joinview(view_dir)
+    after = read_joinview(view_dir)
+
+    # crash simulation: state file rolled back to pre-refresh versions
+    _save_state(view_dir, state0)
+    refresh_joinview(view_dir)
+    _views_equal(read_joinview(view_dir), after)
+
+    # clean rerun: no upstream movement → no-op, no new version
+    v = Lake(view_dir).manifest()["version"]
+    res = refresh_joinview(view_dir)
+    assert res["upserts"] == 0 and res["deletes"] == 0
+    assert Lake(view_dir).manifest()["version"] == v
+
+
+def test_consumer_anchor_registered_on_both_upstreams(lakes, tmp_path):
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [_ev(1, "insert", "r1", "a.py", "py", "x")])
+    _frag(right.log_dir, 0, [_dim_ev(1, "insert", "r1", "alice", 1)])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    name = _consumer_name(view_dir)
+    lcons = Lake(left.lake_dir).consumers()
+    rcons = Lake(right.lake_dir).consumers()
+    assert name in lcons and name in rcons
+    state = _load_state(view_dir)
+    assert lcons[name] == state["left_version"]
+    assert rcons[name] == state["right_version"]
+
+
+def test_view_composes_with_derived_state(lakes, tmp_path):
+    """The view is a real lake: a matview and a change feed maintain
+    straight off it."""
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r1", "b.py", "py", "beta"),
+        _ev(3, "insert", "r2", "c.go", "go", "gamma"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+
+    from raycdc.pipelines.maintenance import change_feed
+    from raycdc.pipelines.matview import create_matview, read_matview, refresh_matview
+
+    mv_dir = str(tmp_path / "mv")
+    create_matview(view_dir, mv_dir, ["p_owner"], {"n": ("count", None)})
+    mv = read_matview(mv_dir).to_pandas().set_index("p_owner")
+    assert mv.loc["alice", "n"] == 2 and mv.loc["bob", "n"] == 1
+
+    v0 = Lake(view_dir).manifest()["version"]
+    _frag(left.log_dir, 1, [_ev(4, "delete", "r1", "b.py")])
+    run_ingest(left)
+    refresh_joinview(view_dir)
+    refresh_matview(mv_dir)
+    mv = read_matview(mv_dir).to_pandas().set_index("p_owner")
+    assert mv.loc["alice", "n"] == 1
+
+    feed = change_feed(
+        view_dir, v0, Lake(view_dir).manifest()["version"]
+    ).to_pandas()
+    assert list(zip(feed["repo"], feed["path"], feed["change"])) == [
+        ("r1", "b.py", "delete")
+    ]
