@@ -763,6 +763,207 @@ def matview_bench() -> None:
     )
 
 
+def joinview_bench() -> None:
+    """Join-view maintenance economics at the headline scale: full
+    build vs (a) a 5% fact-delta refresh, (b) a SPARSE dimension burst
+    (one small repo re-tiers — fan-out touches ~1/370 of the key
+    space), and (c) the HOT dimension burst (org0/monorepo re-tiers —
+    fan-out re-emits ~30% of the corpus, the honest worst case for
+    dimension-side maintenance under the monorepo skew).  Refresh cost
+    should track the affected-row count, never the corpus."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    calib, _ = _calibrate_settled()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.joinview import (
+        create_joinview,
+        refresh_joinview,
+    )
+    from raycdc.sources.synth import _key_tables
+    from raycdc.state.checkpoint import Lake
+
+    log_dir = _log_dir()
+    _ensure_log(log_dir, N_EVENTS)
+    lake_dir = os.path.join(WORK_ROOT, f"jv_lake_{N_EVENTS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    cfg = IngestConfig(
+        log_dir=log_dir,
+        lake_dir=lake_dir,
+        num_partitions=max(NUM_CPUS * 2, 16),
+        columns=[
+            {"name": "author.name", "type": "string"},
+            {"name": "stats.adds", "type": "long"},
+            {"name": "review.state", "type": "string"},
+        ],
+    )
+    t0 = time.perf_counter()
+    run_ingest(cfg)
+    replay_sec = time.perf_counter() - t0
+
+    # dimension lake: one row per distinct repo in the stream (the
+    # same deterministic key tables the synth used)
+    repos = sorted(set(_key_tables(N_EVENTS // 4, 0.3)[0]))
+    rlog = os.path.join(WORK_ROOT, "jv_dimlog")
+    rlake = os.path.join(WORK_ROOT, "jv_dimlake")
+    shutil.rmtree(rlog, ignore_errors=True)
+    shutil.rmtree(rlake, ignore_errors=True)
+    os.makedirs(rlog)
+
+    def dim_frag(idx: int, rows: list[tuple]) -> None:
+        t = pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [1_704_067_200_000_000 + r[0] for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "repo": pa.array([r[2] for r in rows], pa.string()),
+                "path": pa.array(["_dim"] * len(rows), pa.string()),
+                "commit": pa.array([f"d{r[0]}" for r in rows], pa.string()),
+                "lang": pa.array([None] * len(rows), pa.string()),
+                "content": pa.array([""] * len(rows), pa.string()),
+                "content_len": pa.array([0] * len(rows), pa.int32()),
+                "payload_json": pa.array(
+                    [
+                        json.dumps(
+                            {"owner": r[2].split("/")[0], "tier": r[3]}
+                        )
+                        for r in rows
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(t, os.path.join(rlog, f"fragment-{idx:05d}.parquet"))
+
+    dim_frag(0, [
+        (i + 1, "insert", r, len(r) % 5) for i, r in enumerate(repos)
+    ])
+    rcfg = IngestConfig(
+        log_dir=rlog, lake_dir=rlake, num_partitions=8,
+        columns=[
+            {"name": "owner", "type": "string"},
+            {"name": "tier", "type": "long"},
+        ],
+    )
+    run_ingest(rcfg)
+
+    view_dir = os.path.join(WORK_ROOT, "jv_view")
+    shutil.rmtree(view_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    create_joinview(lake_dir, rlake, view_dir, attrs=["p_owner", "p_tier"])
+    create_sec = time.perf_counter() - t0
+    view_rows_0 = sum(
+        pq.read_metadata(p).num_rows
+        for p in Lake(view_dir).part_paths().values()
+    )
+
+    # (a) fact-side: the standard 5% delta window
+    inc = bench_incremental(lake_dir)
+    t0 = time.perf_counter()
+    res_fact = refresh_joinview(view_dir)
+    fact_refresh_sec = time.perf_counter() - t0
+
+    # (b) dimension-side SPARSE burst: one small repo re-tiers
+    n = len(repos)
+    small = next(r for r in repos if r != "org0/monorepo")
+    dim_frag(1, [(n + 1, "update", small, 9)])
+    run_ingest(rcfg)
+    t0 = time.perf_counter()
+    res_sparse = refresh_joinview(view_dir)
+    sparse_refresh_sec = time.perf_counter() - t0
+
+    # (c) dimension-side HOT burst: the monorepo re-tiers (~30% of keys)
+    dim_frag(2, [(n + 2, "update", "org0/monorepo", 9)])
+    run_ingest(rcfg)
+    t0 = time.perf_counter()
+    res_hot = refresh_joinview(view_dir)
+    hot_refresh_sec = time.perf_counter() - t0
+
+    # (b') the sparse burst again after key-clustering the fact lake:
+    # the fan-out's key_filter pushdown now prunes row groups, so the
+    # read cost tracks the selected rows instead of the corpus
+    from raycdc.pipelines.maintenance import optimize_sort
+
+    t0 = time.perf_counter()
+    optimize_sort(lake_dir, by=["repo", "path"], row_group_rows=4096)
+    cluster_sec = time.perf_counter() - t0
+    # absorb the layout-only commit (empty diff) so the measured burst
+    # below pays only the burst, not the optimize version bump
+    refresh_joinview(view_dir)
+    small2 = [r for r in repos if r != "org0/monorepo"][1]
+    dim_frag(3, [(n + 3, "update", small2, 8)])
+    run_ingest(rcfg)
+    t0 = time.perf_counter()
+    res_sparse2 = refresh_joinview(view_dir)
+    sparse_clustered_sec = time.perf_counter() - t0
+
+    # recompute baseline at the same final versions
+    scratch = os.path.join(WORK_ROOT, "jv_view_full")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t0 = time.perf_counter()
+    create_joinview(lake_dir, rlake, scratch, attrs=["p_owner", "p_tier"])
+    recompute_sec = time.perf_counter() - t0
+    # equivalence probe: identical live row counts and seq sums
+    import pyarrow.compute as pc
+
+    tv = Lake(view_dir).read_table(columns=["repo", "p_tier"])
+    ts = Lake(scratch).read_table(columns=["repo", "p_tier"])
+    assert tv.num_rows == ts.num_rows
+    assert pc.sum(tv["p_tier"]).as_py() == pc.sum(ts["p_tier"]).as_py()
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "join-view incremental refresh vs full "
+                f"recompute, {N_EVENTS} base events, {len(repos)}-row "
+                "dimension",
+                "calib_sec": calib,
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "num_cpus": NUM_CPUS,
+                "replay_sec": round(replay_sec, 3),
+                "view_rows": view_rows_0,
+                "create_sec": round(create_sec, 3),
+                "recompute_sec": round(recompute_sec, 3),
+                "fact_delta_events": inc["delta_events"],
+                "fact_refresh_sec": round(fact_refresh_sec, 3),
+                "fact_upserts": res_fact["upserts"],
+                "fact_deletes": res_fact["deletes"],
+                "sparse_dim_refresh_sec": round(sparse_refresh_sec, 3),
+                "sparse_dim_upserts": res_sparse["upserts"],
+                "cluster_rewrite_sec": round(cluster_sec, 3),
+                "sparse_dim_clustered_sec": round(
+                    sparse_clustered_sec, 3
+                ),
+                "sparse_dim_clustered_upserts": res_sparse2["upserts"],
+                "hot_dim_refresh_sec": round(hot_refresh_sec, 3),
+                "hot_dim_upserts": res_hot["upserts"],
+                "hot_refresh_speedup_vs_recompute": round(
+                    recompute_sec / hot_refresh_sec, 2
+                ),
+            }
+        )
+    )
+
+
 def bootstrap_bench() -> None:
     """Initial-load-handoff economics at the headline scale: full
     replay from seq 0 vs snapshot bootstrap at the 60% cutover +
@@ -1326,6 +1527,9 @@ def pq_bench() -> None:
 
 
 if __name__ == "__main__":
+    if "--joinview" in sys.argv:
+        joinview_bench()
+        sys.exit(0)
     if "--scaling" in sys.argv:
         scaling()
     elif "--soak" in sys.argv:

@@ -42,12 +42,16 @@ dimension under a loud ``max_dim_rows`` tripwire — a dimension past
 that budget needs a hash-join bootstrap (``ops/relational.hash_join``)
 followed by incremental maintenance, which the error message says.
 
-Crash-safety and idempotence follow the lake protocol: touched view
-partitions are staged under a deterministic run id, one atomic commit
-swaps them, and the consumed upstream versions move ONLY after the
-commit (``_joinview.json`` swap via ``os.replace``) — a crash between
-the two re-runs the same deterministic refresh on top of the committed
-view, which converges (same upserts, same deletes).  The view registers
+Refreshes write MERGE-ON-READ: each touched view partition gets one
+op-tagged delta file (upserts + tombstones) at a seq above every
+earlier write, folded by the shared resolve kernel on read — a sparse
+refresh costs O(delta rows), never O(partition); ``maintenance.compact``
+bounds delta depth like any lake.  Crash-safety and idempotence follow
+the lake protocol: files are staged under a deterministic run id, one
+atomic commit registers them, and the consumed upstream versions move
+ONLY after the commit (``_joinview.json`` swap via ``os.replace``) — a
+crash between the two re-runs the same deterministic refresh on top of
+the committed view, which converges.  The view registers
 as a feed CONSUMER on both upstream lakes (``_consumers/`` cursor =
 retention anchor), so upstream ``vacuum`` can never reclaim the
 snapshots its next refresh will diff against.
@@ -254,10 +258,22 @@ def _enrich(
 
 
 class _PartitionApply:
-    """Per-view-partition reducer: current base rows minus deletes,
-    upserts replacing matching keys, key-sorted deterministic rewrite
-    staged under the run id (one actor-pool-free task per partition —
-    state is tiny, so a plain function object shipped per task)."""
+    """Per-view-partition writer, two modes.
+
+    ``mode="base"`` (create): full rewrite — current base rows minus
+    deleted keys, upserts replacing matching keys, key-sorted
+    deterministic file staged under the run id.
+
+    ``mode="delta"`` (refresh): merge-on-read append — the delta rows
+    land as ONE op-tagged file per touched partition (upserts as
+    op=update, deletes as tombstones) at a seq ABOVE every earlier
+    write, and the shared resolve kernel folds them on read.  A sparse
+    refresh therefore costs O(delta rows), never O(partition) — the
+    base-rewrite variant re-read and re-wrote every touched
+    partition's full base, which made a 3k-row dimension burst cost as
+    much as a full view rewrite (measured, BASELINE.md).  Delta depth
+    is bounded the same way as any lake: ``maintenance.compact``.
+    """
 
     def __init__(
         self,
@@ -265,52 +281,81 @@ class _PartitionApply:
         parts_rel: dict[int, str],
         schema: pa.Schema,
         run_id: str,
+        mode: str,
+        seq: int,
     ):
         self.view_root = view_root
         self.parts_rel = parts_rel
         self.schema = schema
         self.run_id = run_id
+        self.mode = mode
+        self.seq = seq
+
+    def _stage(self, pid: int, t: pa.Table) -> str:
+        d = os.path.join(self.view_root, "data", f"part-{pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        staged = os.path.join(d, f"{self.run_id}.parquet")
+        pq.write_table(t, staged, compression="zstd", compression_level=1)
+        return staged
+
+    def _to_schema(self, df: pd.DataFrame, extra: list = ()) -> pa.Table:
+        fields = list(self.schema)
+        arrays = []
+        for f in fields:
+            col = df[f.name] if f.name in df.columns else pd.Series(
+                [None] * len(df)
+            )
+            arrays.append(pa.Array.from_pandas(col, type=f.type))
+        names = [f.name for f in fields]
+        for name, typ in extra:
+            arrays.append(pa.Array.from_pandas(df[name], type=typ))
+            names.append(name)
+        return pa.table(dict(zip(names, arrays)))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         pid = int(df["_pid"].iloc[0])
         # exact-duplicate rows from the two delta paths: first wins
         df = df.drop_duplicates(subset=["repo", "path"], keep="first")
-        dels = df[df["_jv_op"] == "delete"]
-        ups = df[df["_jv_op"] == "upsert"].drop(columns=["_jv_op", "_pid"])
-        base_rel = self.parts_rel.get(pid)
-        if base_rel is not None:
-            cur = pq.read_table(
-                os.path.join(self.view_root, base_rel)
-            ).to_pandas()
+        n_del = int((df["_jv_op"] == "delete").sum())
+        n_ups = len(df) - n_del
+
+        if self.mode == "delta":
+            out = df.drop(columns=["_pid"]).sort_values(
+                ["repo", "path"], kind="mergesort"
+            )
+            out = out.assign(
+                op=out["_jv_op"].map({"upsert": "update", "delete": "delete"}),
+                seq=np.int64(self.seq),
+            ).drop(columns=["_jv_op"])
+            staged = self._stage(pid, self._to_schema(out, [("op", pa.string())]))
         else:
-            cur = pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in self.schema}
+            ups = df[df["_jv_op"] == "upsert"].drop(
+                columns=["_jv_op", "_pid"]
             )
-        touched = set(zip(df["repo"], df["path"]))
-        keep = cur[
-            ~pd.MultiIndex.from_arrays([cur["repo"], cur["path"]]).isin(
-                touched
-            )
-        ] if len(cur) else cur
-        new = pd.concat([keep, ups], ignore_index=True)
-        new = new.sort_values(["repo", "path"], kind="mergesort")
-        arrays = []
-        for f in self.schema:
-            col = new[f.name] if f.name in new.columns else pd.Series(
-                [None] * len(new)
-            )
-            arrays.append(pa.Array.from_pandas(col, type=f.type))
-        t = pa.table(dict(zip(self.schema.names, arrays)), schema=self.schema)
-        d = os.path.join(self.view_root, "data", f"part-{pid:05d}")
-        os.makedirs(d, exist_ok=True)
-        staged = os.path.join(d, f"{self.run_id}.parquet")
-        pq.write_table(t, staged, compression="zstd", compression_level=1)
+            base_rel = self.parts_rel.get(pid)
+            if base_rel is not None:
+                cur = pq.read_table(
+                    os.path.join(self.view_root, base_rel)
+                ).to_pandas()
+            else:
+                cur = pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in self.schema}
+                )
+            touched = set(zip(df["repo"], df["path"]))
+            keep = cur[
+                ~pd.MultiIndex.from_arrays(
+                    [cur["repo"], cur["path"]]
+                ).isin(touched)
+            ] if len(cur) else cur
+            new = pd.concat([keep, ups], ignore_index=True)
+            new = new.sort_values(["repo", "path"], kind="mergesort")
+            staged = self._stage(pid, self._to_schema(new))
         return pd.DataFrame(
             {
                 "pid": [pid],
                 "path": [staged],
-                "upserts": [int(len(ups))],
-                "deletes": [int(len(dels))],
+                "upserts": [n_ups],
+                "deletes": [n_del],
             }
         )
 
@@ -319,9 +364,12 @@ def _apply_delta_rows(
     view: Lake,
     delta_ds,
     run_id: str,
+    mode: str = "base",
+    seq: int = 0,
 ) -> dict:
-    """Exchange the delta rows to their view partitions, rewrite each
-    touched partition, commit once.  The exchange is delta-sized —
+    """Exchange the delta rows to their view partitions, write each
+    touched partition (base rewrite at create, merge-on-read delta
+    append at refresh), commit once.  The exchange is delta-sized —
     the only shuffle in a refresh.  Optimistic concurrency: the
     partitions are resolved from the manifest read here, and the
     commit carries that version as ``expected_version`` — a
@@ -332,7 +380,9 @@ def _apply_delta_rows(
     parts_rel = {
         int(pid): rel for pid, rel in manifest.get("parts", {}).items()
     }
-    apply_fn = _PartitionApply(view.root, parts_rel, schema, run_id)
+    apply_fn = _PartitionApply(
+        view.root, parts_rel, schema, run_id, mode, seq
+    )
 
     def apply_partition(df: pd.DataFrame) -> pd.DataFrame:
         return apply_fn(df)
@@ -347,7 +397,15 @@ def _apply_delta_rows(
     staged = {
         int(r.pid): r.path for r in rows.itertuples(index=False)
     }
-    view.commit(run_id, staged, {}, expected_version=expected_version)
+    kwargs = (
+        {"staged_deltas": staged, "staged": {}}
+        if mode == "delta"
+        else {"staged": staged}
+    )
+    view.commit(
+        run_id, new_watermarks={}, expected_version=expected_version,
+        **kwargs,
+    )
     return {
         "upserts": int(rows["upserts"].sum()),
         "deletes": int(rows["deletes"].sum()),
@@ -608,10 +666,21 @@ def refresh_joinview(view_dir: str) -> dict:
     res = {"upserts": 0, "deletes": 0, "partitions": []}
     if delta is not None:
         run_id = f"jvrefresh-{lv1:06d}-{rv1:06d}"
+        # delta rows must outrank every earlier write of their key:
+        # base rows sit at seq 0 and earlier refreshes at strictly
+        # smaller (lv, rv) pairs, so this composite is monotonic
+        if rv1 >= (1 << 20):
+            raise ValueError(
+                "join-view refresh seq space exhausted (right lake past "
+                "2^20 versions) — compact/recreate the view"
+            )
+        seq = (lv1 << 20) | rv1
         last: Exception | None = None
         for _ in range(_ATTEMPTS):
             try:
-                res = _apply_delta_rows(view, delta, run_id)
+                res = _apply_delta_rows(
+                    view, delta, run_id, mode="delta", seq=seq
+                )
                 last = None
                 break
             except ConcurrentCommitError as e:
@@ -629,5 +698,11 @@ def refresh_joinview(view_dir: str) -> dict:
 
 def read_joinview(view_dir: str, columns=None) -> pa.Table:
     """The view's live rows (it is a lake — ``Lake(view_dir)`` offers
-    the full surface; this is the small-result convenience)."""
-    return Lake(view_dir).read_table(columns=columns)
+    the full surface; this is the small-result convenience).  The
+    ``seq`` column is the view's internal resolve-ordering counter
+    (refresh generation), not fact lineage — dropped unless explicitly
+    requested via ``columns``."""
+    t = Lake(view_dir).read_table(columns=columns)
+    if columns is None and "seq" in t.column_names:
+        t = t.drop_columns(["seq"])
+    return t

@@ -79,8 +79,27 @@ from raycdc.state.checkpoint import Lake
 _KEY_COLS = ("repo", "path")
 _NROWS = "_nrows"
 
-AGG_KINDS = ("count", "sum", "sum_len", "min", "max")
+AGG_KINDS = ("count", "sum", "sum_len", "min", "max", "approx_distinct")
 _SUM_KINDS = ("count", "sum", "sum_len")  # retractable (Z-set) aggs
+
+# approx_distinct: HyperLogLog registers per group (2^p uint8 bytes,
+# stored in the view file as an internal binary column) — the sketch
+# analog of the MIN/MAX lane: the add side folds for free (registers
+# max-merge, order- and duplicate-insensitive), and a group
+# re-sketches from the lake only when a retraction could have removed
+# a value (delete, group migration, or the tracked column changing) —
+# an insert-only steady state never pays the recompute.  Same seeded
+# hash as ops/sketch.hll_distinct_by, so estimates agree with the
+# standalone sketch.  Memory note: each group costs 2^p bytes of
+# register state (4 KiB at p=12) on top of the row — an
+# approx_distinct view's practical group budget is ~100k, not the
+# 2M max_groups default.
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_reg_col(name: str) -> str:
+    return f"_hll_{name}"
 
 
 class ViewGroupBudgetExceeded(ValueError):
@@ -129,6 +148,14 @@ def _validate_aggs(aggs: dict, schema: pa.Schema) -> None:
                 "columns order exactly; store timestamps as epoch "
                 "micros (long) in the ingest payload"
             )
+        if kind == "approx_distinct" and not (
+            pa.types.is_integer(typ) or pa.types.is_string(typ)
+        ):
+            raise ValueError(
+                f"matview agg {name!r}: approx_distinct over unsupported "
+                f"column type {col!r} ({typ}) — hashable scalar columns "
+                "only (integer or string)"
+            )
 
 
 def _value_cols(group_by: list[str], aggs: dict) -> list[str]:
@@ -143,11 +170,70 @@ def _value_cols(group_by: list[str], aggs: dict) -> list[str]:
     return cols
 
 
-def _split_aggs(aggs: dict) -> tuple[dict, dict]:
-    """(retractable sum-family aggs, min/max aggs)."""
+def _split_aggs(aggs: dict) -> tuple[dict, dict, dict]:
+    """(retractable sum-family, min/max, approx_distinct) aggs."""
     sums = {k: v for k, v in aggs.items() if v[0] in _SUM_KINDS}
     mm = {k: v for k, v in aggs.items() if v[0] in ("min", "max")}
-    return sums, mm
+    hll = {k: v for k, v in aggs.items() if v[0] == "approx_distinct"}
+    return sums, mm, hll
+
+
+def _hll_registers(
+    values: pd.Series, codes: np.ndarray, n_groups: int
+) -> np.ndarray:
+    """(n_groups, 2^p) uint8 register matrix for one tracked column:
+    nulls skipped (COUNT(DISTINCT) semantics), same seeded hash as
+    ops/sketch so estimates agree with the standalone sketch."""
+    from raycdc.ops.sketch import _hash64
+
+    acc = np.zeros((n_groups, _HLL_M), dtype=np.uint8)
+    mask = values.notna().to_numpy()
+    if mask.any():
+        h = _hash64(values.to_numpy()[mask])
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+        rank = 64 - np.floor(
+            np.log2(rest.astype(np.float64))
+        ).astype(np.int64)
+        rank = np.clip(rank, 1, 64 - _HLL_P + 1).astype(np.uint8)
+        flat = codes[mask] * _HLL_M + idx
+        np.maximum.at(acc.reshape(-1), flat, rank)
+    return acc
+
+
+def _hll_merge_rows(buffers: pd.Series, codes: np.ndarray, n: int):
+    """Max-merge per-group register byte strings (nulls skipped) into
+    an (n, 2^p) matrix plus a seen mask."""
+    acc = np.zeros((n, _HLL_M), dtype=np.uint8)
+    seen = np.zeros(n, dtype=bool)
+    mask = buffers.notna().to_numpy()
+    if mask.any():
+        mat = np.frombuffer(
+            b"".join(buffers.to_numpy()[mask]), dtype=np.uint8
+        ).reshape(-1, _HLL_M)
+        np.maximum.at(acc, codes[mask], mat)
+        seen[codes[mask]] = True
+    return acc, seen
+
+
+def _hll_estimates(buffers: pd.Series) -> np.ndarray:
+    """Vectorized HLL estimator (same corrections as ops/sketch):
+    float64 per group, 0.0 for empty registers, NaN for null state."""
+    out = np.full(len(buffers), np.nan)
+    mask = buffers.notna().to_numpy()
+    if not mask.any():
+        return out
+    mat = np.frombuffer(
+        b"".join(buffers.to_numpy()[mask]), dtype=np.uint8
+    ).reshape(-1, _HLL_M)
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-mat.astype(np.float64)), axis=1)
+    zeros = (mat == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    est[small] = m * np.log(m / zeros[small])
+    out[mask] = est
+    return out
 
 
 def _agg_spec(sum_aggs: dict, mm_aggs: dict, extra: dict | None = None):
@@ -207,6 +293,7 @@ def _grouped_agg(
     with no values keeps null, SQL MIN/MAX semantics."""
     sums = [c for c, f in spec.items() if f == "sum"]
     mms = {c: f for c, f in spec.items() if f in ("min", "max")}
+    hlls = [c for c, f in spec.items() if f == "hllmax"]
 
     def gb(d):
         return d.groupby(group_by, as_index=False, sort=False, dropna=False)
@@ -219,6 +306,24 @@ def _grouped_agg(
         sub = df[[*group_by, c]].dropna(subset=[c])
         part = gb(sub)[[c]].agg(f) if len(sub) else sub.iloc[0:0]
         out = out.merge(part, on=group_by, how="left", sort=False)
+    if hlls and len(df):
+        # register byte-strings max-merge per group (vectorized:
+        # ngroup codes into one (groups, 2^p) matrix per column)
+        codes = df.groupby(
+            group_by, sort=False, dropna=False
+        ).ngroup().to_numpy()
+        n = int(codes.max()) + 1
+        firsts = ~pd.Series(codes).duplicated().to_numpy()
+        part = df.loc[firsts, group_by].reset_index(drop=True)
+        for c in hlls:
+            acc, seen = _hll_merge_rows(df[c], codes, n)
+            part[c] = [
+                acc[i].tobytes() if seen[i] else None for i in range(n)
+            ]
+        out = out.merge(part, on=group_by, how="left", sort=False)
+    elif hlls:
+        for c in hlls:
+            out[c] = pd.Series(dtype=object)
     return out
 
 
@@ -354,8 +459,12 @@ def create_matview(
     _validate_aggs(aggs, schema)
     for g in group_by:
         schema.field(g)  # raises KeyError on an unknown group column
-    sum_aggs, mm_aggs = _split_aggs(aggs)
-    spec = _agg_spec(sum_aggs, mm_aggs)
+    sum_aggs, mm_aggs, hll_aggs = _split_aggs(aggs)
+    r_cols = {name: _hll_reg_col(name) for name in hll_aggs}
+    spec = _agg_spec(
+        sum_aggs, mm_aggs,
+        extra={r_cols[n]: "hllmax" for n in hll_aggs},
+    )
     # full read projection: group columns + every agg source column
     # (key or not — unlike the diff projection, the lake read carries
     # nothing implicitly)
@@ -372,12 +481,34 @@ def create_matview(
         c = _contrib(df, group_by, sum_aggs, +1, {})
         for name, (_k, col) in mm_aggs.items():
             c[name] = df[col].to_numpy()
-        return _grouped_agg(c, group_by, spec)
+        out = _grouped_agg(
+            c, group_by,
+            {k: f for k, f in spec.items() if f != "hllmax"},
+        )
+        if hll_aggs and len(df):
+            codes = df.groupby(
+                group_by, sort=False, dropna=False
+            ).ngroup().to_numpy()
+            n = int(codes.max()) + 1
+            firsts = ~pd.Series(codes).duplicated().to_numpy()
+            part = df.loc[firsts, group_by].reset_index(drop=True)
+            for name, (_k, col) in hll_aggs.items():
+                acc = _hll_registers(df[col], codes, n)
+                part[r_cols[name]] = [
+                    acc[i].tobytes() for i in range(n)
+                ]
+            out = out.merge(part, on=group_by, how="left", sort=False)
+        elif hll_aggs:
+            for name in hll_aggs:
+                out[r_cols[name]] = pd.Series(dtype=object)
+        return out
 
     ds = lake.read_dataset(columns=proj).map_batches(
         combine, batch_format="pandas"
     )
     view = _fold(ds, group_by, spec, max_groups)
+    for name in hll_aggs:
+        view[name] = _hll_estimates(view[r_cols[name]])
     state = {
         "lake_dir": os.path.abspath(lake_dir),
         "lake_version": int(manifest["version"]),
@@ -388,6 +519,7 @@ def create_matview(
     state = _write_view(
         view_dir, state, view, group_by,
         [_NROWS, *sum_aggs], _mm_cast(mm_aggs, schema),
+        hll_cols=r_cols,
     )
     return {
         "lake_version": state["lake_version"],

@@ -372,3 +372,47 @@ def test_view_composes_with_derived_state(lakes, tmp_path):
     assert list(zip(feed["repo"], feed["path"], feed["change"])) == [
         ("r1", "b.py", "delete")
     ]
+
+
+def test_refresh_appends_mor_deltas_and_compaction_folds(lakes, tmp_path):
+    """A sparse refresh must NOT rewrite partition bases — it appends
+    op-tagged delta files (O(delta rows)); compaction folds them back
+    into bases with identical observable state."""
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    bases0 = dict(Lake(view_dir).manifest()["parts"])
+
+    _frag(right.log_dir, 1, [_dim_ev(3, "update", "r2", "bob", 7)])
+    run_ingest(right)
+    refresh_joinview(view_dir)
+    m = Lake(view_dir).manifest()
+    assert m["parts"] == bases0  # bases untouched
+    assert any(m.get("deltas", {}).values())  # the refresh is a delta
+    before = read_joinview(view_dir)
+
+    from raycdc.pipelines.maintenance import compact
+
+    out = compact(view_dir)
+    assert out["compacted"]
+    m2 = Lake(view_dir).manifest()
+    assert not any(m2.get("deltas", {}).values())
+    _views_equal(read_joinview(view_dir), before)
+    # and maintenance continues across the compaction commit
+    _frag(right.log_dir, 2, [_dim_ev(4, "update", "r1", "alice", 5)])
+    run_ingest(right)
+    refresh_joinview(view_dir)
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re"),
+    )
