@@ -653,7 +653,12 @@ def matview_bench() -> None:
     # pays a targeted recompute pass only for extremum-disturbed
     # groups — recomputed_groups in the output makes that observable
     mm_aggs = dict(
-        aggs, first_commit=("min", "commit"), max_seq=("max", "seq")
+        aggs,
+        first_commit=("min", "commit"),
+        max_seq=("max", "seq"),
+        # sketch agg: HLL registers merge on the add side; deletes /
+        # tracked-column changes re-sketch only disturbed groups
+        d_authors=("approx_distinct", "p_author.name"),
     )
     view_mm = os.path.join(WORK_ROOT, "mv_view_mm")
     shutil.rmtree(view_mm, ignore_errors=True)
@@ -741,6 +746,7 @@ def matview_bench() -> None:
                 "dense_minmax_recomputed_groups": out_mm[
                     "recomputed_groups"
                 ],
+                "dense_resketched_groups": out_mm["resketched_groups"],
                 "feed_rows": feed_rows,
                 "feed_sec": round(feed_sec, 3),
                 # sparse delta (single-key burst): manifest pruning
@@ -758,6 +764,7 @@ def matview_bench() -> None:
                 "sparse_minmax_recomputed_groups": out2_mm[
                     "recomputed_groups"
                 ],
+                "sparse_resketched_groups": out2_mm["resketched_groups"],
             }
         )
     )

@@ -102,6 +102,9 @@ def _hll_reg_col(name: str) -> str:
     return f"_hll_{name}"
 
 
+_HLL_DIRTY = "_hll_dirty"
+
+
 class ViewGroupBudgetExceeded(ValueError):
     """The folded view partials exceeded ``max_groups`` rows."""
 
@@ -406,16 +409,23 @@ def _write_view(
     group_by: list[str],
     int_cols: list[str],
     mm_cast: dict[str, str | None] | None = None,
+    hll_cols: dict[str, str] | None = None,
 ) -> dict:
     """Commit one view version: deterministic parquet, atomic state
     swap, then GC of superseded view files.  ``int_cols`` (the
     sum-family aggs + ``_nrows``) cast to int64; ``mm_cast`` maps each
-    min/max column to its null-safe output dtype."""
+    min/max column to its null-safe output dtype; ``hll_cols`` maps
+    each approx_distinct estimate column (float64) to its internal
+    register-bytes column (binary, carried for the next refresh)."""
+    hll_est = list(hll_cols or {})
+    hll_reg = list((hll_cols or {}).values())
     view = view[
-        [*group_by, *int_cols, *(mm_cast or {})]
+        [*group_by, *int_cols, *(mm_cast or {}), *hll_est, *hll_reg]
     ].sort_values(group_by, na_position="last").reset_index(drop=True)
     for c in int_cols:
         view[c] = view[c].astype(np.int64)
+    for c in hll_est:
+        view[c] = view[c].astype(np.float64)
     for c, dt in (mm_cast or {}).items():
         if dt is not None:
             view[c] = view[c].astype(dt)
@@ -543,7 +553,7 @@ def refresh_matview(view_dir: str) -> dict:
         return {"lake_version": v_old, "changed_rows": 0, "refreshed": False}
     group_by = list(state["group_by"])
     aggs = {k: (kind, col) for k, (kind, col) in state["aggs"].items()}
-    sum_aggs, mm_aggs = _split_aggs(aggs)
+    sum_aggs, mm_aggs, hll_aggs = _split_aggs(aggs)
     max_groups = int(state.get("max_groups", 2_000_000))
 
     from raycdc.pipelines.maintenance import snapshot_diff
@@ -558,8 +568,12 @@ def refresh_matview(view_dir: str) -> dict:
     r_spec = {
         r_of[name]: kind for name, (kind, _c) in mm_aggs.items()
     }
+    h_of = {name: _hll_reg_col(name) for name in hll_aggs}
+    h_spec: dict = {h_of[n]: "hllmax" for n in hll_aggs}
+    if hll_aggs:
+        h_spec[_HLL_DIRTY] = "max"
     spec_delta = _agg_spec(
-        sum_aggs, mm_aggs, extra={**r_spec, "_diff_rows": "sum"}
+        sum_aggs, mm_aggs, extra={**r_spec, **h_spec, "_diff_rows": "sum"}
     )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -572,11 +586,63 @@ def refresh_matview(view_dir: str) -> dict:
             add[r_of[name]] = np.nan
             ret[name] = np.nan
             ret[r_of[name]] = rets_df[old_names.get(col, col)].to_numpy()
+        if hll_aggs:
+            # the sketch lane: the ADD side merges for free; a
+            # retraction marks its OLD-image group dirty unless it
+            # provably removed nothing (an update staying in the same
+            # group with the tracked value unchanged, or a null old
+            # value — COUNT(DISTINCT) ignores nulls)
+            for name in hll_aggs:
+                add[h_of[name]] = None
+                ret[h_of[name]] = None
+            add[_HLL_DIRTY] = np.int64(0)
+            same_group = np.ones(len(rets_df), dtype=bool)
+            for g in group_by:
+                o = rets_df[old_names.get(g, g)]
+                nw = rets_df[g]
+                same_group &= (
+                    (o.to_numpy(object) == nw.to_numpy(object))
+                    | (o.isna() & nw.isna()).to_numpy()
+                )
+            is_upd = (rets_df["change"] == "update").to_numpy()
+            dirty = np.zeros(len(rets_df), dtype=bool)
+            for name, (_k, col) in hll_aggs.items():
+                o = rets_df[old_names.get(col, col)]
+                nw = rets_df[col]
+                val_same = (
+                    (o.to_numpy(object) == nw.to_numpy(object))
+                    | (o.isna() & nw.isna()).to_numpy()
+                )
+                dirty |= o.notna().to_numpy() & ~(
+                    is_upd & same_group & val_same
+                )
+            ret[_HLL_DIRTY] = dirty.astype(np.int64)
         c = pd.concat([add, ret], ignore_index=True)
-        return _grouped_agg(
+        out = _grouped_agg(
             c, group_by,
-            {k: v for k, v in spec_delta.items() if k != "_diff_rows"},
+            {
+                k: v
+                for k, v in spec_delta.items()
+                if k != "_diff_rows" and v != "hllmax"
+            },
         )
+        if hll_aggs and len(adds_df):
+            codes = adds_df.groupby(
+                group_by, sort=False, dropna=False
+            ).ngroup().to_numpy()
+            n = int(codes.max()) + 1
+            firsts = ~pd.Series(codes).duplicated().to_numpy()
+            part = adds_df.loc[firsts, group_by].reset_index(drop=True)
+            for name, (_k, col) in hll_aggs.items():
+                acc = _hll_registers(adds_df[col], codes, n)
+                part[h_of[name]] = [
+                    acc[i].tobytes() for i in range(n)
+                ]
+            out = out.merge(part, on=group_by, how="left", sort=False)
+        elif hll_aggs:
+            for name in hll_aggs:
+                out[h_of[name]] = pd.Series(dtype=object)
+        return out
 
     # fold the per-batch delta partials; count diff rows from the
     # partials' _nrows is wrong (updates net 0), so track separately
@@ -601,7 +667,7 @@ def refresh_matview(view_dir: str) -> dict:
     ).to_pandas()
 
     sum_cols = [_NROWS, *sum_aggs]
-    if not mm_aggs:
+    if not mm_aggs and not hll_aggs:
         merged = pd.concat([current, delta], ignore_index=True)
         merged = merged.groupby(
             group_by, as_index=False, sort=False, dropna=False
@@ -632,9 +698,45 @@ def refresh_matview(view_dir: str) -> dict:
             need |= _pairwise(r, cur, operator.eq) & ~_pairwise(
                 add, cur, repin
             )
+        hll_keep: list[str] = []
+        if hll_aggs:
+            # register add-merge (free); dirty groups re-sketch below
+            for name in hll_aggs:
+                rc = h_of[name]
+                cur = m[f"{rc}_cur"] if f"{rc}_cur" in m.columns else m[rc]
+                add = (
+                    m[f"{rc}_dlt"]
+                    if f"{rc}_dlt" in m.columns
+                    else pd.Series([None] * len(m), index=m.index)
+                )
+                out = cur.where(cur.notna(), add)
+                both = (cur.notna() & add.notna()).to_numpy()
+                if both.any():
+                    a = np.frombuffer(
+                        b"".join(cur[both]), dtype=np.uint8
+                    ).reshape(-1, _HLL_M)
+                    b = np.frombuffer(
+                        b"".join(add[both]), dtype=np.uint8
+                    ).reshape(-1, _HLL_M)
+                    mx = np.maximum(a, b)
+                    out_np = out.to_numpy(object)
+                    out_np[both] = [
+                        mx[i].tobytes() for i in range(len(mx))
+                    ]
+                    out = pd.Series(out_np, index=m.index)
+                m[rc] = out
+            hll_keep = [h_of[n] for n in hll_aggs]
+            m[_HLL_DIRTY] = (
+                m[_HLL_DIRTY].fillna(0)
+                if _HLL_DIRTY in m.columns
+                else np.int64(0)
+            )
         merged = m[m[_NROWS] > 0]
         need = need.loc[merged.index]
-        merged = merged[[*group_by, *sum_cols, *mm_aggs]]
+        keep_cols = [*group_by, *sum_cols, *mm_aggs, *hll_keep]
+        if hll_aggs:
+            need_hll = (merged[_HLL_DIRTY] > 0).reset_index(drop=True)
+        merged = merged[keep_cols]
         rset = merged.loc[need.to_numpy(), group_by].reset_index(drop=True)
         recomputed = len(rset)
         if recomputed:
@@ -681,7 +783,83 @@ def refresh_matview(view_dir: str) -> dict:
                 vals = merged[name].to_numpy(object)
                 vals[hit] = merged[f"{name}_rec"].to_numpy(object)[hit]
                 merged[name] = vals
-            merged = merged[[*group_by, *sum_cols, *mm_aggs]]
+            merged = merged[keep_cols]
+
+        resketched = 0
+        if hll_aggs:
+            merged = merged.reset_index(drop=True)
+            hset = merged.loc[
+                need_hll.to_numpy(), group_by
+            ].reset_index(drop=True)
+            resketched = len(hset)
+            if resketched:
+                import ray
+
+                lake = Lake(state["lake_dir"])
+                h_src = list(
+                    dict.fromkeys(c for _k, c in hll_aggs.values())
+                )
+                proj = [*dict.fromkeys([*group_by, *h_src])]
+                bref = ray.put(hset)
+                h_only_spec = {h_of[n]: "hllmax" for n in hll_aggs}
+
+                def resk_batch(df: pd.DataFrame) -> pd.DataFrame:
+                    sub = df.merge(
+                        ray.get(bref), on=group_by, how="inner"
+                    )
+                    if sub.empty:
+                        return pd.DataFrame(
+                            columns=[*group_by, *h_only_spec]
+                        )
+                    codes = sub.groupby(
+                        group_by, sort=False, dropna=False
+                    ).ngroup().to_numpy()
+                    n = int(codes.max()) + 1
+                    firsts = ~pd.Series(codes).duplicated().to_numpy()
+                    out = sub.loc[firsts, group_by].reset_index(drop=True)
+                    for name, (_k, col) in hll_aggs.items():
+                        acc = _hll_registers(sub[col], codes, n)
+                        out[h_of[name]] = [
+                            acc[i].tobytes() for i in range(n)
+                        ]
+                    return out
+
+                rec = _fold(
+                    lake.read_dataset(
+                        columns=proj, version=v_new
+                    ).map_batches(resk_batch, batch_format="pandas"),
+                    group_by,
+                    h_only_spec,
+                    max_groups,
+                )
+                merged = merged.merge(
+                    rec, on=group_by, how="left", suffixes=("", "_rec"),
+                    sort=False,
+                )
+                hit = need_hll.to_numpy()
+                empty = np.zeros(_HLL_M, dtype=np.uint8).tobytes()
+                for name in hll_aggs:
+                    rc = h_of[name]
+                    vals = merged[rc].to_numpy(object)
+                    recv = merged[f"{rc}_rec"].to_numpy(object)
+                    # a dirty group with no surviving non-null values
+                    # re-sketches to empty registers (estimate 0)
+                    recv = np.where(pd.isna(recv), empty, recv)
+                    vals[hit] = recv[hit]
+                    merged[rc] = vals
+                merged = merged[keep_cols]
+            # a group whose registers never materialized (created by a
+            # retraction-only delta on a brand-new group — cannot
+            # happen for surviving rows, but keep the estimator total)
+            for name in hll_aggs:
+                rc = h_of[name]
+                vals = merged[rc].to_numpy(object)
+                miss = pd.isna(vals)
+                if miss.any():
+                    empty = np.zeros(_HLL_M, dtype=np.uint8).tobytes()
+                    vals[miss] = empty
+                    merged[rc] = vals
+                merged[name] = _hll_estimates(merged[rc])
 
     mm_cast = {}
     if mm_aggs:
@@ -689,7 +867,8 @@ def refresh_matview(view_dir: str) -> dict:
         mm_cast = _mm_cast(mm_aggs, lk._lake_schema(lk.manifest()))
     state = dict(state, lake_version=v_new)
     state = _write_view(
-        view_dir, state, merged, group_by, sum_cols, mm_cast
+        view_dir, state, merged, group_by, sum_cols, mm_cast,
+        hll_cols={n: h_of[n] for n in hll_aggs},
     )
     return {
         "lake_version": v_new,
@@ -697,6 +876,7 @@ def refresh_matview(view_dir: str) -> dict:
         "changed_rows": changed,
         "groups": len(merged),
         "recomputed_groups": recomputed if mm_aggs else 0,
+        "resketched_groups": resketched if hll_aggs else 0,
         "refreshed": True,
     }
 
@@ -733,9 +913,17 @@ def make_matview_on_round(
 
 
 def read_matview(view_dir: str, include_internal: bool = False) -> pa.Table:
-    """The committed view as an Arrow table (sorted by group)."""
+    """The committed view as an Arrow table (sorted by group).
+    Internal columns (``_nrows`` and the ``_hll_*`` register state) are
+    dropped unless ``include_internal``."""
     state = _load_state(view_dir)
     t = pq.read_table(os.path.join(view_dir, state["file"]))
     if not include_internal:
-        t = t.drop_columns([_NROWS])
+        t = t.drop_columns(
+            [
+                c
+                for c in t.column_names
+                if c == _NROWS or c.startswith("_hll_")
+            ]
+        )
     return t

@@ -1,0 +1,174 @@
+"""approx_distinct (HyperLogLog) matview aggregates: add-side merges
+for free, retractions re-sketch ONLY provably-disturbed groups, and
+the refreshed view is bit-identical (registers included) to a full
+recompute at the same version.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.matview import (
+    create_matview,
+    read_matview,
+    refresh_matview,
+)
+from test_matview import _ev, _frag
+
+_AGGS = {
+    "n_docs": ("count", None),
+    "d_commits": ("approx_distinct", "commit"),
+    "d_langs": ("approx_distinct", "lang"),
+}
+
+
+def _cfg(tmp_path):
+    return IngestConfig(
+        log_dir=str(tmp_path / "log"), lake_dir=str(tmp_path / "lake"),
+        num_partitions=4,
+    )
+
+
+def _full_equal(view_dir: str, scratch: str, cfg):
+    """refresh result == create-from-scratch, REGISTERS included."""
+    create_matview(cfg.lake_dir, scratch, ["repo"], _AGGS)
+    a = read_matview(view_dir, include_internal=True).to_pandas()
+    b = read_matview(scratch, include_internal=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_hll_refresh_matches_recompute_through_waves(tmp_path):
+    cfg = _cfg(tmp_path)
+    _frag(cfg.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r1", "b.py", "py", "beta"),
+        _ev(3, "insert", "r2", "c.go", "go", "gamma"),
+    ])
+    run_ingest(cfg)
+    view = str(tmp_path / "view")
+    create_matview(cfg.lake_dir, view, ["repo"], _AGGS)
+    got = read_matview(view).to_pandas().set_index("repo")
+    assert got.loc["r1", "d_commits"] == pytest.approx(2, abs=0.1)
+    assert got.loc["r1", "d_langs"] == pytest.approx(1, abs=0.1)
+
+    # update wave: r1/a.py gets a NEW commit (dirty — old commit may
+    # have vanished); r2 row deleted (dirty)
+    _frag(cfg.log_dir, 1, [
+        _ev(4, "update", "r1", "a.py", "py", "alpha v2"),
+        _ev(5, "delete", "r2", "c.go"),
+    ])
+    run_ingest(cfg)
+    res = refresh_matview(view)
+    assert res["resketched_groups"] >= 1
+    _full_equal(view, str(tmp_path / "re1"), cfg)
+    got = read_matview(view).to_pandas().set_index("repo")
+    assert "r2" not in got.index  # group dropped at zero rows
+    assert got.loc["r1", "d_commits"] == pytest.approx(2, abs=0.1)
+
+    # insert-only wave: pure register merge, NO re-sketch
+    _frag(cfg.log_dir, 2, [
+        _ev(6, "insert", "r1", "d.rs", "rs", "delta"),
+        _ev(7, "insert", "r3", "e.rs", "rs", "epsilon"),
+    ])
+    run_ingest(cfg)
+    res = refresh_matview(view)
+    assert res["resketched_groups"] == 0
+    _full_equal(view, str(tmp_path / "re2"), cfg)
+    got = read_matview(view).to_pandas().set_index("repo")
+    assert got.loc["r1", "d_langs"] == pytest.approx(2, abs=0.1)
+
+
+def test_hll_untracked_update_never_resketches(tmp_path):
+    """An update that changes OTHER projected columns but not the
+    tracked one adds a no-op and marks nothing dirty."""
+    cfg = _cfg(tmp_path)
+    _frag(cfg.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r1", "b.py", "py", "beta"),
+    ])
+    run_ingest(cfg)
+    view = str(tmp_path / "view")
+    aggs = {
+        "content_bytes": ("sum_len", "content"),
+        "d_langs": ("approx_distinct", "lang"),
+    }
+    create_matview(cfg.lake_dir, view, ["repo"], aggs)
+    # content changes (diff emits the row), lang does not
+    ev = _ev(3, "update", "r1", "a.py", "py", "alpha longer text")
+    _frag(cfg.log_dir, 1, [ev])
+    run_ingest(cfg)
+    res = refresh_matview(view)
+    assert res["changed_rows"] == 1
+    assert res["resketched_groups"] == 0
+    got = read_matview(view).to_pandas().set_index("repo")
+    assert got.loc["r1", "content_bytes"] == len("alpha longer text") + len(
+        "beta"
+    )
+    assert got.loc["r1", "d_langs"] == pytest.approx(1, abs=0.1)
+
+
+def test_hll_group_migration_resketches_old_group(tmp_path):
+    """group_by a VALUE column (lang): a row migrating groups must
+    re-sketch the group it left."""
+    cfg = _cfg(tmp_path)
+    _frag(cfg.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r1", "b.py", "py", "beta"),
+        _ev(3, "insert", "r1", "c.go", "go", "gamma"),
+    ])
+    run_ingest(cfg)
+    view = str(tmp_path / "view")
+    aggs = {
+        "n": ("count", None),
+        "d_paths_commits": ("approx_distinct", "commit"),
+    }
+    create_matview(cfg.lake_dir, view, ["lang"], aggs)
+    # a.py migrates py → go with a fresh commit
+    _frag(cfg.log_dir, 1, [_ev(4, "update", "r1", "a.py", "go", "alpha2")])
+    run_ingest(cfg)
+    res = refresh_matview(view)
+    assert res["resketched_groups"] >= 1
+    scratch = str(tmp_path / "re")
+    create_matview(cfg.lake_dir, scratch, ["lang"], aggs)
+    a = read_matview(view, include_internal=True).to_pandas()
+    b = read_matview(scratch, include_internal=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    got = read_matview(view).to_pandas().set_index("lang")
+    assert got.loc["py", "n"] == 1 and got.loc["go", "n"] == 2
+    assert got.loc["go", "d_paths_commits"] == pytest.approx(2, abs=0.1)
+
+
+def test_hll_estimate_accuracy_and_sketch_agreement(tmp_path):
+    """~500 distinct values: the view estimate is within a few percent
+    of exact AND equals ops.sketch.hll_distinct_by on the same data
+    (same seeded hash + estimator)."""
+    cfg = _cfg(tmp_path)
+    events = [
+        _ev(i + 1, "insert", f"r{i % 2}", f"f{i}.py", "py", f"text {i}")
+        for i in range(500)
+    ]
+    _frag(cfg.log_dir, 0, events)
+    run_ingest(cfg)
+    view = str(tmp_path / "view")
+    create_matview(
+        cfg.lake_dir, view, ["repo"],
+        {"d_commits": ("approx_distinct", "commit")},
+    )
+    got = read_matview(view).to_pandas().set_index("repo")
+    assert got.loc["r0", "d_commits"] == pytest.approx(250, rel=0.05)
+    assert got.loc["r1", "d_commits"] == pytest.approx(250, rel=0.05)
+
+    from raycdc.ops.sketch import hll_distinct_by
+    from raycdc.state.checkpoint import Lake
+
+    ds = Lake(cfg.lake_dir).read_dataset(columns=["repo", "commit"])
+    sk = hll_distinct_by(ds, "repo", "commit").set_index("repo")
+    for r in ("r0", "r1"):
+        assert got.loc[r, "d_commits"] == sk.loc[r, "distinct_est"]
