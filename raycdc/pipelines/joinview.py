@@ -35,12 +35,15 @@ Scale shape: the refresh moves only delta-sized row sets — ``ΔL`` is
 zero-shuffle partition-local, the right-side fan-out reads only
 partitions the pruning lanes keep, and the single exchange
 (delta rows → view partitions) is bounded by ``|ΔL| + |ΔR| × fanout``.
-The dimension never rides a shuffle: the refresh broadcasts ONLY the
-attr rows for join keys the delta actually touches (``ray.put`` once,
-read per task).  The create-time full build broadcasts the whole slim
-dimension under a loud ``max_dim_rows`` tripwire — a dimension past
-that budget needs a hash-join bootstrap (``ops/relational.hash_join``)
-followed by incremental maintenance, which the error message says.
+The dimension never rides a shuffle in a REFRESH: only the attr rows
+for join keys the delta actually touches broadcast (``ray.put`` once,
+read per task), under a loud ``max_dim_rows`` budget.  The create-time
+full build picks its strategy by dimension size (``bootstrap="auto"``):
+small dimensions broadcast; past the budget it switches to a
+partitioned ``hash_join`` build — both sides shuffle once on the join
+key, nothing materializes on the driver, and the dimension-uniqueness
+contract is enforced in the join itself (a fanned-out fact key fails
+loud).
 
 Refreshes write MERGE-ON-READ: each touched view partition gets one
 op-tagged delta file (upserts + tombstones) at a seq above every
@@ -134,11 +137,12 @@ def _advance_consumer(lake_dir: str, consumer: str, version: int) -> None:
 def _check_budget(n: int, budget: int, what: str) -> None:
     if n > budget:
         raise DimBudgetExceeded(
-            f"{what}: {n} rows exceed max_dim_rows={budget}.  A "
-            "dimension past the broadcast budget needs a hash-join "
-            "bootstrap (ops/relational.hash_join over the two lakes' "
-            "read_dataset outputs) followed by incremental refreshes, "
-            "or raise max_dim_rows if the driver/worker heap allows."
+            f"{what}: {n} rows exceed max_dim_rows={budget}.  At CREATE "
+            "time use bootstrap='hash_join' (or the default 'auto') — "
+            "the partitioned build that never materializes the "
+            "dimension; at REFRESH time this bounds the delta's "
+            "needed-key broadcast — refresh more often, or raise "
+            "max_dim_rows if the driver/worker heap allows."
         )
 
 
@@ -215,8 +219,6 @@ def _enrich(
     delta exchange carries one identical Arrow schema — pandas dtype
     drift (int attrs sometimes float64-with-NaN, sometimes int64)
     would otherwise break the union/groupby boundary."""
-    from raycdc.functions.hashing import partition_ids
-
     out = pd.DataFrame({
         "repo": df["repo"].astype(object),
         "path": df["path"].astype(object),
@@ -233,6 +235,19 @@ def _enrich(
     is_del = (df["change"] == "delete").to_numpy()
     if how == "inner":
         is_del = is_del | ~hit.to_numpy()
+    return _finalize_delta(out, is_del, schema, num_partitions)
+
+
+def _finalize_delta(
+    out: pd.DataFrame,
+    is_del: np.ndarray,
+    schema: pa.Schema,
+    num_partitions: int,
+) -> pa.Table:
+    """View-schema rows + ``_jv_op``/``_pid``, cast to ONE exact Arrow
+    schema per batch (pandas dtype drift would break the exchange)."""
+    from raycdc.functions.hashing import partition_ids
+
     # delete markers carry the key only
     val_cols = [c for c in out.columns if c not in ("repo", "path")]
     if is_del.any():
@@ -283,6 +298,7 @@ class _PartitionApply:
         run_id: str,
         mode: str,
         seq: int,
+        strict_unique: bool = False,
     ):
         self.view_root = view_root
         self.parts_rel = parts_rel
@@ -290,6 +306,10 @@ class _PartitionApply:
         self.run_id = run_id
         self.mode = mode
         self.seq = seq
+        # hash-join bootstrap: a duplicate LEFT key can only come from
+        # a dimension carrying >1 row per join key (the broadcast path
+        # validates this up front; the join path detects it here)
+        self.strict_unique = strict_unique
 
     def _stage(self, pid: int, t: pa.Table) -> str:
         d = os.path.join(self.view_root, "data", f"part-{pid:05d}")
@@ -314,6 +334,18 @@ class _PartitionApply:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         pid = int(df["_pid"].iloc[0])
+        if self.strict_unique and df.duplicated(
+            subset=["repo", "path"]
+        ).any():
+            k = df.loc[
+                df.duplicated(subset=["repo", "path"]), ["repo", "path"]
+            ].iloc[0]
+            raise DimKeyNotUnique(
+                f"hash-join bootstrap fanned out fact key "
+                f"({k['repo']!r}, {k['path']!r}) — the dimension carries "
+                "more than one row for its join-key value (the dimension "
+                "contract); dedup the dimension before creating the view"
+            )
         # exact-duplicate rows from the two delta paths: first wins
         df = df.drop_duplicates(subset=["repo", "path"], keep="first")
         n_del = int((df["_jv_op"] == "delete").sum())
@@ -366,6 +398,7 @@ def _apply_delta_rows(
     run_id: str,
     mode: str = "base",
     seq: int = 0,
+    strict_unique: bool = False,
 ) -> dict:
     """Exchange the delta rows to their view partitions, write each
     touched partition (base rewrite at create, merge-on-read delta
@@ -381,7 +414,8 @@ def _apply_delta_rows(
         int(pid): rel for pid, rel in manifest.get("parts", {}).items()
     }
     apply_fn = _PartitionApply(
-        view.root, parts_rel, schema, run_id, mode, seq
+        view.root, parts_rel, schema, run_id, mode, seq,
+        strict_unique=strict_unique,
     )
 
     def apply_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -440,6 +474,19 @@ def _resolve_attr_types(right: Lake, attr_cols: list[str]) -> list[dict]:
     return payload_columns
 
 
+def _dim_rows_estimate(right: Lake) -> int:
+    """Upper-bound row estimate from Parquet footers (bases + deltas;
+    superseded delta rows over-count, which only errs toward the
+    shuffle-safe bootstrap)."""
+    n = 0
+    for p in right.part_paths().values():
+        n += pq.read_metadata(p).num_rows
+    for paths in right.delta_paths().values():
+        for p in paths:
+            n += pq.read_metadata(p).num_rows
+    return n
+
+
 def create_joinview(
     left_dir: str,
     right_dir: str,
@@ -451,6 +498,7 @@ def create_joinview(
     right_on: str | None = None,
     num_partitions: int | None = None,
     max_dim_rows: int = 2_000_000,
+    bootstrap: str = "auto",
 ) -> dict:
     """Materialize ``left ⋈ right`` at the lakes' current versions and
     record the consumed versions for incremental refresh.
@@ -492,13 +540,26 @@ def create_joinview(
             "no attrs were named; an attribute-less join view carries "
             "nothing (name right columns like ['lang'] explicitly)"
         )
+    if (right_on or on) in attrs:
+        raise ValueError(
+            f"attrs contains the join key {right_on or on!r} — the view "
+            "already carries its values as the `on` column"
+        )
     payload_columns = _resolve_attr_types(right, attrs)
     clash = {c["name"] for c in payload_columns} & set(_FIXED_COLS)
     if clash:
         raise ValueError(f"attr names {sorted(clash)} clash with lake columns")
     attr_map = {c: _attr_view_name(c) for c in attrs}
 
-    dim = _gather_dim(right, rv, right_on, attrs, None, max_dim_rows)
+    if bootstrap not in ("auto", "broadcast", "hash_join"):
+        raise ValueError(
+            f"bootstrap={bootstrap!r} not in ('auto', 'broadcast', "
+            "'hash_join')"
+        )
+    use_hash = bootstrap == "hash_join" or (
+        bootstrap == "auto" and _dim_rows_estimate(right) > max_dim_rows
+    )
+
     P = num_partitions or int(lm["num_partitions"])
     os.makedirs(view_dir, exist_ok=True)
     view = Lake(view_dir)
@@ -510,29 +571,74 @@ def create_joinview(
 
     import ray
 
-    dim_ref = ray.put(dim)
+    if use_hash:
+        # dimension past the broadcast budget: partitioned hash-join
+        # bootstrap — both sides shuffle ONCE on the join key, the
+        # dimension never materializes on the driver.  Refreshes stay
+        # broadcast-shaped (they gather only the delta's needed keys).
+        from raycdc.ops.relational import hash_join
 
-    def to_delta(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from raycdc.functions.arrowsafe import mask_filter
-
-        df = t.to_pandas()
-        df = df.assign(change="insert")
-        out = _enrich(
-            df, ray.get(dim_ref), on, left_cols, attr_map, how, schema, P
+        r_attr_cols = [c for c in attrs if c != right_on]
+        joined = hash_join(
+            left.read_dataset(columns=proj, version=lv),
+            right.read_dataset(
+                columns=[right_on, *r_attr_cols], version=rv
+            ),
+            left_on=on,
+            right_on=right_on,
+            right_cols=r_attr_cols,
+            how="inner" if how == "inner" else "left",
         )
-        # a full build has no pre-existing rows to delete: inner-join
-        # misses are simply dropped instead of shipped as markers
-        keep = pc.equal(out["_jv_op"], "upsert").to_numpy(
-            zero_copy_only=False
-        )
-        return mask_filter(out, keep)
 
-    delta = left.read_dataset(columns=proj, version=lv).map_batches(
-        to_delta, batch_format="pyarrow"
-    )
-    res = _apply_delta_rows(view, delta, run_id)
+        def to_delta_joined(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({
+                "repo": df["repo"].astype(object),
+                "path": df["path"].astype(object),
+            })
+            for c in _FIXED_COLS[2:]:
+                out[c] = (
+                    df[c] if c in left_cols and c in df.columns else None
+                )
+            out["seq"] = np.int64(0)
+            for src_col, view_col in attr_map.items():
+                out[f"p_{view_col}"] = df[f"{src_col}_r"].to_numpy()
+            return _finalize_delta(
+                out, np.zeros(len(out), dtype=bool), schema, P
+            )
+
+        delta = joined.map_batches(
+            to_delta_joined, batch_format="pandas"
+        )
+        res = _apply_delta_rows(
+            view, delta, run_id, strict_unique=True
+        )
+    else:
+        dim = _gather_dim(right, rv, right_on, attrs, None, max_dim_rows)
+        dim_ref = ray.put(dim)
+
+        def to_delta(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from raycdc.functions.arrowsafe import mask_filter
+
+            df = t.to_pandas()
+            df = df.assign(change="insert")
+            out = _enrich(
+                df, ray.get(dim_ref), on, left_cols, attr_map, how,
+                schema, P,
+            )
+            # a full build has no pre-existing rows to delete:
+            # inner-join misses are simply dropped instead of shipped
+            # as markers
+            keep = pc.equal(out["_jv_op"], "upsert").to_numpy(
+                zero_copy_only=False
+            )
+            return mask_filter(out, keep)
+
+        delta = left.read_dataset(columns=proj, version=lv).map_batches(
+            to_delta, batch_format="pyarrow"
+        )
+        res = _apply_delta_rows(view, delta, run_id)
     state = {
         "left_dir": os.path.abspath(left_dir),
         "right_dir": os.path.abspath(right_dir),
@@ -694,6 +800,38 @@ def refresh_joinview(view_dir: str) -> dict:
     _advance_consumer(state["right_dir"], consumer, rv1)
     res.update({"left_version": lv1, "right_version": rv1})
     return res
+
+
+def make_joinview_on_round(
+    left_dir: str,
+    right_dir: str,
+    view_dir: str,
+    on_view=None,
+    **create_kwargs,
+):
+    """A ``run_follow(on_round=...)`` hook that keeps a join view in
+    lockstep with the tailed FACT lake (the matview_on_round pattern):
+    the first non-noop round creates the view at both lakes' current
+    versions, every later round folds that round's diff — plus any
+    dimension commits that landed since the last poll, because the
+    refresh always advances BOTH cursors to the current heads.
+    Crash-safe for free: the view commit and the state swap are atomic
+    and the refresh is idempotent.  ``on_view(run_id, table)`` delivers
+    the refreshed view rows."""
+
+    def on_round(res) -> None:
+        if res.no_op:
+            return
+        if not os.path.exists(_state_path(view_dir)):
+            create_joinview(
+                left_dir, right_dir, view_dir, **create_kwargs
+            )
+        else:
+            refresh_joinview(view_dir)
+        if on_view is not None:
+            on_view(res.run_id, read_joinview(view_dir))
+
+    return on_round
 
 
 def read_joinview(view_dir: str, columns=None) -> pa.Table:

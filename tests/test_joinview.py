@@ -270,6 +270,9 @@ def test_dim_key_unique_violation_fails_loud(lakes, tmp_path):
 
 
 def test_dim_budget_tripwire(lakes, tmp_path):
+    """bootstrap='broadcast' past the budget fails loud; the default
+    'auto' silently takes the hash-join build instead (pinned equal to
+    broadcast in test_hash_join_bootstrap_matches_broadcast)."""
     left, right = lakes
     _frag(left.log_dir, 0, [_ev(1, "insert", "r1", "a.py", "py", "x")])
     _frag(right.log_dir, 0, [
@@ -281,8 +284,13 @@ def test_dim_budget_tripwire(lakes, tmp_path):
     with pytest.raises(DimBudgetExceeded, match="hash-join bootstrap"):
         create_joinview(
             left.lake_dir, right.lake_dir, str(tmp_path / "view"),
-            max_dim_rows=1,
+            max_dim_rows=1, bootstrap="broadcast",
         )
+    out = create_joinview(
+        left.lake_dir, right.lake_dir, str(tmp_path / "view2"),
+        max_dim_rows=1,
+    )
+    assert out["rows"] == 1
 
 
 def test_rerun_idempotent_and_crash_safe(lakes, tmp_path):
@@ -416,3 +424,112 @@ def test_refresh_appends_mor_deltas_and_compaction_folds(lakes, tmp_path):
         read_joinview(view_dir),
         _recompute(left, right, tmp_path, "re"),
     )
+
+
+def test_follow_with_joinview_on_round(lakes, tmp_path):
+    """The tail loop keeps the join view current: round 1 bootstraps
+    it, later rounds (fact updates arriving mid-tail AND a dimension
+    commit landing between polls) refresh it — after the loop stops
+    the view equals a full recompute."""
+    from raycdc.pipelines.cdc import run_follow
+    from raycdc.pipelines.joinview import make_joinview_on_round
+
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(right)
+    seen: list = []
+    fed = {"n": 0}
+    hook = make_joinview_on_round(
+        left.lake_dir, right.lake_dir, view_dir,
+        on_view=lambda run_id, t: seen.append((run_id, t)),
+    )
+
+    def on_round(res):
+        hook(res)
+        fed["n"] += 1
+        if fed["n"] == 1:
+            # fact update + a dimension commit landing between polls
+            _frag(left.log_dir, 1, [
+                _ev(3, "update", "r1", "a.py", "py", "alpha v2"),
+            ])
+            _frag(right.log_dir, 1, [_dim_ev(3, "update", "r2", "bob", 9)])
+            run_ingest(right)
+
+    run_follow(
+        left, stop_after_idle_rounds=2, on_round=on_round,
+        _sleep=lambda s: None,
+    )
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re"),
+    )
+    got = read_joinview(view_dir).to_pandas().set_index("repo")
+    assert got.loc["r1", "content"] == "alpha v2"
+    assert got.loc["r2", "p_tier"] == 9
+    assert len(seen) == 2  # one delivery per non-noop fact round
+
+
+def test_hash_join_bootstrap_matches_broadcast(lakes, tmp_path):
+    """bootstrap='hash_join' (the big-dimension create path: one
+    partitioned shuffle, no driver materialization) builds the same
+    view as the broadcast path, refreshes identically afterwards, and
+    detects a non-unique dimension at build time."""
+    left, right = lakes
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+        _ev(3, "insert", "r9", "z.rs", "rs", "zeta"),  # no dim
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    for how in ("inner", "left"):
+        va = str(tmp_path / f"view_hash_{how}")
+        vb = str(tmp_path / f"view_bcast_{how}")
+        create_joinview(
+            left.lake_dir, right.lake_dir, va,
+            how=how, bootstrap="hash_join",
+        )
+        create_joinview(
+            left.lake_dir, right.lake_dir, vb,
+            how=how, bootstrap="broadcast",
+        )
+        _views_equal(read_joinview(va), read_joinview(vb))
+
+    # refresh works identically on a hash-bootstrapped view
+    va = str(tmp_path / "view_hash_inner")
+    _frag(right.log_dir, 1, [_dim_ev(3, "update", "r2", "bob", 7)])
+    run_ingest(right)
+    refresh_joinview(va)
+    _views_equal(
+        read_joinview(va), _recompute(left, right, tmp_path, "re")
+    )
+
+    # auto picks hash_join when the footer estimate exceeds the budget
+    v_auto = str(tmp_path / "view_auto")
+    create_joinview(
+        left.lake_dir, right.lake_dir, v_auto, max_dim_rows=1,
+    )
+    _views_equal(read_joinview(v_auto), read_joinview(va))
+
+    # duplicate dimension keys fail loud in the join path too
+    _frag(right.log_dir, 2, [
+        {**_dim_ev(4, "insert", "r1", "mallory", 9), "path": "_dim2"},
+    ])
+    run_ingest(right)
+    with pytest.raises(DimKeyNotUnique, match="fanned out"):
+        create_joinview(
+            left.lake_dir, right.lake_dir, str(tmp_path / "view_dup"),
+            bootstrap="hash_join",
+        )
