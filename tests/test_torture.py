@@ -1,0 +1,118 @@
+"""Real-kill torture: SIGKILL the whole ingest process group at
+staggered points (Ray boot, parse/shuffle, merge/commit), then let a
+fresh process run to completion — the lake must converge byte-exactly
+to the oracle regardless of where the kills landed.
+
+The monkeypatched crash tests (test_cdc_e2e) pin the protocol at the
+commit boundary; this pins it against ACTUAL process death — orphaned
+staged files, half-written parquet, a torn Ray session — the failure
+mode a preemptible 256-node cluster actually produces.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pandas as pd
+
+from raycdc.sources.synth import expected_final_state, write_changelog
+from raycdc.state.checkpoint import Lake
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import sys
+sys.path.insert(0, sys.argv[3])
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+print("RAY_UP", flush=True)
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+cfg = IngestConfig(log_dir=sys.argv[1], lake_dir=sys.argv[2],
+                   num_partitions=4,
+                   columns=[{"name": "author.name", "type": "string"}])
+res = run_ingest(cfg)
+print("DONE", res.applied, flush=True)
+ray.shutdown()
+"""
+
+
+def _spawn(log_dir: str, lake_dir: str) -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, "-c", _WORKER, log_dir, lake_dir, REPO],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,  # killpg reaches the Ray daemons too
+        cwd=REPO,
+    )
+
+
+def _wait_line(proc: subprocess.Popen, token: str, timeout: float) -> bool:
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            return False
+        if token in line:
+            return True
+    return False
+
+
+def test_sigkill_at_staggered_points_converges(tmp_path):
+    log_dir = str(tmp_path / "log")
+    lake_dir = str(tmp_path / "lake")
+    write_changelog(log_dir, 10_000, fragment_rows=1_000, seed=29)
+
+    # three kills at increasing depth into the run: right after Ray
+    # boots (reads starting), mid parse/shuffle, and around merge /
+    # commit time.  A trial that prints DONE before its kill fires is
+    # simply a completed run — also fine; the invariant is the same.
+    for delay in (0.2, 1.2, 2.5):
+        proc = _spawn(log_dir, lake_dir)
+        try:
+            assert _wait_line(proc, "RAY_UP", 90.0)
+            time.sleep(delay)
+        finally:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait(timeout=30)
+
+    # a fresh process converges from whatever the kills left behind
+    proc = _spawn(log_dir, lake_dir)
+    try:
+        assert _wait_line(proc, "DONE", 180.0)
+    finally:
+        proc.stdout.close()
+        assert proc.wait(timeout=60) == 0
+
+    got = (
+        Lake(lake_dir)
+        .read_table()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        expected_final_state(log_dir)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "content", "seq"]],
+        exp[["repo", "path", "content", "seq"]],
+    )
+
+    # and the converged lake is stable: one more full run is a no-op
+    proc = _spawn(log_dir, lake_dir)
+    try:
+        assert _wait_line(proc, "DONE 0", 180.0)
+    finally:
+        proc.stdout.close()
+        proc.wait(timeout=60)
