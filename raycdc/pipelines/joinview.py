@@ -676,6 +676,25 @@ def refresh_joinview(view_dir: str) -> dict:
     on, right_on = state["on"], state["right_on"]
     attrs, left_cols = state["attrs"], state["left_cols"]
     how, budget = state["how"], int(state["max_dim_rows"])
+    # attr type drift (the dimension's schema-evolution lane can widen
+    # a payload column after the view pinned its type at create): the
+    # delta cast would fail deep inside Arrow — fail loud here instead
+    created = {c["name"]: c["type"] for c in _resolve_attr_types(right, attrs)}
+    pinned = {
+        c["name"]: c["type"]
+        for c in view.manifest().get("payload_columns") or []
+    }
+    drift = {
+        n: (pinned[n], created[n])
+        for n in created
+        if n in pinned and pinned[n] != created[n]
+    }
+    if drift:
+        raise ValueError(
+            f"dimension attr type drift since the view was created: "
+            f"{drift} (view {view_dir!r}) — the upstream schema widened; "
+            "recreate the join view to adopt the new types"
+        )
     attr_map = {c: _attr_view_name(c) for c in attrs}
     lv0, rv0 = int(state["left_version"]), int(state["right_version"])
     lv1 = int(left.manifest()["version"])

@@ -281,7 +281,7 @@ def test_dim_budget_tripwire(lakes, tmp_path):
     ])
     run_ingest(left)
     run_ingest(right)
-    with pytest.raises(DimBudgetExceeded, match="hash-join bootstrap"):
+    with pytest.raises(DimBudgetExceeded, match="hash_join"):
         create_joinview(
             left.lake_dir, right.lake_dir, str(tmp_path / "view"),
             max_dim_rows=1, bootstrap="broadcast",
@@ -533,3 +533,34 @@ def test_hash_join_bootstrap_matches_broadcast(lakes, tmp_path):
             left.lake_dir, right.lake_dir, str(tmp_path / "view_dup"),
             bootstrap="hash_join",
         )
+
+
+def test_dim_attr_type_drift_fails_loud(lakes, tmp_path):
+    """The dimension's schema-evolution lane widening an attr column
+    after the view pinned its type must fail with a clear message, not
+    an Arrow cast error mid-refresh."""
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [_ev(1, "insert", "r1", "a.py", "py", "x")])
+    _frag(right.log_dir, 0, [_dim_ev(1, "insert", "r1", "alice", 1)])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+
+    # the dim lake widens tier long → double via dynamic schema
+    import dataclasses
+
+    wide = dataclasses.replace(
+        right,
+        columns=[
+            {"name": "owner", "type": "string"},
+            {"name": "tier", "type": "double"},
+        ],
+    )
+    _frag(right.log_dir, 1, [
+        {**_dim_ev(2, "update", "r1", "alice", 1),
+         "payload_json": '{"owner": "alice", "tier": 1.5}'},
+    ])
+    run_ingest(wide)
+    with pytest.raises(ValueError, match="type drift"):
+        refresh_joinview(view_dir)
