@@ -379,6 +379,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_jvr.add_argument("--view-dir", required=True)
 
+    p_vv = sub.add_parser(
+        "view-verify",
+        help="audit a derived view: recompute at the versions it "
+        "consumed (time travel) and compare exactly — detects kind "
+        "(aggregate view vs join view) from the state file",
+    )
+    p_vv.add_argument("--view-dir", required=True)
+
     p_ic = sub.add_parser(
         "index-create",
         help="build a secondary index (non-key column -> keys) at the "
@@ -761,6 +769,20 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(refresh_joinview(args.view_dir)))
         return 0
+
+    if args.cmd == "view-verify":
+        import os as _os
+
+        if _os.path.exists(_os.path.join(args.view_dir, "_joinview.json")):
+            from raycdc.pipelines.joinview import verify_joinview
+
+            out = verify_joinview(args.view_dir)
+        else:
+            from raycdc.pipelines.matview import verify_matview
+
+            out = verify_matview(args.view_dir)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 3
 
     if args.cmd == "index-create":
         from raycdc.state.secondary import create_secondary_index

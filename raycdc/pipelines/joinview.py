@@ -499,6 +499,9 @@ def create_joinview(
     num_partitions: int | None = None,
     max_dim_rows: int = 2_000_000,
     bootstrap: str = "auto",
+    _left_version: int | None = None,
+    _right_version: int | None = None,
+    _register_consumers: bool = True,
 ) -> dict:
     """Materialize ``left ⋈ right`` at the lakes' current versions and
     record the consumed versions for incremental refresh.
@@ -516,8 +519,9 @@ def create_joinview(
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r} not in ('inner', 'left')")
     left, right = Lake(left_dir), Lake(right_dir)
-    lm = left.manifest()
-    lv, rv = int(lm["version"]), int(right.manifest()["version"])
+    lm = left.manifest(_left_version)
+    lv = int(lm["version"])
+    rv = int(right.manifest(_right_version)["version"])
     lschema = left._lake_schema(lm)
     if on not in lschema.names:
         raise ValueError(f"on={on!r} not in left lake schema {lschema.names}")
@@ -652,9 +656,10 @@ def create_joinview(
         "right_version": rv,
     }
     _save_state(view_dir, state)
-    consumer = _consumer_name(view_dir)
-    _advance_consumer(left_dir, consumer, lv)
-    _advance_consumer(right_dir, consumer, rv)
+    if _register_consumers:
+        consumer = _consumer_name(view_dir)
+        _advance_consumer(left_dir, consumer, lv)
+        _advance_consumer(right_dir, consumer, rv)
     return {"rows": res["upserts"], "left_version": lv, "right_version": rv}
 
 
@@ -851,6 +856,60 @@ def make_joinview_on_round(
             on_view(res.run_id, read_joinview(view_dir))
 
     return on_round
+
+
+def verify_joinview(view_dir: str, scratch_dir: str | None = None) -> dict:
+    """Derived-state audit (the fsck analog for join views): rebuild
+    the join AT THE VERSIONS the maintained view consumed (time
+    travel) and compare the live rows exactly.  Returns ``{"ok",
+    "rows", "mismatched_rows"}``; feasible while vacuum retains the
+    pinned upstream snapshots — which the view's own consumer anchors
+    guarantee for its NEXT refresh window (audit before advancing, or
+    tag the versions to audit arbitrarily far back)."""
+    import shutil
+    import tempfile
+
+    state = _load_state(view_dir)
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="jvverify_")
+    try:
+        create_joinview(
+            state["left_dir"],
+            state["right_dir"],
+            os.path.join(scratch, "view"),
+            on=state["on"],
+            attrs=list(state["attrs"]),
+            left_cols=list(state["left_cols"]),
+            how=state["how"],
+            right_on=state["right_on"],
+            max_dim_rows=int(state["max_dim_rows"]),
+            _left_version=int(state["left_version"]),
+            _right_version=int(state["right_version"]),
+            _register_consumers=False,  # an audit must not pin retention
+        )
+        a = (
+            read_joinview(view_dir)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        b = (
+            read_joinview(os.path.join(scratch, "view"))
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return {
+            "ok": False,
+            "rows": len(a),
+            "expected_rows": len(b),
+            "mismatched_rows": -1,
+        }
+    neq = (a != b) & ~(a.isna() & b.isna())
+    bad = int(neq.any(axis=1).sum())
+    return {"ok": bad == 0, "rows": len(a), "mismatched_rows": bad}
 
 
 def read_joinview(view_dir: str, columns=None) -> pa.Table:

@@ -456,14 +456,17 @@ def create_matview(
     group_by: list[str],
     aggs: dict[str, tuple[str, str | None]],
     max_groups: int = 2_000_000,
+    version: int | None = None,
 ) -> dict:
     """Full-compute the view at the lake's current version and persist
     it.  ``aggs`` maps output column → (kind, lake column): ``count``
     (col ignored), ``sum`` (int64 column), ``sum_len`` (string column,
     sums per-row lengths).  One streaming pass, per-batch combiner,
-    zero shuffle."""
+    zero shuffle.  ``version`` pins a historical snapshot (time
+    travel) — the audit lane ``verify_matview`` uses it to recompute
+    at exactly the versions a maintained view consumed."""
     lake = Lake(lake_dir)
-    manifest = lake.manifest()
+    manifest = lake.manifest(version)
     schema = lake._lake_schema(manifest)
     aggs = {k: (kind, col) for k, (kind, col) in aggs.items()}
     _validate_aggs(aggs, schema)
@@ -513,7 +516,7 @@ def create_matview(
                 out[r_cols[name]] = pd.Series(dtype=object)
         return out
 
-    ds = lake.read_dataset(columns=proj).map_batches(
+    ds = lake.read_dataset(columns=proj, version=version).map_batches(
         combine, batch_format="pandas"
     )
     view = _fold(ds, group_by, spec, max_groups)
@@ -910,6 +913,43 @@ def make_matview_on_round(
             on_view(res.run_id, read_matview(view_dir))
 
     return on_round
+
+
+def verify_matview(view_dir: str, scratch_dir: str | None = None) -> dict:
+    """Derived-state audit (the fsck analog for views): recompute the
+    view from the lake AT THE VERSIONS the maintained view consumed
+    (time travel — upstream commits landed since do not fail the
+    audit) and compare bit-exactly, registers included.  Returns
+    ``{"ok", "groups", "mismatched_groups"}``; feasible while vacuum
+    retains the pinned snapshot (tag it, or audit before vacuuming)."""
+    import shutil
+    import tempfile
+
+    state = _load_state(view_dir)
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="mvverify_")
+    try:
+        create_matview(
+            state["lake_dir"],
+            scratch,
+            list(state["group_by"]),
+            {k: tuple(v) for k, v in state["aggs"].items()},
+            max_groups=int(state.get("max_groups", 2_000_000)),
+            version=int(state["lake_version"]),
+        )
+        a = read_matview(view_dir, include_internal=True).to_pandas()
+        b = read_matview(scratch, include_internal=True).to_pandas()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return {
+            "ok": False,
+            "groups": len(a),
+            "expected_groups": len(b),
+            "mismatched_groups": -1,
+        }
+    neq = (a != b) & ~(a.isna() & b.isna())
+    bad = int(neq.any(axis=1).sum())
+    return {"ok": bad == 0, "groups": len(a), "mismatched_groups": bad}
 
 
 def read_matview(view_dir: str, include_internal: bool = False) -> pa.Table:

@@ -564,3 +564,50 @@ def test_dim_attr_type_drift_fails_loud(lakes, tmp_path):
     run_ingest(wide)
     with pytest.raises(ValueError, match="type drift"):
         refresh_joinview(view_dir)
+
+
+def test_verify_joinview_audits_and_detects_corruption(lakes, tmp_path):
+    """verify_joinview recomputes at the consumed versions (time
+    travel): a clean maintained view audits ok even AFTER further
+    upstream commits; a corrupted base file is detected; the audit
+    leaves no retention anchors behind."""
+    from raycdc.pipelines.joinview import verify_joinview
+
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    _frag(right.log_dir, 1, [_dim_ev(3, "update", "r2", "bob", 7)])
+    run_ingest(right)
+    refresh_joinview(view_dir)
+
+    anchors_before = set(Lake(left.lake_dir).consumers())
+    # an upstream commit AFTER the refresh must not fail the audit
+    _frag(left.log_dir, 1, [_ev(3, "insert", "r1", "c.py", "py", "new")])
+    run_ingest(left)
+    out = verify_joinview(view_dir)
+    assert out == {"ok": True, "rows": 2, "mismatched_rows": 0}
+    assert set(Lake(left.lake_dir).consumers()) == anchors_before
+
+    # corrupt one view base: flip a tier value
+    vlake = Lake(view_dir)
+    pid, path = next(iter(vlake.part_paths().items()))
+    t = pq.read_table(path)
+    col = t["p_tier"].to_pylist()
+    col[0] = 99
+    t = t.set_column(
+        t.schema.get_field_index("p_tier"), "p_tier",
+        pa.array(col, pa.int64()),
+    )
+    pq.write_table(t, path, compression="zstd", compression_level=1)
+    out = verify_joinview(view_dir)
+    assert not out["ok"] and out["mismatched_rows"] >= 1

@@ -172,3 +172,41 @@ def test_hll_estimate_accuracy_and_sketch_agreement(tmp_path):
     sk = hll_distinct_by(ds, "repo", "commit").set_index("repo")
     for r in ("r0", "r1"):
         assert got.loc[r, "d_commits"] == sk.loc[r, "distinct_est"]
+
+
+def test_verify_matview_audits_and_detects_corruption(tmp_path):
+    from raycdc.pipelines.matview import verify_matview
+    import os
+    import pyarrow.parquet as pq
+
+    cfg = _cfg(tmp_path)
+    _frag(cfg.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+    ])
+    run_ingest(cfg)
+    view = str(tmp_path / "view")
+    create_matview(cfg.lake_dir, view, ["repo"], _AGGS)
+    _frag(cfg.log_dir, 1, [_ev(3, "update", "r1", "a.py", "py", "a2")])
+    run_ingest(cfg)
+    refresh_matview(view)
+    # an upstream commit after the refresh must not fail the audit
+    _frag(cfg.log_dir, 2, [_ev(4, "insert", "r3", "z.rs", "rs", "zz")])
+    run_ingest(cfg)
+    out = verify_matview(view)
+    assert out == {"ok": True, "groups": 2, "mismatched_groups": 0}
+
+    # corrupt the stored view: bump one count
+    from raycdc.pipelines.matview import _load_state
+
+    f = os.path.join(view, _load_state(view)["file"])
+    t = pq.read_table(f)
+    col = t["n_docs"].to_pylist()
+    col[0] += 1
+    t = t.set_column(
+        t.schema.get_field_index("n_docs"), "n_docs",
+        pa.array(col, pa.int64()),
+    )
+    pq.write_table(t, f, compression="zstd", compression_level=1)
+    out = verify_matview(view)
+    assert not out["ok"] and out["mismatched_groups"] >= 1
