@@ -971,6 +971,148 @@ def joinview_bench() -> None:
     )
 
 
+def latency_bench() -> None:
+    """Steady-state freshness: per-poll end-to-end latency (window
+    visible → lake committed) over K small MOR windows, bare vs with
+    the full derived-state train attached (aggregate matview +
+    join view) refreshed inside the same poll.  The p95 gap between
+    the two IS the cost of keeping downstream state transactionally
+    current with the lake."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    calib, _ = _calibrate_settled()
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.joinview import create_joinview, refresh_joinview
+    from raycdc.pipelines.matview import create_matview, refresh_matview
+    from raycdc.sources.synth import _key_tables, write_changelog
+
+    base_events = min(N_EVENTS, 500_000)
+    round_events = int(os.environ.get("GRAFT_LATENCY_ROUND_EVENTS", "20000"))
+    rounds = int(os.environ.get("GRAFT_LATENCY_ROUNDS", "15"))
+
+    def run_variant(name: str, with_derived: bool) -> dict:
+        root = os.path.join(WORK_ROOT, f"lat_{name}")
+        shutil.rmtree(root, ignore_errors=True)
+        log_dir = os.path.join(root, "log")
+        lake_dir = os.path.join(root, "lake")
+        write_changelog(log_dir, base_events, fragment_rows=FRAGMENT_ROWS)
+        cfg = IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir,
+            num_partitions=max(NUM_CPUS * 2, 16),
+            columns=[{"name": "author.name", "type": "string"}],
+            write_mode="auto",
+        )
+        run_ingest(cfg)
+        view_dir = os.path.join(root, "mv")
+        jv_dir = os.path.join(root, "jv")
+        if with_derived:
+            create_matview(
+                lake_dir, view_dir, ["repo"],
+                {
+                    "n_docs": ("count", None),
+                    "content_bytes": ("sum_len", "content"),
+                    "d_authors": ("approx_distinct", "p_author.name"),
+                },
+            )
+            # per-repo dimension lake for the join view
+            repos = sorted(set(_key_tables(base_events // 4, 0.3)[0]))
+            rlog = os.path.join(root, "dimlog")
+            rlake = os.path.join(root, "dimlake")
+            os.makedirs(rlog)
+            t = pa.table(
+                {
+                    "seq": pa.array(range(1, len(repos) + 1), pa.int64()),
+                    "ts": pa.array(
+                        [1_704_067_200_000_000 + i for i in range(len(repos))],
+                        pa.timestamp("us"),
+                    ),
+                    "op": pa.array(["insert"] * len(repos), pa.string()),
+                    "repo": pa.array(repos, pa.string()),
+                    "path": pa.array(["_dim"] * len(repos), pa.string()),
+                    "commit": pa.array(
+                        [f"d{i}" for i in range(len(repos))], pa.string()
+                    ),
+                    "lang": pa.array([None] * len(repos), pa.string()),
+                    "content": pa.array([""] * len(repos), pa.string()),
+                    "content_len": pa.array([0] * len(repos), pa.int32()),
+                    "payload_json": pa.array(
+                        [
+                            json.dumps({"owner": r.split("/")[0]})
+                            for r in repos
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+            pq.write_table(t, os.path.join(rlog, "fragment-00000.parquet"))
+            run_ingest(IngestConfig(
+                log_dir=rlog, lake_dir=rlake, num_partitions=8,
+                columns=[{"name": "owner", "type": "string"}],
+            ))
+            create_joinview(lake_dir, rlake, jv_dir, attrs=["p_owner"])
+        lat = []
+        for k in range(rounds):
+            write_changelog(
+                log_dir, round_events,
+                fragment_rows=round_events,
+                seed=100 + k,
+                start_seq=base_events + 1 + k * round_events,
+                fragment_index_offset=10_000 + k,
+                duplicate_boundaries=False,
+            )
+            t0 = time.perf_counter()
+            run_ingest(cfg)
+            if with_derived:
+                refresh_matview(view_dir)
+                refresh_joinview(jv_dir)
+            lat.append(time.perf_counter() - t0)
+        a = np.array(lat)
+        return {
+            "p50_sec": round(float(np.percentile(a, 50)), 3),
+            "p95_sec": round(float(np.percentile(a, 95)), 3),
+            "max_sec": round(float(a.max()), 3),
+            "rounds": rounds,
+            "round_events": round_events,
+            "events_per_sec_p50": int(
+                round_events / float(np.percentile(a, 50))
+            ),
+        }
+
+    bare = run_variant("bare", False)
+    derived = run_variant("derived", True)
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "steady-state tail latency (window visible → "
+                f"committed), {base_events} base events, "
+                f"{rounds}x{round_events}-event MOR windows",
+                "calib_sec": calib,
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "num_cpus": NUM_CPUS,
+                "bare": bare,
+                "with_derived_state": derived,
+            }
+        )
+    )
+
+
 def bootstrap_bench() -> None:
     """Initial-load-handoff economics at the headline scale: full
     replay from seq 0 vs snapshot bootstrap at the 60% cutover +
@@ -1553,5 +1695,7 @@ if __name__ == "__main__":
         pq_bench()
     elif "--bootstrap" in sys.argv:
         bootstrap_bench()
+    elif "--latency" in sys.argv:
+        latency_bench()
     else:
         main()
