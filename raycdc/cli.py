@@ -379,6 +379,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_jvr.add_argument("--view-dir", required=True)
 
+    p_cut = sub.add_parser(
+        "cut",
+        help="latest transactionally-consistent cross-table snapshot "
+        "over router-converged lakes (per-lake versions at one shared "
+        "wire position)",
+    )
+    p_cut.add_argument("--lake-dir", action="append", required=True)
+    p_cut.add_argument("--seq", type=int, default=None,
+                       help="latest cut at or before this wire seq")
+
     p_vv = sub.add_parser(
         "view-verify",
         help="audit a derived view: recompute at the versions it "
@@ -768,6 +778,12 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.pipelines.joinview import refresh_joinview
 
         print(json.dumps(refresh_joinview(args.view_dir)))
+        return 0
+
+    if args.cmd == "cut":
+        from raycdc.pipelines.multitable import consistent_cut
+
+        print(json.dumps(consistent_cut(args.lake_dir, seq=args.seq)))
         return 0
 
     if args.cmd == "view-verify":

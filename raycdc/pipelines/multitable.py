@@ -468,3 +468,81 @@ def run_ingest_multi(
             write_mode=cfg.routes[t].write_mode,
         )
     return out
+
+
+def consistent_cut(
+    lake_dirs: list[str], seq: int | None = None
+) -> dict:
+    """The latest transactionally-consistent cross-table snapshot.
+
+    Lakes converged by ``run_ingest_multi`` commit EVERY route under
+    one shared run id with every cursor advanced to one replay-target
+    seq — so the versions stamped with that run id form a consistent
+    cut: each table's state contains exactly the wire events with
+    ``seq <= target``, no table ahead of another.  This is the
+    cross-table read guarantee binlog consumers lose when tables are
+    tailed independently (Debezium per-table topics), recovered here
+    because the router applies one window to all tables atomically
+    per table with a shared cursor.
+
+    Returns ``{"run_id", "target_seq", "versions": {lake_dir:
+    version}}`` for the LATEST common cut, optionally the latest whose
+    target is ``<= seq`` (time-travel to a wire position).  Read each
+    table with ``Lake(d).read_table(version=versions[d])`` /
+    ``read_dataset(version=)``.  Raises ``ValueError`` when the lakes
+    share no aligned commit (e.g. they were also ingested
+    independently and never through one router run).
+
+    Driver-side metadata walk only: one manifest JSON + one checkpoint
+    footer per retained version per lake."""
+    if not lake_dirs:
+        raise ValueError("consistent_cut: no lakes given")
+    cuts: list[dict[str, tuple[int, int]]] = []
+    for d in lake_dirs:
+        lake = Lake(d)
+        by_run: dict[str, tuple[int, int]] = {}
+        for v in lake.versions():
+            m = lake.manifest(v)
+            rid = m.get("last_run_id")
+            ckpt = m.get("checkpoint")
+            if not rid or not ckpt:
+                continue
+            path = os.path.join(d, ckpt)
+            if not os.path.exists(path):
+                continue  # vacuumed away
+            wm = pq.read_table(path, columns=["watermark_seq"])
+            if wm.num_rows == 0:
+                continue
+            target = int(pc.max(wm["watermark_seq"]).as_py())
+            cur = by_run.get(rid)
+            # a run id stamps one commit per lake; keep the latest
+            # version in the pathological re-commit case
+            if cur is None or v > cur[0]:
+                by_run[rid] = (int(v), target)
+        cuts.append(by_run)
+    common = set(cuts[0])
+    for c in cuts[1:]:
+        common &= set(c)
+    # a cut is usable only if every lake agrees on the run's target
+    aligned = [
+        (cuts[0][rid][1], rid)
+        for rid in common
+        if len({c[rid][1] for c in cuts}) == 1
+        and (seq is None or cuts[0][rid][1] <= seq)
+    ]
+    if not aligned:
+        raise ValueError(
+            "no consistent cut across "
+            f"{lake_dirs}{f' at seq<={seq}' if seq is not None else ''} — "
+            "these lakes share no router commit (run_ingest_multi) with "
+            "a retained checkpoint; tail them through one router, or "
+            "vacuum less aggressively"
+        )
+    target, rid = max(aligned)
+    return {
+        "run_id": rid,
+        "target_seq": target,
+        "versions": {
+            d: c[rid][0] for d, c in zip(lake_dirs, cuts)
+        },
+    }

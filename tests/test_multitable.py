@@ -473,3 +473,64 @@ def test_multi_ingest_over_jsonl_transport(tmp_path):
             _state(cfg.routes[tab].lake_dir),
             _state(os.path.join(tmp, f"ref_{tab}")),
         )
+
+
+def test_consistent_cut_across_tables(tmp_path):
+    """consistent_cut returns per-lake versions forming one
+    transactionally consistent wire position: each table's snapshot at
+    the cut equals the single-table replay of the log truncated at the
+    cut's target seq — for EVERY retained cut, including time-travel
+    to an earlier seq."""
+    from raycdc.pipelines.multitable import consistent_cut
+
+    tmp = str(tmp_path)
+    write_changelog(os.path.join(tmp, "raw"), 1500, fragment_rows=500,
+                    seed=41)
+    _route_table(os.path.join(tmp, "raw"), os.path.join(tmp, "staging"))
+    cfg = _mcfg(tmp)
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    frags = sorted(os.listdir(os.path.join(tmp, "staging")))
+    targets = []
+    for name in frags:  # three windows → three aligned cuts
+        os.rename(
+            os.path.join(tmp, "staging", name),
+            os.path.join(cfg.log_dir, name),
+        )
+        res = run_ingest_multi(cfg)
+        targets.append(res["tbl_a"].watermark)
+    lakes = [cfg.routes["tbl_a"].lake_dir, cfg.routes["tbl_b"].lake_dir]
+
+    def _oracle(table: str, upto: int) -> pa.Table:
+        d = os.path.join(tmp, f"oracle_{table}_{upto}")
+        _split_log(cfg.log_dir, d, table)
+        for name in os.listdir(d):
+            t = pq.read_table(os.path.join(d, name))
+            t = t.filter(pc.less_equal(t["seq"], upto))
+            pq.write_table(t, os.path.join(d, name))
+        lake = os.path.join(tmp, f"olake_{table}_{upto}")
+        payload = PAYLOAD_A if table == "tbl_a" else PAYLOAD_B
+        run_ingest(IngestConfig(
+            log_dir=d, lake_dir=lake, num_partitions=8, columns=payload,
+        ))
+        return _state(lake)
+
+    # latest cut = the final window's boundary
+    cut = consistent_cut(lakes)
+    assert cut["target_seq"] == targets[-1]
+    # time travel: each earlier boundary is reachable and exact
+    for upto in targets:
+        cut = consistent_cut(lakes, seq=upto)
+        assert cut["target_seq"] == upto
+        for d, table in zip(lakes, ("tbl_a", "tbl_b")):
+            got = Lake(d).read_table(version=cut["versions"][d])
+            got = got.take(pc.sort_indices(
+                got,
+                sort_keys=[("repo", "ascending"), ("path", "ascending")],
+            ))
+            _assert_tables_equal(got, _oracle(table, upto))
+    # a wire position before the first boundary has no cut
+    with pytest.raises(ValueError, match="no consistent cut"):
+        consistent_cut(lakes, seq=targets[0] - 1)
+    # time-travel cuts survive later activity on one lake alone
+    cut = consistent_cut(lakes, seq=targets[1])
+    assert cut["target_seq"] == targets[1]
