@@ -812,6 +812,91 @@ def _q_cdc_multi_table_replay(sf_dir):
     )
 
 
+def _q_cdc_consistent_cut(sf_dir):
+    """Cross-table consistent snapshot (multitable.consistent_cut):
+    documents routed by parity into two lakes through THREE router
+    windows, then a time-travel cut at the SECOND window's boundary —
+    the even lake's state at the cut must equal the mid-stream ' v1'
+    document state (every doc present at its post-first-update
+    content), which only holds if the returned versions really pin
+    one shared wire position."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from raycdc.pipelines.flagship import (
+        PAYLOAD_COLUMNS,
+        documents_changelog,
+    )
+    from raycdc.pipelines.multitable import (
+        MultiIngestConfig,
+        TableRoute,
+        consistent_cut,
+        run_ingest_multi,
+    )
+    from raycdc.state.checkpoint import Lake
+
+    workdir = os.path.join(
+        "/tmp",
+        "raycdc_cut_"
+        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    staging = os.path.join(workdir, "staging")
+    log_dir = os.path.join(workdir, "mlog")
+    documents_changelog(sf_dir, staging, fragments=6)
+    os.makedirs(log_dir, exist_ok=True)
+    hold = os.path.join(workdir, "hold")
+    os.makedirs(hold, exist_ok=True)
+    for name in sorted(os.listdir(staging)):
+        t = _pq.read_table(os.path.join(staging, name))
+        doc = [
+            int(p.split("/")[1].split(".")[0])
+            for p in t["path"].to_pylist()
+        ]
+        tabs = ["docs_even" if d % 2 == 0 else "docs_odd" for d in doc]
+        t = t.append_column("table", pa.array(tabs, pa.string()))
+        _pq.write_table(t, os.path.join(hold, name))
+    cfg = MultiIngestConfig(
+        log_dir=log_dir,
+        routes={
+            "docs_even": TableRoute(
+                lake_dir=os.path.join(workdir, "lake_even"),
+                columns=PAYLOAD_COLUMNS,
+            ),
+            "docs_odd": TableRoute(
+                lake_dir=os.path.join(workdir, "lake_odd"),
+                columns=PAYLOAD_COLUMNS,
+            ),
+        },
+        num_partitions=16,
+    )
+    frags = sorted(os.listdir(hold))
+    boundaries = []
+    for names in (frags[:1], frags[1:4], frags[4:]):
+        for name in names:
+            os.rename(
+                os.path.join(hold, name), os.path.join(log_dir, name)
+            )
+        res = run_ingest_multi(cfg)
+        boundaries.append(res["docs_even"].watermark)
+    lakes = [r.lake_dir for r in cfg.routes.values()]
+    cut = consistent_cut(lakes, seq=boundaries[1])
+    assert cut["target_seq"] == boundaries[1]
+    even = cfg.routes["docs_even"].lake_dir
+    t = Lake(even).read_table(
+        columns=["repo", "path", "content"],
+        version=cut["versions"][even],
+    )
+    return t.take(
+        _pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+    )
+
+
 def _q_matview_repo_stats(sf_dir):
     """Incrementally-maintained materialized aggregate view (docs +
     content bytes per repo): created after the FIRST ingest window,
@@ -2919,6 +3004,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _tuned(_q_dedup_survivors),
         "curation_pipeline": _tuned(_q_curation_pipeline),
         "scrub_blocklist": _tuned(_q_scrub_blocklist),
+        # (cdc_consistent_cut: NEW this session, window full — carried
+        #  by the local oracle twin + the boundary-exactness test in
+        #  tests/test_multitable.py; ROUND-5 ROTATION: front-load it)
+        "cdc_consistent_cut": _tuned(_q_cdc_consistent_cut),
         # (joinview_enriched: NEW this session, window full — carried
         #  by the local oracle twin + tests/test_joinview.py's
         #  refresh==recompute pins; ROUND-5 ROTATION: front-load it)
@@ -3510,6 +3599,17 @@ def oracle_sql() -> dict[str, str]:
               ON v1.repo = v2.repo AND v1.path = v2.path
             WHERE v1.path IS NULL OR v2.path IS NULL
                OR v1.content <> v2.content
+        """,
+        # cut at the second router boundary = the mid-stream ' v1'
+        # state of the even-parity table — correct only if the
+        # returned versions pin one shared wire position
+        "cdc_consistent_cut": """
+            SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                     AS repo,
+                   'docs/' || doc_id || '.txt' AS path,
+                   text || ' v1' AS content
+            FROM documents WHERE doc_id % 2 = 0
+            ORDER BY repo, path
         """,
         # join view = full join over both FINAL states: any drift
         # between delta-join maintenance and a recompute mismatches
