@@ -952,6 +952,7 @@ def joinview_bench() -> None:
                 "recompute_sec": round(recompute_sec, 3),
                 "fact_delta_events": inc["delta_events"],
                 "fact_refresh_sec": round(fact_refresh_sec, 3),
+                "fact_refresh_strategy": res_fact.get("strategy"),
                 "fact_upserts": res_fact["upserts"],
                 "fact_deletes": res_fact["deletes"],
                 "sparse_dim_refresh_sec": round(sparse_refresh_sec, 3),

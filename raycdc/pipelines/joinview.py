@@ -351,6 +351,16 @@ class _PartitionApply:
         n_del = int((df["_jv_op"] == "delete").sum())
         n_ups = len(df) - n_del
 
+        if self.mode == "rebuild":
+            ups = df[df["_jv_op"] == "upsert"].drop(
+                columns=["_jv_op", "_pid"]
+            )
+            new = ups.sort_values(["repo", "path"], kind="mergesort")
+            staged = self._stage(pid, self._to_schema(new))
+            return pd.DataFrame(
+                {"pid": [pid], "path": [staged],
+                 "upserts": [n_ups], "deletes": [0]}
+            )
         if self.mode == "delta":
             out = df.drop(columns=["_pid"]).sort_values(
                 ["repo", "path"], kind="mergesort"
@@ -426,11 +436,28 @@ def _apply_delta_rows(
         .map_groups(apply_partition, batch_format="pandas")
         .to_pandas()
     )
-    if not len(rows):
+    if not len(rows) and mode != "rebuild":
         return {"upserts": 0, "deletes": 0, "partitions": []}
     staged = {
         int(r.pid): r.path for r in rows.itertuples(index=False)
-    }
+    } if len(rows) else {}
+    if mode == "rebuild":
+        # a rebuild REPLACES the view: partitions that end empty get an
+        # empty base so their stale rows (and delta files) drop too
+        empty = pa.table(
+            [pa.array([], f.type) for f in schema], schema=schema
+        )
+        for pid in parts_rel:
+            if pid not in staged:
+                d = os.path.join(view.root, "data", f"part-{pid:05d}")
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(d, f"{run_id}.parquet")
+                pq.write_table(
+                    empty, p, compression="zstd", compression_level=1
+                )
+                staged[pid] = p
+        if not staged:
+            return {"upserts": 0, "deletes": 0, "partitions": []}
     kwargs = (
         {"staged_deltas": staged, "staged": {}}
         if mode == "delta"
@@ -485,6 +512,88 @@ def _dim_rows_estimate(right: Lake) -> int:
         for p in paths:
             n += pq.read_metadata(p).num_rows
     return n
+
+
+def _full_join_delta(
+    left: Lake,
+    right: Lake,
+    lv: int,
+    rv: int,
+    on: str,
+    right_on: str,
+    attrs: list[str],
+    attr_map: dict[str, str],
+    left_cols: list[str],
+    how: str,
+    schema: pa.Schema,
+    P: int,
+    proj: list[str],
+    max_dim_rows: int,
+    use_hash: bool,
+) -> "object":
+    """The complete ``left@lv ⋈ right@rv`` as a delta-row Dataset
+    (upserts only) — the create-time build, also reused by the
+    refresh's auto-rebuild strategy.  ``use_hash`` picks the
+    partitioned hash-join (dimension never on the driver) over the
+    broadcast build."""
+    import ray
+
+    if use_hash:
+        from raycdc.ops.relational import hash_join
+
+        r_attr_cols = [c for c in attrs if c != right_on]
+        joined = hash_join(
+            left.read_dataset(columns=proj, version=lv),
+            right.read_dataset(
+                columns=[right_on, *r_attr_cols], version=rv
+            ),
+            left_on=on,
+            right_on=right_on,
+            right_cols=r_attr_cols,
+            how="inner" if how == "inner" else "left",
+        )
+
+        def to_delta_joined(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({
+                "repo": df["repo"].astype(object),
+                "path": df["path"].astype(object),
+            })
+            for c in _FIXED_COLS[2:]:
+                out[c] = (
+                    df[c] if c in left_cols and c in df.columns else None
+                )
+            out["seq"] = np.int64(0)
+            for src_col, view_col in attr_map.items():
+                out[f"p_{view_col}"] = df[f"{src_col}_r"].to_numpy()
+            return _finalize_delta(
+                out, np.zeros(len(out), dtype=bool), schema, P
+            )
+
+        return joined.map_batches(to_delta_joined, batch_format="pandas")
+
+    dim = _gather_dim(right, rv, right_on, attrs, None, max_dim_rows)
+    dim_ref = ray.put(dim)
+
+    def to_delta(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from raycdc.functions.arrowsafe import mask_filter
+
+        df = t.to_pandas()
+        df = df.assign(change="insert")
+        out = _enrich(
+            df, ray.get(dim_ref), on, left_cols, attr_map, how, schema, P
+        )
+        # a full build has no pre-existing rows to delete: inner-join
+        # misses are simply dropped instead of shipped as markers
+        keep = pc.equal(out["_jv_op"], "upsert").to_numpy(
+            zero_copy_only=False
+        )
+        return mask_filter(out, keep)
+
+    return left.read_dataset(columns=proj, version=lv).map_batches(
+        to_delta, batch_format="pyarrow"
+    )
 
 
 def create_joinview(
@@ -573,76 +682,13 @@ def create_joinview(
     proj = sorted(set(_KEY_COLS) | set(left_cols) | {on})
     run_id = f"jvcreate-{lv:06d}-{rv:06d}"
 
-    import ray
-
-    if use_hash:
-        # dimension past the broadcast budget: partitioned hash-join
-        # bootstrap — both sides shuffle ONCE on the join key, the
-        # dimension never materializes on the driver.  Refreshes stay
-        # broadcast-shaped (they gather only the delta's needed keys).
-        from raycdc.ops.relational import hash_join
-
-        r_attr_cols = [c for c in attrs if c != right_on]
-        joined = hash_join(
-            left.read_dataset(columns=proj, version=lv),
-            right.read_dataset(
-                columns=[right_on, *r_attr_cols], version=rv
-            ),
-            left_on=on,
-            right_on=right_on,
-            right_cols=r_attr_cols,
-            how="inner" if how == "inner" else "left",
-        )
-
-        def to_delta_joined(df: pd.DataFrame) -> pa.Table:
-            out = pd.DataFrame({
-                "repo": df["repo"].astype(object),
-                "path": df["path"].astype(object),
-            })
-            for c in _FIXED_COLS[2:]:
-                out[c] = (
-                    df[c] if c in left_cols and c in df.columns else None
-                )
-            out["seq"] = np.int64(0)
-            for src_col, view_col in attr_map.items():
-                out[f"p_{view_col}"] = df[f"{src_col}_r"].to_numpy()
-            return _finalize_delta(
-                out, np.zeros(len(out), dtype=bool), schema, P
-            )
-
-        delta = joined.map_batches(
-            to_delta_joined, batch_format="pandas"
-        )
-        res = _apply_delta_rows(
-            view, delta, run_id, strict_unique=True
-        )
-    else:
-        dim = _gather_dim(right, rv, right_on, attrs, None, max_dim_rows)
-        dim_ref = ray.put(dim)
-
-        def to_delta(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            from raycdc.functions.arrowsafe import mask_filter
-
-            df = t.to_pandas()
-            df = df.assign(change="insert")
-            out = _enrich(
-                df, ray.get(dim_ref), on, left_cols, attr_map, how,
-                schema, P,
-            )
-            # a full build has no pre-existing rows to delete:
-            # inner-join misses are simply dropped instead of shipped
-            # as markers
-            keep = pc.equal(out["_jv_op"], "upsert").to_numpy(
-                zero_copy_only=False
-            )
-            return mask_filter(out, keep)
-
-        delta = left.read_dataset(columns=proj, version=lv).map_batches(
-            to_delta, batch_format="pyarrow"
-        )
-        res = _apply_delta_rows(view, delta, run_id)
+    delta = _full_join_delta(
+        left, right, lv, rv, on, right_on, attrs, attr_map, left_cols,
+        how, schema, P, proj, max_dim_rows, use_hash,
+    )
+    res = _apply_delta_rows(
+        view, delta, run_id, strict_unique=use_hash
+    )
     state = {
         "left_dir": os.path.abspath(left_dir),
         "right_dir": os.path.abspath(right_dir),
@@ -663,11 +709,46 @@ def create_joinview(
     return {"rows": res["upserts"], "left_version": lv, "right_version": rv}
 
 
-def refresh_joinview(view_dir: str) -> dict:
-    """Fold both upstreams' committed diffs into the view — cost
-    O(|ΔL| + |ΔR| × fan-out + touched view partitions), never a
-    re-join of the corpus.  Crash-safe and idempotent: rerunning after
-    a crash (or a no-op rerun) converges to the same view state."""
+def _touched_fraction(lake: Lake, v0: int, v1: int) -> float:
+    """Fraction of partitions whose file lists changed between two
+    versions — the same manifest-level comparison ``snapshot_diff``
+    prunes with, so it predicts exactly how many partitions the diff
+    would resolve TWICE.  Driver-side metadata only."""
+    m0, m1 = lake.manifest(v0), lake.manifest(v1)
+    if int(m0["num_partitions"]) != int(m1["num_partitions"]):
+        return 1.0
+    po, pn = lake.part_paths(v0), lake.part_paths(v1)
+    do, dn = lake.delta_paths(v0), lake.delta_paths(v1)
+    pids = set(po) | set(pn) | set(do) | set(dn)
+    if not pids:
+        return 0.0
+    touched = sum(
+        1
+        for pid in pids
+        if (po.get(pid), do.get(pid, [])) != (pn.get(pid), dn.get(pid, []))
+    )
+    return touched / len(pids)
+
+
+def refresh_joinview(
+    view_dir: str,
+    strategy: str = "auto",
+    rebuild_fraction: float = 0.6,
+) -> dict:
+    """Advance the view to both upstreams' current versions.
+
+    ``strategy="delta"`` folds the two snapshot diffs — cost
+    O(|ΔL| + |ΔR| × fan-out + touched view partitions).
+    ``strategy="rebuild"`` recomputes the full join at the new
+    versions and commits it as a base-replacement VERSION of the same
+    view lake (cursors, history, and time travel continue).
+    ``"auto"`` (default) picks by the measured economics: a fact-side
+    window that touched ≥ ``rebuild_fraction`` of the left partitions
+    makes the diff resolve nearly every partition TWICE, which costs
+    more than one full re-join (BASELINE.md: 7.9 s diff vs 4.1 s
+    rebuild for a corpus-wide 5% delta at 8M) — dense backfills
+    rebuild, steady-state windows and dimension churn fold deltas.
+    Crash-safe and idempotent on every path."""
     import pyarrow.dataset as pads
 
     import ray
@@ -712,6 +793,49 @@ def refresh_joinview(view_dir: str) -> dict:
     vm = view.manifest()
     P = int(vm["num_partitions"])
     schema = view._lake_schema(vm)
+
+    if strategy not in ("auto", "delta", "rebuild"):
+        raise ValueError(
+            f"strategy={strategy!r} not in ('auto', 'delta', 'rebuild')"
+        )
+    do_rebuild = strategy == "rebuild" or (
+        strategy == "auto"
+        and lv1 != lv0
+        and _touched_fraction(left, lv0, lv1) >= rebuild_fraction
+    )
+    if do_rebuild:
+        attr_map = {c: _attr_view_name(c) for c in attrs}
+        use_hash = _dim_rows_estimate(right) > budget
+        proj = sorted(set(_KEY_COLS) | set(left_cols) | {on})
+        delta = _full_join_delta(
+            left, right, lv1, rv1, on, right_on, attrs, attr_map,
+            left_cols, how, schema, P, proj, budget, use_hash,
+        )
+        run_id = f"jvrebuild-{lv1:06d}-{rv1:06d}"
+        last_err: Exception | None = None
+        res = {}
+        for _ in range(_ATTEMPTS):
+            try:
+                res = _apply_delta_rows(
+                    view, delta, run_id, mode="rebuild",
+                    strict_unique=use_hash,
+                )
+                last_err = None
+                break
+            except ConcurrentCommitError as e:
+                last_err = e
+        if last_err is not None:
+            raise last_err
+        state["left_version"], state["right_version"] = lv1, rv1
+        _save_state(view_dir, state)
+        consumer = _consumer_name(view_dir)
+        _advance_consumer(state["left_dir"], consumer, lv1)
+        _advance_consumer(state["right_dir"], consumer, rv1)
+        res.update({
+            "left_version": lv1, "right_version": rv1,
+            "strategy": "rebuild",
+        })
+        return res
 
     # -- right side: affected join-key values (old AND new images) ---
     affected: set = set()
@@ -822,7 +946,9 @@ def refresh_joinview(view_dir: str) -> dict:
     consumer = _consumer_name(view_dir)
     _advance_consumer(state["left_dir"], consumer, lv1)
     _advance_consumer(state["right_dir"], consumer, rv1)
-    res.update({"left_version": lv1, "right_version": rv1})
+    res.update({
+        "left_version": lv1, "right_version": rv1, "strategy": "delta",
+    })
     return res
 
 

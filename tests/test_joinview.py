@@ -611,3 +611,69 @@ def test_verify_joinview_audits_and_detects_corruption(lakes, tmp_path):
     pq.write_table(t, path, compression="zstd", compression_level=1)
     out = verify_joinview(view_dir)
     assert not out["ok"] and out["mismatched_rows"] >= 1
+
+
+def test_refresh_rebuild_strategy(lakes, tmp_path):
+    """strategy='rebuild' recomputes the join as a base-replacement
+    VERSION of the same view lake — equal to the delta fold, history
+    continues, emptied partitions drop their stale rows; 'auto' picks
+    rebuild for a corpus-wide fact window and the delta fold for a
+    sparse one."""
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+        _ev(3, "insert", "r3", "c.rs", "rs", "gamma"),
+        _ev(4, "insert", "r4", "d.md", "md", "delta"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+        _dim_ev(3, "insert", "r3", "carol", 3),
+        _dim_ev(4, "insert", "r4", "dave", 4),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    v0 = int(Lake(view_dir).manifest()["version"])
+
+    # corpus-wide window (touches every partition) → auto rebuilds
+    _frag(left.log_dir, 1, [
+        _ev(5, "update", "r1", "a.py", "py", "alpha2"),
+        _ev(6, "update", "r2", "b.go", "go", "beta2"),
+        _ev(7, "delete", "r3", "c.rs"),
+        _ev(8, "update", "r4", "d.md", "md", "delta2"),
+    ])
+    run_ingest(left)
+    res = refresh_joinview(view_dir)
+    assert res["strategy"] == "rebuild"
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re1"),
+    )
+    # history continued: new version, old one still time-travels
+    vlake = Lake(view_dir)
+    assert int(vlake.manifest()["version"]) > v0
+    old = vlake.read_table(version=v0)
+    assert old.num_rows == 4  # pre-rebuild state intact
+
+    # sparse dim change → auto stays on the delta fold
+    _frag(right.log_dir, 1, [_dim_ev(5, "update", "r2", "bob", 9)])
+    run_ingest(right)
+    res = refresh_joinview(view_dir)
+    assert res["strategy"] == "delta"
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re2"),
+    )
+
+    # forced rebuild equals the delta result too
+    _frag(right.log_dir, 2, [_dim_ev(6, "update", "r4", "dave", 8)])
+    run_ingest(right)
+    res = refresh_joinview(view_dir, strategy="rebuild")
+    assert res["strategy"] == "rebuild"
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re3"),
+    )
