@@ -423,6 +423,13 @@ def _apply_delta_rows(
     parts_rel = {
         int(pid): rel for pid, rel in manifest.get("parts", {}).items()
     }
+    # every partition holding ANY live file: a rebuild must replace
+    # delta-only partitions too, or their stale rows would survive
+    live_pids = set(parts_rel) | {
+        int(pid)
+        for pid, rels in (manifest.get("deltas") or {}).items()
+        if rels
+    }
     apply_fn = _PartitionApply(
         view.root, parts_rel, schema, run_id, mode, seq,
         strict_unique=strict_unique,
@@ -447,7 +454,7 @@ def _apply_delta_rows(
         empty = pa.table(
             [pa.array([], f.type) for f in schema], schema=schema
         )
-        for pid in parts_rel:
+        for pid in live_pids:
             if pid not in staged:
                 d = os.path.join(view.root, "data", f"part-{pid:05d}")
                 os.makedirs(d, exist_ok=True)
@@ -468,8 +475,8 @@ def _apply_delta_rows(
         **kwargs,
     )
     return {
-        "upserts": int(rows["upserts"].sum()),
-        "deletes": int(rows["deletes"].sum()),
+        "upserts": int(rows["upserts"].sum()) if len(rows) else 0,
+        "deletes": int(rows["deletes"].sum()) if len(rows) else 0,
         "partitions": sorted(staged),
     }
 
@@ -847,10 +854,11 @@ def refresh_joinview(
             state["right_dir"], rv0, rv1, columns=cols, include_old=True
         ).to_pandas()
         _check_budget(len(dr), budget, "dimension diff")
-        affected |= set(dr[right_on].dropna())
-        old_col = f"{right_on}_old"
-        if old_col in dr.columns:
-            affected |= set(dr[old_col].dropna())
+        if not dr.empty:  # empty Datasets lose columns via to_pandas()
+            affected |= set(dr[right_on].dropna())
+            old_col = f"{right_on}_old"
+            if old_col in dr.columns:
+                affected |= set(dr[old_col].dropna())
 
     # -- left side: the fact diff (zero-shuffle, partition-pruned) ---
     need_cols = sorted(

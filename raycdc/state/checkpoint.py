@@ -821,7 +821,15 @@ class Lake:
         parts = self.part_paths(version)
         deltas = self.delta_paths(version)
         if not parts and not deltas:
-            return pa.table({c: pa.array([], pa.string()) for c in LAKE_COLUMNS})
+            # a lake with no committed data still has a SCHEMA (fixed
+            # columns + declared payload columns, correctly typed) —
+            # an all-string LAKE_COLUMNS fallback broke downstream
+            # column/type comparisons against non-empty twins
+            schema = self._lake_schema(self.manifest(version))
+            empty = pa.table(
+                [pa.array([], f.type) for f in schema], schema=schema
+            )
+            return empty.select(columns) if columns else empty
         if not deltas:
             tables = [
                 pq.read_table(p, columns=columns)

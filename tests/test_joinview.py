@@ -677,3 +677,205 @@ def test_refresh_rebuild_strategy(lakes, tmp_path):
         read_joinview(view_dir),
         _recompute(left, right, tmp_path, "re3"),
     )
+
+
+# -- property: delta-join maintenance == serial reference ------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_FKEYS = [("r1", "a.py"), ("r1", "b.py"), ("r2", "c.go"),
+          ("r3", "d.rs"), ("r3", "e.md")]
+_DREPOS = ["r1", "r2", "r3"]
+
+
+@st.composite
+def _two_sided_windows(draw):
+    n_windows = draw(st.integers(min_value=1, max_value=3))
+    out, seq = [], 0
+    for _ in range(n_windows):
+        facts, dims = [], []
+        for _ in range(draw(st.integers(min_value=0, max_value=5))):
+            repo, path = _FKEYS[
+                draw(st.integers(0, len(_FKEYS) - 1))
+            ]
+            op = draw(st.sampled_from(["insert", "update", "delete"]))
+            seq += 1
+            if op == "delete":
+                facts.append(_ev(seq, "delete", repo, path))
+            else:
+                facts.append(_ev(
+                    seq, op, repo, path, "py",
+                    "w" * draw(st.integers(1, 4)),
+                ))
+        for _ in range(draw(st.integers(min_value=0, max_value=3))):
+            repo = _DREPOS[draw(st.integers(0, len(_DREPOS) - 1))]
+            op = draw(st.sampled_from(["insert", "update", "delete"]))
+            seq += 1
+            if op == "delete":
+                dims.append(_dim_ev(seq, "delete", repo))
+            else:
+                dims.append(_dim_ev(
+                    seq, op, repo, f"own{draw(st.integers(0, 2))}",
+                    draw(st.integers(0, 9)),
+                ))
+        out.append((facts, dims))
+    return out
+
+
+@given(_two_sided_windows())
+@settings(max_examples=8, deadline=None)
+def test_joinview_refresh_equals_serial_reference(
+    tmp_path_factory, windows
+):
+    """Arbitrary interleaved insert/update/delete windows on BOTH the
+    fact and the dimension lake: refresh-after-every-window must equal
+    a from-scratch recompute AND a pure-python keep-latest + join
+    reference (inner)."""
+    tmp = tmp_path_factory.mktemp("jvprop")
+    left = IngestConfig(
+        log_dir=str(tmp / "llog"), lake_dir=str(tmp / "llake"),
+        num_partitions=4,
+    )
+    right = IngestConfig(
+        log_dir=str(tmp / "rlog"), lake_dir=str(tmp / "rlake"),
+        num_partitions=2, columns=DIM_COLS,
+    )
+    view_dir = str(tmp / "view")
+    os.makedirs(left.log_dir, exist_ok=True)
+    os.makedirs(right.log_dir, exist_ok=True)
+    facts_state: dict = {}
+    dim_state: dict = {}
+    created = False
+    for i, (facts, dims) in enumerate(windows):
+        if facts:
+            _frag(left.log_dir, i, facts)
+        if dims:
+            _frag(right.log_dir, i, dims)
+        run_ingest(left)
+        run_ingest(right)
+        for e in facts:
+            k = (e["repo"], e["path"])
+            if e["op"] == "delete":
+                facts_state.pop(k, None)
+            else:
+                facts_state[k] = e["content"]
+        for e in dims:
+            import json as _json
+
+            if e["op"] == "delete":
+                dim_state.pop(e["repo"], None)
+            else:
+                p = _json.loads(e["payload_json"])
+                dim_state[e["repo"]] = (p["owner"], p["tier"])
+        if not created:
+            create_joinview(left.lake_dir, right.lake_dir, view_dir)
+            created = True
+        else:
+            refresh_joinview(view_dir)
+    got = {
+        (r["repo"], r["path"]): (r["content"], r["p_owner"], r["p_tier"])
+        for r in read_joinview(view_dir).to_pylist()
+    }
+    ref = {
+        (repo, path): (content, *dim_state[repo])
+        for (repo, path), content in facts_state.items()
+        if repo in dim_state
+    }
+    assert got == ref
+    scratch = str(tmp / f"re_{len(windows)}")
+    create_joinview(left.lake_dir, right.lake_dir, scratch)
+    _views_equal(read_joinview(view_dir), read_joinview(scratch))
+
+
+def test_follow_multi_with_joinview_on_round(lakes, tmp_path):
+    """The capstone composition: ONE multiplexed wire log carries both
+    the fact table and the dimension table; the router converges both
+    lakes per round (shared run id = consistent cut), and the hook
+    refreshes the join view each round — final view == recompute, with
+    mid-stream fact AND dim changes arriving through the same log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.pipelines.joinview import make_joinview_on_round
+    from raycdc.pipelines.multitable import (
+        MultiIngestConfig,
+        TableRoute,
+        run_follow_multi,
+    )
+
+    left, right = lakes  # reuse dirs; logs unused
+    tmp = str(tmp_path)
+    mlog = os.path.join(tmp, "mlog")
+    os.makedirs(mlog)
+
+    def _mfrag(idx: int, rows: list[tuple]):
+        # rows: (event dict, table)
+        cols = {c: [] for c in LOG_COLS}
+        tabs = []
+        for e, tab in rows:
+            for c in LOG_COLS:
+                cols[c].append(e.get(c))
+            tabs.append(tab)
+        t = pa.table({
+            "seq": pa.array(cols["seq"], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + (s or 0) for s in cols["seq"]],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(cols["op"], pa.string()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "commit": pa.array(cols["commit"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "content": pa.array(cols["content"], pa.string()),
+            "payload_json": pa.array(cols["payload_json"], pa.string()),
+            "table": pa.array(tabs, pa.string()),
+        })
+        pq.write_table(t, os.path.join(mlog, f"fragment-{idx:05d}.parquet"))
+
+    _mfrag(0, [
+        (_ev(1, "insert", "r1", "a.py", "py", "alpha"), "files"),
+        (_ev(2, "insert", "r2", "b.go", "go", "beta"), "files"),
+        (_dim_ev(3, "insert", "r1", "alice", 1), "repos"),
+        (_dim_ev(4, "insert", "r2", "bob", 2), "repos"),
+    ])
+    cfg = MultiIngestConfig(
+        log_dir=mlog,
+        routes={
+            "files": TableRoute(lake_dir=left.lake_dir),
+            "repos": TableRoute(lake_dir=right.lake_dir, columns=DIM_COLS),
+        },
+        num_partitions=4,
+    )
+    view_dir = str(tmp_path / "view")
+    hook = make_joinview_on_round(left.lake_dir, right.lake_dir, view_dir)
+    fed = {"n": 0}
+
+    def on_round(res):
+        if not all(r.no_op for r in res.values()):
+            hook(res["files"])
+        fed["n"] += 1
+        if fed["n"] == 1:
+            # one wire window carrying a fact update AND a dim re-tier
+            _mfrag(1, [
+                (_ev(5, "update", "r1", "a.py", "py", "alpha v2"),
+                 "files"),
+                (_dim_ev(6, "update", "r2", "bob", 9), "repos"),
+            ])
+        elif fed["n"] == 2:
+            _mfrag(2, [
+                (_ev(7, "delete", "r2", "b.go"), "files"),
+                (_dim_ev(8, "insert", "r3", "carol", 3), "repos"),
+            ])
+
+    run_follow_multi(
+        cfg, stop_after_idle_rounds=2, on_round=on_round,
+        _sleep=lambda s: None,
+    )
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re"),
+    )
+    got = read_joinview(view_dir).to_pandas().set_index("repo")
+    assert list(got.index) == ["r1"]
+    assert got.loc["r1", "content"] == "alpha v2"

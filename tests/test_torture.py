@@ -116,3 +116,116 @@ def test_sigkill_at_staggered_points_converges(tmp_path):
     finally:
         proc.stdout.close()
         proc.wait(timeout=60)
+
+
+_JV_WORKER = """
+import sys
+sys.path.insert(0, sys.argv[4])
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+print("RAY_UP", flush=True)
+from raycdc.pipelines.joinview import refresh_joinview
+res = refresh_joinview(sys.argv[3])
+print("DONE", res["upserts"], flush=True)
+ray.shutdown()
+"""
+
+
+def test_sigkill_during_joinview_refresh_converges(tmp_path):
+    """SIGKILL mid-refresh (staged delta files half-written, state not
+    advanced), then a clean rerun: the view must equal a from-scratch
+    recompute — the derived-state analog of the ingest torture."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.joinview import create_joinview, read_joinview
+
+    llog, llake = str(tmp_path / "llog"), str(tmp_path / "llake")
+    rlog, rlake = str(tmp_path / "rlog"), str(tmp_path / "rlake")
+    view = str(tmp_path / "view")
+    write_changelog(llog, 6_000, fragment_rows=1_000, seed=31)
+    os.makedirs(rlog)
+    repos = sorted({
+        r
+        for f in os.listdir(llog)
+        for r in pq.read_table(
+            os.path.join(llog, f), columns=["repo"]
+        )["repo"].to_pylist()
+        if r is not None
+    })
+    pq.write_table(
+        pa.table({
+            "seq": pa.array(range(1, len(repos) + 1), pa.int64()),
+            "ts": pa.array([0] * len(repos), pa.timestamp("us")),
+            "op": pa.array(["insert"] * len(repos), pa.string()),
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(["_dim"] * len(repos), pa.string()),
+            "commit": pa.array([f"d{i}" for i in range(len(repos))]),
+            "lang": pa.array([None] * len(repos), pa.string()),
+            "content": pa.array([""] * len(repos), pa.string()),
+            "content_len": pa.array([0] * len(repos), pa.int32()),
+            "payload_json": pa.array(
+                [json.dumps({"owner": r.split("/")[0]}) for r in repos]
+            ),
+        }),
+        os.path.join(rlog, "fragment-00000.parquet"),
+    )
+    lcfg = IngestConfig(
+        log_dir=llog, lake_dir=llake, num_partitions=4,
+        columns=[{"name": "author.name", "type": "string"}],
+    )
+    rcfg = IngestConfig(
+        log_dir=rlog, lake_dir=rlake, num_partitions=2,
+        columns=[{"name": "owner", "type": "string"}],
+    )
+    run_ingest(lcfg)
+    run_ingest(rcfg)
+    create_joinview(llake, rlake, view, attrs=["p_owner"])
+
+    # land a fact delta, then kill the refresh mid-flight
+    write_changelog(
+        llog, 2_000, fragment_rows=1_000, seed=37,
+        start_seq=6_001, fragment_index_offset=100,
+        duplicate_boundaries=False,
+    )
+    run_ingest(lcfg)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _JV_WORKER, "x", "y", view, REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        start_new_session=True, cwd=REPO,
+    )
+    try:
+        assert _wait_line(proc, "RAY_UP", 90.0)
+        time.sleep(1.0)
+    finally:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(timeout=30)
+
+    # clean rerun converges; equal to a from-scratch recompute
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _JV_WORKER, "x", "y", view, REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        start_new_session=True, cwd=REPO,
+    )
+    try:
+        assert _wait_line(proc, "DONE", 180.0)
+    finally:
+        proc.stdout.close()
+        assert proc.wait(timeout=60) == 0
+    scratch = str(tmp_path / "re")
+    create_joinview(llake, rlake, scratch, attrs=["p_owner"])
+    got = read_joinview(view).to_pandas().sort_values(
+        ["repo", "path"]
+    ).reset_index(drop=True)
+    want = read_joinview(scratch).to_pandas().sort_values(
+        ["repo", "path"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
