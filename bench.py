@@ -252,6 +252,8 @@ def bench_queries() -> dict[str, float]:
         "ann_ivfpq",
         "bm25_search",
         "cdc_bootstrap_replay",
+        "joinview_enriched",
+        "cdc_consistent_cut",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)
