@@ -273,11 +273,15 @@ def _finalize_delta(
 
 
 class _PartitionApply:
-    """Per-view-partition writer, two modes.
+    """Per-view-partition writer, three modes.
 
     ``mode="base"`` (create): full rewrite — current base rows minus
     deleted keys, upserts replacing matching keys, key-sorted
     deterministic file staged under the run id.
+
+    ``mode="rebuild"`` (dense refresh): pure replacement — the batch
+    IS the partition's complete new state; current rows are ignored
+    and the commit clears the partition's delta list.
 
     ``mode="delta"`` (refresh): merge-on-read append — the delta rows
     land as ONE op-tagged file per touched partition (upserts as
