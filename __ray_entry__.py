@@ -2829,9 +2829,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # histogram bin-width fix), (d) the r03-green stable set last
     # (every tail entry has a green r03 row; the local oracle twin
     # tests/test_queries_oracle.py covers ALL entries every run).
-    # ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, the entries
-    # BELOW the boundary are the ones whose latest row is r03 — next
-    # round, move them (plus anything new) into the first 50.
+    # ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, fill the
+    # window in this priority order: (1) queries that have NEVER had a
+    # driver row (below-boundary additions of round 4 — the session
+    # A-D set: cross_corpus_dedup, cdc_selective_scan,
+    # cdc_indexed_read, cdc_zonemap_scan, cdc_multi_table_replay,
+    # cdc_branch_replay, curation_pipeline_v2, doc_lm_scores,
+    # pca_components, hash_embed_representatives, ann_pq, ann_ivfpq,
+    # bm25_search, cdc_bootstrap_replay, cdc_consumer_feed,
+    # cdc_patch_state?/check r04, cdc_jsonl_replay?, joinview_enriched,
+    # cdc_consistent_cut — cross-check against CORRECTNESS_r0{2,3,4}
+    # row sets, never from memory), then (2) anything new in round 5,
+    # then (3) the oldest-verified r03 set.  At 117 queries the driver
+    # can never re-verify everything in one round; the local twin
+    # (tests/test_queries_oracle.py) runs ALL entries every pytest and
+    # is the standing evidence for rotated-out entries.
     return {
         # -- (a) latest driver-green row is r02 ---------------------------
         "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
