@@ -879,3 +879,56 @@ def test_follow_multi_with_joinview_on_round(lakes, tmp_path):
     got = read_joinview(view_dir).to_pandas().set_index("repo")
     assert list(got.index) == ["r1"]
     assert got.loc["r1", "content"] == "alpha v2"
+
+
+def test_index_chains_over_joinview_and_vacuum_respects_anchor(
+    lakes, tmp_path
+):
+    """Three-level derived chain: lakes → join view → secondary index
+    (the view IS a lake, so the index maintains off its diffs); and
+    the view's feed-consumer anchor keeps upstream vacuum from
+    reclaiming the snapshots its next refresh diffs against."""
+    from raycdc.pipelines.maintenance import vacuum
+    from raycdc.state.secondary import (
+        create_secondary_index,
+        index_lookup,
+        refresh_secondary_index,
+    )
+
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+        _ev(2, "insert", "r2", "b.go", "go", "beta"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    idx = str(tmp_path / "idx")
+    create_secondary_index(view_dir, idx, "p_owner", num_buckets=4)
+    assert index_lookup(idx, ["alice"]).num_rows == 1
+
+    # upstream commits + VACUUM on both lakes: the view's consumer
+    # anchors must keep the consumed snapshots alive for the diff
+    _frag(left.log_dir, 1, [_ev(3, "insert", "r1", "c.py", "py", "v")])
+    _frag(right.log_dir, 1, [_dim_ev(4, "update", "r2", "carol", 2)])
+    run_ingest(left)
+    run_ingest(right)
+    vacuum(left.lake_dir)
+    vacuum(right.lake_dir)
+    res = refresh_joinview(view_dir)
+    assert res["upserts"] > 0
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(left, right, tmp_path, "re"),
+    )
+
+    # the index maintains off the VIEW's own diff
+    refresh_secondary_index(idx)
+    assert index_lookup(idx, ["alice"]).num_rows == 2
+    assert index_lookup(idx, ["carol"]).num_rows == 1
+    assert index_lookup(idx, ["bob"]).num_rows == 0
