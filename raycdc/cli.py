@@ -397,6 +397,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vv.add_argument("--view-dir", required=True)
 
+    p_iv = sub.add_parser(
+        "index-verify",
+        help="audit a secondary index: rebuild postings at the lake "
+        "version it consumed and compare exactly",
+    )
+    p_iv.add_argument("--index-dir", required=True)
+
     p_ic = sub.add_parser(
         "index-create",
         help="build a secondary index (non-key column -> keys) at the "
@@ -785,6 +792,13 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(consistent_cut(args.lake_dir, seq=args.seq)))
         return 0
+
+    if args.cmd == "index-verify":
+        from raycdc.state.secondary import verify_secondary_index
+
+        out = verify_secondary_index(args.index_dir)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 3
 
     if args.cmd == "view-verify":
         import os as _os

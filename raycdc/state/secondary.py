@@ -112,14 +112,17 @@ def create_secondary_index(
     index_dir: str,
     column: str,
     num_buckets: int = 64,
+    version: int | None = None,
 ) -> dict:
     """Full index build at the lake's current version: one distributed
     pass emitting slim (value, repo, path) rows, one bucket-coalescing
     shuffle, one file per non-empty bucket.  Null values are not
     indexed (SQL predicate semantics: ``col = v`` never matches null).
-    """
+    ``version`` pins a historical snapshot — the audit lane
+    ``verify_secondary_index`` rebuilds at exactly the version the
+    maintained index consumed."""
     lake = Lake(lake_dir)
-    manifest = lake.manifest()
+    manifest = lake.manifest(version)
     schema = lake._lake_schema(manifest)
     if column in _KEY_COLS:
         raise ValueError(
@@ -140,9 +143,9 @@ def create_secondary_index(
             }
         )
 
-    rows = lake.read_dataset(columns=["repo", "path", column]).map_batches(
-        to_postings, batch_format="pandas"
-    )
+    rows = lake.read_dataset(
+        columns=["repo", "path", column], version=version
+    ).map_batches(to_postings, batch_format="pandas")
 
     def write_group(df: pd.DataFrame) -> pd.DataFrame:
         b = int(df["bucket"].iloc[0])
@@ -407,3 +410,60 @@ def read_by_value(
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+def verify_secondary_index(
+    index_dir: str, scratch_dir: str | None = None
+) -> dict:
+    """Derived-state audit (the view-verify analog for indexes):
+    rebuild the postings from the lake AT THE VERSION the maintained
+    index consumed (time travel) and compare the full posting sets
+    exactly.  Returns ``{"ok", "postings", "mismatched"}``."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    state = _load_state(index_dir)
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="idxverify_")
+
+    def _all_postings(d: str) -> "pd.DataFrame":
+        st = _load_state(d)
+        frames = []
+        for b, v in st["buckets"].items():
+            frames.append(
+                pq.read_table(
+                    _bucket_file(d, int(b), int(v))
+                ).to_pandas()
+            )
+        if not frames:
+            return pd.DataFrame(
+                columns=[st["column"], "repo", "path"]
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.sort_values(
+            [st["column"], "repo", "path"]
+        ).reset_index(drop=True)
+
+    try:
+        create_secondary_index(
+            state["lake_dir"],
+            scratch,
+            state["column"],
+            num_buckets=int(state["num_buckets"]),
+            version=int(state["lake_version"]),
+        )
+        a = _all_postings(index_dir)
+        b = _all_postings(scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return {
+            "ok": False,
+            "postings": len(a),
+            "expected_postings": len(b),
+            "mismatched": -1,
+        }
+    neq = (a != b) & ~(a.isna() & b.isna())
+    bad = int(neq.any(axis=1).sum())
+    return {"ok": bad == 0, "postings": len(a), "mismatched": bad}

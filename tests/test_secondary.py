@@ -148,3 +148,41 @@ def test_budget_tripwire_and_validation(tmp_path):
     # error (and read_by_value returns an empty dataset)
     assert index_lookup(idx, ["nope"]).num_rows == 0
     assert read_by_value(lake, idx, ["nope"]).count() == 0
+
+
+def test_verify_secondary_index_audits_and_detects_corruption(tmp_path):
+    """verify_secondary_index rebuilds at the consumed lake version
+    (later commits don't fail the audit) and detects a corrupted
+    bucket file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.state.secondary import (
+        _bucket_file,
+        _load_state,
+        verify_secondary_index,
+    )
+
+    cfg, log, lake, idx = _setup(tmp_path)
+    _frag(log, 9, [_ev(50, "update", "org/a", "x.py", "go", "moved")])
+    run_ingest(cfg)
+    refresh_secondary_index(idx)
+    # a later commit the index has NOT consumed must not fail the audit
+    _frag(log, 10, [_ev(51, "insert", "org/z", "n.rs", "rs", "new")])
+    run_ingest(cfg)
+    out = verify_secondary_index(idx)
+    assert out["ok"] and out["mismatched"] == 0 and out["postings"] > 0
+
+    # corrupt one live bucket: flip a posting's path
+    st = _load_state(idx)
+    b, v = next(iter(st["buckets"].items()))
+    f = _bucket_file(idx, int(b), int(v))
+    t = pq.read_table(f)
+    col = t["path"].to_pylist()
+    col[0] = "WRONG"
+    t = t.set_column(
+        t.schema.get_field_index("path"), "path", pa.array(col)
+    )
+    pq.write_table(t, f)
+    out = verify_secondary_index(idx)
+    assert not out["ok"]
