@@ -225,6 +225,9 @@ def _enrich(
     })
     for c in _FIXED_COLS[2:]:
         out[c] = df[c] if c in left_cols and c in df.columns else None
+    for c in left_cols:  # carried left payload columns (p_*)
+        if c.startswith("p_") and c in df.columns:
+            out[c] = df[c]
     out["seq"] = np.int64(0)  # derived snapshot: key identity, not seq
     # vectorized attr lookup: reindex the dim by the batch's join keys
     keys = df[on]
@@ -573,6 +576,9 @@ def _full_join_delta(
                 out[c] = (
                     df[c] if c in left_cols and c in df.columns else None
                 )
+            for c in left_cols:  # carried left payload columns
+                if c.startswith("p_") and c in df.columns:
+                    out[c] = df[c]
             out["seq"] = np.int64(0)
             for src_col, view_col in attr_map.items():
                 out[f"p_{view_col}"] = df[f"{src_col}_r"].to_numpy()
@@ -632,8 +638,9 @@ def create_joinview(
     right side must be unique per join-key value (validated, loud).
     ``attrs`` lists right columns to carry (default: the right lake's
     payload columns); each lands in the view as payload column
-    ``p_{name}``.  ``left_cols`` ⊆ {commit, lang, content} selects the
-    fact columns to carry (default: all three)."""
+    ``p_{name}``.  ``left_cols`` selects the fact columns to carry —
+    any of (commit, lang, content) plus the left lake's own payload
+    columns by their ``p_*`` names (default: the three fixed ones)."""
     import ray.data
 
     if how not in ("inner", "left"):
@@ -647,11 +654,20 @@ def create_joinview(
         raise ValueError(f"on={on!r} not in left lake schema {lschema.names}")
     right_on = right_on or on
     left_cols = list(left_cols or ("commit", "lang", "content"))
-    bad = [c for c in left_cols if c not in _FIXED_COLS[2:5]]
+    left_payload = {
+        f"p_{c['name']}": c["type"]
+        for c in lm.get("payload_columns") or []
+    }
+    bad = [
+        c
+        for c in left_cols
+        if c not in _FIXED_COLS[2:5] and c not in left_payload
+    ]
     if bad:
         raise ValueError(
             f"left_cols {bad} unsupported — choose from "
-            "('commit', 'lang', 'content')"
+            f"('commit', 'lang', 'content') or the left lake's payload "
+            f"columns {sorted(left_payload)}"
         )
     if attrs is None:
         attrs = [
@@ -669,10 +685,21 @@ def create_joinview(
             f"attrs contains the join key {right_on or on!r} — the view "
             "already carries its values as the `on` column"
         )
-    payload_columns = _resolve_attr_types(right, attrs)
-    clash = {c["name"] for c in payload_columns} & set(_FIXED_COLS)
+    payload_columns = [
+        {"name": c[2:], "type": left_payload[c]}
+        for c in left_cols
+        if c in left_payload
+    ] + _resolve_attr_types(right, attrs)
+    names = [c["name"] for c in payload_columns]
+    clash = set(names) & set(_FIXED_COLS)
     if clash:
         raise ValueError(f"attr names {sorted(clash)} clash with lake columns")
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:
+        raise ValueError(
+            f"left payload columns and right attrs collide on {sorted(dup)}"
+            " — rename one side's payload column"
+        )
     attr_map = {c: _attr_view_name(c) for c in attrs}
 
     if bootstrap not in ("auto", "broadcast", "hash_join"):

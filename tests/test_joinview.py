@@ -932,3 +932,73 @@ def test_index_chains_over_joinview_and_vacuum_respects_anchor(
     assert index_lookup(idx, ["alice"]).num_rows == 2
     assert index_lookup(idx, ["carol"]).num_rows == 1
     assert index_lookup(idx, ["bob"]).num_rows == 0
+
+
+def test_left_payload_columns_carry_through(lakes, tmp_path):
+    """left_cols may name the fact lake's own payload columns (p_*):
+    they ride the view typed, refresh across both maintenance lanes,
+    and collide loudly with same-named dim attrs."""
+    import dataclasses
+
+    left, right = lakes
+    left = dataclasses.replace(
+        left, columns=[{"name": "adds", "type": "long"}]
+    )
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        {**_ev(1, "insert", "r1", "a.py", "py", "alpha"),
+         "payload_json": '{"adds": 7}'},
+        {**_ev(2, "insert", "r2", "b.go", "go", "beta"),
+         "payload_json": '{"adds": 9}'},
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(1, "insert", "r1", "alice", 1),
+        _dim_ev(2, "insert", "r2", "bob", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(
+        left.lake_dir, right.lake_dir, view_dir,
+        left_cols=["content", "p_adds"],
+    )
+    got = read_joinview(view_dir).to_pandas().set_index("repo")
+    assert dict(got["p_adds"]) == {"r1": 7, "r2": 9}
+    assert dict(got["p_owner"]) == {"r1": "alice", "r2": "bob"}
+
+    # fact update changes the payload value → delta lane carries it
+    _frag(left.log_dir, 1, [
+        {**_ev(3, "update", "r1", "a.py", "py", "alpha2"),
+         "payload_json": '{"adds": 11}'},
+    ])
+    run_ingest(left)
+    refresh_joinview(view_dir, strategy="delta")
+    got = read_joinview(view_dir).to_pandas().set_index("repo")
+    assert got.loc["r1", "p_adds"] == 11
+    # rebuild lane carries it too
+    refresh_joinview(view_dir, strategy="rebuild")
+    got = read_joinview(view_dir).to_pandas().set_index("repo")
+    assert got.loc["r1", "p_adds"] == 11
+    _views_equal(
+        read_joinview(view_dir),
+        _recompute(
+            left, right, tmp_path, "re",
+            left_cols=["content", "p_adds"],
+        ),
+    )
+
+    # name collision with a dim attr fails loud
+    rdup = IngestConfig(
+        log_dir=str(tmp_path / "rlog2"),
+        lake_dir=str(tmp_path / "rlake2"),
+        num_partitions=2,
+        columns=[{"name": "adds", "type": "long"}],
+    )
+    _frag(rdup.log_dir, 0, [
+        {**_dim_ev(1, "insert", "r1"), "payload_json": '{"adds": 5}'},
+    ])
+    run_ingest(rdup)
+    with pytest.raises(ValueError, match="collide"):
+        create_joinview(
+            left.lake_dir, rdup.lake_dir, str(tmp_path / "v2"),
+            left_cols=["p_adds"], attrs=["p_adds"],
+        )
