@@ -13,6 +13,11 @@
     python -m raycdc.cli fsck    --lake-dir K [--digests]
     python -m raycdc.cli dedup-index  --docs D --index-dir I
     python -m raycdc.cli dedup-window --window W --corpus D --index-dir I
+    python -m raycdc.cli joinview-create --left-dir L --right-dir R --view-dir V
+    python -m raycdc.cli joinview-refresh --view-dir V
+    python -m raycdc.cli view-verify  --view-dir V
+    python -m raycdc.cli index-verify --index-dir I
+    python -m raycdc.cli cut --lake-dir A --lake-dir B [--seq S]
 
 Owns its Ray session (guarded init), unlike the library.
 """
