@@ -508,15 +508,14 @@ def _q_cdc_snapshot_diff(sf_dir):
     return snapshot_diff(lake_dir, vs[-2], vs[-1])
 
 
-def _q_cdc_selective_scan(sf_dir):
-    """Selective scan with key-predicate pushdown BELOW the
-    merge-on-read resolve: the lake is left with live tombstone/update
-    deltas (no compaction), and the repo-equality filter pushes into
-    every base and delta file read — exact because a key predicate
-    selects whole keys uniformly across versions (the value-predicate
-    trap is rejected; test_selective_scan_key_filter_pushdown).  The
-    oracle pins that updates still win over filtered base rows and
-    deleted keys stay gone."""
+def _mor_doc_lake(sf_dir, tag, after_window1=None):
+    """Shared builder for the MOR-lake driver queries: the
+    documents-derived log splits into 3 fragments; window 1 (inserts)
+    commits copy-on-write, the remaining windows (updates + deletes)
+    commit merge-on-read so their deltas are LIVE when the query's
+    lane runs.  ``after_window1(workdir, lake_dir)`` (if given) runs
+    between the two ingests — e.g. secondary-index creation.  Returns
+    (workdir, lake_dir)."""
     import hashlib
     import shutil
 
@@ -526,11 +525,10 @@ def _q_cdc_selective_scan(sf_dir):
         documents_changelog,
     )
     from raycdc.pipelines.cdc import run_ingest
-    from raycdc.state.checkpoint import Lake
 
     workdir = os.path.join(
         "/tmp",
-        "raycdc_selscan_"
+        f"raycdc_{tag}_"
         + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
     )
     shutil.rmtree(workdir, ignore_errors=True)
@@ -549,6 +547,8 @@ def _q_cdc_selective_scan(sf_dir):
             columns=PAYLOAD_COLUMNS, write_mode="cow",
         )
     )
+    if after_window1 is not None:
+        after_window1(workdir, lake_dir)
     for name in sorted(os.listdir(staging)):
         os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
     run_ingest(
@@ -557,6 +557,21 @@ def _q_cdc_selective_scan(sf_dir):
             columns=PAYLOAD_COLUMNS, write_mode="mor",
         )
     )
+    return workdir, lake_dir
+
+
+def _q_cdc_selective_scan(sf_dir):
+    """Selective scan with key-predicate pushdown BELOW the
+    merge-on-read resolve: the lake is left with live tombstone/update
+    deltas (no compaction), and the repo-equality filter pushes into
+    every base and delta file read — exact because a key predicate
+    selects whole keys uniformly across versions (the value-predicate
+    trap is rejected; test_selective_scan_key_filter_pushdown).  The
+    oracle pins that updates still win over filtered base rows and
+    deleted keys stay gone."""
+    from raycdc.state.checkpoint import Lake
+
+    _, lake_dir = _mor_doc_lake(sf_dir, "selscan")
     lake = Lake(lake_dir)
     assert lake.delta_paths()  # the resolve pushdown path, not plain scan
     ds = lake.read_dataset(
@@ -574,52 +589,19 @@ def _q_cdc_indexed_read(sf_dir):
     value to its keys, whose repo set then pushes down as a key_filter
     below the resolve.  Oracle = the final state filtered directly, so
     any staleness or postings drift hash-mismatches."""
-    import hashlib
-    import shutil
-
-    from raycdc.config import IngestConfig
-    from raycdc.pipelines.flagship import (
-        PAYLOAD_COLUMNS,
-        documents_changelog,
-    )
-    from raycdc.pipelines.cdc import run_ingest
     from raycdc.state.secondary import (
         create_secondary_index,
         read_by_value,
         refresh_secondary_index,
     )
 
-    workdir = os.path.join(
-        "/tmp",
-        "raycdc_secidx_"
-        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
+    workdir, lake_dir = _mor_doc_lake(
+        sf_dir, "secidx",
+        after_window1=lambda wd, ld: create_secondary_index(
+            ld, os.path.join(wd, "idx"), "lang", num_buckets=16
+        ),
     )
-    shutil.rmtree(workdir, ignore_errors=True)
-    staging = os.path.join(workdir, "staging")
-    log_dir = os.path.join(workdir, "log")
-    lake_dir = os.path.join(workdir, "lake")
     idx_dir = os.path.join(workdir, "idx")
-    documents_changelog(sf_dir, staging, fragments=3)
-    os.makedirs(log_dir, exist_ok=True)
-    os.rename(
-        os.path.join(staging, "fragment-00000.parquet"),
-        os.path.join(log_dir, "fragment-00000.parquet"),
-    )
-    run_ingest(
-        IngestConfig(
-            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
-            columns=PAYLOAD_COLUMNS, write_mode="cow",
-        )
-    )
-    create_secondary_index(lake_dir, idx_dir, "lang", num_buckets=16)
-    for name in sorted(os.listdir(staging)):
-        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
-    run_ingest(
-        IngestConfig(
-            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
-            columns=PAYLOAD_COLUMNS, write_mode="mor",
-        )
-    )
     refresh_secondary_index(idx_dir)
     return read_by_value(
         lake_dir, idx_dir, ["de"],
@@ -638,52 +620,36 @@ def _q_cdc_zonemap_scan(sf_dir):
     (the pushdown-through-upsert trap).  Oracle = the final state
     filtered directly, the same SQL as the indexed read, so the two
     value-predicate acceleration lanes pin each other."""
-    import hashlib
-    import shutil
-
-    from raycdc.config import IngestConfig
-    from raycdc.pipelines.flagship import (
-        PAYLOAD_COLUMNS,
-        documents_changelog,
-    )
-    from raycdc.pipelines.cdc import run_ingest
     from raycdc.state.checkpoint import Lake
 
-    workdir = os.path.join(
-        "/tmp",
-        "raycdc_zonemap_"
-        + hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest(),
-    )
-    shutil.rmtree(workdir, ignore_errors=True)
-    staging = os.path.join(workdir, "staging")
-    log_dir = os.path.join(workdir, "log")
-    lake_dir = os.path.join(workdir, "lake")
-    documents_changelog(sf_dir, staging, fragments=3)
-    os.makedirs(log_dir, exist_ok=True)
-    os.rename(
-        os.path.join(staging, "fragment-00000.parquet"),
-        os.path.join(log_dir, "fragment-00000.parquet"),
-    )
-    run_ingest(
-        IngestConfig(
-            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
-            columns=PAYLOAD_COLUMNS, write_mode="cow",
-        )
-    )
-    for name in sorted(os.listdir(staging)):
-        os.rename(os.path.join(staging, name), os.path.join(log_dir, name))
-    run_ingest(
-        IngestConfig(
-            log_dir=log_dir, lake_dir=lake_dir, num_partitions=16,
-            columns=PAYLOAD_COLUMNS, write_mode="mor",
-        )
-    )
+    _, lake_dir = _mor_doc_lake(sf_dir, "zonemap")
     lake = Lake(lake_dir)
     assert lake.delta_paths()  # the resolve + prune path, not plain scan
     return lake.read_dataset(
         columns=["repo", "path", "lang", "content"],
         value_filter=[("lang", "==", "de")],
     )
+
+
+def _q_cdc_expire_retention(sf_dir):
+    """Retention / TTL expiry end-to-end: full replay into a
+    merge-on-read lake (live update/delete deltas at expiry time),
+    then ``maintenance.expire_rows`` physically drops every RESOLVED
+    German document via the value predicate ``[('lang','==','de')]``
+    — zone-map pruned, predicate applied AFTER the keep-latest
+    resolve.  Oracle = the converged replay state minus lang='de': an
+    expiry that read below the resolve (stale base rows), skipped a
+    delta-only partition, or dropped a non-matching row
+    hash-mismatches."""
+    from raycdc.pipelines.maintenance import expire_rows
+    from raycdc.state.checkpoint import Lake
+
+    _, lake_dir = _mor_doc_lake(sf_dir, "expire")
+    lake = Lake(lake_dir)
+    assert lake.delta_paths()  # expiry must resolve live deltas
+    out = expire_rows(lake_dir, [("lang", "==", "de")])
+    assert out["expired_rows"] > 0
+    return lake.read_dataset(columns=["repo", "path", "lang", "content"])
 
 
 def _q_cdc_branch_replay(sf_dir):
@@ -2956,6 +2922,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
         "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
         "cdc_zonemap_scan": _tuned(_q_cdc_zonemap_scan),
+        # (cdc_expire_retention: NEW this session, window full —
+        #  carried by the local oracle twin + tests/test_expire.py's
+        #  resolve-trap / prune / recreate pins; ROUND-5 ROTATION:
+        #  front-load it)
+        "cdc_expire_retention": _tuned(_q_cdc_expire_retention),
         "cdc_multi_table_replay": _tuned(_q_cdc_multi_table_replay),
         "cdc_branch_replay": _tuned(_q_cdc_branch_replay),
         # (doc_lm_scores / curation_pipeline_v2 / pca_components /
@@ -3912,6 +3883,19 @@ def oracle_sql() -> dict[str, str]:
                    text || ' v2' AS content
             FROM documents
             WHERE doc_id % 17 <> 0 AND lang = 'de'
+        """,
+        # TTL / retention expiry: the converged replay state minus the
+        # expired predicate rows — a resolve-skipping expiry (stale
+        # base rows), a missed delta-only partition, or an over-eager
+        # drop all hash-mismatch
+        "cdc_expire_retention": """
+            SELECT 'org' || (doc_id % 5) || '/repo' || (doc_id % 13)
+                     AS repo,
+                   'docs/' || doc_id || '.txt' AS path,
+                   lang,
+                   text || ' v2' AS content
+            FROM documents
+            WHERE doc_id % 17 <> 0 AND lang <> 'de'
         """,
         # blue-green branch replay converges to the SAME final state
         # as a straight replay (isolation + merge + cursor handoff

@@ -13,6 +13,7 @@
     python -m raycdc.cli fsck    --lake-dir K [--digests]
     python -m raycdc.cli dedup-index  --docs D --index-dir I
     python -m raycdc.cli dedup-window --window W --corpus D --index-dir I
+    python -m raycdc.cli expire  --lake-dir K --where COL OP VALUE [--where ...]
     python -m raycdc.cli joinview-create --left-dir L --right-dir R --view-dir V
     python -m raycdc.cli joinview-refresh --view-dir V
     python -m raycdc.cli view-verify  --view-dir V
@@ -292,6 +293,20 @@ def main(argv: list[str] | None = None) -> int:
     p_purge.add_argument(
         "--path-prefix", default=None,
         help="optionally narrow to paths with this prefix",
+    )
+
+    p_expire = sub.add_parser(
+        "expire",
+        help="TTL / retention expiry: physically drop resolved rows "
+        "matching a value predicate (zone-map pruned; run vacuum "
+        "afterwards to reclaim the pre-expiry snapshots)",
+    )
+    p_expire.add_argument("--lake-dir", required=True)
+    p_expire.add_argument(
+        "--where", nargs=3, action="append", required=True,
+        metavar=("COL", "OP", "VALUE"),
+        help="conjunct, repeatable: --where lang == de --where "
+        "p_stars < 10 (VALUE parses as int, then float, else string)",
     )
 
     p_rest = sub.add_parser(
@@ -681,6 +696,21 @@ def main(argv: list[str] | None = None) -> int:
             if hi:
                 expr = expr & (pads.field("path") < hi)
         print(json.dumps(purge_keys(args.lake_dir, expr)))
+        return 0
+
+    if args.cmd == "expire":
+        from raycdc.pipelines.maintenance import expire_rows
+
+        def _lit(s: str):
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    pass
+            return s
+
+        conjuncts = [(col, op, _lit(val)) for col, op, val in args.where]
+        print(json.dumps(expire_rows(args.lake_dir, conjuncts)))
         return 0
 
     if args.cmd == "restore":

@@ -910,37 +910,36 @@ def purge_keys(
     raise last_err  # type: ignore[misc]
 
 
-def _purge_keys_once(lake: Lake, key_filter, run_id: str | None) -> dict:
-    import pyarrow.dataset as pads
-
+def _erase_partitions(
+    root: str,
+    targets: list[int],
+    parts: dict[int, str],
+    deltas: dict[int, list[str]],
+    payload_columns: list,
+    run_id: str,
+    keep_fn,
+) -> tuple[dict[int, str], int]:
+    """Shared filtered-rewrite core for ``purge_keys`` / ``expire_rows``:
+    each target partition resolves ONCE (base + deltas → keep-latest,
+    same kernel as the read path), ``keep_fn`` picks the survivors, and
+    only partitions that actually lost rows stage a new base.  Returns
+    ``(staged {pid: path}, dropped_rows)``; the caller owns the atomic
+    OCC commit."""
     import ray.data
-
-    manifest = lake.manifest()
-    base_version = int(manifest["version"])
-    parts = lake.part_paths()
-    deltas = lake.delta_paths()
-    targets = sorted(set(parts) | set(deltas))
-    if not targets:
-        return {"purged_rows": 0, "partitions": [], "run_id": None}
-    run_id = run_id or f"purge-{base_version + 1:06d}"
-    payload_columns = manifest.get("payload_columns") or []
-    root = lake.root
 
     def rewrite(batch: pa.Table) -> pa.Table:
         from raycdc.stages.merge import lake_schema, resolve_partition
 
         schema = lake_schema(payload_columns)
-        out_pid, out_path, out_purged = [], [], []
+        out_pid, out_path, out_dropped = [], [], []
         for pid in batch["item"].to_pylist():
             pid = int(pid)
             resolved = resolve_partition(
                 parts.get(pid), deltas.get(pid, []), schema
             )
-            keep = pads.dataset(resolved).scanner(
-                filter=~key_filter
-            ).to_table()
-            purged = resolved.num_rows - keep.num_rows
-            if purged == 0:
+            keep = keep_fn(resolved)
+            dropped = resolved.num_rows - keep.num_rows
+            if dropped == 0:
                 continue  # untouched partition: no rewrite, no commit
             d = os.path.join(root, "data", f"part-{pid:05d}")
             os.makedirs(d, exist_ok=True)
@@ -950,12 +949,12 @@ def _purge_keys_once(lake: Lake, key_filter, run_id: str | None) -> dict:
             )
             out_pid.append(pid)
             out_path.append(staged)
-            out_purged.append(purged)
+            out_dropped.append(dropped)
         return pa.table(
             {
                 "pid": pa.array(out_pid, pa.int32()),
                 "path": pa.array(out_path, pa.string()),
-                "purged": pa.array(out_purged, pa.int64()),
+                "dropped": pa.array(out_dropped, pa.int64()),
             }
         )
 
@@ -965,7 +964,29 @@ def _purge_keys_once(lake: Lake, key_filter, run_id: str | None) -> dict:
         .take_all()
     )
     staged = {int(r["pid"]): r["path"] for r in rows}
-    purged = int(sum(r["purged"] for r in rows))
+    dropped = int(sum(r["dropped"] for r in rows))
+    return staged, dropped
+
+
+def _purge_keys_once(lake: Lake, key_filter, run_id: str | None) -> dict:
+    import pyarrow.dataset as pads
+
+    manifest = lake.manifest()
+    base_version = int(manifest["version"])
+    parts = lake.part_paths(base_version)
+    deltas = lake.delta_paths(base_version)
+    targets = sorted(set(parts) | set(deltas))
+    if not targets:
+        return {"purged_rows": 0, "partitions": [], "run_id": None}
+    run_id = run_id or f"purge-{base_version + 1:06d}"
+
+    def keep_fn(resolved: pa.Table) -> pa.Table:
+        return pads.dataset(resolved).scanner(filter=~key_filter).to_table()
+
+    staged, purged = _erase_partitions(
+        lake.root, targets, parts, deltas,
+        manifest.get("payload_columns") or [], run_id, keep_fn,
+    )
     if not staged:
         return {"purged_rows": 0, "partitions": [], "run_id": None}
     lake.commit(
@@ -975,6 +996,93 @@ def _purge_keys_once(lake: Lake, key_filter, run_id: str | None) -> dict:
     return {
         "purged_rows": purged,
         "partitions": sorted(staged),
+        "run_id": run_id,
+    }
+
+
+def expire_rows(
+    lake_dir: str,
+    value_filter,
+    run_id: str | None = None,
+) -> dict:
+    """Retention / TTL expiry: PHYSICALLY remove every live row whose
+    RESOLVED state matches the conjunctive value predicate
+    (``[(column, op, literal), ...]`` — the exact contract of
+    ``Lake.read_dataset(value_filter=)``, any column, validated loud)
+    by rewriting only the partitions that can hold a match.
+
+    This is ``purge_keys``' filtered rewrite with the zone-map plane in
+    front: partitions whose immutable files' Parquet footer min/max
+    exclude the predicate are never read at all
+    (``Lake.prune_partitions`` — sound under keep-latest resolve
+    because a live row is physically present in some file of its
+    partition), so a TTL sweep over a mostly-compliant lake costs
+    O(expiring partitions + footer probes of NEW files), not O(lake).
+    The predicate is applied EXACTLY on each candidate partition's
+    resolved rows, never below the merge-on-read resolve — a base row
+    the predicate matches whose later delta moved it out survives
+    (the pushdown-through-upsert trap, same rule as the read lane).
+
+    Lifecycle is identical to ``purge_keys``: deltas fold into the
+    rewritten bases, one atomic commit with optimistic concurrency
+    (a concurrent follow-loop delta triggers re-resolve + retry), time
+    travel to pre-expiry versions works until ``vacuum`` completes the
+    erasure, and watermarks are untouched — expiry is not a stream
+    event, so a LATER change event legitimately recreates an expired
+    key.  Returns ``candidates`` (partitions the zone maps could not
+    exclude) alongside the partitions actually rewritten, so callers
+    can monitor prune effectiveness."""
+    lake = Lake(lake_dir)
+    last_err: Exception | None = None
+    for _ in range(_REWRITE_COMMIT_ATTEMPTS):
+        try:
+            return _expire_rows_once(lake, value_filter, run_id)
+        except ConcurrentCommitError as e:
+            last_err = e
+    raise last_err  # type: ignore[misc]
+
+
+def _expire_rows_once(lake: Lake, conjuncts, run_id: str | None) -> dict:
+    manifest = lake.manifest()
+    base_version = int(manifest["version"])
+    # validates the conjuncts against the lake schema, then zone-map
+    # prunes: only partitions that MAY hold a matching live row are
+    # ever read (footer ranges cached — O(new files) driver work)
+    targets = lake.prune_partitions(conjuncts, version=base_version)
+    if not targets:
+        return {
+            "expired_rows": 0, "partitions": [], "candidates": 0,
+            "run_id": None,
+        }
+    parts = lake.part_paths(base_version)
+    deltas = lake.delta_paths(base_version)
+    run_id = run_id or f"expire-{base_version + 1:06d}"
+
+    def keep_fn(resolved: pa.Table) -> pa.Table:
+        from raycdc.state.zonemap import conjunct_mask
+
+        mask = conjunct_mask(resolved, conjuncts)
+        if not mask.any():
+            return resolved
+        return resolved.filter(pa.array(~mask))
+
+    staged, expired = _erase_partitions(
+        lake.root, targets, parts, deltas,
+        manifest.get("payload_columns") or [], run_id, keep_fn,
+    )
+    if not staged:
+        return {
+            "expired_rows": 0, "partitions": [],
+            "candidates": len(targets), "run_id": None,
+        }
+    lake.commit(
+        run_id, staged, {}, payload_columns=None,
+        expected_version=base_version,
+    )
+    return {
+        "expired_rows": expired,
+        "partitions": sorted(staged),
+        "candidates": len(targets),
         "run_id": run_id,
     }
 

@@ -1,0 +1,197 @@
+"""TTL / retention expiry (``maintenance.expire_rows``): physical
+value-predicate deletes over the RESOLVED state, zone-map pruned.
+
+Pins the four load-bearing properties:
+  - the predicate applies after the merge-on-read resolve (a base row
+    the predicate matches whose later delta moved it out SURVIVES —
+    the pushdown-through-upsert trap, same rule as the read lane);
+  - partitions the zone maps exclude are never touched (base file
+    paths unchanged, ``candidates`` < populated partitions);
+  - the lifecycle matches ``purge_keys``: deltas fold into rewritten
+    bases, time travel works until vacuum, watermarks untouched so a
+    later change event recreates an expired key;
+  - reruns are no-ops and malformed predicates fail loud.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.maintenance import expire_rows
+from raycdc.state.checkpoint import Lake
+
+LOG_COLS = [
+    "seq", "op", "repo", "path", "commit", "lang", "content",
+    "payload_json",
+]
+
+
+def _frag(log_dir: str, idx: int, events: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    cols = {c: [e.get(c) for e in events] for c in LOG_COLS}
+    t = pa.table(
+        {
+            "seq": pa.array(cols["seq"], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + (s or 0) for s in cols["seq"]],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(cols["op"], pa.string()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "commit": pa.array(cols["commit"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "content": pa.array(cols["content"], pa.string()),
+            "payload_json": pa.array(cols["payload_json"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(log_dir, f"fragment-{idx:05d}.parquet"))
+
+
+def _ev(seq, op, repo, path, lang=None, content=None):
+    return {
+        "seq": seq, "op": op, "repo": repo, "path": path,
+        "commit": f"c{seq}", "lang": lang, "content": content,
+        "payload_json": "{}",
+    }
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        log_dir=os.path.join(tmp, "log"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+    )
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def _canon(t: pa.Table) -> pa.Table:
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+    )
+
+
+def _expire_lake(tmp):
+    """COW inserts, then a MOR window whose live deltas set the
+    resolve trap for ``lang == 'de'``: f1.py moves OUT of the
+    predicate (must survive), f2.py moves IN (must expire), f3.py is
+    deleted, f4.py stays German (must expire)."""
+    cfg = _cfg(tmp, write_mode="cow")
+    inserts = [
+        _ev(1, "insert", "r1", "f1.py", "de", "one"),
+        _ev(2, "insert", "r1", "f2.py", "en", "two"),
+        _ev(3, "insert", "r2", "f3.py", "de", "three"),
+        _ev(4, "insert", "r2", "f4.py", "de", "four"),
+    ]
+    # filler keys in non-German languages so some hash partitions hold
+    # no 'de' row in ANY file — the zone-map prune target
+    inserts += [
+        _ev(10 + i, "insert", f"org{i % 7}/r{i}", f"lib/m{i}.py",
+            ["en", "py", "go", "rs"][i % 4], f"body {i}")
+        for i in range(24)
+    ]
+    _frag(cfg.log_dir, 0, inserts)
+    run_ingest(cfg)
+    _frag(cfg.log_dir, 1, [
+        _ev(100, "update", "r1", "f1.py", "en", "one v2"),
+        _ev(101, "update", "r1", "f2.py", "de", "two v2"),
+        _ev(102, "delete", "r2", "f3.py"),
+    ])
+    run_ingest(_cfg(tmp, write_mode="mor"))
+    lake = Lake(cfg.lake_dir)
+    assert lake.delta_paths(), "harness must leave MOR deltas live"
+    return cfg, lake
+
+
+def test_expire_rows_resolves_prunes_and_recreates(tmp_path):
+    cfg, lake = _expire_lake(str(tmp_path))
+    before = lake.read_table()
+    v_pre = int(lake.manifest()["version"])
+    parts_pre = dict(lake.manifest()["parts"])
+    want_expired = int(
+        pc.sum(pc.equal(before["lang"], "de")).as_py() or 0
+    )
+    assert want_expired == 2  # f2.py (moved in) + f4.py (stayed)
+
+    out = expire_rows(cfg.lake_dir, [("lang", "==", "de")])
+    assert out["expired_rows"] == want_expired
+    assert out["run_id"] and out["run_id"].startswith("expire-")
+
+    # exact equality vs filter-after-read of the pre-expiry state:
+    # the trap row f1.py (base 'de', delta 'en') survived
+    after = _canon(lake.read_table())
+    want = _canon(before.filter(pc.not_equal(before["lang"], "de")))
+    assert after.num_rows == want.num_rows
+    for c in after.column_names:
+        assert after[c].to_pylist() == want[c].to_pylist(), c
+    langs = set(after["lang"].to_pylist())
+    assert "de" not in langs
+    paths = set(after["path"].to_pylist())
+    assert "f1.py" in paths and "f2.py" not in paths
+
+    # zone-map prune: partitions with no 'de' in any file were never
+    # candidates, and their base files were not rewritten
+    m = lake.manifest()
+    populated = len(m["parts"])
+    assert set(out["partitions"]) <= set(range(cfg.num_partitions))
+    assert out["candidates"] < populated
+    assert len(out["partitions"]) <= out["candidates"]
+    for pid, rel in parts_pre.items():
+        if int(pid) not in out["partitions"]:
+            assert m["parts"][pid] == rel  # untouched base
+        else:
+            assert m["parts"][pid] != rel  # rewritten base
+            assert not m.get("deltas", {}).get(pid)  # deltas folded
+
+    # time travel shows pre-expiry rows until vacuum completes erasure
+    old = lake.read_table(version=v_pre)
+    assert pc.sum(pc.equal(old["lang"], "de")).as_py() == want_expired
+    # rerun is a no-op: nothing left to expire, no new commit
+    v_post = int(lake.manifest()["version"])
+    again = expire_rows(cfg.lake_dir, [("lang", "==", "de")])
+    assert again["expired_rows"] == 0 and again["run_id"] is None
+    assert int(lake.manifest()["version"]) == v_post
+    lake.vacuum()
+    with pytest.raises(FileNotFoundError):
+        lake.read_table(version=v_pre)
+
+    # watermarks untouched: a later change event recreates the key
+    _frag(cfg.log_dir, 2, [
+        _ev(200, "insert", "r2", "f4.py", "de", "vier, wieder"),
+    ])
+    run_ingest(_cfg(str(tmp_path)))
+    final = lake.read_table().to_pandas().set_index("path")
+    assert final.loc["f4.py", "content"] == "vier, wieder"
+
+
+def test_expire_rows_validation_and_compound(tmp_path):
+    cfg, lake = _expire_lake(str(tmp_path))
+    with pytest.raises(ValueError, match="not in lake schema"):
+        expire_rows(cfg.lake_dir, [("no_such_col", "==", 1)])
+    with pytest.raises(ValueError, match="op"):
+        expire_rows(cfg.lake_dir, [("lang", "like", "d%")])
+    with pytest.raises(ValueError, match="non-empty"):
+        expire_rows(cfg.lake_dir, [])
+
+    # compound conjunction: only German rows in repo r2 expire
+    before = lake.read_table()
+    out = expire_rows(
+        cfg.lake_dir, [("lang", "==", "de"), ("repo", "==", "r2")]
+    )
+    assert out["expired_rows"] == 1  # f4.py only (f3.py was deleted)
+    after = _canon(lake.read_table())
+    keep = pc.or_(
+        pc.not_equal(before["lang"], "de"),
+        pc.not_equal(before["repo"], "r2"),
+    )
+    want = _canon(before.filter(keep))
+    for c in after.column_names:
+        assert after[c].to_pylist() == want[c].to_pylist(), c
