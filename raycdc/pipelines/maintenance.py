@@ -404,6 +404,23 @@ def _diff_classify(
     needs."""
     import pandas as pd
 
+    def _nullable(df: "pd.DataFrame") -> "pd.DataFrame":
+        # The outer merge upcasts int64/bool value columns to float64
+        # (NaN fills the one-sided keys), which silently rounds
+        # integers above 2^53 on the cast back to int64.  Nullable
+        # dtypes keep exact values behind a mask instead.
+        conv = {}
+        for c in value_cols:
+            k = df[c].dtype.kind
+            if k == "i":
+                conv[c] = "Int64"
+            elif k == "u":
+                conv[c] = "UInt64"
+            elif k == "b":
+                conv[c] = "boolean"
+        return df.astype(conv) if conv else df
+
+    o, n = _nullable(o), _nullable(n)
     j = o.merge(
         n,
         on=["repo", "path"],
@@ -417,7 +434,12 @@ def _diff_classify(
     differs = pd.Series(False, index=j.index)
     for c in value_cols:
         a, b = j[f"{c}_old"], j[f"{c}_new"]
-        differs |= (a != b) & ~(a.isna() & b.isna())
+        neq = a != b
+        if neq.dtype != bool:
+            # nullable dtypes compare under Kleene logic: one-sided
+            # null vs value yields NA, which must count as "differs"
+            neq = neq.fillna(True).astype(bool)
+        differs |= neq & ~(a.isna() & b.isna())
     j = j[(j["_merge"] != "both") | differs]
     cols: dict[str, pa.Array] = {
         "repo": pa.array(j["repo"], pa.string()),

@@ -307,6 +307,51 @@ def test_snapshot_diff_columns_and_include_old(tmp_path):
     assert (y["lang_old"], y["content_old"]) == ("py", "bb")
 
 
+def test_snapshot_diff_int64_exact_beyond_2_53(tmp_path):
+    """The diff classifier must not round int64 values through the
+    outer merge's float64 upcast: seq values above 2^53 (epoch-nanos /
+    snowflake-ID territory) come back EXACT, including the one-sided
+    rows (insert/delete) that force the merge to null-fill."""
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    # every offset keeps the value ODD above 2^53 (float64 holds only
+    # even integers there); one partition co-locates the insert and
+    # the delete so BOTH merged seq columns carry a NaN and upcast
+    big = (1 << 53) + 1
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    cfg = IngestConfig(log_dir=log, lake_dir=lake, num_partitions=1)
+    _frag(log, 0, [
+        _ev(big, "insert", "org/a", "x.py", "py", "a"),
+        _ev(big + 2, "insert", "org/a", "y.py", "py", "b"),
+    ])
+    run_ingest(cfg)
+    _frag(log, 1, [
+        _ev(big + 6, "update", "org/a", "x.py", "py", "a2"),
+        _ev(big + 8, "insert", "org/a", "n.py", "py", "c"),
+        _ev(big + 10, "delete", "org/a", "y.py"),
+    ])
+    run_ingest(cfg)
+    vs = Lake(lake).versions()
+    ds = snapshot_diff(lake, vs[-2], vs[-1], columns=["seq"],
+                       include_old=True)
+    # assert on the Arrow table: a pandas round-trip would itself
+    # upcast the nullable int64 to float64 and mask the corruption
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    rows = {
+        p: (c, s, so)
+        for p, c, s, so in zip(
+            t["path"].to_pylist(), t["change"].to_pylist(),
+            t["seq"].to_pylist(), t["seq_old"].to_pylist(),
+        )
+    }
+    assert rows == {
+        "x.py": ("update", big + 6, big),
+        "n.py": ("insert", big + 8, None),
+        "y.py": ("delete", None, big + 2),
+    }
+
+
 def test_change_feed_per_commit_granularity(tmp_path):
     """The feed preserves per-commit rows (unlike the net diff): a key
     updated in two commits appears once per commit; an
