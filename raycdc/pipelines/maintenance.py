@@ -138,7 +138,12 @@ def repartition_lake(
     lake_dir: str, new_num_partitions: int, run_id: str | None = None
 ) -> dict:
     """Reshard the lake to a different partition count — the escape
-    hatch from init-time partitioning as data grows 1000×.
+    hatch from init-time partitioning as data grows 1000×.  Commits
+    under the same optimistic-concurrency guard as compact/optimize
+    (the reshard resolved state at version V and replaces parts/deltas
+    WHOLESALE — a purge/expire/ingest landing after V would otherwise
+    silently resurrect in the resharded lake); a moved manifest
+    re-resolves and retries.
 
     Two stages, both one Ray task per partition, exchanged through
     map-side partitioned files (never the object store):
@@ -157,6 +162,21 @@ def repartition_lake(
     orphaned until the commit, and re-running overwrites the same
     deterministic paths.
     """
+    lake = Lake(lake_dir)
+    if new_num_partitions < 1:
+        raise ValueError("new_num_partitions must be >= 1")
+    last_err: Exception | None = None
+    for _ in range(_REWRITE_COMMIT_ATTEMPTS):
+        try:
+            return _repartition_once(lake, new_num_partitions, run_id)
+        except ConcurrentCommitError as e:
+            last_err = e  # manifest moved: re-resolve from the new version
+    raise last_err  # type: ignore[misc]
+
+
+def _repartition_once(
+    lake: Lake, new_num_partitions: int, run_id: str | None
+) -> dict:
     import shutil
 
     import ray.data
@@ -164,12 +184,10 @@ def repartition_lake(
     from raycdc.functions.hashing import partition_ids
     from raycdc.stages.merge import lake_schema, resolve_partition
 
-    lake = Lake(lake_dir)
     manifest = lake.manifest()
+    base_version = int(manifest["version"])
     old_p = int(manifest["num_partitions"])
-    if new_num_partitions < 1:
-        raise ValueError("new_num_partitions must be >= 1")
-    run_id = run_id or f"reshard-{int(manifest['version']) + 1:06d}"
+    run_id = run_id or f"reshard-{base_version + 1:06d}"
     parts, deltas = lake.part_paths(), lake.delta_paths()
     payload_columns = manifest.get("payload_columns") or []
     wm = lake.watermarks()
@@ -259,6 +277,7 @@ def repartition_lake(
         run_id, staged, new_wm,
         payload_columns=None,
         new_num_partitions=new_num_partitions,
+        expected_version=base_version,
     )
     shutil.rmtree(os.path.join(root, "_reshard"), ignore_errors=True)
     return {
@@ -316,8 +335,9 @@ def fsck(lake_dir: str, digests: bool = False) -> dict:
             f"checkpoint covers {len(wm)} of {n_parts} partitions"
         )
     all_deltas = lake.delta_paths()
-    for pid in sorted(set(lake.part_paths()) | set(all_deltas)):
-        base = lake.part_paths().get(pid)
+    all_parts = lake.part_paths()
+    for pid in sorted(set(all_parts) | set(all_deltas)):
+        base = all_parts.get(pid)
         # each partition is judged against ITS OWN cursor — a global
         # max would mask per-partition corruption whenever any other
         # partition's watermark is higher; delta files are part of the

@@ -132,6 +132,18 @@ def file_column_ranges(
         return {c: cached[c] for c in want}
 
     md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0 or md.num_row_groups == 0:
+        # a zero-row file (a fully-expired partition's base) carries
+        # no usable statistics, but needs none: NO row can match any
+        # predicate — same pruning value as an all-null column.
+        # Without this, the empty base reads as "unknown" forever and
+        # the partition is re-resolved on every TTL/value scan.
+        out = {c: "allnull" for c in want}
+        if cache is not None:
+            merged = dict(cached or {})
+            merged.update(out)
+            cache.put(path, merged)
+        return out
     name_to_idx = {}
     for i in range(md.num_columns):
         name_to_idx[md.row_group(0).column(i).path_in_schema] = i

@@ -195,3 +195,31 @@ def test_expire_rows_validation_and_compound(tmp_path):
     want = _canon(before.filter(keep))
     for c in after.column_names:
         assert after[c].to_pylist() == want[c].to_pylist(), c
+
+
+def test_fully_expired_partition_prunes_after_rewrite(tmp_path):
+    """A partition whose every row expired stages a ZERO-ROW base.
+    That empty file carries no footer statistics, so without an
+    explicit rule it would read as range-unknown and the partition
+    would be re-resolved by every subsequent TTL/value scan — the
+    steady-state workload expire targets.  An empty file must instead
+    advertise 'no row can match' (the allnull pruning value)."""
+    from raycdc.state.zonemap import file_column_ranges
+
+    log = str(tmp_path / "log")
+    lakedir = str(tmp_path / "lake")
+    cfg = IngestConfig(log_dir=log, lake_dir=lakedir, num_partitions=1)
+    _frag(log, 0, [
+        _ev(1, "insert", "r1", "a.py", "de", "eins"),
+        _ev(2, "insert", "r1", "b.py", "de", "zwei"),
+    ])
+    run_ingest(cfg)
+    lake = Lake(lakedir)
+    out = expire_rows(lakedir, [("lang", "==", "de")])
+    assert out["expired_rows"] == 2
+    assert lake.read_table().num_rows == 0
+    base = next(iter(lake.part_paths().values()))
+    assert file_column_ranges(base, ["lang"]) == {"lang": "allnull"}
+    # the rerun zone-map-prunes the emptied partition entirely
+    again = expire_rows(lakedir, [("lang", "==", "de")])
+    assert again["expired_rows"] == 0 and again["candidates"] == 0
