@@ -109,6 +109,8 @@ def _save_state(view_dir: str, state: dict) -> None:
     tmp = _state_path(view_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(state, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())  # the swap is the commit point
     os.replace(tmp, _state_path(view_dir))
 
 
@@ -125,13 +127,7 @@ def _advance_consumer(lake_dir: str, consumer: str, version: int) -> None:
     """Register/advance the view's retention anchor on an upstream lake
     (same cursor file ``maintenance.consume_feed`` owns for feed
     consumers — vacuum keeps every snapshot from the cursor forward)."""
-    d = os.path.join(lake_dir, "_consumers")
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"{consumer}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": int(version), "kind": "joinview"}, f)
-    os.replace(tmp, path)
+    Lake(lake_dir).advance_consumer(consumer, version, kind="joinview")
 
 
 def _check_budget(n: int, budget: int, what: str) -> None:
@@ -712,9 +708,29 @@ def create_joinview(
     )
 
     P = num_partitions or int(lm["num_partitions"])
+    if os.path.exists(_state_path(view_dir)):
+        # a view lake is upsert state: re-running create over it would
+        # upsert a fresh full-join image on top of the old rows (stale
+        # keys linger) and silently ignore changed attrs/partitioning
+        raise ValueError(
+            f"{view_dir} already holds a join view — use "
+            "refresh_joinview to advance it, or remove the directory "
+            "to recreate with a new layout"
+        )
     os.makedirs(view_dir, exist_ok=True)
     view = Lake(view_dir)
-    view.init(P, payload_columns=payload_columns)
+    vm = view.init(P, payload_columns=payload_columns)
+    if int(vm["num_partitions"]) != P or (
+        vm.get("payload_columns") or []
+    ) != payload_columns:
+        # manifest exists from a crashed create with a DIFFERENT
+        # layout: rows would hash-land in partitions lookups don't
+        # probe, and new attr columns would drop from every write
+        raise ValueError(
+            f"{view_dir} holds a partially-created view with a "
+            f"different layout ({vm['num_partitions']} partitions) — "
+            "remove the directory and recreate"
+        )
     schema = view._lake_schema(view.manifest())
 
     proj = sorted(set(_KEY_COLS) | set(left_cols) | {on})
@@ -898,10 +914,14 @@ def refresh_joinview(
     dl = None
     dl_keys: set = set()
     if lv1 != lv0:
+        # materialize ONCE: the diff lineage (a two-snapshot resolve of
+        # every touched partition — the dominant refresh cost) would
+        # otherwise re-execute for the key extraction below, again for
+        # the enrichment stream, and again per OCC commit retry
         dl = snapshot_diff(
             state["left_dir"], lv0, lv1,
             columns=need_cols or ["content"], include_old=False,
-        )
+        ).materialize()
         key_batches = dl.map_batches(
             lambda t: pa.table({on: t[on].combine_chunks().unique()})
             if t.num_rows else pa.table({on: pa.array([], t[on].type)}),
@@ -1035,7 +1055,11 @@ def verify_joinview(view_dir: str, scratch_dir: str | None = None) -> dict:
     import tempfile
 
     state = _load_state(view_dir)
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="jvverify_")
+    # always mkdtemp (inside scratch_dir when given): the cleanup must
+    # only ever remove a directory WE created, never the caller's
+    if scratch_dir is not None:
+        os.makedirs(scratch_dir, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="jvverify_", dir=scratch_dir)
     try:
         create_joinview(
             state["left_dir"],
@@ -1087,3 +1111,21 @@ def read_joinview(view_dir: str, columns=None) -> pa.Table:
     if columns is None and "seq" in t.column_names:
         t = t.drop_columns(["seq"])
     return t
+
+
+def drop_joinview(view_dir: str) -> dict:
+    """Remove a join view AND release its retention anchors on both
+    upstream lakes (without this, vacuum keeps pinning history for a
+    view that no longer exists)."""
+    import shutil
+
+    from raycdc.pipelines.maintenance import unsubscribe_consumer
+
+    state = _load_state(view_dir)
+    consumer = _consumer_name(view_dir)
+    released = [
+        unsubscribe_consumer(state[side], consumer)["removed"]
+        for side in ("left_dir", "right_dir")
+    ]
+    shutil.rmtree(view_dir)
+    return {"removed": True, "anchors_released": sum(released)}

@@ -385,8 +385,10 @@ def _fold(
     for batch in ds.iter_batches(batch_format="pandas", batch_size=65536):
         if batch.empty:
             continue
+        # reduce BEFORE the budget check (the first batch included):
+        # 65k raw partial rows for 10k true groups must not trip it
         folded = (
-            batch
+            reduce_fn(batch)
             if folded is None
             else reduce_fn(pd.concat([folded, batch], ignore_index=True))
         )
@@ -450,6 +452,15 @@ def _write_view(
     return state
 
 
+def _consumer_name(view_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(
+        os.path.abspath(view_dir).encode(), digest_size=6
+    ).hexdigest()
+    return f"matview-{h}"
+
+
 def create_matview(
     lake_dir: str,
     view_dir: str,
@@ -457,6 +468,7 @@ def create_matview(
     aggs: dict[str, tuple[str, str | None]],
     max_groups: int = 2_000_000,
     version: int | None = None,
+    _register_consumer: bool = True,
 ) -> dict:
     """Full-compute the view at the lake's current version and persist
     it.  ``aggs`` maps output column → (kind, lake column): ``count``
@@ -534,6 +546,15 @@ def create_matview(
         [_NROWS, *sum_aggs], _mm_cast(mm_aggs, schema),
         hll_cols=r_cols,
     )
+    if _register_consumer:
+        # retention anchor: the NEXT refresh diffs from this version,
+        # so vacuum must keep [consumed, head] intact — without it a
+        # routine vacuum between refreshes breaks the view permanently
+        # (drop_matview / unsubscribe_consumer releases)
+        lake.advance_consumer(
+            _consumer_name(view_dir), state["lake_version"],
+            kind="matview",
+        )
     return {
         "lake_version": state["lake_version"],
         "groups": len(view),
@@ -873,6 +894,11 @@ def refresh_matview(view_dir: str) -> dict:
         view_dir, state, merged, group_by, sum_cols, mm_cast,
         hll_cols={n: h_of[n] for n in hll_aggs},
     )
+    # advance the retention anchor AFTER the view commit: a crash in
+    # between leaves the cursor lagging (vacuum keeps more, never less)
+    lake.advance_consumer(
+        _consumer_name(view_dir), v_new, kind="matview"
+    )
     return {
         "lake_version": v_new,
         "from_version": v_old,
@@ -926,7 +952,11 @@ def verify_matview(view_dir: str, scratch_dir: str | None = None) -> dict:
     import tempfile
 
     state = _load_state(view_dir)
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="mvverify_")
+    # always mkdtemp (inside scratch_dir when given): the cleanup must
+    # only ever remove a directory WE created, never the caller's
+    if scratch_dir is not None:
+        os.makedirs(scratch_dir, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="mvverify_", dir=scratch_dir)
     try:
         create_matview(
             state["lake_dir"],
@@ -935,6 +965,7 @@ def verify_matview(view_dir: str, scratch_dir: str | None = None) -> dict:
             {k: tuple(v) for k, v in state["aggs"].items()},
             max_groups=int(state.get("max_groups", 2_000_000)),
             version=int(state["lake_version"]),
+            _register_consumer=False,  # an audit must not pin retention
         )
         a = read_matview(view_dir, include_internal=True).to_pandas()
         b = read_matview(scratch, include_internal=True).to_pandas()
@@ -967,3 +998,19 @@ def read_matview(view_dir: str, include_internal: bool = False) -> pa.Table:
             ]
         )
     return t
+
+
+def drop_matview(view_dir: str) -> dict:
+    """Remove a materialized view AND release its retention anchor on
+    the upstream lake (without this, vacuum keeps pinning history for
+    a view that no longer exists)."""
+    import shutil
+
+    from raycdc.pipelines.maintenance import unsubscribe_consumer
+
+    state = _load_state(view_dir)
+    released = unsubscribe_consumer(
+        state["lake_dir"], _consumer_name(view_dir)
+    )["removed"]
+    shutil.rmtree(view_dir)
+    return {"removed": True, "anchors_released": int(released)}

@@ -113,6 +113,24 @@ class Lake:
                         out[f[:-5]] = int(json.load(fh)["version"])
         return out
 
+    def advance_consumer(
+        self, consumer: str, version: int, kind: str = "feed"
+    ) -> None:
+        """Register or advance a durable consumer cursor — a retention
+        anchor: ``vacuum`` keeps every snapshot from the laggiest
+        cursor forward.  ``maintenance.consume_feed`` and the derived
+        views (matview/joinview) share this writer; release with
+        ``maintenance.unsubscribe_consumer``."""
+        d = os.path.join(self.root, "_consumers")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{consumer}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": int(version), "kind": kind}, f)
+            f.flush()
+            os.fsync(f.fileno())  # a torn anchor would unpin vacuum
+        os.replace(tmp, path)
+
     # -- tags: named versions = retention anchors ---------------------------
     def tags(self) -> dict[str, int]:
         """Committed tag name → version map (``_tags.json``)."""

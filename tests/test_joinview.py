@@ -1002,3 +1002,83 @@ def test_left_payload_columns_carry_through(lakes, tmp_path):
             left.lake_dir, rdup.lake_dir, str(tmp_path / "v2"),
             left_cols=["p_adds"], attrs=["p_adds"],
         )
+
+
+def test_create_joinview_refuses_existing_and_mismatched_partial(
+    lakes, tmp_path
+):
+    """create over an existing view must refuse (an upsert of a fresh
+    full image over old rows silently keeps stale keys and ignores a
+    changed layout); a crashed create (manifest, no state file)
+    recovers only when the layout matches, else fails loud."""
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+    ])
+    _frag(right.log_dir, 0, [_dim_ev(1, "insert", "r1", "alice", 1)])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    with pytest.raises(ValueError, match="already holds a join view"):
+        create_joinview(
+            left.lake_dir, right.lake_dir, view_dir, num_partitions=8
+        )
+    # simulate a create that crashed before the state-file commit:
+    # same layout recovers idempotently ...
+    os.remove(os.path.join(view_dir, "_joinview.json"))
+    out = create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    assert out["rows"] >= 1
+    # ... a DIFFERENT layout must not silently hash into the old P
+    os.remove(os.path.join(view_dir, "_joinview.json"))
+    with pytest.raises(ValueError, match="different layout"):
+        create_joinview(
+            left.lake_dir, right.lake_dir, view_dir, num_partitions=8
+        )
+
+
+def test_verify_joinview_keeps_caller_scratch_dir(lakes, tmp_path):
+    """A caller-supplied scratch_dir is a PLACE for scratch, not a
+    directory the audit may destroy: pre-existing files survive and
+    the audit's own temp subdir is cleaned up."""
+    from raycdc.pipelines.joinview import verify_joinview
+
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+    ])
+    _frag(right.log_dir, 0, [_dim_ev(1, "insert", "r1", "alice", 1)])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    scratch = tmp_path / "work"
+    scratch.mkdir()
+    keep = scratch / "keep.txt"
+    keep.write_text("mine")
+    out = verify_joinview(view_dir, scratch_dir=str(scratch))
+    assert out["ok"]
+    assert keep.read_text() == "mine"
+    assert [p.name for p in scratch.iterdir()] == ["keep.txt"]
+
+
+def test_drop_joinview_releases_both_anchors(lakes, tmp_path):
+    from raycdc.pipelines.joinview import drop_joinview
+
+    left, right = lakes
+    view_dir = str(tmp_path / "view")
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "alpha"),
+    ])
+    _frag(right.log_dir, 0, [_dim_ev(1, "insert", "r1", "alice", 1)])
+    run_ingest(left)
+    run_ingest(right)
+    create_joinview(left.lake_dir, right.lake_dir, view_dir)
+    name = _consumer_name(view_dir)
+    assert name in Lake(left.lake_dir).consumers()
+    assert name in Lake(right.lake_dir).consumers()
+    out = drop_joinview(view_dir)
+    assert out == {"removed": True, "anchors_released": 2}
+    assert name not in Lake(left.lake_dir).consumers()
+    assert name not in Lake(right.lake_dir).consumers()
+    assert not os.path.exists(view_dir)

@@ -307,6 +307,34 @@ def test_snapshot_diff_columns_and_include_old(tmp_path):
     assert (y["lang_old"], y["content_old"]) == ("py", "bb")
 
 
+def test_matview_anchor_survives_vacuum_and_drop_releases(tmp_path):
+    """A maintained view is a feed consumer: its anchor must keep the
+    consumed snapshot vacuum-safe so refresh always works, and
+    drop_matview must release the anchor so vacuum can reclaim."""
+    from raycdc.pipelines.matview import _consumer_name, drop_matview
+
+    cfg, log, lake, view = _setup(tmp_path, ["lang"])
+    name = _consumer_name(view)
+    assert name in Lake(lake).consumers()
+    # two commits land after the create, then a routine vacuum
+    _frag(log, 1, [
+        _ev(3, "update", "org/a", "x.py", "py", "aaaaAAAA"),
+        _ev(4, "insert", "org/b", "w.go", "go", "ddd"),
+    ])
+    run_ingest(cfg)
+    _frag(log, 2, [_ev(5, "delete", "org/a", "y.py")])
+    run_ingest(cfg)
+    Lake(lake).vacuum()
+    out = refresh_matview(view)
+    assert out["refreshed"]
+    _views_equal(
+        read_matview(view), _full_recompute(lake, tmp_path, ["lang"])
+    )
+    drop_matview(view)
+    assert name not in Lake(lake).consumers()
+    assert not os.path.exists(view)
+
+
 def test_snapshot_diff_int64_exact_beyond_2_53(tmp_path):
     """The diff classifier must not round int64 values through the
     outer merge's float64 upcast: seq values above 2^53 (epoch-nanos /
@@ -614,3 +642,18 @@ def test_matview_refresh_equals_serial_reference(tmp_path_factory, windows):
     _views_equal(
         read_matview(view), _full_recompute(lake, tmp, ["lang"])
     )
+
+
+def test_fold_budget_checks_reduced_groups_not_raw_partials():
+    """max_groups guards the TRUE group count, not the raw partial-row
+    count of whatever batch coalescing delivered: 100 partial rows for
+    5 groups under max_groups=10 must fold, not raise."""
+    import pandas as pd
+    import ray.data
+
+    from raycdc.pipelines.matview import _fold
+
+    df = pd.DataFrame({"g": ["a", "b", "c", "d", "e"] * 20, "n": 1})
+    out = _fold(ray.data.from_pandas(df), ["g"], {"n": "sum"}, 10)
+    assert len(out) == 5
+    assert set(out["n"]) == {20}
