@@ -2127,6 +2127,41 @@ def _q_stratified_docs(sf_dir):
     )
 
 
+def _docs_slim(sf_dir):
+    """Column-pruned documents read (no text) for sampling queries."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+def _q_weighted_sample_docs(sf_dir):
+    """Importance-weighted subset selection (A-ES weighted sampling
+    without replacement): 60 docs drawn proportional to length — each
+    row's exponential priority ln(u)/w is a pure function of
+    (doc_id, seed), k rows per block ride to the driver, zero
+    shuffle."""
+    from raycdc.ops.sampling import weighted_sample_k
+
+    return weighted_sample_k(
+        _docs_slim(sf_dir), "doc_id", "n_chars", k=60, seed=11
+    )
+
+
+def _q_weighted_docs_per_lang(sf_dir):
+    """Grouped weighted sampling: 15 length-weighted draws per lang —
+    bounded two-phase per-group top-k over the same deterministic
+    exponential keys, one hash exchange, never a global sort."""
+    from raycdc.ops.sampling import weighted_sample_k
+
+    return weighted_sample_k(
+        _docs_slim(sf_dir), "doc_id", "n_chars", k=15, seed=13,
+        group_col="lang",
+    )
+
+
 def _q_leak_report(sf_dir):
     """Per-benchmark-item leak severity: corpus docs sharing ≥1 word
     8-gram with each eval item — the inverted decontamination view;
@@ -2954,6 +2989,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": _tuned(_q_split_docs),
         "mixture_docs": _tuned(_q_mixture_docs),
         "stratified_docs": _tuned(_q_stratified_docs),
+        # (weighted_sample_docs / weighted_docs_per_lang: NEW this
+        #  session, window full — carried by the local oracle twin +
+        #  the serial-reference/partitioning-invariance tests in
+        #  tests/test_stats_sampling.py; ROUND-5 ROTATION: front-load)
+        "weighted_sample_docs": _tuned(_q_weighted_sample_docs),
+        "weighted_docs_per_lang": _tuned(_q_weighted_docs_per_lang),
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
         # (ann_pq / ann_ivfpq: NEW this round, below the full window —
@@ -4098,6 +4139,33 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'src1' THEN 0.5
                       WHEN 'src2' THEN 0.25
                       ELSE 0.1 END) AS BIGINT)
+        """,
+        # A-ES weighted sampling: the identical exponential-priority
+        # formula — u from the shared Knuth hash, LN and one IEEE
+        # division both sides — so selection is bit-deterministic
+        "weighted_sample_docs": """
+            WITH kdf AS (
+              SELECT doc_id, lang, source, n_chars,
+                     LN((((doc_id + 11) * 2654435761) % 4294967296 + 1)
+                        / 4294967296.0) / n_chars AS wkey
+              FROM documents
+            )
+            SELECT doc_id, lang, source, n_chars FROM kdf
+            ORDER BY wkey DESC, doc_id LIMIT 60
+        """,
+        "weighted_docs_per_lang": """
+            WITH kdf AS (
+              SELECT doc_id, lang, source, n_chars,
+                     LN((((doc_id + 13) * 2654435761) % 4294967296 + 1)
+                        / 4294967296.0) / n_chars AS wkey
+              FROM documents
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn
+              FROM kdf
+            )
+            SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 15
         """,
         "stratified_docs": """
             WITH h AS (

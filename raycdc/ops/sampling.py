@@ -154,3 +154,61 @@ def split_assign(
         return t.append_column(out_col, pa.array(lab, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_sample_k(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    group_col: str | None = None,
+):
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row draws an exponential
+    priority ``key = ln(u) / w`` from its own id — ``u = (hash(id) +
+    1) / 2³²`` with the module's Knuth hash — and the ``k`` LARGEST
+    keys win, which is distribution-identical to sequential
+    draw-without-replacement proportional to ``w``.  Training-data
+    mixing uses this for importance-weighted subset selection (sample
+    long/high-quality docs preferentially) where ``fraction``-style
+    uniform samplers can't express per-row weights.
+
+    Same determinism contract as the siblings: the sample is a pure
+    function of (id, weight, seed) — no RNG state, rerun- and
+    partitioning-stable, and exactly SQL-reproducible for the driver
+    oracle (``LN`` and one IEEE division, both engines glibc libm).
+
+    Rows with ``w <= 0`` or null weight never sample (excluded before
+    the draw — weight 0 means "never pick me").
+
+    Scale shape: zero full shuffle either way.  Ungrouped: per-batch
+    partial top-k (``k`` rows per block ride to the driver — the
+    ``topk`` kernel).  Grouped (``group_col``): bounded two-phase
+    per-group top-k via ``topk_per_group`` (blocks × groups × k rows
+    through one hash exchange, never a global sort)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def draw(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        keep = np.isfinite(w) & (w > 0.0)
+        df = df[keep].copy()
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        u = (_id_hash(ids, seed).astype(np.float64) + 1.0) / float(_MOD)
+        df["_wkey"] = np.log(u) / w[keep]
+        return df
+
+    keyed = ds.map_batches(draw, batch_format="pandas")
+    sort_keys = [("_wkey", "descending"), (id_col, "ascending")]
+    if group_col is None:
+        from raycdc.ops.relational import topk
+
+        out = topk(keyed, sort_keys, k)
+        return out.drop_columns(["_wkey"])
+    from raycdc.ops.relational import topk_per_group
+
+    picked = topk_per_group(keyed, [group_col], sort_keys, k)
+    return picked.map_batches(
+        lambda t: t.drop_columns(["_wkey"]), batch_format="pyarrow"
+    )

@@ -328,3 +328,92 @@ def test_zscore_by_group_tripwire_fails_loud():
         zscore_by_group(
             ray.data.from_pandas(df), ["g"], "v", max_groups=100
         ).materialize()
+
+
+def _aes_reference(df, id_col, w_col, k, seed, group_col=None):
+    """Serial A-ES reference: ln(u)/w priorities, top-k by (key desc,
+    id asc), w<=0/null excluded."""
+    d = df.copy()
+    w = d[w_col].to_numpy(dtype=np.float64, na_value=np.nan)
+    d = d[np.isfinite(w) & (w > 0.0)].copy()
+    h = ((d[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+          + np.uint64(seed)) * np.uint64(2654435761)) % (
+        np.uint64(1) << np.uint64(32))
+    u = (h.astype(np.float64) + 1.0) / float(1 << 32)
+    d["_k"] = np.log(u) / d[w_col].to_numpy(dtype=np.float64)
+    d = d.sort_values(["_k", id_col], ascending=[False, True])
+    if group_col is None:
+        return set(d.head(k)[id_col])
+    return {
+        g: set(sub.head(k)[id_col])
+        for g, sub in d.groupby(group_col, sort=False)
+    }
+
+
+def test_weighted_sample_k_matches_serial_reference():
+    from raycdc.ops.sampling import weighted_sample_k
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4000, dtype=np.int64),
+            "w": rng.integers(1, 500, size=4000).astype(np.int64),
+        }
+    )
+    got = weighted_sample_k(_ds(df, 7), "id", "w", k=100, seed=3)
+    got_ids = set(got["id"].to_pylist())
+    assert got_ids == _aes_reference(df, "id", "w", 100, 3)
+    assert "_wkey" not in got.column_names
+    # partitioning invariance: pure function of (id, w, seed)
+    again = weighted_sample_k(_ds(df, 1), "id", "w", k=100, seed=3)
+    assert set(again["id"].to_pylist()) == got_ids
+
+
+def test_weighted_sample_k_weight_bias_and_exclusions():
+    from raycdc.ops.sampling import weighted_sample_k
+
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            # first half weight 100, second half weight 1, plus
+            # poisoned rows that must never sample
+            "w": np.where(np.arange(n) < n // 2, 100.0, 1.0),
+        }
+    )
+    df.loc[10, "w"] = 0.0
+    df.loc[11, "w"] = -5.0
+    df.loc[12, "w"] = np.nan
+    got = weighted_sample_k(_ds(df, 5), "id", "w", k=400, seed=9)
+    ids = got["id"].to_pylist()
+    assert not {10, 11, 12} & set(ids)
+    heavy = sum(1 for i in ids if i < n // 2)
+    # 100:1 weights → the heavy half must dominate the sample
+    assert heavy > 350
+    # k > surviving rows returns them all
+    small = df.head(20)
+    allrows = weighted_sample_k(
+        ray.data.from_pandas(small), "id", "w", k=500, seed=9
+    )
+    assert set(allrows["id"].to_pylist()) == set(range(20)) - {10, 11, 12}
+
+
+def test_weighted_sample_k_grouped_matches_reference():
+    from raycdc.ops.sampling import weighted_sample_k
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(2500, dtype=np.int64),
+            "g": rng.choice(["en", "de", "fr"], size=2500),
+            "w": rng.integers(1, 50, size=2500).astype(np.int64),
+        }
+    )
+    got = (
+        weighted_sample_k(_ds(df, 6), "id", "w", k=30, seed=5, group_col="g")
+        .to_pandas()
+    )
+    ref = _aes_reference(df, "id", "w", 30, 5, group_col="g")
+    for g, sub in got.groupby("g"):
+        assert set(sub["id"]) == ref[g], g
+    assert "_wkey" not in got.columns
