@@ -1735,6 +1735,21 @@ def _q_scrub_blocklist(sf_dir):
     )
 
 
+def _q_code_stats(sf_dir):
+    """Code-corpus curation gate (StarCoder/BigCode filter family —
+    the payload here is source code): per-doc line count, longest
+    line, mean line length, alphanumeric fraction, and the composite
+    keep verdict.  One fused Arrow pass; every feature and both
+    divisions are the identical IEEE/RE2 expression the DuckDB oracle
+    runs, so each row value-hash-pins."""
+    from raycdc.ops.text import code_stats
+
+    return code_stats(_docs_light(sf_dir)).select_columns(
+        ["doc_id", "n_lines", "max_line_len", "avg_line_len",
+         "alnum_frac", "keep"]
+    )
+
+
 def _q_redact_pii(sf_dir):
     """PII redaction over documents: a deterministic doc_id-derived
     suffix plants one email, one IPv4 and one phone per row (the
@@ -2996,6 +3011,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  tests/test_stats_sampling.py; ROUND-5 ROTATION: front-load)
         "weighted_sample_docs": _tuned(_q_weighted_sample_docs),
         "weighted_docs_per_lang": _tuned(_q_weighted_docs_per_lang),
+        # (code_stats: NEW this session, window full — carried by the
+        #  local oracle twin + the slow-reference/edge-case tests in
+        #  tests/test_ops.py; ROUND-5 ROTATION: front-load it)
+        "code_stats": _tuned(_q_code_stats),
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
         # (ann_pq / ann_ivfpq: NEW this round, below the full window —
@@ -3222,6 +3241,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(replace(text, ' ', '')) AS DOUBLE)
                        / len(string_split(text, ' ')) AS avg_token_len
             FROM documents
+        """,
+        "code_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       length(text) AS tchars,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT)
+                           AS n_lines,
+                       CAST(list_max(list_transform(
+                            string_split(text, chr(10)),
+                            x -> length(x))) AS BIGINT) AS max_line_len,
+                       length(regexp_replace(
+                            text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+                FROM documents
+            )
+            SELECT doc_id, n_lines, max_line_len,
+                   CAST(tchars AS DOUBLE) / n_lines AS avg_line_len,
+                   CASE WHEN tchars = 0 THEN 0.0
+                        ELSE CAST(n_alnum AS DOUBLE) / tchars
+                   END AS alnum_frac,
+                   (max_line_len <= 1000
+                    AND CAST(tchars AS DOUBLE) / n_lines <= 100.0
+                    AND (CASE WHEN tchars = 0 THEN 0.0
+                              ELSE CAST(n_alnum AS DOUBLE) / tchars
+                         END) >= 0.25) AS keep
+            FROM s
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count

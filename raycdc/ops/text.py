@@ -869,3 +869,84 @@ def bm25_topk(
     ).head(k)
     out["score"] = np.round(out["score"], 6)
     return out.reset_index(drop=True)
+
+
+def code_stats_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    max_line_chars: int = 1000,
+    max_avg_line_chars: float = 100.0,
+    min_alnum_frac: float = 0.25,
+) -> pa.Table:
+    """Code-corpus curation features (the StarCoder/BigCode filter
+    family, the standard pre-training gate for source-code payloads):
+    per document — line count, longest line, mean line length,
+    alphanumeric fraction, and the composite ``keep`` verdict that
+    drops minified/autogenerated/binary-ish files (one enormous line,
+    high mean line length, or mostly non-alphanumeric bytes).
+
+    Every feature is one Arrow kernel pass and SQL-mirrorable for the
+    oracle: lines = split on chr(10) (a trailing newline therefore
+    contributes one empty final line, matching DuckDB string_split);
+    per-line lengths reduce segment-wise via ``np.maximum.reduceat``
+    over the flattened list (zero-copy offsets, no Python loop);
+    alnum count = length(regexp_replace(text, '[^A-Za-z0-9]', '')) —
+    the same RE2 GlobalReplace DuckDB runs.  Divisions are the
+    identical IEEE float64 ops on both sides; empty text pins
+    alnum_frac to 0.0 (the SQL CASE twin).
+    """
+    text = pc.fill_null(batch[text_col], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    lines = pc.split_pattern(text, "\n")
+    n_lines = pc.cast(pc.list_value_length(lines), pa.int64())
+    flat_lens = pc.cast(
+        pc.utf8_length(pc.list_flatten(lines)), pa.int64()
+    ).to_numpy()
+    nl = n_lines.to_numpy()
+    if len(nl):
+        starts = np.zeros(len(nl), dtype=np.int64)
+        np.cumsum(nl[:-1], out=starts[1:])
+        max_line = np.maximum.reduceat(flat_lens, starts)
+    else:
+        max_line = np.array([], dtype=np.int64)
+    alnum = pc.cast(
+        pc.utf8_length(
+            pc.replace_substring_regex(text, "[^A-Za-z0-9]", "")
+        ),
+        pa.int64(),
+    ).to_numpy()
+    nc = n_chars.to_numpy()
+    avg_line = nc.astype(np.float64) / nl.astype(np.float64)
+    alnum_frac = np.where(
+        nc > 0, alnum / np.where(nc > 0, nc, 1).astype(np.float64), 0.0
+    )
+    keep = (
+        (max_line <= max_line_chars)
+        & (avg_line <= max_avg_line_chars)
+        & (alnum_frac >= min_alnum_frac)
+    )
+    out = batch.append_column("n_lines", n_lines)
+    out = out.append_column("max_line_len", pa.array(max_line, pa.int64()))
+    out = out.append_column("avg_line_len", pa.array(avg_line, pa.float64()))
+    out = out.append_column("alnum_frac", pa.array(alnum_frac, pa.float64()))
+    return out.append_column("keep", pa.array(keep, pa.bool_()))
+
+
+def code_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    max_line_chars: int = 1000,
+    max_avg_line_chars: float = 100.0,
+    min_alnum_frac: float = 0.25,
+) -> "ray.data.Dataset":
+    """Streaming per-doc code-curation stats — see
+    ``code_stats_batch``.  One fused map_batches stage, no exchange."""
+    return ds.map_batches(
+        lambda t: code_stats_batch(
+            t, text_col, max_line_chars, max_avg_line_chars,
+            min_alnum_frac,
+        ),
+        batch_format="pyarrow",
+    )

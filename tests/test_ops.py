@@ -2637,3 +2637,54 @@ def test_bm25_empty_corpus_returns_empty():
     )
     out = bm25_topk(empty, "fast scan", k=5)
     assert len(out) == 0 and list(out.columns) == ["doc_id", "score"]
+
+
+def test_code_stats_matches_serial_reference():
+    """code_stats (the StarCoder/BigCode curation gate) matches a
+    slow per-char reference on every feature across the edge cases —
+    empty text, trailing newline, blank-lines-only, one enormous
+    minified line, non-ASCII letters (excluded from the ASCII alnum
+    class), symbol-only text — and is invariant to block splits."""
+    from raycdc.ops.text import code_stats
+
+    texts = [
+        "",
+        "a\nbb\nccc",
+        "x" * 2000,                      # minified: one huge line
+        "héllo wörld\n",                 # trailing newline, non-ASCII
+        "\n\n",                          # blank lines only
+        "def f():\n    return 1\n# ok",  # code-shaped
+        "!!!@@@###",                     # symbols only
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    def serial(s):
+        ls = s.split("\n")
+        n_alnum = sum(c.isascii() and c.isalnum() for c in s)
+        return {
+            "n_lines": len(ls),
+            "max_line_len": max(len(x) for x in ls),
+            "avg_line_len": len(s) / len(ls),
+            "alnum_frac": n_alnum / len(s) if s else 0.0,
+        }
+
+    for blocks in (1, 3, 7):
+        out = (
+            code_stats(ray.data.from_arrow(t).repartition(blocks))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, s in enumerate(texts):
+            ref = serial(s)
+            row = out.iloc[i]
+            for k, v in ref.items():
+                assert row[k] == pytest.approx(v, abs=1e-12), (
+                    blocks, i, k, row[k], v
+                )
+            keep_ref = (
+                ref["max_line_len"] <= 1000
+                and ref["avg_line_len"] <= 100.0
+                and ref["alnum_frac"] >= 0.25
+            )
+            assert bool(row["keep"]) == keep_ref, (blocks, i)
