@@ -950,3 +950,43 @@ def code_stats(
         ),
         batch_format="pyarrow",
     )
+
+
+# Secret/credential patterns for code corpora (the pre-training
+# secret-scrubbing gate: BigCode's PII/secret pass, detect-secrets /
+# gitleaks rule shapes).  RE2-safe — no lookaround, no empty matches —
+# so Arrow count_substring_regex, RE2 GlobalReplace and DuckDB
+# regexp_extract_all all agree on non-overlapping left-to-right counts
+# (an 80-hex run counts as two hex40 hits on every engine).
+SECRET_PATTERNS = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "pem_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "hex40": r"[0-9a-f]{40}",
+    "jwt": r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
+}
+
+
+def detect_secrets_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Per-doc credential hit counts (``n_<kind>`` int64 per
+    SECRET_PATTERNS entry) + the composite ``has_secret`` verdict —
+    the leak gate a code corpus runs before training.  One RE2 kernel
+    pass per pattern, zero exchange."""
+    text = pc.fill_null(batch[text_col], "")
+    out = batch
+    total = None
+    for name, pat in SECRET_PATTERNS.items():
+        n = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+        out = out.append_column(f"n_{name}", n)
+        total = n if total is None else pc.add(total, n)
+    return out.append_column("has_secret", pc.greater(total, 0))
+
+
+def detect_secrets(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: detect_secrets_batch(t, text_col),
+        batch_format="pyarrow",
+    )
