@@ -2116,6 +2116,38 @@ def _q_doc_len_quantiles(sf_dir):
     )
 
 
+def _q_dd_value_quantiles(sf_dir):
+    """One-pass mergeable quantile sketch (DDSketch geometric
+    buckets): relative-error-bounded quantiles with NO min/max probe
+    pass — the single-scan scale path next to the exact refinement
+    (`event_value_quantiles`) and the two-pass histogram
+    (`approx_quantiles`).  Bit-deterministic under any block split
+    (bucket assignment is per-value), so the output pins."""
+    from raycdc.ops.sketch import dd_quantiles
+
+    return dd_quantiles(
+        _events(sf_dir, columns=["value"]),
+        "value",
+        qs=[0.01, 0.25, 0.5, 0.75, 0.9, 0.999],
+        alpha=0.01,
+    )
+
+
+def _q_dd_quantiles_by_type(sf_dir):
+    """Grouped DDSketch quantiles per event_type — one (group, side,
+    bucket, n) partial stream, driver fold under the max_groups
+    tripwire; same relative-error bound per group."""
+    from raycdc.ops.sketch import dd_quantiles_by
+
+    return dd_quantiles_by(
+        _events(sf_dir, columns=["event_type", "value"]),
+        "event_type",
+        "value",
+        qs=[0.25, 0.5, 0.9],
+        alpha=0.01,
+    )
+
+
 def _q_event_value_quantiles(sf_dir):
     """EXACT quantiles of a continuous double column — iterative
     zero-shuffle histogram refinement, no sketch and no global sort;
@@ -3035,6 +3067,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _tuned(_q_session_windows),
         "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
         "event_value_quantiles": _tuned(_q_event_value_quantiles),
+        # (dd_value_quantiles / dd_quantiles_by_type: NEW this
+        #  session, window full — pinned-file oracles + the
+        #  relative-error/split-invariance tests in tests/test_ops.py;
+        #  ROUND-5 ROTATION: front-load them)
+        "dd_value_quantiles": _tuned(_q_dd_value_quantiles),
+        "dd_quantiles_by_type": _tuned(_q_dd_quantiles_by_type),
         "sample_docs": _tuned(_q_sample_docs),
         "split_docs": _tuned(_q_split_docs),
         "mixture_docs": _tuned(_q_mixture_docs),
@@ -4416,6 +4454,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _pin("ann_ivfpq"),
         "kmeans_embeddings": _pin("kmeans_embeddings"),
         "semantic_representatives": _pin("semantic_representatives"),
+        "dd_value_quantiles": _pin("dd_value_quantiles"),
+        "dd_quantiles_by_type": _pin("dd_quantiles_by_type"),
         "hll_user_count": _pin("hll_user_count"),
         "hll_by_event_type": _pin("hll_by_event_type"),
         "heavy_hitter_users": _pin("heavy_hitter_users"),

@@ -2730,3 +2730,84 @@ def test_detect_secrets_planted_and_clean():
             )
             assert got == (aws, pem, hx, jwt), (blocks, i, got)
             assert bool(row["has_secret"]) == (sum(got) > 0)
+
+
+def test_dd_quantiles_relative_error_and_split_invariance():
+    """DDSketch one-pass quantiles: every estimate within relative
+    error alpha of the exact rank-ceil(q*n) order statistic on a
+    heavy-tailed signed corpus (lognormal positives, mirrored
+    negatives, planted zeros), and — because bucket assignment is
+    per-value — BIT-identical across block splits.  A 10^9 outlier
+    costs one bucket, not the sketch's resolution."""
+    from raycdc.ops.sketch import dd_quantiles
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate([
+        np.exp(rng.normal(3, 2, 20000)),
+        -np.exp(rng.normal(1, 1, 8000)),
+        np.zeros(2000),
+        np.array([1e9]),               # lone outlier
+    ])
+    rng.shuffle(v)
+    t = pa.table({"x": v})
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    alpha = 0.01
+    sv = np.sort(v)
+    exact = [sv[max(1, int(np.ceil(q * len(v)))) - 1] for q in qs]
+    first = None
+    for blocks in (1, 7):
+        out = dd_quantiles(
+            ray.data.from_arrow(t).repartition(blocks), "x", qs,
+            alpha=alpha,
+        )
+        for e, x in zip(out["value"], exact):
+            if x == 0:
+                assert e == 0.0
+            else:
+                assert abs(e - x) <= alpha * abs(x) * 1.02, (e, x)
+        if first is None:
+            first = out["value"].tolist()
+        else:
+            assert out["value"].tolist() == first  # bit-deterministic
+    # empty + single-value edges
+    empty = dd_quantiles(
+        ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())})),
+        "x", qs,
+    )
+    assert empty.empty
+    one = dd_quantiles(
+        ray.data.from_arrow(pa.table({"x": [42.0]})), "x", [0.5],
+    )
+    assert abs(one["value"][0] - 42.0) <= 0.01 * 42.0 * 1.02
+
+
+def test_dd_quantiles_by_matches_solo_and_trips_budget():
+    """Grouped DDSketch equals the solo sketch run per group (same
+    merged counts → same walk), and the max_groups driver-fold
+    tripwire fails loud."""
+    from raycdc.ops.sketch import dd_quantiles, dd_quantiles_by
+
+    rng = np.random.default_rng(11)
+    v = np.exp(rng.normal(2, 1.5, 30000))
+    g = np.array(["a", "b", "c"])[np.arange(len(v)) % 3]
+    t = pa.table({"g": g, "x": v})
+    qs = [0.1, 0.5, 0.9]
+    grouped = dd_quantiles_by(
+        ray.data.from_arrow(t).repartition(6), "g", "x", qs
+    )
+    for grp in ("a", "b", "c"):
+        solo = dd_quantiles(
+            ray.data.from_arrow(
+                pa.table({"x": v[g == grp]})
+            ).repartition(2),
+            "x", qs,
+        )
+        sub = grouped[grouped["g"] == grp].reset_index(drop=True)
+        assert sub["value"].tolist() == solo["value"].tolist(), grp
+    with pytest.raises(ValueError, match="max_groups|groups"):
+        dd_quantiles_by(
+            ray.data.from_arrow(
+                pa.table({"g": np.arange(200).astype(str), "x": v[:200]})
+            ),
+            "g", "x", [0.5], max_groups=50,
+        )

@@ -33,6 +33,8 @@ PINNED = [
     "ann_ivfpq",
     "kmeans_embeddings",
     "semantic_representatives",
+    "dd_value_quantiles",
+    "dd_quantiles_by_type",
     "hll_user_count",
     "hll_by_event_type",
     "heavy_hitter_users",
