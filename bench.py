@@ -254,6 +254,11 @@ def bench_queries() -> dict[str, float]:
         "cdc_bootstrap_replay",
         "joinview_enriched",
         "cdc_consistent_cut",
+        "code_stats",
+        "detect_secrets",
+        "dd_value_quantiles",
+        "weighted_sample_docs",
+        "cdc_expire_retention",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

@@ -1,0 +1,184 @@
+"""Model-based lifecycle property test: an ARBITRARY interleaving of
+ingest windows and maintenance operations (compact, optimize_sort,
+optimize_zorder, vacuum, repartition_lake, purge_keys, expire_rows)
+must leave the lake's resolved state equal to a pure-python
+keep-latest model that applies the same events and erasures — and
+fsck must stay clean after every step.
+
+The joinview/matview hypothesis properties check one derived plane
+each; this one checks the LAKE ITSELF under the full maintenance
+surface, because the ops compose in production (a follow loop
+compacts while a TTL sweep expires while an operator reshards) and
+each pairwise interaction is where resurrect/lost-delete bugs live
+(e.g. a reshard that re-reads pre-purge files, a compact that folds a
+delta the expiry already erased).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from raycdc.config import IngestConfig
+from raycdc.pipelines.cdc import run_ingest
+from raycdc.pipelines.maintenance import (
+    compact,
+    expire_rows,
+    fsck,
+    optimize_sort,
+    optimize_zorder,
+    purge_keys,
+    repartition_lake,
+    vacuum,
+)
+from raycdc.state.checkpoint import Lake
+
+LOG_COLS = [
+    "seq", "op", "repo", "path", "commit", "lang", "content",
+    "payload_json",
+]
+
+_KEYS = [
+    ("r1", "a.py"), ("r1", "b.py"), ("r2", "c.go"),
+    ("r2", "d.rs"), ("r3", "e.md"), ("r3", "f.txt"),
+]
+
+_MAINT = [
+    "compact", "optimize_sort", "optimize_zorder", "vacuum",
+    "repartition_up", "repartition_down", "purge_r1", "expire_old",
+]
+
+
+def _frag(log_dir: str, idx: int, events: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    cols = {c: [e.get(c) for e in events] for c in LOG_COLS}
+    t = pa.table(
+        {
+            "seq": pa.array(cols["seq"], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + (s or 0) for s in cols["seq"]],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(cols["op"], pa.string()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "commit": pa.array(cols["commit"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "content": pa.array(cols["content"], pa.string()),
+            "payload_json": pa.array(cols["payload_json"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(log_dir, f"fragment-{idx:05d}.parquet"))
+
+
+@st.composite
+def _lifecycle(draw):
+    """A list of steps: ("window", [events]) / ("maint", op_name)."""
+    steps, seq = [], 0
+    n_windows = draw(st.integers(min_value=1, max_value=3))
+    for _ in range(n_windows):
+        events = []
+        for _ in range(draw(st.integers(min_value=1, max_value=6))):
+            repo, path = _KEYS[draw(st.integers(0, len(_KEYS) - 1))]
+            op = draw(st.sampled_from(["insert", "update", "delete"]))
+            seq += 1
+            if op == "delete":
+                events.append({
+                    "seq": seq, "op": op, "repo": repo, "path": path,
+                    "commit": f"c{seq}", "lang": None, "content": None,
+                    "payload_json": "{}",
+                })
+            else:
+                events.append({
+                    "seq": seq, "op": op, "repo": repo, "path": path,
+                    "commit": f"c{seq}", "lang": "py",
+                    "content": "w" * draw(st.integers(1, 5)),
+                    "payload_json": "{}",
+                })
+        steps.append(("window", events))
+        for _ in range(draw(st.integers(min_value=0, max_value=2))):
+            steps.append(("maint", draw(st.sampled_from(_MAINT))))
+    return steps
+
+
+def _apply_window_to_model(model: dict, events: list[dict]) -> None:
+    for e in sorted(events, key=lambda x: x["seq"]):
+        k = (e["repo"], e["path"])
+        if e["op"] == "delete":
+            model.pop(k, None)
+        else:
+            model[k] = {
+                "seq": e["seq"], "commit": e["commit"],
+                "lang": e["lang"], "content": e["content"],
+            }
+
+
+@given(_lifecycle())
+@settings(max_examples=6, deadline=None)
+def test_maintenance_interleaving_matches_model(tmp_path_factory, steps):
+    tmp = tmp_path_factory.mktemp("lifecycle")
+    cfg = IngestConfig(
+        log_dir=str(tmp / "log"), lake_dir=str(tmp / "lake"),
+        num_partitions=4,
+    )
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    model: dict = {}
+    widx, max_seq, ingested_any = 0, 0, False
+    for kind, arg in steps:
+        if kind == "window":
+            _frag(cfg.log_dir, widx, arg)
+            widx += 1
+            run_ingest(cfg)
+            _apply_window_to_model(model, arg)
+            max_seq = max(max_seq, max(e["seq"] for e in arg))
+            ingested_any = True
+            continue
+        if not ingested_any:
+            continue  # maintenance on a never-committed lake: skip
+        if arg == "compact":
+            compact(cfg.lake_dir)
+        elif arg == "optimize_sort":
+            optimize_sort(cfg.lake_dir)
+        elif arg == "optimize_zorder":
+            optimize_zorder(cfg.lake_dir, by=["lang", "seq"])
+        elif arg == "vacuum":
+            vacuum(cfg.lake_dir)
+        elif arg == "repartition_up":
+            repartition_lake(cfg.lake_dir, 8)
+        elif arg == "repartition_down":
+            repartition_lake(cfg.lake_dir, 2)
+        elif arg == "purge_r1":
+            purge_keys(
+                cfg.lake_dir, pads.field("repo") == "r1"
+            )
+            for k in [k for k in model if k[0] == "r1"]:
+                model.pop(k)
+        elif arg == "expire_old":
+            cut = max_seq - 2
+            expire_rows(cfg.lake_dir, [("seq", "<", cut)])
+            for k in [k for k in model if model[k]["seq"] < cut]:
+                model.pop(k)
+        rep = fsck(cfg.lake_dir)
+        assert rep["ok"], (arg, rep["errors"])
+        assert rep["rows"] == len(model), (arg, rep["rows"], len(model))
+
+        got = (
+            Lake(cfg.lake_dir)
+            .read_dataset()
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(model), (arg, len(got), len(model))
+        for _, row in got.iterrows():
+            m = model[(row["repo"], row["path"])]
+            for col in ("seq", "commit", "lang", "content"):
+                assert row[col] == m[col], (arg, row["repo"], row["path"], col)
+
+    # final convergence check after the whole interleaving
+    if ingested_any:
+        got = Lake(cfg.lake_dir).read_dataset().to_pandas()
+        assert len(got) == len(model)
