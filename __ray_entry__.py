@@ -2920,7 +2920,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pca_components, hash_embed_representatives, ann_pq, ann_ivfpq,
     # bm25_search, cdc_bootstrap_replay, cdc_consumer_feed,
     # cdc_patch_state?/check r04, cdc_jsonl_replay?, joinview_enriched,
-    # cdc_consistent_cut, weighted_sample_docs, weighted_docs_per_lang
+    # cdc_consistent_cut, weighted_sample_docs, weighted_docs_per_lang,
+    # code_stats, detect_secrets, dd_value_quantiles,
+    # dd_quantiles_by_type
     # — cross-check against CORRECTNESS_r0{2,3,4}
     # row sets, never from memory), then (2) anything new in round 5,
     # then (3) the oldest-verified r03 set.  At 117 queries the driver

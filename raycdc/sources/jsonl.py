@@ -169,8 +169,16 @@ def _tail_seq(tail: bytes) -> int | None:
         if not line:
             continue
         try:
-            return int(json.loads(line)["seq"])
-        except (ValueError, KeyError, TypeError):
+            s = int(json.loads(line)["seq"])
+            # same int64 bound as the salvage lane (_validated): a
+            # hostile seq — Infinity literal (OverflowError), >int64
+            # int — dead-letters at its PREDECESSOR's window, so the
+            # probe must report the predecessor's seq too, or the
+            # window target overflows pa.int64 at the commit
+            if not (-(1 << 63) <= s < (1 << 63)):
+                continue
+            return s
+        except (ValueError, KeyError, TypeError, OverflowError):
             # torn trailing write: the previous complete line carries
             # the file's real max seq (a torn line has no cursor)
             continue
@@ -325,7 +333,15 @@ def _validated(rec, want_table: bool = False) -> dict:
         raise ValueError("not an object")
     out: dict = {}
     s = rec.get("seq")
-    out["seq"] = None if s is None else int(s)
+    if s is not None:
+        # int() raises OverflowError on float inf (Python json accepts
+        # Infinity/NaN literals); an in-Python-range huge int would
+        # still blow up pa.array(int64) later — bound it here so both
+        # demote to the dead-letter lane instead of killing the task
+        s = int(s)
+        if not (-(1 << 63) <= s < (1 << 63)):
+            raise ValueError("seq out of int64 range")
+    out["seq"] = s
     for name in _STRING_FIELDS:
         v = rec.get(name)
         if v is not None and not isinstance(v, str):
@@ -335,7 +351,9 @@ def _validated(rec, want_table: bool = False) -> dict:
     if cl is not None:
         if isinstance(cl, bool) or not isinstance(cl, (int, float)):
             raise TypeError("content_len: expected integer")
-        cl = int(cl)
+        cl = int(cl)  # OverflowError on inf -> demote (caught below)
+        if not (-(1 << 63) <= cl < (1 << 63)):
+            raise ValueError("content_len out of int64 range")
     out["content_len"] = cl
     if want_table:
         tb = rec.get("table")
@@ -374,14 +392,18 @@ def _salvage(data: bytes, want_table: bool = False) -> pa.Table:
             rec = _validated(json.loads(raw), want_table)
             if rec["seq"] is not None:
                 last_seq = rec["seq"]
-        except (ValueError, TypeError, KeyError):
+        except (ValueError, TypeError, KeyError, OverflowError):
             rec = {
                 "seq": last_seq,
                 "payload_json": raw.decode("utf-8", "replace"),
             }
             if last_seq is None:
                 torn_idx.append(len(cols["seq"]))
-        for f in WIRE_SCHEMA:
+        # iterate the ACTIVE schema: with want_table the multi-table
+        # discriminator column must grow in lockstep (iterating the
+        # single-table WIRE_SCHEMA left cols["table"] empty and the
+        # table build died on length mismatch)
+        for f in schema:
             cols[f.name].append(rec.get(f.name))
     # torn lines BEFORE the first good line borrow the first good seq;
     # a fully-torn file falls back to 0 (captured on full replay)

@@ -445,3 +445,124 @@ def test_single_table_logs_tolerate_nonstring_table_field(tmp_path):
     assert Lake(
         os.path.join(str(tmp_path), "lake")
     ).read_table().num_rows == 20
+
+
+# -- property: the salvage lane is TOTAL ------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_JSON_SCALARS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10 ** 30), max_value=10 ** 30),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(max_size=20),
+    st.lists(st.integers(-5, 5), max_size=3),
+    st.dictionaries(st.text(max_size=5), st.integers(-5, 5), max_size=3),
+)
+
+_ENVELOPE_FIELDS = [
+    "seq", "ts", "op", "repo", "path", "commit", "lang", "content",
+    "payload_json", "content_len", "table",
+]
+
+
+@st.composite
+def _hostile_lines(draw):
+    """A mix of (a) JSON objects with ARBITRARY JSON values in every
+    envelope field — including Infinity/NaN literals, >int64 ints,
+    lists and objects where scalars belong — (b) raw garbage bytes,
+    (c) truncated JSON."""
+    import json as _json
+
+    lines = []
+    for _ in range(draw(st.integers(min_value=1, max_value=12))):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:  # arbitrary-typed envelope
+            rec = {
+                f: draw(_JSON_SCALARS)
+                for f in draw(
+                    st.lists(st.sampled_from(_ENVELOPE_FIELDS),
+                             unique=True, max_size=6)
+                )
+            }
+            lines.append(_json.dumps(rec).encode())
+        elif kind == 1:  # well-formed event
+            s = draw(st.integers(0, 10 ** 6))
+            lines.append(_json.dumps({
+                "seq": s, "op": "insert", "repo": "r/a",
+                "path": f"f{s}", "commit": f"c{s}", "lang": "py",
+                "content": "x", "payload_json": "{}",
+            }).encode())
+        elif kind == 2:  # raw garbage (no newlines — they'd split)
+            lines.append(
+                draw(st.binary(max_size=30)).replace(b"\n", b" ")
+                .replace(b"\r", b" ")
+            )
+        else:  # truncated JSON
+            lines.append(b'{"seq": 1, "op": "ins')
+    return lines
+
+
+@given(_hostile_lines(), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_salvage_lane_is_total(lines, want_table):
+    """No line — whatever its bytes or its JSON types — may kill the
+    read task: every non-empty line becomes exactly one row (valid
+    rows keep their envelope, hostile ones demote to the null-PK
+    dead-letter shape), and the table always builds against the
+    active wire schema (single- or multi-table)."""
+    data = b"\n".join(lines) + b"\n"
+    t = _salvage_ref(data, want_table=want_table)
+    n_nonempty = sum(1 for ln in data.splitlines() if ln.strip())
+    assert t.num_rows == n_nonempty
+    assert t["seq"].null_count == 0  # every row rides a replay window
+    if want_table:
+        assert "table" in t.column_names
+
+
+from raycdc.sources.jsonl import _salvage as _salvage_ref  # noqa: E402
+
+
+def test_hostile_seq_lines_dead_letter_through_full_ingest(tmp_path):
+    """End-to-end regression for the two hostile-seq crash vectors the
+    salvage fuzz surfaced: (a) an Infinity/NaN or >int64 seq must
+    demote to the dead-letter lane instead of OverflowError-ing the
+    read task, and (b) when such a line is the fragment's LAST line,
+    the tail probe must report the predecessor's seq — the unbounded
+    value previously became the window watermark and overflowed
+    pa.int64 at the commit."""
+    import json as _json
+
+    log = os.path.join(str(tmp_path), "log")
+    os.makedirs(log, exist_ok=True)
+    rows = [
+        _json.dumps({
+            "seq": s, "op": "insert", "repo": "r/a", "path": f"f{s}",
+            "commit": f"c{s}", "lang": "py", "content": f"body {s}",
+            "payload_json": "{}",
+        })
+        for s in range(10)
+    ]
+    hostile = [
+        '{"seq": Infinity, "op": "x"}',
+        '{"seq": 99999999999999999999999999}',   # > int64, tail line
+        '{"seq": [1, 2]}',
+        '{torn',
+        "\x00garbage\x7f",
+    ]
+    with open(os.path.join(log, "w0.jsonl"), "w") as f:
+        f.write("\n".join(rows[:5] + hostile[:2]) + "\n")
+    with open(os.path.join(log, "w1.jsonl"), "w") as f:
+        f.write("\n".join(rows[5:] + hostile[2:]) + "\n")
+    cfg = IngestConfig(
+        log_dir=log, lake_dir=os.path.join(str(tmp_path), "lake"),
+        num_partitions=2, source_kind="jsonl-changelog",
+    )
+    res = run_ingest(cfg)
+    assert res.applied == 10
+    assert res.dead_lettered == 5
+    assert res.watermark == 9          # NOT the hostile 10^26
+    assert Lake(cfg.lake_dir).read_table().num_rows == 10
+    res2 = run_ingest(cfg)             # idempotent rerun
+    assert res2.no_op and res2.applied == 0
