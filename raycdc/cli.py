@@ -11,6 +11,7 @@
     python -m raycdc.cli compact --lake-dir K [--min-deltas M]
     python -m raycdc.cli vacuum  --lake-dir K
     python -m raycdc.cli fsck    --lake-dir K [--digests]
+    python -m raycdc.cli analyze --lake-dir K [--columns lang,content]
     python -m raycdc.cli dedup-index  --docs D --index-dir I
     python -m raycdc.cli dedup-window --window W --corpus D --index-dir I
     python -m raycdc.cli expire  --lake-dir K --where COL OP VALUE [--where ...]
@@ -216,6 +217,18 @@ def main(argv: list[str] | None = None) -> int:
         "stats", help="lake overview: versions, partitions, rows, deltas"
     )
     p_stats.add_argument("--lake-dir", required=True)
+
+    p_an = sub.add_parser(
+        "analyze",
+        help="table statistics: per-partition skew report (metadata-"
+             "only) + optional per-column NDV/null-fraction",
+    )
+    p_an.add_argument("--lake-dir", required=True)
+    p_an.add_argument(
+        "--columns", default=None,
+        help="comma-separated columns for the NDV/null pass",
+    )
+    p_an.add_argument("--top-k", type=int, default=5)
 
     p_look = sub.add_parser(
         "lookup", help="O(1) point read of one key's current row"
@@ -600,6 +613,24 @@ def main(argv: list[str] | None = None) -> int:
                     "tags": lake.tags(),
                     "branches": lake.branches(),
                 }
+            )
+        )
+        return 0
+
+    if args.cmd == "analyze":
+        from raycdc.pipelines.maintenance import analyze_lake
+
+        if args.columns:
+            _ray_session(args.num_cpus)  # tier 2 streams the lake
+        print(
+            json.dumps(
+                analyze_lake(
+                    args.lake_dir,
+                    columns=(
+                        args.columns.split(",") if args.columns else None
+                    ),
+                    top_k=args.top_k,
+                )
             )
         )
         return 0

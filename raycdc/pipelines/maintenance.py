@@ -1609,3 +1609,117 @@ def _optimize_zorder_once(
         expected_version=base_version,
     )
     return {"optimized": sorted(staged), "run_id": run_id, "by": by}
+
+
+def analyze_lake(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    hll_p: int = 12,
+    top_k: int = 5,
+) -> dict:
+    """ANALYZE analog: the statistics an operator needs to pick
+    reshard / salting / compaction targets, split into two cost tiers.
+
+    Tier 1 (always, metadata-only): per-partition physical bytes and
+    footer row counts for bases and deltas — O(#files) driver work, no
+    data pages read (lake files are immutable, footers are truth).
+    Reports totals, delta depth, and the SKEW summary the north rule's
+    monorepo concern needs: max-partition-bytes / mean ratio plus the
+    ``top_k`` heaviest partitions, i.e. exactly where
+    ``repartition_lake`` / ``hash_join(skew_salt=)`` should aim.
+
+    Tier 2 (only when ``columns`` is given): per-column NDV estimate
+    (HyperLogLog, 2^p registers — the ops/sketch engine) and null
+    fraction over the RESOLVED live rows — one zero-shuffle streaming
+    pass per column through ``Lake.read_dataset``, never below the
+    merge-on-read resolve (footer stats cannot prove liveness under
+    upserts; the partition-prune plane in state/zonemap.py already
+    owns that bound).
+
+    Reference analog: the plugin's guess endpoint samples 50 records
+    to infer a schema (JiraInputPlugin.java guess flow); a lake engine
+    extends that one-shot sample into maintained table statistics.
+    """
+    import numpy as np
+
+    from raycdc.ops.sketch import hll_distinct
+    from raycdc.state.checkpoint import Lake
+
+    lake = Lake(lake_dir)
+    m = lake.manifest()
+    parts = lake.part_paths()
+    deltas = lake.delta_paths()
+    per_part: dict[int, dict] = {}
+    for pid in sorted(set(parts) | set(deltas)):
+        base = parts.get(pid)
+        dfs = deltas.get(pid, [])
+        entry = {
+            "pid": pid,
+            "bytes": 0,
+            "base_rows": 0,
+            "delta_rows": 0,
+            "delta_files": len(dfs),
+        }
+        if base:
+            entry["bytes"] += os.path.getsize(base)
+            entry["base_rows"] = pq.read_metadata(base).num_rows
+        for d in dfs:
+            entry["bytes"] += os.path.getsize(d)
+            entry["delta_rows"] += pq.read_metadata(d).num_rows
+        per_part[pid] = entry
+    sizes = np.array(
+        [e["bytes"] for e in per_part.values()], dtype=np.float64
+    )
+    nonzero = sizes[sizes > 0]
+    skew = (
+        float(nonzero.max() / nonzero.mean()) if len(nonzero) else 0.0
+    )
+    out = {
+        "version": int(m["version"]),
+        "num_partitions": int(m["num_partitions"]),
+        "total_bytes": int(sizes.sum()),
+        "base_file_rows": sum(e["base_rows"] for e in per_part.values()),
+        "delta_file_rows": sum(
+            e["delta_rows"] for e in per_part.values()
+        ),
+        "delta_files": sum(e["delta_files"] for e in per_part.values()),
+        "skew_max_over_mean": round(skew, 3),
+        "top_partitions": sorted(
+            per_part.values(), key=lambda e: -e["bytes"]
+        )[:top_k],
+    }
+    if columns:
+        schema = lake._lake_schema(m)
+        for c in columns:
+            if c not in schema.names:
+                raise ValueError(
+                    f"analyze_lake: column {c!r} not in lake schema "
+                    f"{schema.names}"
+                )
+        col_stats: dict[str, dict] = {}
+        for c in columns:
+            ds = lake.read_dataset(columns=[c])
+            est = hll_distinct(ds, c, p=hll_p)["estimate"]
+
+            def _null_partial(t, _c=c):
+                import pyarrow as _pa
+
+                return _pa.table({
+                    "nulls": _pa.array([t[_c].null_count], _pa.int64()),
+                    "rows": _pa.array([t.num_rows], _pa.int64()),
+                })
+
+            nf = lake.read_dataset(columns=[c]).map_batches(
+                _null_partial, batch_format="pyarrow"
+            ).to_pandas()
+            rows = int(nf["rows"].sum())
+            col_stats[c] = {
+                "ndv_est": round(float(est), 1),
+                "null_frac": (
+                    round(float(nf["nulls"].sum()) / rows, 6)
+                    if rows else 0.0
+                ),
+                "live_rows": rows,
+            }
+        out["columns"] = col_stats
+    return out

@@ -471,3 +471,65 @@ def test_probe_cache_prunes_deleted_fragments(tmp_path):
     left = _json.load(open(cpath))
     assert len(left) == n0 - 2 + 1
     assert not any(f in p for p in left for f in frags)
+
+
+
+def test_analyze_lake_skew_and_column_stats(tmp_path):
+    """analyze_lake: tier 1 (metadata-only) totals reconcile with the
+    manifest files and the skew summary names the monorepo's hot
+    partition; tier 2 NDV is within HLL tolerance of the exact
+    distinct count and the null fraction is exact; after compact the
+    reported delta depth drops to zero.  Unknown column fails loud."""
+    import os as _os
+
+    from raycdc.pipelines.maintenance import analyze_lake, compact
+    from raycdc.sources.synth import write_changelog
+    from raycdc.state.checkpoint import Lake
+
+    cfg = IngestConfig(
+        log_dir=_os.path.join(str(tmp_path), "log"),
+        lake_dir=_os.path.join(str(tmp_path), "lake"),
+        num_partitions=8,
+    )
+    write_changelog(cfg.log_dir, 3000, fragment_rows=1500, seed=5,
+                    monorepo_frac=0.6)
+    run_ingest(cfg)
+    # second window as MOR deltas so tier 1 sees delta depth
+    paths = write_changelog(
+        _os.path.join(str(tmp_path), "log2"), 500, fragment_rows=250,
+        seed=7, start_seq=3000,
+    )
+    for i, p in enumerate(paths):
+        _os.rename(p, _os.path.join(cfg.log_dir, f"fragment-1{i:04d}.parquet"))
+    run_ingest(IngestConfig(
+        log_dir=cfg.log_dir, lake_dir=cfg.lake_dir, num_partitions=8,
+        write_mode="mor",
+    ))
+
+    rep = analyze_lake(cfg.lake_dir, columns=["lang", "content"])
+    lake = Lake(cfg.lake_dir)
+    assert rep["delta_files"] == sum(
+        len(v) for v in lake.delta_paths().values()
+    )
+    assert rep["delta_files"] > 0
+    assert rep["skew_max_over_mean"] >= 1.0
+    assert rep["top_partitions"][0]["bytes"] == max(
+        e["bytes"] for e in rep["top_partitions"]
+    )
+    live = lake.read_table()
+    exact_lang = len(set(live["lang"].to_pylist()))
+    est = rep["columns"]["lang"]["ndv_est"]
+    assert abs(est - exact_lang) <= max(2, 0.1 * exact_lang), (est, exact_lang)
+    lang_nulls = live["lang"].null_count
+    assert rep["columns"]["lang"]["null_frac"] == pytest.approx(
+        lang_nulls / live.num_rows, abs=1e-9
+    )
+    assert rep["columns"]["lang"]["live_rows"] == live.num_rows
+
+    compact(cfg.lake_dir, min_deltas=1)
+    rep2 = analyze_lake(cfg.lake_dir)
+    assert rep2["delta_files"] == 0
+    assert rep2["base_file_rows"] == live.num_rows
+
+    with pytest.raises(ValueError, match="not in lake schema"):
+        analyze_lake(cfg.lake_dir, columns=["nope"])
