@@ -470,7 +470,11 @@ def soak() -> None:
         window_lead_ntile,
         window_rank_lag,
     )
-    from raycdc.ops.sketch import value_histogram, value_histogram_by
+    from raycdc.ops.sketch import (
+        dd_quantiles,
+        value_histogram,
+        value_histogram_by,
+    )
 
     def timed(fn) -> float:
         t0 = time.perf_counter()
@@ -503,6 +507,9 @@ def soak() -> None:
             ),
             "value_histogram_by": lambda: value_histogram_by(
                 ds, "event_type", "value"
+            ),
+            "dd_quantiles": lambda: dd_quantiles(
+                ds, "value", [0.25, 0.5, 0.9, 0.99]
             ),
         }
         for name, fn in ops.items():

@@ -38,31 +38,61 @@ def _hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
     return h
 
 
+def hll_hash_ranks(vals: np.ndarray, p: int):
+    """The shared HLL hash plane: value vector → (bucket idx int64,
+    rank uint8).  Bucket = top ``p`` hash bits, rank = leading zeros
+    of the remaining bits + 1.  Every register builder (solo, grouped,
+    matview-grouped) scatters these its own way but must hash
+    IDENTICALLY or estimates stop agreeing across engines."""
+    h = _hash64(vals)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # remaining bits shifted to the top; bottom p bits set so the
+    # rank caps itself at 64 - p + 1 when the remainder is zero
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # rank = leading zeros of rest + 1 = 64 - floor(log2(rest))
+    rank = 64 - np.floor(
+        np.log2(rest.astype(np.float64))
+    ).astype(np.int64)
+    return idx, np.clip(rank, 1, 64 - p + 1).astype(np.uint8)
+
+
+def hll_register_partial(vals: np.ndarray, p: int) -> np.ndarray:
+    """One value vector → its 2^p uint8 HLL register array (mergeable
+    by elementwise max).  Shared by ``hll_distinct`` /
+    ``analyze_lake``'s column-stats pass."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(vals) == 0:
+        return regs
+    idx, rank = hll_hash_ranks(vals, p)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Registers → cardinality estimate (bias-corrected harmonic mean
+    + the small-range linear-counting correction)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
 def hll_distinct(
     ds: "ray.data.Dataset", col: str, p: int = 12
 ) -> dict:
     """HyperLogLog estimate of ``count(distinct col)``.
 
-    Per batch: bucket = top ``p`` hash bits, register = max leading-zero
-    rank of the remaining bits; partials (2^p uint8) merge by max at
-    the driver.  Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12).
+    Per batch: one ``hll_register_partial`` (2^p uint8), merged by max
+    at the driver.  Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12).
     """
     m = 1 << p
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t[col].to_numpy(zero_copy_only=False)
-        h = _hash64(vals)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        # remaining bits shifted to the top; bottom p bits set so the
-        # rank caps itself at 64 - p + 1 when the remainder is zero
-        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
-        # rank = leading zeros of rest + 1 = 64 - floor(log2(rest))
-        rank = 64 - np.floor(
-            np.log2(rest.astype(np.float64))
-        ).astype(np.int64)
-        rank = np.clip(rank, 1, 64 - p + 1).astype(np.uint8)
-        regs = np.zeros(m, dtype=np.uint8)
-        np.maximum.at(regs, idx, rank)
+        regs = hll_register_partial(vals, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     regs = np.zeros(m, dtype=np.uint8)
@@ -72,12 +102,7 @@ def hll_distinct(
         for b in batch["regs"].to_pylist():
             regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
 
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # small-range correction
-    return {"estimate": float(est), "p": p}
+    return {"estimate": hll_estimate(regs), "p": p}
 
 
 def countmin_heavy_hitters(
@@ -223,13 +248,7 @@ def hll_distinct_by(
     def partial(t: pa.Table) -> pa.Table:
         vals = t[col].to_numpy(zero_copy_only=False)
         grp = t[group_col].to_numpy(zero_copy_only=False)
-        h = _hash64(vals)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
-        rank = 64 - np.floor(
-            np.log2(rest.astype(np.float64))
-        ).astype(np.int64)
-        rank = np.clip(rank, 1, 64 - p + 1).astype(np.uint8)
+        idx, rank = hll_hash_ranks(vals, p)
         gcodes, guniq = pd.factorize(grp)
         out_g, out_r = [], []
         for gi in range(len(guniq)):

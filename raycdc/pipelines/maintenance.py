@@ -1642,9 +1642,6 @@ def analyze_lake(
     """
     import numpy as np
 
-    from raycdc.ops.sketch import hll_distinct
-    from raycdc.state.checkpoint import Lake
-
     lake = Lake(lake_dir)
     m = lake.manifest()
     parts = lake.part_paths()
@@ -1696,29 +1693,38 @@ def analyze_lake(
                     f"analyze_lake: column {c!r} not in lake schema "
                     f"{schema.names}"
                 )
+        # ONE streaming pass per column: the HLL register partial and
+        # the null/row counts ride the same batch (a second scan per
+        # column would be real cost at 10^10 rows)
+        from raycdc.ops.sketch import hll_estimate, hll_register_partial
+
         col_stats: dict[str, dict] = {}
         for c in columns:
-            ds = lake.read_dataset(columns=[c])
-            est = hll_distinct(ds, c, p=hll_p)["estimate"]
-
-            def _null_partial(t, _c=c):
-                import pyarrow as _pa
-
-                return _pa.table({
-                    "nulls": _pa.array([t[_c].null_count], _pa.int64()),
-                    "rows": _pa.array([t.num_rows], _pa.int64()),
+            def partial(t, _c=c):
+                col = t[_c]
+                regs = hll_register_partial(
+                    col.drop_null().to_numpy(zero_copy_only=False), hll_p
+                )
+                return pa.table({
+                    "regs": pa.array([regs.tobytes()], pa.binary()),
+                    "nulls": pa.array([col.null_count], pa.int64()),
+                    "rows": pa.array([t.num_rows], pa.int64()),
                 })
 
-            nf = lake.read_dataset(columns=[c]).map_batches(
-                _null_partial, batch_format="pyarrow"
-            ).to_pandas()
-            rows = int(nf["rows"].sum())
+            regs = np.zeros(1 << hll_p, dtype=np.uint8)
+            nulls, rows = 0, 0
+            for batch in lake.read_dataset(columns=[c]).map_batches(
+                partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                for b in batch["regs"].to_pylist():
+                    regs = np.maximum(
+                        regs, np.frombuffer(b, dtype=np.uint8)
+                    )
+                nulls += int(np.sum(batch["nulls"].to_numpy()))
+                rows += int(np.sum(batch["rows"].to_numpy()))
             col_stats[c] = {
-                "ndv_est": round(float(est), 1),
-                "null_frac": (
-                    round(float(nf["nulls"].sum()) / rows, 6)
-                    if rows else 0.0
-                ),
+                "ndv_est": round(hll_estimate(regs), 1),
+                "null_frac": round(nulls / rows, 6) if rows else 0.0,
                 "live_rows": rows,
             }
         out["columns"] = col_stats

@@ -187,18 +187,12 @@ def _hll_registers(
     """(n_groups, 2^p) uint8 register matrix for one tracked column:
     nulls skipped (COUNT(DISTINCT) semantics), same seeded hash as
     ops/sketch so estimates agree with the standalone sketch."""
-    from raycdc.ops.sketch import _hash64
+    from raycdc.ops.sketch import hll_hash_ranks
 
     acc = np.zeros((n_groups, _HLL_M), dtype=np.uint8)
     mask = values.notna().to_numpy()
     if mask.any():
-        h = _hash64(values.to_numpy()[mask])
-        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
-        rank = 64 - np.floor(
-            np.log2(rest.astype(np.float64))
-        ).astype(np.int64)
-        rank = np.clip(rank, 1, 64 - _HLL_P + 1).astype(np.uint8)
+        idx, rank = hll_hash_ranks(values.to_numpy()[mask], _HLL_P)
         flat = codes[mask] * _HLL_M + idx
         np.maximum.at(acc.reshape(-1), flat, rank)
     return acc
