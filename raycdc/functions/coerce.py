@@ -78,19 +78,28 @@ def coerce_boolean(value: Any) -> bool | None:
     return _as_string(value).lower() == "true"
 
 
+def _bounded_i64(v: int) -> int | None:
+    """Null-on-error for values pa.int64 cannot hold — an unbounded
+    Python int (JSON allows 10^30) or a truncated huge float would
+    otherwise OverflowError at the Arrow column build and kill the
+    whole parse task instead of dead-nulling one cell."""
+    return v if -(1 << 63) <= v < (1 << 63) else None
+
+
 def coerce_long(value: Any) -> int | None:
     if isinstance(value, bool) or value is None or isinstance(value, dict):
         return None
     if isinstance(value, list):
         return coerce_long(value[0]) if len(value) == 1 else None
     if isinstance(value, int):
-        return value
+        return _bounded_i64(value)
     if isinstance(value, float):
         if math.isnan(value) or math.isinf(value):
             return None
-        return int(value)  # truncation toward zero, like (long) cast
+        # truncation toward zero, like (long) cast
+        return _bounded_i64(int(value))
     try:
-        return int(str(value))
+        return _bounded_i64(int(str(value)))
     except ValueError:
         return None
 

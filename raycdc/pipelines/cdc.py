@@ -69,7 +69,7 @@ def _sample_payloads(log_dir: str, n: int = GUESS_RECORDS_COUNT) -> list[dict]:
                     continue
                 try:
                     out.append(json.loads(s))
-                except ValueError:
+                except (ValueError, RecursionError):
                     continue
                 if len(out) >= n:
                     return out
@@ -93,7 +93,7 @@ def _sample_payloads_jsonl(
                     s = json.loads(line).get("payload_json")
                     if s is not None:
                         out.append(json.loads(s))
-                except (ValueError, AttributeError):
+                except (ValueError, AttributeError, RecursionError):
                     continue
                 if len(out) >= n:
                     return out

@@ -178,7 +178,8 @@ def _tail_seq(tail: bytes) -> int | None:
             if not (-(1 << 63) <= s < (1 << 63)):
                 continue
             return s
-        except (ValueError, KeyError, TypeError, OverflowError):
+        except (ValueError, KeyError, TypeError, OverflowError,
+                RecursionError):
             # torn trailing write: the previous complete line carries
             # the file's real max seq (a torn line has no cursor)
             continue
@@ -392,7 +393,8 @@ def _salvage(data: bytes, want_table: bool = False) -> pa.Table:
             rec = _validated(json.loads(raw), want_table)
             if rec["seq"] is not None:
                 last_seq = rec["seq"]
-        except (ValueError, TypeError, KeyError, OverflowError):
+        except (ValueError, TypeError, KeyError, OverflowError,
+                RecursionError):
             rec = {
                 "seq": last_seq,
                 "payload_json": raw.decode("utf-8", "replace"),

@@ -122,8 +122,10 @@ class ParseStage:
                     parsed.append({})
                     continue
                 try:
+                    # RecursionError: a hostile deeply-nested payload
+                    # (40k open brackets) otherwise kills the task
                     parsed.append(json.loads(s))
-                except ValueError:
+                except (ValueError, RecursionError):
                     parsed.append({})
                     if self.strict and reasons[i] is None:
                         reasons[i] = "unparsable payload_json"

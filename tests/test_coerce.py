@@ -132,3 +132,16 @@ def test_coerce_records_arrow_types():
     assert t.schema.field("boolean").type == ARROW_TYPES["boolean"]
     assert t.schema.field("long").type == ARROW_TYPES["long"]
     assert t.schema.field("date").type == pa.timestamp("us", tz="UTC")
+
+
+def test_coerce_long_bounds_int64():
+    """Values pa.int64 cannot hold dead-null instead of
+    OverflowError-ing the Arrow column build: unbounded JSON ints,
+    huge truncated floats, huge numeric strings (both signs)."""
+    assert coerce_long(10 ** 30) is None
+    assert coerce_long(-(10 ** 30)) is None
+    assert coerce_long(1e300) is None
+    assert coerce_long("-99999999999999999999") is None
+    assert coerce_long((1 << 63) - 1) == (1 << 63) - 1
+    assert coerce_long(-(1 << 63)) == -(1 << 63)
+    assert coerce_long(1 << 63) is None

@@ -566,3 +566,16 @@ def test_hostile_seq_lines_dead_letter_through_full_ingest(tmp_path):
     assert Lake(cfg.lake_dir).read_table().num_rows == 10
     res2 = run_ingest(cfg)             # idempotent rerun
     assert res2.no_op and res2.applied == 0
+
+
+def test_deeply_nested_json_demotes_everywhere():
+    """A 40k-deep nested-array line (RecursionError inside json.loads)
+    must dead-letter in the salvage lane and be skipped by the tail
+    probe — not kill the task (the parse stage's payload_json loop and
+    the guess samplers share the same guard)."""
+    deep = ("[" * 40000 + "]" * 40000).encode()
+    t = _salvage_ref(b'{"seq": 1, "op": "insert"}\n' + deep + b"\n")
+    assert t.num_rows == 2 and t["seq"].to_pylist() == [1, 1]
+    from raycdc.sources.jsonl import _tail_seq
+
+    assert _tail_seq(b'{"seq": 3}\n' + deep) == 3
