@@ -570,6 +570,10 @@ def _dd_partial_counts(v: np.ndarray, lg: float):
     independent of batching — so partials merge by pure addition and
     the sketch is bit-deterministic under any block split."""
     v = v[~np.isnan(v)]
+    # ±inf: ceil(log(inf)) would cast to an undefined int64 — clamp to
+    # the float64 max so infinities land in the top/bottom bucket
+    # (k≈±35k at alpha=0.01) and keep their rank position
+    v = np.clip(v, -np.finfo(np.float64).max, np.finfo(np.float64).max)
     sides, ks, ns = [], [], []
     for side in (1, -1):
         x = v[v > 0] if side == 1 else -v[v < 0]
