@@ -1735,6 +1735,20 @@ def _q_scrub_blocklist(sf_dir):
     )
 
 
+def _q_chunk_docs(sf_dir):
+    """Sliding-window chunking (64-token windows, 16-token overlap) —
+    the embedding/RAG fan-out stage.  Fully vectorized (one flat-token
+    gather plan + one binary_join per batch); every chunk row
+    value-hash-pins against the DuckDB generate_series + list-slice
+    twin."""
+    from raycdc.ops.text import chunk_tokens
+
+    return chunk_tokens(
+        _docs_light(sf_dir), size=64, overlap=16
+    ).select_columns(["doc_id", "chunk_id", "n_chunk_tokens",
+                      "chunk_text"])
+
+
 def _q_code_stats(sf_dir):
     """Code-corpus curation gate (StarCoder/BigCode filter family —
     the payload here is source code): per-doc line count, longest
@@ -2922,7 +2936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # cdc_patch_state?/check r04, cdc_jsonl_replay?, joinview_enriched,
     # cdc_consistent_cut, weighted_sample_docs, weighted_docs_per_lang,
     # code_stats, detect_secrets, dd_value_quantiles,
-    # dd_quantiles_by_type
+    # dd_quantiles_by_type, chunk_docs
     # — cross-check against CORRECTNESS_r0{2,3,4}
     # row sets, never from memory), then (2) anything new in round 5,
     # then (3) the oldest-verified r03 set.  At 117 queries the driver
@@ -3091,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  ROTATION: front-load them)
         "code_stats": _tuned(_q_code_stats),
         "detect_secrets": _tuned(_q_detect_secrets),
+        "chunk_docs": _tuned(_q_chunk_docs),
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
         # (ann_pq / ann_ivfpq: NEW this round, below the full window —
@@ -3317,6 +3332,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(replace(text, ' ', '')) AS DOUBLE)
                        / len(string_split(text, ' ')) AS avg_token_len
             FROM documents
+        """,
+        "chunk_docs": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ), k AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(
+                           0,
+                           CAST(1 + ceil(greatest(0, n - 64) / 48.0)
+                                AS BIGINT) - 1
+                       )) AS chunk_id
+                FROM t
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(least(64, n - chunk_id * 48) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(
+                       toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+                       AS chunk_text
+            FROM k
         """,
         "detect_secrets": """
             WITH s AS (

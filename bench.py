@@ -256,6 +256,7 @@ def bench_queries() -> dict[str, float]:
         "cdc_consistent_cut",
         "code_stats",
         "detect_secrets",
+        "chunk_docs",
         "dd_value_quantiles",
         "weighted_sample_docs",
         "cdc_expire_retention",

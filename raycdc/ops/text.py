@@ -990,3 +990,85 @@ def detect_secrets(
         lambda t: detect_secrets_batch(t, text_col),
         batch_format="pyarrow",
     )
+
+
+def chunk_tokens_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> pa.Table:
+    """Sliding-window document chunking (the embedding/RAG-pipeline
+    staple): split each doc into whitespace-token windows of ``size``
+    tokens advancing by ``size - overlap``; the LAST window may be
+    short but every token is covered and no degenerate tail smaller
+    than the advance is emitted (``n_chunks = 1 + ceil(max(0,
+    n - size) / step)`` — SQL-mirrorable for the oracle).
+
+    Fully vectorized despite the variable fan-out: tokens flatten
+    once, chunk membership is an np.repeat/arange index plan over the
+    flat token array, and chunk text reassembles with ONE
+    ``pc.binary_join`` over a rebuilt ListArray — no Python loop over
+    rows or chunks.  Emits (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError("chunk_tokens: overlap must be < size")
+    step = size - overlap
+    text = pc.fill_null(batch[text_col], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    row_off = np.zeros(len(n) + 1, dtype=np.int64)
+    np.cumsum(n, out=row_off[1:])
+    n_chunks = 1 + np.ceil(np.maximum(n - size, 0) / step).astype(np.int64)
+    # per-chunk plan: owning row, chunk index within row, start, length
+    rows = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    coff = np.zeros(len(n) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=coff[1:])
+    cid = np.arange(len(rows), dtype=np.int64) - coff[rows]
+    start = cid * step
+    length = np.minimum(size, n[rows] - start)
+    # flat-token gather positions: for each chunk, a run of `length`
+    # consecutive positions beginning at row_off[row] + start
+    pos_off = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(length, out=pos_off[1:])
+    pos = (
+        np.repeat(row_off[rows] + start, length)
+        + np.arange(int(pos_off[-1]), dtype=np.int64)
+        - np.repeat(pos_off[:-1], length)
+    )
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(pos_off, pa.int32()),
+        flat.take(pa.array(pos, pa.int64())),
+    )
+    chunk_text = pc.binary_join(chunk_lists, " ")
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_col: ids.take(pa.array(rows, pa.int64())),
+        "chunk_id": pa.array(cid, pa.int64()),
+        "n_chunk_tokens": pa.array(length, pa.int64()),
+        "chunk_text": chunk_text,
+    })
+
+
+def chunk_tokens(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> "ray.data.Dataset":
+    """Streaming chunker — see ``chunk_tokens_batch``.  One fused
+    map_batches stage; output fan-out is bounded per block, so
+    downstream backpressure works unchanged."""
+    if overlap >= size:  # fail on the driver, not inside a Ray task
+        raise ValueError("chunk_tokens: overlap must be < size")
+    return ds.map_batches(
+        lambda t: chunk_tokens_batch(t, text_col, id_col, size, overlap),
+        batch_format="pyarrow",
+    )

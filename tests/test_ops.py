@@ -2811,3 +2811,49 @@ def test_dd_quantiles_by_matches_solo_and_trips_budget():
             ),
             "g", "x", [0.5], max_groups=50,
         )
+
+
+def test_chunk_tokens_matches_serial_reference():
+    """Sliding-window chunking: every chunk equals the serial
+    tokens[k*step : k*step+size] slice across edge cases (empty text,
+    doc shorter than one window, exact window multiple, overlap
+    boundary), total token coverage holds, no degenerate tail chunk is
+    emitted, invariant to block splits, and overlap >= size fails
+    loud."""
+    import math
+
+    from raycdc.ops.text import chunk_tokens
+
+    texts = [
+        "",                                    # 1 empty token
+        "one",                                 # shorter than window
+        " ".join(f"w{i}" for i in range(10)),  # ragged tail
+        " ".join(f"w{i}" for i in range(8)),   # exact 2 windows @size4,step4? size=4,overlap=1 -> step 3
+        " ".join(f"w{i}" for i in range(100)),
+    ]
+    size, overlap = 4, 1
+    step = size - overlap
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for blocks in (1, 5):
+        out = (
+            chunk_tokens(
+                ray.data.from_arrow(t).repartition(blocks),
+                size=size, overlap=overlap,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        for did, s in enumerate(texts):
+            toks = s.split(" ")
+            n = len(toks)
+            n_chunks = 1 + math.ceil(max(0, n - size) / step)
+            sub = out[out["doc_id"] == did]
+            assert len(sub) == n_chunks, (blocks, did)
+            for k in range(n_chunks):
+                want = " ".join(toks[k * step: k * step + size])
+                row = sub[sub["chunk_id"] == k].iloc[0]
+                assert row["chunk_text"] == want, (blocks, did, k)
+                assert row["n_chunk_tokens"] == min(size, n - k * step)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(ray.data.from_arrow(t), size=4, overlap=4).to_pandas()
