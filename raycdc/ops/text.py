@@ -967,27 +967,39 @@ SECRET_PATTERNS = {
 
 
 def detect_secrets_batch(
-    batch: pa.Table, text_col: str = "text"
+    batch: pa.Table, text_col: str = "text", scrub: bool = False
 ) -> pa.Table:
     """Per-doc credential hit counts (``n_<kind>`` int64 per
     SECRET_PATTERNS entry) + the composite ``has_secret`` verdict —
     the leak gate a code corpus runs before training.  One RE2 kernel
-    pass per pattern, zero exchange."""
+    pass per pattern, zero exchange.  With ``scrub=True`` also emits
+    ``text_scrubbed``: every match replaced by ``<SECRET:kind>`` (the
+    redact_pii shape — the doc stays trainable, the credential does
+    not), one GlobalReplace pass per pattern chained over the
+    previous pattern's output."""
     text = pc.fill_null(batch[text_col], "")
     out = batch
     total = None
+    scrubbed = text
     for name, pat in SECRET_PATTERNS.items():
         n = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
         out = out.append_column(f"n_{name}", n)
         total = n if total is None else pc.add(total, n)
-    return out.append_column("has_secret", pc.greater(total, 0))
+        if scrub:
+            scrubbed = pc.replace_substring_regex(
+                scrubbed, pat, f"<SECRET:{name}>"
+            )
+    out = out.append_column("has_secret", pc.greater(total, 0))
+    if scrub:
+        out = out.append_column("text_scrubbed", scrubbed)
+    return out
 
 
 def detect_secrets(
-    ds: "ray.data.Dataset", text_col: str = "text"
+    ds: "ray.data.Dataset", text_col: str = "text", scrub: bool = False
 ) -> "ray.data.Dataset":
     return ds.map_batches(
-        lambda t: detect_secrets_batch(t, text_col),
+        lambda t: detect_secrets_batch(t, text_col, scrub),
         batch_format="pyarrow",
     )
 
