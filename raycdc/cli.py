@@ -15,6 +15,7 @@
     python -m raycdc.cli dedup-index  --docs D --index-dir I
     python -m raycdc.cli dedup-window --window W --corpus D --index-dir I
     python -m raycdc.cli expire  --lake-dir K --where COL OP VALUE [--where ...]
+    python -m raycdc.cli drop-column --lake-dir K --column NAME
     python -m raycdc.cli joinview-create --left-dir L --right-dir R --view-dir V
     python -m raycdc.cli joinview-refresh --view-dir V
     python -m raycdc.cli view-verify  --view-dir V
@@ -217,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
         "stats", help="lake overview: versions, partitions, rows, deltas"
     )
     p_stats.add_argument("--lake-dir", required=True)
+
+    p_dropc = sub.add_parser(
+        "drop-column",
+        help="ALTER TABLE DROP COLUMN: rewrite bases without a "
+             "payload column; time travel keeps pre-drop versions",
+    )
+    p_dropc.add_argument("--lake-dir", required=True)
+    p_dropc.add_argument("--column", required=True)
 
     p_an = sub.add_parser(
         "analyze",
@@ -921,6 +930,12 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(repartition_lake(args.lake_dir, args.partitions))
             )
+            return 0
+
+        if args.cmd == "drop-column":
+            from raycdc.pipelines.maintenance import drop_column
+
+            print(json.dumps(drop_column(args.lake_dir, args.column)))
             return 0
 
         if args.cmd == "compact":

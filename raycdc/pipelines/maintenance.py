@@ -1729,3 +1729,102 @@ def analyze_lake(
             }
         out["columns"] = col_stats
     return out
+
+
+def drop_column(
+    lake_dir: str,
+    column: str,
+    run_id: str | None = None,
+) -> dict:
+    """ALTER TABLE DROP COLUMN for the lake's payload plane — the
+    third leg of the schema-evolution story (column-ADD and
+    type-WIDEN arrive through the ingest guess/column-options path;
+    removal needs a rewrite because Parquet bases physically carry
+    the column).  ``column`` is the configured payload name (e.g.
+    ``author.name``, stored physically as ``p_author.name``); the
+    fixed wire columns (repo/path/commit/lang/content/seq) are the
+    table's identity and cannot be dropped.
+
+    Every partition resolves ONCE (base + deltas → keep-latest, the
+    shared kernel, under the OLD schema), drops the physical column,
+    and stages a new base; one atomic OCC commit swaps the bases AND
+    narrows ``payload_columns``.  Time travel to pre-drop versions
+    still reads the column (each manifest version carries its own
+    payload_columns); a LATER ingest configured with the column
+    re-adds it through the ordinary evolution path (old rows null).
+    Derived state that referenced the column fails loud on its next
+    refresh (the attr-drift guards), which is the correct contract —
+    a view over a dropped column is a user decision, not a silent
+    null."""
+    import ray.data
+
+    from raycdc.stages.merge import lake_schema, resolve_partition
+
+    lake = Lake(lake_dir)
+    last_err: Exception | None = None
+    for _ in range(_REWRITE_COMMIT_ATTEMPTS):
+        manifest = lake.manifest()
+        base_version = int(manifest["version"])
+        old_cols = manifest.get("payload_columns") or []
+        if column not in [c["name"] for c in old_cols]:
+            raise ValueError(
+                f"drop_column: {column!r} is not a payload column of "
+                f"this lake (payload columns: "
+                f"{[c['name'] for c in old_cols]}; the fixed wire "
+                "columns repo/path/commit/lang/content/seq are the "
+                "table's identity and cannot be dropped)"
+            )
+        new_cols = [c for c in old_cols if c["name"] != column]
+        parts = lake.part_paths(base_version)
+        deltas = lake.delta_paths(base_version)
+        targets = sorted(set(parts) | set(deltas))
+        rid = run_id or f"dropcol-{base_version + 1:06d}"
+        root = lake.root
+        phys = f"p_{column}"
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            schema = lake_schema(old_cols)
+            out_pid, out_path = [], []
+            for pid in batch["item"].to_pylist():
+                pid = int(pid)
+                resolved = resolve_partition(
+                    parts.get(pid), deltas.get(pid, []), schema
+                )
+                resolved = resolved.drop_columns([phys])
+                d = os.path.join(root, "data", f"part-{pid:05d}")
+                os.makedirs(d, exist_ok=True)
+                staged = os.path.join(d, f"{rid}.parquet")
+                pq.write_table(
+                    resolved, staged, compression="zstd",
+                    compression_level=1,
+                )
+                out_pid.append(pid)
+                out_path.append(staged)
+            return pa.table({
+                "pid": pa.array(out_pid, pa.int32()),
+                "path": pa.array(out_path, pa.string()),
+            })
+
+        try:
+            if targets:
+                rows = (
+                    ray.data.from_items(targets)
+                    .map_batches(rewrite, batch_size=1,
+                                 batch_format="pyarrow")
+                    .take_all()
+                )
+                staged = {int(r["pid"]): r["path"] for r in rows}
+            else:
+                staged = {}
+            lake.commit(
+                rid, staged, {}, payload_columns=new_cols,
+                expected_version=base_version,
+            )
+            return {
+                "dropped": column,
+                "partitions": sorted(staged),
+                "run_id": rid,
+            }
+        except ConcurrentCommitError as e:
+            last_err = e  # manifest moved: re-resolve and retry
+    raise last_err  # type: ignore[misc]

@@ -535,3 +535,93 @@ def test_driver_fold_tripwires_fail_loud():
         max_fold_rows=100_000,
     )
     assert len(out) == n and float(out["sum_v"].sum()) == float(n)
+
+
+def test_drop_column_rewrite_and_time_travel(tmp_path):
+    """ALTER TABLE DROP COLUMN (the third evolution leg next to
+    add/widen): the rewrite removes the physical column from every
+    base (deltas folded first), payload_columns narrows, values in the
+    surviving columns are untouched, time travel to the pre-drop
+    version still reads the column, a later dynamic-schema ingest
+    re-adds it with nulls on old rows, fsck stays clean, and unknown /
+    fixed columns fail loud."""
+    from raycdc.pipelines.maintenance import drop_column, fsck
+
+    tmp = str(tmp_path)
+    log_dir = os.path.join(tmp, "log")
+    os.makedirs(log_dir)
+
+    def event_table(seqs, payloads, key_suffix):
+        n = len(seqs)
+        return pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "ts": pa.array(
+                    [1_704_067_200_000_000 + s for s in seqs],
+                    pa.timestamp("us"),
+                ),
+                "op": pa.array(["insert"] * n, pa.string()),
+                "repo": pa.array(["org/r"] * n, pa.string()),
+                "path": pa.array(
+                    [f"f{key_suffix}{i}.py" for i in range(n)],
+                    pa.string(),
+                ),
+                "commit": pa.array([f"{s:040x}" for s in seqs], pa.string()),
+                "lang": pa.array(["py"] * n, pa.string()),
+                "content": pa.array([f"c{s}" for s in seqs], pa.string()),
+                "payload_json": pa.array(payloads, pa.string()),
+            }
+        )
+
+    pq.write_table(
+        event_table(
+            list(range(30)),
+            [json.dumps({"a": i, "b": f"s{i}"}) for i in range(30)],
+            "x",
+        ),
+        f"{log_dir}/fragment-00000.parquet",
+    )
+    cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=4, dynamic_schema=True,
+    )
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    before = lake.read_table().to_pandas().sort_values("path")
+    v_before = int(lake.manifest()["version"])
+
+    res = drop_column(cfg.lake_dir, "b")
+    assert res["dropped"] == "b"
+    t = lake.read_table()
+    assert "p_b" not in t.schema.names
+    assert "p_a" in t.schema.names
+    after = t.to_pandas().sort_values("path")
+    assert list(after["p_a"]) == list(before["p_a"])  # values untouched
+    assert list(after["content"]) == list(before["content"])
+    rep = fsck(cfg.lake_dir)
+    assert rep["ok"] and rep["rows"] == 30
+
+    # time travel: the pre-drop version still carries the column
+    old = lake.read_table(version=v_before)
+    assert "p_b" in old.schema.names
+
+    # later ingest with the column present re-adds it (old rows null)
+    pq.write_table(
+        event_table(
+            list(range(30, 40)),
+            [json.dumps({"a": i, "b": f"t{i}"}) for i in range(10)],
+            "y",
+        ),
+        f"{log_dir}/fragment-00001.parquet",
+    )
+    run_ingest(cfg)
+    df = lake.read_table().to_pandas()
+    assert df[df["path"].str.startswith("fx")]["p_b"].isna().all()
+    assert (df[df["path"].str.startswith("fy")]["p_b"].notna()).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a payload column"):
+        drop_column(cfg.lake_dir, "content")
+    with _pytest.raises(ValueError, match="not a payload column"):
+        drop_column(cfg.lake_dir, "nope")
