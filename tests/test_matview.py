@@ -657,3 +657,43 @@ def test_fold_budget_checks_reduced_groups_not_raw_partials():
     out = _fold(ray.data.from_pandas(df), ["g"], {"n": "sum"}, 10)
     assert len(out) == 5
     assert set(out["n"]) == {20}
+
+
+def test_refresh_fails_loud_after_drop_column(tmp_path):
+    """drop_column × derived state: a matview aggregating a payload
+    column must fail LOUD on its next refresh after that column is
+    dropped — never silently produce nulls/zeros (the documented
+    contract: a view over a dropped column is a user decision)."""
+    import json as _json
+
+    from raycdc.pipelines.maintenance import drop_column
+
+    log = str(tmp_path / "log")
+    lake_dir = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    os.makedirs(log)
+    evs = []
+    for s in range(12):
+        evs.append({
+            "seq": s, "op": "insert", "repo": "org/r", "path": f"f{s}",
+            "commit": f"c{s}", "lang": "py", "content": f"b{s}",
+            "payload_json": _json.dumps({"a": s}),
+        })
+    _frag(log, 0, evs)
+    cfg = IngestConfig(
+        log_dir=log, lake_dir=lake_dir, num_partitions=2,
+        columns=[{"name": "a", "type": "long"}],
+    )
+    run_ingest(cfg)
+    create_matview(lake_dir, view, ["repo"], {"suma": ("sum", "p_a")})
+    drop_column(lake_dir, "a")
+    _frag(log, 1, [{
+        "seq": 12, "op": "insert", "repo": "org/r", "path": "f12",
+        "commit": "c12", "lang": "py", "content": "b12",
+        "payload_json": "{}",
+    }])
+    run_ingest(IngestConfig(
+        log_dir=log, lake_dir=lake_dir, num_partitions=2,
+    ))
+    with pytest.raises(Exception, match="p_a"):
+        refresh_matview(view)
