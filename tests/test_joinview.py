@@ -1082,3 +1082,32 @@ def test_drop_joinview_releases_both_anchors(lakes, tmp_path):
     assert name not in Lake(left.lake_dir).consumers()
     assert name not in Lake(right.lake_dir).consumers()
     assert not os.path.exists(view_dir)
+
+
+def test_joinview_refresh_fails_loud_after_dim_drop_column(lakes, tmp_path):
+    """drop_column × join views: dropping the dimension attr column a
+    view carries must fail LOUD on the next refresh (same contract as
+    the matview pin — a view over a dropped column is a user
+    decision, never silent nulls)."""
+    from raycdc.pipelines.maintenance import drop_column
+
+    left, right = lakes
+    _frag(left.log_dir, 0, [
+        _ev(1, "insert", "r1", "a.py", "py", "w"),
+        _ev(2, "insert", "r2", "c.go", "go", "x"),
+    ])
+    _frag(right.log_dir, 0, [
+        _dim_ev(3, "insert", "r1", "own0", 1),
+        _dim_ev(4, "insert", "r2", "own1", 2),
+    ])
+    run_ingest(left)
+    run_ingest(right)
+    view = str(tmp_path / "jv_dropcol")
+    create_joinview(
+        left.lake_dir, right.lake_dir, view, attrs=["p_owner"]
+    )
+    drop_column(right.lake_dir, "owner")
+    _frag(right.log_dir, 1, [_dim_ev(5, "update", "r1", None, 9)])
+    run_ingest(right)
+    with pytest.raises(Exception, match="p_owner|owner"):
+        refresh_joinview(view)

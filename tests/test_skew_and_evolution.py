@@ -625,3 +625,46 @@ def test_drop_column_rewrite_and_time_travel(tmp_path):
         drop_column(cfg.lake_dir, "content")
     with _pytest.raises(ValueError, match="not a payload column"):
         drop_column(cfg.lake_dir, "nope")
+
+
+def test_drop_column_rerun_after_partial_staging(tmp_path):
+    """Crash-safety: a killed drop_column leaves orphaned staged
+    files; the rerun overwrites the same deterministic paths and
+    commits exactly once (the compact/optimize staging contract)."""
+    from raycdc.pipelines.maintenance import drop_column, fsck
+
+    tmp = str(tmp_path)
+    log_dir = os.path.join(tmp, "log")
+    os.makedirs(log_dir)
+    t = pa.table({
+        "seq": pa.array(range(10), pa.int64()),
+        "ts": pa.array([1_704_067_200_000_000 + s for s in range(10)],
+                       pa.timestamp("us")),
+        "op": pa.array(["insert"] * 10),
+        "repo": pa.array(["org/r"] * 10),
+        "path": pa.array([f"f{i}" for i in range(10)]),
+        "commit": pa.array([f"{s:040x}" for s in range(10)]),
+        "lang": pa.array(["py"] * 10),
+        "content": pa.array([f"c{s}" for s in range(10)]),
+        "payload_json": pa.array([json.dumps({"a": i}) for i in range(10)]),
+    })
+    pq.write_table(t, f"{log_dir}/fragment-00000.parquet")
+    cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=2, columns=[{"name": "a", "type": "long"}],
+    )
+    run_ingest(cfg)
+    # simulate a crashed prior attempt: orphan staged file at the
+    # deterministic rerun path
+    lake = Lake(cfg.lake_dir)
+    v = int(lake.manifest()["version"])
+    orphan_dir = os.path.join(cfg.lake_dir, "data", "part-00000")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, f"dropcol-{v + 1:06d}.parquet"),
+              "wb") as f:
+        f.write(b"torn")
+    res = drop_column(cfg.lake_dir, "a")
+    assert res["dropped"] == "a"
+    rep = fsck(cfg.lake_dir)
+    assert rep["ok"] and rep["rows"] == 10
+    assert "p_a" not in lake.read_table().schema.names
