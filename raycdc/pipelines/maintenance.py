@@ -1642,10 +1642,30 @@ def analyze_lake(
     """
     import numpy as np
 
+    from raycdc.functions.stampcache import StampedJsonCache
+
+    class _RowCountCache(StampedJsonCache):
+        """``_analyze_cache.json``: path → footer num_rows.  Lake data
+        files are immutable, so an entry is computed once per file
+        ever and a steady-state analyze is O(new files), not
+        O(#files) footer reads — the same economics as the zone-map
+        FileStatsCache one level up."""
+
+        payload_key = "rows"
+
     lake = Lake(lake_dir)
     m = lake.manifest()
     parts = lake.part_paths()
     deltas = lake.delta_paths()
+    cache = _RowCountCache(os.path.join(lake.root, "_analyze_cache.json"))
+
+    def _rows(p: str) -> int:
+        hit = cache.get(p)
+        if hit is None:
+            hit = pq.read_metadata(p).num_rows
+            cache.put(p, int(hit))
+        return int(hit)
+
     per_part: dict[int, dict] = {}
     for pid in sorted(set(parts) | set(deltas)):
         base = parts.get(pid)
@@ -1659,11 +1679,12 @@ def analyze_lake(
         }
         if base:
             entry["bytes"] += os.path.getsize(base)
-            entry["base_rows"] = pq.read_metadata(base).num_rows
+            entry["base_rows"] = _rows(base)
         for d in dfs:
             entry["bytes"] += os.path.getsize(d)
-            entry["delta_rows"] += pq.read_metadata(d).num_rows
+            entry["delta_rows"] += _rows(d)
         per_part[pid] = entry
+    cache.save()  # prunes dead entries itself (vacuumed files)
     sizes = np.array(
         [e["bytes"] for e in per_part.values()], dtype=np.float64
     )

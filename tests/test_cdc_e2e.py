@@ -533,3 +533,57 @@ def test_analyze_lake_skew_and_column_stats(tmp_path):
 
     with pytest.raises(ValueError, match="not in lake schema"):
         analyze_lake(cfg.lake_dir, columns=["nope"])
+
+
+def test_analyze_cache_skips_footer_reads_on_rerun(tmp_path, monkeypatch):
+    """Tier-1 analyze is O(new files) steady-state: the second call on
+    an unchanged lake reads ZERO Parquet footers (rows served from
+    _analyze_cache.json, stamp-validated), and a new commit re-probes
+    only its new files."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from raycdc.pipelines import maintenance as mnt
+    from raycdc.sources.synth import write_changelog
+
+    cfg = IngestConfig(
+        log_dir=_os.path.join(str(tmp_path), "log"),
+        lake_dir=_os.path.join(str(tmp_path), "lake"),
+        num_partitions=4,
+    )
+    write_changelog(cfg.log_dir, 800, fragment_rows=800, seed=3)
+    run_ingest(cfg)
+    first = mnt.analyze_lake(cfg.lake_dir)
+
+    calls = []
+    real = _pq.read_metadata
+
+    def counting(p, *a, **k):
+        calls.append(p)
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(mnt.pq, "read_metadata", counting)
+    second = mnt.analyze_lake(cfg.lake_dir)
+    assert calls == [], f"footer reads on unchanged lake: {calls}"
+    assert second["base_file_rows"] == first["base_file_rows"]
+
+    # a new window commits new files -> only THOSE are probed
+    paths = write_changelog(
+        _os.path.join(str(tmp_path), "log2"), 200, fragment_rows=200,
+        seed=5, start_seq=800,
+    )
+    for i, p in enumerate(paths):
+        _os.rename(
+            p, _os.path.join(cfg.log_dir, f"fragment-1{i:04d}.parquet")
+        )
+    run_ingest(cfg)
+    calls.clear()
+    third = mnt.analyze_lake(cfg.lake_dir)
+    lake = Lake(cfg.lake_dir)
+    live = set(lake.part_paths().values()) | {
+        f for fs in lake.delta_paths().values() for f in fs
+    }
+    new_files = {p for p in live if "run-000002" in p}
+    assert calls and set(calls) == new_files  # only the new commit probed
+    assert third["base_file_rows"] >= second["base_file_rows"]
