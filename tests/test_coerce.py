@@ -145,3 +145,45 @@ def test_coerce_long_bounds_int64():
     assert coerce_long((1 << 63) - 1) == (1 << 63) - 1
     assert coerce_long(-(1 << 63)) == -(1 << 63)
     assert coerce_long(1 << 63) is None
+
+
+# -- property: the coercion matrix is TOTAL ---------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_HOSTILE_VALUES = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10 ** 40), max_value=10 ** 40),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(max_size=24),
+    st.lists(st.integers(-3, 3), max_size=3),
+    st.dictionaries(st.text(max_size=4), st.integers(-3, 3), max_size=2),
+)
+
+
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c"]), _HOSTILE_VALUES, max_size=3
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from(
+        ["boolean", "long", "double", "string", "timestamp", "json"]
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_coerce_records_is_total(recs, typ):
+    """coerce_records must never raise and must always build a valid
+    Arrow column for EVERY engine type over arbitrary JSON values —
+    including >int64 ints, Infinity/NaN, and nested containers where
+    scalars belong (null-on-error, the reference's semantics).  This
+    is the guard the 10^30-long OverflowError escaped before the
+    bounds fix."""
+    from raycdc.functions.coerce import ARROW_TYPES, coerce_records
+
+    t = coerce_records(recs, [{"name": "a", "type": typ}])
+    assert t.num_rows == len(recs)
+    assert t["a"].type == ARROW_TYPES[typ]
