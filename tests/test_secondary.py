@@ -186,3 +186,33 @@ def test_verify_secondary_index_audits_and_detects_corruption(tmp_path):
     pq.write_table(t, f)
     out = verify_secondary_index(idx)
     assert not out["ok"]
+
+
+def test_index_refresh_fails_loud_after_drop_column(tmp_path):
+    """drop_column × secondary index: an index over a payload column
+    must fail LOUD on its next refresh once the column is dropped —
+    the same derived-state contract the matview/joinview pins hold."""
+    import json as _json
+
+    from raycdc.pipelines.maintenance import drop_column
+
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "idx")
+    cfg = IngestConfig(
+        log_dir=log, lake_dir=lake, num_partitions=4,
+        columns=[{"name": "tier", "type": "string"}],
+    )
+    evs = []
+    for s in range(8):
+        e = _ev(s, "insert", "org/a", f"f{s}.py", "py", "c")
+        e["payload_json"] = _json.dumps({"tier": f"t{s % 2}"})
+        evs.append(e)
+    _frag(log, 0, evs)
+    run_ingest(cfg)
+    create_secondary_index(lake, idx, "p_tier", num_buckets=4)
+    drop_column(lake, "tier")
+    _frag(log, 1, [_ev(8, "insert", "org/a", "f8.py", "py", "c")])
+    run_ingest(IngestConfig(log_dir=log, lake_dir=lake, num_partitions=4))
+    with pytest.raises(Exception, match="p_tier|tier"):
+        refresh_secondary_index(idx)
