@@ -16,6 +16,7 @@
     python -m raycdc.cli dedup-window --window W --corpus D --index-dir I
     python -m raycdc.cli expire  --lake-dir K --where COL OP VALUE [--where ...]
     python -m raycdc.cli drop-column --lake-dir K --column NAME
+    python -m raycdc.cli rename-column --lake-dir K --column NAME --to NEW
     python -m raycdc.cli joinview-create --left-dir L --right-dir R --view-dir V
     python -m raycdc.cli joinview-refresh --view-dir V
     python -m raycdc.cli view-verify  --view-dir V
@@ -226,6 +227,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_dropc.add_argument("--lake-dir", required=True)
     p_dropc.add_argument("--column", required=True)
+
+    p_renc = sub.add_parser(
+        "rename-column",
+        help="ALTER TABLE RENAME COLUMN: rewrite bases under the new "
+             "payload name; time travel keeps pre-rename versions",
+    )
+    p_renc.add_argument("--lake-dir", required=True)
+    p_renc.add_argument("--column", required=True)
+    p_renc.add_argument("--to", required=True)
 
     p_an = sub.add_parser(
         "analyze",
@@ -936,6 +946,16 @@ def main(argv: list[str] | None = None) -> int:
             from raycdc.pipelines.maintenance import drop_column
 
             print(json.dumps(drop_column(args.lake_dir, args.column)))
+            return 0
+
+        if args.cmd == "rename-column":
+            from raycdc.pipelines.maintenance import rename_column
+
+            print(
+                json.dumps(
+                    rename_column(args.lake_dir, args.column, args.to)
+                )
+            )
             return 0
 
         if args.cmd == "compact":

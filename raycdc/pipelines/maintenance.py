@@ -1849,3 +1849,106 @@ def drop_column(
         except ConcurrentCommitError as e:
             last_err = e  # manifest moved: re-resolve and retry
     raise last_err  # type: ignore[misc]
+
+
+def rename_column(
+    lake_dir: str,
+    column: str,
+    new_name: str,
+    run_id: str | None = None,
+) -> dict:
+    """ALTER TABLE RENAME COLUMN for the payload plane — the fourth
+    DDL leg (add/widen via ingest evolution, DROP above).  The
+    physical Parquet column name derives from the logical name
+    (``p_{name}``), so a rename is a rewrite with the same lifecycle
+    as ``drop_column``: resolve once per partition under the OLD
+    schema, rename the physical column, one atomic OCC commit swaps
+    bases and rewrites the ``payload_columns`` entry.  Values, types
+    and coercion semantics are untouched; time travel reads pre-rename
+    versions under the old name; derived state referencing the old
+    name fails loud on its next refresh (the drop_column contract)."""
+    import ray.data
+
+    from raycdc.stages.merge import lake_schema, resolve_partition
+
+    lake = Lake(lake_dir)
+    last_err: Exception | None = None
+    for _ in range(_REWRITE_COMMIT_ATTEMPTS):
+        manifest = lake.manifest()
+        base_version = int(manifest["version"])
+        old_cols = manifest.get("payload_columns") or []
+        names = [c["name"] for c in old_cols]
+        if column not in names:
+            raise ValueError(
+                f"rename_column: {column!r} is not a payload column of "
+                f"this lake (payload columns: {names}; the fixed wire "
+                "columns cannot be renamed)"
+            )
+        if new_name in names or new_name in (
+            "repo", "path", "commit", "lang", "content", "seq",
+        ):
+            raise ValueError(
+                f"rename_column: target name {new_name!r} collides "
+                "with an existing column"
+            )
+        new_cols = [
+            ({**c, "name": new_name} if c["name"] == column else c)
+            for c in old_cols
+        ]
+        parts = lake.part_paths(base_version)
+        deltas = lake.delta_paths(base_version)
+        targets = sorted(set(parts) | set(deltas))
+        rid = run_id or f"renamecol-{base_version + 1:06d}"
+        root = lake.root
+        phys_old, phys_new = f"p_{column}", f"p_{new_name}"
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            schema = lake_schema(old_cols)
+            out_pid, out_path = [], []
+            for pid in batch["item"].to_pylist():
+                pid = int(pid)
+                resolved = resolve_partition(
+                    parts.get(pid), deltas.get(pid, []), schema
+                )
+                resolved = resolved.rename_columns([
+                    phys_new if n == phys_old else n
+                    for n in resolved.column_names
+                ])
+                d = os.path.join(root, "data", f"part-{pid:05d}")
+                os.makedirs(d, exist_ok=True)
+                staged = os.path.join(d, f"{rid}.parquet")
+                pq.write_table(
+                    resolved, staged, compression="zstd",
+                    compression_level=1,
+                )
+                out_pid.append(pid)
+                out_path.append(staged)
+            return pa.table({
+                "pid": pa.array(out_pid, pa.int32()),
+                "path": pa.array(out_path, pa.string()),
+            })
+
+        try:
+            if targets:
+                rows = (
+                    ray.data.from_items(targets)
+                    .map_batches(rewrite, batch_size=1,
+                                 batch_format="pyarrow")
+                    .take_all()
+                )
+                staged = {int(r["pid"]): r["path"] for r in rows}
+            else:
+                staged = {}
+            lake.commit(
+                rid, staged, {}, payload_columns=new_cols,
+                expected_version=base_version,
+            )
+            return {
+                "renamed": column,
+                "to": new_name,
+                "partitions": sorted(staged),
+                "run_id": rid,
+            }
+        except ConcurrentCommitError as e:
+            last_err = e
+    raise last_err  # type: ignore[misc]

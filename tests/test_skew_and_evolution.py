@@ -668,3 +668,76 @@ def test_drop_column_rerun_after_partial_staging(tmp_path):
     rep = fsck(cfg.lake_dir)
     assert rep["ok"] and rep["rows"] == 10
     assert "p_a" not in lake.read_table().schema.names
+
+
+def test_rename_column_rewrite_values_and_collisions(tmp_path):
+    """ALTER TABLE RENAME COLUMN: values ride unchanged under the new
+    physical name, payload_columns rewrites, ingest under the NEW name
+    keeps applying, time travel reads the old name, and collisions /
+    unknown columns fail loud."""
+    from raycdc.pipelines.maintenance import fsck, rename_column
+
+    tmp = str(tmp_path)
+    log_dir = os.path.join(tmp, "log")
+    os.makedirs(log_dir)
+    t = pa.table({
+        "seq": pa.array(range(12), pa.int64()),
+        "ts": pa.array([1_704_067_200_000_000 + s for s in range(12)],
+                       pa.timestamp("us")),
+        "op": pa.array(["insert"] * 12),
+        "repo": pa.array(["org/r"] * 12),
+        "path": pa.array([f"f{i}" for i in range(12)]),
+        "commit": pa.array([f"{s:040x}" for s in range(12)]),
+        "lang": pa.array(["py"] * 12),
+        "content": pa.array([f"c{s}" for s in range(12)]),
+        "payload_json": pa.array(
+            [json.dumps({"a": i, "z": i * 2}) for i in range(12)]
+        ),
+    })
+    pq.write_table(t, f"{log_dir}/fragment-00000.parquet")
+    cfg = IngestConfig(
+        log_dir=log_dir, lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=3,
+        columns=[{"name": "a", "type": "long"},
+                 {"name": "z", "type": "long"}],
+    )
+    run_ingest(cfg)
+    lake = Lake(cfg.lake_dir)
+    before = lake.read_table().to_pandas().sort_values("path")
+    v0 = int(lake.manifest()["version"])
+
+    res = rename_column(cfg.lake_dir, "a", "alpha")
+    assert res["renamed"] == "a" and res["to"] == "alpha"
+    after = lake.read_table().to_pandas().sort_values("path")
+    assert "p_alpha" in after.columns and "p_a" not in after.columns
+    assert list(after["p_alpha"]) == list(before["p_a"])
+    assert list(after["p_z"]) == list(before["p_z"])  # untouched sibling
+    assert fsck(cfg.lake_dir)["ok"]
+    assert "p_a" in lake.read_table(version=v0).schema.names
+
+    # ingest continues under the new config name
+    t2 = pa.table({
+        "seq": pa.array([12], pa.int64()),
+        "ts": pa.array([1_704_067_200_000_012], pa.timestamp("us")),
+        "op": pa.array(["insert"]), "repo": pa.array(["org/r"]),
+        "path": pa.array(["f12"]), "commit": pa.array(["c12"]),
+        "lang": pa.array(["py"]), "content": pa.array(["c12"]),
+        "payload_json": pa.array([json.dumps({"alpha": 99, "z": 0})]),
+    })
+    pq.write_table(t2, f"{log_dir}/fragment-00001.parquet")
+    run_ingest(IngestConfig(
+        log_dir=log_dir, lake_dir=cfg.lake_dir, num_partitions=3,
+        columns=[{"name": "alpha", "type": "long"},
+                 {"name": "z", "type": "long"}],
+    ))
+    df = lake.read_table().to_pandas()
+    assert int(df[df["path"] == "f12"]["p_alpha"].iloc[0]) == 99
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        rename_column(cfg.lake_dir, "alpha", "z")
+    with _pytest.raises(ValueError, match="collides"):
+        rename_column(cfg.lake_dir, "alpha", "content")
+    with _pytest.raises(ValueError, match="not a payload column"):
+        rename_column(cfg.lake_dir, "nope", "x")
