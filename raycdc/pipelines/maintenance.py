@@ -1714,41 +1714,57 @@ def analyze_lake(
                     f"analyze_lake: column {c!r} not in lake schema "
                     f"{schema.names}"
                 )
-        # ONE streaming pass per column: the HLL register partial and
-        # the null/row counts ride the same batch (a second scan per
-        # column would be real cost at 10^10 rows)
+        # ONE streaming pass serves ALL requested columns: each batch
+        # emits one (column, HLL registers, nulls, rows) row per
+        # column, so the merge-on-read resolve — the expensive part of
+        # a lake scan — is paid once, not once per column
         from raycdc.ops.sketch import hll_estimate, hll_register_partial
 
-        col_stats: dict[str, dict] = {}
-        for c in columns:
-            def partial(t, _c=c):
-                col = t[_c]
-                regs = hll_register_partial(
-                    col.drop_null().to_numpy(zero_copy_only=False), hll_p
-                )
-                return pa.table({
-                    "regs": pa.array([regs.tobytes()], pa.binary()),
-                    "nulls": pa.array([col.null_count], pa.int64()),
-                    "rows": pa.array([t.num_rows], pa.int64()),
-                })
+        def partial(t):
+            regs, nulls, rows = [], [], []
+            for c in columns:
+                col = t[c]
+                regs.append(hll_register_partial(
+                    col.drop_null().to_numpy(zero_copy_only=False),
+                    hll_p,
+                ).tobytes())
+                nulls.append(col.null_count)
+                rows.append(t.num_rows)
+            return pa.table({
+                "col": pa.array(list(columns), pa.string()),
+                "regs": pa.array(regs, pa.binary()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "rows": pa.array(rows, pa.int64()),
+            })
 
-            regs = np.zeros(1 << hll_p, dtype=np.uint8)
-            nulls, rows = 0, 0
-            for batch in lake.read_dataset(columns=[c]).map_batches(
-                partial, batch_format="pyarrow"
-            ).iter_batches(batch_format="pyarrow"):
-                for b in batch["regs"].to_pylist():
-                    regs = np.maximum(
-                        regs, np.frombuffer(b, dtype=np.uint8)
-                    )
-                nulls += int(np.sum(batch["nulls"].to_numpy()))
-                rows += int(np.sum(batch["rows"].to_numpy()))
-            col_stats[c] = {
-                "ndv_est": round(hll_estimate(regs), 1),
-                "null_frac": round(nulls / rows, 6) if rows else 0.0,
-                "live_rows": rows,
+        acc = {
+            c: {"regs": np.zeros(1 << hll_p, dtype=np.uint8),
+                "nulls": 0, "rows": 0}
+            for c in columns
+        }
+        for batch in lake.read_dataset(columns=list(columns)).map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for c, b, nl, rw in zip(
+                batch["col"].to_pylist(), batch["regs"].to_pylist(),
+                batch["nulls"].to_pylist(), batch["rows"].to_pylist(),
+            ):
+                a = acc[c]
+                a["regs"] = np.maximum(
+                    a["regs"], np.frombuffer(b, dtype=np.uint8)
+                )
+                a["nulls"] += int(nl)
+                a["rows"] += int(rw)
+        out["columns"] = {
+            c: {
+                "ndv_est": round(hll_estimate(a["regs"]), 1),
+                "null_frac": (
+                    round(a["nulls"] / a["rows"], 6) if a["rows"] else 0.0
+                ),
+                "live_rows": a["rows"],
             }
-        out["columns"] = col_stats
+            for c, a in acc.items()
+        }
     return out
 
 
