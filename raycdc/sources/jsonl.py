@@ -353,8 +353,10 @@ def _validated(rec, want_table: bool = False) -> dict:
         if isinstance(cl, bool) or not isinstance(cl, (int, float)):
             raise TypeError("content_len: expected integer")
         cl = int(cl)  # OverflowError on inf -> demote (caught below)
-        if not (-(1 << 63) <= cl < (1 << 63)):
-            raise ValueError("content_len out of int64 range")
+        # the wire type is int32 (WIRE_SCHEMA), not int64 — 2^31 would
+        # pass an int64 bound and still kill the column build
+        if not (-(1 << 31) <= cl < (1 << 31)):
+            raise ValueError("content_len out of int32 range")
     out["content_len"] = cl
     if want_table:
         tb = rec.get("table")
