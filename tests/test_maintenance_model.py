@@ -49,6 +49,7 @@ _KEYS = [
 _MAINT = [
     "compact", "optimize_sort", "optimize_zorder", "vacuum",
     "repartition_up", "repartition_down", "purge_r1", "expire_old",
+    "drop_payload",
 ]
 
 
@@ -96,7 +97,7 @@ def _lifecycle(draw):
                     "seq": seq, "op": op, "repo": repo, "path": path,
                     "commit": f"c{seq}", "lang": "py",
                     "content": "w" * draw(st.integers(1, 5)),
-                    "payload_json": "{}",
+                    "payload_json": '{"a": %d}' % seq,
                 })
         steps.append(("window", events))
         for _ in range(draw(st.integers(min_value=0, max_value=2))):
@@ -120,10 +121,17 @@ def _apply_window_to_model(model: dict, events: list[dict]) -> None:
 @settings(max_examples=6, deadline=None)
 def test_maintenance_interleaving_matches_model(tmp_path_factory, steps):
     tmp = tmp_path_factory.mktemp("lifecycle")
-    cfg = IngestConfig(
-        log_dir=str(tmp / "log"), lake_dir=str(tmp / "lake"),
-        num_partitions=4,
-    )
+    payload_cols = [{"name": "a", "type": "long"}]
+    dropped = False
+
+    def _cfg():
+        return IngestConfig(
+            log_dir=str(tmp / "log"), lake_dir=str(tmp / "lake"),
+            num_partitions=4,
+            columns=None if dropped else payload_cols,
+        )
+
+    cfg = _cfg()
     os.makedirs(cfg.log_dir, exist_ok=True)
     model: dict = {}
     widx, max_seq, ingested_any = 0, 0, False
@@ -131,7 +139,7 @@ def test_maintenance_interleaving_matches_model(tmp_path_factory, steps):
         if kind == "window":
             _frag(cfg.log_dir, widx, arg)
             widx += 1
-            run_ingest(cfg)
+            run_ingest(_cfg())
             _apply_window_to_model(model, arg)
             max_seq = max(max_seq, max(e["seq"] for e in arg))
             ingested_any = True
@@ -156,6 +164,13 @@ def test_maintenance_interleaving_matches_model(tmp_path_factory, steps):
             )
             for k in [k for k in model if k[0] == "r1"]:
                 model.pop(k)
+        elif arg == "drop_payload":
+            if dropped:
+                continue  # at most one drop per lifecycle
+            from raycdc.pipelines.maintenance import drop_column
+
+            drop_column(cfg.lake_dir, "a")
+            dropped = True
         elif arg == "expire_old":
             cut = max_seq - 2
             expire_rows(cfg.lake_dir, [("seq", "<", cut)])
@@ -165,20 +180,28 @@ def test_maintenance_interleaving_matches_model(tmp_path_factory, steps):
         assert rep["ok"], (arg, rep["errors"])
         assert rep["rows"] == len(model), (arg, rep["rows"], len(model))
 
+        # read_table, not read_dataset().to_pandas(): Ray's to_pandas
+        # drops the schema of an all-empty dataset (zero blocks), and a
+        # delete-only lifecycle legitimately empties the lake —
+        # read_table returns the typed empty (the session-D fix)
         got = (
             Lake(cfg.lake_dir)
-            .read_dataset()
+            .read_table()
             .to_pandas()
             .sort_values(["repo", "path"])
             .reset_index(drop=True)
         )
         assert len(got) == len(model), (arg, len(got), len(model))
+        assert ("p_a" in got.columns) == (not dropped), arg
         for _, row in got.iterrows():
             m = model[(row["repo"], row["path"])]
             for col in ("seq", "commit", "lang", "content"):
                 assert row[col] == m[col], (arg, row["repo"], row["path"], col)
+            if not dropped:
+                # payload survives every layout/erase op: a == seq
+                assert row["p_a"] == m["seq"], (arg, row["repo"], row["path"])
 
     # final convergence check after the whole interleaving
     if ingested_any:
-        got = Lake(cfg.lake_dir).read_dataset().to_pandas()
+        got = Lake(cfg.lake_dir).read_table().to_pandas()
         assert len(got) == len(model)
