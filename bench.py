@@ -257,6 +257,7 @@ def bench_queries() -> dict[str, float]:
         "code_stats",
         "detect_secrets",
         "chunk_docs",
+        "code_curation",
         "dd_value_quantiles",
         "weighted_sample_docs",
         "cdc_expire_retention",

@@ -600,16 +600,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "stats":
-        import pyarrow.parquet as pq_mod
-
+        from raycdc.pipelines.maintenance import footer_rows
         from raycdc.state.checkpoint import Lake
 
         lake = Lake(args.lake_dir)
         m = lake.manifest()
         parts = lake.part_paths()
         deltas = lake.delta_paths()
+        # stamp-cached: O(new files) steady-state, shared with analyze
         base_rows = sum(
-            pq_mod.read_metadata(p).num_rows for p in parts.values()
+            footer_rows(lake.root, list(parts.values())).values()
         )
         print(
             json.dumps(

@@ -1611,6 +1611,30 @@ def _optimize_zorder_once(
     return {"optimized": sorted(staged), "run_id": run_id, "by": by}
 
 
+def footer_rows(lake_root: str, paths: list[str]) -> dict[str, int]:
+    """Footer ``num_rows`` per path, cached in the lake's
+    ``_analyze_cache.json`` (stamp-validated).  Lake data files are
+    immutable, so an entry is computed once per file ever — callers
+    (``analyze_lake``, the ``stats`` CLI) pay O(new files) footer
+    reads steady-state, not O(#files) per call; the same economics as
+    the zone-map FileStatsCache one level up."""
+    from raycdc.functions.stampcache import StampedJsonCache
+
+    class _Cache(StampedJsonCache):
+        payload_key = "rows"
+
+    cache = _Cache(os.path.join(lake_root, "_analyze_cache.json"))
+    out: dict[str, int] = {}
+    for p in paths:
+        hit = cache.get(p)
+        if hit is None:
+            hit = pq.read_metadata(p).num_rows
+            cache.put(p, int(hit))
+        out[p] = int(hit)
+    cache.save()
+    return out
+
+
 def analyze_lake(
     lake_dir: str,
     columns: list[str] | None = None,
@@ -1642,29 +1666,18 @@ def analyze_lake(
     """
     import numpy as np
 
-    from raycdc.functions.stampcache import StampedJsonCache
-
-    class _RowCountCache(StampedJsonCache):
-        """``_analyze_cache.json``: path → footer num_rows.  Lake data
-        files are immutable, so an entry is computed once per file
-        ever and a steady-state analyze is O(new files), not
-        O(#files) footer reads — the same economics as the zone-map
-        FileStatsCache one level up."""
-
-        payload_key = "rows"
-
     lake = Lake(lake_dir)
     m = lake.manifest()
     parts = lake.part_paths()
     deltas = lake.delta_paths()
-    cache = _RowCountCache(os.path.join(lake.root, "_analyze_cache.json"))
+    all_rows = footer_rows(
+        lake.root,
+        list(parts.values())
+        + [f for fs in deltas.values() for f in fs],
+    )
 
     def _rows(p: str) -> int:
-        hit = cache.get(p)
-        if hit is None:
-            hit = pq.read_metadata(p).num_rows
-            cache.put(p, int(hit))
-        return int(hit)
+        return all_rows[p]
 
     per_part: dict[int, dict] = {}
     for pid in sorted(set(parts) | set(deltas)):
@@ -1684,7 +1697,6 @@ def analyze_lake(
             entry["bytes"] += os.path.getsize(d)
             entry["delta_rows"] += _rows(d)
         per_part[pid] = entry
-    cache.save()  # prunes dead entries itself (vacuumed files)
     sizes = np.array(
         [e["bytes"] for e in per_part.values()], dtype=np.float64
     )
