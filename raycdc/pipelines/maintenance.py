@@ -1714,6 +1714,11 @@ def analyze_lake(
         ),
         "delta_files": sum(e["delta_files"] for e in per_part.values()),
         "skew_max_over_mean": round(skew, 3),
+        # compaction-trigger signal: the deepest merge-on-read delta
+        # chain any partition carries (read amplification bound)
+        "delta_depth_max": max(
+            (e["delta_files"] for e in per_part.values()), default=0
+        ),
         "top_partitions": sorted(
             per_part.values(), key=lambda e: -e["bytes"]
         )[:top_k],
