@@ -715,20 +715,37 @@ def dd_quantiles_by(
                 np.array([], dtype=np.int64), pa.int64()),
         })
 
-    parts = ds.select_columns([group_col, col]).map_batches(
+    # incremental driver merge with the tripwire INSIDE the loop (the
+    # value_histogram_by shape): collecting every batch's partials
+    # before guarding would materialize #batches × #groups rows on
+    # the driver before a high-cardinality key could fail loud
+    merged: dict = {}
+    groups_seen: set = set()
+    for batch in ds.select_columns([group_col, col]).map_batches(
         partial, batch_format="pyarrow"
-    ).to_pandas()
-    if parts.empty:
+    ).iter_batches(batch_format="pyarrow"):
+        for g, side, k, n in zip(
+            batch["g"].to_pylist(), batch["side"].to_pylist(),
+            batch["k"].to_pylist(), batch["n"].to_pylist(),
+        ):
+            groups_seen.add(g)
+            if len(groups_seen) > max_groups:
+                raise ValueError(
+                    f"dd_quantiles_by: > {max_groups} groups — this "
+                    "grouped sketch is for low-cardinality group "
+                    "columns; use hash_partition_reduce for "
+                    "high-cardinality grouping."
+                )
+            key = (g, side, k)
+            merged[key] = merged.get(key, 0) + n
+    if not merged:
         return pd.DataFrame({group_col: pd.Series(dtype="object"),
                              "q": pd.Series(dtype="float64"),
                              "value": pd.Series(dtype="float64")})
-    if parts["g"].nunique() > max_groups:
-        raise ValueError(
-            f"dd_quantiles_by: > {max_groups} groups — this grouped "
-            "sketch is for low-cardinality group columns; use "
-            "hash_partition_reduce for high-cardinality grouping."
-        )
-    counts = parts.groupby(["g", "side", "k"], as_index=False)["n"].sum()
+    counts = pd.DataFrame(
+        [(g, s, k, n) for (g, s, k), n in merged.items()],
+        columns=["g", "side", "k", "n"],
+    )
     out_g, out_q, out_v = [], [], []
     for g, sub in counts.groupby("g", sort=True):
         vals = _dd_quantile_values(sub, qs, gamma)

@@ -1052,8 +1052,10 @@ def chunk_tokens_batch(
         + np.arange(int(pos_off[-1]), dtype=np.int64)
         - np.repeat(pos_off[:-1], length)
     )
-    chunk_lists = pa.ListArray.from_arrays(
-        pa.array(pos_off, pa.int32()),
+    # large_list (int64 offsets): a big batch of long docs with
+    # overlap amplification can exceed int32 total positions
+    chunk_lists = pa.LargeListArray.from_arrays(
+        pa.array(pos_off, pa.int64()),
         flat.take(pa.array(pos, pa.int64())),
     )
     chunk_text = pc.binary_join(chunk_lists, " ")
