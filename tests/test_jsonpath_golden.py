@@ -52,3 +52,65 @@ def test_dot_get_primitive_descent_is_null():
     # engine deviation (documented): descending into a primitive with
     # path left returns null instead of raising like Gson would.
     assert dot_get({"a": 1}, "a.b") is None
+
+
+# -- property: the extraction machinery is TOTAL -----------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_JSON = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(10 ** 20), max_value=10 ** 20),
+        st.floats(allow_nan=True, allow_infinity=True),
+        st.text(max_size=12),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters=".", blacklist_categories=("Cs",)
+                ),
+                max_size=8,
+            ),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=25,
+)
+
+
+@given(_JSON, st.text(max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_jsonpath_machinery_is_total(obj, path):
+    """dot_get / flatten / merge_fields / compact_json must never
+    raise on ANY JSON value (they run against arbitrary user payloads
+    inside guess/flatten); flatten's output must be a flat dict of
+    scalar-or-JSON-string values, and deep/hostile paths resolve to
+    None rather than exploding."""
+    from raycdc.functions.jsonpath import (
+        compact_json,
+        dot_get,
+        flatten,
+        merge_fields,
+    )
+
+    dot_get(obj, path)
+    dot_get(obj, "a.b.c.d.e")
+    compact_json(obj)
+    if isinstance(obj, dict):
+        out = flatten(obj)
+        assert isinstance(out, dict)
+        for v in out.values():
+            # scalars, None, or the reference-pinned EMPTY-object
+            # passthrough (golden issue_get: emptyObjectResult == {});
+            # downstream coercion dead-nulls dicts, so totality holds
+            assert (
+                v is None
+                or isinstance(v, (bool, int, float, str))
+                or v == {}
+            )
+        merge_fields(dict(obj))
