@@ -118,7 +118,7 @@ def _apply_window_to_model(model: dict, events: list[dict]) -> None:
 
 
 @given(_lifecycle())
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_maintenance_interleaving_matches_model(tmp_path_factory, steps):
     tmp = tmp_path_factory.mktemp("lifecycle")
     payload_cols = [{"name": "a", "type": "long"}]
