@@ -2950,36 +2950,74 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS EVIDENCE: the driver's correctness gate
-    # verifies the FIRST 50 entries.  Round-4 rotation (the invariant:
-    # union(latest-two-rounds driver rows, this window) == all queries,
-    # zero reds) — (a) the 36 queries whose latest driver-green row is
-    # CORRECTNESS_r02 (rotated out by round 3's risk-first window),
-    # (b) queries NEW this round, (c) queries exercising code touched
-    # this round (window-reducer salting, driver-fold tripwires, the
-    # dedup candidate-verify engine refactor, JSONL salvage fixes,
-    # histogram bin-width fix), (d) the r03-green stable set last
-    # (every tail entry has a green r03 row; the local oracle twin
-    # tests/test_queries_oracle.py covers ALL entries every run).
-    # ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, fill the
-    # window in this priority order: (1) queries that have NEVER had a
-    # driver row (below-boundary additions of round 4 — the session
-    # A-D set: cross_corpus_dedup, cdc_selective_scan,
-    # cdc_indexed_read, cdc_zonemap_scan, cdc_multi_table_replay,
-    # cdc_branch_replay, curation_pipeline_v2, doc_lm_scores,
-    # pca_components, hash_embed_representatives, ann_pq, ann_ivfpq,
-    # bm25_search, cdc_bootstrap_replay, cdc_consumer_feed,
-    # cdc_patch_state?/check r04, cdc_jsonl_replay?, joinview_enriched,
-    # cdc_consistent_cut, weighted_sample_docs, weighted_docs_per_lang,
-    # code_stats, detect_secrets, dd_value_quantiles,
-    # dd_quantiles_by_type, chunk_docs, code_curation
-    # — cross-check against CORRECTNESS_r0{2,3,4}
-    # row sets, never from memory), then (2) anything new in round 5,
-    # then (3) the oldest-verified r03 set.  At 117 queries the driver
-    # can never re-verify everything in one round; the local twin
-    # (tests/test_queries_oracle.py) runs ALL entries every pytest and
-    # is the standing evidence for rotated-out entries.
+    # verifies the FIRST 50 entries.  The window is COMPUTED, not
+    # hand-curated: tools/rotation.py reads CORRECTNESS_r*.json and this
+    # registry and emits the next window (never-driver-verified queries
+    # first in registration order, then driver-verified queries by
+    # ascending staleness of their latest green row);
+    # tests/test_rotation.py asserts the first-50 set below equals the
+    # tool's output, so a round cannot ship with a stale window.
+    # Round-5 window = the 26 round-4 additions that have never had a
+    # driver row + the 24 oldest (r03-latest) entries.  Union invariant:
+    # green driver rows across r02..r05 cover all registered queries.
     return {
-        # -- (a) latest driver-green row is r02 ---------------------------
+        # -- (1) never-driver-verified (round-4 additions below the
+        #        round-4 boundary) — the round-5 gate set ------------
+        "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
+        "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
+        "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
+        "cdc_zonemap_scan": _tuned(_q_cdc_zonemap_scan),
+        "cdc_expire_retention": _tuned(_q_cdc_expire_retention),
+        "cdc_multi_table_replay": _tuned(_q_cdc_multi_table_replay),
+        "cdc_branch_replay": _tuned(_q_cdc_branch_replay),
+        "curation_pipeline_v2": _tuned(_q_curation_pipeline_v2),
+        "doc_lm_scores": _tuned(_q_doc_lm_scores),
+        "pca_components": _tuned(_q_pca_components),
+        "hash_embed_representatives": _tuned(_q_hash_embed_representatives),
+        "dd_value_quantiles": _tuned(_q_dd_value_quantiles),
+        "dd_quantiles_by_type": _tuned(_q_dd_quantiles_by_type),
+        "weighted_sample_docs": _tuned(_q_weighted_sample_docs),
+        "weighted_docs_per_lang": _tuned(_q_weighted_docs_per_lang),
+        "code_stats": _tuned(_q_code_stats),
+        "detect_secrets": _tuned(_q_detect_secrets),
+        "chunk_docs": _tuned(_q_chunk_docs),
+        "code_curation": _tuned(_q_code_curation),
+        "ann_pq": _tuned(_q_ann_pq),
+        "ann_ivfpq": _tuned(_q_ann_ivfpq),
+        "bm25_search": _tuned(_q_bm25_search),
+        "cdc_bootstrap_replay": _tuned(_q_cdc_bootstrap_replay),
+        "cdc_consumer_feed": _tuned(_q_cdc_consumer_feed),
+        "cdc_consistent_cut": _tuned(_q_cdc_consistent_cut),
+        "joinview_enriched": _tuned(_q_joinview_enriched),
+        # -- (2) oldest driver evidence (latest green row is r03) ----
+        "event_value_histogram": _tuned(_q_event_value_histogram),
+        "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
+        "pricing_rollup": _tuned(_q_pricing_rollup),
+        "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
+        "pricing_summary": _tuned(_q_pricing_summary),
+        "orders_per_nation": _tuned(_q_orders_per_nation),
+        "user_event_rank": _tuned(_q_user_event_rank),
+        "rolling_value_mean": _tuned(_q_rolling_value_mean),
+        "dedup_minhash": _tuned(_q_dedup_minhash),
+        "dedup_incremental": _tuned(_q_dedup_incremental),
+        "dedup_embedding": _tuned(_q_dedup_embedding),
+        "dedup_simhash": _tuned(_q_dedup_simhash),
+        "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
+        "semantic_representatives": _tuned(_q_semantic_representatives),
+        "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
+        "cdc_watermarks": _tuned(_q_cdc_watermarks),
+        "events_after_purchase": _tuned(_q_events_after_purchase),
+        "content_digests": _tuned(_q_content_digests),
+        "topk_orders": _tuned(_q_topk_orders),
+        "lineitem_order_priority": _tuned(_q_lineitem_order_priority),
+        "window_hourly": _tuned(_q_window_hourly),
+        "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
+        "session_windows": _tuned(_q_session_windows),
+        "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
+        # ---- driver-window boundary (50) ----------------------------
+        # -- (3) r03/r04-green stable set; the local oracle twin
+        #        (tests/test_queries_oracle.py) covers ALL entries
+        #        every pytest run --------------------------------------
         "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
@@ -3016,10 +3054,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_report": _tuned(_q_decontam_report),
         "decontam_clean": _tuned(_q_decontam_clean),
         "leak_report": _tuned(_q_leak_report),
-        # -- (b) new this round -------------------------------------------
-        # (inserted above the touched set as they land; demote from the
-        #  bottom of (c) to keep the window at exactly 50 — demoted
-        #  entries must have a green r03 row, preserving the union)
         "cdc_jsonl_gz_replay": _tuned(_q_cdc_jsonl_gz_replay),
         "user_event_rank_salted": _tuned(_q_user_event_rank_salted),
         "redact_pii_docs": _tuned(_q_redact_pii),
@@ -3034,128 +3068,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_audit": _tuned(_q_seq_audit),
         "matview_repo_stats": _tuned(_q_matview_repo_stats),
         "cdc_change_feed": _tuned(_q_cdc_change_feed),
-        # ---- driver-window boundary (50) ---------------------------------
-        # -- (c) code touched this round ------------------------------------
-        # (user_event_rank / rolling_value_mean demoted for the new
-        #  queries: both r03-green; the salted twin user_event_rank_salted
-        #  — the path that changed — stays in the window, and the
-        #  rolling-mean salting is pinned by its zipfian exactness test.
-        #  event_value_histogram / value_histogram_by_type demoted for
-        #  matview_repo_stats / cdc_change_feed: both r03-green, and the
-        #  round-4 bin-geometry change on their path is pinned directly
-        #  by test_value_histogram_counts_exact /
-        #  test_approx_quantiles_by_within_bin_width)
-        "event_value_histogram": _tuned(_q_event_value_histogram),
-        "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
-        # (pricing_rollup demoted for seq_audit: it is r03-green, and
-        #  this round's CUBE refactor routed rollup through the shared
-        #  finest-partials engine that pricing_cube — in-window, new —
-        #  exercises; the rollup driver-fold tripwire is an error-path
-        #  guard pinned by test_driver_fold_tripwires_fail_loud)
-        "pricing_rollup": _tuned(_q_pricing_rollup),
-        # (cdc_jsonl_replay demoted for cohort_retention: it is
-        #  r03-green, and this round's JSONL salvage/probe changes stay
-        #  in-window via cdc_jsonl_gz_replay, which runs the same parse
-        #  lane plus the compressed transport)
-        "cdc_jsonl_replay": _tuned(_q_cdc_jsonl_replay),
-        # -- (d) stable, r03-green ------------------------------------------
-        # (pricing_summary / orders_per_nation demoted to fit the two
-        #  new window queries: both r03-green, and the only round-4
-        #  change on their path is the driver-fold tripwire — an
-        #  error-path guard pinned directly by
-        #  test_driver_fold_tripwires_fail_loud)
-        "pricing_summary": _tuned(_q_pricing_summary),
-        "orders_per_nation": _tuned(_q_orders_per_nation),
-        "user_event_rank": _tuned(_q_user_event_rank),
-        "rolling_value_mean": _tuned(_q_rolling_value_mean),
-        "dedup_minhash": _tuned(_q_dedup_minhash),
-        "dedup_incremental": _tuned(_q_dedup_incremental),
-        "dedup_embedding": _tuned(_q_dedup_embedding),
-        "dedup_simhash": _tuned(_q_dedup_simhash),
-        "dedup_chain_lake": _tuned(_q_dedup_chain_lake),
-        # (cross_corpus_dedup is NEW this round but the 50-entry window
-        #  is full — the 36 r02-latest entries are immovable and the 14
-        #  remaining slots went to this round's earlier queries.  Its
-        #  correctness evidence this round is the local oracle twin
-        #  (tests/test_queries_oracle.py runs ALL entries) plus the
-        #  exactness-vs-full-minhash test; ROUND-5 ROTATION: front-load
-        #  it with the r03-latest set.)
-        "cross_corpus_dedup": _tuned(_q_cross_corpus_dedup),
-        # (cdc_selective_scan / cdc_indexed_read / cdc_zonemap_scan /
-        #  cdc_multi_table_replay / cdc_branch_replay: same situation
-        #  as cross_corpus_dedup — NEW this round, window full, local
-        #  twin + the MOR pushdown / secondary-index / zone-map /
-        #  multi-table equivalence / branch lifecycle tests carry
-        #  them; ROUND-5 ROTATION: front-load them)
-        "cdc_selective_scan": _tuned(_q_cdc_selective_scan),
-        "cdc_indexed_read": _tuned(_q_cdc_indexed_read),
-        "cdc_zonemap_scan": _tuned(_q_cdc_zonemap_scan),
-        # (cdc_expire_retention: NEW this session, window full —
-        #  carried by the local oracle twin + tests/test_expire.py's
-        #  resolve-trap / prune / recreate pins; ROUND-5 ROTATION:
-        #  front-load it)
-        "cdc_expire_retention": _tuned(_q_cdc_expire_retention),
-        "cdc_multi_table_replay": _tuned(_q_cdc_multi_table_replay),
-        "cdc_branch_replay": _tuned(_q_cdc_branch_replay),
-        # (doc_lm_scores / curation_pipeline_v2 / pca_components /
-        #  hash_embed_representatives: NEW, below the full window —
-        #  the first two carry real SQL oracles, the other two
-        #  pinned-file oracles + numpy-equivalence / metric-property
-        #  tests; ROUND-5 ROTATION: front-load them)
-        "curation_pipeline_v2": _tuned(_q_curation_pipeline_v2),
-        "doc_lm_scores": _tuned(_q_doc_lm_scores),
-        "pca_components": _tuned(_q_pca_components),
-        "hash_embed_representatives": _tuned(_q_hash_embed_representatives),
-        "semantic_representatives": _tuned(_q_semantic_representatives),
-        "cdc_replay_documents": _tuned(_q_cdc_replay_documents),
-        "cdc_watermarks": _tuned(_q_cdc_watermarks),
-        "events_after_purchase": _tuned(_q_events_after_purchase),
-        "content_digests": _tuned(_q_content_digests),
-        "topk_orders": _tuned(_q_topk_orders),
-        "lineitem_order_priority": _tuned(_q_lineitem_order_priority),
-        "window_hourly": _tuned(_q_window_hourly),
-        "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
-        "session_windows": _tuned(_q_session_windows),
-        "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
         "event_value_quantiles": _tuned(_q_event_value_quantiles),
-        # (dd_value_quantiles / dd_quantiles_by_type: NEW this
-        #  session, window full — pinned-file oracles + the
-        #  relative-error/split-invariance tests in tests/test_ops.py;
-        #  ROUND-5 ROTATION: front-load them)
-        "dd_value_quantiles": _tuned(_q_dd_value_quantiles),
-        "dd_quantiles_by_type": _tuned(_q_dd_quantiles_by_type),
         "sample_docs": _tuned(_q_sample_docs),
         "split_docs": _tuned(_q_split_docs),
         "mixture_docs": _tuned(_q_mixture_docs),
         "stratified_docs": _tuned(_q_stratified_docs),
-        # (weighted_sample_docs / weighted_docs_per_lang: NEW this
-        #  session, window full — carried by the local oracle twin +
-        #  the serial-reference/partitioning-invariance tests in
-        #  tests/test_stats_sampling.py; ROUND-5 ROTATION: front-load)
-        "weighted_sample_docs": _tuned(_q_weighted_sample_docs),
-        "weighted_docs_per_lang": _tuned(_q_weighted_docs_per_lang),
-        # (code_stats / detect_secrets: NEW this session, window full —
-        #  carried by the local oracle twin + the slow-reference /
-        #  planted-secret tests in tests/test_ops.py; ROUND-5
-        #  ROTATION: front-load them)
-        "code_stats": _tuned(_q_code_stats),
-        "detect_secrets": _tuned(_q_detect_secrets),
-        "chunk_docs": _tuned(_q_chunk_docs),
-        "code_curation": _tuned(_q_code_curation),
         "ann_topk": _tuned(_q_ann_topk),
         "ann_ivf": _tuned(_q_ann_ivf),
-        # (ann_pq / ann_ivfpq: NEW this round, below the full window —
-        #  pinned-file oracles + the recall/determinism tests in
-        #  tests/test_pq.py; ROUND-5 ROTATION: front-load them)
-        "ann_pq": _tuned(_q_ann_pq),
-        "ann_ivfpq": _tuned(_q_ann_ivfpq),
-        # (bm25_search / cdc_bootstrap_replay / cdc_consumer_feed:
-        #  NEW this round, below the full window — full SQL oracles +
-        #  serial-reference / byte-equality / crash-resume tests;
-        #  ROUND-5 ROTATION: front-load them)
-        "bm25_search": _tuned(_q_bm25_search),
-        "cdc_bootstrap_replay": _tuned(_q_cdc_bootstrap_replay),
-        "cdc_consumer_feed": _tuned(_q_cdc_consumer_feed),
         "kmeans_embeddings": _tuned(_q_kmeans_embeddings),
         "hll_user_count": _tuned(_q_hll_user_count),
         "hll_by_event_type": _tuned(_q_hll_by_event_type),
@@ -3175,14 +3094,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _tuned(_q_dedup_survivors),
         "curation_pipeline": _tuned(_q_curation_pipeline),
         "scrub_blocklist": _tuned(_q_scrub_blocklist),
-        # (cdc_consistent_cut: NEW this session, window full — carried
-        #  by the local oracle twin + the boundary-exactness test in
-        #  tests/test_multitable.py; ROUND-5 ROTATION: front-load it)
-        "cdc_consistent_cut": _tuned(_q_cdc_consistent_cut),
-        # (joinview_enriched: NEW this session, window full — carried
-        #  by the local oracle twin + tests/test_joinview.py's
-        #  refresh==recompute pins; ROUND-5 ROTATION: front-load it)
-        "joinview_enriched": _tuned(_q_joinview_enriched),
     }
 
 

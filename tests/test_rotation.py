@@ -1,0 +1,74 @@
+"""The driver-window rotation ledger is computed, not hand-curated.
+
+tools/rotation.py reads CORRECTNESS_r*.json plus the queries() registry
+and emits the window the next driver round should verify
+(never-driver-verified first, then oldest evidence).  These tests pin
+(a) that the registered first-WINDOW set equals the tool's output, so a
+round cannot ship with a stale window, and (b) the tool's ordering
+policy itself on a synthetic ledger.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __ray_entry__
+from tools.rotation import WINDOW, expected_window, load_driver_rows
+
+
+def test_registered_window_matches_rotation_tool():
+    registry = list(__ray_entry__.queries().keys())
+    latest = load_driver_rows()
+    want = expected_window(registry, latest)
+    have = registry[:WINDOW]
+    assert set(have) == set(want), (
+        f"driver window stale: missing={sorted(set(want) - set(have))} "
+        f"extra={sorted(set(have) - set(want))} — reorder queries() or "
+        f"rerun tools/rotation.py"
+    )
+
+
+def test_no_red_driver_rows_since_r02():
+    # load_driver_rows only counts green rows; independently assert no
+    # row since round 2 was red/errored, which the union invariant
+    # relies on.  Round 1 is exempt: it predates oracle coverage
+    # (10 rows-only `no_oracle` checks) and contains the one historical
+    # hash mismatch (events_after_purchase, fixed and green in r02+).
+    import glob
+    import json
+    import os
+    import re
+
+    root = Path(__file__).resolve().parents[1]
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        if rnd < 2:
+            continue
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            assert row.get("rows_match") and row.get("hash_match"), (
+                f"{os.path.basename(path)}:{name} is a red driver row; "
+                "rotation assumes zero reds — investigate before rotating"
+            )
+
+
+def test_every_query_has_driver_row_or_is_in_window():
+    # Union invariant: green rows across all rounds + the upcoming
+    # window cover every registered query.
+    registry = list(__ray_entry__.queries().keys())
+    latest = load_driver_rows()
+    window = set(registry[:WINDOW])
+    uncovered = [q for q in registry if q not in latest and q not in window]
+    assert not uncovered, f"queries with no evidence path: {uncovered}"
+
+
+def test_expected_window_policy_synthetic():
+    registry = ["a", "b", "c", "d", "e", "f"]
+    latest = {"a": 4, "b": 3, "c": 3, "e": 2}
+    # never-verified (d, f in registration order), then staleness
+    # ascending (e@r2, b@r3, c@r3 tie-broken by order, a@r4)
+    assert expected_window(registry, latest, window=4) == ["d", "f", "e", "b"]
+    assert expected_window(registry, latest, window=10) == [
+        "d", "f", "e", "b", "c", "a",
+    ]

@@ -1,0 +1,112 @@
+"""Rotation ledger for the driver correctness window.
+
+The driver verifies only the FIRST ``WINDOW`` entries of
+``__ray_entry__.queries()`` each round, while the registry has grown far
+past that.  Rotation policy (formerly hand-maintained comments in
+``__ray_entry__.py``, now computed):
+
+1. queries that have NEVER had a green driver row (new additions that
+   landed below the window boundary in the round they shipped), in
+   registration order;
+2. then driver-verified queries by ASCENDING staleness round (the round
+   of their latest green row — oldest evidence first), tie-broken by
+   registration order;
+truncated to ``WINDOW`` entries.
+
+Invariant this preserves: the union of green driver rows across all
+rounds plus the upcoming window covers every registered query, and
+evidence age is bounded (each query re-verifies within
+ceil(len(registry)/WINDOW) rounds of its last row).
+
+Usage:
+    python tools/rotation.py           # print the expected next window
+    python tools/rotation.py --check   # exit 1 if queries()'s first-50
+                                       # set != the expected window set
+
+``tests/test_rotation.py`` runs the --check logic every pytest, so a
+round can't ship with a stale window.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+WINDOW = 50
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_driver_rows(root: str = _ROOT) -> dict[str, int]:
+    """Map query name -> latest round with a GREEN driver row.
+
+    Green = rows_match AND schema_match AND hash_match and no err.  A red
+    or errored row does not count as evidence (and none exist to date —
+    CI asserts that separately).
+    """
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def expected_window(
+    registry: list[str], latest: dict[str, int], window: int = WINDOW
+) -> list[str]:
+    """Compute the window the NEXT driver round should verify."""
+    order = {name: i for i, name in enumerate(registry)}
+    never = [q for q in registry if q not in latest]
+    stale = sorted(
+        (q for q in registry if q in latest),
+        key=lambda q: (latest[q], order[q]),
+    )
+    return (never + stale)[:window]
+
+
+def _registry() -> list[str]:
+    sys.path.insert(0, _ROOT)
+    import __ray_entry__  # noqa: PLC0415
+
+    return list(__ray_entry__.queries().keys())
+
+
+def main(argv: list[str]) -> int:
+    registry = _registry()
+    latest = load_driver_rows()
+    want = expected_window(registry, latest)
+    have = registry[:WINDOW]
+    if "--check" in argv:
+        missing = sorted(set(want) - set(have))
+        extra = sorted(set(have) - set(want))
+        if missing or extra:
+            print(f"window STALE: missing={missing} extra={extra}")
+            return 1
+        print(f"window OK ({WINDOW} entries, {len(registry)} registered)")
+        return 0
+    never = [q for q in want if q not in latest]
+    print(f"# registry: {len(registry)} queries; window: {WINDOW}")
+    print(f"# never-driver-verified: {len(never)}")
+    for q in want:
+        tag = "NEVER" if q not in latest else f"r{latest[q]:02d}"
+        print(f"{q}  [{tag}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
