@@ -472,6 +472,13 @@ def main(argv: list[str] | None = None) -> int:
         "(diff fold; touched buckets only)",
     )
     p_ir.add_argument("--index-dir", required=True)
+    p_ir.add_argument(
+        "--strategy",
+        choices=["auto", "driver", "distributed"],
+        default="auto",
+        help="auto folds small deltas on the driver and routes "
+        "corpus-scale deltas through the distributed bucket exchange",
+    )
 
     p_il = sub.add_parser(
         "index-lookup",
@@ -915,7 +922,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "index-refresh":
         from raycdc.state.secondary import refresh_secondary_index
 
-        print(json.dumps(refresh_secondary_index(args.index_dir)))
+        print(
+            json.dumps(
+                refresh_secondary_index(
+                    args.index_dir, strategy=args.strategy
+                )
+            )
+        )
         return 0
 
     if args.cmd == "index-lookup":

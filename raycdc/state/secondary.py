@@ -26,11 +26,12 @@ stale files, so a crash anywhere re-runs cleanly (deterministic file
 content per version) and readers never observe a half-refreshed index.
 
 Scale shape: creation is one distributed pass over the lake (slim
-(value, key) rows, one bucket-coalescing shuffle); a refresh folds the
-window's diff rows on the driver under a loud ``max_delta_rows``
-tripwire (a refresh is by contract window-sized — a corpus-sized
-"delta" is a rebuild, use ``create_secondary_index``), then rewrites
-touched buckets with one Ray task each.  ``read_by_value`` turns
+(value, key) rows, one bucket-coalescing shuffle); a refresh folds a
+window-sized diff on the driver (fast path, bounded by
+``max_delta_rows``) and routes a corpus-scale diff through the SAME
+map-side postings + bucket-groupby exchange the create path uses —
+each touched bucket merges its own delta inside ``map_groups``, so no
+delta row ever sits on the driver.  ``read_by_value`` turns
 postings into a selective lake read: the repo set pushes down as a
 ``key_filter`` (row-group pruning below the merge-on-read resolve) and
 the exact (repo, path) membership filters per batch.
@@ -175,15 +176,41 @@ def create_secondary_index(
     }
 
 
+class _DeltaBudgetExceeded(Exception):
+    pass
+
+
 def refresh_secondary_index(
-    index_dir: str, max_delta_rows: int = 2_000_000
+    index_dir: str,
+    max_delta_rows: int = 2_000_000,
+    strategy: str = "auto",
 ) -> dict:
     """Advance the index to the lake's current version: fold the
     snapshot diff (projected to the indexed column, so value-unchanged
     updates never appear) into per-bucket add/remove sets and rewrite
     ONLY the touched buckets — O(changed keys + touched buckets), for
     any number of commits since the last refresh.  Idempotent no-op
-    when current."""
+    when current.
+
+    Two execution shapes, both exact and bit-identical (pinned by
+    tests/test_secondary.py):
+
+    - ``driver`` (the small-delta fast path): fold the diff rows on the
+      driver under ``max_delta_rows``, then rewrite touched buckets with
+      one Ray task each.  Cheapest for the common window-sized refresh.
+    - ``distributed``: map the diff into slim (value, key, is_add)
+      posting-delta rows and route them through the same bucket
+      groupby the full ``create_secondary_index`` build uses — each
+      touched bucket merges its own delta against its live file inside
+      ``map_groups``, so NO delta row ever folds on the driver and a
+      corpus-scale delta refreshes incrementally instead of forcing a
+      rebuild.
+
+    ``strategy="auto"`` (default) takes the driver path and falls back
+    to distributed when the delta exceeds ``max_delta_rows``;
+    ``"driver"`` keeps the budget as a loud tripwire instead."""
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown refresh strategy {strategy!r}")
     state = _load_state(index_dir)
     lake = Lake(state["lake_dir"])
     column = state["column"]
@@ -192,7 +219,37 @@ def refresh_secondary_index(
     v_new = int(lake.manifest()["version"])
     if v_new == v_old:
         return {"lake_version": v_old, "refreshed": False}
+    if strategy == "distributed":
+        return _refresh_distributed(
+            index_dir, state, column, num_buckets, v_old, v_new
+        )
+    try:
+        return _refresh_driver(
+            index_dir, state, column, num_buckets, v_old, v_new,
+            max_delta_rows,
+        )
+    except _DeltaBudgetExceeded:
+        if strategy == "driver":
+            raise ValueError(
+                f"refresh_secondary_index: diff exceeds max_delta_rows="
+                f"{max_delta_rows} under strategy='driver' — use "
+                "strategy='auto'/'distributed' (incremental, no driver "
+                "fold) or rebuild with create_secondary_index"
+            ) from None
+        return _refresh_distributed(
+            index_dir, state, column, num_buckets, v_old, v_new
+        )
 
+
+def _refresh_driver(
+    index_dir: str,
+    state: dict,
+    column: str,
+    num_buckets: int,
+    v_old: int,
+    v_new: int,
+    max_delta_rows: int,
+) -> dict:
     # local `import ray.data` would shadow the module-level `ray`
     # binding for the whole function body — import it up front
     import ray.data
@@ -208,11 +265,7 @@ def refresh_secondary_index(
     for b in diff.iter_batches(batch_format="pandas", batch_size=65536):
         n += len(b)
         if n > max_delta_rows:
-            raise ValueError(
-                f"refresh_secondary_index: diff exceeds max_delta_rows="
-                f"{max_delta_rows} — a corpus-sized delta is a rebuild; "
-                "run create_secondary_index instead"
-            )
+            raise _DeltaBudgetExceeded
         a = b[b["change"].isin(("insert", "update")) & b[column].notna()]
         adds.append(
             pd.DataFrame(
@@ -318,6 +371,127 @@ def refresh_secondary_index(
         "buckets": len(touched),
         "adds": int(len(add_df)),
         "removes": int(len(del_df)),
+    }
+
+
+def _refresh_distributed(
+    index_dir: str,
+    state: dict,
+    column: str,
+    num_buckets: int,
+    v_old: int,
+    v_new: int,
+) -> dict:
+    """Corpus-scale refresh: the diff never folds on the driver.  Same
+    shape as the create path (map-side ``to_postings`` + one bucket
+    groupby), except each posting-delta row carries ``is_add`` and each
+    bucket group merges its delta against its own live file inside
+    ``map_groups``.  The driver sees only one stats row per touched
+    bucket."""
+    import ray.data  # noqa: F401  (module-level `ray` shadow guard)
+
+    from raycdc.pipelines.maintenance import snapshot_diff
+
+    diff = snapshot_diff(
+        state["lake_dir"], v_old, v_new, columns=[column], include_old=True
+    )
+    buckets = dict(state["buckets"])
+
+    def to_delta(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[b["change"].isin(("insert", "update")) & b[column].notna()]
+        d = b[
+            b["change"].isin(("update", "delete"))
+            & b[f"{column}_old"].notna()
+        ]
+        out = pd.DataFrame(
+            {
+                column: np.concatenate(
+                    [
+                        a[column].to_numpy(dtype=object),
+                        d[f"{column}_old"].to_numpy(dtype=object),
+                    ]
+                ),
+                "repo": np.concatenate(
+                    [
+                        a["repo"].to_numpy(dtype=object),
+                        d["repo"].to_numpy(dtype=object),
+                    ]
+                ),
+                "path": np.concatenate(
+                    [
+                        a["path"].to_numpy(dtype=object),
+                        d["path"].to_numpy(dtype=object),
+                    ]
+                ),
+                "is_add": np.concatenate(
+                    [
+                        np.ones(len(a), dtype=bool),
+                        np.zeros(len(d), dtype=bool),
+                    ]
+                ),
+            }
+        )
+        out["bucket"] = (
+            _bucket_of(out[column].to_numpy(), num_buckets)
+            if len(out)
+            else pd.Series([], dtype="int64")
+        )
+        return out
+
+    def rewrite_group(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        prev_v = buckets.get(str(b))
+        cur = (
+            pq.read_table(_bucket_file(index_dir, b, int(prev_v))).to_pandas()
+            if prev_v is not None
+            else pd.DataFrame({column: [], "repo": [], "path": []})
+        )
+        d_b = g[~g["is_add"]][[column, "repo", "path"]].drop_duplicates()
+        if len(d_b):
+            m = cur.merge(
+                d_b, on=[column, "repo", "path"], how="left",
+                indicator=True,
+            )
+            # anti-join alignment holds because d_b is deduped: each
+            # cur row matches at most one right row
+            cur = cur[(m["_merge"] == "left_only").to_numpy()]
+        a_b = g[g["is_add"]][[column, "repo", "path"]]
+        if len(a_b):
+            cur = pd.concat([cur, a_b], ignore_index=True)
+        cur = cur.drop_duplicates([column, "repo", "path"])
+        _write_bucket(index_dir, b, v_new, cur, column)
+        return pd.DataFrame(
+            {
+                "bucket": [b],
+                "rows": [len(cur)],
+                "adds": [int(len(a_b))],
+                "removes": [int(len(d_b))],
+            }
+        )
+
+    written = (
+        diff.map_batches(to_delta, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rewrite_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(written) == 0:
+        # commits happened but none touched the indexed column
+        _swap_state(index_dir, dict(state, lake_version=v_new))
+        return {"lake_version": v_new, "refreshed": True, "buckets": 0}
+    for _, r in written.iterrows():
+        if int(r["rows"]) > 0:
+            buckets[str(int(r["bucket"]))] = v_new
+        else:
+            buckets.pop(str(int(r["bucket"])), None)
+    _swap_state(index_dir, dict(state, lake_version=v_new, buckets=buckets))
+    return {
+        "lake_version": v_new,
+        "from_version": v_old,
+        "refreshed": True,
+        "buckets": int(len(written)),
+        "adds": int(written["adds"].sum()),
+        "removes": int(written["removes"].sum()),
     }
 
 

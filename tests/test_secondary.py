@@ -137,17 +137,75 @@ def test_budget_tripwire_and_validation(tmp_path):
     cfg, log, lake, idx = _setup(tmp_path)
     with pytest.raises(ValueError, match="key columns"):
         create_secondary_index(lake, str(tmp_path / "bad"), "repo")
+    with pytest.raises(ValueError, match="strategy"):
+        refresh_secondary_index(idx, strategy="nope")
     _frag(log, 1, [
         _ev(4 + i, "insert", "org/z", f"f{i}.md", "md", "x")
         for i in range(8)
     ])
     run_ingest(cfg)
     with pytest.raises(ValueError, match="max_delta_rows"):
-        refresh_secondary_index(idx, max_delta_rows=3)
+        refresh_secondary_index(idx, max_delta_rows=3, strategy="driver")
     # probing a value that hashes to an absent bucket is empty, not an
     # error (and read_by_value returns an empty dataset)
     assert index_lookup(idx, ["nope"]).num_rows == 0
     assert read_by_value(lake, idx, ["nope"]).count() == 0
+
+
+def _all_postings_by_bucket(idx):
+    import pyarrow.parquet as pq
+
+    from raycdc.state.secondary import _bucket_file, _load_state
+
+    st = _load_state(idx)
+    return {
+        b: pq.read_table(_bucket_file(idx, int(b), int(v))).to_pylist()
+        for b, v in sorted(st["buckets"].items())
+    }
+
+
+def test_distributed_refresh_equals_driver_and_rebuild(tmp_path):
+    """A delta bigger than the driver budget must refresh through the
+    distributed bucket exchange (auto fallback) with output bit-equal
+    to (a) the driver fold and (b) a from-scratch rebuild — including
+    migrations, deletes, and bucket removal."""
+    cfg, log, lake, idx = _setup(tmp_path)
+    idx_drv = str(tmp_path / "idx_drv")
+    create_secondary_index(lake, idx_drv, "lang", num_buckets=8)
+    _frag(log, 1, [
+        _ev(4 + i, "insert", "org/z", f"f{i}.md", "md", "x")
+        for i in range(20)
+    ] + [
+        _ev(30, "update", "org/b", "z.go", "rs", "cccccc"),  # go -> rs
+        _ev(31, "delete", "org/a", "y.py"),
+    ])
+    run_ingest(cfg)
+    # auto with a tiny budget must fall back to distributed, not raise
+    out = refresh_secondary_index(idx, max_delta_rows=3)
+    assert out["refreshed"] and out["buckets"] >= 2 and out["adds"] >= 21
+    out_drv = refresh_secondary_index(idx_drv)  # driver fast path
+    assert out_drv["refreshed"]
+    assert _all_postings_by_bucket(idx) == _all_postings_by_bucket(idx_drv)
+    # explicit distributed strategy on a fresh index == rebuild
+    idx2 = str(tmp_path / "idx2")
+    create_secondary_index(lake, idx2, "lang", num_buckets=8)
+    assert _all_postings_by_bucket(idx) == _all_postings_by_bucket(idx2)
+    # go migrated away entirely: its bucket must be GONE in all three
+    assert index_lookup(idx, ["go"]).num_rows == 0
+    # a second wave refreshed with strategy="distributed" explicitly
+    _frag(log, 2, [_ev(40 + i, "delete", "org/z", f"f{i}.md")
+                   for i in range(10)])
+    run_ingest(cfg)
+    _frag(log, 3, [_ev(60 + i, "delete", "org/z", f"f{i}.md")
+                   for i in range(10, 20)])
+    run_ingest(cfg)
+    out2 = refresh_secondary_index(idx, strategy="distributed")
+    assert out2["refreshed"] and out2["removes"] >= 1
+    refresh_secondary_index(idx_drv)
+    assert _all_postings_by_bucket(idx) == _all_postings_by_bucket(idx_drv)
+    from raycdc.state.secondary import verify_secondary_index
+
+    assert verify_secondary_index(idx)["ok"]
 
 
 def test_verify_secondary_index_audits_and_detects_corruption(tmp_path):
