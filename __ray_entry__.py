@@ -27,6 +27,12 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+# Lifecycle-composite queries (create + N refresh waves in one
+# callable) record their per-phase wall times here so bench.py can
+# report the split — the composite total alone reads as "one slow op"
+# when it is really a whole create/refresh lifecycle.
+PHASE_TIMINGS: dict[str, dict[str, float]] = {}
+
 
 def _docs(sf_dir):
     """Default doc read: full fan-out — per-row-heavy stages
@@ -1163,6 +1169,16 @@ def _q_joinview_enriched(sf_dir):
             {"name": "tier", "type": "long"},
         ],
     )
+    import time as _time
+
+    phases: dict[str, float] = {}
+
+    def _timed(tag, fn, *a, **k):
+        t0 = _time.perf_counter()
+        out = fn(*a, **k)
+        phases[tag] = phases.get(tag, 0.0) + _time.perf_counter() - t0
+        return out
+
     frags = sorted(os.listdir(staging))
     rfrags = sorted(os.listdir(rlog))
     # window 1: first fact wave + dimension inserts → create the view
@@ -1172,9 +1188,11 @@ def _q_joinview_enriched(sf_dir):
     os.makedirs(hold, exist_ok=True)
     for name in rfrags[1:]:
         os.rename(os.path.join(rlog, name), os.path.join(hold, name))
-    run_ingest(lcfg)
-    run_ingest(rcfg)
-    create_joinview(
+    _timed("ingest_sec", run_ingest, lcfg)
+    _timed("ingest_sec", run_ingest, rcfg)
+    _timed(
+        "create_sec",
+        create_joinview,
         lcfg.lake_dir, rcfg.lake_dir, view_dir,
         on="repo", attrs=["p_owner", "p_tier"],
     )
@@ -1184,18 +1202,21 @@ def _q_joinview_enriched(sf_dir):
     os.rename(
         os.path.join(hold, rfrags[1]), os.path.join(rlog, rfrags[1])
     )
-    run_ingest(lcfg)
-    run_ingest(rcfg)
-    refresh_joinview(view_dir)
+    _timed("ingest_sec", run_ingest, lcfg)
+    _timed("ingest_sec", run_ingest, rcfg)
+    _timed("refresh_w2_sec", refresh_joinview, view_dir)
     # window 3: fact v2 updates + deletes, dim org4 delete wave
     for name in frags[4:]:
         os.rename(os.path.join(staging, name), os.path.join(llog, name))
     os.rename(
         os.path.join(hold, rfrags[2]), os.path.join(rlog, rfrags[2])
     )
-    run_ingest(lcfg)
-    run_ingest(rcfg)
-    refresh_joinview(view_dir)
+    _timed("ingest_sec", run_ingest, lcfg)
+    _timed("ingest_sec", run_ingest, rcfg)
+    _timed("refresh_w3_sec", refresh_joinview, view_dir)
+    PHASE_TIMINGS["joinview_enriched"] = {
+        k: round(v, 3) for k, v in phases.items()
+    }
 
     out = read_joinview(
         view_dir, columns=["repo", "path", "content", "p_owner", "p_tier"]

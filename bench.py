@@ -273,6 +273,11 @@ def bench_queries() -> dict[str, float]:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+    # lifecycle composites record their create/refresh split (the
+    # composite total alone reads as one slow op)
+    for name, phases in getattr(em, "PHASE_TIMINGS", {}).items():
+        for tag, sec in phases.items():
+            out[f"{name}.{tag}"] = sec
     return out
 
 

@@ -892,6 +892,11 @@ def refresh_joinview(
         return res
 
     # -- right side: affected join-key values (old AND new images) ---
+    # slim distinct exchange: the diff rows never fold on the driver —
+    # each batch projects to its distinct key values and Dataset.unique
+    # set-merges them distributedly, so the driver receives only the
+    # global distinct affected set (budget now bounds DISTINCT values,
+    # not diff rows — a strictly higher ceiling).
     affected: set = set()
     if rv1 != rv0:
         cols = [c for c in attrs if c != right_on]
@@ -899,13 +904,29 @@ def refresh_joinview(
             cols = [right_on] + cols
         dr = snapshot_diff(
             state["right_dir"], rv0, rv1, columns=cols, include_old=True
-        ).to_pandas()
-        _check_budget(len(dr), budget, "dimension diff")
-        if not dr.empty:  # empty Datasets lose columns via to_pandas()
-            affected |= set(dr[right_on].dropna())
-            old_col = f"{right_on}_old"
-            if old_col in dr.columns:
-                affected |= set(dr[old_col].dropna())
+        )
+        old_col = f"{right_on}_old"
+
+        def dim_keyvals(t: pa.Table) -> pa.Table:
+            arrs = []
+            for c in (right_on, old_col):
+                if c in t.column_names:
+                    arrs.append(
+                        t[c].combine_chunks().drop_null().unique()
+                    )
+            if not arrs:
+                return pa.table({"v": pa.array([], pa.string())})
+            return pa.table({"v": pa.concat_arrays(arrs)})
+
+        # Dataset.unique returns None on an empty dataset
+        affected |= set(
+            dr.map_batches(dim_keyvals, batch_format="pyarrow").unique("v")
+            or []
+        )
+        affected.discard(None)
+        _check_budget(
+            len(affected), budget, "affected dimension join keys"
+        )
 
     # -- left side: the fact diff (zero-shuffle, partition-pruned) ---
     need_cols = sorted(
@@ -922,12 +943,20 @@ def refresh_joinview(
             state["left_dir"], lv0, lv1,
             columns=need_cols or ["content"], include_old=False,
         ).materialize()
-        key_batches = dl.map_batches(
-            lambda t: pa.table({on: t[on].combine_chunks().unique()})
-            if t.num_rows else pa.table({on: pa.array([], t[on].type)}),
-            batch_format="pyarrow",
-        ).take_all()
-        dl_keys = {r[on] for r in key_batches if r[on] is not None}
+        # slim distinct exchange (same shape as the dimension side):
+        # per-batch distinct → distributed set-merge — the driver sees
+        # only the GLOBAL distinct key set, never per-batch duplicates
+        # Dataset.unique returns None on an empty dataset
+        dl_keys = set(
+            dl.map_batches(
+                lambda t: pa.table(
+                    {on: t[on].combine_chunks().drop_null().unique()}
+                ),
+                batch_format="pyarrow",
+            ).unique(on)
+            or []
+        )
+        dl_keys.discard(None)
         _check_budget(len(dl_keys), budget, "left-delta join keys")
 
     needed = sorted(dl_keys | affected)
