@@ -389,19 +389,43 @@ def scaling() -> None:
     # trials are reported for transparency.
     lo_all: list[float] = []
     hi_all: list[float] = []
+    calibs: list[float] = [_calibrate_settled()[0]]
     for _ in range(trials):
         lo_all.append(run(lo)["value"])
         hi_all.append(run(hi)["value"])
+        calibs.append(_calibrate())
     lo_all, hi_all = sorted(lo_all), sorted(hi_all)
     t_lo, t_hi = lo_all[0], hi_all[0]
     eff = (t_lo / t_hi) / (hi / lo)
+    # noise gate (round-4 punch-list #7): a scaling sample is
+    # bench-grade only when the single-thread calibration probe read
+    # idle around EVERY trial and neither arm's trial spread exceeds
+    # the pinned bound — otherwise the artifact self-labels, so a
+    # noisy boot (the r04 0.564 sample) can never read as an engine
+    # regression.  Spread bound: the six r04 samples' good boots kept
+    # per-arm spread under ~1.15x; 1.25x flags genuine drift without
+    # rejecting normal scheduler jitter.
+    spread_lo = round(lo_all[-1] / lo_all[0], 3)
+    spread_hi = round(hi_all[-1] / hi_all[0], 3)
+    hot = max(calibs) > CALIB_REFERENCE_SEC * _CALIB_HOT_FACTOR
+    _SPREAD_MAX = 1.25
+    if hot:
+        gate = "noisy_host"
+    elif max(spread_lo, spread_hi) > _SPREAD_MAX:
+        gate = "high_spread"
+    else:
+        gate = "ok"
     print(
         json.dumps(
             {
                 "metric": "scaling efficiency, same input at "
                 f"num_cpus={lo} vs {hi} (best of {trials})",
-                "calib_sec": _calibrate_settled()[0],
+                "calib_sec": calibs,
                 "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "noise_gate": gate,
+                "bench_grade": gate == "ok",
+                f"trial_spread_{lo}": spread_lo,
+                f"trial_spread_{hi}": spread_hi,
                 f"sec_{lo}": t_lo,
                 f"sec_{hi}": t_hi,
                 f"trials_{lo}": lo_all,

@@ -68,9 +68,20 @@ class StampedJsonCache:
         self._entries = {
             p: e for p, e in self._entries.items() if os.path.exists(p)
         }
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(self._entries, f)
-        os.replace(tmp, self.path)
+        try:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(self._entries, f)
+            os.replace(tmp, self.path)
+        except OSError:
+            # read-only / permission-restricted store: persisting the
+            # cache is an optimization, not a contract — otherwise-
+            # read-only surfaces (stats / analyze CLI) degrade to
+            # uncached footer reads instead of crashing (r04 ADVICE)
+            import contextlib
+
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            return
         self._dirty = False

@@ -186,7 +186,9 @@ def weighted_sample_k(
     partial top-k (``k`` rows per block ride to the driver — the
     ``topk`` kernel).  Grouped (``group_col``): bounded two-phase
     per-group top-k via ``topk_per_group`` (blocks × groups × k rows
-    through one hash exchange, never a global sort)."""
+    through one hash exchange, never a global sort).  Returns a
+    ``ray.data.Dataset`` in BOTH paths (the ungrouped winners are
+    driver-materialized by construction, then re-wrapped)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
 
@@ -202,10 +204,15 @@ def weighted_sample_k(
     keyed = ds.map_batches(draw, batch_format="pandas")
     sort_keys = [("_wkey", "descending"), (id_col, "ascending")]
     if group_col is None:
+        import ray.data
+
         from raycdc.ops.relational import topk
 
+        # topk materializes the k winners as a (small) driver-side
+        # Table; re-wrap so BOTH paths return a Dataset (r04 ADVICE:
+        # callers shouldn't special-case the two shapes)
         out = topk(keyed, sort_keys, k)
-        return out.drop_columns(["_wkey"])
+        return ray.data.from_arrow(out.drop_columns(["_wkey"]))
     from raycdc.ops.relational import topk_per_group
 
     picked = topk_per_group(keyed, [group_col], sort_keys, k)

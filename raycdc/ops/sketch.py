@@ -685,7 +685,14 @@ def dd_quantiles_by(
     ``max_groups`` tripwire (a grouped sketch is by contract a
     low-cardinality summary; high-cardinality grouping belongs to
     exact hash_partition_reduce).  Same relative-error bound per
-    group.  Returns (group, q, value) sorted by (group, q)."""
+    group.  Returns (group, q, value) sorted by (group, q).
+
+    Null handling: rows whose GROUP value is null are excluded from
+    every group's sketch (``pd.factorize`` assigns them code -1, which
+    no group iteration selects) — the SQL ``GROUP BY`` analog would
+    surface a NULL group instead; filter or fill beforehand if a null
+    group matters.  Rows whose VALUE is NaN/null are dropped like in
+    the ungrouped sketch."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lg = float(np.log(gamma))
 

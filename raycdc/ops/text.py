@@ -965,6 +965,14 @@ SECRET_PATTERNS = {
     "jwt": r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
 }
 
+# Scrub order: most-specific / longest patterns FIRST.  Chained
+# GlobalReplace in dict order would let hex40 rewrite the middle
+# segment of a JWT before the jwt pattern runs, leaving decodable
+# base64 fragments of the credential in text_scrubbed (r04 ADVICE).
+# Hit counts are unaffected either way — they read the original text.
+SECRET_SCRUB_ORDER = ("jwt", "pem_key", "aws_key", "hex40")
+assert set(SECRET_SCRUB_ORDER) == set(SECRET_PATTERNS)
+
 
 def detect_secrets_batch(
     batch: pa.Table, text_col: str = "text", scrub: bool = False
@@ -975,19 +983,21 @@ def detect_secrets_batch(
     pass per pattern, zero exchange.  With ``scrub=True`` also emits
     ``text_scrubbed``: every match replaced by ``<SECRET:kind>`` (the
     redact_pii shape — the doc stays trainable, the credential does
-    not), one GlobalReplace pass per pattern chained over the
-    previous pattern's output."""
+    not), one GlobalReplace pass per pattern chained in
+    ``SECRET_SCRUB_ORDER`` (most-specific first, so a hex40 replace
+    can never shred a JWT before the jwt pattern consumes it)."""
     text = pc.fill_null(batch[text_col], "")
     out = batch
     total = None
-    scrubbed = text
     for name, pat in SECRET_PATTERNS.items():
         n = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
         out = out.append_column(f"n_{name}", n)
         total = n if total is None else pc.add(total, n)
-        if scrub:
+    if scrub:
+        scrubbed = text
+        for name in SECRET_SCRUB_ORDER:
             scrubbed = pc.replace_substring_regex(
-                scrubbed, pat, f"<SECRET:{name}>"
+                scrubbed, SECRET_PATTERNS[name], f"<SECRET:{name}>"
             )
     out = out.append_column("has_secret", pc.greater(total, 0))
     if scrub:
@@ -1052,13 +1062,19 @@ def chunk_tokens_batch(
         + np.arange(int(pos_off[-1]), dtype=np.int64)
         - np.repeat(pos_off[:-1], length)
     )
-    # large_list (int64 offsets): a big batch of long docs with
-    # overlap amplification can exceed int32 total positions
+    # large_list (int64 offsets) AND large_string child: a big batch
+    # of long docs with overlap amplification can exceed int32 total
+    # positions, and the gathered token text itself can exceed 2^31
+    # BYTES — the take must build 64-bit string-data offsets too, or
+    # it throws an Arrow offset-overflow despite the large_list
     chunk_lists = pa.LargeListArray.from_arrays(
         pa.array(pos_off, pa.int64()),
-        flat.take(pa.array(pos, pa.int64())),
+        pc.cast(flat, pa.large_string()).take(pa.array(pos, pa.int64())),
     )
-    chunk_text = pc.binary_join(chunk_lists, " ")
+    # separator type must match the (large_string) list item type
+    chunk_text = pc.binary_join(
+        chunk_lists, pa.scalar(" ", pa.large_string())
+    )
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()

@@ -205,3 +205,38 @@ def test_maintenance_interleaving_matches_model(tmp_path_factory, steps):
     if ingested_any:
         got = Lake(cfg.lake_dir).read_table().to_pandas()
         assert len(got) == len(model)
+
+
+def test_stamped_cache_save_degrades_on_readonly_store(tmp_path, monkeypatch):
+    """r04 ADVICE: footer_rows/zonemap cache persistence is an
+    optimization, not a contract — a read-only lake must degrade to
+    uncached reads, never crash the otherwise-read-only stats surface."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.functions.stampcache import StampedJsonCache
+    from raycdc.pipelines.maintenance import footer_rows
+
+    f = str(tmp_path / "data.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), f)
+
+    cache = StampedJsonCache(str(tmp_path / "sub" / "cache.json"))
+    cache.put(f, 3)
+    real_replace = _os.replace
+
+    def deny(*a, **k):
+        raise OSError(30, "Read-only file system")
+
+    monkeypatch.setattr(_os, "replace", deny)
+    cache.save()  # must NOT raise
+    assert cache.get(f) == 3  # in-memory entries still serve
+    # no tmp litter left behind
+    assert not list((tmp_path / "sub").glob("*.tmp-*"))
+
+    # end-to-end: footer_rows on a lake whose root rejects writes
+    monkeypatch.setattr(_os, "replace", deny)
+    out = footer_rows(str(tmp_path), [f])
+    assert out == {f: 3}
+    monkeypatch.setattr(_os, "replace", real_replace)

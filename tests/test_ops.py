@@ -2888,3 +2888,25 @@ def test_detect_secrets_scrub_masks_every_hit():
                   "text": out["text_scrubbed"].tolist()})
     ).to_pandas()
     assert not again["has_secret"].any()
+
+
+def test_detect_secrets_scrub_order_jwt_with_embedded_hex40():
+    """r04 ADVICE regression: a JWT whose middle segment is itself a
+    40-hex run must scrub as ONE <SECRET:jwt> token — dict-order
+    chaining let hex40 rewrite the middle first, leaving decodable
+    base64 fragments of the credential in text_scrubbed."""
+    from raycdc.ops.text import detect_secrets_batch
+
+    header = "eyJhbGciOiJIUzI1NiJ9"
+    mid_hex = "0123456789abcdef0123456789abcdef01234567"  # 40 hex
+    sig = "TJVA95OrM7E2cBab30RMHrHDcEfxjoYZgeFONFh7HgQ"
+    jwt = f"{header}.{mid_hex}.{sig}"
+    out = detect_secrets_batch(
+        pa.table({"doc_id": [0], "text": [f"token {jwt} end"]}),
+        scrub=True,
+    ).to_pandas()
+    assert out.loc[0, "n_jwt"] == 1 and out.loc[0, "n_hex40"] == 1
+    scrubbed = out.loc[0, "text_scrubbed"]
+    assert scrubbed == "token <SECRET:jwt> end"
+    # no base64 fragment of the credential survives
+    assert header not in scrubbed and sig not in scrubbed

@@ -360,13 +360,14 @@ def test_weighted_sample_k_matches_serial_reference():
             "w": rng.integers(1, 500, size=4000).astype(np.int64),
         }
     )
-    got = weighted_sample_k(_ds(df, 7), "id", "w", k=100, seed=3)
-    got_ids = set(got["id"].to_pylist())
+    # both paths return a Dataset (the ungrouped winners re-wrapped)
+    got = weighted_sample_k(_ds(df, 7), "id", "w", k=100, seed=3).to_pandas()
+    got_ids = set(got["id"].tolist())
     assert got_ids == _aes_reference(df, "id", "w", 100, 3)
-    assert "_wkey" not in got.column_names
+    assert "_wkey" not in got.columns
     # partitioning invariance: pure function of (id, w, seed)
     again = weighted_sample_k(_ds(df, 1), "id", "w", k=100, seed=3)
-    assert set(again["id"].to_pylist()) == got_ids
+    assert set(again.to_pandas()["id"].tolist()) == got_ids
 
 
 def test_weighted_sample_k_weight_bias_and_exclusions():
@@ -384,8 +385,8 @@ def test_weighted_sample_k_weight_bias_and_exclusions():
     df.loc[10, "w"] = 0.0
     df.loc[11, "w"] = -5.0
     df.loc[12, "w"] = np.nan
-    got = weighted_sample_k(_ds(df, 5), "id", "w", k=400, seed=9)
-    ids = got["id"].to_pylist()
+    got = weighted_sample_k(_ds(df, 5), "id", "w", k=400, seed=9).to_pandas()
+    ids = got["id"].tolist()
     assert not {10, 11, 12} & set(ids)
     heavy = sum(1 for i in ids if i < n // 2)
     # 100:1 weights → the heavy half must dominate the sample
@@ -394,8 +395,8 @@ def test_weighted_sample_k_weight_bias_and_exclusions():
     small = df.head(20)
     allrows = weighted_sample_k(
         ray.data.from_pandas(small), "id", "w", k=500, seed=9
-    )
-    assert set(allrows["id"].to_pylist()) == set(range(20)) - {10, 11, 12}
+    ).to_pandas()
+    assert set(allrows["id"].tolist()) == set(range(20)) - {10, 11, 12}
 
 
 def test_weighted_sample_k_grouped_matches_reference():
