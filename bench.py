@@ -1680,7 +1680,18 @@ def pq_bench() -> None:
     queries = np.stack(
         ds.limit(8).to_pandas()["embedding"].to_numpy()
     )
+    # recall ground truth: exact brute-force cosine top-10 over the
+    # raw embeddings (one distributed pass; 8 queries broadcast once)
+    from raycdc.ops.similarity import ann_topk
+
+    exact = ann_topk(ds, queries, k=10)
+    exact_ids = {
+        int(q): set(g["vec_id"].astype(int))
+        for q, g in exact.groupby("query_id")
+    }
+
     lat = {}
+    recall = {}
     for nprobe in (4, 16, 64):
         best = None
         for _ in range(2):
@@ -1692,6 +1703,33 @@ def pq_bench() -> None:
             best = dt if best is None else min(best, dt)
         lat[f"nprobe_{nprobe}"] = round(best, 3)
         assert len(out) == 80
+        hits = [
+            len(set(g["vec_id"].astype(int)) & exact_ids[int(q)]) / 10.0
+            for q, g in out.groupby("query_id")
+        ]
+        recall[f"nprobe_{nprobe}"] = round(sum(hits) / len(hits), 3)
+
+    # re-rank arm: ADC is a coarse ranker inside a tight cluster (code
+    # distortion ~ neighbor distance), so the production shape is
+    # ADC top-C candidates -> exact re-rank over just those ids
+    rerank_sec = {}
+    for c in (100, 400):
+        t0 = time.perf_counter()
+        cand = pq_index_topk(
+            os.path.join(root, "idx"), queries, k=c, nprobe=16
+        )
+        rerank = ann_topk(
+            ds, queries, k=10,
+            allowed_ids=cand["vec_id"].to_numpy(),
+        )
+        rerank_sec[f"c{c}"] = round(time.perf_counter() - t0, 3)
+        hits = [
+            len(set(g["vec_id"].astype(int)) & exact_ids[int(q)]) / 10.0
+            for q, g in rerank.groupby("query_id")
+        ]
+        recall[f"rerank_top{c}_nprobe_16"] = round(
+            sum(hits) / len(hits), 3
+        )
     import glob as _glob
 
     code_bytes = sum(
@@ -1712,6 +1750,8 @@ def pq_bench() -> None:
                 "build_encode_sec": round(build_sec, 3),
                 "encode_vectors_per_sec": int(n / build_sec),
                 "search_sec_8q": lat,
+                "recall_at_10": recall,
+                "rerank_sec_8q": rerank_sec,
                 "code_bytes": code_bytes,
                 "raw_embedding_bytes": n * d * 8,
                 "compression": round(n * d * 8 / code_bytes, 1),
@@ -1719,6 +1759,154 @@ def pq_bench() -> None:
         )
     )
     ray.shutdown()
+
+
+def feed_bench() -> None:
+    """Derived-state soak for the change-feed / consumer-group /
+    branch surfaces at 2M vs 8M base events (the matview-soak
+    protocol).  The claims under test: a change feed over a
+    partition-sparse commit costs O(touched partitions) — flat in
+    corpus size; a consumer delivery costs the feed plus one Parquet
+    write of the delivered rows; branch create/merge are O(1)
+    metadata commits regardless of corpus size; ingest ONTO a branch
+    costs the same as ingest onto main (same engine, different head
+    pointer)."""
+    import glob
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    calib, _ = _calibrate_settled()
+
+    from raycdc.config import IngestConfig
+    from raycdc.pipelines.cdc import run_ingest
+    from raycdc.pipelines.maintenance import change_feed, consume_feed
+    from raycdc.sources.synth import write_changelog
+    from raycdc.state.checkpoint import Lake
+
+    cols = [
+        {"name": "author.name", "type": "string"},
+        {"name": "stats.adds", "type": "long"},
+        {"name": "review.state", "type": "string"},
+    ]
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        return round(time.perf_counter() - t0, 3), out
+
+    def append_window(log_dir: str, lake_dir: str, n: int,
+                      seed: int, num_keys: int | None,
+                      branch: str | None = None) -> None:
+        n_frag = len(
+            glob.glob(os.path.join(log_dir, "fragment-*.parquet"))
+        )
+        start = max(
+            Lake(lake_dir, branch=branch).watermarks().values(),
+            default=0,
+        ) + 1
+        kw = {} if num_keys is None else {"num_keys": num_keys}
+        write_changelog(
+            log_dir, n, fragment_rows=FRAGMENT_ROWS, seed=seed,
+            start_seq=start, fragment_index_offset=n_frag,
+            duplicate_boundaries=False, delete_frac=0.0,
+            malformed_frac=0.0, **kw,
+        )
+
+    ladder: dict[str, dict] = {}
+    for n in (2_000_000, 8_000_000):
+        suffix = "" if n == 2_000_000 else f"_{n}"
+        log_dir = os.path.join(WORK_ROOT, f"log{suffix}")
+        _ensure_log(log_dir, n)
+        lake_dir = os.path.join(WORK_ROOT, f"feed_lake_{n}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        cfg = IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir,
+            num_partitions=max(NUM_CPUS * 2, 16), columns=cols,
+        )
+        base_sec, _ = timed(lambda: run_ingest(cfg))
+        lake = Lake(lake_dir)
+        v_base = int(lake.manifest()["version"])
+
+        # three partition-sparse hot-key windows (the steady-state
+        # CDC shape): each diff prunes to the one touched partition
+        for w in range(3):
+            append_window(log_dir, lake_dir, 10_000, seed=60 + w,
+                          num_keys=1)
+            run_ingest(cfg)
+        head = int(Lake(lake_dir).manifest()["version"])
+
+        feed_sec, feed_rows = timed(
+            lambda: change_feed(lake_dir, v_base, head).count()
+        )
+
+        out_dir = os.path.join(WORK_ROOT, f"feed_out_{n}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cold_sec, delivery = timed(
+            lambda: consume_feed(
+                lake_dir, "etl", out_dir, from_version=v_base
+            )
+        )
+        noop_sec, noop = timed(
+            lambda: consume_feed(lake_dir, "etl", out_dir)
+        )
+        assert noop["up_to_date"]
+
+        br_create_sec, _ = timed(
+            lambda: Lake(lake_dir).create_branch("exp")
+        )
+        append_window(log_dir, lake_dir, 10_000, seed=70,
+                      num_keys=1, branch="exp")
+        cfg_br = IngestConfig(
+            log_dir=log_dir, lake_dir=lake_dir,
+            num_partitions=max(NUM_CPUS * 2, 16), columns=cols,
+            branch="exp",
+        )
+        br_ingest_sec, _ = timed(lambda: run_ingest(cfg_br))
+        br_merge_sec, merged = timed(
+            lambda: Lake(lake_dir).merge_branch("exp")
+        )
+        assert merged["fast_forward"]
+
+        ladder[f"{n}"] = {
+            "base_ingest_sec": base_sec,
+            "sparse_commits": 3,
+            "feed_rows": feed_rows,
+            "feed_sec": feed_sec,
+            "consumer_cold_delivery_sec": cold_sec,
+            "consumer_delivered_rows": delivery["rows"],
+            "consumer_noop_sec": noop_sec,
+            "branch_create_sec": br_create_sec,
+            "branch_ingest_10k_sec": br_ingest_sec,
+            "branch_merge_sec": br_merge_sec,
+        }
+        # restore the shared cached log for other bench modes
+        _ensure_log(log_dir, n)
+    ray.shutdown()
+
+    for k in ("feed_sec", "consumer_cold_delivery_sec",
+              "branch_merge_sec", "branch_ingest_10k_sec"):
+        ladder["ratio_8m_over_2m_" + k] = round(
+            ladder["8000000"][k] / max(ladder["2000000"][k], 1e-9), 2
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "change feed / consumer group / branch "
+                "economics, 2M vs 8M base events",
+                "calib_sec": calib,
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "num_cpus": NUM_CPUS,
+                "ladder": ladder,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
@@ -1739,6 +1927,8 @@ if __name__ == "__main__":
         zonemap_bench()
     elif "--pq" in sys.argv:
         pq_bench()
+    elif "--feed" in sys.argv:
+        feed_bench()
     elif "--bootstrap" in sys.argv:
         bootstrap_bench()
     elif "--latency" in sys.argv:
