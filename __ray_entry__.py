@@ -2958,6 +2958,71 @@ def _q_media_frames(sf_dir):
     )
 
 
+def _q_winsorized_event_values(sf_dir):
+    """Per-type winsorization of event values at exact [p5, p95]
+    group quantiles: one zero-shuffle histogram pass for the bounds
+    (quantile_disc semantics — bounds are actual column values, so
+    the clip is bit-exact vs the SQL LEAST/GREATEST oracle), one
+    broadcast-clip streaming pass."""
+    from raycdc.ops.stats import winsorize_by
+
+    ds = _events(
+        sf_dir, columns=["event_id", "event_type", "value"]
+    ).filter(lambda r: r["value"] is not None)
+    return winsorize_by(ds, "value", "event_type").select_columns(
+        ["event_id", "event_type", "value", "value_w"]
+    )
+
+
+def _q_event_value_mad_outliers(sf_dir):
+    """Robust per-type outliers via median/MAD (50% breakdown — the
+    heavy-tail-safe z-score): three zero-shuffle passes (grouped exact
+    median, grouped exact median of |x−med|, broadcast score+filter);
+    score arithmetic mirrors the SQL term-for-term so the filter
+    decision is bit-exact."""
+    from raycdc.ops.stats import robust_outliers_mad
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    return robust_outliers_mad(
+        ds, "value", "event_type", k=3.0
+    ).select_columns(["event_id", "event_type", "value", "robust_z"])
+
+
+def _q_record_linkage_pairs(sf_dir):
+    """Entity-resolution pairs: blocking on (lang, 16-char text
+    prefix) — slim hashed keys on the exchange, text never rides it —
+    then exact banded-Levenshtein verify over broadcast candidate ids
+    (late materialization; same two-phase engine as minhash_lsh).
+    The SQL oracle mirrors the blocking, so the result is exact over
+    the declared candidate space."""
+    from raycdc.ops.linkage import levenshtein_link_pairs
+
+    out = levenshtein_link_pairs(
+        _docs(sf_dir), prefix=16, max_dist=12
+    )
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+
+def _q_doc_char_entropy(sf_dir):
+    """Per-doc Shannon entropy over the character distribution (the
+    gibberish/boilerplate curation signal) — one fused Arrow/numpy
+    batch kernel, definition pinned to DuckDB entropy() over unnested
+    characters."""
+    from raycdc.ops.text import char_entropy
+
+    return char_entropy(_docs_light(sf_dir))
+
+
+def _q_doc_compression_signal(sf_dir):
+    """Per-doc zlib compression ratio (Gopher-style redundancy
+    signal).  DEFLATE output has no SQL twin — pinned expected-file
+    oracle; determinism for a fixed zlib build is pinned by
+    tests."""
+    from raycdc.ops.text import compression_signal
+
+    return compression_signal(_docs_light(sf_dir))
+
+
 def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     def wrapper(sf_dir: str):
         from raycdc.tuning import tune_data_context
@@ -2978,9 +3043,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ascending staleness of their latest green row);
     # tests/test_rotation.py asserts the first-50 set below equals the
     # tool's output, so a round cannot ship with a stale window.
-    # Round-5 window = the 26 round-4 additions that have never had a
-    # driver row + the 24 oldest (r03-latest) entries.  Union invariant:
-    # green driver rows across r02..r05 cover all registered queries.
+    # Round-5 window = the 26 round-4 additions + 5 round-5 additions
+    # that have never had a driver row, then the 19 oldest (r03-latest)
+    # entries.  Union invariant: green driver rows across r02..r05
+    # cover all registered queries.
     return {
         # -- (1) never-driver-verified (round-4 additions below the
         #        round-4 boundary) — the round-5 gate set ------------
@@ -3010,6 +3076,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_consumer_feed": _tuned(_q_cdc_consumer_feed),
         "cdc_consistent_cut": _tuned(_q_cdc_consistent_cut),
         "joinview_enriched": _tuned(_q_joinview_enriched),
+        # -- (1b) round-5 additions (never driver-verified) ----------
+        "winsorized_event_values": _tuned(_q_winsorized_event_values),
+        "event_value_mad_outliers": _tuned(_q_event_value_mad_outliers),
+        "record_linkage_pairs": _tuned(_q_record_linkage_pairs),
+        "doc_char_entropy": _tuned(_q_doc_char_entropy),
+        "doc_compression_signal": _tuned(_q_doc_compression_signal),
         # -- (2) oldest driver evidence (latest green row is r03) ----
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
@@ -3030,15 +3102,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_after_purchase": _tuned(_q_events_after_purchase),
         "content_digests": _tuned(_q_content_digests),
         "topk_orders": _tuned(_q_topk_orders),
+        # ---- driver-window boundary (50) ----------------------------
+        # -- (3) r03/r04-green stable set; the local oracle twin
+        #        (tests/test_queries_oracle.py) covers ALL entries
+        #        every pytest run --------------------------------------
         "lineitem_order_priority": _tuned(_q_lineitem_order_priority),
         "window_hourly": _tuned(_q_window_hourly),
         "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
         "session_windows": _tuned(_q_session_windows),
         "doc_len_quantiles": _tuned(_q_doc_len_quantiles),
-        # ---- driver-window boundary (50) ----------------------------
-        # -- (3) r03/r04-green stable set; the local oracle twin
-        #        (tests/test_queries_oracle.py) covers ALL entries
-        #        every pytest run --------------------------------------
         "cdc_mor_replay": _tuned(_q_cdc_mor_replay),
         "cdc_latest_by_key": _tuned(_q_cdc_latest_by_key),
         "cdc_upsert_user_state": _tuned(_q_cdc_upsert_user_state),
@@ -4513,6 +4585,61 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": _pin("media_frame_sample"),
         "pca_components": _pin("pca_components"),
         "hash_embed_representatives": _pin("hash_embed_representatives"),
+        # round-5 additions: robust stats, record linkage, text signals
+        "winsorized_event_values": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.05) AS lo,
+                     quantile_disc(value, 0.95) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
+        """,
+        "event_value_mad_outliers": """
+            WITH m AS (
+              SELECT event_type, quantile_disc(value, 0.5) AS med
+              FROM events WHERE value IS NOT NULL GROUP BY event_type
+            ),
+            d AS (
+              SELECT e.event_type,
+                     quantile_disc(abs(e.value - m.med), 0.5) AS mad
+              FROM events e JOIN m USING (event_type)
+              WHERE e.value IS NOT NULL GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   ROUND((e.value - m.med) / (1.4826 * d.mad), 6)
+                     AS robust_z
+            FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND abs(e.value - m.med) > 3.0 * (1.4826 * d.mad)
+        """,
+        # mirrors the engine's blocking exactly (lang + 16-char text
+        # prefix), so exactness holds over the declared candidate space
+        "record_linkage_pairs": """
+            WITH b AS (
+              SELECT doc_id, text,
+                     lang || '|' || substr(text, 1, 16) AS blk
+              FROM documents
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   levenshtein(l.text, r.text) AS dist
+            FROM b l JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id
+            WHERE levenshtein(l.text, r.text) <= 12
+        """,
+        "doc_char_entropy": """
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chars,
+                   ROUND(entropy(c), 6) AS char_entropy
+            FROM (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents
+            )
+            GROUP BY doc_id
+        """,
+        "doc_compression_signal": _pin("doc_compression_signal"),
         # lang_id: genuine independent SQL reimplementation of the
         # stopword-hit heuristic (ops/text.py LangIdStage): tokens =
         # whitespace-split lower(text); hits per language counted with

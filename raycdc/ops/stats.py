@@ -615,3 +615,124 @@ def zscore_by_group(
         return out.drop(columns=["_mean", "_std"])
 
     return ds.map_batches(annotate, batch_format="pandas")
+
+
+def winsorize_by(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str = "value_w",
+    max_bins: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-group winsorization: clip ``col`` to its group's exact
+    [p_lo, p_hi] quantiles — the outlier-taming normalization step of
+    a feature/curation pipeline (reference engine has no analog;
+    extends the §2.5 family).
+
+    Two zero-shuffle passes: the grouped exact-quantile histogram pass
+    (``exact_quantiles`` — driver state O(distinct values × groups),
+    guarded by ``max_bins``) computes the clip bounds, which broadcast
+    via ``ray.put`` for a streaming clip pass.  The corpus never
+    shuffles and the clip is a vectorized np.minimum/np.maximum.
+
+    Bounds are DuckDB ``quantile_disc`` values — actual column values,
+    so the clipped output is bit-exact against a SQL
+    LEAST(GREATEST(...)) oracle (no interpolation, no new floats).
+    NULLs pass through as NULL (numpy NaN propagation), unlike SQL
+    GREATEST which skips NULL arguments — filter NULLs upstream when
+    oracle-comparing."""
+    qdf = exact_quantiles(
+        ds, col, qs=(p_lo, p_hi), group_col=group_col, max_bins=max_bins
+    )
+    lo = qdf[qdf["q"] == p_lo].set_index(group_col)[col]
+    hi = qdf[qdf["q"] == p_hi].set_index(group_col)[col]
+    bounds = pd.DataFrame(
+        {group_col: lo.index, "_lo": lo.to_numpy(), "_hi": hi.to_numpy()}
+    )
+    import ray
+
+    bounds_ref = ray.put(bounds)
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(ray.get(bounds_ref), on=group_col, how="left")
+        out.index = df.index
+        v = out[col].to_numpy(dtype=np.float64)
+        out[out_col] = np.minimum(
+            np.maximum(v, out["_lo"].to_numpy()), out["_hi"].to_numpy()
+        )
+        return out.drop(columns=["_lo", "_hi"])
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
+def robust_outliers_mad(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: str,
+    k: float = 3.0,
+    z_col: str = "robust_z",
+    round_to: int = 6,
+    max_bins: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-group robust outliers via median/MAD — the heavy-tail-safe
+    cousin of z-score flagging (a zipfian value column drags mean AND
+    std, so classic z misses exactly the rows that matter; median and
+    MAD have 50% breakdown).  robust_z = (x − med) / (1.4826·MAD),
+    rows kept where |x − med| > k·(1.4826·MAD).
+
+    Three streaming passes, zero corpus shuffle:
+
+    1. grouped exact median (``exact_quantiles`` histogram partials);
+    2. grouped exact median of |x − med| (same machinery over the
+       derived deviation — broadcast medians, per-batch abs-dev
+       histogram partials; bin count is bounded by pairwise value
+       differences, guarded by ``max_bins``);
+    3. broadcast (med, MAD) and filter/score each batch vectorized.
+
+    Medians are ``quantile_disc`` values and the score arithmetic
+    mirrors the SQL oracle's operation order term-for-term
+    ((x − med) then 1.4826·MAD then divide), so the filter decision is
+    bit-exact against DuckDB; only the reported z is rounded.  NULL
+    values are dropped (SQL WHERE col IS NOT NULL semantics)."""
+    import ray
+
+    med_df = exact_quantiles(
+        ds, col, qs=(0.5,), group_col=group_col, max_bins=max_bins
+    ).rename(columns={col: "_med"})[[group_col, "_med"]]
+    med_ref = ray.put(med_df)
+
+    def absdev(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, col]].dropna(subset=[col]).merge(
+            ray.get(med_ref), on=group_col, how="left"
+        )
+        out["_dev"] = np.abs(
+            out[col].to_numpy(dtype=np.float64) - out["_med"].to_numpy()
+        )
+        return out[[group_col, "_dev"]]
+
+    dev = ds.select_columns([group_col, col]).map_batches(
+        absdev, batch_format="pandas"
+    )
+    mad_df = exact_quantiles(
+        dev, "_dev", qs=(0.5,), group_col=group_col, max_bins=max_bins
+    ).rename(columns={"_dev": "_mad"})[[group_col, "_mad"]]
+    stats_ref = ray.put(med_df.merge(mad_df, on=group_col))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.dropna(subset=[col]).merge(
+            ray.get(stats_ref), on=group_col, how="left"
+        )
+        v = out[col].to_numpy(dtype=np.float64)
+        med = out["_med"].to_numpy()
+        scaled_mad = 1.4826 * out["_mad"].to_numpy()
+        dev = np.abs(v - med)
+        keep = dev > k * scaled_mad
+        out = out[keep]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v[keep] - med[keep]) / scaled_mad[keep]
+        out[z_col] = np.round(z, round_to)
+        return out.drop(columns=["_med", "_mad"])
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -1102,3 +1102,104 @@ def chunk_tokens(
         lambda t: chunk_tokens_batch(t, text_col, id_col, size, overlap),
         batch_format="pyarrow",
     )
+
+
+def char_entropy_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-document Shannon entropy (bits) over the character
+    distribution — the classic gibberish/boilerplate signal: natural
+    prose sits ~4–4.5 bits/char, base64/hex blobs and single-char
+    runs fall far outside.  Definition matches DuckDB ``entropy()``
+    over the unnested characters (log2 of the count distribution), so
+    the op is SQL-oracle checkable.
+
+    One decode of the whole batch: texts concatenate into a single
+    utf-32 buffer (np.frombuffer — no per-char Python objects), per-doc
+    slices are bincounted via np.unique on views.  Empty documents emit
+    no row (the SQL unnest produces no group)."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    joined = "".join(t for t in texts if t)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    out_ids, out_ent, out_n = [], [], []
+    pos = 0
+    for i, t in zip(ids, texts):
+        if not t:
+            continue
+        n = len(t)
+        seg = cp[pos : pos + n]
+        pos += n
+        cnt = np.unique(seg, return_counts=True)[1]
+        p = cnt / n
+        out_ids.append(i)
+        out_ent.append(round(float(-(p * np.log2(p)).sum()), 6))
+        out_n.append(n)
+    return pa.table({
+        id_col: pa.array(out_ids, pa.int64()),
+        "n_chars": pa.array(out_n, pa.int64()),
+        "char_entropy": pa.array(out_ent, pa.float64()),
+    })
+
+
+def char_entropy(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Streaming per-doc character entropy — see
+    ``char_entropy_batch``."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: char_entropy_batch(t, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
+def compression_signal_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> pa.Table:
+    """Per-document zlib compression ratio — the Gopher/RefinedWeb
+    style redundancy signal: highly repetitive boilerplate compresses
+    far below prose (ratio ≪ 0.4), random/encrypted blobs sit near
+    1.0.  raw/compressed byte lengths ship alongside the rounded ratio
+    so downstream thresholds can re-derive their own cut.
+
+    zlib.compress is a C call per document (the Python loop carries no
+    per-char work); DEFLATE output is deterministic for a fixed level
+    and zlib build, so the query output pins as an expected-file
+    regression oracle rather than a SQL twin."""
+    import zlib
+
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    raw = np.empty(len(texts), np.int64)
+    comp = np.empty(len(texts), np.int64)
+    for j, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        raw[j] = len(b)
+        comp[j] = len(zlib.compress(b, level))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+    return pa.table({
+        id_col: ids,
+        "raw_bytes": pa.array(raw),
+        "zlib_bytes": pa.array(comp),
+        "compression_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+    })
+
+
+def compression_signal(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> "ray.data.Dataset":
+    """Streaming per-doc compression-ratio signal — see
+    ``compression_signal_batch``."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: compression_signal_batch(t, text_col, id_col, level),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,147 @@
+"""Record linkage (blocked banded Levenshtein) and the round-5 text
+signals (char entropy, compression ratio): exactness vs a reference
+DP, planted-pair recovery, blocking contract, and edge cases."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raycdc.ops.linkage import banded_levenshtein, levenshtein_link_pairs
+
+
+def _ref_lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def test_banded_levenshtein_fuzz_vs_full_dp():
+    rng = random.Random(7)
+    for _ in range(1500):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 28)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 28)))
+        t = rng.randint(0, 10)
+        d = _ref_lev(a, b)
+        assert banded_levenshtein(a, b, t) == (d if d <= t else t + 1)
+
+
+def test_banded_levenshtein_edges():
+    assert banded_levenshtein("", "", 3) == 0
+    assert banded_levenshtein("abc", "", 3) == 3
+    assert banded_levenshtein("", "abcd", 3) == 4  # |len diff| > t
+    assert banded_levenshtein("kitten", "sitting", 5) == 3
+    assert banded_levenshtein("aaaa", "bbbb", 2) == 3  # capped at t+1
+
+
+def _docs(rows, nparts=4):
+    return ray.data.from_pandas(pd.DataFrame(rows)).repartition(nparts)
+
+
+def test_linkage_recovers_planted_pairs():
+    rng = random.Random(42)
+    rows = []
+    planted = set()
+    for i in range(60):
+        base = "prefix%02d stays " % (i % 10) + "".join(
+            rng.choice("abcdefgh ") for _ in range(80)
+        )
+        rows.append({"doc_id": 2 * i, "text": base, "lang": "en"})
+        mutated = list(base)
+        for _ in range(3):  # 3 random substitutions past the prefix
+            p = rng.randint(20, len(mutated) - 1)
+            mutated[p] = rng.choice("xyz")
+        rows.append(
+            {"doc_id": 2 * i + 1, "text": "".join(mutated), "lang": "en"}
+        )
+        planted.add((2 * i, 2 * i + 1))
+    out = levenshtein_link_pairs(
+        _docs(rows), prefix=16, max_dist=5, max_candidate_pairs=100_000
+    )
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert planted <= got
+    for _, r in out.iterrows():
+        a = next(x["text"] for x in rows if x["doc_id"] == r["id_a"])
+        b = next(x["text"] for x in rows if x["doc_id"] == r["id_b"])
+        assert _ref_lev(a, b) == r["dist"] <= 5
+
+
+def test_linkage_blocking_contract_and_threshold():
+    rows = [
+        # same block, distance 3 (one/twx) -> linked at the boundary
+        {"doc_id": 1, "text": "0123456789abcdef tail one", "lang": "en"},
+        {"doc_id": 2, "text": "0123456789abcdef tail twx", "lang": "en"},
+        # same text prefix, different lang -> different block, no pair
+        {"doc_id": 3, "text": "0123456789abcdef tail one", "lang": "fr"},
+        # same block, distance above threshold -> dropped
+        {"doc_id": 4, "text": "0123456789abcdef completely different suffix here", "lang": "en"},
+    ]
+    out = levenshtein_link_pairs(_docs(rows, 2), prefix=16, max_dist=3)
+    assert list(zip(out["id_a"], out["id_b"], out["dist"])) == [(1, 2, 3)]
+
+
+def test_linkage_pair_budget_tripwire():
+    from raycdc.ops.dedup import PairBudgetExceeded
+
+    rows = [
+        {"doc_id": i, "text": "identical prefix forever", "lang": "en"}
+        for i in range(100)
+    ]
+    with pytest.raises(PairBudgetExceeded):
+        levenshtein_link_pairs(_docs(rows), max_candidate_pairs=10)
+
+
+def test_char_entropy_known_values_and_empties():
+    from raycdc.ops.text import char_entropy
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": ["aabb", "aaaa", "", "abéé"],
+            }
+        )
+    )
+    out = char_entropy(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "char_entropy"] == 1.0
+    assert out.loc[2, "char_entropy"] == 0.0
+    assert 3 not in out.index  # empty doc emits no row (SQL unnest)
+    assert out.loc[4, "char_entropy"] == 1.5  # {a:1, b:1, é:2} over 4
+    assert out.loc[4, "n_chars"] == 4  # codepoints, not utf-8 bytes
+
+
+def test_compression_signal_orders_redundancy():
+    from raycdc.ops.text import compression_signal
+
+    rng = random.Random(1)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [
+                    "spam " * 200,  # highly repetitive
+                    "".join(
+                        rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+                        for _ in range(1000)
+                    ),
+                ],
+            }
+        )
+    )
+    out = compression_signal(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "compression_ratio"] < 0.05
+    assert out.loc[2, "compression_ratio"] > 0.5
+    assert (out["raw_bytes"] == [1000, 1000]).all()
+    # deterministic across reruns (the pin's contract)
+    again = compression_signal(ds).to_pandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(out, again)

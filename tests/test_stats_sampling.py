@@ -418,3 +418,93 @@ def test_weighted_sample_k_grouped_matches_reference():
     for g, sub in got.groupby("g"):
         assert set(sub["id"]) == ref[g], g
     assert "_wkey" not in got.columns
+
+
+def test_winsorize_by_clips_to_group_quantiles():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 500),
+            "v": np.round(
+                np.concatenate(
+                    [rng.lognormal(1, 1, 500), rng.normal(50, 5, 500)]
+                ),
+                2,
+            ),
+        }
+    )
+    from raycdc.ops.stats import winsorize_by
+
+    out = (
+        winsorize_by(_ds(df), "v", "g", 0.05, 0.95, out_col="w")
+        .to_pandas()
+        .sort_values(["g", "v"])
+    )
+    for g, sub in df.groupby("g"):
+        lo = _quantile_disc(sub["v"].to_numpy(), 0.05)
+        hi = _quantile_disc(sub["v"].to_numpy(), 0.95)
+        got = out[out["g"] == g]
+        want = np.clip(got["v"].to_numpy(), lo, hi)
+        assert np.array_equal(got["w"].to_numpy(), want)
+        # clipping actually bites on both tails
+        assert (got["w"] != got["v"]).sum() >= 2
+
+
+def test_winsorize_partitioning_invariant():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"g": rng.choice(["x", "y", "z"], 300), "v": rng.integers(0, 40, 300)}
+    )
+    from raycdc.ops.stats import winsorize_by
+
+    a = (
+        winsorize_by(_ds(df, 1), "v", "g")
+        .to_pandas()
+        .sort_values(["g", "v", "value_w"])
+        .reset_index(drop=True)
+    )
+    b = (
+        winsorize_by(_ds(df, 7), "v", "g")
+        .to_pandas()
+        .sort_values(["g", "v", "value_w"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_robust_outliers_mad_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    base = np.round(rng.normal(10, 2, 400), 2)
+    spikes = np.array([1000.0, -500.0, 999.9])
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 403,
+            "v": np.concatenate([base, spikes]),
+            "i": np.arange(403),
+        }
+    )
+    from raycdc.ops.stats import robust_outliers_mad
+
+    out = robust_outliers_mad(_ds(df), "v", "g", k=3.0).to_pandas()
+    med = _quantile_disc(df["v"].to_numpy(), 0.5)
+    mad = _quantile_disc(np.abs(df["v"].to_numpy() - med), 0.5)
+    mask = np.abs(df["v"].to_numpy() - med) > 3.0 * (1.4826 * mad)
+    assert set(out["i"]) == set(df["i"][mask])
+    # the planted spikes are all caught
+    assert {400, 401, 402} <= set(out["i"])
+    z = out.set_index("i")["robust_z"]
+    for i in (400, 401, 402):
+        want = round((df["v"][i] - med) / (1.4826 * mad), 6)
+        assert z[i] == want
+
+
+def test_robust_outliers_mad_heavy_tail_beats_zscore():
+    # one zipfian group: classic 3-sigma z-score misses moderate
+    # outliers because the spike inflates std; MAD keeps 50% breakdown
+    vals = np.concatenate([np.full(99, 10.0), [1e6]])
+    df = pd.DataFrame({"g": ["a"] * 100, "v": vals, "i": np.arange(100)})
+    from raycdc.ops.stats import robust_outliers_mad
+
+    out = robust_outliers_mad(_ds(df), "v", "g", k=3.0).to_pandas()
+    # MAD = 0 -> every deviation > 0 flags; only the spike deviates
+    assert list(out["i"]) == [99]

@@ -43,6 +43,7 @@ PINNED = [
     "media_frame_sample",
     "pca_components",
     "hash_embed_representatives",
+    "doc_compression_signal",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
