@@ -261,6 +261,11 @@ def bench_queries() -> dict[str, float]:
         "dd_value_quantiles",
         "weighted_sample_docs",
         "cdc_expire_retention",
+        "winsorized_event_values",
+        "event_value_mad_outliers",
+        "record_linkage_pairs",
+        "doc_char_entropy",
+        "doc_compression_signal",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)
@@ -1909,6 +1914,119 @@ def feed_bench() -> None:
     )
 
 
+def r5soak() -> None:
+    """Linearity ladder for the round-5 operators: winsorize_by and
+    robust_outliers_mad at 2M vs 8M events-shaped rows; char_entropy
+    and compression_signal at 100k vs 400k synthetic docs; blocked
+    Levenshtein linkage at 40k vs 160k docs with planted 3-doc blocks
+    (pairs scale linearly with the corpus by construction — the
+    engine contract under test is that candidate generation stays
+    collision-bounded and verify stays O(pairs·len·band))."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from raycdc.tuning import tune_data_context
+
+    tune_data_context()
+    calib, _ = _calibrate_settled()
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ray.data.range(1000).map_batches(lambda b: b).materialize()
+
+    from raycdc.ops.linkage import levenshtein_link_pairs
+    from raycdc.ops.stats import robust_outliers_mad, winsorize_by
+    from raycdc.ops.text import char_entropy, compression_signal
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 3)
+
+    ladder: dict[str, dict[str, float]] = {}
+    for n in (2_000_000, 8_000_000):
+        ds = _synth_rows(n, num_keys=100_000)
+        ladder.setdefault("winsorize_by", {})[f"sec_{n}"] = timed(
+            lambda: winsorize_by(ds, "value", "event_type").count()
+        )
+        ladder.setdefault("robust_outliers_mad", {})[f"sec_{n}"] = timed(
+            lambda: robust_outliers_mad(ds, "value", "event_type").count()
+        )
+
+    words = np.array(
+        "the quick brown fox jumps over lazy dog alpha beta gamma "
+        "delta epsilon zeta eta theta iota kappa lam mu nu xi".split()
+    )
+
+    def _doc_ds(n_docs: int, blocked: bool):
+        def gen(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["id"].to_numpy()
+            # 30 deterministic words per doc, vectorized gather; in
+            # blocked mode the body derives from the BLOCK id so the
+            # 3 members differ only in the 1-char tail (distance 1-2)
+            seed_ids = ids // 3 if blocked else ids
+            mix = (
+                seed_ids[:, None] * np.int64(2654435761)
+                + np.arange(30)[None, :] * np.int64(48271)
+            ) % np.int64(2**31 - 1)
+            body = [" ".join(w) for w in words[mix % len(words)]]
+            if blocked:
+                # 3-doc planted blocks: identical 16-char prefix per
+                # block -> candidate pairs = 3 * (n/3), linear in n
+                txt = [
+                    "blk%010d core %s %d" % (i // 3, b[:40], i % 3)
+                    for i, b in zip(ids, body)
+                ]
+            else:
+                txt = body
+            return pd.DataFrame({"doc_id": ids, "text": txt, "lang": "en"})
+
+        return ray.data.range(
+            n_docs, override_num_blocks=max(NUM_CPUS * 2, 16)
+        ).map_batches(gen, batch_format="pandas")
+
+    for n in (100_000, 400_000):
+        docs = _doc_ds(n, blocked=False)
+        ladder.setdefault("char_entropy", {})[f"sec_{n}"] = timed(
+            lambda: char_entropy(docs).count()
+        )
+        ladder.setdefault("compression_signal", {})[f"sec_{n}"] = timed(
+            lambda: compression_signal(docs).count()
+        )
+
+    for n in (40_002, 160_002):
+        docs = _doc_ds(n, blocked=True)
+        t0 = time.perf_counter()
+        out = levenshtein_link_pairs(
+            docs, prefix=16, max_dist=4, max_candidate_pairs=2_000_000,
+            out_dir=os.path.join(WORK_ROOT, f"linkpairs_{n}"),
+        )
+        sec = round(time.perf_counter() - t0, 3)
+        ladder.setdefault("levenshtein_link_pairs", {})[f"sec_{n}"] = sec
+        ladder["levenshtein_link_pairs"][f"pairs_{n}"] = int(out.count())
+    ray.shutdown()
+
+    for op, row in ladder.items():
+        secs = [v for k, v in row.items() if k.startswith("sec_")]
+        if len(secs) == 2 and secs[0] > 0:
+            row["ratio_4x_data"] = round(secs[1] / secs[0], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "round-5 op soak: 4x-data linearity ladder",
+                "calib_sec": calib,
+                "calib_reference_sec": CALIB_REFERENCE_SEC,
+                "num_cpus": NUM_CPUS,
+                "ladder": ladder,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--joinview" in sys.argv:
         joinview_bench()
@@ -1929,6 +2047,8 @@ if __name__ == "__main__":
         pq_bench()
     elif "--feed" in sys.argv:
         feed_bench()
+    elif "--r5soak" in sys.argv:
+        r5soak()
     elif "--bootstrap" in sys.argv:
         bootstrap_bench()
     elif "--latency" in sys.argv:

@@ -17,6 +17,8 @@ Scale shapes (all avoid pairwise-all-pairs):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -516,6 +518,13 @@ def _broadcast_verify(
     verified = verify_fn(pairs_ref)
     if out_dir is not None:
         verified.write_parquet(out_dir)
+        import glob as _glob
+
+        # a run whose candidates ALL fail verification writes no
+        # fragments — read_parquet on the bare dir raises, so surface
+        # the empty result the caller expects instead
+        if not _glob.glob(os.path.join(out_dir, "*.parquet")):
+            return ray.data.from_pandas(empty)
         return ray.data.read_parquet(out_dir)
     out = verified.to_pandas()
     if out.empty:

@@ -145,3 +145,19 @@ def test_compression_signal_orders_redundancy():
     # deterministic across reruns (the pin's contract)
     again = compression_signal(ds).to_pandas().set_index("doc_id")
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_linkage_out_dir_all_candidates_fail_returns_empty(tmp_path):
+    # same block (identical prefix) but bodies far apart: candidates
+    # exist, verification drops them all -> the out_dir lane must
+    # return an empty Dataset, not crash on the fragment-less dir
+    rows = [
+        {"doc_id": 1, "text": "0123456789abcdef " + "x" * 50, "lang": "en"},
+        {"doc_id": 2, "text": "0123456789abcdef " + "y" * 50, "lang": "en"},
+    ]
+    out = levenshtein_link_pairs(
+        _docs(rows, 2), prefix=16, max_dist=3,
+        out_dir=str(tmp_path / "pairs"),
+    )
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id_a", "id_b", "dist"}
