@@ -3013,6 +3013,23 @@ def _q_doc_char_entropy(sf_dir):
     return char_entropy(_docs_light(sf_dir))
 
 
+def _q_event_value_pct_rank(sf_dir):
+    """Per-type percent-rank normalization (the rank transform that
+    makes scores comparable across heterogeneous sources): one
+    zero-shuffle histogram pass builds per-(group, value) cumulative
+    counts, broadcast for a streaming annotate — pr = below/(n−1)
+    with both terms integers, so the single float division is
+    bit-identical to SQL percent_rank()."""
+    from raycdc.ops.stats import percent_rank_by
+
+    ds = _events(
+        sf_dir, columns=["event_id", "event_type", "value"]
+    ).filter(lambda r: r["value"] is not None)
+    return percent_rank_by(ds, "value", "event_type").select_columns(
+        ["event_id", "event_type", "value", "pct_rank"]
+    )
+
+
 def _q_doc_compression_signal(sf_dir):
     """Per-doc zlib compression ratio (Gopher-style redundancy
     signal).  DEFLATE output has no SQL twin — pinned expected-file
@@ -3043,8 +3060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ascending staleness of their latest green row);
     # tests/test_rotation.py asserts the first-50 set below equals the
     # tool's output, so a round cannot ship with a stale window.
-    # Round-5 window = the 26 round-4 additions + 5 round-5 additions
-    # that have never had a driver row, then the 19 oldest (r03-latest)
+    # Round-5 window = the 26 round-4 additions + 6 round-5 additions
+    # that have never had a driver row, then the 18 oldest (r03-latest)
     # entries.  Union invariant: green driver rows across r02..r05
     # cover all registered queries.
     return {
@@ -3082,6 +3099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_linkage_pairs": _tuned(_q_record_linkage_pairs),
         "doc_char_entropy": _tuned(_q_doc_char_entropy),
         "doc_compression_signal": _tuned(_q_doc_compression_signal),
+        "event_value_pct_rank": _tuned(_q_event_value_pct_rank),
         # -- (2) oldest driver evidence (latest green row is r03) ----
         "event_value_histogram": _tuned(_q_event_value_histogram),
         "value_histogram_by_type": _tuned(_q_value_histogram_by_type),
@@ -3101,11 +3119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_watermarks": _tuned(_q_cdc_watermarks),
         "events_after_purchase": _tuned(_q_events_after_purchase),
         "content_digests": _tuned(_q_content_digests),
-        "topk_orders": _tuned(_q_topk_orders),
         # ---- driver-window boundary (50) ----------------------------
         # -- (3) r03/r04-green stable set; the local oracle twin
         #        (tests/test_queries_oracle.py) covers ALL entries
         #        every pytest run --------------------------------------
+        "topk_orders": _tuned(_q_topk_orders),
         "lineitem_order_priority": _tuned(_q_lineitem_order_priority),
         "window_hourly": _tuned(_q_window_hourly),
         "asof_prior_purchase": _tuned(_q_asof_prior_purchase),
@@ -4640,6 +4658,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "doc_compression_signal": _pin("doc_compression_signal"),
+        "event_value_pct_rank": """
+            SELECT event_id, event_type, value,
+                   percent_rank() OVER (
+                     PARTITION BY event_type ORDER BY value
+                   ) AS pct_rank
+            FROM events WHERE value IS NOT NULL
+        """,
         # lang_id: genuine independent SQL reimplementation of the
         # stopword-hit heuristic (ops/text.py LangIdStage): tokens =
         # whitespace-split lower(text); hits per language counted with

@@ -266,6 +266,7 @@ def bench_queries() -> dict[str, float]:
         "record_linkage_pairs",
         "doc_char_entropy",
         "doc_compression_signal",
+        "event_value_pct_rank",
     ]:
         # best of 2: the first execution after the headline replay
         # absorbs session-state noise (worker churn, cache effects)

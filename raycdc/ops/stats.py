@@ -736,3 +736,62 @@ def robust_outliers_mad(
         return out.drop(columns=["_med", "_mad"])
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def percent_rank_by(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: str | None = None,
+    out_col: str = "pct_rank",
+    max_bins: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-group percent-rank normalization of a discrete column —
+    the rank transform that maps any value distribution onto [0, 1]
+    (quality-score calibration across heterogeneous sources: a raw
+    score is only comparable within its source; its percent rank is
+    comparable everywhere).
+
+    Matches SQL ``percent_rank() OVER (PARTITION BY g ORDER BY v)``
+    exactly: pr = (rank − 1) / (n − 1) with ties sharing
+    rank = 1 + |{x < v}|, single-row groups scoring 0.0.  Both terms
+    are integers read off the merged value histogram, so the one
+    float division is bit-identical to the SQL engine's.
+
+    One zero-shuffle histogram pass (same ``exact_quantiles``
+    partial/merge machinery, driver state O(distinct values × groups)
+    guarded by ``max_bins``) builds per-(group, value) cumulative
+    counts; the (group, value, count_less, n) frame broadcasts via
+    ``ray.put`` for a streaming hash-merge annotate pass — the corpus
+    never shuffles.  NULL values are dropped (SQL ranks them last;
+    filter upstream when oracle-comparing)."""
+    import ray
+
+    group_cols = [group_col] if group_col else []
+    hist = value_histogram(ds, col, group_col, max_bins=max_bins)
+    if group_cols:
+        grp = hist.groupby(group_col, sort=False)["cnt"]
+        below = grp.cumsum() - hist["cnt"]
+        n = grp.transform("sum")
+    else:
+        below = hist["cnt"].cumsum() - hist["cnt"]
+        n = hist["cnt"].sum()
+    lookup = hist[group_cols + [col]].copy()
+    lookup["_below"] = below.to_numpy(dtype=np.int64)
+    lookup["_n"] = (
+        n.to_numpy(dtype=np.int64) if group_cols else np.int64(n)
+    )
+    ref = ray.put(lookup)
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.dropna(subset=[col]).merge(
+            ray.get(ref), on=group_cols + [col], how="left"
+        )
+        b = out["_below"].to_numpy(dtype=np.float64)
+        denom = out["_n"].to_numpy(dtype=np.int64) - 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = b / denom.astype(np.float64)
+        pr[denom == 0] = 0.0
+        out[out_col] = pr
+        return out.drop(columns=["_below", "_n"])
+
+    return ds.map_batches(annotate, batch_format="pandas")

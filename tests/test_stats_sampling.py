@@ -508,3 +508,43 @@ def test_robust_outliers_mad_heavy_tail_beats_zscore():
     out = robust_outliers_mad(_ds(df), "v", "g", k=3.0).to_pandas()
     # MAD = 0 -> every deviation > 0 flags; only the spike deviates
     assert list(out["i"]) == [99]
+
+
+def test_percent_rank_matches_sql_definition():
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 400),
+            "v": np.round(rng.normal(0, 3, 400), 1),  # plenty of ties
+        }
+    )
+    # plus a single-row group (SQL pins pr = 0.0)
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["solo"], "v": [7.7]})], ignore_index=True
+    )
+    from raycdc.ops.stats import percent_rank_by
+
+    out = percent_rank_by(_ds(df, 5), "v", "g").to_pandas()
+    for g, sub in df.groupby("g"):
+        vals = sub["v"].to_numpy()
+        n = len(vals)
+        got = out[out["g"] == g]
+        for v, pr in zip(got["v"], got["pct_rank"]):
+            below = int((vals < v).sum())
+            want = 0.0 if n == 1 else below / float(n - 1)
+            assert pr == want
+    solo = out[out["g"] == "solo"]
+    assert list(solo["pct_rank"]) == [0.0]
+
+
+def test_percent_rank_ungrouped_and_bounds():
+    df = pd.DataFrame({"v": [1.0, 2.0, 2.0, 3.0], "i": range(4)})
+    from raycdc.ops.stats import percent_rank_by
+
+    out = (
+        percent_rank_by(_ds(df, 2), "v")
+        .to_pandas()
+        .sort_values("i")["pct_rank"]
+        .to_list()
+    )
+    assert out == [0.0, 1 / 3, 1 / 3, 1.0]
